@@ -1,0 +1,65 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference's source stage learns its schema by *preparing* the query
+(src/pg_arrow_source.rs:220-236) or reading the parquet footer
+(src/lib.rs:92-97); Spark's parquet reader does the footer read natively and
+Catalyst prunes columns/pushes filters into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The driver may hand us a session without this conf; it is
+        # runtime-settable, and without it the parquet footer's
+        # TIMESTAMP(NANOS) type is rejected outright.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, surfaced as epoch-nanos long
+        # via spark.sql.legacy.parquet.nanosAsLong; truncate to micros —
+        # exactly what DuckDB does internally (µs-native timestamps) — so
+        # both engines observe identical values.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view so ``spark.sql`` queries work.
+
+    Idempotent; safe to call per-query (view registration is metadata-only).
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,823 @@
+"""Relational query surface — SURVEY.md §2b (Q1-Q24).
+
+The reference delegates this entire surface to Postgres via its ``-q`` SQL
+string (reference src/lib.rs:39-40, prepare/execute at
+src/pg_arrow_source.rs:221,240); here each operator is a native
+DataFrame/Spark-SQL plan optimized by Catalyst.  Every query is registered
+with an equivalent ANSI-SQL oracle for DuckDB.
+
+Determinism rules applied throughout (see queries/__init__.py docstring):
+aliases match the oracle exactly; derived doubles rounded; year()/length()
+etc. cast to BIGINT on the Spark side because DuckDB returns BIGINT where
+Spark returns INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.catalog import load_table, register_views
+from lakehouse_loader_spark.queries import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1 scan + projection + aliasing  (reference test: column cherry-picking,
+# tests/basic_integration.rs:77)
+# --------------------------------------------------------------------------
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS lineno,
+           l_extendedprice AS price, l_returnflag AS rflag
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table scan with column pruning + aliasing; Catalyst pushes the
+    4-column ReadSchema into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("rflag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 filters: AND/OR, comparison, IN, BETWEEN, LIKE, IS NOT NULL
+# --------------------------------------------------------------------------
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'O' OR o_orderpriority LIKE '1-%')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate pushdown: all four conjuncts reach the parquet
+    scan as PushedFilters."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "O") | F.col("o_orderpriority").like("1-%"))
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Q3 computed projections: arithmetic, CASE WHEN, casts
+# (reference tests: `cint8 + 1` basic_integration.rs:130, `::text` cast
+# basic_integration.rs:150)
+# --------------------------------------------------------------------------
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+           CASE WHEN l_quantity > 25 THEN 'big'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS qty_class,
+           CAST(l_orderkey AS VARCHAR) AS okey_str,
+           l_quantity + 1 AS qty_plus
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column arithmetic, CASE WHEN, int→string cast — the computed-column
+    surface the reference pushes through its SQL string."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at scale 4 = the exact decimal scale of a 2-dec × 2-dec
+        # product: no true half-way ties exist, so Spark and DuckDB round
+        # identically (scale 2 WOULD tie on half-cents and diverge)
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("disc_price"),
+        F.when(F.col("l_quantity") > 25, "big")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+        (F.col("l_quantity") + 1).alias("qty_plus"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 inner equi join (fact→dim) + aggregate
+# --------------------------------------------------------------------------
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS segment_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 left outer join + aggregate (null-preserving side)
+# --------------------------------------------------------------------------
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_big_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS big_total
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 150000
+    GROUP BY c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side filter so some customers keep zero
+    matches; COUNT(col) skips the nulls the outer join introduces."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("big_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5b full outer join with nulls on both sides
+# --------------------------------------------------------------------------
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT big.k AS big_key, rich.k AS rich_key
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 250000) big
+    FULL JOIN (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000) rich
+      ON big.k = rich.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("k")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    return big.join(rich, big.k == rich.k, "full").select(
+        big.k.alias("big_key"), rich.k.alias("rich_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 semi / anti joins (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'semi' AS tag, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    UNION ALL
+    SELECT 'anti' AS tag, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("tag"), "c_custkey")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("tag"), "c_custkey")
+    )
+    return semi.unionAll(anti)
+
+
+# --------------------------------------------------------------------------
+# Q7 broadcast join: star-schema dim chain broadcast to the fact scan
+# --------------------------------------------------------------------------
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim chain (supplier⋈nation⋈region) broadcast so the lineitem fact
+    never shuffles for the join — the 100 TB-scale plan: one shuffle total
+    (the final groupBy), all joins map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 non-equi (range/theta) join condition alongside the equi key
+# --------------------------------------------------------------------------
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: Catalyst keeps the equi part as the join
+    key (sort-merge/shuffled-hash scales) and evaluates the range predicate
+    as a post-join filter — the scalable shape for temporal-range joins."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return o.join(li, cond).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+# --------------------------------------------------------------------------
+# Q9 hash aggregate: sum/avg/min/max/count (partial+final built in)
+# --------------------------------------------------------------------------
+@query(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 COUNT(DISTINCT) — expand+two-phase distinct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# approx_count_distinct is HLL++-based and intentionally not oracle-matched
+# (DuckDB's sketch differs); the driver records a rows-only check and
+# tests/test_queries.py bounds the relative error against the exact count.
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the scale path when exact distinct's
+    expand-shuffle is too expensive at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
+        F.countDistinct("l_suppkey").alias("exact_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 ranking window functions
+# --------------------------------------------------------------------------
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             CAST(ROW_NUMBER() OVER w_uniq AS BIGINT) AS rn,
+             CAST(RANK() OVER w_qty AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w_qty AS BIGINT) AS drnk,
+             CAST(NTILE(4) OVER w_uniq AS BIGINT) AS quartile
+      FROM lineitem
+      WINDOW w_uniq AS (PARTITION BY l_returnflag
+                        ORDER BY l_quantity DESC, l_orderkey, l_linenumber),
+             w_qty  AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+    ) WHERE rn <= 20
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/ntile over a fully tie-broken order (deterministic);
+    rank/dense_rank over the non-unique quantity order (ties share ranks,
+    also deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_uniq = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    w_qty = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.row_number().over(w_uniq).cast("bigint").alias("rn"),
+            F.rank().over(w_qty).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_qty).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w_uniq).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 analytic window functions: lag/lead + running frame sums
+# --------------------------------------------------------------------------
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           LAG(l_quantity)  OVER w AS prev_qty,
+           LEAD(l_quantity) OVER w AS next_qty,
+           ROUND(SUM(l_extendedprice) OVER
+                 (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_price,
+           ROUND(AVG(l_extendedprice) OVER
+                 (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg3
+    FROM lineitem
+    WHERE l_suppkey <= 25
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 25)
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.round(F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_price"
+        ),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 global sort + limit → TakeOrderedAndProject (no full sort at scale)
+# --------------------------------------------------------------------------
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject: per-partition
+    top-k then a k-row merge on the driver — no global shuffle-sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 set operations
+# --------------------------------------------------------------------------
+@query(
+    "set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nkey FROM customer WHERE c_acctbal > 8000),
+         sn AS (SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+    SELECT 'union' AS tag, nkey FROM (SELECT nkey FROM cn UNION SELECT nkey FROM sn)
+    UNION ALL
+    SELECT 'intersect' AS tag, nkey FROM (SELECT nkey FROM cn INTERSECT SELECT nkey FROM sn)
+    UNION ALL
+    SELECT 'except' AS tag, nkey FROM (SELECT nkey FROM cn EXCEPT SELECT nkey FROM sn)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.filter(F.col("c_acctbal") > 8000).select(F.col("c_nationkey").alias("nkey")).distinct()
+    sn = s.select(F.col("s_nationkey").alias("nkey")).distinct()
+    return (
+        cn.union(sn).distinct().select(F.lit("union").alias("tag"), "nkey")
+        .unionAll(cn.intersect(sn).select(F.lit("intersect").alias("tag"), "nkey"))
+        .unionAll(cn.exceptAll(sn).select(F.lit("except").alias("tag"), "nkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 DISTINCT / dedup on a key subset (deterministic keep-first)
+# --------------------------------------------------------------------------
+@query(
+    "distinct_dedup_keys",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, c_custkey AS first_custkey
+    FROM (
+      SELECT c_mktsegment, c_nationkey, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                ORDER BY c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def distinct_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates keeps an arbitrary row, so the deterministic form is
+    row_number()=1 over an explicit order — same shape dedup uses at scale."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment", "c_nationkey").orderBy("c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", "c_nationkey", F.col("c_custkey").alias("first_custkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 string function family
+# --------------------------------------------------------------------------
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           p_brand || '#' || p_type AS brand_type,
+           UPPER(p_name) AS uname,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           TRIM('  ' || p_name || ' ') AS trimmed,
+           SPLIT_PART(p_name, ' ', 1) AS first_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           REPLACE(p_type, 'E', '3') AS leet
+    FROM part
+    WHERE p_name LIKE '%e%'
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("3")).alias("leet"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 date/time function family
+# --------------------------------------------------------------------------
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+           CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+           CAST(ISODOW(o_orderdate) AS BIGINT) AS iso_dow,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic matching the reference's timestamp fixtures
+    (reference tests/postgres-init-scripts/init-pg-data.sql:42-44); outputs
+    formatted as strings so both engines hash identically."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")).select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_dow"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 math function family
+# --------------------------------------------------------------------------
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * 0.1, 3) AS price_tenth,
+           ROUND(ABS(l_discount - 0.05), 4) AS disc_dev,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           l_orderkey % 7 AS okey_mod,
+           l_quantity * l_quantity AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        # price has 2 true decimals, so ROUND(price, 1) would tie on .X5
+        # exactly; price*0.1 has 3 true decimals → scale-3 round is tie-free
+        F.round(F.col("l_extendedprice") * 0.1, 3).alias("price_tenth"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_floor"),
+        (F.col("l_orderkey") % 7).alias("okey_mod"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 JSON extraction from a string column
+# --------------------------------------------------------------------------
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.max(k).cast("bigint").alias("k_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 array higher-order functions over embeddings
+# --------------------------------------------------------------------------
+@query(
+    "array_map_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           embedding[1] AS first_elem,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/aggregate/filter) — the
+    JVM-side path for vector math, no Python UDF in the loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x_d = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x_d(x)), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x_d(x) * x_d(x))), 4
+        ).alias("vec_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 scalar + correlated subqueries (Catalyst decorrelates)
+# --------------------------------------------------------------------------
+_Q22_SQL = """
+SELECT c.c_custkey, c.c_acctbal,
+       (SELECT ROUND(AVG(c2.c_acctbal), 6)
+        FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c3.c_acctbal) FROM customer c3)
+"""
+
+
+@query("subquery_scalar_correlated", oracle=_Q22_SQL)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical ANSI SQL on both engines; Catalyst rewrites the correlated
+    scalar subquery into an aggregate+join (RewriteCorrelatedScalarSubquery)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q23 flagship: TPC-H Q1-like pricing summary (entry() smoke query)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q1_like",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: filter → hash agg (partial+final) → tiny sort.
+    One shuffle of ~6 grouped rows per partition — scale-optimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q24 flagship: TPC-H Q3-like 3-way join + agg + top-k
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q3_like",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query: filtered dims broadcast into the fact scan,
+    single agg shuffle, top-k via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
