@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force top-k: exact baseline — broadcast the (small) query set
+  against the full corpus; one pass, no shuffle of the corpus
+- cosine near-dup pairs: exact all-pairs above a threshold (correctness
+  baseline; quadratic — use the LSH variant at scale)
+- random-hyperplane LSH ANN: the scale path — bucket by sign-pattern,
+  search only within buckets
+
+Vector math is double-precision higher-order folds (JVM-side); a
+Pandas-UDF/numpy path would cross Arrow for every batch and is only worth it
+for dims ≫ 10³.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    """Σ aᵢ·bᵢ as a sequential double fold (bit-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query set is broadcast; the corpus streams through map-side —
+    the only shuffle is the per-query top-k window over k·|queries| rows
+    (pre-pruned per partition by Spark's WindowGroupLimit)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (correctness baseline).
+
+    Quadratic in |emb| — at 100 TB use lsh_ann_topk-style bucketing; this
+    exact form is the oracle the approximate variants are tested against."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via an LCG (no RNG state);
+    components in [-1, 1)."""
+    planes = []
+    s = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((s / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-pattern buckets: one (table_id, bucket) row per hash
+    table.  Multiple independent tables trade candidate volume for recall —
+    P(candidate) = 1-(1-p^planes)^tables with p = 1-θ/π."""
+    planes = _hyperplanes(dim, n_tables * planes_per_table)
+    table_structs = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for i in range(planes_per_table):
+            p = planes[t * planes_per_table + i]
+            proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        table_structs.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
+        )
+    return df.withColumn("lsh_key", F.explode(F.array(*table_structs)))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 hash-table
+    bucket with the query, then exact cosine ranking of candidates only.
+
+    Scale shape: the corpus is exploded n_tables× and shuffled once by
+    (table_id, bucket); each query probes its buckets via broadcast.  Work
+    scales with Σ bucket occupancy, not |corpus|·|queries|."""
+    c = with_lsh_buckets(emb, dim, n_tables, planes_per_table, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "lsh_key"
+    )
+    q = with_lsh_buckets(queries, dim, n_tables, planes_per_table, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "lsh_key"
+    )
+    cands = (
+        c.join(F.broadcast(q), ["lsh_key"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cands.select(
+        "q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

@@ -4,7 +4,12 @@ pipeline operators (dedup, similarity search, text analysis, multimodal).
 Every operator here is expressed as scale-out primitives (joins / aggs /
 windows / LSH banding) — no driver-side collection — per the 100 TB design
 rule.  Implementations live in ``lakehouse_loader_spark.operators.*``; this
-module registers the declared-query entry points.
+module registers the declared-query entry points with their DuckDB oracles.
+
+Oracle notes: probabilistic structures (SimHash over xxhash64, LSH-ANN) have
+no DuckDB equivalent and register rows-only; MinHash IS oracle-matched —
+against the *exact* jaccard pairs — because candidates are exactly verified
+and 32×4 banding has ≈1 recall at the 0.8 threshold.
 """
 
 from __future__ import annotations
@@ -13,7 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_loader_spark.catalog import load_table
+from lakehouse_loader_spark.operators import dedup as D
+from lakehouse_loader_spark.operators import similarity as S
+from lakehouse_loader_spark.operators import text as T
 from lakehouse_loader_spark.queries import query
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per document, matching
+# operators.dedup.with_shingles.
+_SHINGLES_CTE = """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             CAST(len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -32,8 +57,206 @@ from lakehouse_loader_spark.queries import query
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: hash-groupBy on md5(text), keep lowest doc_id.
     One shuffle on the 128-bit hash — uniform keys, no skew at 100 TB."""
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# E1 near-dup dedup: exact n-gram jaccard via shingle join
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.5, materializing only pairs that
+    share ≥1 shingle (shingle-explode + equi-join, never all-pairs)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# E1 near-dup dedup: MinHash signature + LSH banding + exact verify
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash",
+    oracle=_SHINGLES_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash128 → 32-band LSH → exact-verify candidates at j ≥ 0.8.
+    Oracle-matched against exact all-pairs jaccard because banding recall
+    at 0.8 is ≈1 (P(miss) = (1-j⁴)³² ≤ 1e-7) and candidates are verified
+    exactly — the output is identical, found in linear-ish time."""
+    return D.minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding.
+    Rows-only: DuckDB lacks xxhash64, so no SQL oracle; tests verify the
+    banding against brute-force hamming."""
+    return D.simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# E2 similarity search over embeddings
+# --------------------------------------------------------------------------
+_COS_SQL = """
+      CAST(list_sum(list_transform(range(1, {n} + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) AS DOUBLE)
+"""
+
+
+def _cos_expr(a: str, b: str, n: int = 64) -> str:
+    dot = _COS_SQL.format(a=a, b=b, n=n)
+    na = _COS_SQL.format(a=a, b=a, n=n)
+    nb = _COS_SQL.format(a=b, b=b, n=n)
+    return f"({dot}) / (SQRT({na}) * SQRT({nb}))"
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+    scored AS (
+      SELECT q_id, n_id, {_cos_expr('q_vec', 'n_vec')} AS cosine
+      FROM c JOIN q ON q_id <> n_id)
+    SELECT q_id, n_id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id<5: broadcast
+    queries, stream the corpus map-side, per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "embedding_neardup_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cos_expr('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_cos_expr('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.35) — the correctness
+    baseline the LSH variant approximates at scale."""
+    return S.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query("similarity_ann_lsh", oracle=None)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH — the 100 TB
+    path.  Rows-only (approximate by construction); tests measure recall
+    against brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+
+
+# --------------------------------------------------------------------------
+# E3 text analysis
+# --------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_pieces
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    return T.with_token_stats(docs).select("doc_id", "n_tokens", "n_distinct_tokens", "n_bpe_pieces")
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens_q,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))
+                AS DOUBLE)
+             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS stopword_ratio,
+           CAST(length(text) - (len(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
+             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring; ratios are single IEEE divisions of integer counts —
+    bit-identical across engines with no rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_quality_score(docs).select(
+        "doc_id", "n_chars_q", "n_tokens_q", "alpha_ratio", "stopword_ratio", "mean_token_len"
+    )
+
+
+def _ddb_hits(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (
+        rf"CAST(len(list_filter(string_split_regex(text, '\s+'),"
+        rf" t -> list_contains([{words}], t))) AS BIGINT)"
+    )
+
+
+@query(
+    "text_langid",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_ddb_hits('en')} AS hits_en,
+             {_ddb_hits('de')} AS hits_de,
+             {_ddb_hits('es')} AS hits_es,
+             {_ddb_hits('fr')} AS hits_fr
+      FROM documents)
+    SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+           CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+                WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language scoring with deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_lang_id(docs).select(
+        "doc_id", "hits_en", "hits_de", "hits_es", "hits_fr", "lang_pred"
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+                         list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * {T.FP_BASE} + x) % {T.FP_MOD}) AS BIGINT) AS fingerprint,
+           MD5(text) AS content_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (Rabin-Karp) over the character stream as a
+    JVM-side fold, plus md5 — document fingerprinting without UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_col(F.col("text")).alias("fingerprint"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
     )

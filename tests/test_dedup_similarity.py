@@ -1,0 +1,106 @@
+"""Operator-level tests for the approximate dedup/similarity structures —
+the properties the SQL oracle can't check: LSH recall, SimHash banding
+completeness, ANN recall against brute force."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_loader_spark.operators import dedup as D
+from lakehouse_loader_spark.operators import similarity as S
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from lakehouse_loader_spark.catalog import load_table
+
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from lakehouse_loader_spark.catalog import load_table
+
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+def test_minhash_lsh_recall_is_total_on_planted_dups(spark, docs):
+    """32×4 banding must find every exact-jaccard≥0.8 pair in the corpus
+    (the driver data plants ~25 such pairs at sf0.01)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(exact) > 0, "testdata should contain planted near-dup pairs"
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_near_duplicates(docs, threshold=0.8).collect()}
+    assert lsh == exact
+
+
+def test_minhash_on_synthetic_mutations(spark):
+    """Construct docs with known overlap: dup pairs at j≈0.9 found, unrelated
+    docs not paired."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight " * 3
+    words = base.split()
+    mutated = " ".join(words[:-2])  # drop 2 trailing words → high jaccard
+    other = "completely different content about spark engines and columnar formats " * 4
+    rows = [(1, base.strip()), (2, mutated), (3, other.strip())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_near_duplicates(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_banding_equals_bruteforce(spark, docs):
+    """Chunk-banding must return exactly the brute-force hamming≤3 pairs
+    (pigeonhole guarantees completeness at 4 chunks / distance 3)."""
+    sh = D.with_simhash(docs).select(F.col("doc_id").alias("doc"), "simhash")
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {(r.doc_a, r.doc_b) for r in D.simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert banded == brute
+
+
+def test_lsh_ann_recall_against_brute_force(spark, emb):
+    """Multi-table ANN top-10 must overlap ≥50% with exact top-10 on average
+    (8 tables × 4 planes, 64-dim near-random data — a smoke floor)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = S.brute_force_topk(emb, queries, k=10).collect()
+    ann = S.lsh_ann_topk(emb, queries, dim=64, k=10).collect()
+    brute_sets: dict[int, set[int]] = {}
+    for r in brute:
+        brute_sets.setdefault(r.q_id, set()).add(r.n_id)
+    ann_sets: dict[int, set[int]] = {}
+    for r in ann:
+        ann_sets.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = [
+        len(brute_sets[q] & ann_sets.get(q, set())) / len(brute_sets[q]) for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = D.exact_duplicates(docs)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_approx_distinct_error_bound(spark):
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
+    for r in rows:
+        assert abs(r.approx_supp - r.exact_supp) / r.exact_supp < 0.1
