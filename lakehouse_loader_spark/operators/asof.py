@@ -1,0 +1,55 @@
+"""As-of (temporal point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the scalable union-merge pattern: union the keyed left and
+right streams, sort within key by (ts, side), and carry the latest right-side
+payload forward with ``last(..., ignorenulls=True)``.  One shuffle on the
+key, no broadcast of either side, no per-row lookup — the shape that holds at
+100 TB (equivalent to the merge phase of a sort-merge join).
+
+Right side must be unique per (key, ts) for deterministic results — true for
+rollup/checkpoint tables by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the ``value_cols`` of the latest right row
+    with ``right.right_ts <= left.left_ts`` and equal ``key``.
+
+    Returns all left columns plus ``value_cols`` (null when no right row
+    precedes, like an ASOF LEFT JOIN)."""
+    lcols = left.columns
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
+    for v in value_cols:
+        l = l.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    r = right.withColumn("__t", F.col(right_ts)).withColumn("__src", F.lit(0))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = [key, "__t", "__src", *value_cols, *[c for c in lcols if c != key]]
+    unioned = l.select(*cols).unionByName(r.select(*cols))
+    # right rows (src=0) sort before left rows at equal ts ⇒ "<=" semantics
+    w = (
+        W.partitionBy(key)
+        .orderBy("__t", "__src")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned
+    for v in value_cols:
+        matched = matched.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    out = matched.filter(F.col("__src") == 1).drop("__t", "__src")
+    if how == "inner":
+        out = out.dropna(subset=value_cols[:1])
+    return out.select(*lcols, *value_cols)

@@ -260,3 +260,171 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint_col(F.col("text")).alias("fingerprint"),
         F.md5(F.col("text").cast("binary")).alias("content_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# E4 multimodal binary payload columns
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'utf8-text' AS media_format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + metadata struct + JVM-side byte features
+    (length/hash/head bytes) — the multimodal schema plumbing with no
+    Python in the loop."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.payload_features(M.with_binary_payload(docs))
+
+
+@query("multimodal_decode", oracle=None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature stage over mapInPandas (codec stubbed —
+    deterministic byte statistics; see operators.multimodal._decode_stub).
+    Rows-only: the mapInPandas batch plumbing has no SQL equivalent."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_features(M.with_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# As-of join (point-in-time): events against a daily-rate checkpoint table
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_event_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS cp_ts,
+             SUM(value) / COUNT(*) AS day_rate
+      FROM events GROUP BY 1, 2),
+    ev AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 17 = 0)
+    SELECT ev.event_id, ev.event_type,
+           STRFTIME(ev.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           STRFTIME(cp.cp_ts, '%Y-%m-%d') AS rate_day,
+           ROUND(cp.day_rate, 4) AS prev_day_rate
+    FROM ev ASOF LEFT JOIN cp
+      ON ev.event_type = cp.event_type AND ev.ts - INTERVAL 1 DAY >= cp.cp_ts
+    """,
+)
+def asof_join_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each sampled event picks the latest daily-rate
+    checkpoint at least 1 day old, via the union-merge as-of operator
+    (one shuffle on the key; no native Spark asof exists)."""
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cp = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("cp_ts"))
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("day_rate"))
+        .withColumn("cp_ts_out", F.col("cp_ts"))
+    )
+    left = ev.filter(F.col("event_id") % 17 == 0).select(
+        "event_id", "event_type", "ts", (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_adj")
+    )
+    joined = asof_join(
+        left, cp, key="event_type", left_ts="ts_adj", right_ts="cp_ts",
+        value_cols=["cp_ts_out", "day_rate"],
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("cp_ts_out", "yyyy-MM-dd").alias("rate_day"),
+        F.round("day_rate", 4).alias("prev_day_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregation over the event stream (batch form; the
+# streaming module runs the same plan incrementally with a watermark)
+# --------------------------------------------------------------------------
+@query(
+    "events_window_agg",
+    oracle="""
+    SELECT event_type,
+           STRFTIME(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows (epoch-aligned in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions per user (lag → flag → cumsum)
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as lag→flag→running-sum — the batch
+    equivalent of a session window, one shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(micros) - F.min(micros)).cast("bigint").alias("duration_us"),
+    )

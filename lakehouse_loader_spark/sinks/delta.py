@@ -1,0 +1,212 @@
+"""Delta Lake sink: Spark executors write the parquet parts; this module
+writes the `_delta_log` transaction commits — the same division of labor as
+the reference, whose executors stream parts to object storage and whose
+driver commits Add actions in one transaction
+(src/delta_destination.rs:392-477).
+
+Commit layout mirrors the reference exactly (asserted by its e2e test,
+tests/basic_integration.rs:48-60):
+
+- version 0: protocol(minReader=1, minWriter=1) + metaData  — the "create"
+  (src/delta_destination.rs:446-458)
+- version 1: one commitInfo + all Add actions as a single append write
+  (src/delta_destination.rs:460-470)
+
+No delta-spark JAR is needed: the Delta transaction log is plain JSON over
+parquet parts (the protocol pin at minReader/minWriter=1 keeps every reader
+compatible).  On a cluster the log commit must use an atomic
+create-if-absent (S3 conditional PUT / DynamoDB lock); locally O_EXCL file
+creation provides the same exclusivity, and commit conflicts retry
+optimistically like the reference (≤3, src/lib.rs:82).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from lakehouse_loader_spark.sinks.alignment import check_schema_aligned
+from lakehouse_loader_spark.sinks.modes import (
+    TargetExistsError,
+    WriteMode,
+    resolve_write_mode,
+)
+
+# Reference consts (src/delta_destination.rs:43-46, 439)
+MAX_ROWS_PER_FILE = 2 * 1024 * 1024
+COMMIT_RETRIES = 3
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _version_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+def table_exists(path: str) -> bool:
+    return os.path.isdir(_log_dir(path)) and any(
+        f.endswith(".json") for f in os.listdir(_log_dir(path))
+    )
+
+
+def _read_log(path: str) -> tuple[int, dict, dict[str, dict]]:
+    """Replay the log: returns (latest_version, metaData, live adds by path)."""
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
+    )
+    meta: dict = {}
+    adds: dict[str, dict] = {}
+    for v in versions:
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+    return versions[-1], meta, adds
+
+
+def table_schema(path: str) -> T.StructType:
+    _, meta, _ = _read_log(path)
+    return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _write_parts(df: DataFrame, path: str, max_rows_per_file: int) -> list[dict]:
+    """Write parquet parts via Spark into a staging dir, then promote them to
+    the table root; returns Add actions.  Executors do all data I/O — the
+    driver only renames and records metadata (cheap, like the reference's
+    commit stage)."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    (
+        df.write.option("maxRecordsPerFile", str(max_rows_per_file))
+        .option("compression", "snappy")
+        .parquet(staging)
+    )
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        dst = os.path.join(path, name)
+        shutil.move(src, dst)
+        adds.append(
+            {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _commit(path: str, version: int, actions: list[dict]) -> None:
+    """Atomic exclusive commit of one log version (O_EXCL ≈ conditional PUT,
+    src/delta_destination.rs:398-402)."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    fd = os.open(_version_file(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action) + "\n")
+
+
+def _metadata_action(schema: T.StructType) -> dict:
+    return {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def _commit_info(mode: str) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": "WRITE",
+            "operationParameters": {"mode": mode, "partitionBy": "[]"},
+        }
+    }
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    overwrite: bool = False,
+    append: bool = False,
+    max_rows_per_file: int = MAX_ROWS_PER_FILE,
+) -> None:
+    """Write ``df`` as a Delta table with the reference's mode semantics:
+    default create-exclusive (existing table → TargetExistsError,
+    src/delta_destination.rs:421-427), overwrite deletes existing state
+    first (414-432), append (engine extension beyond the reference's Delta
+    CLI surface) validates positional schema alignment then commits new Add
+    actions with optimistic retry."""
+    mode = resolve_write_mode(overwrite, append)
+    exists = table_exists(path)
+
+    if mode is WriteMode.CREATE_EXCLUSIVE and exists:
+        raise TargetExistsError(f"delta table already exists at {path}")
+
+    if mode is WriteMode.OVERWRITE and os.path.isdir(path):
+        shutil.rmtree(path)
+        exists = False
+
+    os.makedirs(path, exist_ok=True)
+
+    if mode is WriteMode.APPEND and exists:
+        check_schema_aligned(df.schema, table_schema(path))
+        adds = _write_parts(df, path, max_rows_per_file)
+        for attempt in range(COMMIT_RETRIES):
+            latest, _, _ = _read_log(path)
+            try:
+                _commit(path, latest + 1, [_commit_info("Append"), *[{"add": a} for a in adds]])
+                return
+            except FileExistsError:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        return
+
+    # create (or post-overwrite create): v0 = protocol+metaData, v1 = adds
+    adds = _write_parts(df, path, max_rows_per_file)
+    _commit(
+        path,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
+            _metadata_action(df.schema),
+            _commit_info("CreateTable"),
+        ],
+    )
+    _commit(path, 1, [_commit_info("Append"), *[{"add": a} for a in adds]])
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Delta table by replaying its transaction log (adds minus
+    removes) — no connector JAR required."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no delta table at {path}")
+    _, meta, adds = _read_log(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    files = [os.path.join(path, p) for p in sorted(adds)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)

@@ -1,0 +1,339 @@
+"""Iceberg-style sink: catalog-less "version-hint" table layout with
+versioned metadata, snapshots with sequence numbers, positional schema
+alignment, and optimistic-concurrency commits.
+
+Mirrors the reference's iceberg destination semantics
+(src/iceberg_destination.rs):
+
+- layout: ``data/part-*.parquet`` + ``metadata/vN.metadata.json`` +
+  ``metadata/version-hint.text`` (HadoopTables style, no catalog;
+  iceberg_destination.rs:174-199, 349-352, 370-374)
+- field-ID assignment 1..n stamped into the schema (R13, :67-85)
+- positional, rename-tolerant alignment on overwrite/append (R12, :87-115)
+- write-mode matrix incl. overwrite+append error (R15, :32-37, 159-168)
+- append keeps prior manifests and bumps sequence number (R16, :118-136)
+- conditional-put commit of vN+1 + retry ≤3 on conflict (R14, :354-367 +
+  src/lib.rs:82)
+
+DEVIATION from the Iceberg spec: manifest and manifest-list files are JSON,
+not Avro (no Avro library in this environment).  The metadata JSON itself
+follows the TableMetadata v2 shape, and every semantic the reference tests
+(sequence numbers, alignment matrix, retry, version hint) is faithful; a
+spec-compliant Avro writer can replace the manifest encoder without touching
+any calling code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from lakehouse_loader_spark.sinks.alignment import SchemaAlignmentError, check_schema_aligned
+from lakehouse_loader_spark.sinks.modes import (
+    TargetExistsError,
+    WriteMode,
+    resolve_write_mode,
+)
+
+COMMIT_RETRIES = 3
+
+
+# -- schema ↔ iceberg JSON (field IDs assigned sequentially, R13) -----------
+
+_PRIMITIVES = {
+    T.BooleanType(): "boolean",
+    T.ByteType(): "int",
+    T.ShortType(): "int",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+    T.DateType(): "date",
+    T.TimestampType(): "timestamptz",
+    T.TimestampNTZType(): "timestamp",
+}
+
+
+def _iceberg_type(dt: T.DataType, next_id: list[int]):
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": _iceberg_fields(dt, next_id)}
+    if dt in _PRIMITIVES:
+        return _PRIMITIVES[dt]
+    raise ValueError(f"unsupported type for iceberg sink: {dt.simpleString()}")
+
+
+def _iceberg_fields(schema: T.StructType, next_id: list[int]) -> list[dict]:
+    fields = []
+    for f in schema.fields:
+        fid = next_id[0]
+        next_id[0] += 1
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, next_id),
+            }
+        )
+    return fields
+
+
+def schema_to_iceberg(schema: T.StructType) -> dict:
+    """Assign sequential field IDs (reference assign_field_ids,
+    iceberg_destination.rs:67-85)."""
+    next_id = [1]
+    return {"type": "struct", "schema-id": 0, "fields": _iceberg_fields(schema, next_id)}
+
+
+_FROM_PRIMITIVE = {v: k for k, v in _PRIMITIVES.items() if v not in ("int",)} | {
+    "int": T.IntegerType()
+}
+
+
+def _spark_type(t) -> T.DataType:
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        return _FROM_PRIMITIVE[t]
+    if t["type"] == "list":
+        return T.ArrayType(_spark_type(t["element"]), not t["element-required"])
+    if t["type"] == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+                for f in t["fields"]
+            ]
+        )
+    raise ValueError(f"unsupported iceberg type: {t}")
+
+
+def iceberg_to_schema(ice: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
+            for f in ice["fields"]
+        ]
+    )
+
+
+# -- table layout -----------------------------------------------------------
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _hint_file(path: str) -> str:
+    return os.path.join(_meta_dir(path), "version-hint.text")
+
+
+def table_exists(path: str) -> bool:
+    return os.path.isfile(_hint_file(path))
+
+
+def _read_version(path: str) -> int:
+    with open(_hint_file(path)) as fh:
+        return int(fh.read().strip())
+
+
+def _read_metadata(path: str) -> tuple[int, dict]:
+    v = _read_version(path)
+    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as fh:
+        return v, json.load(fh)
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[dict]:
+    """Executors write the parquet parts under data/; returns manifest
+    entries (path, size, record count unknown until footer read — recorded
+    as -1 and not relied upon by the reader)."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.option("compression", "snappy").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(data_dir, name)
+        shutil.move(os.path.join(staging, name), dst)
+        entries.append(
+            {
+                "content": 0,
+                "file_path": f"data/{name}",
+                "file_format": "PARQUET",
+                "file_size_in_bytes": os.path.getsize(dst),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def _write_manifest(path: str, snapshot_id: int, entries: list[dict]) -> str:
+    """One manifest per commit (JSON; see module deviation note)."""
+    name = f"manifest-{uuid.uuid4().hex}.json"
+    with open(os.path.join(_meta_dir(path), name), "w") as fh:
+        json.dump({"snapshot-id": snapshot_id, "entries": entries}, fh)
+    return f"metadata/{name}"
+
+
+def _write_manifest_list(path: str, snapshot_id: int, manifests: list[str]) -> str:
+    name = f"manifest-list-{uuid.uuid4().hex}.json"
+    with open(os.path.join(_meta_dir(path), name), "w") as fh:
+        json.dump({"snapshot-id": snapshot_id, "manifests": manifests}, fh)
+    return f"metadata/{name}"
+
+
+def _snapshot_manifests(path: str, meta: dict) -> list[str]:
+    """Manifest paths of the current snapshot (empty for a fresh table)."""
+    snap_id = meta.get("current-snapshot-id", -1)
+    for snap in meta.get("snapshots", []):
+        if snap["snapshot-id"] == snap_id:
+            with open(os.path.join(path, snap["manifest-list"])) as fh:
+                return json.load(fh)["manifests"]
+    return []
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    overwrite: bool = False,
+    append: bool = False,
+) -> None:
+    """Write ``df`` with the reference's iceberg-destination semantics (see
+    module docstring).  Overwrite starts a fresh data lineage but keeps the
+    metadata version/sequence history (sequence numbers [1] → [1,2] after
+    overwrite, exactly as the reference e2e asserts,
+    tests/basic_integration.rs:203-217); append keeps prior manifests (R16)."""
+    mode = resolve_write_mode(overwrite, append)
+    exists = table_exists(path)
+
+    if mode is WriteMode.CREATE_EXCLUSIVE and exists:
+        raise TargetExistsError(f"iceberg table already exists at {path}")
+    if mode in (WriteMode.OVERWRITE, WriteMode.APPEND) and not exists:
+        # both modes create when nothing exists (reference resolve_write_mode)
+        mode = WriteMode.CREATE_EXCLUSIVE
+
+    os.makedirs(_meta_dir(path), exist_ok=True)
+
+    for attempt in range(COMMIT_RETRIES):
+        if mode is WriteMode.CREATE_EXCLUSIVE:
+            version, meta = -1, {
+                "format-version": 2,
+                "table-uuid": str(uuid.uuid4()),
+                "location": os.path.abspath(path),
+                "last-sequence-number": 0,
+                "last-updated-ms": 0,
+                "last-column-id": 0,
+                "schemas": [schema_to_iceberg(df.schema)],
+                "current-schema-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "default-spec-id": 0,
+                "snapshots": [],
+            }
+        else:
+            version, meta = _read_metadata(path)
+            target_schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+            try:
+                check_schema_aligned(df.schema, target_schema)
+            except SchemaAlignmentError:
+                raise
+        break
+
+    entries = _write_data_files(df, path)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    manifest = _write_manifest(path, snapshot_id, entries)
+    if mode is WriteMode.APPEND:
+        manifests = _snapshot_manifests(path, meta) + [manifest]
+    else:  # create or overwrite: new lineage
+        manifests = [manifest]
+    manifest_list = _write_manifest_list(path, snapshot_id, manifests)
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {"operation": "append" if mode is WriteMode.APPEND else "overwrite"},
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+
+    # conditional-put commit with optimistic retry (R14): the exclusive
+    # create of vN+1 is the commit point; a concurrent writer winning the
+    # race surfaces as FileExistsError → re-read state and retry
+    for attempt in range(COMMIT_RETRIES):
+        new_version = version + 1
+        try:
+            fd = os.open(
+                os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh, indent=2)
+            break
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            version, meta = _read_metadata(path)
+            if mode is WriteMode.APPEND:
+                # re-merge against the winner's manifest list (R16)
+                manifests = _snapshot_manifests(path, meta) + [manifest]
+                manifest_list = _write_manifest_list(path, snapshot_id, manifests)
+                snapshot["manifest-list"] = manifest_list
+            sequence_number = meta["last-sequence-number"] + 1
+            snapshot["sequence-number"] = sequence_number
+            new_meta = dict(meta)
+            new_meta["last-sequence-number"] = sequence_number
+            new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+            new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+            new_meta["current-snapshot-id"] = snapshot_id
+
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(new_version))
+
+
+def read_iceberg(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current snapshot by walking version-hint → metadata →
+    manifest list → manifests → data files."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    files = []
+    for mpath in _snapshot_manifests(path, meta):
+        with open(os.path.join(path, mpath)) as fh:
+            files.extend(os.path.join(path, e["file_path"]) for e in json.load(fh)["entries"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def snapshot_sequence_numbers(path: str) -> list[int]:
+    """Sequence numbers of all snapshots, oldest first (the reference's e2e
+    asserts [1] after create and [1,2] after overwrite/append)."""
+    _, meta = _read_metadata(path)
+    return [s["sequence-number"] for s in meta["snapshots"]]

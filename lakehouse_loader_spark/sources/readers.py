@@ -1,0 +1,53 @@
+"""Source readers.
+
+Parquet (R6): the schema comes from the file footer, like the reference's
+ParquetRecordBatchStreamBuilder (src/lib.rs:91-97); Spark's vectorized
+reader replaces the async record-batch stream, and Catalyst pushes
+predicates/projections into the scan.
+
+Postgres (R1-R5): the reference prepares the user's SQL to learn the result
+schema, then streams rows and pivots them into Arrow batches
+(src/pg_arrow_source.rs:201-273).  Spark's JDBC source does all of that
+natively: ``option("query", ...)`` prepares server-side for the schema,
+``fetchsize`` bounds rows per round-trip (the analog of ``--batch-size``,
+src/lib.rs:43-50), and the JDBC dialect performs the type mapping the
+reference hand-rolls (NUMERIC→Decimal R4, epoch rebase R5 — both covered by
+golden type tests in tests/test_types_roundtrip.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Reference default batch size (src/lib.rs:47)
+DEFAULT_BATCH_SIZE = 10_000
+
+
+def read_parquet_source(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_postgres_query(
+    spark: SparkSession,
+    conn_url: str,
+    query: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    password: str | None = None,
+    user: str | None = None,
+) -> DataFrame:
+    """Run ``query`` on the Postgres server and stream the result — the
+    reference's entire relational surface delegation (src/lib.rs:39-40),
+    preserved for interop.  Requires the Postgres JDBC driver jar on the
+    Spark classpath (`spark.jars.packages=org.postgresql:postgresql:...`)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", conn_url if conn_url.startswith("jdbc:") else f"jdbc:{conn_url}")
+        .option("query", query)
+        .option("fetchsize", str(batch_size))
+        .option("driver", "org.postgresql.Driver")
+    )
+    if user:
+        reader = reader.option("user", user)
+    if password:
+        reader = reader.option("password", password)
+    return reader.load()

@@ -1,0 +1,97 @@
+"""Streaming event pipelines: watermarked tumbling-window aggregation and
+custom stateful per-user counting.
+
+Batch/stream parity: ``windowed_event_agg`` is the incremental form of the
+``events_window_agg`` declared query — same grouping expressions, same
+output schema — so results converge to the batch answer once all input is
+consumed (verified in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # LTZ, not NTZ: Spark watermarks only accept TIMESTAMP; the session
+        # runs in UTC so values match the batch NTZ reads.
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream: each parquet file in ``path`` is one micro-batch
+    (bounded re-batching is the closest reference artifact — R2,
+    src/pg_arrow_source.rs:249-273 — here made genuinely unbounded)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_agg(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 10-minute windows with late-data watermark; same logical
+    shape as the batch events_window_agg query."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count/value total, updated every micro-batch — the extension
+    mechanism for operators Spark's built-in aggregations can't express."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_STATE_SCHEMA,
+        stateStructType="n_events BIGINT, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,229 @@
+"""Sink tests mirroring the reference's e2e assertions
+(tests/basic_integration.rs): Delta log layout, Iceberg version-hint layout
+and snapshot sequence numbers, write-mode matrix, positional schema
+alignment cases."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_loader_spark.sinks import alignment as AL
+from lakehouse_loader_spark.sinks import delta as DL
+from lakehouse_loader_spark.sinks import iceberg as IC
+from lakehouse_loader_spark.sinks.modes import (
+    TargetExistsError,
+    WriteMode,
+    WriteModeError,
+    resolve_write_mode,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    return spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("doubled"),
+        F.concat(F.lit("row-"), F.col("id")).alias("name"),
+    )
+
+
+# -- write-mode matrix (R15) ------------------------------------------------
+
+
+def test_mode_matrix():
+    assert resolve_write_mode(False, False) is WriteMode.CREATE_EXCLUSIVE
+    assert resolve_write_mode(True, False) is WriteMode.OVERWRITE
+    assert resolve_write_mode(False, True) is WriteMode.APPEND
+    with pytest.raises(WriteModeError):
+        resolve_write_mode(True, True)
+
+
+# -- positional alignment (R12): the reference's six unit cases -------------
+
+
+def _s(*fields):
+    return T.StructType([T.StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+def test_alignment_positive_identical():
+    s = _s(("a", T.LongType(), True), ("b", T.StringType(), True))
+    AL.check_schema_aligned(s, s)
+
+
+def test_alignment_positive_renamed():
+    AL.check_schema_aligned(
+        _s(("x", T.LongType(), True)), _s(("a", T.LongType(), True))
+    )
+
+
+def test_alignment_positive_required_into_nullable():
+    AL.check_schema_aligned(
+        _s(("a", T.LongType(), False)), _s(("a", T.LongType(), True))
+    )
+
+
+def test_alignment_negative_added_field():
+    with pytest.raises(AL.SchemaAlignmentError):
+        AL.check_schema_aligned(
+            _s(("a", T.LongType(), True), ("b", T.LongType(), True)),
+            _s(("a", T.LongType(), True)),
+        )
+
+
+def test_alignment_negative_type_mismatch():
+    with pytest.raises(AL.SchemaAlignmentError):
+        AL.check_schema_aligned(
+            _s(("a", T.StringType(), True)), _s(("a", T.LongType(), True))
+        )
+
+
+def test_alignment_negative_reorder():
+    with pytest.raises(AL.SchemaAlignmentError):
+        AL.check_schema_aligned(
+            _s(("b", T.StringType(), True), ("a", T.LongType(), True)),
+            _s(("a", T.LongType(), True), ("b", T.StringType(), True)),
+        )
+
+
+def test_alignment_negative_nullable_into_required():
+    with pytest.raises(AL.SchemaAlignmentError):
+        AL.check_schema_aligned(
+            _s(("a", T.LongType(), True)), _s(("a", T.LongType(), False))
+        )
+
+
+# -- Delta sink (R9): layout + modes + roundtrip ---------------------------
+
+
+def test_delta_layout_and_roundtrip(spark, small_df, tmpdir):
+    """Reference asserts exactly: _delta_log commits 0 and 1 + snappy part
+    files (tests/basic_integration.rs:48-60)."""
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path)
+    log = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    assert log == [f"{0:020d}.json", f"{1:020d}.json"]
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert parts and all(".snappy." in p or p.endswith(".parquet") for p in parts)
+    back = DL.read_delta(spark, path)
+    assert back.orderBy("id").collect() == small_df.orderBy("id").collect()
+
+
+def test_delta_create_exclusive_refuses_existing(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path)
+    with pytest.raises(TargetExistsError):
+        DL.write_delta(small_df, path)
+
+
+def test_delta_overwrite_replaces(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path)
+    DL.write_delta(small_df.limit(10), path, overwrite=True)
+    assert DL.read_delta(spark, path).count() == 10
+
+
+def test_delta_append_accumulates_and_checks_alignment(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path)
+    renamed = small_df.toDF("i", "d", "n")  # rename-compatible (positional)
+    DL.write_delta(renamed, path, append=True)
+    assert DL.read_delta(spark, path).count() == 200
+    bad = small_df.select(F.col("id").cast("string"), "doubled", "name")
+    with pytest.raises(AL.SchemaAlignmentError):
+        DL.write_delta(bad, path, append=True)
+
+
+# -- Iceberg sink (R11-R16): layout + sequence numbers + alignment ----------
+
+
+def test_iceberg_layout_and_roundtrip(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    assert os.path.isfile(os.path.join(path, "metadata", "v0.metadata.json"))
+    assert os.path.isfile(os.path.join(path, "metadata", "version-hint.text"))
+    assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(path, "data")))
+    assert IC.snapshot_sequence_numbers(path) == [1]
+    back = IC.read_iceberg(spark, path)
+    assert back.orderBy("id").collect() == small_df.orderBy("id").collect()
+
+
+def test_iceberg_overwrite_bumps_sequence(spark, small_df, tmpdir):
+    """Sequence numbers [1] after create, [1,2] after overwrite
+    (tests/basic_integration.rs:107-121, 203-217)."""
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    IC.write_iceberg(small_df.limit(5), path, overwrite=True)
+    assert IC.snapshot_sequence_numbers(path) == [1, 2]
+    assert IC.read_iceberg(spark, path).count() == 5
+
+
+def test_iceberg_append_keeps_prior_manifests(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    IC.write_iceberg(small_df, path, append=True)
+    assert IC.snapshot_sequence_numbers(path) == [1, 2]
+    assert IC.read_iceberg(spark, path).count() == 200
+
+
+def test_iceberg_refuses_existing_without_overwrite(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    with pytest.raises(TargetExistsError):
+        IC.write_iceberg(small_df, path)
+
+
+def test_iceberg_incompatible_schema_on_overwrite(spark, small_df, tmpdir):
+    """cint8::text-style type change with -o → BadInputError in the
+    reference (tests/basic_integration.rs:143-160)."""
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    bad = small_df.select(F.col("id").cast("string"), "doubled", "name")
+    with pytest.raises(AL.SchemaAlignmentError):
+        IC.write_iceberg(bad, path, overwrite=True)
+
+
+def test_iceberg_renamed_computed_schema_compatible(spark, small_df, tmpdir):
+    """Renamed + computed columns of identical types succeed
+    (tests/basic_integration.rs:162-173)."""
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    computed = small_df.select(
+        (F.col("id") + 1).alias("id_plus"), F.col("doubled").alias("d2"), F.upper("name").alias("n")
+    )
+    IC.write_iceberg(computed, path, overwrite=True)
+    assert IC.snapshot_sequence_numbers(path) == [1, 2]
+
+
+def test_iceberg_field_ids_sequential(small_df):
+    ice = IC.schema_to_iceberg(small_df.schema)
+    assert [f["id"] for f in ice["fields"]] == [1, 2, 3]
+
+
+# -- CLI glue ---------------------------------------------------------------
+
+
+def test_cli_parquet_to_delta(spark, small_df, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    src = os.path.join(tmpdir, "src.parquet")
+    small_df.write.parquet(src)
+    target = os.path.join(tmpdir, "out")
+    do_main(["parquet-to-delta", src, target])
+    assert DL.read_delta(spark, target).count() == 100
+    with pytest.raises(TargetExistsError):
+        do_main(["parquet-to-delta", src, target])
+    do_main(["parquet-to-delta", src, target, "-o"])
+    assert DL.read_delta(spark, target).count() == 100

@@ -1,0 +1,91 @@
+"""Structured Streaming tests: incremental window agg converges to the batch
+answer; custom stateful operator accumulates across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakehouse_loader_spark.streaming import events as SE
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def staged_events(spark):
+    """Split the sf0.001 events table into 3 parquet files so the file
+    stream sees 3 micro-batches."""
+    tmp = tempfile.mkdtemp(prefix="evstream_")
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src.repartition(3).write.mode("overwrite").parquet(tmp)
+    yield tmp, src
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_stream_converges_to_batch(spark, staged_events):
+    path, src = staged_events
+    stream = SE.read_event_stream(spark, path)
+    q = (
+        SE.windowed_event_agg(stream)
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.win_start): (r.n_events, r.total_value)
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    batch = (
+        src.groupBy("event_type", F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .select(
+            "event_type",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+            "tv",
+        )
+        .collect()
+    )
+    want = {(r.event_type, r.ws): (r.n, r.tv) for r in batch}
+    assert got == want
+
+
+def test_stateful_user_totals_accumulates(spark, staged_events):
+    path, src = staged_events
+    stream = SE.read_event_stream(spark, path)
+    q = (
+        SE.stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per micro-batch; the LAST emission
+    # per user must equal the batch totals
+    final = {
+        r.user_id: (r.n_events, round(r.total_value, 4))
+        for r in spark.sql(
+            """
+            select user_id, n_events, total_value from (
+              select *, row_number() over (partition by user_id order by n_events desc) rn
+              from user_totals) where rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.tv, 4))
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert final == batch
