@@ -821,3 +821,132 @@ def tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q11b explicit GROUPING SETS + GROUPING() marker
+# --------------------------------------------------------------------------
+_GS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets_explicit", oracle=_GS_SQL)
+def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation — identical
+    ANSI SQL on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q9b pivot (wide aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = grouped conditional aggregation; explicit value list keeps
+    the plan single-pass (no distinct-value pre-scan) — required at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9c exact percentiles (interpolated), grouped
+# --------------------------------------------------------------------------
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation
+    over the sorted group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13b RANGE window frame (value-based; tie-inclusive ⇒ order-independent)
+# --------------------------------------------------------------------------
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(SUM(l_extendedprice) OVER
+                 (PARTITION BY l_returnflag ORDER BY l_quantity
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS price_in_qty_band
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over quantity values: every row whose quantity is within
+    5 of the current row's joins the frame — tie rows always included, so
+    the result is deterministic without a unique ordering."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("price_in_qty_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20b JSON → typed struct + map functions
+# --------------------------------------------------------------------------
+@query(
+    "scalar_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_even,
+           array_to_string(json_keys(props), ',') AS prop_keys
+    FROM events
+    WHERE event_id % 25 = 0
+    """,
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct + field access + key listing — the
+    schema-full JSON path (scalar_json covers the schemaless one)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    parsed = F.from_json("props", "k BIGINT")
+    as_map = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        (parsed.getField("k") % 2 == 0).alias("k_even"),
+        F.concat_ws(",", F.map_keys(as_map)).alias("prop_keys"),
+    )

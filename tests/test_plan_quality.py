@@ -1,0 +1,62 @@
+"""Plan-quality regression tests: the properties that make these plans hold
+at 100 TB — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dims, TakeOrderedAndProject for top-k, no cartesian
+products — asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+
+from tests.conftest import SF_ORACLE
+
+_ensure_loaded()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_pred")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_totalprice,50000.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "scan_project")
+    # only the 4 projected columns may be read
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_quantity" not in read and "l_shipdate" not in read
+
+
+@pytest.mark.parametrize("name", ["join_broadcast", "tpch_q3_like", "join_inner"])
+def test_dim_joins_are_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_is_two_stage_agg(spark):
+    """tpch_q1: partial then final HashAggregate around one small shuffle."""
+    plan = _plan(spark, "tpch_q1_like")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_cartesian_anywhere(spark):
+    """No declared query may plan a cartesian product (theta joins must ride
+    an equi key or a broadcast)."""
+    for name in sorted(REGISTRY):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
