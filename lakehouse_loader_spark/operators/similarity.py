@@ -67,10 +67,9 @@ def brute_force_topk(
 def cosine_neardup_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (correctness baseline).
-
-    Quadratic in |emb| — at 100 TB use lsh_ann_topk-style bucketing; this
-    exact form is the oracle the approximate variants are tested against."""
+    """Exact all-pairs cosine ≥ threshold via pairwise folds (reference
+    implementation for tests; use ``cosine_neardup_pairs_blocked`` in
+    production — same exact result, BLAS-speed)."""
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
@@ -79,6 +78,69 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def cosine_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a blocked matrix product.
+
+    The 100 TB shape for exact similarity joins: vectors are grouped into
+    n_blocks blocks; the n_blocks·(n_blocks+1)/2 block PAIRS fan out across
+    executors, and each pair computes one numpy float64 matmul (BLAS) over
+    its two blocks — O(n²·d) flops at memory bandwidth instead of
+    interpreted per-element folds.  Work per task is (n/n_blocks)²·d; size
+    n_blocks so a block pair fits executor memory."""
+    import numpy as np
+    import pandas as pd
+
+    norms = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norms)
+    blocks = (
+        emb.select(F.col(id_col).alias("vid"), unit.alias("u"))
+        .withColumn("block", F.pmod(F.col("vid"), F.lit(n_blocks)))
+        .groupBy("block")
+        .agg(F.collect_list(F.struct("vid", "u")).alias("rows"))
+    )
+    a = blocks.select(F.col("block").alias("block_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("block").alias("block_b"), F.col("rows").alias("rows_b"))
+    pairs = a.join(b, F.col("block_a") <= F.col("block_b")).select(
+        "block_a", "block_b", "rows_a", "rows_b"
+    )
+
+    out_schema = "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE"
+
+    def block_matmul(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                diagonal = row["block_a"] == row["block_b"]
+                ids_a = np.array([r["vid"] for r in row["rows_a"]], dtype=np.int64)
+                mat_a = np.array([r["u"] for r in row["rows_a"]], dtype=np.float64)
+                ids_b = np.array([r["vid"] for r in row["rows_b"]], dtype=np.int64)
+                mat_b = np.array([r["u"] for r in row["rows_b"]], dtype=np.float64)
+                sims = mat_a @ mat_b.T
+                ia, ib = np.nonzero(sims >= threshold)
+                va, vb, cs = ids_a[ia], ids_b[ib], sims[ia, ib]
+                if diagonal:
+                    # both orientations computed → keep one
+                    keep = va < vb
+                    va, vb, cs = va[keep], vb[keep], cs[keep]
+                else:
+                    # each unordered pair seen once → normalize orientation
+                    keep = va != vb
+                    va, vb, cs = va[keep], vb[keep], cs[keep]
+                    lo = np.minimum(va, vb)
+                    hi = np.maximum(va, vb)
+                    va, vb = lo, hi
+                yield pd.DataFrame(
+                    {"vec_a": va, "vec_b": vb, "cosine": np.round(cs, 6)}
+                )
+
+    return pairs.mapInPandas(block_matmul, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

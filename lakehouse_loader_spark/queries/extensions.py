@@ -145,9 +145,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine ≥ 0.35) — the correctness
-    baseline the LSH variant approximates at scale."""
-    return S.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    """Exact embedding near-dup pairs (cosine ≥ 0.35) as a blocked numpy
+    matrix product — exact result at BLAS speed (see
+    operators.similarity.cosine_neardup_pairs_blocked)."""
+    return S.cosine_neardup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
 
 
 @query("similarity_ann_lsh", oracle=None)
