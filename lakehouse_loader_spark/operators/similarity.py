@@ -223,3 +223,113 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .withColumn("cosine", F.round("cosine", 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means centroids → cluster-pruned search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse k-means (Lloyd iterations in Spark, seeded init):
+    centroids come back to the driver — n_centroids·dim floats, a constant —
+    while every assignment/update pass stays distributed."""
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+    # seeded init from the LCG hyperplane generator (no RNG state)
+    cents = np.array(_hyperplanes(dim, n_centroids, seed=7), dtype=np.float64)
+
+    to_np = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = emb.select(to_np.alias("v"))
+    for _ in range(n_iters):
+        bc = cents.tolist()
+
+        def assign(batches, bc=bc):
+            import numpy as np
+            import pandas as pd
+
+            c = np.asarray(bc)
+            for pdf in batches:
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                if len(m) == 0:
+                    continue
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                cid = d.argmin(axis=1)
+                out = pd.DataFrame({"cid": cid})
+                for j in range(m.shape[1]):
+                    out[f"x{j}"] = m[:, j]
+                yield out
+
+        schema = "cid INT, " + ", ".join(f"x{j} DOUBLE" for j in range(dim))
+        assigned = vecs.mapInPandas(assign, schema=schema)
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"x{j}").alias(f"s{j}") for j in range(dim)],
+        )
+        rows = sums.collect()  # n_centroids rows — constant-size driver state
+        for r in rows:
+            if r["n"] > 0:
+                cents[r["cid"]] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+    return cents
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid (inverted file); each
+    query probes only its ``n_probe`` nearest clusters and ranks exactly
+    within them.  Search cost ≈ (n_probe/n_centroids)·|corpus| per query."""
+    import numpy as np
+
+    cents = train_ivf_centroids(emb, n_centroids=n_centroids, vec_col=vec_col)
+    cent_lists = cents.tolist()
+
+    def nearest(col, n):
+        """Expression: array of the n nearest centroid ids for a vector."""
+        dists = F.array(
+            *[
+                _dot(col, F.array(*[F.lit(x) for x in c]))
+                / (_norm(col) * float(np.linalg.norm(c)))
+                for c in cent_lists
+            ]
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(cent_lists) - 1))
+        ranked = F.sort_array(
+            F.zip_with(dists, idx, lambda d, i: F.struct((-d).alias("nd"), i.alias("cid")))
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s.getField("cid"))
+
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.element_at(nearest(F.col(vec_col), 1), 1).alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest(F.col(vec_col), n_probe)).alias("cid"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cid"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )

@@ -431,3 +431,67 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max(micros) - F.min(micros)).cast("bigint").alias("duration_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style multi-granularity rollup (continuous-aggregate shape):
+# 10-minute, hourly, and daily buckets in ONE pass via grouping sets
+# --------------------------------------------------------------------------
+_ROLLUP_SQL = """
+SELECT event_type, grain, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM (
+  SELECT event_type, value,
+         STRFTIME(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS b10m,
+         STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS b1h,
+         STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS b1d
+  FROM events) t
+CROSS JOIN LATERAL (VALUES ('10m', b10m), ('1h', b1h), ('1d', b1d)) AS g(grain, bucket)
+GROUP BY event_type, grain, bucket
+"""
+
+
+@query(
+    "events_rollup_multigrain",
+    oracle=_ROLLUP_SQL,
+)
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one scan, three time
+    grains.  Implemented as explode-over-grains + single hash aggregate —
+    at scale the map-side partial agg collapses each grain before shuffle
+    (vs. three separate scans for three materialized views)."""
+    ev = load_table(spark, sf_dir, "events")
+    grains = F.array(
+        F.struct(
+            F.lit("10m").alias("grain"),
+            F.date_format(F.window("ts", "10 minutes").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+        ),
+        F.struct(
+            F.lit("1h").alias("grain"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        ),
+        F.struct(
+            F.lit("1d").alias("grain"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        ),
+    )
+    return (
+        ev.select("event_type", "value", F.explode(grains).alias("g"))
+        .groupBy("event_type", F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded distributed k-means centroids, cluster-pruned exact
+    ranking (n_probe=4 of 16 clusters).  Rows-only (approximate by
+    construction); recall vs brute force tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)

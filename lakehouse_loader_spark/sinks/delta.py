@@ -57,11 +57,16 @@ def table_exists(path: str) -> bool:
     )
 
 
-def _read_log(path: str) -> tuple[int, dict, dict[str, dict]]:
-    """Replay the log: returns (latest_version, metaData, live adds by path)."""
+def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, dict[str, dict]]:
+    """Replay the log: returns (latest_version, metaData, live adds by path).
+    ``as_of_version`` stops the replay early — Delta time travel."""
     versions = sorted(
         int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
     )
+    if as_of_version is not None:
+        if as_of_version not in versions:
+            raise ValueError(f"version {as_of_version} not in {path} (have {versions})")
+        versions = [v for v in versions if v <= as_of_version]
     meta: dict = {}
     adds: dict[str, dict] = {}
     for v in versions:
@@ -199,12 +204,13 @@ def write_delta(
     _commit(path, 1, [_commit_info("Append"), *[{"add": a} for a in adds]])
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
+def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read a Delta table by replaying its transaction log (adds minus
-    removes) — no connector JAR required."""
+    removes) — no connector JAR required.  ``version`` time-travels to an
+    earlier snapshot."""
     if not table_exists(path):
         raise FileNotFoundError(f"no delta table at {path}")
-    _, meta, adds = _read_log(path)
+    _, meta, adds = _read_log(path, as_of_version=version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     files = [os.path.join(path, p) for p in sorted(adds)]
     if not files:

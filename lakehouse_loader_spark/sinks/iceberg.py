@@ -162,6 +162,21 @@ def _read_metadata(path: str) -> tuple[int, dict]:
         return v, json.load(fh)
 
 
+def _latest_version_on_disk(path: str) -> tuple[int, dict]:
+    """Max vN present in metadata/ — robust against a winner that committed
+    its metadata file but hasn't updated version-hint.text yet (the hint is
+    only a hint; the reference also falls back to probing,
+    iceberg_destination.rs:185-195)."""
+    versions = [
+        int(f[1:].split(".")[0])
+        for f in os.listdir(_meta_dir(path))
+        if f.startswith("v") and f.endswith(".metadata.json")
+    ]
+    v = max(versions)
+    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as fh:
+        return v, json.load(fh)
+
+
 def _write_data_files(df: DataFrame, path: str) -> list[dict]:
     """Executors write the parquet parts under data/; returns manifest
     entries (path, size, record count unknown until footer read — recorded
@@ -298,7 +313,9 @@ def write_iceberg(
         except FileExistsError:
             if attempt == COMMIT_RETRIES - 1:
                 raise
-            version, meta = _read_metadata(path)
+            # probe the directory, not the hint: the winning writer may not
+            # have updated version-hint.text yet
+            version, meta = _latest_version_on_disk(path)
             if mode is WriteMode.APPEND:
                 # re-merge against the winner's manifest list (R16)
                 manifests = _snapshot_manifests(path, meta) + [manifest]

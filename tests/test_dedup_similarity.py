@@ -104,3 +104,19 @@ def test_approx_distinct_error_bound(spark):
     rows = REGISTRY["agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
     for r in rows:
         assert abs(r.approx_supp - r.exact_supp) / r.exact_supp < 0.1
+
+
+def test_ivf_ann_recall_against_brute_force(spark, emb):
+    """IVF with 4-of-16 probes must reach ≥40% average top-10 recall on this
+    near-random data (IVF prunes 75% of the corpus per query)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = S.brute_force_topk(emb, queries, k=10).collect()
+    ivf = S.ivf_ann_topk(emb, queries, k=10).collect()
+    bs: dict[int, set[int]] = {}
+    for r in brute:
+        bs.setdefault(r.q_id, set()).add(r.n_id)
+    vs: dict[int, set[int]] = {}
+    for r in ivf:
+        vs.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = [len(bs[q] & vs.get(q, set())) / len(bs[q]) for q in bs]
+    assert sum(recalls) / len(recalls) >= 0.4

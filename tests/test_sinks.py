@@ -227,3 +227,52 @@ def test_cli_parquet_to_delta(spark, small_df, tmpdir):
         do_main(["parquet-to-delta", src, target])
     do_main(["parquet-to-delta", src, target, "-o"])
     assert DL.read_delta(spark, target).count() == 100
+
+
+# -- time travel + optimistic-concurrency conflicts -------------------------
+
+
+def test_delta_time_travel(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path)                       # versions 0,1
+    DL.write_delta(small_df.limit(10), path, append=True)  # version 2
+    assert DL.read_delta(spark, path).count() == 110
+    assert DL.read_delta(spark, path, version=1).count() == 100
+    with pytest.raises(ValueError):
+        DL.read_delta(spark, path, version=9)
+
+
+def test_delta_append_commit_conflict_retries(spark, small_df, tmpdir):
+    """Simulate a concurrent writer winning the race for version N+1: the
+    append must detect the exclusive-create conflict, re-read state, and
+    land at N+2 (reference retry loop, src/lib.rs:82)."""
+    import json
+
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path)  # versions 0,1
+    # a "concurrent writer" claims version 2 with an empty commit
+    with open(os.path.join(path, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    DL.write_delta(small_df.limit(7), path, append=True)
+    log = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    assert f"{3:020d}.json" in log  # landed AFTER the conflicting commit
+    assert DL.read_delta(spark, path).count() == 107
+
+
+def test_iceberg_commit_conflict_retries(spark, small_df, tmpdir):
+    """Pre-claim vN+1.metadata.json: the append retries, re-merges against
+    the winner's state, and commits vN+2 (R14 + R16 re-merge)."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)  # v0
+    # concurrent writer claims v1 with a copy of v0's metadata
+    with open(os.path.join(path, "metadata", "v0.metadata.json")) as fh:
+        meta = _json.load(fh)
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    IC.write_iceberg(small_df.limit(5), path, append=True)
+    assert os.path.isfile(os.path.join(path, "metadata", "v2.metadata.json"))
+    with open(os.path.join(path, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "2"
+    assert IC.read_iceberg(spark, path).count() == 105
