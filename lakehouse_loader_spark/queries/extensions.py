@@ -495,3 +495,22 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); recall vs brute force tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "agg_distinct_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT): value-hash salt → per-bucket
+    distinct → sum.  Exactly equal to the plain plan; the salt bounds any
+    single reducer's key width under extreme skew (operators/skew.py)."""
+    from lakehouse_loader_spark.operators.skew import salted_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, "l_returnflag", "l_suppkey")

@@ -43,6 +43,10 @@ def get_spark(app_name: str = "lakehouse_loader_spark", cpus: int | None = None)
         .config("spark.sql.files.maxRecordsPerFile", str(MAX_RECORDS_PER_FILE))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lhl-spark-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()

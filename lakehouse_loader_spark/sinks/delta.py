@@ -87,34 +87,49 @@ def table_schema(path: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
 
-def _write_parts(df: DataFrame, path: str, max_rows_per_file: int) -> list[dict]:
+def _write_parts(
+    df: DataFrame,
+    path: str,
+    max_rows_per_file: int,
+    partition_by: list[str] | None = None,
+) -> list[dict]:
     """Write parquet parts via Spark into a staging dir, then promote them to
     the table root; returns Add actions.  Executors do all data I/O — the
     driver only renames and records metadata (cheap, like the reference's
-    commit stage)."""
+    commit stage).  With ``partition_by``, parts land under hive-style
+    ``col=value/`` directories and the Add actions carry partitionValues."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    (
-        df.write.option("maxRecordsPerFile", str(max_rows_per_file))
-        .option("compression", "snappy")
-        .parquet(staging)
+    writer = df.write.option("maxRecordsPerFile", str(max_rows_per_file)).option(
+        "compression", "snappy"
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
     now_ms = int(time.time() * 1000)
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, name)
-        dst = os.path.join(path, name)
-        shutil.move(src, dst)
-        adds.append(
-            {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(dst),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-        )
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, name), dst)
+            part_values = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part_values[k] = v
+            adds.append(
+                {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -129,13 +144,13 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
             fh.write(json.dumps(action) + "\n")
 
 
-def _metadata_action(schema: T.StructType) -> dict:
+def _metadata_action(schema: T.StructType, partition_by: list[str] | None = None) -> dict:
     return {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": partition_by or [],
             "configuration": {},
             "createdTime": int(time.time() * 1000),
         }
@@ -158,6 +173,7 @@ def write_delta(
     overwrite: bool = False,
     append: bool = False,
     max_rows_per_file: int = MAX_ROWS_PER_FILE,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
     default create-exclusive (existing table → TargetExistsError,
@@ -179,7 +195,8 @@ def write_delta(
 
     if mode is WriteMode.APPEND and exists:
         check_schema_aligned(df.schema, table_schema(path))
-        adds = _write_parts(df, path, max_rows_per_file)
+        _, meta, _ = _read_log(path)
+        adds = _write_parts(df, path, max_rows_per_file, meta.get("partitionColumns") or None)
         for attempt in range(COMMIT_RETRIES):
             latest, _, _ = _read_log(path)
             try:
@@ -191,13 +208,13 @@ def write_delta(
         return
 
     # create (or post-overwrite create): v0 = protocol+metaData, v1 = adds
-    adds = _write_parts(df, path, max_rows_per_file)
+    adds = _write_parts(df, path, max_rows_per_file, partition_by)
     _commit(
         path,
         0,
         [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
-            _metadata_action(df.schema),
+            _metadata_action(df.schema, partition_by),
             _commit_info("CreateTable"),
         ],
     )
@@ -215,4 +232,42 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     files = [os.path.join(path, p) for p in sorted(adds)]
     if not files:
         return spark.createDataFrame([], schema)
+    if meta.get("partitionColumns"):
+        # partition columns live in directory names; basePath makes Spark
+        # re-derive them (and partition-prune on them)
+        return (
+            spark.read.schema(schema).option("basePath", path).parquet(*files)
+        )
     return spark.read.schema(schema).parquet(*files)
+
+
+def optimize_delta(
+    spark: SparkSession, path: str, target_partitions: int = 1
+) -> None:
+    """OPTIMIZE-style compaction: rewrite the live file set into
+    ``target_partitions`` files per partition directory and commit
+    remove+add actions as one new version.  Old files stay on disk, so time
+    travel to pre-compaction versions keeps working."""
+    latest, meta, adds = _read_log(path)
+    df = read_delta(spark, path)
+    part_cols = meta.get("partitionColumns") or None
+    new_adds = _write_parts(
+        df.coalesce(target_partitions) if not part_cols else df.repartition(target_partitions, *part_cols),
+        path,
+        MAX_ROWS_PER_FILE,
+        part_cols,
+    )
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
+        for p in sorted(adds)
+    ]
+    actions = [_commit_info("OPTIMIZE"), *removes, *[{"add": a} for a in new_adds]]
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, _ = _read_log(path)
+        try:
+            _commit(path, latest + 1, actions)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise

@@ -276,3 +276,62 @@ def test_iceberg_commit_conflict_retries(spark, small_df, tmpdir):
     with open(os.path.join(path, "metadata", "version-hint.text")) as fh:
         assert fh.read().strip() == "2"
     assert IC.read_iceberg(spark, path).count() == 105
+
+
+def test_delta_partitioned_write_and_pruning(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    part = small_df.withColumn("bucket", (F.col("id") % 4).cast("string"))
+    DL.write_delta(part, path, partition_by=["bucket"])
+    assert os.path.isdir(os.path.join(path, "bucket=0"))
+    back = DL.read_delta(spark, path)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "doubled", "name", "bucket"}
+    pruned = back.filter(F.col("bucket") == "2")
+    assert pruned.count() == 25
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    # append inherits the table's partitioning
+    DL.write_delta(part.limit(8), path, append=True)
+    assert DL.read_delta(spark, path).count() == 108
+
+
+def test_delta_optimize_compacts(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df.repartition(8), path)
+    import glob
+
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 8
+    DL.optimize_delta(spark, path)
+    latest, _, adds = DL._read_log(path)
+    assert len(adds) == 1  # live set compacted to one file
+    assert DL.read_delta(spark, path).count() == 100
+    # time travel to pre-optimize still sees 8 files' worth of rows
+    assert DL.read_delta(spark, path, version=1).count() == 100
+
+
+def test_bucketed_join_elides_shuffle(spark, tmpdir):
+    """Two tables bucketed on the join key: the SortMergeJoin must run with
+    NO Exchange on either side (the shuffle was paid at write time)."""
+    from lakehouse_loader_spark.sinks.bucketed import bucketed_join, write_bucketed
+
+    from lakehouse_loader_spark.catalog import load_table
+
+    from tests.conftest import SF_ORACLE
+
+    o = load_table(spark, SF_ORACLE, "orders")
+    c = load_table(spark, SF_ORACLE, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(o, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed(c, "b_customer", "o_custkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        plain = o.join(c, "o_custkey").count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
