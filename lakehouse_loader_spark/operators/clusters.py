@@ -1,0 +1,77 @@
+"""Duplicate-cluster formation: connected components over near-dup pairs.
+
+Pair lists (from minhash/simhash/cosine dedup) answer "which two docs
+match"; a training-data pipeline needs "which GROUP of docs is one
+document" plus a canonical representative.  That's connected components,
+computed here with distributed min-label propagation: every node repeatedly
+adopts the smallest label among itself and its neighbors.  Each iteration
+is one join + one aggregate (shuffle on node id); components of diameter d
+converge in ≤ d iterations, and d is tiny for dedup graphs (dup clusters
+are near-cliques), so a fixed iteration budget is safe and keeps the plan
+fully declarative — no driver-side convergence polling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 8,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component = min node
+    id reachable (deterministic canonical representative)."""
+    edges = (
+        pairs.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .unionAll(pairs.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")))
+        .distinct()
+        .persist()  # referenced once per iteration — without this, the
+        # upstream pair computation (minhash etc.) re-runs every round
+    )
+    # the propagation graph is only the docs that appear in pairs — usually
+    # tiny relative to the corpus.  Size the iteration parallelism to the
+    # graph, not the cluster: for small graphs single-partition iterations
+    # avoid 8 rounds of full-width shuffle scheduling.
+    n_parts = 1 if edges.count() < 100_000 else edges.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(n_parts)
+    labels = edges.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # each iteration references `labels` twice → without lineage
+        # truncation the logical plan doubles per round (2^k nodes);
+        # an eager localCheckpoint keeps every iteration O(1) plan size —
+        # the standard shape for iterative DataFrame algorithms
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster summary per component: canonical (min) doc id and member
+    count.  Docs not in any pair are singletons and excluded (they keep
+    themselves)."""
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("canonical_doc"))
+        .select(
+            F.col("component").cast("bigint").alias("cluster_id"),
+            F.col("canonical_doc").cast("bigint").alias("canonical_doc"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

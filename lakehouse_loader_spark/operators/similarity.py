@@ -14,6 +14,8 @@ for dims ≫ 10³.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -95,9 +97,6 @@ def cosine_neardup_pairs_blocked(
     its two blocks — O(n²·d) flops at memory bandwidth instead of
     interpreted per-element folds.  Work per task is (n/n_blocks)²·d; size
     n_blocks so a block pair fits executor memory."""
-    import numpy as np
-    import pandas as pd
-
     norms = _norm(F.col(vec_col))
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norms)
     blocks = (
@@ -171,19 +170,27 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """Multi-table sign-pattern buckets: one (table_id, bucket) row per hash
     table.  Multiple independent tables trade candidate volume for recall —
-    P(candidate) = 1-(1-p^planes)^tables with p = 1-θ/π."""
-    planes = _hyperplanes(dim, n_tables * planes_per_table)
-    table_structs = []
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        for i in range(planes_per_table):
-            p = planes[t * planes_per_table + i]
-            proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
-            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        table_structs.append(
-            F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
-        )
-    return df.withColumn("lsh_key", F.explode(F.array(*table_structs)))
+    P(candidate) = 1-(1-p^planes)^tables with p = 1-θ/π.
+
+    All n_tables·planes_per_table projections run as ONE numpy matmul per
+    Arrow batch (vs. 32 interpreted per-element folds per row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, n_tables * planes_per_table), dtype=np.float64).T
+    weights = np.tile(1 << np.arange(planes_per_table), n_tables)
+    table_of = np.repeat(np.arange(n_tables), planes_per_table)
+
+    @pandas_udf("array<struct<table_id:int,bucket:int>>")
+    def bucket_udf(vs: pd.Series) -> pd.Series:
+        def one(v):
+            signs = (np.asarray(v, dtype=np.float64) @ planes) > 0
+            buckets = np.zeros(n_tables, dtype=np.int64)
+            np.add.at(buckets, table_of, signs * weights)
+            return [{"table_id": int(t), "bucket": int(b)} for t, b in enumerate(buckets)]
+
+        return vs.map(one)
+
+    return df.withColumn("lsh_key", F.explode(bucket_udf(F.col(vec_col))))
 
 
 def lsh_ann_topk(
@@ -239,14 +246,12 @@ def train_ivf_centroids(
     """Deterministic coarse k-means (Lloyd iterations in Spark, seeded init):
     centroids come back to the driver — n_centroids·dim floats, a constant —
     while every assignment/update pass stays distributed."""
-    import numpy as np
-
     dim = len(emb.select(vec_col).first()[0])
     # seeded init from the LCG hyperplane generator (no RNG state)
     cents = np.array(_hyperplanes(dim, n_centroids, seed=7), dtype=np.float64)
 
     to_np = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vecs = emb.select(to_np.alias("v"))
+    vecs = emb.select(to_np.alias("v")).persist()  # read once, 5 Lloyd passes
     for _ in range(n_iters):
         bc = cents.tolist()
 
@@ -291,35 +296,35 @@ def ivf_ann_topk(
     """IVF ANN: corpus bucketed by nearest centroid (inverted file); each
     query probes only its ``n_probe`` nearest clusters and ranks exactly
     within them.  Search cost ≈ (n_probe/n_centroids)·|corpus| per query."""
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     cents = train_ivf_centroids(emb, n_centroids=n_centroids, vec_col=vec_col)
-    cent_lists = cents.tolist()
+    cent_mat = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T  # (dim, C)
 
-    def nearest(col, n):
-        """Expression: array of the n nearest centroid ids for a vector."""
-        dists = F.array(
-            *[
-                _dot(col, F.array(*[F.lit(x) for x in c]))
-                / (_norm(col) * float(np.linalg.norm(c)))
-                for c in cent_lists
-            ]
-        )
-        idx = F.sequence(F.lit(0), F.lit(len(cent_lists) - 1))
-        ranked = F.sort_array(
-            F.zip_with(dists, idx, lambda d, i: F.struct((-d).alias("nd"), i.alias("cid")))
-        )
-        return F.transform(F.slice(ranked, 1, n), lambda s: s.getField("cid"))
+    def nearest_udf(n: int):
+        """Vectorized: cosine against ALL centroids as one matmul per batch,
+        argsort for the n nearest cluster ids."""
+
+        @pandas_udf("array<int>")
+        def udf(vs: pd.Series) -> pd.Series:
+            def one(v):
+                x = np.asarray(v, dtype=np.float64)
+                sims = (x / np.linalg.norm(x)) @ cent_mat
+                return np.argsort(-sims)[:n].astype("int32").tolist()
+
+            return vs.map(one)
+
+        return udf
 
     c = emb.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        F.element_at(nearest(F.col(vec_col), 1), 1).alias("cid"),
+        F.element_at(nearest_udf(1)(F.col(vec_col)), 1).alias("cid"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(nearest(F.col(vec_col), n_probe)).alias("cid"),
+        F.explode(nearest_udf(n_probe)(F.col(vec_col))).alias("cid"),
     )
     scored = (
         c.join(F.broadcast(q), ["cid"])

@@ -514,3 +514,147 @@ def agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return salted_count_distinct(li, "l_returnflag", "l_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster formation: connected components over near-dup pairs
+# (iterative min-label propagation vs a recursive-CTE oracle)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=_SHINGLES_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    e2 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+    edges AS (SELECT doc_a AS node, doc_b AS nbr FROM e2
+              UNION SELECT doc_b, doc_a FROM e2),
+    reach(node, lab) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.lab FROM reach r JOIN edges e ON e.node = r.node
+    )
+    SELECT CAST(lab AS BIGINT) AS cluster_id,
+           CAST(lab AS BIGINT) AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+    GROUP BY lab
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: minhash near-dup pairs → connected components via
+    distributed min-label propagation (operators/clusters.py) → one row per
+    cluster with canonical doc + member count.  The oracle computes the
+    same components with a recursive CTE."""
+    from lakehouse_loader_spark.operators.clusters import dedup_clusters as _dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    return _dc(docs, pairs)
+
+
+# --------------------------------------------------------------------------
+# Sliding (overlapping) windows: 10-minute windows every 5 minutes
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             STRFTIME(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start
+      FROM events
+      UNION ALL
+      SELECT event_type, value,
+             STRFTIME(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+                      '%Y-%m-%d %H:%M:%S') AS win_start
+      FROM events)
+    SELECT event_type, win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM assigned
+    GROUP BY event_type, win_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 10-minute windows sliding every 5: each event lands in
+    exactly two windows (the oracle materializes both assignments
+    explicitly; Spark's window() generates them)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style): per-window minima of k-gram hashes
+# --------------------------------------------------------------------------
+@query(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs
+      FROM documents),
+    kh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(cs) - 3),
+               i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_slice(cs, i, i + 4)),
+                                (a, x) -> (a * 31 + x) % 2147483648)) AS hashes
+      FROM codes),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+               j -> list_min(list_slice(hashes, j, j + 3)))) AS fp
+      FROM kh)
+    SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+           CAST(list_sum(fp) % 1000000007 AS BIGINT) AS fp_checksum
+    FROM wins
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=5 char-grams, window w=4): the
+    guarantee is any shared substring of length ≥ k+w-1 yields a shared
+    fingerprint.  Polynomial k-gram hashes + per-window minima as pure
+    higher-order functions; both engines compute identical integers."""
+    from lakehouse_loader_spark.operators import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # each stage lands in a real column: a column reference is evaluated
+    # once per row, whereas nesting the expression would re-derive the whole
+    # k-gram array at every window position (O(len²) interpreted work)
+    staged = docs.withColumn(
+        "cs", F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("bigint"))
+    ).withColumn(
+        "kh",
+        F.transform(
+            F.sequence(F.lit(1), F.size("cs") - 4),
+            lambda i: F.aggregate(
+                F.slice("cs", i, 5),
+                F.lit(0).cast("bigint"),
+                lambda a, x: (a * T.FP_BASE + x) % T.FP_MOD,
+            ),
+        ),
+    ).withColumn(
+        "fp",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("kh") - 3),
+                lambda j: F.array_min(F.slice("kh", j, 4)),
+            )
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_fp"),
+        (F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, x: a + x) % 1000000007)
+        .cast("bigint")
+        .alias("fp_checksum"),
+    )

@@ -120,3 +120,31 @@ def test_ivf_ann_recall_against_brute_force(spark, emb):
         vs.setdefault(r.q_id, set()).add(r.n_id)
     recalls = [len(bs[q] & vs.get(q, set())) / len(bs[q]) for q in bs]
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_connected_components_chain_and_star(spark):
+    from lakehouse_loader_spark.operators.clusters import connected_components, dedup_clusters
+
+    # chain 1-2-3-4-5, star 10-(11,12,13), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {cc[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {cc[n] for n in (10, 11, 12, 13)} == {10}
+    assert {cc[n] for n in (20, 21)} == {20}
+    clusters = {
+        r.cluster_id: (r.canonical_doc, r.n_members)
+        for r in dedup_clusters(None, pairs).collect()
+    }
+    assert clusters == {1: (1, 5), 10: (10, 4), 20: (20, 2)}
+
+
+def test_connected_components_long_chain_needs_iterations(spark):
+    from lakehouse_loader_spark.operators.clusters import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
+    cc = {r.node: r.component for r in connected_components(pairs, max_iterations=n).collect()}
+    assert set(cc.values()) == {0}
