@@ -128,6 +128,7 @@ def _write_parts(
                     "size": os.path.getsize(dst),
                     "modificationTime": now_ms,
                     "dataChange": True,
+                    "stats": json.dumps(_file_stats(dst)),
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
@@ -271,3 +272,88 @@ def optimize_delta(
         except FileExistsError:
             if attempt == COMMIT_RETRIES - 1:
                 raise
+
+
+def _file_stats(file_path: str) -> dict:
+    """File-level column stats from the parquet footer (min/max/nullCount
+    for primitive leaf columns) — the Delta "stats" payload that enables
+    data skipping.  The reference writes page-level parquet statistics for
+    the same purpose (src/delta_destination.rs:61)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested/list columns: no file-level scalar stats
+                continue
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't surface stats for every physical type
+                # (e.g. some decimal encodings) — skip, stats are best-effort
+                continue
+            if isinstance(mn, bytes):
+                continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
+
+
+def prune_files_by_stats(path: str, column: str, lower, upper) -> tuple[list[str], int]:
+    """Data skipping: live files whose [min,max] range for ``column``
+    intersects [lower, upper].  Returns (kept file paths, total live files).
+    At cluster scale this stats scan reads only the transaction log — no
+    data files are opened."""
+    _, _, adds = _read_log(path)
+    kept = []
+    for p, add in sorted(adds.items()):
+        stats = json.loads(add.get("stats", "{}") or "{}")
+        mn = stats.get("minValues", {}).get(column)
+        mx = stats.get("maxValues", {}).get(column)
+        if mn is None or mx is None or (mx >= lower and mn <= upper):
+            kept.append(os.path.join(path, p))
+    return kept, len(adds)
+
+
+def read_delta_pruned(
+    spark: SparkSession, path: str, column: str, lower, upper
+) -> DataFrame:
+    """Read only the files that can contain rows with ``column`` in
+    [lower, upper] (caller still applies the exact row filter)."""
+    schema = table_schema(path)
+    files, _ = prune_files_by_stats(path, column, lower, upper)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def vacuum_delta(path: str) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot
+    (removed by overwrite-in-place or OPTIMIZE).  Time travel to versions
+    that referenced them stops working — same contract as Delta VACUUM.
+    Returns the deleted relative paths."""
+    _, _, adds = _read_log(path)
+    live = set(adds)
+    deleted = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root or ".staging-" in root:
+            continue
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), path).replace(os.sep, "/")
+            if rel not in live:
+                os.remove(os.path.join(root, name))
+                deleted.append(rel)
+    return deleted

@@ -335,3 +335,30 @@ def test_bucketed_join_elides_shuffle(spark, tmpdir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_delta_stats_enable_file_skipping(spark, tmpdir):
+    """Sorted writes produce disjoint per-file ranges; stats pruning must
+    read fewer files yet return exactly the filtered rows."""
+    path = os.path.join(tmpdir, "t")
+    df = spark.range(0, 1000).select("id", (F.col("id") * 2).alias("v")).orderBy("id")
+    DL.write_delta(df.coalesce(1), path, max_rows_per_file=100)
+    kept, total = DL.prune_files_by_stats(path, "id", 250, 349)
+    assert total == 10 and len(kept) <= 2
+    pruned = DL.read_delta_pruned(spark, path, "id", 250, 349).filter(
+        F.col("id").between(250, 349)
+    )
+    assert pruned.count() == 100
+
+
+def test_delta_vacuum_removes_unreferenced(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df.repartition(4), path)
+    DL.optimize_delta(spark, path)
+    import glob
+
+    n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    deleted = DL.vacuum_delta(path)
+    assert len(deleted) == 4  # the pre-compaction files
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == n_before - 4
+    assert DL.read_delta(spark, path).count() == 100
