@@ -1073,3 +1073,157 @@ def tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q9d ordered string aggregation + arg_min/arg_max + FILTER clause
+# --------------------------------------------------------------------------
+@query(
+    "agg_ordered_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big
+    FROM orders
+    WHERE o_orderkey <= 200
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect (sort_array∘collect_list — deterministic where raw
+    collect_list is not), min_by/max_by, and conditional-count FILTER."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_list("o_orderstatus")), ",").alias("statuses"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17b second string-function family
+# --------------------------------------------------------------------------
+@query(
+    "scalar_string2",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, p_type) AS name_type_dist,
+           translate(p_brand, '#B', '-b') AS brand_tr,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_name) AS rname,
+           CAST(instr(p_name, 'e') AS BIGINT) AS first_e,
+           repeat(left(p_type, 2), 2) AS type2x,
+           right(p_name, 3) AS name_tail,
+           p_name LIKE '%bolt%' AS is_bolt,
+           starts_with(p_type, 'ECO') AS is_eco
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.translate("p_brand", "#B", "-b").alias("brand_tr"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_name").alias("rname"),
+        F.instr("p_name", "e").cast("bigint").alias("first_e"),
+        F.repeat(F.substring("p_type", 1, 2), 2).alias("type2x"),
+        F.substring("p_name", -3, 3).alias("name_tail"),
+        F.col("p_name").like("%bolt%").alias("is_bolt"),
+        F.startswith(F.col("p_type"), F.lit("ECO")).alias("is_eco"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21b second array-function family over document tokens
+# --------------------------------------------------------------------------
+@query(
+    "array_ops2",
+    oracle=r"""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split_regex(text, '\s+')))[1] AS first_token,
+           CAST(list_position(string_split_regex(text, '\s+'), 'the') AS BIGINT) AS the_pos,
+           array_to_string(list_slice(list_sort(list_distinct(string_split_regex(text, '\s+'))), 1, 3), '|')
+             AS first3_sorted,
+           CAST(len(flatten([string_split_regex(text, '\s+'), ['<eos>']])) AS BIGINT) AS n_plus_eos
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def array_ops2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_array / array_position / slice / flatten over token arrays
+    (both engines return 0 from array_position/list_position on a miss)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", r"\s+")
+    sorted_distinct = F.sort_array(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.element_at(sorted_distinct, 1).alias("first_token"),
+        F.array_position(toks, "the").cast("bigint").alias("the_pos"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("first3_sorted"),
+        F.size(F.flatten(F.array(toks, F.array(F.lit("<eos>"))))).cast("bigint").alias(
+            "n_plus_eos"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19b null-handling + bitwise function families
+# --------------------------------------------------------------------------
+@query(
+    "scalar_null_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           IFNULL(NULLIF(l_linestatus, l_linestatus), 'same') AS always_same,
+           xor(l_orderkey, l_partkey) AS keys_xor,
+           l_orderkey & 255 AS key_low_byte,
+           l_orderkey | 1 AS key_odd,
+           l_partkey << 2 AS pk_shl,
+           l_partkey >> 1 AS pk_shr
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def scalar_null_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_or_none"),
+        F.ifnull(F.nullif("l_linestatus", "l_linestatus"), F.lit("same")).alias("always_same"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("keys_xor"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("key_odd"),
+        F.shiftleft(F.col("l_partkey"), 2).alias("pk_shl"),
+        F.shiftright(F.col("l_partkey"), 1).alias("pk_shr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1b unpivot / melt (wide → long)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem WHERE l_orderkey <= 100)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
