@@ -33,10 +33,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session it configured itself; both confs are
+    # runtime-settable.  UTC keeps LTZ↔NTZ conversions (events ns-rebase,
+    # date formatting) identical to the DuckDB oracle's naive timestamps
+    # regardless of the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The driver may hand us a session without this conf; it is
-        # runtime-settable, and without it the parquet footer's
-        # TIMESTAMP(NANOS) type is rejected outright.
+        # without this the parquet footer's TIMESTAMP(NANOS) is rejected
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
