@@ -37,6 +37,36 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # operators may persist shared subplans; drop them so one query's
+        # cache doesn't skew the next query's timing or memory
+        spark.catalog.clearCache()
+
+    # loader throughput at the same scale — the reference's native metric
+    # (it is an EL loader; BASELINE.md frames its numbers around the
+    # parquet→Delta/Iceberg path)
+    import shutil
+    import tempfile
+
+    from lakehouse_loader_spark.sinks.delta import write_delta
+    from lakehouse_loader_spark.sinks.iceberg import write_iceberg
+
+    loader: dict[str, float] = {}
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    n_rows = li.count()
+    tmp = tempfile.mkdtemp(prefix="bench_loader_")
+    try:
+        t0 = time.perf_counter()
+        write_delta(li, os.path.join(tmp, "delta"))
+        loader["parquet_to_delta_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        write_iceberg(li, os.path.join(tmp, "iceberg"))
+        loader["parquet_to_iceberg_sec"] = round(time.perf_counter() - t0, 4)
+        loader["lineitem_rows"] = n_rows
+        loader["delta_rows_per_sec"] = round(n_rows / loader["parquet_to_delta_sec"])
+        loader["iceberg_rows_per_sec"] = round(n_rows / loader["parquet_to_iceberg_sec"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(f"# loader: {loader}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -50,6 +80,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "loader": loader,
                 "sf": sf_val,
             }
         )
