@@ -1227,3 +1227,30 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+# --------------------------------------------------------------------------
+# Arbitrary-SQL passthrough — the reference's ENTIRE query surface is a
+# user-provided SQL string executed verbatim (src/lib.rs:39-40); this
+# declared query runs the reference's own e2e test-query shapes
+# (select-star-order-by basic_integration.rs:28, computed column :130,
+# cast :150) natively.
+# --------------------------------------------------------------------------
+_PASSTHROUGH_SQL = """
+SELECT l_orderkey + 1 AS okey_plus,
+       CAST(l_orderkey AS STRING) AS okey_str,
+       l_quantity, l_returnflag
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey
+LIMIT 500
+"""
+
+
+@query("sql_passthrough", oracle=_PASSTHROUGH_SQL)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-SQL-string execution: identical ANSI SQL text runs on Spark SQL
+    and the oracle — the native replacement for the reference's pushdown-
+    everything-to-Postgres model."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PASSTHROUGH_SQL)
