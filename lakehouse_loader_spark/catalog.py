@@ -38,6 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date formatting) identical to the DuckDB oracle's naive timestamps
     # regardless of the host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # A plain driver session defaults to 200 shuffle partitions — far too
+    # many for local[N]; AQE coalesces, but seeding the right number avoids
+    # scheduling overhead entirely.  (Runtime-settable, harmless if the
+    # session already configured it.)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        parallelism = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
     if name == "events":
         # without this the parquet footer's TIMESTAMP(NANOS) is rejected
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

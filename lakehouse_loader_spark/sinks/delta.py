@@ -243,21 +243,30 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
 
 
 def optimize_delta(
-    spark: SparkSession, path: str, target_partitions: int = 1
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    sort_by: list[str] | None = None,
+    max_rows_per_file: int = MAX_ROWS_PER_FILE,
 ) -> None:
     """OPTIMIZE-style compaction: rewrite the live file set into
     ``target_partitions`` files per partition directory and commit
     remove+add actions as one new version.  Old files stay on disk, so time
-    travel to pre-compaction versions keeps working."""
+    travel to pre-compaction versions keeps working.
+
+    ``sort_by`` clusters rows within the rewritten files (the reference's
+    explicit pre-write-sorting TODO, src/lib.rs:202) — sorted clustering
+    tightens per-file min/max stats so data skipping prunes harder."""
     latest, meta, adds = _read_log(path)
     df = read_delta(spark, path)
     part_cols = meta.get("partitionColumns") or None
-    new_adds = _write_parts(
-        df.coalesce(target_partitions) if not part_cols else df.repartition(target_partitions, *part_cols),
-        path,
-        MAX_ROWS_PER_FILE,
-        part_cols,
-    )
+    if not part_cols:
+        df = df.coalesce(target_partitions)
+    else:
+        df = df.repartition(target_partitions, *part_cols)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    new_adds = _write_parts(df, path, max_rows_per_file, part_cols)
     now_ms = int(time.time() * 1000)
     removes = [
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
@@ -357,3 +366,90 @@ def vacuum_delta(path: str) -> list[str]:
                 os.remove(os.path.join(root, name))
                 deleted.append(rel)
     return deleted
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+) -> dict:
+    """MERGE (upsert) by key, copy-on-write: files containing matched keys
+    are rewritten with updated rows; unmatched source rows are appended.
+    One commit of remove+add actions; untouched files are untouched (at
+    scale, stats-based pruning limits the rewrite set to files whose key
+    range intersects the source's).
+
+    Returns {"rewritten_files": n, "updated": n, "inserted": n}.
+    """
+    from pyspark.sql import functions as F
+
+    _, meta, adds = _read_log(path)
+    schema = table_schema(path)
+    if set(source.columns) != set(schema.fieldNames()):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} must match table "
+            f"{sorted(schema.fieldNames())}"
+        )
+    source = source.select(*schema.fieldNames())
+
+    # prune the rewrite set: a file is touched only if SOME source key
+    # falls inside its [min,max] stats range — file ranges are metadata
+    # (one row per file), so the range probe is a tiny broadcast join, not
+    # a coarse global-min/max test (which one outlier key would defeat)
+    ranges = []
+    for rel, add in sorted(adds.items()):
+        stats = json.loads(add.get("stats", "{}") or "{}")
+        mn = stats.get("minValues", {}).get(key)
+        mx = stats.get("maxValues", {}).get(key)
+        ranges.append((rel, mn, mx))
+    known = [(r, mn, mx) for r, mn, mx in ranges if mn is not None]
+    unknown_rel = [r for r, mn, _ in ranges if mn is None]
+    cand_rel = set(unknown_rel)
+    if known:
+        files_df = spark.createDataFrame(known, ["rel", "mn", "mx"])
+        hit = (
+            files_df.join(
+                source.select(key).distinct(),
+                (F.col(key) >= F.col("mn")) & (F.col(key) <= F.col("mx")),
+                "left_semi",
+            )
+            .select("rel")
+            .collect()
+        )
+        cand_rel |= {r.rel for r in hit}
+    candidates = [os.path.join(path, r) for r in sorted(cand_rel)]
+
+    keys = source.select(key).distinct()
+    if candidates:
+        cand_df = spark.read.schema(schema).parquet(*candidates)
+        touched = cand_df.join(F.broadcast(keys), key, "left_semi")
+        n_updated = touched.count()
+        kept = cand_df.join(F.broadcast(keys), key, "left_anti")
+        rewritten = kept.unionByName(source)
+    else:
+        n_updated = 0
+        rewritten = source
+    n_inserted = source.count() - n_updated
+
+    part_cols = meta.get("partitionColumns") or None
+    new_adds = _write_parts(rewritten, path, MAX_ROWS_PER_FILE, part_cols)
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+        for p in sorted(cand_rel)
+    ]
+    actions = [_commit_info("MERGE"), *removes, *[{"add": a} for a in new_adds]]
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, _ = _read_log(path)
+        try:
+            _commit(path, latest + 1, actions)
+            break
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    return {
+        "rewritten_files": len(cand_rel),
+        "updated": n_updated,
+        "inserted": int(n_inserted),
+    }

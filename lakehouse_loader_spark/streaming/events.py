@@ -95,3 +95,24 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
+    """Continuous ingestion into the Delta sink: each micro-batch appends
+    through the same transactional commit path as batch writes (exactly the
+    reference's loader pipeline, made incremental).  foreachBatch hands the
+    micro-batch DataFrame to write_delta, so mode semantics, alignment
+    checks, stats collection, and optimistic commits all apply per batch."""
+    from lakehouse_loader_spark.sinks.delta import table_exists, write_delta
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_delta(batch_df, table_path, append=table_exists(table_path))
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -362,3 +362,39 @@ def test_delta_vacuum_removes_unreferenced(spark, small_df, tmpdir):
     assert len(deleted) == 4  # the pre-compaction files
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == n_before - 4
     assert DL.read_delta(spark, path).count() == 100
+
+
+def test_delta_merge_upserts(spark, tmpdir):
+    """MERGE: updates overwrite matched keys, new keys insert, stats pruning
+    limits the rewrite to files whose key range intersects the source."""
+    path = os.path.join(tmpdir, "t")
+    base = spark.range(0, 1000).select("id", (F.col("id") * 2).alias("v")).orderBy("id")
+    DL.write_delta(base.coalesce(1), path, max_rows_per_file=100)  # 10 files
+    src = spark.createDataFrame(
+        [(5, -1), (250, -2), (255, -3), (5000, -4)], ["id", "v"]
+    )
+    result = DL.merge_delta(spark, path, src, key="id")
+    assert result["updated"] == 3 and result["inserted"] == 1
+    assert result["rewritten_files"] == 2  # only files whose range has a key
+    back = DL.read_delta(spark, path)
+    assert back.count() == 1001
+    got = {r.id: r.v for r in back.filter(F.col("id").isin(5, 250, 255, 5000, 7)).collect()}
+    assert got == {5: -1, 250: -2, 255: -3, 5000: -4, 7: 14}
+
+
+def test_delta_optimize_sorted_clustering_tightens_stats(spark, tmpdir):
+    """sort_by clustering: after OPTIMIZE with sorting, stats pruning on the
+    sort key must touch fewer files than before."""
+    path = os.path.join(tmpdir, "t")
+    import pyspark.sql.functions as F2
+
+    df = spark.range(0, 1000).select(
+        F2.pmod(F2.col("id") * 37, F2.lit(1000)).alias("k"), F2.col("id").alias("v")
+    )
+    DL.write_delta(df.repartition(10), path)  # k scattered across all files
+    kept_before, total_before = DL.prune_files_by_stats(path, "k", 100, 199)
+    assert len(kept_before) == total_before == 10  # no pruning possible
+    DL.optimize_delta(spark, path, target_partitions=1, sort_by=["k"], max_rows_per_file=100)
+    kept_after, total_after = DL.prune_files_by_stats(path, "k", 100, 199)
+    assert total_after == 10 and len(kept_after) <= 2
+    assert DL.read_delta(spark, path).count() == 1000

@@ -89,3 +89,26 @@ def test_stateful_user_totals_accumulates(spark, staged_events):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_to_delta_ingestion(spark, staged_events):
+    """File stream → foreachBatch → Delta sink: all rows land, one commit
+    per non-empty micro-batch, log replay equals the batch source."""
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    path, src = staged_events
+    out = tempfile.mkdtemp(prefix="evdelta_")
+    ckpt = tempfile.mkdtemp(prefix="evckpt_")
+    try:
+        q = SE.stream_to_delta(SE.read_event_stream(spark, path), os.path.join(out, "t"), ckpt)
+        q.awaitTermination(120)
+        back = DL.read_delta(spark, os.path.join(out, "t"))
+        assert back.count() == src.count()
+        assert {r.event_id for r in back.select("event_id").collect()} == {
+            r.event_id for r in src.select("event_id").collect()
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
