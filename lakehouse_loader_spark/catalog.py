@@ -64,12 +64,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view so ``spark.sql`` queries work.
+def register_views(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register test tables as temp views so ``spark.sql`` queries work.
 
     Idempotent; safe to call per-query (view registration is metadata-only).
+    ``only`` limits registration to the tables a query actually touches —
+    skipping 9 unused parquet footer reads matters for short queries.
     """
-    dfs = load_tables(spark, sf_dir)
+    names = only or TABLE_NAMES
+    dfs = {name: load_table(spark, sf_dir, name) for name in names}
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

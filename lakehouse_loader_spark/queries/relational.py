@@ -727,7 +727,7 @@ WHERE c.c_acctbal > (SELECT AVG(c3.c_acctbal) FROM customer c3)
 def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical ANSI SQL on both engines; Catalyst rewrites the correlated
     scalar subquery into an aggregate+join (RewriteCorrelatedScalarSubquery)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=["customer"])
     return spark.sql(_Q22_SQL)
 
 
@@ -840,7 +840,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with GROUPING() disambiguation — identical
     ANSI SQL on both engines."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=["lineitem"])
     return spark.sql(_GS_SQL)
 
 
@@ -1252,5 +1252,5 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-SQL-string execution: identical ANSI SQL text runs on Spark SQL
     and the oracle — the native replacement for the reference's pushdown-
     everything-to-Postgres model."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=["lineitem"])
     return spark.sql(_PASSTHROUGH_SQL)
