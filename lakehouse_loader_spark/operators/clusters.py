@@ -45,15 +45,20 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = labels.join(neighbor_min, "node", "left").select(
+        new_labels = labels.join(neighbor_min, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            (F.coalesce("nbr_label", "label") < F.col("label")).alias("__changed"),
         )
         # each iteration references `labels` twice → without lineage
         # truncation the logical plan doubles per round (2^k nodes);
         # an eager localCheckpoint keeps every iteration O(1) plan size —
         # the standard shape for iterative DataFrame algorithms
-        labels = labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:  # fixpoint: labels stable ⇒ components final
+            break
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -704,3 +704,83 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (training-data prep): per-vector max-abs
+# scaling, symmetric round-half-up (floor(x+0.5) in BOTH engines so the tie
+# behavior is identical by construction)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings),
+    q AS (
+      SELECT e.vec_id, s.max_abs,
+             list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s.max_abs + 0.5) AS BIGINT)) AS qvec
+      FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id)
+    SELECT vec_id, max_abs,
+           CAST(qvec[1] AS BIGINT) AS q_first,
+           CAST(list_max(qvec) AS BIGINT) AS q_max,
+           CAST(list_min(qvec) AS BIGINT) AS q_min,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (max-abs per-vector scale)
+    — the storage-reduction prep step before ANN indexing at 100 TB.
+    Quantized values summarized (first/min/max/sum) for the oracle check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x_d = lambda x: x.cast("double")  # noqa: E731
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x_d(x))))
+    staged = emb.withColumn("max_abs", max_abs).withColumn(
+        "qvec",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x_d(x) * 127.0 / F.col("max_abs") + 0.5).cast("bigint"),
+        ),
+    )
+    return staged.select(
+        "vec_id",
+        "max_abs",
+        F.element_at("qvec", 1).cast("bigint").alias("q_first"),
+        F.array_max("qvec").cast("bigint").alias("q_max"),
+        F.array_min("qvec").cast("bigint").alias("q_min"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level term statistics (vocabulary building): document frequency +
+# total term frequency per token
+# --------------------------------------------------------------------------
+@query(
+    "text_term_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      FROM documents)
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq
+    FROM tok
+    GROUP BY term
+    """,
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: explode tokens → one hash aggregate
+    with map-side partials; df via count-distinct on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+    )
