@@ -784,3 +784,122 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("term_freq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring (retrieval / data-curation op): score documents
+# against a fixed term set, entirely as joins + aggregates
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "table", "join", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_search",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+    doclen AS (
+      SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM doclen),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+      WHERE term IN ('spark', 'table', 'join', 'vector')
+      GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+      WHERE term IN ('spark', 'table', 'join', 'vector')
+      GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               tf.tf * ({_BM25_K1} + 1.0) /
+               (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * doclen.dl / stats.avgdl))
+             ) AS bm25
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN doclen ON tf.doc_id = doclen.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(bm25, 6) AS bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query-term set: token explode → tf/df
+    aggregates → broadcast-join the (tiny) df/avgdl stats back → per-doc
+    score → TakeOrdered.  The standard retrieval scorer as pure
+    DataFrame algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = [F.lit(t) for t in _BM25_TERMS]
+    tok = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term")).filter(
+        F.col("term").isin(_BM25_TERMS)
+    )
+    doclen = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("double").alias("dl")
+    )
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap (benchmark-decontamination shape): shared distinct
+# shingles between source groups
+# --------------------------------------------------------------------------
+@query(
+    "text_cross_source_overlap",
+    oracle="""
+    WITH docs AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM docs)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan: distinct word-3-gram shingles per SOURCE, then a
+    shingle equi-join counting cross-source shared shingles — the shape of
+    benchmark-decontamination sweeps (train-set shingles × eval-set
+    shingles) at corpus scale."""
+    from lakehouse_loader_spark.operators import spread
+    from lakehouse_loader_spark.operators.dedup import with_shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        with_shingles(docs)
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
