@@ -903,3 +903,51 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map UDF extension point (applyInPandas): per-user z-score
+# normalization — oracle-checked against window aggregates
+# --------------------------------------------------------------------------
+@query(
+    "events_user_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sigma,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id))
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN n > 1 AND sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END, 4)
+             AS zscore
+    FROM stats
+    WHERE user_id < 25
+    """,
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via the grouped-map extension point
+    (groupBy().applyInPandas): each user's rows arrive as one pandas frame,
+    normalized with numpy, emitted back as Arrow batches — the pattern for
+    group-local transforms the built-in aggregates can't express.  The
+    oracle computes the same normalization with window aggregates; round-4
+    absorbs summation-order differences between numpy and SQL."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        sigma = v.std(ddof=1)
+        if len(pdf) > 1 and sigma > 0:
+            z = (v - v.mean()) / sigma
+        else:
+            z = v * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(4)}
+        )
+
+    return ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        normalize, schema="event_id BIGINT, user_id BIGINT, zscore DOUBLE"
+    )
