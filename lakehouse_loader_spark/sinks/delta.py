@@ -340,11 +340,16 @@ def read_delta_pruned(
 ) -> DataFrame:
     """Read only the files that can contain rows with ``column`` in
     [lower, upper] (caller still applies the exact row filter)."""
+    _, meta, _ = _read_log(path)
     schema = table_schema(path)
     files, _ = prune_files_by_stats(path, column, lower, upper)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if meta.get("partitionColumns"):
+        # partition values live in directory names, not the data files
+        reader = reader.option("basePath", path)
+    return reader.parquet(*files)
 
 
 def vacuum_delta(path: str) -> list[str]:
@@ -422,7 +427,12 @@ def merge_delta(
 
     keys = source.select(key).distinct()
     if candidates:
-        cand_df = spark.read.schema(schema).parquet(*candidates)
+        reader = spark.read.schema(schema)
+        if meta.get("partitionColumns"):
+            # partition values come from directory names — without basePath
+            # a partitioned table's partition column would read back NULL
+            reader = reader.option("basePath", path)
+        cand_df = reader.parquet(*candidates)
         touched = cand_df.join(F.broadcast(keys), key, "left_semi")
         n_updated = touched.count()
         kept = cand_df.join(F.broadcast(keys), key, "left_anti")

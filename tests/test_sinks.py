@@ -398,3 +398,21 @@ def test_delta_optimize_sorted_clustering_tightens_stats(spark, tmpdir):
     kept_after, total_after = DL.prune_files_by_stats(path, "k", 100, 199)
     assert total_after == 10 and len(kept_after) <= 2
     assert DL.read_delta(spark, path).count() == 1000
+
+
+def test_delta_merge_on_partitioned_table(spark, tmpdir):
+    """MERGE on a partitioned table must preserve partition values (they
+    live in directory names — candidate reads need basePath)."""
+    path = os.path.join(tmpdir, "t")
+    base = spark.range(0, 100).select(
+        "id", (F.col("id") % 3).cast("string").alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+    DL.write_delta(base, path, partition_by=["bucket"])
+    src = spark.createDataFrame([(9, "0", -1), (500, "2", -2)], ["id", "bucket", "v"])
+    result = DL.merge_delta(spark, path, src, key="id")
+    assert result["updated"] == 1 and result["inserted"] == 1
+    back = DL.read_delta(spark, path)
+    assert back.count() == 101
+    assert back.filter("bucket IS NULL").count() == 0  # no lost partition values
+    got = {r.id: (r.bucket, r.v) for r in back.filter(F.col("id").isin(9, 500)).collect()}
+    assert got == {9: ("0", -1), 500: ("2", -2)}
