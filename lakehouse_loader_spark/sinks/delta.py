@@ -222,6 +222,15 @@ def write_delta(
     _commit(path, 1, [_commit_info("Append"), *[{"add": a} for a in adds]])
 
 
+def _file_reader(spark: SparkSession, path: str, meta: dict, schema: T.StructType):
+    """Reader for a subset of a table's data files; partitioned tables need
+    basePath so directory-encoded partition values are re-derived."""
+    reader = spark.read.schema(schema)
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", path)
+    return reader
+
+
 def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read a Delta table by replaying its transaction log (adds minus
     removes) — no connector JAR required.  ``version`` time-travels to an
@@ -233,13 +242,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     files = [os.path.join(path, p) for p in sorted(adds)]
     if not files:
         return spark.createDataFrame([], schema)
-    if meta.get("partitionColumns"):
-        # partition columns live in directory names; basePath makes Spark
-        # re-derive them (and partition-prune on them)
-        return (
-            spark.read.schema(schema).option("basePath", path).parquet(*files)
-        )
-    return spark.read.schema(schema).parquet(*files)
+    return _file_reader(spark, path, meta, schema).parquet(*files)
 
 
 def optimize_delta(
@@ -319,12 +322,17 @@ def _file_stats(file_path: str) -> dict:
     return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
 
 
-def prune_files_by_stats(path: str, column: str, lower, upper) -> tuple[list[str], int]:
+def prune_files_by_stats(
+    path: str, column: str, lower, upper, adds: dict[str, dict] | None = None
+) -> tuple[list[str], int]:
     """Data skipping: live files whose [min,max] range for ``column``
     intersects [lower, upper].  Returns (kept file paths, total live files).
     At cluster scale this stats scan reads only the transaction log — no
-    data files are opened."""
-    _, _, adds = _read_log(path)
+    data files are opened.  Pass ``adds`` to reuse an already-replayed log
+    snapshot (avoids re-reading and keeps one consistent view under
+    concurrent commits)."""
+    if adds is None:
+        _, _, adds = _read_log(path)
     kept = []
     for p, add in sorted(adds.items()):
         stats = json.loads(add.get("stats", "{}") or "{}")
@@ -339,17 +347,15 @@ def read_delta_pruned(
     spark: SparkSession, path: str, column: str, lower, upper
 ) -> DataFrame:
     """Read only the files that can contain rows with ``column`` in
-    [lower, upper] (caller still applies the exact row filter)."""
-    _, meta, _ = _read_log(path)
-    schema = table_schema(path)
-    files, _ = prune_files_by_stats(path, column, lower, upper)
+    [lower, upper] (caller still applies the exact row filter).  One log
+    replay feeds schema, partitioning, and pruning — a single consistent
+    snapshot even under concurrent commits."""
+    _, meta, adds = _read_log(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    files, _ = prune_files_by_stats(path, column, lower, upper, adds=adds)
     if not files:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
-    if meta.get("partitionColumns"):
-        # partition values live in directory names, not the data files
-        reader = reader.option("basePath", path)
-    return reader.parquet(*files)
+    return _file_reader(spark, path, meta, schema).parquet(*files)
 
 
 def vacuum_delta(path: str) -> list[str]:
@@ -397,6 +403,12 @@ def merge_delta(
             f"{sorted(schema.fieldNames())}"
         )
     source = source.select(*schema.fieldNames())
+    n_source_keys = source.select(key).distinct().count()
+    if source.count() != n_source_keys:
+        raise ValueError(
+            f"merge source has duplicate values in key column {key!r}; "
+            "deduplicate before merging (same contract as Delta MERGE)"
+        )
 
     # prune the rewrite set: a file is touched only if SOME source key
     # falls inside its [min,max] stats range — file ranges are metadata
@@ -412,35 +424,33 @@ def merge_delta(
     unknown_rel = [r for r, mn, _ in ranges if mn is None]
     cand_rel = set(unknown_rel)
     if known:
-        files_df = spark.createDataFrame(known, ["rel", "mn", "mx"])
+        # dunder column names so a merge key literally named "mn"/"rel"
+        # can't collide with the probe frame's columns
+        files_df = spark.createDataFrame(known, ["__rel", "__mn", "__mx"])
         hit = (
             files_df.join(
                 source.select(key).distinct(),
-                (F.col(key) >= F.col("mn")) & (F.col(key) <= F.col("mx")),
+                (F.col(key) >= F.col("__mn")) & (F.col(key) <= F.col("__mx")),
                 "left_semi",
             )
-            .select("rel")
+            .select("__rel")
             .collect()
         )
-        cand_rel |= {r.rel for r in hit}
+        cand_rel |= {r["__rel"] for r in hit}
     candidates = [os.path.join(path, r) for r in sorted(cand_rel)]
 
     keys = source.select(key).distinct()
     if candidates:
-        reader = spark.read.schema(schema)
-        if meta.get("partitionColumns"):
-            # partition values come from directory names — without basePath
-            # a partitioned table's partition column would read back NULL
-            reader = reader.option("basePath", path)
-        cand_df = reader.parquet(*candidates)
-        touched = cand_df.join(F.broadcast(keys), key, "left_semi")
-        n_updated = touched.count()
+        cand_df = _file_reader(spark, path, meta, schema).parquet(*candidates)
+        # count matched KEYS, not matched rows: a key present in several
+        # table rows updates them all but is still one update
+        n_updated = keys.join(cand_df.select(key), key, "left_semi").count()
         kept = cand_df.join(F.broadcast(keys), key, "left_anti")
         rewritten = kept.unionByName(source)
     else:
         n_updated = 0
         rewritten = source
-    n_inserted = source.count() - n_updated
+    n_inserted = n_source_keys - n_updated
 
     part_cols = meta.get("partitionColumns") or None
     new_adds = _write_parts(rewritten, path, MAX_ROWS_PER_FILE, part_cols)

@@ -416,3 +416,10 @@ def test_delta_merge_on_partitioned_table(spark, tmpdir):
     assert back.filter("bucket IS NULL").count() == 0  # no lost partition values
     got = {r.id: (r.bucket, r.v) for r in back.filter(F.col("id").isin(9, 500)).collect()}
     assert got == {9: ("0", -1), 500: ("2", -2)}
+    # pruned reads on the partitioned table also re-derive partition values
+    pruned = DL.read_delta_pruned(spark, path, "id", 0, 10)
+    assert pruned.filter("bucket IS NULL").count() == 0
+    # duplicate source keys are rejected (Delta MERGE contract)
+    dup = spark.createDataFrame([(1, "1", 0), (1, "1", 9)], ["id", "bucket", "v"])
+    with pytest.raises(ValueError):
+        DL.merge_delta(spark, path, dup, key="id")
