@@ -333,20 +333,40 @@ def write_iceberg(
         fh.write(str(new_version))
 
 
-def read_iceberg(spark: SparkSession, path: str) -> DataFrame:
-    """Read the current snapshot by walking version-hint → metadata →
-    manifest list → manifests → data files."""
+def read_iceberg(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read a snapshot by walking version-hint → metadata → manifest list →
+    manifests → data files.  ``snapshot_id`` time-travels to any retained
+    snapshot (every snapshot stays in the metadata history)."""
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    if snapshot_id is None:
+        manifests = _snapshot_manifests(path, meta)
+    else:
+        matches = [s for s in meta.get("snapshots", []) if s["snapshot-id"] == snapshot_id]
+        if not matches:
+            raise ValueError(
+                f"snapshot {snapshot_id} not in {path} "
+                f"(have {[s['snapshot-id'] for s in meta.get('snapshots', [])]})"
+            )
+        with open(os.path.join(path, matches[0]["manifest-list"])) as fh:
+            manifests = json.load(fh)["manifests"]
     files = []
-    for mpath in _snapshot_manifests(path, meta):
+    for mpath in manifests:
         with open(os.path.join(path, mpath)) as fh:
             files.extend(os.path.join(path, e["file_path"]) for e in json.load(fh)["entries"])
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
+
+
+def snapshot_ids(path: str) -> list[int]:
+    """All retained snapshot ids, oldest first."""
+    _, meta = _read_metadata(path)
+    return [s["snapshot-id"] for s in meta.get("snapshots", [])]
 
 
 def snapshot_sequence_numbers(path: str) -> list[int]:

@@ -116,3 +116,45 @@ def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior click by
+    the same user within ``within``.  Both sides are watermarked so the
+    state store can expire rows; the time-bound predicate is what makes an
+    unbounded-stream join finite (Spark buffers only the watermark window).
+
+    ``watermark_delay`` (default: ``within``) is the event-time disorder
+    tolerance — rows older than the watermark are dropped as late, so size
+    it to the source's actual out-of-orderness, independently of the join
+    bound."""
+    wm = watermark_delay or within
+    c = (
+        clicks.withWatermark("ts", wm)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", wm)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")

@@ -423,3 +423,15 @@ def test_delta_merge_on_partitioned_table(spark, tmpdir):
     dup = spark.createDataFrame([(1, "1", 0), (1, "1", 9)], ["id", "bucket", "v"])
     with pytest.raises(ValueError):
         DL.merge_delta(spark, path, dup, key="id")
+
+
+def test_iceberg_time_travel_by_snapshot(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    IC.write_iceberg(small_df.limit(5), path, append=True)
+    snaps = IC.snapshot_ids(path)
+    assert len(snaps) == 2
+    assert IC.read_iceberg(spark, path).count() == 105
+    assert IC.read_iceberg(spark, path, snapshot_id=snaps[0]).count() == 100
+    with pytest.raises(ValueError):
+        IC.read_iceberg(spark, path, snapshot_id=123)

@@ -112,3 +112,42 @@ def test_stream_to_delta_ingestion(spark, staged_events):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, staged_events):
+    """Watermarked stream-stream join result must equal the equivalent
+    batch join once all input is consumed."""
+    path, src = staged_events
+    clicks = SE.read_event_stream(spark, path).filter("event_type = 'click'")
+    purchases = SE.read_event_stream(spark, path).filter("event_type = 'purchase'")
+    # unordered staged files ⇒ events arrive out of time order; a 40-day
+    # watermark delay (> the data's 30-day span) means nothing is "late"
+    q = (
+        SE.stream_stream_click_purchase_join(clicks, purchases, watermark_delay="40 days")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("select * from attrib").collect()
+    }
+    bc = src.filter("event_type = 'click'").selectExpr(
+        "user_id c_user", "ts click_ts", "event_id click_id"
+    )
+    bp = src.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "ts purchase_ts", "event_id purchase_id"
+    )
+    import pyspark.sql.functions as F2
+
+    batch = bc.join(
+        bp,
+        (F2.col("c_user") == F2.col("p_user"))
+        & (F2.col("purchase_ts") >= F2.col("click_ts"))
+        & (F2.col("purchase_ts") <= F2.col("click_ts") + F2.expr("INTERVAL 1 HOUR")),
+    )
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
