@@ -31,14 +31,23 @@ def asof_join(
     Returns all left columns plus ``value_cols`` (null when no right row
     precedes, like an ASOF LEFT JOIN)."""
     lcols = left.columns
-    l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
-    for v in value_cols:
-        l = l.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
-    r = right.withColumn("__t", F.col(right_ts)).withColumn("__src", F.lit(0))
+    # all value columns ride in ONE struct so the window picks the latest
+    # right ROW atomically — per-column last(ignorenulls) would stitch
+    # values from DIFFERENT right rows whenever the newest one has a NULL
+    # member (and could not represent "matched a row whose value is NULL")
+    payload = F.struct(*[F.col(v) for v in value_cols])
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1)).withColumn(
+        "__payload", F.lit(None).cast(right.select(payload.alias("p")).schema["p"].dataType)
+    )
+    r = (
+        right.withColumn("__t", F.col(right_ts))
+        .withColumn("__src", F.lit(0))
+        .withColumn("__payload", payload)
+    )
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    cols = [key, "__t", "__src", *value_cols, *[c for c in lcols if c != key]]
+    cols = [key, "__t", "__src", "__payload", *[c for c in lcols if c != key]]
     unioned = l.select(*cols).unionByName(r.select(*cols))
     # right rows (src=0) sort before left rows at equal ts ⇒ "<=" semantics
     w = (
@@ -46,10 +55,10 @@ def asof_join(
         .orderBy("__t", "__src")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    matched = unioned
-    for v in value_cols:
-        matched = matched.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    out = matched.filter(F.col("__src") == 1).drop("__t", "__src")
+    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__src") == 1)
     if how == "inner":
-        out = out.dropna(subset=value_cols[:1])
+        out = out.filter(F.col("__match").isNotNull())
+    for v in value_cols:
+        out = out.withColumn(v, F.col("__match").getField(v))
     return out.select(*lcols, *value_cols)

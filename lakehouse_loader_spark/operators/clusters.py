@@ -21,7 +21,7 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iterations: int = 8,
+    max_iterations: int = 25,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min node
     id reachable (deterministic canonical representative)."""
@@ -59,14 +59,18 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:  # fixpoint: labels stable ⇒ components final
             break
+    else:
+        # budget exhausted without a fixpoint: silent partial components
+        # would split real duplicate groups — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (component diameter exceeds "
+            "the budget)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-def dedup_clusters(
-    docs: DataFrame,
-    pairs: DataFrame,
-    id_col: str = "doc_id",
-) -> DataFrame:
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
     """Cluster summary per component: canonical (min) doc id and member
     count.  Docs not in any pair are singletons and excluded (they keep
     themselves)."""

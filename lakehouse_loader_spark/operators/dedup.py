@@ -100,7 +100,11 @@ def ngram_jaccard_pairs(
         )
     )
     n = F.size("rare_first")
-    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # epsilon guard: double t*n can land 1 ulp ABOVE an exact integer
+    # (e.g. 0.56*25 = 14.000000000000002), overshooting ceil and shortening
+    # the prefix below the exactness bound; biasing down errs toward a
+    # LONGER prefix, which is always safe
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
     prefix = ranked.select("doc", F.explode(F.slice("rare_first", 1, prefix_len)).alias("h"))
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -197,6 +201,10 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     if shingled is None:
         shingled = with_shingles(spread(docs))
+    # docs with no shingles (< k tokens) all share the empty signature and
+    # would pair quadratically in every band — they can't be near-dups by
+    # this measure, so drop them before banding
+    shingled = shingled.filter(F.size("shingles") > 0)
     sig = with_minhash_signature(shingled, num_hashes).select(
         F.col(id_col).alias("doc"), "minhash_sig"
     )
@@ -294,7 +302,13 @@ def simhash_near_duplicates(
     verify with bit_count(xor)."""
     from lakehouse_loader_spark.operators import spread
 
-    sh = with_simhash(spread(docs)).select(F.col(id_col).alias("doc"), "simhash")
+    sh = (
+        with_simhash(spread(docs))
+        # empty/whitespace-only docs all hash to 0 and would pair
+        # quadratically; they're exact-dup territory, not simhash's
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.col(id_col).alias("doc"), "simhash")
+    )
     chunks = F.array(
         *[
             F.struct(

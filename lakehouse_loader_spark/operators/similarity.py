@@ -48,7 +48,11 @@ def brute_force_topk(
 
     The query set is broadcast; the corpus streams through map-side —
     the only shuffle is the per-query top-k window over k·|queries| rows
-    (pre-pruned per partition by Spark's WindowGroupLimit)."""
+    (pre-pruned per partition by Spark's WindowGroupLimit).
+
+    NOTE: queries must share the corpus id space — q_id == n_id is treated
+    as "the query itself" and excluded.  For an external query set with its
+    own ids, remap ids to be disjoint from the corpus first."""
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -281,6 +285,7 @@ def train_ivf_centroids(
         for r in rows:
             if r["n"] > 0:
                 cents[r["cid"]] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+    vecs.unpersist()  # all Lloyd passes done; release the cached working set
     return cents
 
 

@@ -38,8 +38,11 @@ def salted_join(
     gets a random-ish salt from a row hash; the small side is exploded
     n_salts× so every (key, salt) bucket finds its match.  Use when the
     small side is too big to broadcast but the big side has hot keys."""
+    # monotonically_increasing_id spreads IDENTICAL duplicate rows of a hot
+    # key across salts (a content hash would send them all to one bucket,
+    # defeating the fan-out for the most common hot-key shape)
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     small_exploded = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -26,8 +26,9 @@ BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens (JVM split, no UDF)."""
-    return F.split(text, r"\s+")
+    """Whitespace tokens (JVM split, no UDF).  Trim first: split("\\s+") on
+    leading/trailing whitespace yields phantom empty tokens."""
+    return F.split(F.trim(text), r"\s+")
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:
@@ -58,7 +59,12 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks).cast("bigint")
     n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")).cast("bigint")
     n_stop = stopword_hits(toks, "en").cast("bigint")
-    token_chars = (n_chars - (n_tokens - 1)).cast("bigint")  # chars minus separators
+    # exact sum of token lengths (no single-separator assumption)
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
     return df.withColumns(
         {
             "n_chars_q": n_chars,

@@ -169,8 +169,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     oracle=rf"""
     SELECT doc_id,
-           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT)
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT)
              AS n_distinct_tokens,
            CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_pieces
     FROM documents
@@ -186,15 +186,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_q,
-           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens_q,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens_q,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
              / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-           CAST(len(list_filter(string_split_regex(text, '\s+'),
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
                 t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))
                 AS DOUBLE)
-             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS stopword_ratio,
-           CAST(length(text) - (len(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
-             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS mean_token_len
+             / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                t -> length(t))) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_token_len
     FROM documents
     """,
 )
@@ -210,7 +211,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ddb_hits(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
     return (
-        rf"CAST(len(list_filter(string_split_regex(text, '\s+'),"
+        rf"CAST(len(list_filter(string_split_regex(trim(text), '\s+'),"
         rf" t -> list_contains([{words}], t))) AS BIGINT)"
     )
 
@@ -548,7 +549,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(docs, threshold=0.8)
-    return _dc(docs, pairs)
+    return _dc(pairs)
 
 
 # --------------------------------------------------------------------------
@@ -763,7 +764,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_term_stats",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       FROM documents)
     SELECT term,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
@@ -798,9 +799,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     "text_bm25_search",
     oracle=rf"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
     doclen AS (
-      SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+      SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
       FROM documents),
     stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM doclen),
     tf AS (

@@ -136,7 +136,7 @@ def test_connected_components_chain_and_star(spark):
     assert {cc[n] for n in (20, 21)} == {20}
     clusters = {
         r.cluster_id: (r.canonical_doc, r.n_members)
-        for r in dedup_clusters(None, pairs).collect()
+        for r in dedup_clusters(pairs).collect()
     }
     assert clusters == {1: (1, 5), 10: (10, 4), 20: (20, 2)}
 
@@ -146,5 +146,36 @@ def test_connected_components_long_chain_needs_iterations(spark):
 
     n = 12
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
-    cc = {r.node: r.component for r in connected_components(pairs, max_iterations=n).collect()}
+    # diameter n needs n change-iterations + 1 fixpoint-confirm iteration
+    cc = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iterations=n + 1).collect()
+    }
     assert set(cc.values()) == {0}
+    # too-small budget must fail loudly, never return split components
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=3).collect()
+
+
+def test_asof_join_picks_latest_row_atomically(spark):
+    """The latest preceding right ROW wins as a unit — a NULL member must
+    not be backfilled from an older row (blended rows), and an inner join
+    must keep matches whose first value column is NULL."""
+    import datetime as dt
+
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(hours=1), 1, 2), ("k", t0 + dt.timedelta(hours=2), 3, None)],
+        "key STRING, rts TIMESTAMP, a INT, b INT",
+    )
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(hours=3), 99)], "key STRING, lts TIMESTAMP, x INT"
+    )
+    row = asof_join(left, right, "key", "lts", "rts", ["a", "b"]).collect()[0]
+    assert (row.a, row.b) == (3, None)
+    inner = asof_join(left, right, "key", "lts", "rts", ["b", "a"], how="inner").collect()
+    assert len(inner) == 1 and inner[0].b is None and inner[0].a == 3
