@@ -882,10 +882,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination scan: distinct word-3-gram shingles per SOURCE, then a
-    shingle equi-join counting cross-source shared shingles — the shape of
-    benchmark-decontamination sweeps (train-set shingles × eval-set
-    shingles) at corpus scale."""
+    """Contamination scan: for every shingle, collect its (few) sources and
+    expand the source pairs directly — ONE aggregation keyed on the shingle
+    instead of a shingle self-join (the join materializes Σ df² rows; this
+    shape materializes Σ C(df_sources, 2), and df_sources is bounded by the
+    number of corpora, not document count)."""
     from lakehouse_loader_spark.operators import spread
     from lakehouse_loader_spark.operators.dedup import with_shingles
 
@@ -895,13 +896,21 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") < F.col("b.source")),
+    per_shingle = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda s, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda t: F.struct(s.alias("source_a"), t.alias("source_b")),
+            ),
         )
-        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+    )
+    return (
+        per_shingle.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
