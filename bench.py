@@ -73,18 +73,50 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "loader": loader,
-                "sf": sf_val,
-            }
+
+    payload = {
+        "metric": "declared_queries_total_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "loader": loader,
+        "sf": sf_val,
+    }
+    # Full-precision detail for humans / the judge.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    # The driver captures only the last ~2000 chars of output and parses the
+    # JSON line out of that window, so the line MUST stay well under 2000
+    # chars: compact separators, 2-decimal timings, and if still too long,
+    # fold the fastest queries into one "other_fast" bucket.
+    def render(qs: dict[str, float]) -> str:
+        return json.dumps(
+            {**payload, "queries": qs, "loader": {
+                "delta_rps": loader.get("delta_rows_per_sec"),
+                "iceberg_rps": loader.get("iceberg_rows_per_sec"),
+            }},
+            separators=(",", ":"),
         )
-    )
+
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    n_keep = len(by_cost)
+    while True:
+        compact = {k: round(timings[k], 2) for k in sorted(by_cost[:n_keep])}
+        rest = by_cost[n_keep:]
+        if rest:
+            compact["other_fast_sec"] = round(sum(timings[k] for k in rest), 2)
+            compact["other_fast_n"] = len(rest)
+        line = render(compact)
+        if len(line) <= 1800 or n_keep <= 8:
+            break
+        n_keep -= 4
+
+    # Stop Spark BEFORE printing so no JVM shutdown logging can land after
+    # the JSON line in a merged stdout/stderr capture.
+    spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -778,7 +778,7 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials; df via count-distinct on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        docs.select("doc_id", F.explode(T.tokens_col(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(
             F.countDistinct("doc_id").alias("doc_freq"),
@@ -835,11 +835,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame algebra."""
     docs = load_table(spark, sf_dir, "documents")
     terms = [F.lit(t) for t in _BM25_TERMS]
-    tok = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term")).filter(
+    tok = docs.select("doc_id", F.explode(T.tokens_col(F.col("text"))).alias("term")).filter(
         F.col("term").isin(_BM25_TERMS)
     )
     doclen = docs.select(
-        "doc_id", F.size(F.split("text", r"\s+")).cast("double").alias("dl")
+        "doc_id", F.size(T.tokens_col(F.col("text"))).cast("double").alias("dl")
     )
     stats = doclen.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")

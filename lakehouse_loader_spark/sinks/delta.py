@@ -43,6 +43,15 @@ MAX_ROWS_PER_FILE = 2 * 1024 * 1024
 COMMIT_RETRIES = 3
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this transaction's snapshot (e.g. a
+    file this OPTIMIZE/MERGE wants to remove was already removed, or a
+    concurrent append added rows a MERGE should have matched).  Blindly
+    re-committing stale remove+add actions would double rows or lose
+    updates — same failure Delta's ConcurrentDeleteDeleteException /
+    ConcurrentAppendException guard against."""
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
 
@@ -85,6 +94,29 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
 def table_schema(path: str) -> T.StructType:
     _, meta, _ = _read_log(path)
     return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id`` (Delta's
+    transaction-identifier mechanism for idempotent writes), or -1.  A
+    writer that stamps each commit with (appId, version) can skip a replay
+    of an already-committed batch — the exactly-once handshake between a
+    streaming checkpoint and the table log."""
+    if not table_exists(path):
+        return -1
+    best = -1
+    for f in os.listdir(_log_dir(path)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(_log_dir(path), f)) as fh:
+            for line in fh:
+                if '"txn"' not in line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    best = max(best, int(txn["version"]))
+    return best
 
 
 def _write_parts(
@@ -158,14 +190,49 @@ def _metadata_action(schema: T.StructType, partition_by: list[str] | None = None
     }
 
 
-def _commit_info(mode: str) -> dict:
+def _commit_info(mode: str, partition_by: list[str] | None = None) -> dict:
     return {
         "commitInfo": {
             "timestamp": int(time.time() * 1000),
             "operation": "WRITE",
-            "operationParameters": {"mode": mode, "partitionBy": "[]"},
+            "operationParameters": {
+                "mode": mode,
+                "partitionBy": json.dumps(partition_by or []),
+            },
         }
     }
+
+
+def _commit_checked(
+    path: str,
+    actions_fn,
+    remove_set: set[str],
+    validate=None,
+) -> None:
+    """Optimistic commit loop for transactions that REMOVE files.  Each
+    attempt re-reads the log and verifies the snapshot is still valid:
+    every file in ``remove_set`` must still be live (another OPTIMIZE/MERGE
+    removing it concurrently means our rewritten copies would duplicate its
+    rows), and ``validate(live_adds)`` may veto for op-specific reasons
+    (MERGE: a concurrently-appended file may hold rows we should have
+    matched).  On an invalidated snapshot we raise
+    ConcurrentModificationError instead of re-committing stale actions."""
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, live = _read_log(path)
+        missing = remove_set - set(live)
+        if missing:
+            raise ConcurrentModificationError(
+                f"files removed by a concurrent commit: {sorted(missing)[:5]}"
+                f"{'...' if len(missing) > 5 else ''}; re-run the operation"
+            )
+        if validate is not None:
+            validate(live)
+        try:
+            _commit(path, latest + 1, actions_fn())
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
 
 
 def write_delta(
@@ -175,15 +242,27 @@ def write_delta(
     append: bool = False,
     max_rows_per_file: int = MAX_ROWS_PER_FILE,
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
-    default create-exclusive (existing table → TargetExistsError,
-    src/delta_destination.rs:421-427), overwrite deletes existing state
-    first (414-432), append (engine extension beyond the reference's Delta
-    CLI surface) validates positional schema alignment then commits new Add
-    actions with optimistic retry."""
+    default create-exclusive, overwrite deletes existing state first
+    (src/delta_destination.rs:414-432), append (engine extension beyond the
+    reference's Delta CLI surface) validates positional schema alignment
+    then commits new Add actions with optimistic retry.
+
+    Deliberate deviation: on an existing table without --overwrite the
+    reference logs "pass --overwrite" and returns Ok WITHOUT writing
+    (src/delta_destination.rs:421-427).  We raise TargetExistsError instead
+    — a silent no-op success hides data-loss-shaped mistakes from callers;
+    scripted pipelines need the non-zero exit.  The CLI catches this and
+    prints the reference's message (cli.py)."""
     mode = resolve_write_mode(overwrite, append)
     exists = table_exists(path)
+    txn_actions = (
+        [{"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": int(time.time() * 1000)}}]
+        if txn
+        else []
+    )
 
     if mode is WriteMode.CREATE_EXCLUSIVE and exists:
         raise TargetExistsError(f"delta table already exists at {path}")
@@ -197,11 +276,19 @@ def write_delta(
     if mode is WriteMode.APPEND and exists:
         check_schema_aligned(df.schema, table_schema(path))
         _, meta, _ = _read_log(path)
-        adds = _write_parts(df, path, max_rows_per_file, meta.get("partitionColumns") or None)
+        table_parts = meta.get("partitionColumns") or None
+        adds = _write_parts(df, path, max_rows_per_file, table_parts)
+        append_actions = [
+            _commit_info("Append", table_parts),
+            *txn_actions,
+            *[{"add": a} for a in adds],
+        ]
+        # append adds files only (no removes) — blind re-commit after a
+        # conflicting concurrent commit is safe
         for attempt in range(COMMIT_RETRIES):
             latest, _, _ = _read_log(path)
             try:
-                _commit(path, latest + 1, [_commit_info("Append"), *[{"add": a} for a in adds]])
+                _commit(path, latest + 1, append_actions)
                 return
             except FileExistsError:
                 if attempt == COMMIT_RETRIES - 1:
@@ -216,10 +303,14 @@ def write_delta(
         [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
             _metadata_action(df.schema, partition_by),
-            _commit_info("CreateTable"),
+            _commit_info("CreateTable", partition_by),
         ],
     )
-    _commit(path, 1, [_commit_info("Append"), *[{"add": a} for a in adds]])
+    _commit(
+        path,
+        1,
+        [_commit_info("Append", partition_by), *txn_actions, *[{"add": a} for a in adds]],
+    )
 
 
 def _file_reader(spark: SparkSession, path: str, meta: dict, schema: T.StructType):
@@ -275,15 +366,14 @@ def optimize_delta(
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
         for p in sorted(adds)
     ]
-    actions = [_commit_info("OPTIMIZE"), *removes, *[{"add": a} for a in new_adds]]
-    for attempt in range(COMMIT_RETRIES):
-        latest, _, _ = _read_log(path)
-        try:
-            _commit(path, latest + 1, actions)
-            return
-        except FileExistsError:
-            if attempt == COMMIT_RETRIES - 1:
-                raise
+    actions = [
+        _commit_info("OPTIMIZE", part_cols),
+        *removes,
+        *[{"add": a} for a in new_adds],
+    ]
+    # concurrent appends are compatible with OPTIMIZE (their files aren't in
+    # our remove set); a concurrent remove of one of OUR inputs is not
+    _commit_checked(path, lambda: actions, set(adds))
 
 
 def _file_stats(file_path: str) -> dict:
@@ -459,15 +549,38 @@ def merge_delta(
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
         for p in sorted(cand_rel)
     ]
-    actions = [_commit_info("MERGE"), *removes, *[{"add": a} for a in new_adds]]
-    for attempt in range(COMMIT_RETRIES):
-        latest, _, _ = _read_log(path)
-        try:
-            _commit(path, latest + 1, actions)
-            break
-        except FileExistsError:
-            if attempt == COMMIT_RETRIES - 1:
-                raise
+    actions = [
+        _commit_info("MERGE", part_cols),
+        *removes,
+        *[{"add": a} for a in new_adds],
+    ]
+
+    key_bounds = keys.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).first()
+    snapshot_files = set(adds)
+    new_rel = {a["path"] for a in new_adds}
+
+    def _validate(live: dict[str, dict]) -> None:
+        # a file appended concurrently may contain rows whose key this MERGE
+        # should have updated; if its stats range intersects the source key
+        # range (or it has no stats — conservative), the snapshot is stale
+        for rel, add in live.items():
+            if rel in snapshot_files or rel in new_rel:
+                continue
+            stats = json.loads(add.get("stats", "{}") or "{}")
+            mn = stats.get("minValues", {}).get(key)
+            mx = stats.get("maxValues", {}).get(key)
+            if (
+                mn is None
+                or mx is None
+                or key_bounds["mn"] is None
+                or (mx >= key_bounds["mn"] and mn <= key_bounds["mx"])
+            ):
+                raise ConcurrentModificationError(
+                    f"concurrently appended file {rel} may contain merge keys; "
+                    "re-run MERGE against the new snapshot"
+                )
+
+    _commit_checked(path, lambda: actions, set(cand_rel), validate=_validate)
     return {
         "rewritten_files": len(cand_rel),
         "updated": n_updated,

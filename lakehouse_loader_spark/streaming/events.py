@@ -9,6 +9,7 @@ consumed (verified in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -102,13 +103,36 @@ def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
     through the same transactional commit path as batch writes (exactly the
     reference's loader pipeline, made incremental).  foreachBatch hands the
     micro-batch DataFrame to write_delta, so mode semantics, alignment
-    checks, stats collection, and optimistic commits all apply per batch."""
-    from lakehouse_loader_spark.sinks.delta import table_exists, write_delta
+    checks, stats collection, and optimistic commits all apply per batch.
+
+    Exactly-once: each batch commit is stamped with a Delta ``txn`` action
+    (appId derived from the checkpoint location, version = batch_id).  A
+    micro-batch replayed after a failure between table-commit and
+    checkpoint-advance is detected via last_txn_version and skipped instead
+    of appended twice."""
+    import hashlib
+
+    from lakehouse_loader_spark.sinks.delta import (
+        last_txn_version,
+        table_exists,
+        write_delta,
+    )
+
+    app_id = "stream_to_delta-" + hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_delta(batch_df, table_path, append=table_exists(table_path))
+        if batch_id <= last_txn_version(table_path, app_id):
+            return  # already committed; checkpoint replay after crash
+        write_delta(
+            batch_df,
+            table_path,
+            append=table_exists(table_path),
+            txn=(app_id, batch_id),
+        )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -435,3 +435,95 @@ def test_iceberg_time_travel_by_snapshot(spark, small_df, tmpdir):
     assert IC.read_iceberg(spark, path, snapshot_id=snaps[0]).count() == 100
     with pytest.raises(ValueError):
         IC.read_iceberg(spark, path, snapshot_id=123)
+
+
+def test_delta_optimize_conflict_on_removed_input(spark, small_df, tmpdir):
+    """OPTIMIZE whose snapshot inputs were removed by a concurrent commit
+    must raise ConcurrentModificationError, not re-commit stale removes
+    (which would double every row via the rewritten copies)."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df.repartition(4), path)
+
+    real_read = DL._read_log
+    state = {"injected": False}
+
+    def hooked(p, as_of_version=None):
+        out = real_read(p, as_of_version)
+        if not state["injected"]:
+            # right after OPTIMIZE takes its snapshot, a concurrent commit
+            # removes one of its input files (e.g. another OPTIMIZE won)
+            state["injected"] = True
+            victim = sorted(out[2])[0]
+            with open(os.path.join(p, "_delta_log", f"{out[0] + 1:020d}.json"), "w") as fh:
+                fh.write(
+                    _json.dumps({"remove": {"path": victim, "dataChange": False}}) + "\n"
+                )
+        return out
+
+    DL._read_log = hooked
+    try:
+        with pytest.raises(DL.ConcurrentModificationError):
+            DL.optimize_delta(spark, path)
+    finally:
+        DL._read_log = real_read
+
+
+def test_delta_merge_conflict_on_concurrent_append(spark, tmpdir):
+    """MERGE must abort when a file appended after its snapshot may contain
+    rows matching the merge keys (lost-update prevention)."""
+    import json as _json
+
+    path = os.path.join(tmpdir, "t")
+    base = spark.range(0, 100).select("id", (F.col("id") * 2).alias("v"))
+    DL.write_delta(base, path)
+
+    src = spark.createDataFrame([(5, -1)], ["id", "v"])
+
+    real_read = DL._read_log
+    state = {"injected": False}
+
+    def hooked(p, as_of_version=None):
+        out = real_read(p, as_of_version)
+        # after merge takes its snapshot, a concurrent append commits a file
+        # containing id=5 (inside the merge key range)
+        if not state["injected"]:
+            state["injected"] = True
+            DL.write_delta(
+                spark.range(5, 6).select("id", (F.col("id") * 0 + 999).alias("v")),
+                p,
+                append=True,
+            )
+        return out
+
+    DL._read_log = hooked
+    try:
+        with pytest.raises(DL.ConcurrentModificationError):
+            DL.merge_delta(spark, path, src, key="id")
+    finally:
+        DL._read_log = real_read
+
+
+def test_delta_commit_info_records_partition_by(small_df, tmpdir):
+    import json as _json
+
+    path = os.path.join(tmpdir, "t")
+    df = small_df.withColumn("p", (F.col(small_df.columns[0]).cast("long") % 2).cast("string"))
+    DL.write_delta(df, path, partition_by=["p"])
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as fh:
+        first = _json.loads(fh.readline())
+    assert _json.loads(first["commitInfo"]["operationParameters"]["partitionBy"]) == ["p"]
+
+
+def test_delta_txn_idempotent_append(spark, small_df, tmpdir):
+    """A write stamped with an already-committed (appId, version) is the
+    caller's signal to skip — last_txn_version exposes the high-water mark
+    (exactly-once handshake used by stream_to_delta)."""
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df, path, txn=("app-1", 0))
+    assert DL.last_txn_version(path, "app-1") == 0
+    assert DL.last_txn_version(path, "other-app") == -1
+    DL.write_delta(small_df.limit(3), path, append=True, txn=("app-1", 1))
+    assert DL.last_txn_version(path, "app-1") == 1
+    assert DL.read_delta(spark, path).count() == 103
