@@ -31,14 +31,17 @@ def connected_components(
         .distinct()
         .persist()  # referenced once per iteration — without this, the
         # upstream pair computation (minhash etc.) re-runs every round
+        # (AQE coalesces the per-iteration shuffles down to the graph's
+        # actual size, so no manual repartition-by-count is needed)
     )
-    # the propagation graph is only the docs that appear in pairs — usually
-    # tiny relative to the corpus.  Size the iteration parallelism to the
-    # graph, not the cluster: for small graphs single-partition iterations
-    # avoid 8 rounds of full-width shuffle scheduling.
-    n_parts = 1 if edges.count() < 100_000 else edges.sparkSession.sparkContext.defaultParallelism
-    edges = edges.repartition(n_parts)
-    labels = edges.select("node").distinct().withColumn("label", F.col("node"))
+    # seed labels with round 1 fused in: label₀ = min(node, min neighbor) —
+    # the same groupBy that would otherwise only enumerate distinct nodes
+    # does the first propagation step for free
+    labels = (
+        edges.groupBy("node")
+        .agg(F.min("nbr").alias("mn"))
+        .select("node", F.least("node", "mn").alias("label"))
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")

@@ -151,8 +151,21 @@ def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def with_minhash_signature(df: DataFrame, num_hashes: int = 128) -> DataFrame:
-    """128-wide MinHash signature over the ``shingles`` column.
+def with_hashed_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word-k-gram shingles as 64-bit xxhash64 values (``sh_h``):
+    8-byte keys instead of ~20-byte strings for every downstream shuffle /
+    intersect (collision odds ≈ n²/2⁶⁴ over the corpus — negligible)."""
+    return with_shingles(df, text_col=text_col, k=k).select(
+        "*", F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_h")
+    ).drop("shingles")
+
+
+def with_minhash_signature(
+    df: DataFrame, num_hashes: int = 128, shingle_col: str = "shingles"
+) -> DataFrame:
+    """128-wide MinHash signature over the shingle column (strings, or
+    64-bit hashes from ``with_hashed_shingles`` — both produce the same
+    signature because string shingles are xxhash64-ed first anyway).
 
     Hybrid JVM/Arrow split: shingle hashing stays JVM-side (xxhash64 → pmod
     into the 31-bit prime field), then the 128 affine permutations + mins
@@ -178,7 +191,13 @@ def with_minhash_signature(df: DataFrame, num_hashes: int = 128) -> DataFrame:
 
         return base.map(one)
 
-    base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    col = F.col(shingle_col)
+    field = next(f for f in df.schema.fields if f.name == shingle_col)
+    if field.dataType.elementType.typeName() == "string":
+        hashed = F.transform(col, lambda s: F.xxhash64(s))
+    else:
+        hashed = col
+    base = F.transform(hashed, lambda h: F.pmod(h, F.lit(MINHASH_PRIME)))
     return df.withColumn("minhash_sig", sig_udf(base))
 
 
@@ -200,12 +219,13 @@ def minhash_candidate_pairs(
 
     rows_per_band = num_hashes // bands
     if shingled is None:
-        shingled = with_shingles(spread(docs))
+        shingled = with_hashed_shingles(spread(docs))
+    shingle_col = "sh_h" if "sh_h" in shingled.columns else "shingles"
     # docs with no shingles (< k tokens) all share the empty signature and
     # would pair quadratically in every band — they can't be near-dups by
     # this measure, so drop them before banding
-    shingled = shingled.filter(F.size("shingles") > 0)
-    sig = with_minhash_signature(shingled, num_hashes).select(
+    shingled = shingled.filter(F.size(shingle_col) > 0)
+    sig = with_minhash_signature(shingled, num_hashes, shingle_col=shingle_col).select(
         F.col(id_col).alias("doc"), "minhash_sig"
     )
     band_arr = F.transform(
@@ -242,13 +262,14 @@ def minhash_near_duplicates(
     recall is 1 at the threshold (32×4 banding: P(miss | j=0.8) ≈ 1e-7)."""
     from lakehouse_loader_spark.operators import spread
 
-    # shingle ONCE, persisted: the subplan feeds signature computation AND
-    # both sides of the exact-verify join
-    shingled = with_shingles(spread(docs), k=k).persist()
+    # hash-shingle ONCE, persisted: the subplan feeds signature computation
+    # AND both sides of the exact-verify join; 64-bit keys keep the verify
+    # intersects and the persist footprint small
+    shingled = with_hashed_shingles(spread(docs), k=k).persist()
     cands = minhash_candidate_pairs(docs, id_col=id_col, shingled=shingled)
-    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sh = shingled.select(F.col(id_col).alias("doc"), "sh_h")
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh_h").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh_h").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

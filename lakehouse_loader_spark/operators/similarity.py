@@ -241,6 +241,44 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 
+def train_ivf_centroids_sampled(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    max_train: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Coarse k-means on a bounded deterministic sample (the standard IVF
+    training recipe — FAISS trains on ~256 vectors per centroid, not the
+    corpus): ONE Spark job fetches ≤ ``max_train`` hash-ordered vectors
+    (TakeOrdered — constant driver state, like the centroids themselves),
+    then Lloyd iterations run as local numpy.  At 100 TB the sample is just
+    as representative and training cost is independent of corpus size;
+    ``train_ivf_centroids`` keeps the fully-distributed variant for
+    anomalously large n_centroids·dim."""
+    rows = (
+        emb.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("__ord"),
+        )
+        .orderBy("__ord")
+        .limit(max_train)
+        .collect()
+    )
+    m = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = m.shape[1]
+    cents = np.array(_hyperplanes(dim, n_centroids, seed=7), dtype=np.float64)
+    for _ in range(n_iters):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)
+        for c in range(n_centroids):
+            mask = cid == c
+            if mask.any():
+                cents[c] = m[mask].mean(axis=0)
+    return cents
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -249,7 +287,9 @@ def train_ivf_centroids(
 ):
     """Deterministic coarse k-means (Lloyd iterations in Spark, seeded init):
     centroids come back to the driver — n_centroids·dim floats, a constant —
-    while every assignment/update pass stays distributed."""
+    while every assignment/update pass stays distributed.  Each Lloyd pass
+    is a full Spark job; prefer ``train_ivf_centroids_sampled`` unless the
+    training set must be the whole corpus."""
     dim = len(emb.select(vec_col).first()[0])
     # seeded init from the LCG hyperplane generator (no RNG state)
     cents = np.array(_hyperplanes(dim, n_centroids, seed=7), dtype=np.float64)
@@ -303,7 +343,9 @@ def ivf_ann_topk(
     within them.  Search cost ≈ (n_probe/n_centroids)·|corpus| per query."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = train_ivf_centroids(emb, n_centroids=n_centroids, vec_col=vec_col)
+    cents = train_ivf_centroids_sampled(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
     cent_mat = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T  # (dim, C)
 
     def nearest_udf(n: int):

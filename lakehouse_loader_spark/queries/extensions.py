@@ -887,17 +887,21 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a shingle self-join (the join materializes Σ df² rows; this
     shape materializes Σ C(df_sources, 2), and df_sources is bounded by the
     number of corpora, not document count)."""
-    from lakehouse_loader_spark.operators import spread
     from lakehouse_loader_spark.operators.dedup import with_shingles
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = (
-        with_shingles(docs)
-        .select("source", F.explode("shingles").alias("shingle"))
-        .distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    # 64-bit shingle hashes instead of ~20-byte strings: halves shuffle
+    # width (collision odds ≈ n²/2⁶⁴ over distinct shingles — negligible,
+    # same accepted exposure as ngram_jaccard_pairs).  collect_set already
+    # dedups per-shingle sources, so no pre-distinct shuffle is needed —
+    # the whole scan is ONE aggregation keyed on the shingle hash.
+    sh = with_shingles(docs).select(
+        "source", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle")
     )
-    per_shingle = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_set("source")).alias("srcs")
+    per_shingle = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
     )
     pairs = F.flatten(
         F.transform(

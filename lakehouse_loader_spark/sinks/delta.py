@@ -12,6 +12,12 @@ tests/basic_integration.rs:48-60):
 - version 1: one commitInfo + all Add actions as a single append write
   (src/delta_destination.rs:460-470)
 
+Mode semantics deviate from the reference in ONE documented place: on an
+existing table without --overwrite the reference logs "pass --overwrite" and
+returns Ok without writing (src/delta_destination.rs:421-427); we raise
+TargetExistsError instead (see write_delta's docstring for the rationale —
+the CLI layer restores the reference's observable message).
+
 No delta-spark JAR is needed: the Delta transaction log is plain JSON over
 parquet parts (the protocol pin at minReader/minWriter=1 keeps every reader
 compatible).  On a cluster the log commit must use an atomic
