@@ -91,6 +91,124 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", label)
 
 
+def with_gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021, §A1.1 — the
+    rule family, re-thresholded for this corpus): word count, mean word
+    length, fraction of words containing an alphabetic character, symbol-
+    to-word ratio, ellipsis/bullet markers, stopword evidence — plus the
+    composite keep/drop verdict.  All JVM-side expressions (split / filter /
+    regexp_count / fold) inside whole-stage codegen; ratios are rounded at 4
+    so both engines agree on half-way representability."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks).cast("bigint")
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    # single IEEE divisions of exact integer counts — bit-identical across
+    # engines with NO rounding (round-half behavior is where engines differ;
+    # raw division of the same ints is not)
+    mean_word_len = token_chars.cast("double") / n_words.cast("double")
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+    frac_alpha_words = n_alpha_words.cast("double") / n_words.cast("double")
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.")).cast("bigint")
+    symbol_word_ratio = n_symbols.cast("double") / n_words.cast("double")
+    starts_bullet = text.startswith("-") | text.startswith("*")
+    ends_ellipsis = text.endswith("...")
+    n_stop = stopword_hits(toks, "en").cast("bigint")
+    keep = (
+        (n_words >= 20)
+        & (n_words <= 80)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha_words >= 0.8)
+        & (symbol_word_ratio <= 0.1)
+        & ~starts_bullet
+        & ~ends_ellipsis
+        & (n_stop >= 2)
+    )
+    # ratios are single IEEE divisions (see above) — no rounding applied
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "frac_alpha_words": frac_alpha_words,
+            "symbol_word_ratio": symbol_word_ratio,
+            "starts_bullet": starts_bullet,
+            "ends_ellipsis": ends_ellipsis,
+            "stop_hits": n_stop,
+            "gopher_keep": keep,
+        }
+    )
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition (the Gopher/RefinedWeb repetition family):
+    fraction of duplicated word n-grams for n = 2, 3.  High values flag
+    boilerplate / generated spam that survives exact dedup.  Pure
+    higher-order functions; one pass over the token array."""
+    toks = tokens_col(F.col(text_col))
+
+    def dup_frac(n: int):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        # raw IEEE division of exact integer counts — engine-identical
+        return F.when(
+            total > 0, (total - distinct).cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return df.withColumns({"dup_2gram_frac": dup_frac(2), "dup_3gram_frac": dup_frac(3)})
+
+
+# PII patterns deliberately restricted to syntax both RE2 (DuckDB) and Java
+# regex implement identically: no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 literals with typed placeholder
+    tokens and count each redaction class.  Order matters (emails first —
+    an IP-like substring inside a hostname must not pre-empt the email
+    match); all replacement is JVM regexp_replace, global by default."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL)).cast("bigint")
+    step1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(step1, F.lit(PII_PHONE)).cast("bigint")
+    step2 = F.regexp_replace(step1, PII_PHONE, "<PHONE>")
+    n_ips = F.regexp_count(step2, F.lit(PII_IPV4)).cast("bigint")
+    step3 = F.regexp_replace(step2, PII_IPV4, "<IP>")
+    return df.withColumns(
+        {
+            "clean_text": step3,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+        }
+    )
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase, strip
+    everything but letters/digits/whitespace, collapse whitespace runs,
+    trim.  Composable with exact_duplicates for "same after cleanup"
+    grouping."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
 # Polynomial rolling-hash fingerprint parameters (Rabin-Karp style).
 FP_BASE = 31
 FP_MOD = 2_147_483_648  # 2^31: keeps acc*31+c < 2^36, no 64-bit overflow

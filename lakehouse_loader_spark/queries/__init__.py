@@ -67,5 +67,6 @@ def _ensure_loaded() -> None:
         return
     import lakehouse_loader_spark.queries.relational  # noqa: F401
     import lakehouse_loader_spark.queries.extensions  # noqa: F401
+    import lakehouse_loader_spark.queries.pipeline  # noqa: F401
 
     _LOADED = True

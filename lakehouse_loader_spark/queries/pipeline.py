@@ -1,0 +1,275 @@
+"""Training-data pipeline query surface (round 2 widening): deterministic
+sampling & splits, Gopher-style quality filtering, repetition signals, PII
+redaction, normalization-aware dedup, and lateral top-n — all oracle-checked.
+
+Design notes (100 TB): every sampling/split decision is a pure per-row hash
+function (map-side, pushes past scans, deterministic across retries — see
+operators/sampling.py); the text signals are JVM higher-order functions in
+whole-stage codegen; the only shuffles are the per-group quota window and
+the normalized-dedup aggregation, both keyed on uniform hashes/groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.catalog import load_table
+from lakehouse_loader_spark.operators import sampling as SA
+from lakehouse_loader_spark.operators import text as T
+from lakehouse_loader_spark.queries import query
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling
+# --------------------------------------------------------------------------
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, source, {SA.hash_bucket_sql('doc_id', 'samp')} AS bucket
+    FROM documents
+    WHERE {SA.hash_bucket_sql('doc_id', 'samp')} < 200000
+    """,
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep a deterministic 20% of documents by md5-hash threshold — the
+    retry-stable, coordination-free sampling primitive (a pure map-side
+    filter; the RNG-based df.sample is neither deterministic under task
+    retry nor reproducible across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 0.2, salt="samp").select(
+        "doc_id", "source", SA.hash_bucket(F.col("doc_id"), "samp").alias("bucket")
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, source, {SA.hash_bucket_sql('doc_id', 'split')} AS bucket
+               FROM documents)
+    SELECT doc_id, source,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id:
+    adding documents later never moves an existing row between splits
+    (the invariant train/test hygiene depends on; RNG splits break it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.with_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    ).select("doc_id", "source", "split")
+
+
+@query(
+    "sample_quota_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {SA.hash_bucket_sql('doc_id', 'quota')}, doc_id)
+               AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (≤10 docs per source), chosen by hash order:
+    the corpus-curation shape for "at most N pages per domain".  One window
+    shuffle on source; WindowGroupLimit prunes each map partition to its
+    local top-n first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.quota_per_group(docs, "source", "doc_id", 10, salt="quota").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality filtering & repetition
+# --------------------------------------------------------------------------
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / len(toks) AS frac_alpha_words,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+               / len(toks) AS symbol_word_ratio,
+             (text LIKE '-%' OR text LIKE '*%') AS starts_bullet,
+             text LIKE '%...' AS ends_ellipsis,
+             CAST(len(list_filter(toks, w -> list_contains(
+               ['the','a','and','of','to','in','is','that','it','for'], w))) AS BIGINT)
+               AS stop_hits
+      FROM t)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           frac_alpha_words, symbol_word_ratio, starts_bullet, ends_ellipsis,
+           stop_hits,
+           (n_words >= 20 AND n_words <= 80
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND frac_alpha_words >= 0.8 AND symbol_word_ratio <= 0.1
+            AND NOT starts_bullet AND NOT ends_ellipsis
+            AND stop_hits >= 2) AS gopher_keep
+    FROM s
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter: word count, mean word length, alpha-word
+    fraction, symbol ratio, bullet/ellipsis markers, stopword evidence and
+    the composite keep verdict.  All ratios are single IEEE divisions of
+    exact integer counts — engine-bit-identical without rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_gopher_signals(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "symbol_word_ratio",
+        "starts_bullet",
+        "ends_ellipsis",
+        "stop_hits",
+        "gopher_keep",
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS g3
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0 THEN
+             CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+           ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0 THEN
+             CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           ELSE 0.0 END AS dup_3gram_frac
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals: duplicated word 2-gram / 3-gram
+    fractions (the Gopher/RefinedWeb repetition family) — flags boilerplate
+    and generated spam that survives exact dedup.  One pass of higher-order
+    functions, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_repetition_signals(docs).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac"
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{T.PII_EMAIL}')) AS BIGINT) AS n_emails,
+             regexp_replace(text, '{T.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1, '{T.PII_PHONE}')) AS BIGINT) AS n_phones,
+             regexp_replace(t1, '{T.PII_PHONE}', '<PHONE>', 'g') AS t2
+      FROM s1)
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t2, '{T.PII_IPV4}')) AS BIGINT) AS n_ips,
+           regexp_replace(t2, '{T.PII_IPV4}', '<IP>', 'g') AS clean_text
+    FROM s2
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails → phones → IPv4 literals replaced with typed
+    placeholders, with per-class counts.  Patterns restricted to syntax RE2
+    (DuckDB) and Java regex implement identically — no backrefs or
+    lookaround.  Map-side regexp_replace, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.with_pii_redaction(docs).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "clean_text"
+    )
+
+
+# --------------------------------------------------------------------------
+# Normalization-aware exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_normalized",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT MD5(norm) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM n GROUP BY MD5(norm)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase, strip punctuation,
+    collapse whitespace): catches trivially-reformatted copies that byte
+    dedup misses.  Same one-shuffle shape as dedup_exact, keyed on the
+    normalized content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = T.normalized_text_col(F.col("text"))
+    return docs.groupBy(F.md5(norm.cast("binary")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lateral top-n (correlated derived table — Spark SQL LATERAL surface)
+# --------------------------------------------------------------------------
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    WHERE c.c_custkey <= 200
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL derived table —
+    the per-row-subquery SQL surface.  Catalyst decorrelates the lateral
+    into a ranked window join, i.e. the same physical plan a hand-written
+    row_number() top-n produces — no per-customer re-execution."""
+    from lakehouse_loader_spark.catalog import register_views
+
+    register_views(spark, sf_dir, only=["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_custkey <= 200
+        """
+    )
