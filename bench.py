@@ -38,8 +38,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # operators may persist shared subplans; drop them so one query's
-        # cache doesn't skew the next query's timing or memory
+        # cache doesn't skew the next query's timing or memory.  Then force
+        # both GCs OUTSIDE the timed window: dropping the py4j references
+        # (python gc) lets the ContextCleaner reclaim checkpoint/shuffle
+        # state, and an explicit JVM GC takes the pause now instead of
+        # mid-flight in whatever query runs next (observed 5-15s
+        # misattributions following checkpoint-heavy queries without this)
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # loader throughput at the same scale — the reference's native metric
     # (it is an EL loader; BASELINE.md frames its numbers around the

@@ -5,6 +5,11 @@
     lhl parquet-to-iceberg SOURCE TARGET [-o] [-a]
     lhl pg-to-iceberg   -q QUERY SOURCE TARGET [-o] [-a]
 
+plus the loader-surface extensions for training-data interchange formats:
+
+    lhl csv-to-delta / csv-to-iceberg     SOURCE TARGET [-o] [-a] [--schema DDL] [--delimiter C]
+    lhl jsonl-to-delta / jsonl-to-iceberg SOURCE TARGET [-o] [-a] [--schema DDL]
+
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
 
@@ -17,6 +22,8 @@ import sys
 from lakehouse_loader_spark.session import get_spark
 from lakehouse_loader_spark.sources.readers import (
     DEFAULT_BATCH_SIZE,
+    read_csv_source,
+    read_jsonl_source,
     read_parquet_source,
     read_postgres_query,
 )
@@ -25,23 +32,31 @@ from lakehouse_loader_spark.sources.readers import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lhl-spark")
     sub = p.add_subparsers(dest="command", required=True)
-    for name in ("parquet-to-delta", "pg-to-delta", "parquet-to-iceberg", "pg-to-iceberg"):
-        sp = sub.add_parser(name)
-        sp.add_argument("source")
-        sp.add_argument("target")
-        sp.add_argument("-o", "--overwrite", action="store_true")
-        if name.endswith("iceberg"):
-            sp.add_argument("-a", "--append", action="store_true")
-        if name.startswith("pg"):
-            sp.add_argument("-q", "--query", required=True)
-            sp.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
+    formats = ("parquet", "pg", "csv", "jsonl")
+    for fmt in formats:
+        for sink in ("delta", "iceberg"):
+            name = f"{fmt}-to-{sink}"
+            sp = sub.add_parser(name)
+            sp.add_argument("source")
+            sp.add_argument("target")
+            sp.add_argument("-o", "--overwrite", action="store_true")
+            if sink == "iceberg":
+                sp.add_argument("-a", "--append", action="store_true")
+            if fmt == "pg":
+                sp.add_argument("-q", "--query", required=True)
+                sp.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
+            if fmt in ("csv", "jsonl"):
+                sp.add_argument("--schema", default=None, help="DDL schema string (skips inference)")
+            if fmt == "csv":
+                sp.add_argument("--delimiter", default=",")
     return p
 
 
 def do_main(argv: list[str]) -> None:
     args = build_parser().parse_args(argv)
     spark = get_spark("lhl-spark-cli")
-    if args.command.startswith("pg"):
+    fmt = args.command.split("-to-")[0]
+    if fmt == "pg":
         df = read_postgres_query(
             spark,
             args.source,
@@ -49,6 +64,10 @@ def do_main(argv: list[str]) -> None:
             batch_size=args.batch_size,
             password=os.environ.get("PGPASSWORD"),
         )
+    elif fmt == "csv":
+        df = read_csv_source(spark, args.source, schema=args.schema, delimiter=args.delimiter)
+    elif fmt == "jsonl":
+        df = read_jsonl_source(spark, args.source, schema=args.schema)
     else:
         df = read_parquet_source(spark, args.source)
     append = getattr(args, "append", False)

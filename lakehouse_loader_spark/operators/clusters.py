@@ -25,15 +25,29 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min node
     id reachable (deterministic canonical representative)."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")),
+            F.struct(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")),
+        )
+    )
     edges = (
-        pairs.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
-        .unionAll(pairs.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")))
+        # explode to both orientations in ONE pass over pairs — a unionAll
+        # of two selects would reference (and recompute) the expensive
+        # upstream pair plan twice
+        pairs.select(both.alias("e"))
+        .select("e.node", "e.nbr")
         .distinct()
         .persist()  # referenced once per iteration — without this, the
         # upstream pair computation (minhash etc.) re-runs every round
         # (AQE coalesces the per-iteration shuffles down to the graph's
         # actual size, so no manual repartition-by-count is needed)
     )
+    # fill the cache with ONE upstream pass before the loop: the first
+    # iteration's plan references edges through several subtrees, and a
+    # lazy persist materializes concurrently per subtree — the expensive
+    # pair computation would run 3-4× inside the first checkpoint
+    edges.count()
     # seed labels with round 1 fused in: label₀ = min(node, min neighbor) —
     # the same groupBy that would otherwise only enumerate distinct nodes
     # does the first propagation step for free
@@ -42,6 +56,20 @@ def connected_components(
         .agg(F.min("nbr").alias("mn"))
         .select("node", F.least("node", "mn").alias("label"))
     )
+
+    # Deterministic block reclamation for the iterative checkpoints: each
+    # round's eager localCheckpoint persists a new RDD that SUPERSEDES the
+    # previous round's — but nothing unpersists the old one until driver GC
+    # happens to drop the py4j reference, so a long session accumulates
+    # dead blocks (and GC pauses get charged to whatever runs next).  Track
+    # the persistent-RDD ids each checkpoint creates and free the
+    # superseded generation explicitly.
+    jsc = edges.sparkSession.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    prev_ckpt_ids: set[int] = set()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -57,9 +85,18 @@ def connected_components(
         # truncation the logical plan doubles per round (2^k nodes);
         # an eager localCheckpoint keeps every iteration O(1) plan size —
         # the standard shape for iterative DataFrame algorithms
+        before = _persistent_ids()
         new_labels = new_labels.localCheckpoint(eager=True)
+        new_ids = _persistent_ids() - before
         changed = new_labels.filter("__changed").count()
         labels = new_labels.drop("__changed")
+        # the previous round's checkpoint is now unreachable — free it
+        rdds = jsc.getPersistentRDDs()
+        for rid in prev_ckpt_ids:
+            jrdd = rdds.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        prev_ckpt_ids = new_ids
         if changed == 0:  # fixpoint: labels stable ⇒ components final
             break
     else:
@@ -70,6 +107,9 @@ def connected_components(
             "iterations; raise max_iterations (component diameter exceeds "
             "the budget)"
         )
+    # the final checkpoint must outlive this function (the returned frame
+    # reads it), but the edge cache is done — free it now
+    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -286,14 +286,26 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: each token votes its xxhash64
-    bit pattern; the fingerprint's bit i is 1 iff the weighted vote is
-    positive.  Pure higher-order functions, one pass."""
+def with_simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash over whitespace tokens: each token votes its hash bit
+    pattern; the fingerprint's bit i is 1 iff the weighted vote is
+    positive.  Pure higher-order functions, one pass.
+
+    ``hash_fn``: "xxhash64" (default — cheapest, 64 bits, production path)
+    or "md5_60" (first 60 bits of md5 hex via base-16 conv — slightly
+    costlier but computable bit-for-bit in any SQL engine, which is what
+    makes the DuckDB oracle for dedup_simhash possible; use bits=60)."""
     from pyspark.sql.functions import pandas_udf
 
-    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    if hash_fn == "md5_60":
+        hashes = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     shifts = np.arange(bits, dtype=np.uint64)
 
     @pandas_udf("long")
@@ -315,16 +327,23 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataF
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bit flips, found scalably: split the
-    64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within
+    fingerprint into 4 equal chunks; by pigeonhole any pair within
     hamming ≤ 3 agrees exactly on ≥1 chunk → equi-join per chunk, then
-    verify with bit_count(xor)."""
+    verify with bit_count(xor).  ``bits``/``hash_fn`` select the
+    fingerprint family (see with_simhash); chunk width = bits/4."""
     from lakehouse_loader_spark.operators import spread
 
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
     sh = (
-        with_simhash(spread(docs))
+        with_simhash(spread(docs), bits=bits, hash_fn=hash_fn)
         # empty/whitespace-only docs all hash to 0 and would pair
         # quadratically; they're exact-dup territory, not simhash's
         .filter(F.trim(F.col("text")) != "")
@@ -334,8 +353,8 @@ def simhash_near_duplicates(
         *[
             F.struct(
                 F.lit(i).alias("chunk_id"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit(chunk_mask))
                 .alias("chunk_val"),
             )
             for i in range(4)

@@ -88,12 +88,39 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      FROM documents WHERE trim(text) != ''),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks,
+               w -> CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 15)) AS BIGINT)) AS hs
+      FROM t),
+    f AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1)*2 - 1)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM h)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding.
-    Rows-only: DuckDB lacks xxhash64, so no SQL oracle; tests verify the
-    banding against brute-force hamming."""
-    return D.simhash_near_duplicates(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs (hamming ≤ 3) via 15-bit chunk banding over a
+    60-bit engine-portable fingerprint (md5-derived token hashes — the
+    oracle computes the identical bit-votes in SQL; the brute-force oracle
+    join is the O(n²) comparison the banding avoids).  The xxhash64 64-bit
+    variant stays the production default in operators/dedup.py."""
+    return D.simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, bits=60, hash_fn="md5_60"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -27,6 +27,48 @@ def read_parquet_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source (loader-surface extension beyond the reference's
+    parquet/pg pair).  With no explicit ``schema`` the types are inferred
+    from a sampling pass — fine interactively; production loads at scale
+    should pass the DDL string so the scan is single-pass and the schema is
+    frozen up front, the same inferred-then-frozen contract as the
+    reference's prepare step (src/pg_arrow_source.rs:220-236).
+    mode=FAILFAST surfaces malformed rows as load errors instead of
+    silently nulling them (the reference panics on unsupported input,
+    src/pg_arrow_source.rs:97)."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "FAILFAST")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jsonl_source(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines source — the lingua franca of document/training-data
+    interchange.  One JSON object per line splits cleanly on newlines, so
+    the scan parallelizes like any text file; nested objects surface as
+    structs/arrays.  Same schema contract as CSV: pass DDL to freeze the
+    schema and skip the inference pass; FAILFAST rejects malformed lines."""
+    reader = spark.read.option("mode", "FAILFAST")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_postgres_query(
     spark: SparkSession,
     conn_url: str,
