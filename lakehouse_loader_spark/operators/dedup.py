@@ -81,6 +81,11 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
+    # fill the cache with ONE pass up front: the first downstream action
+    # otherwise materializes the lazy persist concurrently from several
+    # subtrees (df-rank, both prefix-join sides, both verify sides), each
+    # recomputing the shingle scan before the cache is populated
+    sh.count()
 
     # PPJoin-style prefix filtering (exactness-preserving candidate
     # pruning): order every document's shingles by GLOBAL rarity, and only
@@ -264,8 +269,11 @@ def minhash_near_duplicates(
 
     # hash-shingle ONCE, persisted: the subplan feeds signature computation
     # AND both sides of the exact-verify join; 64-bit keys keep the verify
-    # intersects and the persist footprint small
+    # intersects and the persist footprint small.  Materialize eagerly so
+    # the three consumers never race the cache fill (each would recompute
+    # the shingle scan)
     shingled = with_hashed_shingles(spread(docs), k=k).persist()
+    shingled.count()
     cands = minhash_candidate_pairs(docs, id_col=id_col, shingled=shingled)
     sh = shingled.select(F.col(id_col).alias("doc"), "sh_h")
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh_h").alias("sh_a"))

@@ -98,6 +98,28 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental form of the dedup_exact
+    operator: keep the first occurrence of each key, dropping later
+    duplicates that arrive within the watermark horizon
+    (dropDuplicatesWithinWatermark).
+
+    The watermark is what makes this viable on an unbounded stream: state
+    for a key is retained only until event time passes its horizon, so the
+    state store holds ~(distinct keys per horizon), not all history — the
+    same bounded-state discipline as the windowed aggregations.  An
+    ingestion pipeline composes this in front of stream_to_delta so
+    replayed/duplicated source events (at-least-once sources!) never reach
+    the table."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
     """Continuous ingestion into the Delta sink: each micro-batch appends
     through the same transactional commit path as batch writes (exactly the

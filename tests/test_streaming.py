@@ -151,3 +151,32 @@ def test_stream_stream_join_matches_batch(spark, staged_events):
     )
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_drops_replayed_events(spark, staged_events):
+    """An at-least-once source replays rows; dropDuplicatesWithinWatermark
+    must emit each (event_id) exactly once — matching batch dropDuplicates
+    over the duplicated input."""
+    path, src = staged_events
+    dup_dir = tempfile.mkdtemp(prefix="evdup_")
+    try:
+        # simulate replay: the same events written twice across files
+        src.limit(400).repartition(2).write.mode("overwrite").parquet(dup_dir)
+        src.limit(400).repartition(2).write.mode("append").parquet(dup_dir)
+        stream = SE.read_event_stream(spark, dup_dir)
+        q = (
+            SE.streaming_dedup(stream, key_cols=("event_id",), watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select event_id from dedup_stream").collect()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids)), "stream emitted a duplicate key"
+        want = {r.event_id for r in src.limit(400).select("event_id").distinct().collect()}
+        assert set(ids) == want
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
