@@ -90,3 +90,94 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+# -- resize stage (stubbed codec, real fixed-shape-tensor plumbing) ---------
+
+RESIZE_DIM = 16
+
+
+def _resize_stub(payload: bytes, dim: int = RESIZE_DIM) -> list[float]:
+    """Deterministic fake 'resize': fold the byte stream into a fixed-length
+    mean-pooled vector — the shape contract of a real thumbnail/spectrogram
+    resize (variable-size media in, fixed tensor out).  Production swaps
+    this for PIL's Image.resize / librosa feature frames."""
+    if not payload:
+        return [0.0] * dim
+    buckets = [0.0] * dim
+    counts = [0] * dim
+    n = len(payload)
+    for i, b in enumerate(payload):
+        j = i * dim // n
+        buckets[j] += b
+        counts[j] += 1
+    return [s / c if c else 0.0 for s, c in zip(buckets, counts)]
+
+
+def resize_features(df: DataFrame, dim: int = RESIZE_DIM) -> DataFrame:
+    """Resize stage: binary payload → fixed-``dim`` float vector per row
+    (``array<double>``), Arrow-batched.  The output column is exactly the
+    embedding-table shape, so resized media feeds directly into the
+    similarity/ANN operators (operators/similarity.py)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("resized", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized": pdf["payload"].map(lambda p: _resize_stub(p, dim)),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=schema)
+
+
+# -- frame sampling (row-expanding plumbing: one media row → many frames) ---
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 32, every_nth: int = 4
+) -> DataFrame:
+    """Frame-sampling stage: slice each payload into fixed-size 'frames' and
+    keep every ``every_nth``-th — the ROW-EXPANDING mapInPandas shape a
+    video pipeline needs (one input row yields 0..n frame rows, unlike the
+    1:1 decode/resize stages).  Emits (doc_id, frame_idx, frame, n_frames);
+    production replaces the byte slicing with ffmpeg keyframe extraction.
+
+    Scale note: expansion happens executor-side per batch, so output
+    volume never converges on the driver; downstream repartition can
+    rebalance if frame counts are skewed."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("n_frames", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"]):
+                if payload is None:
+                    continue
+                chunks = [
+                    bytes(payload[i : i + frame_bytes])
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                for k in range(0, len(chunks), every_nth):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(chunks[k])
+                    totals.append(len(chunks))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames, "n_frames": totals}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=schema)

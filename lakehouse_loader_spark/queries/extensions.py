@@ -328,6 +328,30 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_features(M.with_binary_payload(docs))
 
 
+@query("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: variable-size payload → fixed-16 mean-pooled vector
+    (the thumbnail/spectrogram shape contract; codec stubbed).  Output is
+    the embedding-table shape, composable with the similarity operators.
+    Rows-only: mapInPandas plumbing."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_features(M.with_binary_payload(docs))
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each payload sliced into fixed-size frames, every
+    4th kept — the row-EXPANDING mapInPandas shape for video pipelines
+    (one media row → many frame rows, expanded executor-side).
+    Rows-only: mapInPandas plumbing."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.with_binary_payload(docs))
+
+
 # --------------------------------------------------------------------------
 # As-of join (point-in-time): events against a daily-rate checkpoint table
 # --------------------------------------------------------------------------

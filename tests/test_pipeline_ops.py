@@ -104,3 +104,30 @@ def test_gopher_signals_verdict(spark):
     assert out[1].gopher_keep is True
     assert out[2].gopher_keep is False  # too short
     assert out[3].gopher_keep is False  # bullet start
+
+
+def test_multimodal_resize_fixed_shape(spark):
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh" * 10), (2, "x"), (3, "")], "doc_id BIGINT, text STRING"
+    )
+    out = {r.doc_id: r.resized for r in M.resize_features(M.with_binary_payload(df)).collect()}
+    assert all(len(v) == M.RESIZE_DIM for v in out.values())  # fixed tensor shape
+    assert out[3] == [0.0] * M.RESIZE_DIM  # empty payload → zero vector
+    # deterministic: same payload, same vector
+    out2 = {r.doc_id: r.resized for r in M.resize_features(M.with_binary_payload(df)).collect()}
+    assert out == out2
+
+
+def test_multimodal_frame_sample_expands_rows(spark):
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    # 256-byte payload → 8 frames of 32 → every 4th kept → frames 0 and 4
+    df = spark.createDataFrame([(1, "ab" * 128)], "doc_id BIGINT, text STRING")
+    rows = M.sample_frames(M.with_binary_payload(df)).collect()
+    assert [(r.frame_idx, r.n_frames) for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        (0, 8),
+        (4, 8),
+    ]
+    assert all(len(r.frame) == 32 for r in rows)
