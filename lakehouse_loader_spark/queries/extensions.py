@@ -938,9 +938,12 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a shingle self-join (the join materializes Σ df² rows; this
     shape materializes Σ C(df_sources, 2), and df_sources is bounded by the
     number of corpora, not document count)."""
+    from lakehouse_loader_spark.operators import spread
     from lakehouse_loader_spark.operators.dedup import with_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread first: the input is one parquet file = one partition, and the
+    # interpreted higher-order shingling would run single-core without it
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # 64-bit shingle hashes instead of ~20-byte strings: halves shuffle
     # width (collision odds ≈ n²/2⁶⁴ over distinct shingles — negligible,
     # same accepted exposure as ngram_jaccard_pairs).  collect_set already
