@@ -347,6 +347,7 @@ def optimize_delta(
     path: str,
     target_partitions: int = 1,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     max_rows_per_file: int = MAX_ROWS_PER_FILE,
 ) -> None:
     """OPTIMIZE-style compaction: rewrite the live file set into
@@ -356,11 +357,20 @@ def optimize_delta(
 
     ``sort_by`` clusters rows within the rewritten files (the reference's
     explicit pre-write-sorting TODO, src/lib.rs:202) — sorted clustering
-    tightens per-file min/max stats so data skipping prunes harder."""
+    tightens per-file min/max stats so data skipping prunes harder.
+    ``zorder_by`` (mutually exclusive) interleaves several columns' ranks
+    (operators/zorder.py) so stats stay tight on EVERY listed column —
+    skipping then works for predicates on any of them."""
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     latest, meta, adds = _read_log(path)
     df = read_delta(spark, path)
     part_cols = meta.get("partitionColumns") or None
-    if not part_cols:
+    if zorder_by:
+        from lakehouse_loader_spark.operators.zorder import zorder_layout
+
+        df = zorder_layout(df, zorder_by, target_partitions)
+    elif not part_cols:
         df = df.coalesce(target_partitions)
     else:
         df = df.repartition(target_partitions, *part_cols)

@@ -3,7 +3,8 @@ upgrade over the reference's example-based unit tests (SURVEY.md §5)."""
 
 from __future__ import annotations
 
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lakehouse_loader_spark.operators.dedup import MINHASH_PRIME, _hash_params
@@ -93,3 +94,52 @@ def test_minhash_params_in_field(n):
     for a, b in _hash_params(n):
         assert 1 <= a < MINHASH_PRIME
         assert 0 <= b < MINHASH_PRIME
+
+
+# --- training-pipeline operator properties (round 2) -----------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40, unique=True)
+)
+def test_hash_bucket_range_and_determinism(spark, keys):
+    """Buckets land in [0, BUCKET_SPACE) and are a pure function of the key."""
+    from lakehouse_loader_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    got = {r.k: r.b for r in df.select("k", SA.hash_bucket(F.col("k"), "p").alias("b")).collect()}
+    again = {r.k: r.b for r in df.select("k", SA.hash_bucket(F.col("k"), "p").alias("b")).collect()}
+    assert got == again
+    assert all(0 <= b < SA.BUCKET_SPACE for b in got.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=2, max_size=40, unique=True),
+    st.lists(st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=4),
+)
+def test_split_partitions_exhaustively(spark, keys, raw_w):
+    """Every row gets exactly one split label from the declared set, for any
+    weight vector (normalized to sum 1)."""
+    from lakehouse_loader_spark.operators import sampling as SA
+
+    total = sum(raw_w)
+    weights = {f"s{i}": w / total for i, w in enumerate(raw_w)}
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    rows = SA.with_split(df, "k", weights).collect()
+    assert len(rows) == len(keys)
+    assert {r.split for r in rows} <= set(weights)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=30))
+def test_normalized_text_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode."""
+    from lakehouse_loader_spark.operators.text import normalized_text_col
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i BIGINT, t STRING")
+    once = df.select("i", normalized_text_col(F.col("t")).alias("n"))
+    twice = once.select("i", normalized_text_col(F.col("n")).alias("n2"))
+    joined = once.join(twice, "i")
+    assert joined.filter(F.col("n") != F.col("n2")).count() == 0

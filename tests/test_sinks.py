@@ -400,6 +400,37 @@ def test_delta_optimize_sorted_clustering_tightens_stats(spark, tmpdir):
     assert DL.read_delta(spark, path).count() == 1000
 
 
+def test_delta_optimize_zorder_prunes_on_every_clustered_column(spark, tmpdir):
+    """ZORDER clustering: after OPTIMIZE zorder_by=[x, y], stats pruning
+    must skip files for predicates on EITHER column (a plain sort only
+    tightens its leading key)."""
+    path = os.path.join(tmpdir, "tz")
+    import pyspark.sql.functions as F2
+
+    # 64x64 grid, row order scrambled so initial files have full-range stats
+    df = (
+        spark.range(0, 4096)
+        .select(
+            F2.pmod(F2.col("id") * 2654435761, F2.lit(64)).alias("x"),
+            F2.pmod(F2.col("id") * 40503, F2.lit(64)).alias("y"),
+            F2.col("id").alias("v"),
+        )
+    )
+    DL.write_delta(df.repartition(16), path)
+    kept_x0, total0 = DL.prune_files_by_stats(path, "x", 0, 7)
+    kept_y0, _ = DL.prune_files_by_stats(path, "y", 0, 7)
+    assert len(kept_x0) == total0 == 16 and len(kept_y0) == 16  # no pruning
+    DL.optimize_delta(spark, path, target_partitions=16, zorder_by=["x", "y"])
+    kept_x, total = DL.prune_files_by_stats(path, "x", 0, 7)
+    kept_y, _ = DL.prune_files_by_stats(path, "y", 0, 7)
+    assert total == 16
+    # an eighth of the key range on either dimension must skip most files
+    assert len(kept_x) <= 8 and len(kept_y) <= 8
+    back = DL.read_delta(spark, path)
+    assert back.count() == 4096
+    assert back.agg(F2.sum("v")).collect()[0][0] == sum(range(4096))
+
+
 def test_delta_merge_on_partitioned_table(spark, tmpdir):
     """MERGE on a partitioned table must preserve partition values (they
     live in directory names — candidate reads need basePath)."""
