@@ -23,9 +23,23 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark("lakehouse-bench")
 
-    # Warm the JVM + parquet footers once with the flagship query so
-    # per-query timings measure the plan, not session warmup.
-    REGISTRY["tpch_q1_like"].fn(spark, sf_dir).collect()
+    # Warm-up sweep (JMH-style): run every query once at the smallest scale
+    # factor so whole-stage-codegen compilation, python-worker startup, and
+    # parquet footer caches are populated before anything is timed — the
+    # timed sf runs then measure engine execution, not first-plan Janino
+    # compilation (which was dominating the cold numbers for the operator
+    # pipelines: 7s cold vs 3.3s steady for dedup_clusters).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    for name in sorted(REGISTRY):
+        try:
+            REGISTRY[name].fn(spark, warm_dir).count()
+        except Exception as exc:  # a warmup failure must not kill the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
+    import gc as _gc
+
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

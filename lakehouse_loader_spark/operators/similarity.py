@@ -53,10 +53,14 @@ def brute_force_topk(
     NOTE: queries must share the corpus id space — q_id == n_id is treated
     as "the query itself" and excluded.  For an external query set with its
     own ids, remap ids to be disjoint from the corpus first."""
+    from lakehouse_loader_spark.operators import spread
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # spread the corpus to cluster width first: a single-file scan is one
+    # partition, and the per-row cosine folds would run single-core
+    c = spread(emb).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
@@ -213,6 +217,9 @@ def lsh_ann_topk(
     Scale shape: the corpus is exploded n_tables× and shuffled once by
     (table_id, bucket); each query probes its buckets via broadcast.  Work
     scales with Σ bucket occupancy, not |corpus|·|queries|."""
+    from lakehouse_loader_spark.operators import spread
+
+    emb = spread(emb)  # single-file corpus = one partition otherwise
     c = with_lsh_buckets(emb, dim, n_tables, planes_per_table, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "lsh_key"
     )
