@@ -273,3 +273,72 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill (hypertable-style): dense per-user daily grid with
+# carry-forward interpolation
+# --------------------------------------------------------------------------
+@query(
+    "events_gapfill_daily",
+    oracle="""
+    WITH per_day AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS grid_day,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS day_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(grid_day) AS lo, MAX(grid_day) AS hi
+      FROM per_day GROUP BY user_id),
+    grid AS (
+      SELECT b.user_id, CAST(g.d AS DATE) AS grid_day
+      FROM bounds b, LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g(d))
+    SELECT g.user_id, g.grid_day,
+           COALESCE(p.n, 0) AS n_events,
+           LAST_VALUE(p.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.grid_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN per_day p
+      ON p.user_id = g.user_id AND p.grid_day = g.grid_day
+    """,
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: densify each user's daily series over
+    their [first, last] activity span (sequence + explode — the grid is
+    generated distributed, sized by per-user spans, never on the driver)
+    and carry the last observed daily total forward across gaps
+    (last(ignorenulls) window).  Days before a user's first value stay
+    NULL — interpolation never invents history.
+
+    Scale: one agg shuffle + one broadcast-able bounds join + one window
+    shuffle, all keyed on user_id; grid density is bounded by span/day, so
+    output is O(users · days), independent of raw event volume."""
+    from pyspark.sql import Window as W
+
+    from lakehouse_loader_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    per_day = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("grid_day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("day_value"),
+        )
+    )
+    bounds = per_day.groupBy("user_id").agg(
+        F.min("grid_day").alias("lo"), F.max("grid_day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
+    )
+    w = W.partitionBy("user_id").orderBy("grid_day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(per_day, ["user_id", "grid_day"], "left")
+        .select(
+            "user_id",
+            "grid_day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
