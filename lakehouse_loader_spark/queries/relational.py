@@ -1254,3 +1254,34 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything-to-Postgres model."""
     register_views(spark, sf_dir, only=["lineitem"])
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q12b distribution window functions: percent_rank / cume_dist
+# --------------------------------------------------------------------------
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n) are ratios of exact integer counts — single IEEE
+    divisions, engine-bit-identical without rounding; fully tie-broken
+    order makes the ranks themselves deterministic."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
