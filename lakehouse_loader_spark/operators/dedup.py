@@ -110,11 +110,24 @@ def ngram_jaccard_pairs(
     # the prefix below the exactness bound; biasing down errs toward a
     # LONGER prefix, which is always safe
     prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
-    prefix = ranked.select("doc", F.explode(F.slice("rare_first", 1, prefix_len)).alias("h"))
+    prefix = ranked.select(
+        "doc",
+        n.alias("sz"),
+        F.explode(F.slice("rare_first", 1, prefix_len)).alias("h"),
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # length filter (exactness-preserving): jaccard ≥ t ⇒ |a∩b| ≤ min(|a|,|b|)
+    # and |a∪b| ≥ max(|a|,|b|) ⇒ t ≤ min/max ⇒ sizes within factor t of each
+    # other.  The epsilon biases toward KEEPING borderline pairs — safe.
+    size_ok = (
+        F.col("b.sz").cast("double") >= F.lit(threshold) * F.col("a.sz") - F.lit(1e-9)
+    ) & (F.col("a.sz").cast("double") >= F.lit(threshold) * F.col("b.sz") - F.lit(1e-9))
     cands = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")) & size_ok,
+        )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
