@@ -24,24 +24,34 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the ``value_cols`` of the latest right row
-    with ``right.right_ts <= left.left_ts`` and equal ``key``.
+    """For each left row, attach the ``value_cols`` of the matching right
+    row with equal ``key``: direction="backward" picks the LATEST right row
+    with ``right_ts <= left_ts``; direction="forward" picks the EARLIEST
+    right row with ``right_ts >= left_ts`` (both inclusive).
 
     Returns all left columns plus ``value_cols`` (null when no right row
-    precedes, like an ASOF LEFT JOIN)."""
+    matches, like an ASOF LEFT JOIN).  Tolerance bounds are expressed by
+    shifting ``left_ts`` before the call (see asof_join_event_rate)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
-    # all value columns ride in ONE struct so the window picks the latest
+    # all value columns ride in ONE struct so the window picks the matched
     # right ROW atomically — per-column last(ignorenulls) would stitch
     # values from DIFFERENT right rows whenever the newest one has a NULL
     # member (and could not represent "matched a row whose value is NULL")
     payload = F.struct(*[F.col(v) for v in value_cols])
-    l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1)).withColumn(
+    # tie order at equal ts: the right row must be ELIGIBLE — backward
+    # scans ⟸ so right sorts before left; forward scans ⟹ so left sorts
+    # before right
+    left_src = 1 if direction == "backward" else 0
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(left_src)).withColumn(
         "__payload", F.lit(None).cast(right.select(payload.alias("p")).schema["p"].dataType)
     )
     r = (
         right.withColumn("__t", F.col(right_ts))
-        .withColumn("__src", F.lit(0))
+        .withColumn("__src", F.lit(1 - left_src))
         .withColumn("__payload", payload)
     )
     for c in lcols:
@@ -49,14 +59,22 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     cols = [key, "__t", "__src", "__payload", *[c for c in lcols if c != key]]
     unioned = l.select(*cols).unionByName(r.select(*cols))
-    # right rows (src=0) sort before left rows at equal ts ⇒ "<=" semantics
-    w = (
-        W.partitionBy(key)
-        .orderBy("__t", "__src")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-    out = matched.filter(F.col("__src") == 1)
+    if direction == "backward":
+        w = (
+            W.partitionBy(key)
+            .orderBy("__t", "__src")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        match_expr = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            W.partitionBy(key)
+            .orderBy("__t", "__src")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        match_expr = F.first("__payload", ignorenulls=True).over(w)
+    matched = unioned.withColumn("__match", match_expr)
+    out = matched.filter(F.col("__src") == F.lit(left_src))
     if how == "inner":
         out = out.filter(F.col("__match").isNotNull())
     for v in value_cols:

@@ -399,6 +399,49 @@ def asof_join_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_forward_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS cp_ts,
+             SUM(value) / COUNT(*) AS day_rate
+      FROM events GROUP BY 1, 2),
+    ev AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 23 = 0)
+    SELECT ev.event_id, ev.event_type,
+           STRFTIME(ev.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           STRFTIME(cp.cp_ts, '%Y-%m-%d') AS rate_day,
+           ROUND(cp.day_rate, 4) AS next_day_rate
+    FROM ev ASOF LEFT JOIN cp
+      ON ev.event_type = cp.event_type AND ev.ts <= cp.cp_ts
+    """,
+)
+def asof_join_forward_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each sampled event picks the EARLIEST daily-rate
+    checkpoint at-or-after its timestamp (direction="forward" of the
+    union-merge operator — first(ignorenulls) over a following window;
+    same one-shuffle shape as backward)."""
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cp = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("cp_ts"))
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("day_rate"))
+        .withColumn("cp_ts_out", F.col("cp_ts"))
+    )
+    left = ev.filter(F.col("event_id") % 23 == 0).select("event_id", "event_type", "ts")
+    joined = asof_join(
+        left, cp, key="event_type", left_ts="ts", right_ts="cp_ts",
+        value_cols=["cp_ts_out", "day_rate"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("cp_ts_out", "yyyy-MM-dd").alias("rate_day"),
+        F.round("day_rate", 4).alias("next_day_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Tumbling-window aggregation over the event stream (batch form; the
 # streaming module runs the same plan incrementally with a watermark)
