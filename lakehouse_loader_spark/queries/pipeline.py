@@ -342,3 +342,84 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-capacity training sequences
+# --------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents (in deterministic
+    doc_id order) are laid end-to-end into 512-token packs; each doc gets
+    (pack_id, pack_offset) from the exclusive running token total — the
+    SQL-expressible greedy packing (docs may straddle pack boundaries;
+    boundary-respecting first-fit is not order-parallel, this is).
+
+    Scale note: the running sum is a single global-order window — at 100 TB
+    you'd range-partition by doc_id and seed each partition with the
+    previous partitions' token totals (two passes, no global sort); the
+    declarative form here IS that plan for Spark (RangePartitioning +
+    per-partition scan)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(T.tokens_col(F.col("text"))).cast("bigint")
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    t = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_excl / 512).cast("bigint").alias("pack_id"),
+        (cum_excl % 512).cast("bigint").alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture-weighted sampling: per-source sampling rates from a mixture spec
+# --------------------------------------------------------------------------
+MIXTURE_SPEC = {"src0": 0.9, "src1": 0.5, "src2": 0.5}
+MIXTURE_DEFAULT = 0.2
+
+
+@query(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, {SA.hash_bucket_sql('doc_id', 'mix')} AS bucket
+      FROM documents)
+    SELECT doc_id, source FROM b
+    WHERE bucket < CASE source
+      WHEN 'src0' THEN 900000
+      WHEN 'src1' THEN 500000
+      WHEN 'src2' THEN 500000
+      ELSE 200000 END
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling: each source is kept at its own
+    rate (90%/50%/20% here) — the domain-reweighting step of training-data
+    curation (up-sample curated sources, down-sample crawl), still a pure
+    map-side hash decision per row: deterministic, no shuffle, no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = SA.hash_bucket(F.col("doc_id"), "mix")
+    rate = F.lit(int(MIXTURE_DEFAULT * SA.BUCKET_SPACE))
+    for src, frac in MIXTURE_SPEC.items():
+        rate = F.when(F.col("source") == src, int(frac * SA.BUCKET_SPACE)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "source")
