@@ -72,9 +72,52 @@ def table_exists(path: str) -> bool:
     )
 
 
+def _checkpoint_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(_log_dir(path))
+        if f.endswith(".checkpoint.parquet")
+    )
+
+
+def _load_checkpoint(path: str, version: int) -> tuple[dict, dict[str, dict], dict[str, int]]:
+    """Read one checkpoint parquet back into (metaData, live adds, latest
+    txn version per appId) — the same dict shapes the JSON replay builds
+    (parquet maps come back as key/value tuple lists; re-dict them)."""
+    import pyarrow.parquet as pq
+
+    meta: dict = {}
+    adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    for row in pq.read_table(_checkpoint_file(path, version)).to_pylist():
+        if row.get("metaData"):
+            m = dict(row["metaData"])
+            m["format"] = {"provider": (m.get("format") or {}).get("provider", "parquet"), "options": {}}
+            m["configuration"] = dict(m.get("configuration") or [])
+            meta = m
+        elif row.get("add"):
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            adds[a["path"]] = a
+        elif row.get("txn"):
+            t = row["txn"]
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    return meta, adds, txns
+
+
 def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, dict[str, dict]]:
     """Replay the log: returns (latest_version, metaData, live adds by path).
-    ``as_of_version`` stops the replay early — Delta time travel."""
+    ``as_of_version`` stops the replay early — Delta time travel.
+
+    When a checkpoint parquet covers a prefix of the requested range, the
+    replay seeds from it and reads only the newer JSON commits — bounding
+    replay cost to CHECKPOINT_INTERVAL commits regardless of table age
+    (time travel BEFORE the newest checkpoint falls back to full JSON
+    replay; JSON commits are never truncated here)."""
     versions = sorted(
         int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
     )
@@ -84,6 +127,11 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
         versions = [v for v in versions if v <= as_of_version]
     meta: dict = {}
     adds: dict[str, dict] = {}
+    usable_ckpts = [v for v in _checkpoint_versions(path) if v <= versions[-1]]
+    if usable_ckpts:
+        ckpt_v = usable_ckpts[-1]
+        meta, adds, _ = _load_checkpoint(path, ckpt_v)
+        versions = [v for v in versions if v > ckpt_v]
     for v in versions:
         with open(_version_file(path, v)) as fh:
             for line in fh:
@@ -94,7 +142,8 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
-    return versions[-1], meta, adds
+    latest = versions[-1] if versions else usable_ckpts[-1]
+    return latest, meta, adds
 
 
 def table_schema(path: str) -> T.StructType:
@@ -183,6 +232,128 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
             fh.write(json.dumps(action) + "\n")
 
 
+# Write a consolidated checkpoint every N commits (delta-spark's default
+# interval); log replay cost is then bounded by N regardless of table age.
+CHECKPOINT_INTERVAL = 10
+
+
+def write_checkpoint(path: str) -> int:
+    """Write a protocol-shaped checkpoint parquet of the CURRENT state
+    (protocol + metaData + live adds + latest txn per appId, one action per
+    row with exactly one non-null struct column) plus the ``_last_checkpoint``
+    pointer file.  Returns the checkpointed version.
+
+    Simplification vs delta-spark: remove tombstones are not carried
+    (they exist to guard readers against truncated JSON logs; this writer
+    never truncates JSON commits, and vacuum derives deletions from the
+    filesystem-vs-live-set difference, not tombstones)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    latest, meta, adds = _read_log(path)
+    # collect latest txn per appId from the full JSON history (plus any
+    # prior checkpoint) so the txn idempotency handshake survives into
+    # checkpointed state
+    txns: dict[str, int] = {}
+    prior = _checkpoint_versions(path)
+    if prior:
+        _, _, txns = _load_checkpoint(path, prior[-1])
+    for f in os.listdir(_log_dir(path)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(_log_dir(path), f)) as fh:
+            for line in fh:
+                if '"txn"' not in line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn:
+                    txns[txn["appId"]] = max(txns.get(txn["appId"], -1), int(txn["version"]))
+
+    schema = pa.schema(
+        [
+            ("protocol", pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64()), ("lastUpdated", pa.int64())]),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
+        {
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {"provider": (meta.get("format") or {}).get("provider", "parquet")},
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": sorted((meta.get("configuration") or {}).items()),
+                "createdTime": meta.get("createdTime"),
+            }
+        },
+        *[
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": sorted((a.get("partitionValues") or {}).items()),
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": bool(a.get("dataChange", True)),
+                    "stats": a.get("stats"),
+                }
+            }
+            for a in adds.values()
+        ],
+        *[
+            {"txn": {"appId": app, "version": v, "lastUpdated": None}}
+            for app, v in sorted(txns.items())
+        ],
+    ]
+    table = pa.Table.from_pylist(rows, schema=schema)
+    tmp = _checkpoint_file(path, latest) + ".tmp"
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, _checkpoint_file(path, latest))  # atomic publish
+    with open(os.path.join(_log_dir(path), "_last_checkpoint.tmp"), "w") as fh:
+        json.dump({"version": latest, "size": len(rows)}, fh)
+    os.replace(
+        os.path.join(_log_dir(path), "_last_checkpoint.tmp"),
+        os.path.join(_log_dir(path), "_last_checkpoint"),
+    )
+    return latest
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    """Auto-checkpoint after every CHECKPOINT_INTERVAL-th commit."""
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path)
+
+
 def _metadata_action(schema: T.StructType, partition_by: list[str] | None = None) -> dict:
     return {
         "metaData": {
@@ -235,6 +406,7 @@ def _commit_checked(
             validate(live)
         try:
             _commit(path, latest + 1, actions_fn())
+            _maybe_checkpoint(path, latest + 1)
             return
         except FileExistsError:
             if attempt == COMMIT_RETRIES - 1:
@@ -295,6 +467,7 @@ def write_delta(
             latest, _, _ = _read_log(path)
             try:
                 _commit(path, latest + 1, append_actions)
+                _maybe_checkpoint(path, latest + 1)
                 return
             except FileExistsError:
                 if attempt == COMMIT_RETRIES - 1:

@@ -558,3 +558,62 @@ def test_delta_txn_idempotent_append(spark, small_df, tmpdir):
     DL.write_delta(small_df.limit(3), path, append=True, txn=("app-1", 1))
     assert DL.last_txn_version(path, "app-1") == 1
     assert DL.read_delta(spark, path).count() == 103
+
+
+def test_delta_checkpoint_bounds_replay_and_preserves_state(spark, tmpdir):
+    """After >10 commits a checkpoint parquet + _last_checkpoint exist, the
+    checkpoint-seeded replay equals the pure-JSON replay exactly, and time
+    travel to pre-checkpoint versions still works."""
+    path = os.path.join(tmpdir, "ckpt")
+    df0 = spark.range(0, 10).withColumnRenamed("id", "v")
+    DL.write_delta(df0, path)  # v0 + v1
+    for i in range(1, 12):
+        DL.write_delta(
+            spark.range(10 * i, 10 * i + 10).withColumnRenamed("id", "v"),
+            path, append=True, txn=("app-x", i),
+        )  # v2..v12
+    ckpts = [f for f in os.listdir(os.path.join(path, "_delta_log"))
+             if f.endswith(".checkpoint.parquet")]
+    assert ckpts, "no checkpoint written by the 10th commit"
+    assert os.path.exists(os.path.join(path, "_delta_log", "_last_checkpoint"))
+    latest, meta, adds = DL._read_log(path)
+    # hide the checkpoints -> force pure-JSON replay -> identical state
+    log = os.path.join(path, "_delta_log")
+    for f in ckpts:
+        os.rename(os.path.join(log, f), os.path.join(log, f + ".hidden"))
+    latest2, meta2, adds2 = DL._read_log(path)
+    for f in ckpts:
+        os.rename(os.path.join(log, f + ".hidden"), os.path.join(log, f))
+    assert latest == latest2
+    assert meta["schemaString"] == meta2["schemaString"]
+    assert adds.keys() == adds2.keys()
+    for p in adds:
+        assert adds[p]["stats"] == adds2[p]["stats"]
+        assert adds[p]["partitionValues"] == adds2[p]["partitionValues"]
+    # data correct through the checkpointed read path
+    assert DL.read_delta(spark, path).count() == 120
+    # txn idempotency state survives into the checkpoint
+    assert DL.last_txn_version(path, "app-x") == 11
+    # time travel to a pre-checkpoint version ignores the checkpoint
+    assert DL.read_delta(spark, path, version=1).count() == 10
+    assert DL.read_delta(spark, path, version=5).count() == 50
+
+
+def test_delta_checkpoint_partitioned_roundtrip(spark, tmpdir):
+    """partitionValues survive the parquet map round-trip in checkpoints."""
+    path = os.path.join(tmpdir, "ckptp")
+    import pyspark.sql.functions as F2
+
+    df = spark.range(0, 40).select(
+        F2.col("id").alias("v"), F2.pmod("id", F2.lit(4)).cast("string").alias("k")
+    )
+    DL.write_delta(df, path, partition_by=["k"])
+    v = DL.write_checkpoint(path)
+    assert v >= 1
+    _, meta, adds = DL._read_log(path)
+    assert meta["partitionColumns"] == ["k"]
+    assert all(a["partitionValues"].get("k") in {"0", "1", "2", "3"} for a in adds.values())
+    back = DL.read_delta(spark, path)
+    assert back.count() == 40
+    got = {r.k for r in back.select("k").distinct().collect()}
+    assert got == {"0", "1", "2", "3"}
