@@ -177,28 +177,44 @@ def _latest_version_on_disk(path: str) -> tuple[int, dict]:
         return v, json.load(fh)
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[dict]:
-    """Executors write the parquet parts under data/; returns manifest
-    entries (path, size, record count unknown until footer read — recorded
-    as -1 and not relied upon by the reader)."""
+def _write_data_files(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> list[dict]:
+    """Executors write the parquet parts under data/ (hive-style
+    ``col=value`` directories when partitioned); returns manifest entries
+    carrying each file's identity-partition values — the metadata that
+    makes manifest-level partition pruning possible."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.option("compression", "snappy").parquet(staging)
+    writer = df.write.option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     entries = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        dst = os.path.join(data_dir, name)
-        shutil.move(os.path.join(staging, name), dst)
-        entries.append(
-            {
-                "content": 0,
-                "file_path": f"data/{name}",
-                "file_format": "PARQUET",
-                "file_size_in_bytes": os.path.getsize(dst),
-            }
-        )
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dst = os.path.join(data_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, name), dst)
+            partition = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    partition[k] = v
+            entries.append(
+                {
+                    "content": 0,
+                    "file_path": f"data/{rel.replace(os.sep, '/')}",
+                    "file_format": "PARQUET",
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "partition": partition,
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
     return entries
 
@@ -228,17 +244,52 @@ def _snapshot_manifests(path: str, meta: dict) -> list[str]:
     return []
 
 
+def _identity_spec(schema_ice: dict, partition_by: list[str], spec_id: int) -> dict:
+    """Identity partition spec over named top-level columns (partition
+    field-ids start at 1000 per the Iceberg spec)."""
+    by_name = {f["name"]: f["id"] for f in schema_ice["fields"]}
+    fields = []
+    for i, col in enumerate(partition_by):
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in schema")
+        fields.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": by_name[col],
+                "field-id": 1000 + i,
+            }
+        )
+    return {"spec-id": spec_id, "fields": fields}
+
+
+def _default_spec_cols(meta: dict) -> list[str]:
+    """Partition column names of the table's default spec."""
+    spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+    )
+    return [f["name"] for f in spec["fields"]]
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     overwrite: bool = False,
     append: bool = False,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` with the reference's iceberg-destination semantics (see
     module docstring).  Overwrite starts a fresh data lineage but keeps the
     metadata version/sequence history (sequence numbers [1] → [1,2] after
     overwrite, exactly as the reference e2e asserts,
-    tests/basic_integration.rs:203-217); append keeps prior manifests (R16)."""
+    tests/basic_integration.rs:203-217); append keeps prior manifests (R16).
+
+    ``partition_by`` (engine extension; the reference writes unpartitioned
+    tables only) declares an identity partition spec: data files land in
+    hive-style directories, manifests record per-file partition values, and
+    partition-pruned reads touch only matching files.  Appends inherit the
+    table's default spec; overwrite with a DIFFERENT spec records a new
+    spec-id (partition-spec evolution)."""
     mode = resolve_write_mode(overwrite, append)
     exists = table_exists(path)
 
@@ -252,6 +303,7 @@ def write_iceberg(
 
     for attempt in range(COMMIT_RETRIES):
         if mode is WriteMode.CREATE_EXCLUSIVE:
+            schema_ice = schema_to_iceberg(df.schema)
             version, meta = -1, {
                 "format-version": 2,
                 "table-uuid": str(uuid.uuid4()),
@@ -259,9 +311,9 @@ def write_iceberg(
                 "last-sequence-number": 0,
                 "last-updated-ms": 0,
                 "last-column-id": 0,
-                "schemas": [schema_to_iceberg(df.schema)],
+                "schemas": [schema_ice],
                 "current-schema-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "partition-specs": [_identity_spec(schema_ice, partition_by or [], 0)],
                 "default-spec-id": 0,
                 "snapshots": [],
             }
@@ -272,9 +324,28 @@ def write_iceberg(
                 check_schema_aligned(df.schema, target_schema)
             except SchemaAlignmentError:
                 raise
+            current_cols = _default_spec_cols(meta)
+            if mode is WriteMode.APPEND:
+                if partition_by is not None and list(partition_by) != current_cols:
+                    raise ValueError(
+                        f"append partition_by {partition_by} != table spec {current_cols}"
+                    )
+                partition_by = current_cols or None
+            elif mode is WriteMode.OVERWRITE and (partition_by or []) != current_cols:
+                # partition-spec evolution: a NEW spec-id becomes the default
+                meta = dict(meta)
+                new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+                meta["partition-specs"] = meta["partition-specs"] + [
+                    _identity_spec(
+                        meta["schemas"][meta["current-schema-id"]],
+                        partition_by or [],
+                        new_spec_id,
+                    )
+                ]
+                meta["default-spec-id"] = new_spec_id
         break
 
-    entries = _write_data_files(df, path)
+    entries = _write_data_files(df, path, partition_by)
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
     manifest = _write_manifest(path, snapshot_id, entries)
@@ -316,6 +387,18 @@ def write_iceberg(
             # probe the directory, not the hint: the winning writer may not
             # have updated version-hint.text yet
             version, meta = _latest_version_on_disk(path)
+            if mode is WriteMode.OVERWRITE and (partition_by or []) != _default_spec_cols(meta):
+                # re-apply the spec evolution over the winner's metadata
+                meta = dict(meta)
+                new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+                meta["partition-specs"] = meta["partition-specs"] + [
+                    _identity_spec(
+                        meta["schemas"][meta["current-schema-id"]],
+                        partition_by or [],
+                        new_spec_id,
+                    )
+                ]
+                meta["default-spec-id"] = new_spec_id
             if mode is WriteMode.APPEND:
                 # re-merge against the winner's manifest list (R16)
                 manifests = _snapshot_manifests(path, meta) + [manifest]
@@ -355,12 +438,50 @@ def read_iceberg(
         with open(os.path.join(path, matches[0]["manifest-list"])) as fh:
             manifests = json.load(fh)["manifests"]
     files = []
+    partitioned = False
     for mpath in manifests:
         with open(os.path.join(path, mpath)) as fh:
-            files.extend(os.path.join(path, e["file_path"]) for e in json.load(fh)["entries"])
+            for e in json.load(fh)["entries"]:
+                files.append(os.path.join(path, e["file_path"]))
+                partitioned = partitioned or bool(e.get("partition"))
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if partitioned:
+        # hive-style dirs carry the partition values; basePath re-derives
+        # the partition columns the data files themselves omit
+        reader = reader.option("basePath", os.path.join(path, "data"))
+    return reader.parquet(*files)
+
+
+def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
+    """Manifest-level identity-partition pruning: data files of the current
+    snapshot whose partition value for ``column`` equals ``value``.
+    Returns (matching file paths, total files) — only METADATA is read; at
+    cluster scale no data file is opened to plan the scan."""
+    _, meta = _read_metadata(path)
+    kept, total = [], 0
+    for mpath in _snapshot_manifests(path, meta):
+        with open(os.path.join(path, mpath)) as fh:
+            for e in json.load(fh)["entries"]:
+                total += 1
+                if e.get("partition", {}).get(column) == str(value):
+                    kept.append(e["file_path"])
+    return kept, total
+
+
+def read_iceberg_pruned(
+    spark: SparkSession, path: str, column: str, value
+) -> DataFrame:
+    """Partition-pruned read: plan from manifests (prune_iceberg_files),
+    then scan only the matching data files."""
+    kept, _ = prune_iceberg_files(path, column, value)
+    _, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    if not kept:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema).option("basePath", os.path.join(path, "data"))
+    return reader.parquet(*[os.path.join(path, p) for p in kept])
 
 
 def snapshot_ids(path: str) -> list[int]:

@@ -617,3 +617,65 @@ def test_delta_checkpoint_partitioned_roundtrip(spark, tmpdir):
     assert back.count() == 40
     got = {r.k for r in back.select("k").distinct().collect()}
     assert got == {"0", "1", "2", "3"}
+
+
+def test_iceberg_partitioned_write_read_and_prune(spark, tmpdir):
+    """Identity-partitioned iceberg: spec recorded, hive layout written,
+    manifests carry partition values, pruned read touches only matching
+    files, append inherits the spec."""
+    from lakehouse_loader_spark.sinks import iceberg as IC
+    import pyspark.sql.functions as F2
+
+    path = os.path.join(tmpdir, "ice_part")
+    df = spark.range(0, 40).select(
+        F2.col("id").alias("v"), F2.pmod("id", F2.lit(4)).cast("string").alias("k")
+    )
+    IC.write_iceberg(df, path, partition_by=["k"])
+    _, meta = IC._read_metadata(path)
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert [f["name"] for f in spec["fields"]] == ["k"]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["field-id"] == 1000
+
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 40
+    assert {r.k for r in back.select("k").distinct().collect()} == {"0", "1", "2", "3"}
+
+    kept, total = IC.prune_iceberg_files(path, "k", "2")
+    assert 0 < len(kept) < total
+    pruned = IC.read_iceberg_pruned(spark, path, "k", "2")
+    rows = pruned.collect()
+    assert all(r.k == "2" for r in rows) and len(rows) == 10
+
+    # append inherits the table spec (no partition_by passed)
+    more = spark.range(40, 48).select(
+        F2.col("id").alias("v"), F2.lit("9").alias("k")
+    )
+    IC.write_iceberg(more, path, append=True)
+    assert IC.read_iceberg(spark, path).count() == 48
+    kept9, _ = IC.prune_iceberg_files(path, "k", "9")
+    assert kept9 and all("k=9" in p for p in kept9)
+    # mismatched explicit spec on append is rejected
+    with pytest.raises(ValueError):
+        IC.write_iceberg(more, path, append=True, partition_by=["v"])
+
+
+def test_iceberg_partition_spec_evolution_on_overwrite(spark, tmpdir):
+    """Overwrite with a different partitioning records a NEW spec-id and
+    makes it the default (old spec retained in metadata history)."""
+    from lakehouse_loader_spark.sinks import iceberg as IC
+    import pyspark.sql.functions as F2
+
+    path = os.path.join(tmpdir, "ice_evo")
+    df = spark.range(0, 20).select(
+        F2.col("id").alias("v"), F2.pmod("id", F2.lit(2)).cast("string").alias("k")
+    )
+    IC.write_iceberg(df, path)  # unpartitioned spec 0
+    IC.write_iceberg(df, path, overwrite=True, partition_by=["k"])
+    _, meta = IC._read_metadata(path)
+    assert len(meta["partition-specs"]) == 2
+    assert meta["default-spec-id"] == 1
+    assert [f["name"] for f in meta["partition-specs"][1]["fields"]] == ["k"]
+    assert IC.read_iceberg(spark, path).count() == 20
+    # sequence numbers keep their lineage across the spec change
+    assert IC.snapshot_sequence_numbers(path) == [1, 2]
