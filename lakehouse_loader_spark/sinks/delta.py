@@ -637,6 +637,78 @@ def read_delta_pruned(
     return _file_reader(spark, path, meta, schema).parquet(*files)
 
 
+def restore_delta(spark: SparkSession, path: str, version: int) -> None:
+    """RESTORE: make the table's CURRENT state equal its state at
+    ``version``, as a NEW commit (history is never rewritten — the restore
+    itself is time-travelable and undoable).  Files added since the target
+    version are removed; files live at the target version but since
+    removed are re-added.  Metadata-only: no data file is rewritten."""
+    _, meta_then, adds_then = _read_log(path, as_of_version=version)
+    now_ms = int(time.time() * 1000)
+
+    def actions() -> list[dict]:
+        _, _, adds_now = _read_log(path)
+        removes = [
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in sorted(set(adds_now) - set(adds_then))
+        ]
+        re_adds = [
+            {"add": adds_then[p]} for p in sorted(set(adds_then) - set(adds_now))
+        ]
+        info = _commit_info("RESTORE", meta_then.get("partitionColumns"))
+        info["commitInfo"]["operation"] = "RESTORE"
+        info["commitInfo"]["operationParameters"]["version"] = version
+        return [info, *removes, *re_adds]
+
+    # restored-from files must still exist on disk (vacuum may have
+    # reclaimed them)
+    missing = [
+        p for p in adds_then if not os.path.exists(os.path.join(path, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to v{version}: data files vacuumed: {missing[:5]}"
+        )
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, _ = _read_log(path)
+        try:
+            _commit(path, latest + 1, actions())
+            _maybe_checkpoint(path, latest + 1)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one entry per committed version (newest first)
+    with the recorded operation and parameters — read straight from the
+    commitInfo actions in the log."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no delta table at {path}")
+    out = []
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
+    )
+    for v in versions:
+        info = {}
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                    break
+        out.append(
+            {
+                "version": v,
+                "timestamp": info.get("timestamp"),
+                "operation": info.get("operation"),
+                "operationParameters": info.get("operationParameters", {}),
+            }
+        )
+    return list(reversed(out))
+
+
 def vacuum_delta(path: str) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     (removed by overwrite-in-place or OPTIMIZE).  Time travel to versions

@@ -679,3 +679,27 @@ def test_iceberg_partition_spec_evolution_on_overwrite(spark, tmpdir):
     assert IC.read_iceberg(spark, path).count() == 20
     # sequence numbers keep their lineage across the spec change
     assert IC.snapshot_sequence_numbers(path) == [1, 2]
+
+
+def test_delta_restore_and_history(spark, tmpdir):
+    """RESTORE reverts state as a new commit; DESCRIBE HISTORY shows every
+    operation newest-first, including the restore itself."""
+    path = os.path.join(tmpdir, "rest")
+    DL.write_delta(spark.range(0, 10).withColumnRenamed("id", "v"), path)   # v0+v1
+    DL.write_delta(spark.range(10, 30).withColumnRenamed("id", "v"), path, append=True)  # v2
+    DL.write_delta(spark.range(0, 5).withColumnRenamed("id", "v"), path, overwrite=True)  # fresh v0/v1 lineage
+    assert DL.read_delta(spark, path).count() == 5
+    # overwrite rebuilt the table dir; build a restore scenario on the new lineage
+    DL.write_delta(spark.range(5, 12).withColumnRenamed("id", "v"), path, append=True)  # v2
+    assert DL.read_delta(spark, path).count() == 12
+    DL.restore_delta(spark, path, version=1)  # back to the 5-row snapshot
+    assert DL.read_delta(spark, path).count() == 5
+    # the restore is itself a version: time travel forward still sees 12
+    assert DL.read_delta(spark, path, version=2).count() == 12
+    hist = DL.table_history(path)
+    assert hist[0]["operation"] == "RESTORE"
+    assert hist[0]["operationParameters"]["version"] == 1
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    # restoring forward again (undo the restore) also works
+    DL.restore_delta(spark, path, version=2)
+    assert DL.read_delta(spark, path).count() == 12
