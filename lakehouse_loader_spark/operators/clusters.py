@@ -63,43 +63,58 @@ def connected_components(
     # happens to drop the py4j reference, so a long session accumulates
     # dead blocks (and GC pauses get charged to whatever runs next).  Track
     # the persistent-RDD ids each checkpoint creates and free the
-    # superseded generation explicitly.
+    # superseded generation explicitly.  (The id-diff is session-global:
+    # this operator assumes no concurrent thread persists RDDs mid-call —
+    # true for the engine's one-query-at-a-time execution.)
     jsc = edges.sparkSession.sparkContext._jsc
 
     def _persistent_ids() -> set[int]:
         return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
 
-    prev_ckpt_ids: set[int] = set()
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            (F.coalesce("nbr_label", "label") < F.col("label")).alias("__changed"),
-        )
-        # each iteration references `labels` twice → without lineage
-        # truncation the logical plan doubles per round (2^k nodes);
-        # an eager localCheckpoint keeps every iteration O(1) plan size —
-        # the standard shape for iterative DataFrame algorithms
-        before = _persistent_ids()
-        new_labels = new_labels.localCheckpoint(eager=True)
-        new_ids = _persistent_ids() - before
-        changed = new_labels.filter("__changed").count()
-        labels = new_labels.drop("__changed")
-        # the previous round's checkpoint is now unreachable — free it
+    def _free(ids: set[int]) -> None:
         rdds = jsc.getPersistentRDDs()
-        for rid in prev_ckpt_ids:
+        for rid in ids:
             jrdd = rdds.get(rid)
             if jrdd is not None:
                 jrdd.unpersist(False)
-        prev_ckpt_ids = new_ids
-        if changed == 0:  # fixpoint: labels stable ⇒ components final
-            break
-    else:
+
+    prev_ckpt_ids: set[int] = set()
+    converged = False
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("__changed"),
+            )
+            # each iteration references `labels` twice → without lineage
+            # truncation the logical plan doubles per round (2^k nodes);
+            # an eager localCheckpoint keeps every iteration O(1) plan size —
+            # the standard shape for iterative DataFrame algorithms
+            before = _persistent_ids()
+            new_labels = new_labels.localCheckpoint(eager=True)
+            new_ids = _persistent_ids() - before
+            changed = new_labels.filter("__changed").count()
+            labels = new_labels.drop("__changed")
+            # the previous round's checkpoint is now unreachable — free it
+            _free(prev_ckpt_ids)
+            prev_ckpt_ids = new_ids
+            if changed == 0:  # fixpoint: labels stable ⇒ components final
+                converged = True
+                break
+    finally:
+        # on ANY exit the edge cache is done; on a FAILED exit the last
+        # checkpoint is also unreachable — reclaim both (the success path
+        # must keep its final checkpoint alive: the returned frame reads it)
+        edges.unpersist()
+        if not converged:
+            _free(prev_ckpt_ids)
+    if not converged:
         # budget exhausted without a fixpoint: silent partial components
         # would split real duplicate groups — fail loudly instead
         raise RuntimeError(
@@ -107,9 +122,6 @@ def connected_components(
             "iterations; raise max_iterations (component diameter exceeds "
             "the budget)"
         )
-    # the final checkpoint must outlive this function (the returned frame
-    # reads it), but the edge cache is done — free it now
-    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -55,8 +55,14 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") ->
     """Keep a deterministic ``fraction`` of rows: bucket(key) < f·SPACE.
 
     Pure map-side filter — pushes down to the scan, no shuffle, no RNG;
-    the complement (bucket ≥ threshold) is exactly the held-out set."""
-    return df.filter(hash_bucket(F.col(key_col), salt) < int(fraction * BUCKET_SPACE))
+    the complement (bucket ≥ threshold) is exactly the held-out set.
+    The threshold rounds (like with_split's bounds) so the same fraction
+    selects the same bucket range through either API — int() truncation
+    would drop bucket ⌊f·SPACE⌋ whenever f·SPACE lands just below an
+    integer (0.3·10⁶ = 299999.99…)."""
+    return df.filter(
+        hash_bucket(F.col(key_col), salt) < int(round(fraction * BUCKET_SPACE))
+    )
 
 
 def with_split(

@@ -43,7 +43,15 @@ def _bucketize(df: DataFrame, col: str, bits: int) -> tuple[DataFrame, str]:
     bucketizer = Bucketizer(
         splits=splits, inputCol=tmp, outputCol=out, handleInvalid="keep"
     )
-    return bucketizer.transform(df).drop(tmp), out
+    bucketed = bucketizer.transform(df).drop(tmp)
+    # handleInvalid='keep' assigns nulls the EXTRA index len(splits)-1,
+    # which can be 2^bits — its low `bits` bits are all zero, so nulls
+    # would alias to bucket 0 in the interleave (clustering with the
+    # column MINIMUM and widening low-end file stats).  Clamp into the top
+    # real bucket instead: nulls cluster with the largest values.
+    top = (1 << bits) - 1
+    bucketed = bucketed.withColumn(out, F.least(F.col(out), F.lit(float(top))))
+    return bucketed, out
 
 
 def with_zorder_key(

@@ -185,6 +185,8 @@ def _write_parts(
     driver only renames and records metadata (cheap, like the reference's
     commit stage).  With ``partition_by``, parts land under hive-style
     ``col=value/`` directories and the Add actions carry partitionValues."""
+    from lakehouse_loader_spark.sinks.staging import promote_staged_files
+
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.option("maxRecordsPerFile", str(max_rows_per_file)).option(
         "compression", "snappy"
@@ -192,34 +194,18 @@ def _write_parts(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    adds = []
     now_ms = int(time.time() * 1000)
-    for root, _dirs, files in os.walk(staging):
-        for name in sorted(files):
-            if not name.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(root, staging)
-            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
-            dst = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(root, name), dst)
-            part_values = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    part_values[k] = v
-            adds.append(
-                {
-                    "path": rel.replace(os.sep, "/"),
-                    "partitionValues": part_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "stats": json.dumps(_file_stats(dst)),
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
-    return adds
+    return [
+        {
+            "path": rel,
+            "partitionValues": partition,
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps(_file_stats(os.path.join(path, rel))),
+        }
+        for rel, partition, size in promote_staged_files(staging, path)
+    ]
 
 
 def _commit(path: str, version: int, actions: list[dict]) -> None:
@@ -251,15 +237,17 @@ def write_checkpoint(path: str) -> int:
     import pyarrow.parquet as pq
 
     latest, meta, adds = _read_log(path)
-    # collect latest txn per appId from the full JSON history (plus any
-    # prior checkpoint) so the txn idempotency handshake survives into
-    # checkpointed state
+    # collect latest txn per appId: seed from the prior checkpoint, then
+    # scan ONLY the JSON commits newer than it — keeping the checkpoint
+    # write itself O(CHECKPOINT_INTERVAL), not O(table age)
     txns: dict[str, int] = {}
     prior = _checkpoint_versions(path)
+    since = -1
     if prior:
         _, _, txns = _load_checkpoint(path, prior[-1])
+        since = prior[-1]
     for f in os.listdir(_log_dir(path)):
-        if not f.endswith(".json"):
+        if not f.endswith(".json") or int(f.split(".")[0]) <= since:
             continue
         with open(os.path.join(_log_dir(path), f)) as fh:
             for line in fh:
@@ -336,15 +324,16 @@ def write_checkpoint(path: str) -> int:
         ],
     ]
     table = pa.Table.from_pylist(rows, schema=schema)
-    tmp = _checkpoint_file(path, latest) + ".tmp"
+    # uuid-suffixed tmp names: two writers checkpointing the same version
+    # concurrently must never interleave into one tmp file — each writes
+    # its own and the os.replace loser just overwrites with identical state
+    tmp = _checkpoint_file(path, latest) + f".{uuid.uuid4().hex}.tmp"
     pq.write_table(table, tmp, compression="snappy")
     os.replace(tmp, _checkpoint_file(path, latest))  # atomic publish
-    with open(os.path.join(_log_dir(path), "_last_checkpoint.tmp"), "w") as fh:
+    hint_tmp = os.path.join(_log_dir(path), f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w") as fh:
         json.dump({"version": latest, "size": len(rows)}, fh)
-    os.replace(
-        os.path.join(_log_dir(path), "_last_checkpoint.tmp"),
-        os.path.join(_log_dir(path), "_last_checkpoint"),
-    )
+    os.replace(hint_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
     return latest
 
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
@@ -184,39 +183,23 @@ def _write_data_files(
     ``col=value`` directories when partitioned); returns manifest entries
     carrying each file's identity-partition values — the metadata that
     makes manifest-level partition pruning possible."""
+    from lakehouse_loader_spark.sinks.staging import promote_staged_files
+
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.option("compression", "snappy")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    entries = []
-    for root, _dirs, files in os.walk(staging):
-        for name in sorted(files):
-            if not name.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(root, staging)
-            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
-            dst = os.path.join(data_dir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(root, name), dst)
-            partition = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    partition[k] = v
-            entries.append(
-                {
-                    "content": 0,
-                    "file_path": f"data/{rel.replace(os.sep, '/')}",
-                    "file_format": "PARQUET",
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "partition": partition,
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
-    return entries
+    return [
+        {
+            "content": 0,
+            "file_path": f"data/{rel}",
+            "file_format": "PARQUET",
+            "file_size_in_bytes": size,
+            "partition": partition,
+        }
+        for rel, partition, size in promote_staged_files(staging, os.path.join(path, "data"))
+    ]
 
 
 def _write_manifest(path: str, snapshot_id: int, entries: list[dict]) -> str:
@@ -269,6 +252,25 @@ def _default_spec_cols(meta: dict) -> list[str]:
         s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
     )
     return [f["name"] for f in spec["fields"]]
+
+
+def _evolve_spec(meta: dict, partition_by: list[str] | None) -> dict:
+    """Partition-spec evolution: if ``partition_by`` differs from the
+    default spec, append a NEW spec-id and make it the default (old specs
+    stay in the metadata history).  Returns (a copy of) ``meta`` — used by
+    both the initial overwrite path and the commit-conflict retry path so
+    the two can never diverge."""
+    if (partition_by or []) == _default_spec_cols(meta):
+        return meta
+    meta = dict(meta)
+    new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+    meta["partition-specs"] = meta["partition-specs"] + [
+        _identity_spec(
+            meta["schemas"][meta["current-schema-id"]], partition_by or [], new_spec_id
+        )
+    ]
+    meta["default-spec-id"] = new_spec_id
+    return meta
 
 
 def write_iceberg(
@@ -331,18 +333,8 @@ def write_iceberg(
                         f"append partition_by {partition_by} != table spec {current_cols}"
                     )
                 partition_by = current_cols or None
-            elif mode is WriteMode.OVERWRITE and (partition_by or []) != current_cols:
-                # partition-spec evolution: a NEW spec-id becomes the default
-                meta = dict(meta)
-                new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
-                meta["partition-specs"] = meta["partition-specs"] + [
-                    _identity_spec(
-                        meta["schemas"][meta["current-schema-id"]],
-                        partition_by or [],
-                        new_spec_id,
-                    )
-                ]
-                meta["default-spec-id"] = new_spec_id
+            elif mode is WriteMode.OVERWRITE:
+                meta = _evolve_spec(meta, partition_by)
         break
 
     entries = _write_data_files(df, path, partition_by)
@@ -387,18 +379,9 @@ def write_iceberg(
             # probe the directory, not the hint: the winning writer may not
             # have updated version-hint.text yet
             version, meta = _latest_version_on_disk(path)
-            if mode is WriteMode.OVERWRITE and (partition_by or []) != _default_spec_cols(meta):
+            if mode is WriteMode.OVERWRITE:
                 # re-apply the spec evolution over the winner's metadata
-                meta = dict(meta)
-                new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
-                meta["partition-specs"] = meta["partition-specs"] + [
-                    _identity_spec(
-                        meta["schemas"][meta["current-schema-id"]],
-                        partition_by or [],
-                        new_spec_id,
-                    )
-                ]
-                meta["default-spec-id"] = new_spec_id
+                meta = _evolve_spec(meta, partition_by)
             if mode is WriteMode.APPEND:
                 # re-merge against the winner's manifest list (R16)
                 manifests = _snapshot_manifests(path, meta) + [manifest]
@@ -458,14 +441,28 @@ def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
     """Manifest-level identity-partition pruning: data files of the current
     snapshot whose partition value for ``column`` equals ``value``.
     Returns (matching file paths, total files) — only METADATA is read; at
-    cluster scale no data file is opened to plan the scan."""
+    cluster scale no data file is opened to plan the scan.
+
+    ``column`` must be in the table's default partition spec (raises
+    otherwise — silently returning zero files would read as "no data").
+    ``value`` is canonicalized to the hive string form manifests store
+    (booleans lowercase, None matches the null sentinel — see
+    staging.hive_partition_str); manifest values are stored UNESCAPED."""
+    from lakehouse_loader_spark.sinks.staging import hive_partition_str
+
     _, meta = _read_metadata(path)
+    spec_cols = _default_spec_cols(meta)
+    if column not in spec_cols:
+        raise ValueError(
+            f"{column!r} is not a partition column of {path} (spec: {spec_cols})"
+        )
+    want = hive_partition_str(value)
     kept, total = [], 0
     for mpath in _snapshot_manifests(path, meta):
         with open(os.path.join(path, mpath)) as fh:
             for e in json.load(fh)["entries"]:
                 total += 1
-                if e.get("partition", {}).get(column) == str(value):
+                if e.get("partition", {}).get(column) == want:
                     kept.append(e["file_path"])
     return kept, total
 

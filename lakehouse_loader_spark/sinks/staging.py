@@ -1,0 +1,56 @@
+"""Shared staging-directory promotion for the Delta and Iceberg sinks.
+
+Both sinks write parquet parts via Spark into a staging directory, then
+promote them into the table layout while collecting per-file metadata
+(relative path, identity-partition values, size).  One implementation keeps
+the hive-directory parsing — including percent-unescaping and the
+``__HIVE_DEFAULT_PARTITION__`` null sentinel — identical on both paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import unquote
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def hive_partition_str(value) -> str | None:
+    """Canonical hive-directory representation of a partition VALUE, for
+    comparing user-supplied values against parsed partition metadata
+    (Spark lowercases booleans; null matches the null sentinel)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def promote_staged_files(staging: str, dest_dir: str) -> list[tuple[str, dict, int]]:
+    """Move parquet parts from a Spark staging write into ``dest_dir``,
+    preserving hive-style ``col=value`` partition directories.  Returns
+    one (relative_path, partition_values, size_bytes) tuple per file.
+
+    Partition values are UNESCAPED (Spark percent-escapes special
+    characters like ':' in directory names; table metadata must store the
+    true values) and the hive null sentinel decodes to ``None``."""
+    out: list[tuple[str, dict, int]] = []
+    os.makedirs(dest_dir, exist_ok=True)
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dst = os.path.join(dest_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, name), dst)
+            partition: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    partition[unquote(k)] = None if v == HIVE_NULL else unquote(v)
+            out.append((rel.replace(os.sep, "/"), partition, os.path.getsize(dst)))
+    shutil.rmtree(staging, ignore_errors=True)
+    return out

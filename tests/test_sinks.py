@@ -703,3 +703,23 @@ def test_delta_restore_and_history(spark, tmpdir):
     # restoring forward again (undo the restore) also works
     DL.restore_delta(spark, path, version=2)
     assert DL.read_delta(spark, path).count() == 12
+
+
+def test_iceberg_prune_canonicalizes_values_and_rejects_non_partition_cols(spark, tmpdir):
+    """Boolean partition values compare through the hive form ('true', not
+    'True'); pruning on a non-partition column raises instead of silently
+    returning zero files."""
+    from lakehouse_loader_spark.sinks import iceberg as IC
+    import pyspark.sql.functions as F2
+
+    path = os.path.join(tmpdir, "ice_bool")
+    df = spark.range(0, 20).select(
+        F2.col("id").alias("v"), (F2.pmod("id", F2.lit(2)) == 0).alias("flag")
+    )
+    IC.write_iceberg(df, path, partition_by=["flag"])
+    kept_true, total = IC.prune_iceberg_files(path, "flag", True)
+    assert kept_true and len(kept_true) < total
+    rows = IC.read_iceberg_pruned(spark, path, "flag", True).collect()
+    assert rows and all(r.flag is True for r in rows)
+    with pytest.raises(ValueError):
+        IC.prune_iceberg_files(path, "v", 3)
