@@ -423,3 +423,104 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for src, frac in MIXTURE_SPEC.items():
         rate = F.when(F.col("source") == src, int(frac * SA.BUCKET_SPACE)).otherwise(rate)
     return docs.filter(bucket < rate).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel: ordered view -> click -> purchase progression per user
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2)
+    SELECT DISTINCT user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM s3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage's
+    entry time is the earliest qualifying event AFTER the previous stage —
+    sequence matters, not mere presence.  Three chained window minima over
+    one user-partitioned shuffle; no self-joins, no per-user collect."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    s = ev.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+    s = s.withColumn(
+        "t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w)
+    )
+    s = s.withColumn(
+        "t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w)
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return s.select("user_id", stage.cast("bigint").alias("funnel_stage")).distinct()
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: weekly cohort x week-offset active-user counts
+# --------------------------------------------------------------------------
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(time_bucket(INTERVAL '7 days', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(time_bucket(INTERVAL '7 days', e.ts) AS DATE) AS active_week
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention analysis: users grouped into weekly first-activity cohorts;
+    for each cohort x week-offset, how many distinct users were active.
+    Two aggregations on the user key plus one broadcast-able cohort join —
+    the standard cohort-table shape, linear in events."""
+    ev = load_table(spark, sf_dir, "events")
+    # 7-day buckets anchored to 2000-01-03 (the Monday origin DuckDB's
+    # time_bucket uses for day-granularity intervals) so cohort boundaries
+    # are identical in both engines
+    anchor = F.lit("2000-01-03").cast("date")
+    days = F.datediff(F.col("ts").cast("date"), anchor)
+    week = F.date_add(anchor, (days - F.pmod(days, F.lit(7))).cast("int"))
+    ev = ev.withColumn("active_week", week)
+    firsts = ev.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    activity = (
+        ev.select("user_id", "active_week")
+        .distinct()
+        .join(F.broadcast(firsts), "user_id")
+    )
+    return (
+        activity.groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
