@@ -98,6 +98,26 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_window_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows on the unbounded stream — the incremental
+    form of the events_session_window_native batch query (identical
+    grouping: same session_window gap, same output columns).  A session
+    emits once the watermark passes its close (append mode); state per
+    open session only, bounded by the watermark horizon."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("user_id", "event_type"),

@@ -180,3 +180,62 @@ def test_streaming_dedup_drops_replayed_events(spark, staged_events):
         assert set(ids) == want
     finally:
         shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_streaming_session_windows_converge_to_batch(spark, staged_events):
+    """Native session_window on the stream (append mode, watermarked) must
+    produce exactly the batch session_window sessions once all input is
+    consumed.  Micro-batches are staged in EVENT-TIME order — a source that
+    replays history out of order beyond the watermark would (correctly)
+    drop the late fragments as late data, which is watermark semantics, not
+    a convergence property."""
+    _, src = staged_events
+    path = tempfile.mkdtemp(prefix="evsess_")
+    # three chronological segments, written sequentially (file stream
+    # processes in modification-time order)
+    import time as _time
+
+    mm = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span = (mm.hi - mm.lo) / 3
+    b1, b2 = mm.lo + span, mm.lo + 2 * span
+    segs = [
+        src.filter(F.col("ts") <= b1),
+        src.filter((F.col("ts") > b1) & (F.col("ts") <= b2)),
+        src.filter(F.col("ts") > b2),
+    ]
+    for seg in segs:
+        seg.coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    stream = SE.read_event_stream(spark, path)
+    q = (
+        SE.session_window_agg(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    batch = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+            "n",
+        )
+        .collect()
+    )
+    want = {(r.user_id, r.ss): r.n for r in batch}
+    # append mode only emits sessions the final watermark has passed; every
+    # emitted session must match its batch twin, and coverage must be
+    # substantial (the tail of open sessions at end-of-stream stays unemitted)
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert want.get(k) == v, f"session {k}: stream {v} vs batch {want.get(k)}"
+    assert len(got) >= 0.8 * len(want)
+    shutil.rmtree(path, ignore_errors=True)
