@@ -65,14 +65,26 @@ def asof_join(
             .orderBy("__t", "__src")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        match_expr = F.last("__payload", ignorenulls=True).over(w)
     else:
+        # DESCENDING scan with the same GROWING preceding frame: the frame
+        # of a row holds exactly the rows with __t >= its own, and
+        # last(ignorenulls) is the nearest such right row.  A
+        # (currentRow, unboundedFollowing) frame would be semantically
+        # identical but Spark re-evaluates unbounded-following frames from
+        # scratch per row — O(n²) per key partition; the growing preceding
+        # frame is incremental, O(n), matching the backward path.
+        # Tie order flips with the sort: right rows (src=1) must sort
+        # BEFORE left (src=0) at equal ts, which __src descending gives.
         w = (
             W.partitionBy(key)
-            .orderBy("__t", "__src")
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
+            .orderBy(F.col("__t").desc(), F.col("__src").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        match_expr = F.first("__payload", ignorenulls=True).over(w)
+    match_expr = F.last("__payload", ignorenulls=True).over(w)
+    # a NULL left timestamp matches nothing in either direction (in a
+    # descending sort nulls come LAST, so without the guard a null-ts left
+    # row's frame would span the whole partition and invent a match)
+    match_expr = F.when(F.col("__t").isNotNull(), match_expr)
     matched = unioned.withColumn("__match", match_expr)
     out = matched.filter(F.col("__src") == F.lit(left_src))
     if how == "inner":

@@ -79,6 +79,10 @@ def connected_components(
                 jrdd.unpersist(False)
 
     prev_ckpt_ids: set[int] = set()
+    # every checkpoint generation currently persisted — the failure path
+    # frees ALL of these (covering a crash between creating a checkpoint
+    # and retiring its predecessor, when two generations are live at once)
+    live_ckpt_ids: set[int] = set()
     converged = False
     try:
         for _ in range(max_iterations):
@@ -99,21 +103,24 @@ def connected_components(
             before = _persistent_ids()
             new_labels = new_labels.localCheckpoint(eager=True)
             new_ids = _persistent_ids() - before
+            live_ckpt_ids = prev_ckpt_ids | new_ids
             changed = new_labels.filter("__changed").count()
             labels = new_labels.drop("__changed")
             # the previous round's checkpoint is now unreachable — free it
             _free(prev_ckpt_ids)
             prev_ckpt_ids = new_ids
+            live_ckpt_ids = new_ids
             if changed == 0:  # fixpoint: labels stable ⇒ components final
                 converged = True
                 break
     finally:
-        # on ANY exit the edge cache is done; on a FAILED exit the last
-        # checkpoint is also unreachable — reclaim both (the success path
-        # must keep its final checkpoint alive: the returned frame reads it)
+        # on ANY exit the edge cache is done; on a FAILED exit every live
+        # checkpoint generation is also unreachable — reclaim them (the
+        # success path must keep its final checkpoint alive: the returned
+        # frame reads it)
         edges.unpersist()
         if not converged:
-            _free(prev_ckpt_ids)
+            _free(live_ckpt_ids)
     if not converged:
         # budget exhausted without a fixpoint: silent partial components
         # would split real duplicate groups — fail loudly instead

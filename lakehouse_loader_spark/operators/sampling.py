@@ -51,6 +51,14 @@ def hash_bucket_sql(key_sql: str, salt: str = "") -> str:
     )
 
 
+def bucket_threshold(fraction: float) -> int:
+    """The ONE bucket-threshold convention (rounded, not truncated) shared
+    by every sampling API and interpolated into their oracles — int()
+    truncation would drop bucket ⌊f·SPACE⌋ whenever f·SPACE lands just
+    below an integer (0.3·10⁶ = 299999.99…)."""
+    return int(round(fraction * BUCKET_SPACE))
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
     """Keep a deterministic ``fraction`` of rows: bucket(key) < f·SPACE.
 
@@ -60,9 +68,7 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") ->
     selects the same bucket range through either API — int() truncation
     would drop bucket ⌊f·SPACE⌋ whenever f·SPACE lands just below an
     integer (0.3·10⁶ = 299999.99…)."""
-    return df.filter(
-        hash_bucket(F.col(key_col), salt) < int(round(fraction * BUCKET_SPACE))
-    )
+    return df.filter(hash_bucket(F.col(key_col), salt) < bucket_threshold(fraction))
 
 
 def with_split(
@@ -83,7 +89,7 @@ def with_split(
     acc = 0.0
     for name, w in weights.items():
         acc += w
-        bounds.append((name, int(round(acc * BUCKET_SPACE))))
+        bounds.append((name, bucket_threshold(acc)))
     # first-match-wins CASE chain over the cumulative bounds; any remainder
     # beyond the last bound also lands in the last split
     expr = F.lit(bounds[-1][0])

@@ -398,6 +398,12 @@ MIXTURE_SPEC = {"src0": 0.9, "src1": 0.5, "src2": 0.5}
 MIXTURE_DEFAULT = 0.2
 
 
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{src}' THEN {SA.bucket_threshold(frac)}"
+    for src, frac in sorted({"src0": 0.9, "src1": 0.5, "src2": 0.5}.items())
+) + f" ELSE {SA.bucket_threshold(0.2)} END"
+
+
 @query(
     "sample_mixture_weights",
     oracle=f"""
@@ -405,11 +411,7 @@ MIXTURE_DEFAULT = 0.2
       SELECT doc_id, source, {SA.hash_bucket_sql('doc_id', 'mix')} AS bucket
       FROM documents)
     SELECT doc_id, source FROM b
-    WHERE bucket < CASE source
-      WHEN 'src0' THEN 900000
-      WHEN 'src1' THEN 500000
-      WHEN 'src2' THEN 500000
-      ELSE 200000 END
+    WHERE bucket < {_MIX_CASE}
     """,
 )
 def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,9 +421,11 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side hash decision per row: deterministic, no shuffle, no RNG."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = SA.hash_bucket(F.col("doc_id"), "mix")
-    rate = F.lit(int(MIXTURE_DEFAULT * SA.BUCKET_SPACE))
+    # thresholds through the ONE shared rounding convention — the oracle
+    # interpolates the same bucket_threshold values (no hand-coded literals)
+    rate = F.lit(SA.bucket_threshold(MIXTURE_DEFAULT))
     for src, frac in MIXTURE_SPEC.items():
-        rate = F.when(F.col("source") == src, int(frac * SA.BUCKET_SPACE)).otherwise(rate)
+        rate = F.when(F.col("source") == src, SA.bucket_threshold(frac)).otherwise(rate)
     return docs.filter(bucket < rate).select("doc_id", "source")
 
 
@@ -512,11 +516,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = F.date_add(anchor, (days - F.pmod(days, F.lit(7))).cast("int"))
     ev = ev.withColumn("active_week", week)
     firsts = ev.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
-    activity = (
-        ev.select("user_id", "active_week")
-        .distinct()
-        .join(F.broadcast(firsts), "user_id")
-    )
+    # no broadcast hint: firsts is one row per distinct USER — it only fits
+    # in memory at small scale, and AQE already broadcasts when it does;
+    # the shuffle join on user_id is the correct plan beyond that
+    activity = ev.select("user_id", "active_week").distinct().join(firsts, "user_id")
     return (
         activity.groupBy(
             "cohort_week",

@@ -338,9 +338,23 @@ def write_checkpoint(path: str) -> int:
 
 
 def _maybe_checkpoint(path: str, version: int) -> None:
-    """Auto-checkpoint after every CHECKPOINT_INTERVAL-th commit."""
+    """Auto-checkpoint after every CHECKPOINT_INTERVAL-th commit.
+
+    Checkpointing is a read optimization over an ALREADY-DURABLE commit —
+    a failure here (disk full, corrupt prior checkpoint) must not surface
+    as a failed write: the caller's commit succeeded, and re-running it
+    would double-apply.  Log and continue; the next interval retries."""
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
-        write_checkpoint(path)
+        try:
+            write_checkpoint(path)
+        except Exception as exc:  # noqa: BLE001 — deliberately broad, see above
+            import sys
+
+            print(
+                f"warning: checkpoint at version {version} failed ({exc}); "
+                "log replay falls back to JSON commits",
+                file=sys.stderr,
+            )
 
 
 def _metadata_action(schema: T.StructType, partition_by: list[str] | None = None) -> dict:

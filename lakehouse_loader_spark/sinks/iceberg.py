@@ -43,6 +43,11 @@ from lakehouse_loader_spark.sinks.modes import (
 COMMIT_RETRIES = 3
 
 
+class ConcurrentSpecChangeError(RuntimeError):
+    """The table's default partition spec changed between planning an
+    append and committing it — the staged files follow the old layout."""
+
+
 # -- schema ↔ iceberg JSON (field IDs assigned sequentially, R13) -----------
 
 _PRIMITIVES = {
@@ -382,6 +387,16 @@ def write_iceberg(
             if mode is WriteMode.OVERWRITE:
                 # re-apply the spec evolution over the winner's metadata
                 meta = _evolve_spec(meta, partition_by)
+            if mode is WriteMode.APPEND and (partition_by or []) != _default_spec_cols(meta):
+                # a concurrent overwrite EVOLVED the partition spec while we
+                # were writing files under the old layout; merging our
+                # manifest in would commit files whose partition values
+                # don't match the new default spec (silent mis-pruning)
+                raise ConcurrentSpecChangeError(
+                    f"partition spec changed concurrently (now "
+                    f"{_default_spec_cols(meta)}, wrote {partition_by or []}); "
+                    "re-run the append"
+                )
             if mode is WriteMode.APPEND:
                 # re-merge against the winner's manifest list (R16)
                 manifests = _snapshot_manifests(path, meta) + [manifest]

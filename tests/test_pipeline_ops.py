@@ -131,3 +131,26 @@ def test_multimodal_frame_sample_expands_rows(spark):
         (4, 8),
     ]
     assert all(len(r.frame) == 32 for r in rows)
+
+
+def test_asof_join_null_left_ts_matches_nothing(spark):
+    """A NULL left timestamp yields NULL payload in BOTH directions —
+    forward must not invent a match via an unbounded frame."""
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (2, None)], "id BIGINT, lts STRING"
+    ).selectExpr("id", "CAST(lts AS TIMESTAMP) AS lts", "'k' AS key")
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 10.0), ("2024-01-03 00:00:00", 30.0)], "rts STRING, val DOUBLE"
+    ).selectExpr("CAST(rts AS TIMESTAMP) AS rts", "val", "'k' AS key")
+    for direction, want in (("backward", 10.0), ("forward", 30.0)):
+        out = {
+            r.id: r.val
+            for r in asof_join(
+                left, right, key="key", left_ts="lts", right_ts="rts",
+                value_cols=["val"], direction=direction,
+            ).collect()
+        }
+        assert out[1] == want, direction
+        assert out[2] is None, f"null ts matched in {direction}"
