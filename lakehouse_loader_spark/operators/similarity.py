@@ -392,3 +392,87 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .withColumn("cosine", F.round("cosine", 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (embedding dimensionality reduction / whitening prep)
+# ---------------------------------------------------------------------------
+
+
+def train_pca(emb: DataFrame, vec_col: str = "embedding"):
+    """Mean vector + top eigenvectors of the covariance, computed with ONE
+    distributed pass: each partition accumulates (count, Σx, ΣxxT) in numpy
+    and emits a single partial row — the driver combines ~num_partitions
+    constant-size partials (d + d² doubles each) and eigendecomposes the
+    d×d covariance locally.  Nothing driver-side scales with row count;
+    this is the textbook scale shape for moments-based estimators.
+
+    Eigenvector sign is fixed (largest-|component| made positive) so the
+    projection is deterministic up to float summation order."""
+    import pandas as pd
+
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]})
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, schema="n LONG, s ARRAY<DOUBLE>, g ARRAY<DOUBLE>")
+        .collect()
+    )  # one row per partition — constant size, not data size
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals)
+    evals, evecs = evals[order], evecs[:, order]
+    # deterministic sign: largest-|component| of each eigenvector positive
+    for j in range(evecs.shape[1]):
+        i = np.argmax(np.abs(evecs[:, j]))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    return mean, evals, evecs
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal components
+    (optionally whitened to unit variance) — the dimensionality-reduction /
+    decorrelation step before clustering or coarse ANN.  Training is one
+    pass (train_pca); projection is one numpy matmul per Arrow batch with
+    the (d, k) component matrix broadcast in the UDF closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    mean, evals, evecs = train_pca(emb, vec_col)
+    comps = evecs[:, :k]  # (d, k)
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(evals[:k], 1e-12))
+
+    @pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        out = (m - mean) @ comps
+        return pd.Series(list(out))
+
+    return emb.select(
+        F.col(id_col), project(F.col(vec_col)).alias("pca")
+    )

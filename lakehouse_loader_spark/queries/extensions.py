@@ -1062,3 +1062,18 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
         normalize, schema="event_id BIGINT, user_id BIGINT, zscore DOUBLE"
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding PCA projection (dimensionality reduction for downstream ANN)
+# --------------------------------------------------------------------------
+@query("embedding_pca_project", oracle=None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 principal-component projection of the embedding corpus:
+    moments (mean + Gram) accumulate in ONE distributed pass as
+    constant-size per-partition partials, the 64x64 eigenproblem solves on
+    the driver, and projection is a numpy matmul per Arrow batch.
+    Rows-only: eigendecomposition has no SQL equivalent; tests check
+    agreement with local numpy PCA and variance ordering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pca_project(emb, k=16)

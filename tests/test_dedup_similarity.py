@@ -179,3 +179,31 @@ def test_asof_join_picks_latest_row_atomically(spark):
     assert (row.a, row.b) == (3, None)
     inner = asof_join(left, right, "key", "lts", "rts", ["b", "a"], how="inner").collect()
     assert len(inner) == 1 and inner[0].b is None and inner[0].a == 3
+
+
+def test_pca_projection_matches_local_numpy(spark, emb):
+    """Distributed moments + driver eigensolve must agree with plain local
+    numpy PCA (same sign convention) to float tolerance, and projected
+    variance must be non-increasing across components."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)
+    evecs = evecs[:, order]
+    for j in range(evecs.shape[1]):
+        i = np.argmax(np.abs(evecs[:, j]))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    want = {vid: (X[i] - mean) @ evecs[:, :8] for i, vid in enumerate(ids)}
+
+    got = {r.vec_id: np.array(r.pca) for r in S.pca_project(emb, k=8).collect()}
+    assert set(got) == set(want)
+    for vid in got:
+        np.testing.assert_allclose(got[vid], want[vid], atol=1e-8)
+    var = np.array([[v[j] for v in got.values()] for j in range(8)]).var(axis=1)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
