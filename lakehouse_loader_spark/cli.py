@@ -20,6 +20,7 @@ import os
 import sys
 
 from lakehouse_loader_spark.session import get_spark
+from lakehouse_loader_spark.sinks.modes import TargetExistsError
 from lakehouse_loader_spark.sources.readers import (
     DEFAULT_BATCH_SIZE,
     read_csv_source,
@@ -71,14 +72,24 @@ def do_main(argv: list[str]) -> None:
     else:
         df = read_parquet_source(spark, args.source)
     append = getattr(args, "append", False)
-    if args.command.endswith("delta"):
-        from lakehouse_loader_spark.sinks.delta import write_delta
+    try:
+        if args.command.endswith("delta"):
+            from lakehouse_loader_spark.sinks.delta import write_delta
 
-        write_delta(df, args.target, overwrite=args.overwrite, append=append)
-    else:
-        from lakehouse_loader_spark.sinks.iceberg import write_iceberg
+            write_delta(df, args.target, overwrite=args.overwrite, append=append)
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import write_iceberg
 
-        write_iceberg(df, args.target, overwrite=args.overwrite, append=append)
+            write_iceberg(df, args.target, overwrite=args.overwrite, append=append)
+    except TargetExistsError:
+        # Reference message (src/delta_destination.rs:421-427), but exit
+        # nonzero — a silent no-op success hides data-loss-shaped mistakes
+        # from scripted pipelines (deviation documented in write_delta).
+        print(
+            f"{args.target} already contains data, pass --overwrite to overwrite",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

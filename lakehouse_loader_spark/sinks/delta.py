@@ -160,8 +160,20 @@ def last_txn_version(path: str, app_id: str) -> int:
     if not table_exists(path):
         return -1
     best = -1
+    # Seed from the newest checkpoint's per-appId txn map (checkpoints
+    # already aggregate high-water marks) and replay only newer JSON
+    # commits, so per-call cost is bounded by the checkpoint interval
+    # rather than the whole log's commit count.
+    ckpt_floor = -1
+    ckpts = _checkpoint_versions(path)
+    if ckpts:
+        ckpt_floor = ckpts[-1]
+        _, _, txns = _load_checkpoint(path, ckpt_floor)
+        best = txns.get(app_id, -1)
     for f in os.listdir(_log_dir(path)):
         if not f.endswith(".json"):
+            continue
+        if int(f.split(".")[0]) <= ckpt_floor:
             continue
         with open(os.path.join(_log_dir(path), f)) as fh:
             for line in fh:
@@ -650,6 +662,16 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
     now_ms = int(time.time() * 1000)
 
     def actions() -> list[dict]:
+        # Validate inside each commit attempt: a vacuum racing the restore
+        # could delete a restored-from file after an earlier check passed,
+        # so re-verify against the files THIS attempt is about to re-add.
+        missing = [
+            p for p in adds_then if not os.path.exists(os.path.join(path, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {path} to v{version}: data files vacuumed: {missing[:5]}"
+            )
         _, _, adds_now = _read_log(path)
         removes = [
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
@@ -660,18 +682,11 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
         ]
         info = _commit_info("RESTORE", meta_then.get("partitionColumns"))
         info["commitInfo"]["operation"] = "RESTORE"
-        info["commitInfo"]["operationParameters"]["version"] = version
+        # operationParameters values are conventionally strings in Delta
+        # commitInfo (the other params in this file are JSON-encoded too)
+        info["commitInfo"]["operationParameters"]["version"] = str(version)
         return [info, *removes, *re_adds]
 
-    # restored-from files must still exist on disk (vacuum may have
-    # reclaimed them)
-    missing = [
-        p for p in adds_then if not os.path.exists(os.path.join(path, p))
-    ]
-    if missing:
-        raise FileNotFoundError(
-            f"cannot restore {path} to v{version}: data files vacuumed: {missing[:5]}"
-        )
     for attempt in range(COMMIT_RETRIES):
         latest, _, _ = _read_log(path)
         try:
@@ -820,6 +835,12 @@ def merge_delta(
     ]
 
     key_bounds = keys.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).first()
+    # canonicalize to the same representation _file_stats writes: temporal
+    # stats are serialized as isoformat strings in the "stats" payload, so
+    # comparing a native datetime/date against them would raise TypeError
+    kb_mn, kb_mx = key_bounds["mn"], key_bounds["mx"]
+    if hasattr(kb_mn, "isoformat"):
+        kb_mn, kb_mx = kb_mn.isoformat(), kb_mx.isoformat()
     snapshot_files = set(adds)
     new_rel = {a["path"] for a in new_adds}
 
@@ -827,6 +848,8 @@ def merge_delta(
         # a file appended concurrently may contain rows whose key this MERGE
         # should have updated; if its stats range intersects the source key
         # range (or it has no stats — conservative), the snapshot is stale
+        if kb_mn is None:
+            return  # empty merge source: nothing could have matched
         for rel, add in live.items():
             if rel in snapshot_files or rel in new_rel:
                 continue
@@ -836,8 +859,7 @@ def merge_delta(
             if (
                 mn is None
                 or mx is None
-                or key_bounds["mn"] is None
-                or (mx >= key_bounds["mn"] and mn <= key_bounds["mx"])
+                or (mx >= kb_mn and mn <= kb_mx)
             ):
                 raise ConcurrentModificationError(
                     f"concurrently appended file {rel} may contain merge keys; "

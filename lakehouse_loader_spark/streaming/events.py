@@ -160,9 +160,23 @@ def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
         write_delta,
     )
 
-    app_id = "stream_to_delta-" + hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:16]
+    # The appId must follow the checkpoint CONTENTS, not its path: a
+    # relocated/remounted checkpoint dir would silently mint a new appId
+    # and defeat duplicate-batch detection on replay.  Persist it in a
+    # marker file inside the checkpoint dir on first use.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_lhl_app_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            app_id = fh.read().strip()
+    else:
+        app_id = "stream_to_delta-" + hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:16]
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(app_id)
+        os.replace(tmp, marker)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

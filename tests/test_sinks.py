@@ -223,10 +223,26 @@ def test_cli_parquet_to_delta(spark, small_df, tmpdir):
     target = os.path.join(tmpdir, "out")
     do_main(["parquet-to-delta", src, target])
     assert DL.read_delta(spark, target).count() == 100
-    with pytest.raises(TargetExistsError):
+    # the CLI catches TargetExistsError, prints the reference's message
+    # (src/delta_destination.rs:421-427), and exits nonzero
+    with pytest.raises(SystemExit) as exc_info:
         do_main(["parquet-to-delta", src, target])
+    assert exc_info.value.code == 1
     do_main(["parquet-to-delta", src, target, "-o"])
     assert DL.read_delta(spark, target).count() == 100
+
+
+def test_cli_exists_message_matches_reference(spark, small_df, tmpdir, capsys):
+    from lakehouse_loader_spark.cli import do_main
+
+    src = os.path.join(tmpdir, "src2.parquet")
+    small_df.write.parquet(src)
+    target = os.path.join(tmpdir, "out2")
+    do_main(["parquet-to-delta", src, target])
+    with pytest.raises(SystemExit):
+        do_main(["parquet-to-delta", src, target])
+    err = capsys.readouterr().err
+    assert f"{target} already contains data, pass --overwrite to overwrite" in err
 
 
 # -- time travel + optimistic-concurrency conflicts -------------------------
@@ -534,6 +550,71 @@ def test_delta_merge_conflict_on_concurrent_append(spark, tmpdir):
             DL.merge_delta(spark, path, src, key="id")
     finally:
         DL._read_log = real_read
+
+
+def test_delta_merge_conflict_on_temporal_key(spark, tmpdir):
+    """Temporal merge keys: parquet-footer stats serialize datetimes as
+    isoformat strings, so the conflict check must canonicalize the source
+    key bounds the same way (str vs datetime comparison raised TypeError
+    before) and still detect the stale snapshot."""
+    path = os.path.join(tmpdir, "t")
+    base = spark.range(0, 100).select(
+        F.to_date(F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"))).alias("d"),
+        (F.col("id") * 2).alias("v"),
+    )
+    DL.write_delta(base, path)
+    src = spark.sql("SELECT DATE'2024-01-05' AS d, -1L AS v")
+
+    real_read = DL._read_log
+    state = {"injected": False}
+
+    def hooked(p, as_of_version=None):
+        out = real_read(p, as_of_version)
+        if not state["injected"]:
+            state["injected"] = True
+            DL.write_delta(
+                spark.sql("SELECT DATE'2024-01-05' AS d, 999L AS v"), p, append=True
+            )
+        return out
+
+    DL._read_log = hooked
+    try:
+        with pytest.raises(DL.ConcurrentModificationError):
+            DL.merge_delta(spark, path, src, key="d")
+    finally:
+        DL._read_log = real_read
+
+
+def test_delta_merge_empty_source_ignores_concurrent_append(spark, tmpdir):
+    """An empty merge source can't match anything, so a concurrent append
+    must NOT abort the merge (it used to spuriously conflict on the None
+    key bounds)."""
+    path = os.path.join(tmpdir, "t")
+    base = spark.range(0, 50).select("id", (F.col("id") * 2).alias("v"))
+    DL.write_delta(base, path)
+    src = spark.createDataFrame([], "id BIGINT, v BIGINT")
+
+    real_read = DL._read_log
+    state = {"injected": False}
+
+    def hooked(p, as_of_version=None):
+        out = real_read(p, as_of_version)
+        if not state["injected"]:
+            state["injected"] = True
+            DL.write_delta(
+                spark.range(1000, 1001).select("id", F.lit(1).cast("long").alias("v")),
+                p,
+                append=True,
+            )
+        return out
+
+    DL._read_log = hooked
+    try:
+        result = DL.merge_delta(spark, path, src, key="id")
+    finally:
+        DL._read_log = real_read
+    assert result["updated"] == 0 and result["inserted"] == 0
+    assert DL.read_delta(spark, path).count() == 51
 
 
 def test_delta_commit_info_records_partition_by(small_df, tmpdir):

@@ -114,6 +114,41 @@ def test_stream_to_delta_ingestion(spark, staged_events):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_stream_to_delta_app_id_follows_checkpoint_contents(spark, staged_events):
+    """The exactly-once appId is persisted in a marker file inside the
+    checkpoint dir, so relocating the checkpoint keeps the same identity
+    (path-derived ids would silently defeat duplicate-batch detection)."""
+    import tempfile
+
+    path, src = staged_events
+    out = tempfile.mkdtemp(prefix="evdelta_")
+    ckpt = tempfile.mkdtemp(prefix="evckpt_")
+    moved = tempfile.mkdtemp(prefix="evckpt_moved_")
+    try:
+        q = SE.stream_to_delta(SE.read_event_stream(spark, path), os.path.join(out, "t"), ckpt)
+        q.awaitTermination(120)
+        marker = os.path.join(ckpt, "_lhl_app_id")
+        assert os.path.exists(marker)
+        with open(marker) as fh:
+            app_id = fh.read().strip()
+        # relocate the checkpoint dir; re-running the stream must reuse the
+        # recorded appId (no new rows — every batch already committed)
+        shutil.rmtree(moved)
+        shutil.move(ckpt, moved)
+        from lakehouse_loader_spark.sinks import delta as DL
+
+        n_before = DL.read_delta(spark, os.path.join(out, "t")).count()
+        q2 = SE.stream_to_delta(SE.read_event_stream(spark, path), os.path.join(out, "t"), moved)
+        q2.awaitTermination(120)
+        with open(os.path.join(moved, "_lhl_app_id")) as fh:
+            assert fh.read().strip() == app_id
+        assert DL.read_delta(spark, os.path.join(out, "t")).count() == n_before
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(moved, ignore_errors=True)
+
+
 def test_stream_stream_join_matches_batch(spark, staged_events):
     """Watermarked stream-stream join result must equal the equivalent
     batch join once all input is consumed."""
