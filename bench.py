@@ -42,6 +42,7 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
         # min of 2 runs at the target SF: the first run of a complex plan
@@ -49,14 +50,22 @@ def main() -> None:
         # shapes (the sf0.001 warmup compiled different ones); the min is
         # the steady-state engine time and is far more reproducible
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # Materialize every output row on the executors without
-            # collecting results to the driver.
-            n = df.count()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # Materialize every output row on the executors without
+                # collecting results to the driver.
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+        except Exception as exc:  # one broken query must NOT kill the bench
+            # (round-3 postmortem: a single AnalysisException aborted the
+            # whole run and the round lost its entire perf signal)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:200]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         timings[name] = round(min(runs), 4)
         print(
             f"# {name}: {timings[name]:.3f}s (runs {[round(r, 3) for r in runs]}, {n} rows)",
@@ -85,10 +94,10 @@ def main() -> None:
     from lakehouse_loader_spark.sinks.iceberg import write_iceberg
 
     loader: dict[str, float] = {}
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    n_rows = li.count()
     tmp = tempfile.mkdtemp(prefix="bench_loader_")
     try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        n_rows = li.count()
         t0 = time.perf_counter()
         write_delta(li, os.path.join(tmp, "delta"))
         loader["parquet_to_delta_sec"] = round(time.perf_counter() - t0, 4)
@@ -98,6 +107,9 @@ def main() -> None:
         loader["lineitem_rows"] = n_rows
         loader["delta_rows_per_sec"] = round(n_rows / loader["parquet_to_delta_sec"])
         loader["iceberg_rows_per_sec"] = round(n_rows / loader["parquet_to_iceberg_sec"])
+    except Exception as exc:  # loader failure must not kill the query numbers
+        errors["__loader__"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# loader ERROR: {errors['__loader__'][:200]}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(f"# loader: {loader}", file=sys.stderr)
@@ -116,6 +128,8 @@ def main() -> None:
         "loader": loader,
         "sf": sf_val,
     }
+    if errors:
+        payload["errors"] = errors
     # Full-precision detail for humans / the judge.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
@@ -125,13 +139,15 @@ def main() -> None:
     # chars: compact separators, 2-decimal timings, and if still too long,
     # fold the fastest queries into one "other_fast" bucket.
     def render(qs: dict[str, float]) -> str:
-        return json.dumps(
-            {**payload, "queries": qs, "loader": {
-                "delta_rps": loader.get("delta_rows_per_sec"),
-                "iceberg_rps": loader.get("iceberg_rows_per_sec"),
-            }},
-            separators=(",", ":"),
-        )
+        compact_payload = {**payload, "queries": qs, "loader": {
+            "delta_rps": loader.get("delta_rows_per_sec"),
+            "iceberg_rps": loader.get("iceberg_rows_per_sec"),
+        }}
+        if errors:
+            # full tracebacks live in BENCH_DETAIL.json; the JSON line only
+            # needs which queries errored (and must stay <1800 chars)
+            compact_payload["errors"] = sorted(errors)
+        return json.dumps(compact_payload, separators=(",", ":"))
 
     by_cost = sorted(timings, key=timings.get, reverse=True)
     n_keep = len(by_cost)

@@ -46,17 +46,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         parallelism = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
     if name == "events":
-        # without this the parquet footer's TIMESTAMP(NANOS) is rejected
+        # Spark ≤3.x rejects the parquet footer's TIMESTAMP(NANOS) unless this
+        # legacy conf surfaces it as epoch-nanos long; Spark 4.1+ reads NANOS
+        # natively as TIMESTAMP_NTZ (truncated to µs) and ignores the conf.
+        # Setting it is harmless on 4.1+ and required on older engines.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as epoch-nanos long
-        # via spark.sql.legacy.parquet.nanosAsLong; truncate to micros —
-        # exactly what DuckDB does internally (µs-native timestamps) — so
-        # both engines observe identical values.
+        # Normalize ts to TIMESTAMP_NTZ(µs) whatever the engine handed us,
+        # branching on the OBSERVED dtype rather than the Spark version —
+        # robust to environment drift either direction:
+        #   - LongType: legacy nanosAsLong path (Spark ≤3.x) → epoch-nanos;
+        #     truncate to micros, exactly what DuckDB does internally
+        #     (µs-native timestamps), so both engines observe equal values.
+        #   - TimestampNTZType: Spark 4.1+ native NANOS read; values are
+        #     already the truncated-to-µs equivalents — use as-is.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif isinstance(ts_type, TimestampNTZType):
+            pass  # already µs-precision NTZ — identical to the rebased values
+        else:
+            raise TypeError(
+                f"events.ts read as unexpected dtype {ts_type}; expected "
+                "LongType (legacy nanosAsLong) or TimestampNTZType (Spark 4.1+ "
+                "native TIMESTAMP(NANOS) support)"
+            )
     return df
 
 
