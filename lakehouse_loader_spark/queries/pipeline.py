@@ -371,24 +371,65 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible greedy packing (docs may straddle pack boundaries;
     boundary-respecting first-fit is not order-parallel, this is).
 
-    Scale note: the running sum is a single global-order window — at 100 TB
-    you'd range-partition by doc_id and seed each partition with the
-    previous partitions' token totals (two passes, no global sort); the
-    declarative form here IS that plan for Spark (RangePartitioning +
-    per-partition scan)."""
+    Scale design (two-pass distributed prefix sum — NO global-order window):
+      1. bucket: a deterministic, monotonic-in-doc_id range bucket computed
+         from min/max doc_id (pure map-side expression; no sampling, so the
+         bucketing is identical across the two passes and across retries),
+      2. pass A: per-bucket token totals (tiny groupBy, ≤ n_buckets rows to
+         the driver) → exclusive prefix offsets, broadcast back,
+      3. pass B: partition-local running sum (window PARTITIONED by bucket)
+         plus the broadcast bucket offset.
+    Every window here is keyed, so no Exchange SinglePartition appears in
+    the plan (pinned by tests/test_plan_quality.py); wall-clock parallelism
+    is n_buckets ≈ defaultParallelism at any scale.  The 2-column token
+    frame is persisted so tokenization (the expensive part) runs once, not
+    once per pass — at 100 TB use MEMORY_AND_DISK or a temp parquet."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(T.tokens_col(F.col("text"))).cast("bigint")
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     t = docs.select("doc_id", n_tokens.alias("n_tokens"))
-    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return t.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(cum_excl / 512).cast("bigint").alias("pack_id"),
-        (cum_excl % 512).cast("bigint").alias("pack_offset"),
+
+    n_buckets = max(2, spark.sparkContext.defaultParallelism)
+    lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty table: no rows, any plan works
+        return t.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("pack_id"),
+            F.lit(0).cast("bigint").alias("pack_offset"),
+        )
+    span = int(hi) - int(lo) + 1
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("int"),
     )
+    tb = t.withColumn("_bkt", bucket).persist()
+    try:
+        # pass A: constant-size driver state (one row per bucket)
+        totals = tb.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot")).collect()
+        offsets, running = [], 0
+        for row in sorted(totals, key=lambda r: r["_bkt"]):
+            offsets.append((int(row["_bkt"]), running))
+            running += int(row["_tot"])
+        off_df = spark.createDataFrame(offsets, "_bkt int, _bkt_off bigint")
+
+        # pass B: keyed window (bucket-local running sum) + broadcast offsets
+        w = W.partitionBy("_bkt").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        local_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        cum_excl = F.col("_bkt_off") + local_excl
+        return (
+            tb.join(F.broadcast(off_df), "_bkt")
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.floor(cum_excl / 512).cast("bigint").alias("pack_id"),
+                (cum_excl % 512).cast("bigint").alias("pack_offset"),
+            )
+        )
+    except Exception:
+        tb.unpersist()
+        raise
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,17 @@ def test_flagship_is_two_stage_agg(spark):
     assert "Exchange" in plan
 
 
+def test_pack_sequences_no_global_window(spark):
+    """The distributed prefix sum must never plan a single-partition window:
+    every Window sits over a keyed Exchange (hashpartitioning on the range
+    bucket), and the only SinglePartition exchange allowed is the broadcast
+    of the tiny per-bucket offset table."""
+    plan = _plan(spark, "pack_sequences")
+    assert "Window" in plan  # the bucket-local running sum is still a window
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # offsets ride a broadcast, not a shuffle
+
+
 def test_no_cartesian_anywhere(spark):
     """No declared query may plan a cartesian product (theta joins must ride
     an equi key or a broadcast)."""
