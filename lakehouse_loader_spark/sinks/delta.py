@@ -37,6 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from lakehouse_loader_spark.sinks.staging import accepts_file_uris
 from lakehouse_loader_spark.sinks.alignment import check_schema_aligned
 from lakehouse_loader_spark.sinks.modes import (
     TargetExistsError,
@@ -66,6 +67,7 @@ def _version_file(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.json")
 
 
+@accepts_file_uris
 def table_exists(path: str) -> bool:
     return os.path.isdir(_log_dir(path)) and any(
         f.endswith(".json") for f in os.listdir(_log_dir(path))
@@ -146,11 +148,13 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
     return latest, meta, adds
 
 
+@accepts_file_uris
 def table_schema(path: str) -> T.StructType:
     _, meta, _ = _read_log(path)
     return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
 
+@accepts_file_uris
 def last_txn_version(path: str, app_id: str) -> int:
     """Highest committed ``txn`` version for ``app_id`` (Delta's
     transaction-identifier mechanism for idempotent writes), or -1.  A
@@ -235,6 +239,7 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
 CHECKPOINT_INTERVAL = 10
 
 
+@accepts_file_uris
 def write_checkpoint(path: str) -> int:
     """Write a protocol-shaped checkpoint parquet of the CURRENT state
     (protocol + metaData + live adds + latest txn per appId, one action per
@@ -428,6 +433,7 @@ def _commit_checked(
                 raise
 
 
+@accepts_file_uris
 def write_delta(
     df: DataFrame,
     path: str,
@@ -516,6 +522,7 @@ def _file_reader(spark: SparkSession, path: str, meta: dict, schema: T.StructTyp
     return reader
 
 
+@accepts_file_uris
 def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read a Delta table by replaying its transaction log (adds minus
     removes) — no connector JAR required.  ``version`` time-travels to an
@@ -530,6 +537,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     return _file_reader(spark, path, meta, schema).parquet(*files)
 
 
+@accepts_file_uris
 def optimize_delta(
     spark: SparkSession,
     path: str,
@@ -616,6 +624,7 @@ def _file_stats(file_path: str) -> dict:
     return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
 
 
+@accepts_file_uris
 def prune_files_by_stats(
     path: str, column: str, lower, upper, adds: dict[str, dict] | None = None
 ) -> tuple[list[str], int]:
@@ -637,6 +646,7 @@ def prune_files_by_stats(
     return kept, len(adds)
 
 
+@accepts_file_uris
 def read_delta_pruned(
     spark: SparkSession, path: str, column: str, lower, upper
 ) -> DataFrame:
@@ -652,6 +662,7 @@ def read_delta_pruned(
     return _file_reader(spark, path, meta, schema).parquet(*files)
 
 
+@accepts_file_uris
 def restore_delta(spark: SparkSession, path: str, version: int) -> None:
     """RESTORE: make the table's CURRENT state equal its state at
     ``version``, as a NEW commit (history is never rewritten — the restore
@@ -698,6 +709,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
                 raise
 
 
+@accepts_file_uris
 def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one entry per committed version (newest first)
     with the recorded operation and parameters — read straight from the
@@ -727,6 +739,7 @@ def table_history(path: str) -> list[dict]:
     return list(reversed(out))
 
 
+@accepts_file_uris
 def vacuum_delta(path: str) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     (removed by overwrite-in-place or OPTIMIZE).  Time travel to versions
@@ -748,6 +761,7 @@ def vacuum_delta(path: str) -> list[str]:
     return deleted
 
 
+@accepts_file_uris
 def merge_delta(
     spark: SparkSession,
     path: str,

@@ -15,12 +15,16 @@ Mirrors the reference's iceberg destination semantics
 - conditional-put commit of vN+1 + retry ≤3 on conflict (R14, :354-367 +
   src/lib.rs:82)
 
-DEVIATION from the Iceberg spec: manifest and manifest-list files are JSON,
-not Avro (no Avro library in this environment).  The metadata JSON itself
-follows the TableMetadata v2 shape, and every semantic the reference tests
-(sequence numbers, alignment matrix, retry, version hint) is faithful; a
-spec-compliant Avro writer can replace the manifest encoder without touching
-any calling code.
+Manifest and manifest-list files are spec-compliant Avro OCF (format v2),
+matching the reference's output encoding (iceberg_destination.rs:271,315):
+``manifest_entry``/``data_file`` records with Iceberg field-ids in the Avro
+schema, typed identity-partition values, record counts, and inherited
+sequence numbers; manifest-list ``manifest_file`` records carry sequence /
+min-sequence numbers and file/row counts.  The Avro encoding itself lives in
+``avro_ocf.py`` (no Python Avro library ships in this environment) and is
+cross-validated in tests against the JVM's org.apache.avro bundled with
+Spark.  Paths stored in manifests are absolute, as the spec's full-location
+convention requires (Iceberg tables are not relocatable).
 """
 
 from __future__ import annotations
@@ -33,6 +37,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from lakehouse_loader_spark.sinks import avro_ocf
+from lakehouse_loader_spark.sinks.staging import accepts_file_uris
 from lakehouse_loader_spark.sinks.alignment import SchemaAlignmentError, check_schema_aligned
 from lakehouse_loader_spark.sinks.modes import (
     TargetExistsError,
@@ -151,6 +157,7 @@ def _hint_file(path: str) -> str:
     return os.path.join(_meta_dir(path), "version-hint.text")
 
 
+@accepts_file_uris
 def table_exists(path: str) -> bool:
     return os.path.isfile(_hint_file(path))
 
@@ -207,28 +214,249 @@ def _write_data_files(
     ]
 
 
-def _write_manifest(path: str, snapshot_id: int, entries: list[dict]) -> str:
-    """One manifest per commit (JSON; see module deviation note)."""
-    name = f"manifest-{uuid.uuid4().hex}.json"
-    with open(os.path.join(_meta_dir(path), name), "w") as fh:
-        json.dump({"snapshot-id": snapshot_id, "entries": entries}, fh)
-    return f"metadata/{name}"
+# -- Avro manifest encoding (Iceberg spec v2) -------------------------------
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# identity-partition source types representable as Avro partition values
+_ICE_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+}
 
 
-def _write_manifest_list(path: str, snapshot_id: int, manifests: list[str]) -> str:
-    name = f"manifest-list-{uuid.uuid4().hex}.json"
-    with open(os.path.join(_meta_dir(path), name), "w") as fh:
-        json.dump({"snapshot-id": snapshot_id, "manifests": manifests}, fh)
-    return f"metadata/{name}"
+def _spec_by_id(meta: dict, spec_id: int) -> dict:
+    return next(s for s in meta["partition-specs"] if s["spec-id"] == spec_id)
 
 
-def _snapshot_manifests(path: str, meta: dict) -> list[str]:
-    """Manifest paths of the current snapshot (empty for a fresh table)."""
+def _partition_avro_fields(spec: dict, schema_ice: dict) -> list[dict]:
+    """Avro fields of the r102 partition record: one optional field per
+    identity-partition column, typed by the SOURCE column's iceberg type
+    and carrying the spec's partition field-id."""
+    by_id = {f["id"]: f for f in schema_ice["fields"]}
+    fields = []
+    for pf in spec["fields"]:
+        src_type = by_id[pf["source-id"]]["type"]
+        if not isinstance(src_type, str) or src_type not in _ICE_TO_AVRO:
+            raise ValueError(
+                f"identity partition on type {src_type!r} not supported by the "
+                "manifest encoder"
+            )
+        fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _ICE_TO_AVRO[src_type]],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    return fields
+
+
+def _typed_partition_value(value: str | None, ice_type: str):
+    """Hive-directory string → typed Iceberg partition value."""
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(value)
+    if ice_type == "boolean":
+        return value == "true"
+    if ice_type in ("float", "double"):
+        return float(value)
+    if ice_type == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(value) - _dt.date(1970, 1, 1)).days
+    return value
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            # null on ADDED entries → inherited from the manifest_file record
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": partition_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _write_manifest(path: str, snapshot_id: int, entries: list[dict], meta: dict) -> dict:
+    """Write one Avro manifest for this commit's added files; returns its
+    ``manifest_file`` record with sequence numbers unset (the manifest-list
+    writer stamps them — they may change on a commit-conflict retry, which
+    is exactly why the spec inherits entry sequence numbers).
+
+    Per-file record counts come from the parquet footers (a driver-side
+    metadata read; on a cluster the task commit messages would carry them)."""
+    import pyarrow.parquet as pq
+
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    spec_fields = {f["name"]: f for f in spec["fields"]}
+    by_id = {f["id"]: f for f in schema_ice["fields"]}
+    part_fields = _partition_avro_fields(spec, schema_ice)
+    schema = _manifest_entry_schema(part_fields)
+
+    abs_path = os.path.abspath(path)
+    records, total_rows = [], 0
+    for e in entries:
+        file_abs = os.path.join(abs_path, e["file_path"])
+        n_rows = pq.ParquetFile(file_abs).metadata.num_rows
+        total_rows += n_rows
+        partition = {
+            name: _typed_partition_value(
+                e["partition"].get(name), by_id[pf["source-id"]]["type"]
+            )
+            for name, pf in spec_fields.items()
+        }
+        records.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit from manifest_file
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": file_abs,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": e["file_size_in_bytes"],
+                },
+            }
+        )
+
+    name = f"{uuid.uuid4().hex}-m0.avro"
+    full = os.path.join(_meta_dir(abs_path), name)
+    avro_ocf.write_ocf(
+        full,
+        schema,
+        records,
+        metadata={
+            "schema": json.dumps(schema_ice),
+            "schema-id": str(meta["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    return {
+        "manifest_path": full,
+        "manifest_length": os.path.getsize(full),
+        "partition_spec_id": spec["spec-id"],
+        "content": 0,  # data
+        "sequence_number": -1,  # stamped by _write_manifest_list
+        "min_sequence_number": -1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(records),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
+def _write_manifest_list(
+    path: str, snapshot_id: int, manifests: list[dict], sequence_number: int
+) -> str:
+    """Write the snapshot's Avro manifest list.  ``manifests`` records with
+    unstamped (-1) sequence numbers — i.e. the one added by THIS commit —
+    get the commit's final sequence number; carried-forward records keep
+    the sequence numbers of the commits that added them."""
+    records = []
+    for m in manifests:
+        m = dict(m)
+        if m["sequence_number"] == -1:
+            m["sequence_number"] = sequence_number
+            m["min_sequence_number"] = sequence_number
+        records.append(m)
+    name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    full = os.path.join(_meta_dir(os.path.abspath(path)), name)
+    avro_ocf.write_ocf(
+        full,
+        _MANIFEST_FILE_SCHEMA,
+        records,
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(sequence_number),
+            "format-version": "2",
+        },
+    )
+    return full
+
+
+def _read_manifest_list(path: str, manifest_list: str) -> list[dict]:
+    full = manifest_list if os.path.isabs(manifest_list) else os.path.join(path, manifest_list)
+    _, _, records = avro_ocf.read_ocf(full)
+    return records
+
+
+def _read_manifest_entries(path: str, manifest_path: str) -> list[dict]:
+    full = manifest_path if os.path.isabs(manifest_path) else os.path.join(path, manifest_path)
+    _, _, records = avro_ocf.read_ocf(full)
+    return records
+
+
+def _snapshot_manifests(path: str, meta: dict) -> list[dict]:
+    """``manifest_file`` records of the current snapshot (empty for a fresh
+    table)."""
     snap_id = meta.get("current-snapshot-id", -1)
     for snap in meta.get("snapshots", []):
         if snap["snapshot-id"] == snap_id:
-            with open(os.path.join(path, snap["manifest-list"])) as fh:
-                return json.load(fh)["manifests"]
+            return _read_manifest_list(path, snap["manifest-list"])
     return []
 
 
@@ -278,6 +506,7 @@ def _evolve_spec(meta: dict, partition_by: list[str] | None) -> dict:
     return meta
 
 
+@accepts_file_uris
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -322,6 +551,10 @@ def write_iceberg(
                 "current-schema-id": 0,
                 "partition-specs": [_identity_spec(schema_ice, partition_by or [], 0)],
                 "default-spec-id": 0,
+                "last-partition-id": 999 + len(partition_by or []),
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "properties": {},
                 "snapshots": [],
             }
         else:
@@ -345,12 +578,12 @@ def write_iceberg(
     entries = _write_data_files(df, path, partition_by)
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
-    manifest = _write_manifest(path, snapshot_id, entries)
+    manifest = _write_manifest(path, snapshot_id, entries, meta)
     if mode is WriteMode.APPEND:
         manifests = _snapshot_manifests(path, meta) + [manifest]
     else:  # create or overwrite: new lineage
         manifests = [manifest]
-    manifest_list = _write_manifest_list(path, snapshot_id, manifests)
+    manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
 
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -397,12 +630,18 @@ def write_iceberg(
                     f"{_default_spec_cols(meta)}, wrote {partition_by or []}); "
                     "re-run the append"
                 )
+            sequence_number = meta["last-sequence-number"] + 1
             if mode is WriteMode.APPEND:
                 # re-merge against the winner's manifest list (R16)
                 manifests = _snapshot_manifests(path, meta) + [manifest]
-                manifest_list = _write_manifest_list(path, snapshot_id, manifests)
-                snapshot["manifest-list"] = manifest_list
-            sequence_number = meta["last-sequence-number"] + 1
+            # the retried commit carries a NEW sequence number, and the
+            # manifest list stamps it onto this commit's manifest record —
+            # so the list must be rewritten in every mode (entries inside the
+            # manifest inherit, so the manifest itself needs no rewrite)
+            manifest_list = _write_manifest_list(
+                path, snapshot_id, manifests, sequence_number
+            )
+            snapshot["manifest-list"] = manifest_list
             snapshot["sequence-number"] = sequence_number
             new_meta = dict(meta)
             new_meta["last-sequence-number"] = sequence_number
@@ -414,6 +653,7 @@ def write_iceberg(
         fh.write(str(new_version))
 
 
+@accepts_file_uris
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -433,25 +673,25 @@ def read_iceberg(
                 f"snapshot {snapshot_id} not in {path} "
                 f"(have {[s['snapshot-id'] for s in meta.get('snapshots', [])]})"
             )
-        with open(os.path.join(path, matches[0]["manifest-list"])) as fh:
-            manifests = json.load(fh)["manifests"]
+        manifests = _read_manifest_list(path, matches[0]["manifest-list"])
     files = []
     partitioned = False
-    for mpath in manifests:
-        with open(os.path.join(path, mpath)) as fh:
-            for e in json.load(fh)["entries"]:
-                files.append(os.path.join(path, e["file_path"]))
-                partitioned = partitioned or bool(e.get("partition"))
+    for mf in manifests:
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            fp = e["data_file"]["file_path"]
+            files.append(fp if os.path.isabs(fp) else os.path.join(path, fp))
+            partitioned = partitioned or bool(e["data_file"]["partition"])
     if not files:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema)
     if partitioned:
         # hive-style dirs carry the partition values; basePath re-derives
         # the partition columns the data files themselves omit
-        reader = reader.option("basePath", os.path.join(path, "data"))
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     return reader.parquet(*files)
 
 
+@accepts_file_uris
 def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
     """Manifest-level identity-partition pruning: data files of the current
     snapshot whose partition value for ``column`` equals ``value``.
@@ -473,15 +713,18 @@ def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
         )
     want = hive_partition_str(value)
     kept, total = [], 0
-    for mpath in _snapshot_manifests(path, meta):
-        with open(os.path.join(path, mpath)) as fh:
-            for e in json.load(fh)["entries"]:
-                total += 1
-                if e.get("partition", {}).get(column) == want:
-                    kept.append(e["file_path"])
+    for mf in _snapshot_manifests(path, meta):
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            total += 1
+            # manifests store TYPED partition values; canonicalize both
+            # sides to the hive string form for comparison
+            got = e["data_file"]["partition"].get(column)
+            if hive_partition_str(got) == want:
+                kept.append(e["data_file"]["file_path"])
     return kept, total
 
 
+@accepts_file_uris
 def read_iceberg_pruned(
     spark: SparkSession, path: str, column: str, value
 ) -> DataFrame:
@@ -492,16 +735,18 @@ def read_iceberg_pruned(
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     if not kept:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema).option("basePath", os.path.join(path, "data"))
-    return reader.parquet(*[os.path.join(path, p) for p in kept])
+    reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
+    return reader.parquet(*[p if os.path.isabs(p) else os.path.join(path, p) for p in kept])
 
 
+@accepts_file_uris
 def snapshot_ids(path: str) -> list[int]:
     """All retained snapshot ids, oldest first."""
     _, meta = _read_metadata(path)
     return [s["snapshot-id"] for s in meta.get("snapshots", [])]
 
 
+@accepts_file_uris
 def snapshot_sequence_numbers(path: str) -> list[int]:
     """Sequence numbers of all snapshots, oldest first (the reference's e2e
     asserts [1] after create and [1,2] after overwrite/append)."""

@@ -16,6 +16,47 @@ from urllib.parse import unquote
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def local_path(path: str) -> str:
+    """Resolve a ``file://`` URI to a plain filesystem path (no-op for bare
+    paths).  The reference's CompatObjectStore accepts URI table locations
+    (delta_destination.rs:232-390); this sink supports the local scheme that
+    exists in this environment — s3/gs/abfs URIs go through Spark's Hadoop
+    conf and are rejected here rather than silently treated as local dirs."""
+    if not path.startswith("file:"):
+        import re
+
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+            raise ValueError(f"unsupported URI scheme for local sink: {path!r}")
+        return path
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(path)
+    if parsed.netloc not in ("", "localhost"):
+        raise ValueError(f"file URI with non-local authority: {path!r}")
+    return unquote(parsed.path) or "/"
+
+
+def accepts_file_uris(fn):
+    """Decorator: normalize any ``file://`` URI string argument of a public
+    sink function to its local path, so callers can address tables by URI
+    (the layer CompatObjectStore provides in the reference)."""
+    import functools
+    import re
+
+    # file: URIs get resolved; any other scheme://... is rejected by
+    # local_path (never silently treated as a local directory)
+    uri_like = re.compile(r"^file:|^[A-Za-z][A-Za-z0-9+.-]*://")
+
+    def norm(v):
+        return local_path(v) if isinstance(v, str) and uri_like.match(v) else v
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return fn(*[norm(a) for a in args], **{k: norm(v) for k, v in kwargs.items()})
+
+    return wrapper
+
+
 def hive_partition_str(value) -> str | None:
     """Canonical hive-directory representation of a partition VALUE, for
     comparing user-supplied values against parsed partition metadata

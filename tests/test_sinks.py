@@ -779,7 +779,8 @@ def test_delta_restore_and_history(spark, tmpdir):
     assert DL.read_delta(spark, path, version=2).count() == 12
     hist = DL.table_history(path)
     assert hist[0]["operation"] == "RESTORE"
-    assert hist[0]["operationParameters"]["version"] == 1
+    # operationParameters values are strings, per the Delta convention
+    assert hist[0]["operationParameters"]["version"] == "1"
     assert [h["version"] for h in hist] == [3, 2, 1, 0]
     # restoring forward again (undo the restore) also works
     DL.restore_delta(spark, path, version=2)

@@ -19,9 +19,11 @@ from tests.conftest import SF_SMOKE
 def staged_events(spark):
     """Split the sf0.001 events table into 3 parquet files so the file
     stream sees 3 micro-batches."""
+    from lakehouse_loader_spark.catalog import load_table
+
     tmp = tempfile.mkdtemp(prefix="evstream_")
-    src = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the catalog normalizes ts to TIMESTAMP_NTZ(µs) on any pyspark version
+    src = load_table(spark, SF_SMOKE, "events")
     src.repartition(3).write.mode("overwrite").parquet(tmp)
     yield tmp, src
     shutil.rmtree(tmp, ignore_errors=True)
