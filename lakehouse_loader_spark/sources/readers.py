@@ -69,6 +69,60 @@ def read_jsonl_source(
     return reader.json(path)
 
 
+def postgres_jdbc_options(
+    conn_url: str,
+    query: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    user: str | None = None,
+    password: str | None = None,
+) -> dict[str, str]:
+    """Assemble the Spark JDBC reader options for a Postgres query — the
+    pure, connection-free half of the source, unit-testable without a
+    driver jar.  Mirrors the reference's connection setup
+    (src/pg_arrow_source.rs:201-248):
+
+    - accepts libpq-style ``postgresql://user:pw@host:port/db`` URLs (and
+      already-prefixed ``jdbc:`` forms); credentials embedded in the URL
+      are lifted into JDBC options, since JDBC URLs carry no userinfo
+    - ``PGPASSWORD`` overrides the connection string's password
+      (pg_arrow_source.rs:206-209); an explicit ``password`` argument
+      overrides both
+    - ``fetchsize`` = ``batch_size``: rows per server round-trip, the
+      analog of the reference's ``--batch-size`` (src/lib.rs:43-50) —
+      Spark pivots each fetch into columnar batches (R2)
+    - ``query`` is prepared server-side by the JDBC source to learn the
+      result schema, exactly the reference's prepare step
+      (pg_arrow_source.rs:220-236)
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    body = conn_url[len("jdbc:") :] if conn_url.startswith("jdbc:") else conn_url
+    parsed = urlparse(body)
+    if parsed.scheme not in ("postgresql", "postgres"):
+        raise ValueError(f"not a postgres connection url: {conn_url!r}")
+    host = parsed.hostname or "localhost"
+    port = parsed.port or 5432
+    db = parsed.path or ""
+    opts = {
+        "url": f"jdbc:postgresql://{host}:{port}{db}",
+        "query": query,
+        "fetchsize": str(batch_size),
+        "driver": "org.postgresql.Driver",
+    }
+    resolved_user = user or (unquote(parsed.username) if parsed.username else None)
+    resolved_pw = (
+        password
+        or os.environ.get("PGPASSWORD")
+        or (unquote(parsed.password) if parsed.password else None)
+    )
+    if resolved_user:
+        opts["user"] = resolved_user
+    if resolved_pw:
+        opts["password"] = resolved_pw
+    return opts
+
+
 def read_postgres_query(
     spark: SparkSession,
     conn_url: str,
@@ -79,17 +133,14 @@ def read_postgres_query(
 ) -> DataFrame:
     """Run ``query`` on the Postgres server and stream the result — the
     reference's entire relational surface delegation (src/lib.rs:39-40),
-    preserved for interop.  Requires the Postgres JDBC driver jar on the
-    Spark classpath (`spark.jars.packages=org.postgresql:postgresql:...`)."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", conn_url if conn_url.startswith("jdbc:") else f"jdbc:{conn_url}")
-        .option("query", query)
-        .option("fetchsize", str(batch_size))
-        .option("driver", "org.postgresql.Driver")
-    )
-    if user:
-        reader = reader.option("user", user)
-    if password:
-        reader = reader.option("password", password)
+    preserved for interop.  Option assembly is ``postgres_jdbc_options``
+    (contract-tested offline); executing the read requires the Postgres
+    JDBC driver jar on the Spark classpath, e.g.
+    ``spark.jars.packages=org.postgresql:postgresql:42.7.3`` (none ships in
+    this container, so only the contract is testable here)."""
+    reader = spark.read.format("jdbc")
+    for k, v in postgres_jdbc_options(
+        conn_url, query, batch_size, user=user, password=password
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()

@@ -76,3 +76,83 @@ def test_cli_csv_to_delta_roundtrip(spark, tmpdir):
 
     back = read_delta(spark, target)
     assert {(r.id, r.v) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+
+
+# -- Postgres JDBC option-assembly contract (no connection needed) -----------
+
+
+class TestPostgresJdbcContract:
+    """The connection-free half of the Postgres source (R1): option
+    assembly must mirror the reference's connection setup
+    (pg_arrow_source.rs:201-248) — libpq URL parsing, PGPASSWORD override,
+    fetchsize=batch_size, server-side query prepare."""
+
+    def test_basic_url_and_query(self):
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        opts = postgres_jdbc_options(
+            "postgresql://db.example.com:5439/marts", "SELECT * FROM t", batch_size=500
+        )
+        assert opts == {
+            "url": "jdbc:postgresql://db.example.com:5439/marts",
+            "query": "SELECT * FROM t",
+            "fetchsize": "500",
+            "driver": "org.postgresql.Driver",
+        }
+
+    def test_default_batch_size_matches_reference(self):
+        from lakehouse_loader_spark.sources.readers import (
+            DEFAULT_BATCH_SIZE,
+            postgres_jdbc_options,
+        )
+
+        # reference default --batch-size (src/lib.rs:47)
+        assert DEFAULT_BATCH_SIZE == 10_000
+        opts = postgres_jdbc_options("postgresql://h/db", "SELECT 1")
+        assert opts["fetchsize"] == "10000"
+        assert opts["url"] == "jdbc:postgresql://h:5432/db"  # default port
+
+    def test_credentials_lifted_from_url(self, monkeypatch):
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        monkeypatch.delenv("PGPASSWORD", raising=False)
+        opts = postgres_jdbc_options(
+            "postgresql://alice:s%40cret@h:5432/db", "SELECT 1"
+        )
+        # JDBC URLs carry no userinfo — credentials become options (unquoted)
+        assert opts["url"] == "jdbc:postgresql://h:5432/db"
+        assert opts["user"] == "alice"
+        assert opts["password"] == "s@cret"
+
+    def test_pgpassword_env_overrides_url(self, monkeypatch):
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        # reference: env::var("PGPASSWORD") wins over the conn string
+        # (pg_arrow_source.rs:206-209)
+        monkeypatch.setenv("PGPASSWORD", "env-pw")
+        opts = postgres_jdbc_options("postgresql://alice:url-pw@h/db", "SELECT 1")
+        assert opts["password"] == "env-pw"
+
+    def test_explicit_password_overrides_env(self, monkeypatch):
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        monkeypatch.setenv("PGPASSWORD", "env-pw")
+        opts = postgres_jdbc_options(
+            "postgresql://alice@h/db", "SELECT 1", password="arg-pw"
+        )
+        assert opts["password"] == "arg-pw"
+
+    def test_jdbc_prefixed_and_postgres_scheme_accepted(self):
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        a = postgres_jdbc_options("jdbc:postgresql://h/db", "Q")
+        b = postgres_jdbc_options("postgres://h/db", "Q")
+        assert a["url"] == b["url"] == "jdbc:postgresql://h:5432/db"
+
+    def test_non_postgres_scheme_rejected(self):
+        import pytest
+
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        with pytest.raises(ValueError, match="postgres"):
+            postgres_jdbc_options("mysql://h/db", "Q")
