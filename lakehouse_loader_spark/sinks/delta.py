@@ -617,11 +617,25 @@ def _file_stats(file_path: str) -> dict:
             if isinstance(mn, bytes):
                 continue
             if hasattr(mn, "isoformat"):
-                mn, mx = mn.isoformat(), mx.isoformat()
+                mn, mx = _iso_utc_naive(mn), _iso_utc_naive(mx)
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
     return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
+
+
+def _iso_utc_naive(v) -> str:
+    """isoformat with ONE temporal canonical form: tz-aware values (pyarrow
+    footer stats for tz-annotated parquet timestamps) are normalized to
+    UTC-naive before formatting, so they compare correctly as strings
+    against PySpark's naive session-UTC datetimes — otherwise
+    boundary-equal ranges would differ by a '+00:00' suffix and a genuine
+    overlap could be missed."""
+    if getattr(v, "tzinfo", None) is not None:
+        import datetime as _dt
+
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v.isoformat()
 
 
 @accepts_file_uris
@@ -854,7 +868,7 @@ def merge_delta(
     # comparing a native datetime/date against them would raise TypeError
     kb_mn, kb_mx = key_bounds["mn"], key_bounds["mx"]
     if hasattr(kb_mn, "isoformat"):
-        kb_mn, kb_mx = kb_mn.isoformat(), kb_mx.isoformat()
+        kb_mn, kb_mx = _iso_utc_naive(kb_mn), _iso_utc_naive(kb_mx)
     snapshot_files = set(adds)
     new_rel = {a["path"] for a in new_adds}
 

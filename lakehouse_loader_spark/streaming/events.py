@@ -140,6 +140,49 @@ def streaming_dedup(
     )
 
 
+def resolve_stream_app_id(checkpoint_dir: str) -> str:
+    """Exactly-once identity for a stream's Delta ``txn`` actions.
+
+    The appId must follow the checkpoint CONTENTS, not its path: a
+    relocated/remounted checkpoint dir would silently mint a new appId and
+    defeat duplicate-batch detection on replay.  For local checkpoint
+    locations (bare paths and ``file://`` URIs) the id is persisted in a
+    marker file inside the checkpoint dir on first use; an empty/damaged
+    marker is never accepted ('' would collide across streams and wrongly
+    skip batches) — it is re-minted and rewritten.  For non-local URI
+    locations (s3://, hdfs://; Spark accepts them as checkpointLocation)
+    the marker scheme's local-fs calls would write a bogus local directory
+    that shadows the real checkpoint, so the id falls back to a
+    path-derived hash of the URI itself."""
+    import hashlib
+    import re
+
+    def path_hash(key: str) -> str:
+        return "stream_to_delta-" + hashlib.md5(key.encode()).hexdigest()[:16]
+
+    local_ckpt = checkpoint_dir
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", checkpoint_dir):
+        if checkpoint_dir.startswith("file:"):
+            from lakehouse_loader_spark.sinks.staging import local_path
+
+            local_ckpt = local_path(checkpoint_dir)
+        else:
+            return path_hash(checkpoint_dir)
+    os.makedirs(local_ckpt, exist_ok=True)
+    marker = os.path.join(local_ckpt, "_lhl_app_id")
+    app_id = ""
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            app_id = fh.read().strip()
+    if not app_id.startswith("stream_to_delta-"):
+        app_id = path_hash(os.path.abspath(local_ckpt))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(app_id)
+        os.replace(tmp, marker)
+    return app_id
+
+
 def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
     """Continuous ingestion into the Delta sink: each micro-batch appends
     through the same transactional commit path as batch writes (exactly the
@@ -152,31 +195,13 @@ def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
     micro-batch replayed after a failure between table-commit and
     checkpoint-advance is detected via last_txn_version and skipped instead
     of appended twice."""
-    import hashlib
-
     from lakehouse_loader_spark.sinks.delta import (
         last_txn_version,
         table_exists,
         write_delta,
     )
 
-    # The appId must follow the checkpoint CONTENTS, not its path: a
-    # relocated/remounted checkpoint dir would silently mint a new appId
-    # and defeat duplicate-batch detection on replay.  Persist it in a
-    # marker file inside the checkpoint dir on first use.
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "_lhl_app_id")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            app_id = fh.read().strip()
-    else:
-        app_id = "stream_to_delta-" + hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:16]
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(app_id)
-        os.replace(tmp, marker)
+    app_id = resolve_stream_app_id(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -129,6 +129,7 @@ def test_stream_to_delta_app_id_follows_checkpoint_contents(spark, staged_events
     try:
         q = SE.stream_to_delta(SE.read_event_stream(spark, path), os.path.join(out, "t"), ckpt)
         q.awaitTermination(120)
+        q.stop()  # fully release the checkpoint before relocating it
         marker = os.path.join(ckpt, "_lhl_app_id")
         assert os.path.exists(marker)
         with open(marker) as fh:
@@ -137,11 +138,25 @@ def test_stream_to_delta_app_id_follows_checkpoint_contents(spark, staged_events
         # recorded appId (no new rows — every batch already committed)
         shutil.rmtree(moved)
         shutil.move(ckpt, moved)
+        # force a REAL replay: drop the newest Spark commit marker so the
+        # restarted stream re-delivers the last micro-batch with the same
+        # batch_id — only last_txn_version(app_id) suppression keeps it from
+        # appending twice (without this the trigger finds nothing new and
+        # the assertion would pass even with broken appId logic)
+        commits = os.path.join(moved, "commits")
+        newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+        os.remove(os.path.join(commits, newest))
+        # also drop the stale Hadoop-local-FS checksum, or the rewrite of
+        # commits/N trips the concurrent-writer detection
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
         from lakehouse_loader_spark.sinks import delta as DL
 
         n_before = DL.read_delta(spark, os.path.join(out, "t")).count()
         q2 = SE.stream_to_delta(SE.read_event_stream(spark, path), os.path.join(out, "t"), moved)
         q2.awaitTermination(120)
+        q2.stop()
         with open(os.path.join(moved, "_lhl_app_id")) as fh:
             assert fh.read().strip() == app_id
         assert DL.read_delta(spark, os.path.join(out, "t")).count() == n_before
@@ -276,3 +291,43 @@ def test_streaming_session_windows_converge_to_batch(spark, staged_events):
         assert want.get(k) == v, f"session {k}: stream {v} vs batch {want.get(k)}"
     assert len(got) >= 0.8 * len(want)
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_resolve_stream_app_id_validates_marker(tmpdir):
+    """Empty/damaged markers are re-minted, never accepted: '' as an appId
+    would make distinct streams share an identity and wrongly skip each
+    other's batch ids."""
+    ckpt = os.path.join(tmpdir, "ck")
+    a1 = SE.resolve_stream_app_id(ckpt)
+    assert a1.startswith("stream_to_delta-")
+    # stable on re-resolve
+    assert SE.resolve_stream_app_id(ckpt) == a1
+    # damage the marker: truncate to empty
+    marker = os.path.join(ckpt, "_lhl_app_id")
+    open(marker, "w").close()
+    a2 = SE.resolve_stream_app_id(ckpt)
+    assert a2.startswith("stream_to_delta-") and a2 != ""
+    with open(marker) as fh:
+        assert fh.read().strip() == a2  # marker repaired
+    # garbage content is also rejected and rewritten
+    with open(marker, "w") as fh:
+        fh.write("not-a-valid-id")
+    assert SE.resolve_stream_app_id(ckpt).startswith("stream_to_delta-")
+
+
+def test_resolve_stream_app_id_uri_schemes(tmpdir):
+    """file:// URIs use the local marker scheme (same identity as the bare
+    path); non-local URIs fall back to a path-derived id WITHOUT creating
+    any local directory that would shadow the real checkpoint."""
+    ckpt = os.path.join(tmpdir, "ck2")
+    bare = SE.resolve_stream_app_id(ckpt)
+    assert SE.resolve_stream_app_id(f"file://{ckpt}") == bare
+    cwd_entries = set(os.listdir("."))
+    s3 = SE.resolve_stream_app_id("s3://bucket/ckpt/path")
+    assert s3.startswith("stream_to_delta-")
+    # deterministic per URI, distinct per location
+    assert SE.resolve_stream_app_id("s3://bucket/ckpt/path") == s3
+    assert SE.resolve_stream_app_id("s3://bucket/ckpt/other") != s3
+    # no stray local dirs were created for the s3 URI
+    assert set(os.listdir(".")) == cwd_entries
+    assert not os.path.exists("s3:")
