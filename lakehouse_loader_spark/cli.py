@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
 def do_main(argv: list[str]) -> None:
     args = build_parser().parse_args(argv)
     spark = get_spark("lhl-spark-cli")
+    # cloud targets: apply scheme-keyed credentials + multipart policy to the
+    # Hadoop conf, mirroring the reference's CompatObjectStore env pickup
+    # (delta_destination.rs:244-250); no-op for local/file:// targets
+    from lakehouse_loader_spark.sinks.object_store import apply_object_store_conf
+
+    try:
+        apply_object_store_conf(spark, args.target)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        sys.exit(2)
     fmt = args.command.split("-to-")[0]
     if fmt == "pg":
         df = read_postgres_query(
@@ -90,6 +100,11 @@ def do_main(argv: list[str]) -> None:
             file=sys.stderr,
         )
         sys.exit(1)
+    except ValueError as exc:
+        # e.g. a cloud URI target: the conf contract is applied above, but
+        # executing the write needs the connector jar on the classpath
+        print(str(exc), file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":
