@@ -67,7 +67,11 @@ def test_pack_sequences_no_global_window(spark):
 
 def test_no_cartesian_anywhere(spark):
     """No declared query may plan a cartesian product (theta joins must ride
-    an equi key or a broadcast)."""
+    an equi key or a broadcast) — and none may funnel data through an
+    Exchange SinglePartition (the single-task bottleneck that turns a
+    100 TB job into one executor's problem; global order is expressed as
+    TakeOrderedAndProject or a two-pass keyed plan instead)."""
     for name in sorted(REGISTRY):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
