@@ -433,6 +433,123 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination: drop corpus docs overlapping a held-out set
+# --------------------------------------------------------------------------
+@query(
+    "decontaminate_docs",
+    oracle="""
+    WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM docs),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    stats AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap
+      FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id)
+    SELECT doc_id, n_shingles, n_overlap
+    FROM stats WHERE 2 * n_overlap <= n_shingles
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the document-level counterpart of
+    ``text_cross_source_overlap``: treating source ``src0`` as the held-out
+    benchmark, count each corpus document's distinct word-3-gram shingles
+    that also appear in the benchmark and keep documents whose overlap is
+    ≤ 50% (integer comparison ``2·n_overlap ≤ n_shingles`` — no float
+    threshold to diverge between engines).
+
+    Scale shape: ONE shuffle join keyed on the 64-bit shingle hash (8-byte
+    keys, same accepted collision exposure as the dedup family) followed by
+    one aggregation keyed on doc_id.  The benchmark side is deduped
+    pre-join; no per-document set is ever collected to the driver."""
+    from lakehouse_loader_spark.operators import spread
+    from lakehouse_loader_spark.operators.dedup import with_shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = with_shingles(docs).select(
+        "doc_id",
+        "source",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh_h"),
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select("sh_h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "sh_h")
+    stats = (
+        corpus.join(bench, "sh_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )
+    return stats.filter(2 * F.col("n_overlap") <= F.col("n_shingles")).select(
+        "doc_id", "n_shingles", "n_overlap"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle: reproducible training order, no global sort
+# --------------------------------------------------------------------------
+@query(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {SA.hash_bucket_sql('doc_id', 'shuf')} AS bucket FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bucket, doc_id) AS BIGINT) AS shuffle_rank
+    FROM b
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: rank documents by
+    md5-hash bucket (doc_id tie-break) — reproducible across engines,
+    retries, and runs, unlike RNG-based ``orderBy(rand())``.
+
+    Global rank WITHOUT a global-order window, same two-pass pattern as
+    pack_sequences: the hash bucket maps monotonically onto a coarse range
+    cell, per-cell counts (constant driver state) become broadcast
+    exclusive offsets, and a cell-keyed window assigns local row numbers.
+    (bucket, doc_id) ordering is equivalent to (cell, bucket, doc_id)
+    because equal buckets share a cell, so cell-local rank + cell offset IS
+    the global rank."""
+    from pyspark.sql import Window as W
+
+    from lakehouse_loader_spark.operators.sampling import BUCKET_SPACE
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    t = docs.select("doc_id", SA.hash_bucket(F.col("doc_id"), "shuf").alias("_bkt"))
+    n_cells = max(2, spark.sparkContext.defaultParallelism)
+    t2 = t.withColumn(
+        "_cell", (F.col("_bkt") * n_cells / F.lit(BUCKET_SPACE)).cast("int")
+    )
+    counts = t2.groupBy("_cell").count().collect()
+    offsets, running = [], 0
+    for row in sorted(counts, key=lambda r: r["_cell"]):
+        offsets.append((int(row["_cell"]), running))
+        running += int(row["count"])
+    off_df = spark.createDataFrame(offsets, "_cell int, _off bigint")
+    w = W.partitionBy("_cell").orderBy("_bkt", "doc_id")
+    return (
+        t2.join(F.broadcast(off_df), "_cell")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("_off")).cast("bigint").alias("shuffle_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Mixture-weighted sampling: per-source sampling rates from a mixture spec
 # --------------------------------------------------------------------------
 MIXTURE_SPEC = {"src0": 0.9, "src1": 0.5, "src2": 0.5}
