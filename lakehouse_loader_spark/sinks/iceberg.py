@@ -293,6 +293,20 @@ def _typed_partition_value(value: str | None, ice_type: str):
     return value
 
 
+def _hive_from_typed(value, ice_type: str) -> str | None:
+    """Typed Iceberg partition value → hive-directory string form (the
+    inverse of ``_typed_partition_value``)."""
+    if value is None:
+        return None
+    if ice_type == "date":
+        import datetime as _dt
+
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(value))).isoformat()
+    if ice_type == "boolean":
+        return "true" if value else "false"
+    return str(value)
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     return {
         "type": "record",
@@ -712,14 +726,21 @@ def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
             f"{column!r} is not a partition column of {path} (spec: {spec_cols})"
         )
     want = hive_partition_str(value)
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    by_id = {f["id"]: f for f in schema_ice["fields"]}
+    src_type = next(
+        by_id[pf["source-id"]]["type"] for pf in spec["fields"] if pf["name"] == column
+    )
     kept, total = [], 0
     for mf in _snapshot_manifests(path, meta):
         for e in _read_manifest_entries(path, mf["manifest_path"]):
             total += 1
             # manifests store TYPED partition values; canonicalize both
-            # sides to the hive string form for comparison
+            # sides to the hive string form for comparison (dates are
+            # epoch-day ints in the manifest, ISO strings in hive dirs)
             got = e["data_file"]["partition"].get(column)
-            if hive_partition_str(got) == want:
+            if _hive_from_typed(got, src_type) == want:
                 kept.append(e["data_file"]["file_path"])
     return kept, total
 

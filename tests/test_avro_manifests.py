@@ -193,3 +193,38 @@ def test_partitioned_manifest_has_typed_partition_values(spark, tmpdir):
     assert kf["name"] == "k" and kf["field-id"] == 1000
     got = {r.get("data_file").get("partition").get("k") for r in records}
     assert got == {0, 1, 2, 3}  # typed longs, not hive strings
+
+
+def test_date_partition_values_encode_as_epoch_days(spark, tmpdir):
+    """Identity partitions on DATE columns store Avro logical-date ints
+    (days since epoch), not hive strings."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    path = os.path.join(tmpdir, "iced")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("v"),
+        F.date_add(F.lit(datetime.date(2024, 1, 1)), (F.pmod("id", F.lit(2))).cast("int")).alias("d"),
+    )
+    IC.write_iceberg(df, path, partition_by=["d"])
+    _, meta = IC._read_metadata(path)
+    mf = IC._snapshot_manifests(path, meta)[0]
+    schema_json, records = _jvm_read_avro(spark, mf["manifest_path"])
+    schema = json.loads(schema_json)
+    data_file = next(f for f in schema["fields"] if f["name"] == "data_file")
+    part = next(f for f in data_file["type"]["fields"] if f["name"] == "partition")
+    [dfld] = part["type"]["fields"]
+    # logical-date annotation on the int branch of the union
+    non_null = [t for t in dfld["type"] if t != "null"][0]
+    assert non_null == {"type": "int", "logicalType": "date"}
+    got = {r.get("data_file").get("partition").get("d") for r in records}
+    epoch = datetime.date(1970, 1, 1)
+    want = {
+        (datetime.date(2024, 1, 1) - epoch).days,
+        (datetime.date(2024, 1, 2) - epoch).days,
+    }
+    assert got == want
+    # pruned read still works through the hive canonical form
+    kept, total = IC.prune_iceberg_files(path, "d", datetime.date(2024, 1, 2))
+    assert kept and len(kept) < total
