@@ -391,7 +391,9 @@ def _write_manifest(path: str, snapshot_id: int, entries: list[dict], meta: dict
             }
         )
 
-    name = f"{uuid.uuid4().hex}-m0.avro"
+    # reference file-name pattern: manifest-<uuid>.avro
+    # (tests/basic_integration.rs:64)
+    name = f"manifest-{uuid.uuid4()}.avro"
     full = os.path.join(_meta_dir(abs_path), name)
     avro_ocf.write_ocf(
         full,
@@ -437,7 +439,9 @@ def _write_manifest_list(
             m["sequence_number"] = sequence_number
             m["min_sequence_number"] = sequence_number
         records.append(m)
-    name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    # reference file-name pattern: manifest-list-<uuid>.avro
+    # (tests/basic_integration.rs:65)
+    name = f"manifest-list-{uuid.uuid4()}.avro"
     full = os.path.join(_meta_dir(os.path.abspath(path)), name)
     avro_ocf.write_ocf(
         full,

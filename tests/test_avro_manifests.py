@@ -228,3 +228,23 @@ def test_date_partition_values_encode_as_epoch_days(spark, tmpdir):
     # pruned read still works through the hive canonical form
     kept, total = IC.prune_iceberg_files(path, "d", datetime.date(2024, 1, 2))
     assert kept and len(kept) < total
+
+
+def test_iceberg_file_name_patterns_match_reference(spark, ice_table):
+    """The reference e2e asserts these exact metadata file-name shapes
+    (tests/basic_integration.rs:63-65): manifest-<uuid>.avro and
+    manifest-list-<uuid>.avro under metadata/, data parquet under data/."""
+    import re
+
+    uuid_re = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    meta = sorted(os.listdir(os.path.join(ice_table, "metadata")))
+    manifests = [f for f in meta if f.startswith("manifest-") and not f.startswith("manifest-list-")]
+    lists = [f for f in meta if f.startswith("manifest-list-")]
+    assert manifests and lists
+    for f in manifests:
+        assert re.fullmatch(rf"manifest-{uuid_re}\.avro", f), f
+    for f in lists:
+        assert re.fullmatch(rf"manifest-list-{uuid_re}\.avro", f), f
+    assert "version-hint.text" in meta and "v0.metadata.json" in meta
+    data = os.listdir(os.path.join(ice_table, "data"))
+    assert all(re.match(r"part-\d{5}-.*\.parquet$", f) for f in data)
