@@ -1065,6 +1065,69 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD outliers per event type
+# --------------------------------------------------------------------------
+@query(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             ROUND(median(value), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, ROUND(median(adev), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 6) AS value,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND ABS(d.value - d.med) > 3 * 1.4826 * m.mad
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly detection: flag events whose value deviates
+    from the type's MEDIAN by more than 3 robust standard deviations
+    (MAD · 1.4826) — the median/MAD pair shrugs off the very outliers that
+    would inflate a mean/stddev z-score.
+
+    Both medians round to 6 decimals in BOTH engines before the threshold
+    comparison (the shared float discipline), so borderline decisions are
+    made on identical operands.  Scale shape: two tiny per-type aggregates
+    (exact interpolated percentile — partial+final, constant state per
+    type) broadcast back onto the event stream; no window over all events,
+    no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4).alias(
+                "robust_z"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding PCA projection (dimensionality reduction for downstream ANN)
 # --------------------------------------------------------------------------
 @query("embedding_pca_project", oracle=None)
