@@ -150,8 +150,12 @@ def main() -> None:
         }}
         if errors:
             # full tracebacks live in BENCH_DETAIL.json; the JSON line only
-            # needs which queries errored (and must stay <1800 chars)
-            compact_payload["errors"] = sorted(errors)
+            # needs which queries errored (and must stay <1800 chars even in
+            # a mass-failure round — cap the name list)
+            names = sorted(errors)
+            compact_payload["errors"] = names[:12]
+            if len(names) > 12:
+                compact_payload["errors_n"] = len(names)
         return json.dumps(compact_payload, separators=(",", ":"))
 
     by_cost = sorted(timings, key=timings.get, reverse=True)
