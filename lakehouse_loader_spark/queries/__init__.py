@@ -47,54 +47,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Queries the driver's correctness gate has never sampled (absent from every
-# CORRECTNESS_r*.json through round 3).  Listed FIRST in the declared-query
-# dicts so a driver that checks a prefix of the registration order finally
-# covers them; queries green in earlier rounds keep their standing evidence.
-_NEVER_DRIVER_CHECKED = [
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_window_agg",
-    "events_rollup_multigrain",
-    "events_sliding_window",
-    "events_session_window_native",
-    "events_user_zscore",
-    "events_gapfill_daily",
-    "asof_join_event_rate",
-    "asof_join_forward_rate",
-    "pack_sequences",
-    "sample_hash_fraction",
-    "sample_mixture_weights",
-    "sample_quota_per_source",
-    "split_train_val_test",
-    "text_gopher_quality",
-    "text_repetition",
-    "text_pii_redact",
-    "text_langid",
-    "text_fingerprint",
-    "text_winnow_fingerprint",
-    "text_term_stats",
-    "text_bm25_search",
-    "text_cross_source_overlap",
-    "dedup_exact_normalized",
-    "dedup_clusters",
-    "join_lateral_topn",
-    "agg_distinct_salted",
-    "embedding_quantize_int8",
-    "embedding_pca_project",
-    "similarity_ivf_topk",
-    "multimodal_features",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-]
+# The driver's correctness gate samples a PREFIX of the registration order
+# (50 of 90 queries per round), so ordering decides coverage.  Rather than a
+# hand-maintained front-list (which went stale the moment new queries landed
+# after a round's list was frozen — ADVICE r04), priority is DERIVED from the
+# CORRECTNESS_r*.json records the driver itself writes:
+#   1. never sampled in any round          (no record at all — riskiest)
+#   2. latest record is an error/mismatch  (broken or fixed-but-unproven)
+#   3. green, oldest evidence first        (refresh stale records)
+# Ties break on registration order.  If no records exist (fresh checkout),
+# everything is bucket 1 and registration order is preserved verbatim.
+
+
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round sampled, was that record green)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    hist: dict[str, tuple[int, bool]] = {}
+    try:
+        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                data = json.load(f)
+            if not isinstance(data, dict):
+                continue
+            for name, rec in data.items():
+                if not isinstance(rec, dict):
+                    continue
+                green = rec.get("err") in (None, "no_oracle") and rec.get(
+                    "spark_rows"
+                ) is not None
+                prev = hist.get(name)
+                if prev is None or rnd >= prev[0]:
+                    hist[name] = (rnd, green)
+    except Exception:
+        return {}
+    return hist
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _NEVER_DRIVER_CHECKED if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(front)]
-    return front + rest
+    hist = _driver_history()
+    reg = list(REGISTRY)  # registration order = stable tiebreak
+    pos = {n: i for i, n in enumerate(reg)}
+
+    def rank(n: str) -> tuple[int, int, int]:
+        rec = hist.get(n)
+        if rec is None:
+            return (0, 0, pos[n])  # never sampled
+        rnd, green = rec
+        if not green:
+            return (1, rnd, pos[n])  # broken / fixed-but-unproven
+        return (2, rnd, pos[n])  # green — oldest evidence first
+
+    return sorted(reg, key=rank)
 
 
 def all_queries() -> dict[str, QueryFn]:

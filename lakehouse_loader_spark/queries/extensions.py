@@ -333,11 +333,24 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage: variable-size payload → fixed-16 mean-pooled vector
     (the thumbnail/spectrogram shape contract; codec stubbed).  Output is
     the embedding-table shape, composable with the similarity operators.
-    Rows-only: mapInPandas plumbing."""
+    Rows-only: mapInPandas plumbing.  The declared query summarizes the
+    array into scalar columns (first/min/max/sum, the
+    embedding_quantize_int8 pattern) so the driver canonicalizer — which
+    sorts/hashes every column — never sees a list-valued cell; the full
+    vector stays available via operators.multimodal.resize_features."""
     from lakehouse_loader_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
-    return M.resize_features(M.with_binary_payload(docs))
+    resized = M.resize_features(M.with_binary_payload(docs))
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return resized.select(
+        "doc_id",
+        r6(F.element_at("resized", 1)).alias("r_first"),
+        r6(F.array_min("resized")).alias("r_min"),
+        r6(F.array_max("resized")).alias("r_max"),
+        r6(F.aggregate("resized", F.lit(0.0), lambda a, x: a + x)).alias("r_sum"),
+        F.size("resized").alias("r_dim"),
+    )
 
 
 @query("multimodal_frame_sample", oracle=None)
@@ -1137,6 +1150,19 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size per-partition partials, the 64x64 eigenproblem solves on
     the driver, and projection is a numpy matmul per Arrow batch.
     Rows-only: eigendecomposition has no SQL equivalent; tests check
-    agreement with local numpy PCA and variance ordering."""
+    agreement with local numpy PCA and variance ordering.  The declared
+    query summarizes the projection array into scalar columns
+    (first-component/min/max/L2-energy) so the driver canonicalizer —
+    which sorts/hashes every column — never sees a list-valued cell; the
+    full vector stays available via operators.similarity.pca_project."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pca_project(emb, k=16)
+    proj = S.pca_project(emb, k=16)
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    return proj.select(
+        "vec_id",
+        r4(F.element_at("pca", 1)).alias("pc1"),
+        r4(F.array_min("pca")).alias("pc_min"),
+        r4(F.array_max("pca")).alias("pc_max"),
+        r4(F.aggregate("pca", F.lit(0.0), lambda a, x: a + x * x)).alias("pc_energy"),
+        F.size("pca").alias("pc_dim"),
+    )

@@ -65,6 +65,22 @@ def test_pack_sequences_no_global_window(spark):
     assert "BroadcastExchange" in plan  # offsets ride a broadcast, not a shuffle
 
 
+def test_no_array_or_map_output_columns(spark):
+    """The driver's correctness canonicalizer sorts every output column in
+    pandas before hashing; list-valued cells raise `unhashable type: 'list'`
+    (r04: embedding_pca_project, multimodal_resize).  Declared queries must
+    summarize array outputs into scalar columns (the embedding_quantize_int8
+    pattern) — full vectors stay available on the underlying operators."""
+    from pyspark.sql import types as T
+
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, SF_ORACLE)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (T.ArrayType, T.MapType)), (
+                f"{name}.{f.name}: {f.dataType.simpleString()}"
+            )
+
+
 def test_no_cartesian_anywhere(spark):
     """No declared query may plan a cartesian product (theta joins must ride
     an equi key or a broadcast) — and none may funnel data through an
