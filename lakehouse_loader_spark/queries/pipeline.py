@@ -381,9 +381,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
          plus the broadcast bucket offset.
     Every window here is keyed, so no Exchange SinglePartition appears in
     the plan (pinned by tests/test_plan_quality.py); wall-clock parallelism
-    is n_buckets ≈ defaultParallelism at any scale.  The 2-column token
-    frame is persisted so tokenization (the expensive part) runs once, not
-    once per pass — at 100 TB use MEMORY_AND_DISK or a temp parquet."""
+    is n_buckets ≈ defaultParallelism at any scale.  The token frame is NOT
+    cached: tokenization is one map-side JVM regexp per row, and
+    recomputing it in pass B is cheaper and more robust at 100 TB than
+    pinning a corpus-sized frame in executor memory (and a persist here
+    leaked for the session lifetime, since the returned plan still
+    references the frame — ADVICE r04; swap in a temp-parquet materialize
+    if tokenization ever becomes the dominant cost)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -404,32 +408,30 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_buckets - 1),
         ((F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("int"),
     )
-    tb = t.withColumn("_bkt", bucket).persist()
-    try:
-        # pass A: constant-size driver state (one row per bucket)
-        totals = tb.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot")).collect()
-        offsets, running = [], 0
-        for row in sorted(totals, key=lambda r: r["_bkt"]):
-            offsets.append((int(row["_bkt"]), running))
-            running += int(row["_tot"])
-        off_df = spark.createDataFrame(offsets, "_bkt int, _bkt_off bigint")
+    tb = t.withColumn("_bkt", bucket)
+    # pass A: constant-size driver state (one row per bucket); tokenization
+    # runs map-side into a partial aggregate — nothing corpus-sized moves
+    totals = tb.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot")).collect()
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_bkt"]):
+        offsets.append((int(row["_bkt"]), running))
+        running += int(row["_tot"])
+    off_df = spark.createDataFrame(offsets, "_bkt int, _bkt_off bigint")
 
-        # pass B: keyed window (bucket-local running sum) + broadcast offsets
-        w = W.partitionBy("_bkt").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-        local_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
-        cum_excl = F.col("_bkt_off") + local_excl
-        return (
-            tb.join(F.broadcast(off_df), "_bkt")
-            .select(
-                "doc_id",
-                "n_tokens",
-                F.floor(cum_excl / 512).cast("bigint").alias("pack_id"),
-                (cum_excl % 512).cast("bigint").alias("pack_offset"),
-            )
+    # pass B: keyed window (bucket-local running sum) + broadcast offsets;
+    # recomputes the cheap token expression instead of caching the frame
+    w = W.partitionBy("_bkt").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    local_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    cum_excl = F.col("_bkt_off") + local_excl
+    return (
+        tb.join(F.broadcast(off_df), "_bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_excl / 512).cast("bigint").alias("pack_id"),
+            (cum_excl % 512).cast("bigint").alias("pack_offset"),
         )
-    except Exception:
-        tb.unpersist()
-        raise
+    )
 
 
 # --------------------------------------------------------------------------

@@ -104,7 +104,31 @@ def object_store_hadoop_conf(url: str) -> dict[str, str]:
             ]
     elif hadoop_scheme == "abfss":
         if "azure_storage_account_key" in env:
-            conf["fs.azure.account.key"] = env["azure_storage_account_key"]
+            # The ABFS driver only reads the ACCOUNT-QUALIFIED key
+            # (fs.azure.account.key.<account>.dfs.core.windows.net) — a
+            # generic fs.azure.account.key is ignored and would never
+            # authenticate.  The account comes from the abfss URL authority
+            # (abfss://container@account.dfs.core.windows.net/...), or from
+            # AZURE_STORAGE_ACCOUNT when the URL uses a short authority.
+            host = urlparse(url).hostname or ""
+            account = None
+            if host.endswith(".dfs.core.windows.net"):
+                account = host[: -len(".dfs.core.windows.net")]
+                # authority may be container@account.dfs.core.windows.net;
+                # urlparse puts the container@ part in username, so hostname
+                # is already just account.dfs.core.windows.net
+            elif "azure_storage_account" in env:
+                account = env["azure_storage_account"]
+            if account:
+                conf[f"fs.azure.account.key.{account}.dfs.core.windows.net"] = env[
+                    "azure_storage_account_key"
+                ]
+            else:
+                raise ValueError(
+                    "cannot derive the storage account for the ABFS key: "
+                    f"url {url!r} has no *.dfs.core.windows.net authority and "
+                    "AZURE_STORAGE_ACCOUNT is unset"
+                )
     return conf
 
 

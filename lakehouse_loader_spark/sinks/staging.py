@@ -36,23 +36,32 @@ def local_path(path: str) -> str:
     return unquote(parsed.path) or "/"
 
 
-def accepts_file_uris(fn):
-    """Decorator: normalize any ``file://`` URI string argument of a public
-    sink function to its local path, so callers can address tables by URI
-    (the layer CompatObjectStore provides in the reference)."""
+def accepts_file_uris(fn, param: str = "path"):
+    """Decorator: normalize the table-location parameter (named ``path`` on
+    every public sink function) from a ``file://`` URI to a local path, so
+    callers can address tables by URI (the layer CompatObjectStore provides
+    in the reference).  ONLY that parameter is touched — normalizing every
+    URI-shaped string argument would reject or rewrite DATA values (a bound
+    of ``'http://a'`` in prune_files_by_stats, a ``'file:///x'`` cell in a
+    URL-valued column comparison)."""
     import functools
+    import inspect
     import re
 
     # file: URIs get resolved; any other scheme://... is rejected by
     # local_path (never silently treated as a local directory)
     uri_like = re.compile(r"^file:|^[A-Za-z][A-Za-z0-9+.-]*://")
-
-    def norm(v):
-        return local_path(v) if isinstance(v, str) and uri_like.match(v) else v
+    sig = inspect.signature(fn)
+    if param not in sig.parameters:
+        raise TypeError(f"{fn.__name__} has no {param!r} parameter to normalize")
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        return fn(*[norm(a) for a in args], **{k: norm(v) for k, v in kwargs.items()})
+        bound = sig.bind(*args, **kwargs)
+        v = bound.arguments.get(param)
+        if isinstance(v, str) and uri_like.match(v):
+            bound.arguments[param] = local_path(v)
+        return fn(*bound.args, **bound.kwargs)
 
     return wrapper
 

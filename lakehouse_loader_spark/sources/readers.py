@@ -93,9 +93,19 @@ def postgres_jdbc_options(
     - ``query`` is prepared server-side by the JDBC source to learn the
       result schema, exactly the reference's prepare step
       (pg_arrow_source.rs:220-236)
+    - libpq query parameters (``?sslmode=require&connect_timeout=10``) are
+      FORWARDED, not dropped: the reference connects with TLS support
+      (pg_arrow_source.rs:211-218), so ``sslmode``/``sslrootcert``/
+      ``sslcert``/``sslkey`` must survive the libpq→JDBC translation.
+      pgJDBC natively understands the ssl* names; the few libpq spellings
+      it doesn't (``connect_timeout``, ``application_name``) are renamed,
+      and any remaining parameter rides the JDBC URL query string
+      verbatim (pgJDBC ignores unknown keys rather than failing closed —
+      dropping them silently would be worse: a lost ``sslmode=require``
+      silently downgrades transport security)
     """
     import os
-    from urllib.parse import unquote, urlparse
+    from urllib.parse import parse_qsl, unquote, urlencode, urlparse
 
     body = conn_url[len("jdbc:") :] if conn_url.startswith("jdbc:") else conn_url
     parsed = urlparse(body)
@@ -104,17 +114,40 @@ def postgres_jdbc_options(
     host = parsed.hostname or "localhost"
     port = parsed.port or 5432
     db = parsed.path or ""
+
+    # libpq spelling → pgJDBC connection-property spelling, where they differ
+    _LIBPQ_TO_JDBC = {
+        "connect_timeout": "connectTimeout",  # both in seconds
+        "application_name": "ApplicationName",
+    }
+    url_params: list[tuple[str, str]] = []
+    param_user: str | None = None
+    param_pw: str | None = None
+    for key, val in parse_qsl(parsed.query, keep_blank_values=True):
+        if key == "user":
+            param_user = val
+        elif key == "password":
+            param_pw = val
+        else:
+            url_params.append((_LIBPQ_TO_JDBC.get(key, key), val))
+    jdbc_url = f"jdbc:postgresql://{host}:{port}{db}"
+    if url_params:
+        jdbc_url += "?" + urlencode(url_params)
+
     opts = {
-        "url": f"jdbc:postgresql://{host}:{port}{db}",
+        "url": jdbc_url,
         "query": query,
         "fetchsize": str(batch_size),
         "driver": "org.postgresql.Driver",
     }
-    resolved_user = user or (unquote(parsed.username) if parsed.username else None)
+    resolved_user = (
+        user or (unquote(parsed.username) if parsed.username else None) or param_user
+    )
     resolved_pw = (
         password
         or os.environ.get("PGPASSWORD")
         or (unquote(parsed.password) if parsed.password else None)
+        or param_pw
     )
     if resolved_user:
         opts["user"] = resolved_user

@@ -63,6 +63,54 @@ def test_s3_conf_assembly(monkeypatch):
     }
 
 
+def test_azure_key_is_account_qualified(monkeypatch):
+    """The ABFS driver only reads fs.azure.account.key.<account>.dfs.core.
+    windows.net; a generic fs.azure.account.key is ignored (ADVICE r04).
+    The account comes from the abfss URL authority, falling back to
+    AZURE_STORAGE_ACCOUNT for short authorities."""
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT_KEY", "zk")
+    monkeypatch.delenv("AZURE_STORAGE_ACCOUNT", raising=False)
+    conf = OS.object_store_hadoop_conf("abfss://c@myacct.dfs.core.windows.net/p")
+    assert conf == {"fs.azure.account.key.myacct.dfs.core.windows.net": "zk"}
+    # short authority + env account
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "envacct")
+    conf = OS.object_store_hadoop_conf("abfss://container@envhost/p")
+    assert conf == {"fs.azure.account.key.envacct.dfs.core.windows.net": "zk"}
+    # underivable account must fail loudly, not emit a dead generic key
+    monkeypatch.delenv("AZURE_STORAGE_ACCOUNT")
+    with pytest.raises(ValueError, match="storage account"):
+        OS.object_store_hadoop_conf("abfss://container@envhost/p")
+
+
+def test_uri_normalization_only_touches_path_param(tmp_path):
+    """accepts_file_uris must normalize ONLY the table-location parameter —
+    URI-shaped DATA values (bounds, column cells) pass through untouched
+    (ADVICE r04: prune_files_by_stats(path, 'url', 'http://a', 'http://z')
+    raised, and 'file:///x' bounds were silently rewritten)."""
+    from lakehouse_loader_spark.sinks.delta import prune_files_by_stats
+    from lakehouse_loader_spark.sinks.staging import accepts_file_uris
+
+    # a URL-typed bound must not raise or be rewritten
+    with pytest.raises(FileNotFoundError):
+        # table path resolves (file:// normalized); bounds stay verbatim
+        prune_files_by_stats(
+            f"file://{tmp_path}/absent", "url", "http://a", "http://z"
+        )
+
+    seen = {}
+
+    @accepts_file_uris
+    def probe(path: str, lo, hi):
+        seen.update(path=path, lo=lo, hi=hi)
+
+    probe(f"file://{tmp_path}/t", "file:///keep-me", "s3://also-keep")
+    assert seen == {
+        "path": f"{tmp_path}/t",
+        "lo": "file:///keep-me",
+        "hi": "s3://also-keep",
+    }
+
+
 def test_local_paths_get_no_conf():
     assert OS.object_store_hadoop_conf("/tmp/t") == {}
     assert OS.object_store_hadoop_conf("file:///tmp/t") == {}

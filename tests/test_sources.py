@@ -149,6 +149,59 @@ class TestPostgresJdbcContract:
         b = postgres_jdbc_options("postgres://h/db", "Q")
         assert a["url"] == b["url"] == "jdbc:postgresql://h:5432/db"
 
+    def test_sslmode_forwarded_to_jdbc_url(self):
+        """TLS parity with the reference's connect (pg_arrow_source.rs:
+        211-218): ?sslmode=require must survive the libpq→JDBC translation
+        — dropping it would silently downgrade transport security."""
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        opts = postgres_jdbc_options("postgresql://h/db?sslmode=require", "Q")
+        assert opts["url"] == "jdbc:postgresql://h:5432/db?sslmode=require"
+
+    def test_ssl_cert_params_forwarded(self):
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        opts = postgres_jdbc_options(
+            "postgresql://h/db?sslmode=verify-full"
+            "&sslrootcert=/etc/ssl/root.crt&sslcert=/c.pem&sslkey=/k.pem",
+            "Q",
+        )
+        assert opts["url"] == (
+            "jdbc:postgresql://h:5432/db?sslmode=verify-full"
+            "&sslrootcert=%2Fetc%2Fssl%2Froot.crt&sslcert=%2Fc.pem&sslkey=%2Fk.pem"
+        )
+
+    def test_libpq_spellings_renamed_for_jdbc(self):
+        """connect_timeout/application_name exist in both stacks but under
+        different names; the translation renames rather than forwards."""
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        opts = postgres_jdbc_options(
+            "postgresql://h/db?connect_timeout=10&application_name=loader", "Q"
+        )
+        assert opts["url"] == (
+            "jdbc:postgresql://h:5432/db?connectTimeout=10&ApplicationName=loader"
+        )
+
+    def test_user_password_query_params_become_options(self, monkeypatch):
+        """libpq accepts credentials as query params too; they must land in
+        JDBC options (lowest precedence), never in the URL."""
+        from lakehouse_loader_spark.sources.readers import postgres_jdbc_options
+
+        monkeypatch.delenv("PGPASSWORD", raising=False)
+        opts = postgres_jdbc_options(
+            "postgresql://h/db?user=bob&password=qp-pw&sslmode=require", "Q"
+        )
+        assert opts["url"] == "jdbc:postgresql://h:5432/db?sslmode=require"
+        assert opts["user"] == "bob"
+        assert opts["password"] == "qp-pw"
+        # userinfo in the URL authority wins over query params
+        opts2 = postgres_jdbc_options(
+            "postgresql://alice:a-pw@h/db?user=bob&password=qp-pw", "Q"
+        )
+        assert opts2["user"] == "alice"
+        assert opts2["password"] == "a-pw"
+
     def test_non_postgres_scheme_rejected(self):
         import pytest
 
