@@ -132,11 +132,156 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds —
+    the two-phase algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC'14).  Same output contract as
+    ``connected_components``.
+
+    When to use which: min-label propagation needs one round per unit of
+    component DIAMETER — ideal for dedup graphs (near-cliques, d ≤ 3-4),
+    pathological for chain-shaped graphs (a 10⁶-hop path needs 10⁶
+    rounds).  Star contraction converges in O(log² n) rounds regardless of
+    diameter, at the cost of reshaping the edge set each round (two
+    shuffles/round vs one).  Default stays min-label for dup clusters;
+    reach for this variant when components can be long and thin (citation
+    chains, session graphs, web link paths).
+
+    Each round:
+      large-star: every node's strictly-LARGER neighbors re-attach to its
+        local minimum m = min(Γ(u) ∪ {u}) — emit (v, m) for v ∈ Γ(u), v>u
+      small-star: orient edges high→low; every node's smaller neighbors
+        (and the node) attach to m = min(Γ₋(u) ∪ {u}) — emit (v, m)
+    Both steps preserve connectivity; the fixpoint is a star forest where
+    every node points at its component minimum.  Convergence is detected
+    with a constant-size fingerprint (edge count + hash sum) instead of a
+    subtract — one tiny aggregate, no extra shuffle of the edge set."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    jsc = spark.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        rdds = jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = rdds.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr")),
+                )
+            ).alias("e")
+        ).select("e.node", "e.nbr")
+        mins = (
+            sym.groupBy("node")
+            .agg(F.min("nbr").alias("mn"))
+            .select("node", F.least("node", "mn").alias("m"))
+        )
+        return (
+            sym.join(mins, "node")
+            .filter(F.col("nbr") > F.col("node"))
+            .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        hi_lo = e.select(
+            F.greatest("a", "b").alias("node"), F.least("a", "b").alias("nbr")
+        )
+        mins = hi_lo.groupBy("node").agg(F.min("nbr").alias("m"))
+        re_attach = (
+            hi_lo.join(mins, "node")
+            .filter(F.col("nbr") != F.col("m"))
+            .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
+        )
+        self_attach = mins.select(F.col("node").alias("a"), F.col("m").alias("b"))
+        return (
+            re_attach.unionByName(self_attach)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev_ckpt_ids: set[int] = set()
+    live_ckpt_ids: set[int] = set()
+    prev_fp: tuple[int, int] | None = None
+    converged = False
+    try:
+        for _ in range(max_iterations):
+            new_edges = small_star(large_star(edges))
+            before = _persistent_ids()
+            new_edges = new_edges.localCheckpoint(eager=True)  # O(1) plan/round
+            new_ids = _persistent_ids() - before
+            live_ckpt_ids = prev_ckpt_ids | new_ids
+            row = new_edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                # xor-fold of per-edge hashes: order-independent and cannot
+                # overflow (a long SUM trips ANSI arithmetic checks)
+                F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+            ).first()
+            fp = (int(row["n"]), int(row["h"]))
+            edges = new_edges
+            _free(prev_ckpt_ids)
+            prev_ckpt_ids = new_ids
+            live_ckpt_ids = new_ids
+            if fp == prev_fp:  # star-forest fixpoint: (v, root) edges only
+                converged = True
+                break
+            prev_fp = fp
+    finally:
+        if not converged:
+            _free(live_ckpt_ids)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
+    # converged edge set is a star forest: every non-root has edges to its
+    # component minimum only; roots are targets that never appear as sources
+    members = edges.groupBy("a").agg(F.min("b").alias("component")).select(
+        F.col("a").alias("node"), "component"
+    )
+    roots = (
+        edges.select(F.col("b").alias("node"))
+        .distinct()
+        .join(edges.select(F.col("a").alias("node")).distinct(), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.unionByName(roots)
+
+
+def dedup_clusters(pairs: DataFrame, algorithm: str = "min_label") -> DataFrame:
     """Cluster summary per component: canonical (min) doc id and member
     count.  Docs not in any pair are singletons and excluded (they keep
-    themselves)."""
-    cc = connected_components(pairs)
+    themselves).  ``algorithm``: "min_label" (default; one shuffle/round,
+    rounds = component diameter — right for near-clique dup graphs) or
+    "two_phase_star" (O(log² n) rounds regardless of diameter — right for
+    long, thin components)."""
+    if algorithm == "min_label":
+        cc = connected_components(pairs)
+    elif algorithm == "two_phase_star":
+        cc = connected_components_star(pairs)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("canonical_doc"))

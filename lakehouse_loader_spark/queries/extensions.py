@@ -659,6 +659,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dc(pairs)
 
 
+@query(
+    "dedup_clusters_star",
+    oracle=_SHINGLES_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    e2 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+    edges AS (SELECT doc_a AS node, doc_b AS nbr FROM e2
+              UNION SELECT doc_b, doc_a FROM e2),
+    reach(node, lab) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.lab FROM reach r JOIN edges e ON e.node = r.node
+    )
+    SELECT CAST(lab AS BIGINT) AS cluster_id,
+           CAST(lab AS BIGINT) AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+    GROUP BY lab
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate groups, but components form via alternating
+    large-star/small-star contraction (Kiveris et al., SoCC'14) — the
+    diameter-independent O(log² n)-round variant for long, thin components
+    where min-label propagation (rounds = diameter) can't finish.  Must
+    agree exactly with `dedup_clusters` (and does: same recursive-CTE
+    oracle)."""
+    from lakehouse_loader_spark.operators.clusters import dedup_clusters as _dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    return _dc(pairs, algorithm="two_phase_star")
+
+
 # --------------------------------------------------------------------------
 # Sliding (overlapping) windows: 10-minute windows every 5 minutes
 # --------------------------------------------------------------------------

@@ -159,6 +159,60 @@ def test_connected_components_long_chain_needs_iterations(spark):
         connected_components(pairs, max_iterations=3).collect()
 
 
+def test_star_contraction_handles_high_diameter(spark):
+    """A path graph of length ≫ the min-label budget: star contraction must
+    converge in O(log² n) rounds where min-label propagation (one round per
+    diameter unit) exhausts its budget — the scale property the variant
+    exists for (VERDICT r04 design headroom)."""
+    import pytest as _pytest
+
+    from lakehouse_loader_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200  # diameter 200 ≫ min-label's default 25-iteration budget
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs).collect()
+    cc = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert len(cc) == n + 1
+    assert set(cc.values()) == {0}
+
+
+def test_star_contraction_matches_min_label(spark):
+    """Both algorithms must produce identical (node, component) maps on a
+    seeded random graph (components small enough for min-label)."""
+    import random
+
+    from lakehouse_loader_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+        dedup_clusters,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(120))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    a = {r.node: r.component for r in connected_components(df).collect()}
+    b = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert a == b
+    # and through the public dedup_clusters API
+    c1 = {
+        (r.cluster_id, r.canonical_doc, r.n_members)
+        for r in dedup_clusters(df).collect()
+    }
+    c2 = {
+        (r.cluster_id, r.canonical_doc, r.n_members)
+        for r in dedup_clusters(df, algorithm="two_phase_star").collect()
+    }
+    assert c1 == c2
+
+
 def test_asof_join_picks_latest_row_atomically(spark):
     """The latest preceding right ROW wins as a unit — a NULL member must
     not be backfilled from an older row (blended rows), and an inner join
