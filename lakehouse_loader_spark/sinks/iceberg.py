@@ -531,6 +531,7 @@ def write_iceberg(
     overwrite: bool = False,
     append: bool = False,
     partition_by: list[str] | None = None,
+    snapshot_props: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` with the reference's iceberg-destination semantics (see
     module docstring).  Overwrite starts a fresh data lineage but keeps the
@@ -603,12 +604,18 @@ def write_iceberg(
         manifests = [manifest]
     manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
 
+    summary = {"operation": "append" if mode is WriteMode.APPEND else "overwrite"}
+    if snapshot_props:
+        # Iceberg-style snapshot summary properties (all string-valued) —
+        # the commit-metadata channel streaming sinks use for exactly-once
+        # batch tracking (the analog of Delta's txn action)
+        summary.update({str(k): str(v) for k, v in snapshot_props.items()})
     snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": sequence_number,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_list,
-        "summary": {"operation": "append" if mode is WriteMode.APPEND else "overwrite"},
+        "summary": summary,
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
@@ -777,3 +784,114 @@ def snapshot_sequence_numbers(path: str) -> list[int]:
     asserts [1] after create and [1,2] after overwrite/append)."""
     _, meta = _read_metadata(path)
     return [s["sequence-number"] for s in meta["snapshots"]]
+
+
+def _stream_summary_key(app_id: str) -> str:
+    return f"lhl-stream-{app_id}"
+
+
+@accepts_file_uris
+def last_committed_batch(path: str, app_id: str) -> int:
+    """Highest micro-batch id a stream identified by ``app_id`` has
+    committed to this table, or -1 — read from snapshot summary properties
+    (the Iceberg analog of Delta's ``txn`` action; every retained snapshot
+    is scanned so an interleaved batch write can't shadow the marker)."""
+    if not table_exists(path):
+        return -1
+    _, meta = _read_metadata(path)
+    key = _stream_summary_key(app_id)
+    best = -1
+    for snap in meta.get("snapshots", []):
+        v = snap.get("summary", {}).get(key)
+        if v is not None:
+            best = max(best, int(v))
+    return best
+
+
+@accepts_file_uris
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Expire all but the newest ``keep_last`` snapshots and delete every
+    file only they reference — manifest lists always (one per snapshot),
+    manifests and data files only when no retained snapshot still lists
+    them (append lineages share manifests across snapshots, so an expired
+    append's manifest usually survives; an overwritten lineage's data
+    files do not).  Returns the table-relative paths deleted.
+
+    This is the Iceberg maintenance twin of ``vacuum_delta``: metadata
+    history shrinks (expired ids no longer time-travelable), the current
+    snapshot is never expired, and the metadata swap rides the same
+    exclusive-create commit as writes (R14)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot stays)")
+    version, meta = _read_metadata(path)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return []
+    retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+    current = meta.get("current-snapshot-id")
+    if current is not None and current not in {s["snapshot-id"] for s in retained}:
+        raise RuntimeError("current snapshot would be expired; refusing")
+
+    root = os.path.abspath(path)
+
+    def _rel(p: str) -> str:
+        # manifest(-list) paths are recorded absolute, data file paths
+        # table-relative — canonicalize everything to table-relative
+        return os.path.relpath(p, root) if os.path.isabs(p) else p
+
+    def _files_of(snapshot: dict) -> tuple[set[str], set[str], set[str]]:
+        mlist = snapshot["manifest-list"]
+        manifests, data = set(), set()
+        for mf in _read_manifest_list(path, mlist):
+            manifests.add(_rel(mf["manifest_path"]))
+            for entry in _read_manifest_entries(path, mf["manifest_path"]):
+                data.add(_rel(entry["data_file"]["file_path"]))
+        return {_rel(mlist)}, manifests, data
+
+    keep_lists: set[str] = set()
+    keep_manifests: set[str] = set()
+    keep_data: set[str] = set()
+    for snap in retained:
+        ls, ms, ds = _files_of(snap)
+        keep_lists |= ls
+        keep_manifests |= ms
+        keep_data |= ds
+    drop: set[str] = set()
+    for snap in expired:
+        ls, ms, ds = _files_of(snap)
+        drop |= ls - keep_lists
+        drop |= ms - keep_manifests
+        drop |= ds - keep_data
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    for attempt in range(COMMIT_RETRIES):
+        new_version = version + 1
+        try:
+            fd = os.open(
+                os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh, indent=2)
+            break
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            # a concurrent commit landed: recompute retention over its state
+            version, meta = _latest_version_on_disk(path)
+            return expire_snapshots(path, keep_last=keep_last)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(new_version))
+
+    # physical deletion AFTER the metadata commit: a reader on the old
+    # version may still be walking expired manifests during the swap, but
+    # once vN+1 exists no new reader can reach them
+    deleted = []
+    for rel in sorted(drop):
+        full = rel if os.path.isabs(rel) else os.path.join(path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted.append(rel)
+    return deleted

@@ -223,6 +223,46 @@ def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
     )
 
 
+def stream_to_iceberg(stream: DataFrame, table_path: str, checkpoint_dir: str):
+    """Continuous ingestion into the Iceberg sink — the Iceberg twin of
+    ``stream_to_delta``.  Each micro-batch appends through the same
+    transactional commit path as batch writes (manifest merge, optimistic
+    retry), so one snapshot lands per non-empty batch.
+
+    Exactly-once: each commit stamps a snapshot summary property
+    ``lhl-stream-<appId> = batch_id`` (appId from the checkpoint contents,
+    exactly like the Delta path).  A micro-batch replayed after a failure
+    between table-commit and checkpoint-advance is detected via
+    ``last_committed_batch`` and skipped instead of appended twice."""
+    from lakehouse_loader_spark.sinks.iceberg import (
+        _stream_summary_key,
+        last_committed_batch,
+        table_exists,
+        write_iceberg,
+    )
+
+    app_id = resolve_stream_app_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= last_committed_batch(table_path, app_id):
+            return  # already committed; checkpoint replay after crash
+        write_iceberg(
+            batch_df,
+            table_path,
+            append=table_exists(table_path),
+            snapshot_props={_stream_summary_key(app_id): str(batch_id)},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

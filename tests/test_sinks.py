@@ -484,6 +484,76 @@ def test_iceberg_time_travel_by_snapshot(spark, small_df, tmpdir):
         IC.read_iceberg(spark, path, snapshot_id=123)
 
 
+def test_iceberg_snapshot_props_and_last_committed_batch(spark, small_df, tmpdir):
+    """Snapshot summary properties (the Iceberg analog of Delta's txn
+    action) carry stream batch markers; last_committed_batch scans every
+    retained snapshot so interleaved plain writes can't shadow a marker."""
+    path = os.path.join(tmpdir, "t")
+    assert IC.last_committed_batch(path, "appX") == -1  # no table yet
+    IC.write_iceberg(small_df, path, snapshot_props={"lhl-stream-appX": "0"})
+    assert IC.last_committed_batch(path, "appX") == 0
+    # a plain append without props must not disturb the marker
+    IC.write_iceberg(small_df.limit(3), path, append=True)
+    assert IC.last_committed_batch(path, "appX") == 0
+    IC.write_iceberg(
+        small_df.limit(5), path, append=True,
+        snapshot_props={"lhl-stream-appX": "1"},
+    )
+    assert IC.last_committed_batch(path, "appX") == 1
+    assert IC.last_committed_batch(path, "other-app") == -1
+
+
+def test_iceberg_expire_snapshots_append_lineage(spark, small_df, tmpdir):
+    """Appends share manifests across snapshots: expiring the old snapshots
+    must delete only their manifest LISTS (one per snapshot) — every
+    manifest and data file is still referenced by the retained snapshot,
+    and the full row count survives."""
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    IC.write_iceberg(small_df.limit(5), path, append=True)
+    IC.write_iceberg(small_df.limit(3), path, append=True)
+    assert len(IC.snapshot_ids(path)) == 3
+    deleted = IC.expire_snapshots(path, keep_last=1)
+    assert len(IC.snapshot_ids(path)) == 1
+    assert deleted and all("manifest-list-" in p for p in deleted)
+    assert IC.read_iceberg(spark, path).count() == 108
+
+
+def test_iceberg_expire_snapshots_overwrite_lineage(spark, small_df, tmpdir):
+    """An overwrite starts a new data lineage: expiring the pre-overwrite
+    snapshot must delete its manifest list, its manifests AND its data
+    files (nothing retained references them), and time travel to the
+    expired id must fail."""
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    old_snap = IC.snapshot_ids(path)[0]
+    IC.write_iceberg(small_df.limit(7), path, overwrite=True)
+    # the overwritten data files exist before expiry
+    data_before = set()
+    for root, _d, files in os.walk(os.path.join(path, "data")):
+        data_before.update(files)
+    deleted = IC.expire_snapshots(path, keep_last=1)
+    kinds = {p.split("/")[0] for p in deleted}
+    assert any("manifest-list-" in p for p in deleted)
+    assert any(
+        "manifest-" in p and "manifest-list-" not in p for p in deleted
+    )  # the lineage's manifests proper, not just its list
+    assert "data" in kinds  # orphaned data files physically removed
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(path, rel))
+    assert IC.read_iceberg(spark, path).count() == 7
+    with pytest.raises(ValueError):
+        IC.read_iceberg(spark, path, snapshot_id=old_snap)
+
+
+def test_iceberg_expire_snapshots_noop_and_guardrails(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    IC.write_iceberg(small_df, path)
+    assert IC.expire_snapshots(path, keep_last=1) == []  # nothing to expire
+    with pytest.raises(ValueError, match="keep_last"):
+        IC.expire_snapshots(path, keep_last=0)
+
+
 def test_delta_optimize_conflict_on_removed_input(spark, small_df, tmpdir):
     """OPTIMIZE whose snapshot inputs were removed by a concurrent commit
     must raise ConcurrentModificationError, not re-commit stale removes

@@ -166,6 +166,49 @@ def test_stream_to_delta_app_id_follows_checkpoint_contents(spark, staged_events
         shutil.rmtree(moved, ignore_errors=True)
 
 
+def test_stream_to_iceberg_ingestion_and_replay_suppression(spark, staged_events):
+    """Iceberg twin of the Delta ingestion + replay tests: all rows land
+    (one snapshot per non-empty micro-batch), and after deleting the newest
+    Spark commit marker the restarted stream re-delivers the last batch —
+    only the snapshot-summary batch marker keeps it from appending twice."""
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    path, src = staged_events
+    out = tempfile.mkdtemp(prefix="evice_")
+    ckpt = tempfile.mkdtemp(prefix="evickpt_")
+    tbl = os.path.join(out, "t")
+    try:
+        q = SE.stream_to_iceberg(SE.read_event_stream(spark, path), tbl, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+        back = IC.read_iceberg(spark, tbl)
+        assert back.count() == src.count()
+        n_snaps = len(IC.snapshot_ids(tbl))
+        assert n_snaps >= 1
+        with open(os.path.join(ckpt, "_lhl_app_id")) as fh:
+            app_id = fh.read().strip()
+        assert IC.last_committed_batch(tbl, app_id) >= 0
+
+        # force a REAL replay of the last micro-batch (same trick as the
+        # Delta test: drop the newest Spark commit marker + its checksum)
+        commits = os.path.join(ckpt, "commits")
+        newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        q2 = SE.stream_to_iceberg(SE.read_event_stream(spark, path), tbl, ckpt)
+        q2.awaitTermination(120)
+        q2.stop()
+        assert IC.read_iceberg(spark, tbl).count() == src.count()  # no dupes
+        assert len(IC.snapshot_ids(tbl)) == n_snaps  # no extra snapshot
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stream_stream_join_matches_batch(spark, staged_events):
     """Watermarked stream-stream join result must equal the equivalent
     batch join once all input is consumed."""
