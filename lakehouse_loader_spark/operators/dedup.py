@@ -146,6 +146,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_near_duplicates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING corpus — the
+    realistic ingest shape: an arriving shard is deduped against what's
+    already in the lake, not all-pairs over the union.  Returns
+    (new_doc, corpus_doc, jaccard) with word-k-gram Jaccard ≥ threshold.
+
+    Scale shape mirrors ngram_jaccard_pairs (PPJoin prefix filter + length
+    filter + exact verify) with one structural change: the candidate join
+    pairs CORPUS prefixes against BATCH prefixes only — batch-internal and
+    corpus-internal pairs never form, so candidate volume is ~|batch|-
+    proportional, not |union|².  Shingle rarity statistics are computed
+    over the union (rarity must reflect the corpus the batch joins).
+    batch-vs-batch dedup remains ngram_jaccard_pairs on the batch alone."""
+    from lakehouse_loader_spark.operators import spread as _spread
+
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("_side")
+    ).unionByName(batch.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_side")))
+    sh = (
+        with_shingles(_spread(tagged), k=k)
+        .select(
+            F.col(id_col).alias("doc"),
+            "_side",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_h"),
+        )
+        .persist()
+    )
+    sh.count()  # eager fill: several subtrees reference this cache
+
+    ex = sh.select("doc", "_side", F.explode("sh_h").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(dfreq, "h")
+        .groupBy("doc", "_side")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+        .select(
+            "doc",
+            "_side",
+            F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+        )
+    )
+    n = F.size("rare_first")
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+    prefix = ranked.select(
+        "doc",
+        "_side",
+        n.alias("sz"),
+        F.explode(F.slice("rare_first", 1, prefix_len)).alias("h"),
+    )
+    c = prefix.filter(F.col("_side") == 0).alias("c")
+    b = prefix.filter(F.col("_side") == 1).alias("b")
+    size_ok = (
+        F.col("b.sz").cast("double") >= F.lit(threshold) * F.col("c.sz") - F.lit(1e-9)
+    ) & (F.col("c.sz").cast("double") >= F.lit(threshold) * F.col("b.sz") - F.lit(1e-9))
+    cands = (
+        c.join(b, (F.col("c.h") == F.col("b.h")) & size_ok)
+        .select(F.col("b.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc"))
+        .distinct()
+    )
+
+    sc = sh.filter(F.col("_side") == 0).select(
+        F.col("doc").alias("corpus_doc"), F.col("sh_h").alias("set_c")
+    )
+    sb = sh.filter(F.col("_side") == 1).select(
+        F.col("doc").alias("new_doc"), F.col("sh_h").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_b", "set_c"))
+    union = F.size("set_b") + F.size("set_c") - inter
+    return (
+        cands.join(sb, "new_doc")
+        .join(sc, "corpus_doc")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "corpus_doc", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

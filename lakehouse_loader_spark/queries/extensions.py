@@ -73,6 +73,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM docs),
+    c AS (SELECT * FROM sh WHERE doc_id % 10 >= 2),
+    b AS (SELECT * FROM sh WHERE doc_id % 10 < 2)
+    SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+           CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+           CAST(len(b.shingles) + len(c.shingles)
+                - len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) AS jaccard
+    FROM b JOIN c ON TRUE
+    WHERE CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+          CAST(len(b.shingles) + len(c.shingles)
+               - len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a 'new batch' (doc_id % 10 < 2, a
+    deterministic 20% shard) deduped against the existing corpus (the
+    other 80%) — candidate pairs form ONLY across the batch/corpus
+    boundary, so the join volume is proportional to the batch, not the
+    union squared (operators/dedup.py:incremental_near_duplicates).  The
+    oracle brute-forces the same cross-set jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 < 2)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    return D.incremental_near_duplicates(corpus, batch, threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # E1 near-dup dedup: MinHash signature + LSH banding + exact verify
 # --------------------------------------------------------------------------

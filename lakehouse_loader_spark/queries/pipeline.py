@@ -687,3 +687,113 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# Data profiling: per-column stats in ONE distributed pass
+# --------------------------------------------------------------------------
+@query(
+    "profile_table",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_null,
+             COUNT(DISTINCT l_quantity) AS qty_nd,
+             MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+             ROUND(AVG(l_quantity), 4) AS qty_avg,
+             SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS px_null,
+             COUNT(DISTINCT l_extendedprice) AS px_nd,
+             MIN(l_extendedprice) AS px_min, MAX(l_extendedprice) AS px_max,
+             ROUND(AVG(l_extendedprice), 4) AS px_avg,
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_null,
+             COUNT(DISTINCT l_returnflag) AS rf_nd,
+             MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS sd_null,
+             COUNT(DISTINCT l_shipdate) AS sd_nd,
+             CAST(MIN(l_shipdate) AS VARCHAR) AS sd_min,
+             CAST(MAX(l_shipdate) AS VARCHAR) AS sd_max
+      FROM lineitem)
+    SELECT 'l_quantity' AS col_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(qty_null AS BIGINT) AS n_null, CAST(qty_nd AS BIGINT) AS n_distinct,
+           CAST(qty_min AS DOUBLE) AS min_num, CAST(qty_max AS DOUBLE) AS max_num,
+           CAST(qty_avg AS DOUBLE) AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(n AS BIGINT), CAST(px_null AS BIGINT),
+           CAST(px_nd AS BIGINT), CAST(px_min AS DOUBLE), CAST(px_max AS DOUBLE),
+           CAST(px_avg AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM m
+    UNION ALL
+    SELECT 'l_returnflag', CAST(n AS BIGINT), CAST(rf_null AS BIGINT),
+           CAST(rf_nd AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), rf_min, rf_max
+    FROM m
+    UNION ALL
+    SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(sd_null AS BIGINT),
+           CAST(sd_nd AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), sd_min, sd_max
+    FROM m
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profiling — row count, null count, exact distinct
+    count, min/max, numeric mean — the schema-drift / data-quality gate a
+    pipeline runs before training ingestion.
+
+    Scale design: ONE aggregate over the table computes every metric
+    (Catalyst plans the multi-count-distinct via a single Expand + two-stage
+    aggregate — one shuffle, no per-column scans), producing a single row
+    that is then unpivoted into the long report shape via explode on a
+    constant-size array.  Numeric min/max/avg stay typed doubles and
+    temporal/string bounds become strings, so the long format never casts
+    numerics through strings (engine float-formatting differs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def null_count(c: str):
+        return F.sum(F.col(c).isNull().cast("bigint"))
+
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        null_count("l_quantity").alias("qty_null"),
+        F.countDistinct("l_quantity").alias("qty_nd"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_avg"),
+        null_count("l_extendedprice").alias("px_null"),
+        F.countDistinct("l_extendedprice").alias("px_nd"),
+        F.min("l_extendedprice").alias("px_min"),
+        F.max("l_extendedprice").alias("px_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("px_avg"),
+        null_count("l_returnflag").alias("rf_null"),
+        F.countDistinct("l_returnflag").alias("rf_nd"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        null_count("l_shipdate").alias("sd_null"),
+        F.countDistinct("l_shipdate").alias("sd_nd"),
+        F.min("l_shipdate").cast("string").alias("sd_min"),
+        F.max("l_shipdate").cast("string").alias("sd_max"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def row(name, n_null, nd, mn_num, mx_num, avg, mn_s, mx_s):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col(n_null).cast("bigint").alias("n_null"),
+            F.col(nd).cast("bigint").alias("n_distinct"),
+            (F.col(mn_num).cast("double") if mn_num else null_d).alias("min_num"),
+            (F.col(mx_num).cast("double") if mx_num else null_d).alias("max_num"),
+            (F.col(avg).cast("double") if avg else null_d).alias("avg_num"),
+            (F.col(mn_s) if mn_s else null_s).alias("min_str"),
+            (F.col(mx_s) if mx_s else null_s).alias("max_str"),
+        )
+
+    report = F.array(
+        row("l_quantity", "qty_null", "qty_nd", "qty_min", "qty_max", "qty_avg", None, None),
+        row("l_extendedprice", "px_null", "px_nd", "px_min", "px_max", "px_avg", None, None),
+        row("l_returnflag", "rf_null", "rf_nd", None, None, None, "rf_min", "rf_max"),
+        row("l_shipdate", "sd_null", "sd_nd", None, None, None, "sd_min", "sd_max"),
+    )
+    return m.select(F.explode(report).alias("r")).select("r.*")

@@ -122,6 +122,46 @@ def test_ivf_ann_recall_against_brute_force(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_incremental_near_duplicates_cross_set_only(spark):
+    """Batch docs pair only against corpus docs: a planted batch→corpus
+    near-dup is found with its exact jaccard, while an exact duplicate
+    WITHIN the batch (and within the corpus) must not appear."""
+    from lakehouse_loader_spark.operators.dedup import (
+        incremental_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # corpus-internal exact dup — must NOT pair
+            (3, "completely different words about training data pipelines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " extra"),  # near-dup of corpus 1 and 2
+            (101, base + " extra"),  # batch-internal exact dup — must NOT pair
+            (102, "unrelated payload text with nothing shared at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.new_doc, r.corpus_doc): r.jaccard
+        for r in incremental_near_duplicates(corpus, batch, threshold=0.5).collect()
+    }
+    assert set(got) == {(100, 1), (100, 2), (101, 1), (101, 2)}
+    # jaccard values agree with the within-set operator run on the union
+    union_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus.union(batch), threshold=0.5).collect()
+    }
+    for (nd, cd), j in got.items():
+        assert abs(union_pairs[(cd, nd)] - j) < 1e-12
+
+
 def test_connected_components_chain_and_star(spark):
     from lakehouse_loader_spark.operators.clusters import connected_components, dedup_clusters
 
