@@ -538,6 +538,43 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
 
 
 @accepts_file_uris
+def read_delta_appends(
+    spark: SparkSession, path: str, since_version: int, end_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED after ``since_version`` (exclusive) up to ``end_version``
+    (inclusive; default latest) — incremental consumption of an append-only
+    table, the batch-CDC pattern a downstream pipeline uses to process only
+    new data per run ("give me everything since the version I checkpointed").
+
+    File-level change feed: the delta between the two snapshots' live-add
+    sets is computed from the LOG ONLY (no data files are opened for
+    planning, so planning cost is O(log segment), not O(table)).  Raises if
+    any file live at ``since_version`` was since removed or rewritten —
+    OPTIMIZE/MERGE/overwrite change history, not just append to it, and a
+    file-level feed cannot attribute row-level changes (that needs real
+    row-tracking CDF); failing loudly beats silently double-counting
+    compacted rows."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no delta table at {path}")
+    _, meta_old, adds_old = _read_log(path, as_of_version=since_version)
+    latest, meta, adds_new = _read_log(path, as_of_version=end_version)
+    gone = sorted(set(adds_old) - set(adds_new))
+    if gone:
+        raise ConcurrentModificationError(
+            f"files live at version {since_version} were removed by "
+            f"version {end_version if end_version is not None else latest} "
+            f"(e.g. {gone[0]}): history is not append-only over this range, "
+            "so an append feed would miscount; re-read the full snapshot"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    fresh = sorted(set(adds_new) - set(adds_old))
+    if not fresh:
+        return spark.createDataFrame([], schema)
+    files = [os.path.join(path, p) for p in fresh]
+    return _file_reader(spark, path, meta, schema).parquet(*files)
+
+
+@accepts_file_uris
 def optimize_delta(
     spark: SparkSession,
     path: str,

@@ -484,6 +484,33 @@ def test_iceberg_time_travel_by_snapshot(spark, small_df, tmpdir):
         IC.read_iceberg(spark, path, snapshot_id=123)
 
 
+def test_delta_read_appends_incremental(spark, small_df, tmpdir):
+    """Incremental append feed: rows added after a checkpointed version,
+    planned from the log only; ranges whose history is not append-only
+    (optimize rewrote files) must fail loudly instead of double-counting."""
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(small_df.repartition(2), path)  # v0+v1 (protocol, adds)
+    v1 = max(h["version"] for h in DL.table_history(path))
+    DL.write_delta(small_df.limit(7), path, append=True)
+    DL.write_delta(small_df.limit(3), path, append=True)
+    inc = DL.read_delta_appends(spark, path, since_version=v1)
+    assert inc.count() == 10
+    # bounded range: only the first append
+    v2 = v1 + 1
+    assert DL.read_delta_appends(spark, path, v1, end_version=v2).count() == 7
+    # empty range
+    assert DL.read_delta_appends(spark, path, v1, end_version=v1).count() == 0
+    # full consistency: base snapshot + feed == latest snapshot
+    assert DL.read_delta(spark, path, version=v1).count() + inc.count() == \
+        DL.read_delta(spark, path).count()
+    # OPTIMIZE rewrites files → the feed over that range must refuse
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+
+    DL.optimize_delta(spark, path, target_partitions=1)
+    with pytest.raises(ConcurrentModificationError, match="append-only"):
+        DL.read_delta_appends(spark, path, since_version=v1)
+
+
 def test_iceberg_snapshot_props_and_last_committed_batch(spark, small_df, tmpdir):
     """Snapshot summary properties (the Iceberg analog of Delta's txn
     action) carry stream batch markers; last_committed_batch scans every
