@@ -48,7 +48,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (50 of 90 queries per round), so ordering decides coverage.  Rather than a
+# (50 of the ~93 registered queries per round), so ordering decides coverage.  Rather than a
 # hand-maintained front-list (which went stale the moment new queries landed
 # after a round's list was frozen — ADVICE r04), priority is DERIVED from the
 # CORRECTNESS_r*.json records the driver itself writes:

@@ -21,6 +21,43 @@ def _plan(spark, name: str) -> str:
     )
 
 
+def _single_partition_consumers(plan: str) -> list[str]:
+    """Node names that CONSUME a SinglePartition exchange, parsed from the
+    formatted-mode plan.  Formatted mode prints the partitioning only in the
+    node details ("Arguments: SinglePartition"), never in the tree — a
+    literal grep for 'Exchange SinglePartition' (simple-mode spelling) can
+    never match, so an assertion on it is vacuous.  The tree (indented
+    ``+- Node (id)`` lines) gives each exchange's parent; the detail
+    sections give which exchange ids are single-partition."""
+    import re
+
+    lines = plan.splitlines()
+    # ids of Exchange nodes whose detail block says SinglePartition
+    sp_ids = set()
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) (\w+)", ln)
+        if m:
+            cur = (int(m.group(1)), m.group(2))
+        elif cur and cur[1] == "Exchange" and "SinglePartition" in ln:
+            sp_ids.add(cur[0])
+    # tree: depth -> parent node name
+    consumers = []
+    stack: list[tuple[int, str, int]] = []  # (depth, name, id)
+    for ln in lines:
+        m = re.match(r"^([ +:-]*)(\*?\(?\d*\)? ?)?(\w[\w ]*?) \((\d+)\)\s*$", ln)
+        if not m:
+            continue
+        depth = len(m.group(1))
+        name, nid = m.group(3), int(m.group(4))
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if nid in sp_ids and stack:
+            consumers.append(stack[-1][1])
+        stack.append((depth, name, nid))
+    return consumers
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "filter_pred")
     assert "PushedFilters: [" in plan
@@ -61,7 +98,7 @@ def test_pack_sequences_no_global_window(spark):
     of the tiny per-bucket offset table."""
     plan = _plan(spark, "pack_sequences")
     assert "Window" in plan  # the bucket-local running sum is still a window
-    assert "Exchange SinglePartition" not in plan
+    assert not _single_partition_consumers(plan), "single-partition funnel"
     assert "BroadcastExchange" in plan  # offsets ride a broadcast, not a shuffle
 
 
@@ -81,13 +118,43 @@ def test_no_array_or_map_output_columns(spark):
             )
 
 
+def test_single_partition_detector_catches_global_window(spark):
+    """The funnel detector must actually fire: a global-order window (the
+    anti-pattern every keyed prefix-sum in this repo exists to avoid)
+    plans Exchange->Sort->Window on one partition, and the parser must
+    report the non-aggregate consumer."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).withColumn(
+        "rn", F.row_number().over(W.orderBy("id"))  # deliberately global
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    consumers = _single_partition_consumers(plan)
+    assert consumers, "detector failed to see the single-partition exchange"
+    assert any(c not in {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+               for c in consumers)
+
+
 def test_no_cartesian_anywhere(spark):
     """No declared query may plan a cartesian product (theta joins must ride
-    an equi key or a broadcast) — and none may funnel data through an
-    Exchange SinglePartition (the single-task bottleneck that turns a
+    an equi key or a broadcast) — and none may funnel DATA through a
+    single-partition exchange (the single-task bottleneck that turns a
     100 TB job into one executor's problem; global order is expressed as
-    TakeOrderedAndProject or a two-pass keyed plan instead)."""
+    TakeOrderedAndProject or a two-pass keyed plan instead).
+
+    A SinglePartition exchange is allowed ONLY when its consumer is an
+    aggregate: a global aggregate's final merge moves one constant-size
+    partial row per upstream partition, not data.  A Sort/Window/anything
+    else consuming one is a genuine funnel and fails.  (The previous
+    literal grep for 'Exchange SinglePartition' was vacuous — formatted
+    explain mode never prints that spelling; see
+    _single_partition_consumers.)"""
+    benign = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
     for name in sorted(REGISTRY):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
-        assert "Exchange SinglePartition" not in plan, name
+        funnels = [c for c in _single_partition_consumers(plan) if c not in benign]
+        assert not funnels, f"{name}: SinglePartition exchange feeds {funnels}"
