@@ -10,6 +10,13 @@ plus the loader-surface extensions for training-data interchange formats:
     lhl csv-to-delta / csv-to-iceberg     SOURCE TARGET [-o] [-a] [--schema DDL] [--delimiter C]
     lhl jsonl-to-delta / jsonl-to-iceberg SOURCE TARGET [-o] [-a] [--schema DDL]
 
+and table-maintenance subcommands (engine extensions; a production lake
+runs these on a schedule next to the loader):
+
+    lhl optimize-delta    TARGET [--target-partitions N] [--zorder-by COLS]
+    lhl vacuum-delta      TARGET
+    lhl expire-snapshots  TARGET [--keep-last N]
+
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
 
@@ -50,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                 sp.add_argument("--schema", default=None, help="DDL schema string (skips inference)")
             if fmt == "csv":
                 sp.add_argument("--delimiter", default=",")
+    opt = sub.add_parser("optimize-delta")
+    opt.add_argument("target")
+    opt.add_argument("--target-partitions", type=int, default=1)
+    opt.add_argument("--zorder-by", default=None, help="comma-separated columns")
+    vac = sub.add_parser("vacuum-delta")
+    vac.add_argument("target")
+    exp = sub.add_parser("expire-snapshots")
+    exp.add_argument("target")
+    exp.add_argument("--keep-last", type=int, default=1)
     return p
 
 
@@ -66,6 +82,27 @@ def do_main(argv: list[str]) -> None:
     except ValueError as exc:
         print(str(exc), file=sys.stderr)
         sys.exit(2)
+    if args.command == "optimize-delta":
+        from lakehouse_loader_spark.sinks.delta import optimize_delta
+
+        zorder = args.zorder_by.split(",") if args.zorder_by else None
+        optimize_delta(
+            spark, args.target,
+            target_partitions=args.target_partitions, zorder_by=zorder,
+        )
+        return
+    if args.command == "vacuum-delta":
+        from lakehouse_loader_spark.sinks.delta import vacuum_delta
+
+        removed = vacuum_delta(args.target)
+        print(f"removed {len(removed)} unreferenced files", file=sys.stderr)
+        return
+    if args.command == "expire-snapshots":
+        from lakehouse_loader_spark.sinks.iceberg import expire_snapshots
+
+        deleted = expire_snapshots(args.target, keep_last=args.keep_last)
+        print(f"deleted {len(deleted)} expired files", file=sys.stderr)
+        return
     fmt = args.command.split("-to-")[0]
     if fmt == "pg":
         df = read_postgres_query(

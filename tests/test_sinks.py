@@ -232,6 +232,29 @@ def test_cli_parquet_to_delta(spark, small_df, tmpdir):
     assert DL.read_delta(spark, target).count() == 100
 
 
+def test_cli_maintenance_subcommands(spark, small_df, tmpdir):
+    """optimize-delta / vacuum-delta / expire-snapshots: the scheduled
+    maintenance trio next to the loader, exposed on the same CLI."""
+    from lakehouse_loader_spark.cli import do_main
+
+    src = os.path.join(tmpdir, "srcm.parquet")
+    small_df.write.parquet(src)
+    delta_t = os.path.join(tmpdir, "dt")
+    do_main(["parquet-to-delta", src, delta_t])
+    do_main(["parquet-to-delta", src, delta_t, "-o"])  # superseded files
+    do_main(["optimize-delta", delta_t, "--target-partitions", "1"])
+    do_main(["vacuum-delta", delta_t])
+    assert DL.read_delta(spark, delta_t).count() == 100
+
+    ice_t = os.path.join(tmpdir, "it")
+    do_main(["parquet-to-iceberg", src, ice_t])
+    do_main(["parquet-to-iceberg", src, ice_t, "-a"])
+    assert len(IC.snapshot_ids(ice_t)) == 2
+    do_main(["expire-snapshots", ice_t, "--keep-last", "1"])
+    assert len(IC.snapshot_ids(ice_t)) == 1
+    assert IC.read_iceberg(spark, ice_t).count() == 200
+
+
 def test_cli_exists_message_matches_reference(spark, small_df, tmpdir, capsys):
     from lakehouse_loader_spark.cli import do_main
 
