@@ -196,12 +196,14 @@ def connected_components_star(
             .agg(F.min("nbr").alias("mn"))
             .select("node", F.least("node", "mn").alias("m"))
         )
+        # no distinct here: duplicate edges change no min() downstream, and
+        # small_star's terminal distinct dedups the round's output — saving
+        # one shuffle per round
         return (
             sym.join(mins, "node")
             .filter(F.col("nbr") > F.col("node"))
             .select(F.col("nbr").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -226,6 +228,15 @@ def connected_components_star(
     prev_fp: tuple[int, int] | None = None
     converged = False
     try:
+        # materialize the INITIAL edge set before the loop: round 1's
+        # large-star references it from two subtrees (the min aggregate and
+        # the re-attach join), and without a checkpoint each subtree re-runs
+        # the full upstream pair computation (minhash/shingle joins — the
+        # expensive part) before any contraction happens
+        before = _persistent_ids()
+        edges = edges.localCheckpoint(eager=True)
+        prev_ckpt_ids = _persistent_ids() - before
+        live_ckpt_ids = set(prev_ckpt_ids)
         for _ in range(max_iterations):
             new_edges = small_star(large_star(edges))
             before = _persistent_ids()
