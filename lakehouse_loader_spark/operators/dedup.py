@@ -489,3 +489,67 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level repeated-span detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": exact-substring dedup at
+# span granularity rather than document granularity).
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans whose word-k-grams repeat ≥ ``min_count`` times
+    corpus-wide — the distributed stand-in for suffix-array substring dedup.
+
+    Scale shape (all shuffles on uniform keys):
+      1. tokenize + sliding k-gram hash, posexplode     (map-side, no shuffle)
+      2. corpus-wide gram frequency                     (shuffle on 64-bit hash)
+      3. join positions back to the ≥min_count grams    (shuffle on hash)
+      4. per-doc gaps-and-islands merge of overlapping
+         hits into maximal spans                        (shuffle on doc id)
+
+    The gram stream is deliberately NOT persisted: the frequency subtree
+    prunes to (h) only, so recomputing it costs a column-pruned scan —
+    cheaper than caching an exploded frame that is ~|tokens| × corpus at
+    100 TB.  Positions are 1-based; span bounds are inclusive token
+    indices.  Output: (doc_id, span_start, span_end, span_tokens,
+    n_dup_grams), deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kgram_hashes = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(kgram_hashes).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "h")
+
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= min_count)
+    hits = grams.join(dup.select("h"), "h").select("doc_id", "pos")
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    # spans [pos, pos+k-1] merge while consecutive hits are ≤ k apart
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    islands = hits.withColumn("island", F.sum(brk).over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams")
+    )

@@ -1233,3 +1233,46 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.aggregate("pca", F.lit(0.0), lambda a, x: a + x * x)).alias("pc_energy"),
         F.size("pca").alias("pc_dim"),
     )
+
+
+# --------------------------------------------------------------------------
+# E1e substring-level dedup: repeated-k-gram spans (Lee et al. 2022 style
+# exact-substring dedup, span granularity — complements the document-level
+# exact/minhash/simhash variants above)
+# --------------------------------------------------------------------------
+_SPAN_K = 8
+
+_SPANS_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    pos_t AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS pos
+      FROM toks WHERE len(t) >= {_SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             array_to_string(t[pos:pos+{_SPAN_K - 1}], ' ') AS g
+      FROM pos_t
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos, SUM(CASE WHEN pos - lagpos > {_SPAN_K} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagpos
+            FROM hits)
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_K - 1} AS span_end,
+           MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("dedup_repeated_spans", oracle=_SPANS_SQL)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: maximal token spans whose 8-grams occur ≥2
+    times corpus-wide (the spans an exact-substring dedup pass would cut).
+    Two uniform-key shuffles + one per-doc window — never all-pairs."""
+    return D.repeated_ngram_spans(load_table(spark, sf_dir, "documents"), k=_SPAN_K)
