@@ -16,6 +16,7 @@ runs these on a schedule next to the loader):
     lhl optimize-delta    TARGET [--target-partitions N] [--zorder-by COLS]
     lhl vacuum-delta      TARGET
     lhl expire-snapshots  TARGET [--keep-last N]
+    lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
 
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
@@ -66,6 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("expire-snapshots")
     exp.add_argument("target")
     exp.add_argument("--keep-last", type=int, default=1)
+    ragg = sub.add_parser("refresh-agg")
+    ragg.add_argument("source")
+    ragg.add_argument("target")
+    ragg.add_argument("--group-by", required=True, help="comma-separated group columns")
+    ragg.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        metavar="OUT:FN:COL",
+        help="aggregate spec, repeatable; FN in {sum,count,min,max}, COL '*' for COUNT(*)",
+    )
+    ragg.add_argument("--app-id", default="delta-agg-maintenance")
     return p
 
 
@@ -102,6 +115,27 @@ def do_main(argv: list[str]) -> None:
 
         deleted = expire_snapshots(args.target, keep_last=args.keep_last)
         print(f"deleted {len(deleted)} expired files", file=sys.stderr)
+        return
+    if args.command == "refresh-agg":
+        from lakehouse_loader_spark.sinks.incremental import refresh_aggregate
+
+        aggs: dict[str, tuple[str, str]] = {}
+        for spec in args.agg:
+            try:
+                out, fn, col = spec.split(":", 2)
+            except ValueError:
+                print(f"bad --agg spec {spec!r}, want OUT:FN:COL", file=sys.stderr)
+                sys.exit(2)
+            aggs[out] = (fn, col)
+        res = refresh_aggregate(
+            spark, args.source, args.target,
+            group_by=args.group_by.split(","), aggs=aggs, app_id=args.app_id,
+        )
+        print(
+            f"folded versions {res['since']}..{res['through']} "
+            f"({res['delta_rows']} delta rows, refreshed={res['refreshed']})",
+            file=sys.stderr,
+        )
         return
     fmt = args.command.split("-to-")[0]
     if fmt == "pg":

@@ -509,35 +509,45 @@ def repeated_ngram_spans(
     corpus-wide — the distributed stand-in for suffix-array substring dedup.
 
     Scale shape (all shuffles on uniform keys):
-      1. tokenize + sliding k-gram hash, posexplode     (map-side, no shuffle)
-      2. corpus-wide gram frequency                     (shuffle on 64-bit hash)
-      3. join positions back to the ≥min_count grams    (shuffle on hash)
-      4. per-doc gaps-and-islands merge of overlapping
-         hits into maximal spans                        (shuffle on doc id)
+      1. hash each token ONCE, then form each k-gram's hash from k integer
+         token-hashes (xxhash64 over k long columns) — no per-position
+         k-word string rebuild; O(n) token hashing + O(n·k) integer
+         hashing, all map-side inside whole-stage codegen
+      2. corpus-wide gram frequency as a COUNT window over the gram hash
+         (one shuffle on the 64-bit key; the gram stream is built exactly
+         once — a groupBy+join-back shape would recompute or cache it)
+      3. per-doc gaps-and-islands merge of overlapping hits into maximal
+         spans                                         (shuffle on doc id)
 
-    The gram stream is deliberately NOT persisted: the frequency subtree
-    prunes to (h) only, so recomputing it costs a column-pruned scan —
-    cheaper than caching an exploded frame that is ~|tokens| × corpus at
-    100 TB.  Positions are 1-based; span bounds are inclusive token
-    indices.  Output: (doc_id, span_start, span_end, span_tokens,
-    n_dup_grams), deterministic.
+    Positions are 1-based; span bounds are inclusive token indices.
+    Output: (doc_id, span_start, span_end, span_tokens, n_dup_grams),
+    deterministic.
     """
     from pyspark.sql import Window as W
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_tokh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+    )
+    th = F.col("th")
     kgram_hashes = F.when(
-        F.size(toks) >= k,
+        F.size(th) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+            F.sequence(F.lit(1), F.size(th) - (k - 1)),
+            lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(k)]),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(kgram_hashes).alias("p0", "h")
+    grams = with_tokh.select(
+        "doc_id", F.posexplode(kgram_hashes).alias("p0", "h")
     ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "h")
 
-    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= min_count)
-    hits = grams.join(dup.select("h"), "h").select("doc_id", "pos")
+    wh = W.partitionBy("h")
+    hits = (
+        grams.withColumn("n", F.count(F.lit(1)).over(wh))
+        .filter(F.col("n") >= min_count)
+        .select("doc_id", "pos")
+    )
 
     w = W.partitionBy("doc_id").orderBy("pos")
     # spans [pos, pos+k-1] merge while consecutive hits are ≤ k apart

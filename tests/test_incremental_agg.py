@@ -1,0 +1,149 @@
+"""Incremental materialized-aggregate maintenance (sinks/incremental.py):
+each refresh must fold exactly the unseen source versions, match a
+from-scratch aggregate, and be idempotent across replays."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks.delta import (
+    ConcurrentModificationError,
+    last_txn_version,
+    optimize_delta,
+    read_delta,
+    write_delta,
+)
+from lakehouse_loader_spark.sinks.incremental import refresh_aggregate
+
+APP = "test-agg"
+AGGS = {
+    "n": ("count", "*"),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="incr_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+
+
+def _expected(spark, src):
+    return {
+        tuple(r)
+        for r in read_delta(spark, src)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def test_initial_build_then_incremental_folds(spark, tmpdir):
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 60), src)
+    r1 = refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    assert r1["refreshed"] and r1["since"] == -1
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == _expected(spark, src)
+
+    write_delta(_batch(spark, 60, 100), src, append=True)
+    r2 = refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    assert r2["refreshed"] and r2["delta_rows"] == 40
+    # the fold consumed only the new versions, starting where r1 ended
+    assert r2["since"] == r1["through"]
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == _expected(spark, src)
+
+
+def test_refresh_without_new_data_is_noop(spark, tmpdir):
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 30), src)
+    refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    v = last_txn_version(tgt, APP)
+    r = refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    assert not r["refreshed"] and r["delta_rows"] == 0
+    assert last_txn_version(tgt, APP) == v  # no spurious commit
+
+
+def test_min_max_survive_merge(spark, tmpdir):
+    """min/max must come from the MERGE fn, not re-summing partials: a
+    second batch with a new global min must win."""
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 10, 40), src)
+    refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    write_delta(_batch(spark, 0, 10), src, append=True)  # smaller v values
+    refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    rows = {r["k"]: r for r in read_delta(spark, tgt).collect()}
+    assert rows["0"]["lo"] == 0 and rows["1"]["lo"] == 1 and rows["2"]["lo"] == 2
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == _expected(spark, src)
+
+
+def test_non_decomposable_agg_rejected(spark, tmpdir):
+    with pytest.raises(ValueError, match="decomposable"):
+        refresh_aggregate(
+            spark, f"{tmpdir}/src", f"{tmpdir}/agg", ["k"], {"a": ("avg", "v")}
+        )
+
+
+def test_foreign_target_rejected(spark, tmpdir):
+    """A target not built by refresh_aggregate (no txn marker) must be
+    refused, not silently merged into."""
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 10), src)
+    write_delta(_batch(spark, 0, 10), tgt)  # some unrelated table
+    with pytest.raises(ValueError, match="txn marker"):
+        refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+
+
+def test_compacted_source_fails_loudly(spark, tmpdir):
+    """OPTIMIZE rewrites history; the file-level feed must refuse rather
+    than double-count rows whose files were compacted."""
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 30), src)
+    refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    write_delta(_batch(spark, 30, 50), src, append=True)
+    optimize_delta(spark, src, target_partitions=1)
+    with pytest.raises(ConcurrentModificationError):
+        refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+
+
+def test_cli_refresh_agg(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 40), src)
+    argv = [
+        "refresh-agg", src, tgt,
+        "--group-by", "k",
+        "--agg", "n:count:*", "--agg", "total:sum:v",
+        "--app-id", APP,
+    ]
+    do_main(argv)
+    assert last_txn_version(tgt, APP) >= 0
+    write_delta(_batch(spark, 40, 70), src, append=True)
+    do_main(argv)
+    got = {(r["k"], r["n"], r["total"]) for r in read_delta(spark, tgt).collect()}
+    want = {
+        tuple(r)
+        for r in read_delta(spark, src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
