@@ -1276,3 +1276,45 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     times corpus-wide (the spans an exact-substring dedup pass would cut).
     Two uniform-key shuffles + one per-doc window — never all-pairs."""
     return D.repeated_ngram_spans(load_table(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+# --------------------------------------------------------------------------
+# Skew-resilient salted JOIN (the join-side counterpart of
+# agg_distinct_salted): result is exactly the plain inner join, only the
+# shuffle layout changes — proven by the unsalted oracle.
+# --------------------------------------------------------------------------
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted equi-join (operators/skew.py): the fact side gets a
+    row-hash salt, the dim side explodes n_salts×, the join runs on
+    (key, salt) so one hot supplier key spreads over 16 reducers instead
+    of one.  Use when the dim is too big to broadcast AND the fact has hot
+    keys AQE's sort-merge skew split can't reach.  Output aggregated per
+    nation — identical to the unsalted join by construction."""
+    from lakehouse_loader_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, "suppkey", n_salts=16)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -797,3 +797,39 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("l_shipdate", "sd_null", "sd_nd", None, None, None, "sd_min", "sd_max"),
     )
     return m.select(F.explode(report).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# Data profiling: fixed-width numeric histogram (one pass, one tiny agg)
+# --------------------------------------------------------------------------
+@query(
+    "profile_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+           CAST(LEAST(FLOOR(o_totalprice / 50000), 9) * 50000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (50k-wide buckets of o_totalprice, top
+    bucket open-ended): the distribution sketch a pipeline renders before
+    choosing partition bounds or spotting drift.  Bucketing is a map-side
+    expression; the aggregate shuffles ≤ 10 grouped rows per partition —
+    the same one-shuffle shape at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("bigint")
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 50000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

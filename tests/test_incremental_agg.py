@@ -147,3 +147,51 @@ def test_cli_refresh_agg(spark, tmpdir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_materialized_view(spark, tmpdir):
+    """Streaming materialized view: events stream into a Delta table
+    (append-only commits), refresh_aggregate folds the new versions after
+    each ingest round — the summary always equals a from-scratch batch
+    aggregate over everything streamed so far."""
+    import os
+
+    from lakehouse_loader_spark.streaming import events as SE
+
+    src_dir = f"{tmpdir}/src_files"
+    os.makedirs(src_dir)
+    tbl, ckpt, agg = f"{tmpdir}/tbl", f"{tmpdir}/ckpt", f"{tmpdir}/agg"
+    aggs = {"n": ("count", "*"), "total": ("sum", "v")}
+
+    def emit(lo, hi):
+        _batch(spark, lo, hi).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def ingest():
+        q = SE.stream_to_delta(
+            spark.readStream.schema("k string, v long").parquet(src_dir), tbl, ckpt
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    emit(0, 40)
+    ingest()
+    refresh_aggregate(spark, tbl, agg, ["k"], aggs, app_id=APP)
+    assert {tuple(r) for r in read_delta(spark, agg).collect()} == {
+        tuple(r)
+        for r in read_delta(spark, tbl)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+
+    emit(40, 90)
+    ingest()
+    r = refresh_aggregate(spark, tbl, agg, ["k"], aggs, app_id=APP)
+    assert r["refreshed"] and r["delta_rows"] == 50
+    assert {tuple(r) for r in read_delta(spark, agg).collect()} == {
+        tuple(r)
+        for r in read_delta(spark, tbl)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }

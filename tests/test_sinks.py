@@ -925,3 +925,30 @@ def test_iceberg_prune_canonicalizes_values_and_rejects_non_partition_cols(spark
     assert rows and all(r.flag is True for r in rows)
     with pytest.raises(ValueError):
         IC.prune_iceberg_files(path, "v", 3)
+
+
+def test_iceberg_read_appends_incremental(spark, small_df, tmpdir):
+    """Iceberg incremental append scan (twin of the Delta feed): metadata-
+    only planning of the file-set delta between two snapshots; overwrite in
+    the range must fail loudly."""
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(small_df, path)
+    s1 = IC.snapshot_ids(path)[-1]
+    IC.write_iceberg(small_df.limit(7), path, append=True)
+    s2 = IC.snapshot_ids(path)[-1]
+    IC.write_iceberg(small_df.limit(3), path, append=True)
+    inc = IC.read_iceberg_appends(spark, path, since_snapshot_id=s1)
+    assert inc.count() == 10
+    assert IC.read_iceberg_appends(spark, path, s1, end_snapshot_id=s2).count() == 7
+    assert IC.read_iceberg_appends(spark, path, s1, end_snapshot_id=s1).count() == 0
+    # base snapshot + feed == current snapshot
+    assert IC.read_iceberg(spark, path, snapshot_id=s1).count() + inc.count() == \
+        IC.read_iceberg(spark, path).count()
+    with pytest.raises(ValueError):
+        IC.read_iceberg_appends(spark, path, since_snapshot_id=424242)
+    # overwrite replaces the file set → the feed over that range must refuse
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+
+    IC.write_iceberg(small_df.limit(5), path, overwrite=True)
+    with pytest.raises(ConcurrentModificationError, match="append-only"):
+        IC.read_iceberg_appends(spark, path, since_snapshot_id=s1)
