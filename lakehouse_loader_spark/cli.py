@@ -17,6 +17,7 @@ runs these on a schedule next to the loader):
     lhl vacuum-delta      TARGET
     lhl expire-snapshots  TARGET [--keep-last N]
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
+    lhl convert-delta-to-iceberg SOURCE TARGET
 
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
@@ -79,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="aggregate spec, repeatable; FN in {sum,count,min,max}, COL '*' for COUNT(*)",
     )
     ragg.add_argument("--app-id", default="delta-agg-maintenance")
+    cdi = sub.add_parser("convert-delta-to-iceberg")
+    cdi.add_argument("source")
+    cdi.add_argument("target")
     return p
 
 
@@ -134,6 +138,16 @@ def do_main(argv: list[str]) -> None:
         print(
             f"folded versions {res['since']}..{res['through']} "
             f"({res['delta_rows']} delta rows, refreshed={res['refreshed']})",
+            file=sys.stderr,
+        )
+        return
+    if args.command == "convert-delta-to-iceberg":
+        from lakehouse_loader_spark.sinks.iceberg import convert_delta_to_iceberg
+
+        res = convert_delta_to_iceberg(args.source, args.target)
+        print(
+            f"converted {res['files']} files / {res['rows']} rows "
+            f"(snapshot {res['snapshot_id']})",
             file=sys.stderr,
         )
         return

@@ -960,3 +960,101 @@ def read_iceberg_appends(
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     return reader.parquet(*files)
+
+
+def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
+    """Metadata-only Delta→Iceberg migration (the shape of Iceberg's
+    ``snapshot`` migration procedure): build a brand-new Iceberg table whose
+    first snapshot's manifests reference the Delta table's CURRENT live
+    parquet files in place — zero data movement, so a 100 TB table converts
+    in seconds of metadata work.
+
+    The manifests store absolute file paths (the spec's full-location
+    convention), so pointing them outside the Iceberg table root is legal;
+    the source table must simply outlive the converted one (VACUUM on the
+    Delta side would pull files out from under it — same caveat as the real
+    snapshot procedure).
+
+    Unpartitioned sources only: a partitioned Delta table's files live in
+    the DELTA root's hive directories, and the Iceberg reader re-derives
+    partition columns relative to ITS OWN data/ root — a converted
+    partitioned read would silently drop those columns, so it is refused.
+
+    Returns {"files": n, "rows": n, "snapshot_id": id}."""
+    from lakehouse_loader_spark.sinks import delta as _delta
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    # two table-location params, so normalize both by hand rather than via
+    # the single-param accepts_file_uris decorator
+    delta_path = local_path(delta_path)
+    iceberg_path = local_path(iceberg_path)
+    if not _delta.table_exists(delta_path):
+        raise FileNotFoundError(f"no delta table at {delta_path}")
+    if table_exists(iceberg_path):
+        raise TargetExistsError(f"iceberg table already exists at {iceberg_path}")
+    _, dmeta, adds = _delta._read_log(delta_path)
+    if dmeta.get("partitionColumns"):
+        raise ValueError(
+            "convert_delta_to_iceberg supports unpartitioned sources only "
+            f"(table is partitioned by {dmeta['partitionColumns']})"
+        )
+    schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    schema_ice = schema_to_iceberg(schema)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(iceberg_path),
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": 0,
+        "schemas": [schema_ice],
+        "current-schema-id": 0,
+        "partition-specs": [_identity_spec(schema_ice, [], 0)],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"converted-from-delta": os.path.abspath(delta_path)},
+        "snapshots": [],
+    }
+    os.makedirs(_meta_dir(iceberg_path), exist_ok=True)
+    abs_delta = os.path.abspath(delta_path)
+    entries = [
+        {
+            "content": 0,
+            # absolute: os.path.join passes it through _write_manifest's
+            # root-join untouched, so the manifest records the DELTA file
+            "file_path": os.path.join(abs_delta, rel),
+            "file_format": "PARQUET",
+            "file_size_in_bytes": add.get("size", 0),
+            "partition": {},
+        }
+        for rel, add in sorted(adds.items())
+    ]
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    manifest = _write_manifest(iceberg_path, snapshot_id, entries, meta)
+    manifest_list = _write_manifest_list(iceberg_path, snapshot_id, [manifest], 1)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": 1,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {"operation": "append", "converted-from-delta": abs_delta},
+    }
+    meta["last-sequence-number"] = 1
+    meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    meta["snapshots"] = [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    fd = os.open(
+        os.path.join(_meta_dir(iceberg_path), "v0.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(_hint_file(iceberg_path), "w") as fh:
+        fh.write("0")
+    return {
+        "files": len(entries),
+        "rows": manifest["added_rows_count"],
+        "snapshot_id": snapshot_id,
+    }

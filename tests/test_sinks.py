@@ -952,3 +952,40 @@ def test_iceberg_read_appends_incremental(spark, small_df, tmpdir):
     IC.write_iceberg(small_df.limit(5), path, overwrite=True)
     with pytest.raises(ConcurrentModificationError, match="append-only"):
         IC.read_iceberg_appends(spark, path, since_snapshot_id=s1)
+
+
+def test_convert_delta_to_iceberg_metadata_only(spark, small_df, tmpdir):
+    """Metadata-only migration: the Iceberg snapshot references the Delta
+    parquet files in place (no data copied), reads back equal, and the
+    converted table accepts its own appends afterwards."""
+    dpath = os.path.join(tmpdir, "d")
+    ipath = os.path.join(tmpdir, "i")
+    DL.write_delta(small_df.repartition(3), dpath)
+    res = IC.convert_delta_to_iceberg(dpath, ipath)
+    assert res["rows"] == 100 and res["files"] >= 1
+    # no parquet was copied into the iceberg table
+    assert not os.path.exists(os.path.join(ipath, "data"))
+    back = IC.read_iceberg(spark, ipath)
+    assert back.count() == 100
+    assert {r.id for r in back.collect()} == {r.id for r in DL.read_delta(spark, dpath).collect()}
+    # post-conversion append writes into the ICEBERG table's own data/
+    IC.write_iceberg(small_df.limit(5), ipath, append=True)
+    assert IC.read_iceberg(spark, ipath).count() == 105
+    assert os.path.exists(os.path.join(ipath, "data"))
+    # refusals: existing target, partitioned source
+    with pytest.raises(TargetExistsError):
+        IC.convert_delta_to_iceberg(dpath, ipath)
+    ppath = os.path.join(tmpdir, "dp")
+    DL.write_delta(small_df.withColumn("b", F.col("id") % 2), ppath, partition_by=["b"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        IC.convert_delta_to_iceberg(ppath, os.path.join(tmpdir, "i2"))
+
+
+def test_cli_convert_delta_to_iceberg(spark, small_df, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    dpath = os.path.join(tmpdir, "d")
+    ipath = os.path.join(tmpdir, "i")
+    DL.write_delta(small_df, dpath)
+    do_main(["convert-delta-to-iceberg", dpath, ipath])
+    assert IC.read_iceberg(spark, ipath).count() == 100
