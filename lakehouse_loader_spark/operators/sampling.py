@@ -117,3 +117,18 @@ def quota_per_group(
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def importance_sample(
+    df: DataFrame, key_col: str, weight_col: Column | str, salt: str = "imp"
+) -> DataFrame:
+    """Deterministic per-row Bernoulli: keep each row with probability
+    min(weight, 1) — the quality/importance-weighted downsampling step of
+    corpus curation ("keep high-quality docs, thin out the rest"), with the
+    same retry/backfill stability guarantees as :func:`hash_sample` (the
+    decision is a pure function of the key, never RNG).  Map-side filter,
+    no shuffle.  The per-row threshold rounds like :func:`bucket_threshold`
+    so a weight of exactly 0.3 keeps exactly the buckets < 300000."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    thresh = F.round(F.least(w, F.lit(1.0)) * BUCKET_SPACE, 0).cast("bigint")
+    return df.filter(hash_bucket(F.col(key_col), salt) < thresh)

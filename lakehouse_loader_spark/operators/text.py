@@ -224,3 +224,41 @@ def fingerprint_col(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size chunks with
+    overlap — the context-window packing prep step (chunk then tokenize-
+    count then pack).  Chunk starts are 1, 1+step, … with step =
+    chunk_size - overlap, continuing while start ≤ max(n - overlap, 1), so
+    every token is covered and consecutive chunks share ``overlap`` tokens.
+    All map-side (tokenize + sequence + explode); no shuffle.  Output per
+    chunk: 1-based chunk_id, start position, clipped token count, and
+    md5(chunk text) — the hash keeps the result compact and lets an oracle
+    compare content without shipping megabyte strings."""
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("p0", "chunk_start"),
+    )
+    chunk = F.slice("__toks", F.col("chunk_start"), chunk_size)
+    return out.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )

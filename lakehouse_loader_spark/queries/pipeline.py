@@ -833,3 +833,69 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Importance-weighted deterministic sampling (quality-proportional keep)
+# --------------------------------------------------------------------------
+@query(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             LEAST(n_chars / 4000.0, 1.0) AS keep_p,
+             {SA.hash_bucket_sql('doc_id', 'imp')} AS bucket
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(keep_p, 6) AS keep_p
+    FROM w
+    WHERE bucket < CAST(ROUND(keep_p * {SA.BUCKET_SPACE}) AS BIGINT)
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Bernoulli keep with probability proportional to a quality
+    signal (here: length, capped at 1) — longer documents survive, short
+    ones thin out, and the decision is a pure hash of the key so retries
+    and backfills keep the SAME rows.  Map-side filter, no shuffle, no
+    RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars") / 4000.0, F.lit(1.0))
+    return SA.importance_sample(
+        docs.withColumn("keep_p", keep_p), "doc_id", "keep_p", salt="imp"
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("keep_p", 6).alias("keep_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking with overlap
+# --------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, GREATEST(len(t) - 16, 1) + 1, 112)) AS chunk_start
+      FROM toks)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(t[chunk_start:chunk_start+127]) AS BIGINT) AS chunk_tokens,
+           MD5(array_to_string(t[chunk_start:chunk_start+127], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size context-window chunking (128 tokens, 16 overlap): every
+    token covered, consecutive chunks share the overlap, chunk content
+    carried as md5 so the check compares bytes without megabyte strings.
+    Entirely map-side (tokenize + sequence + posexplode) — zero shuffles
+    at any scale."""
+    return T.chunk_tokens(
+        load_table(spark, sf_dir, "documents"), chunk_size=128, overlap=16
+    )
