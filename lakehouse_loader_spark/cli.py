@@ -80,6 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="aggregate spec, repeatable; FN in {sum,count,min,max}, COL '*' for COUNT(*)",
     )
     ragg.add_argument("--app-id", default="delta-agg-maintenance")
+    ragg.add_argument("--source-format", choices=("delta", "iceberg"), default="delta")
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -134,6 +135,7 @@ def do_main(argv: list[str]) -> None:
         res = refresh_aggregate(
             spark, args.source, args.target,
             group_by=args.group_by.split(","), aggs=aggs, app_id=args.app_id,
+            source_format=args.source_format,
         )
         print(
             f"folded versions {res['since']}..{res['through']} "

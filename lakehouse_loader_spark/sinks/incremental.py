@@ -71,6 +71,60 @@ def _merge_agg(
     return df.groupBy(*group_by).agg(*cols)
 
 
+def _delta_source(spark: SparkSession, source_path: str):
+    """(current marker, read-snapshot fn, read-appends fn) for a Delta
+    source; the marker is the table version (monotonic by construction)."""
+    source_version, _, _ = _read_log(source_path)
+
+    def full():
+        return read_delta(spark, source_path, version=source_version)
+
+    def appends(since_marker: int):
+        return read_delta_appends(
+            spark, source_path, since_version=since_marker, end_version=source_version
+        )
+
+    return source_version, full, appends
+
+
+def _iceberg_source(spark: SparkSession, source_path: str):
+    """Same contract for an Iceberg source.  Snapshot IDs are random, so
+    the monotonic marker is the snapshot SEQUENCE number; the since-marker
+    maps back to its snapshot id through the retained history (an expired
+    since-snapshot is a loud error — rebuild from scratch)."""
+    from lakehouse_loader_spark.sinks.iceberg import (
+        _read_metadata,
+        read_iceberg,
+        read_iceberg_appends,
+    )
+
+    _, meta = _read_metadata(source_path)
+    cur_id = meta["current-snapshot-id"]
+    by_seq = {s["sequence-number"]: s["snapshot-id"] for s in meta.get("snapshots", [])}
+    cur_seq = next(
+        s["sequence-number"] for s in meta["snapshots"] if s["snapshot-id"] == cur_id
+    )
+
+    def full():
+        return read_iceberg(spark, source_path, snapshot_id=cur_id)
+
+    def appends(since_marker: int):
+        if since_marker not in by_seq:
+            raise ValueError(
+                f"snapshot with sequence number {since_marker} is no longer "
+                f"retained in {source_path} (expired?); delete the aggregate "
+                "table and rebuild from scratch"
+            )
+        return read_iceberg_appends(
+            spark,
+            source_path,
+            since_snapshot_id=by_seq[since_marker],
+            end_snapshot_id=cur_id,
+        )
+
+    return cur_seq, full, appends
+
+
 def refresh_aggregate(
     spark: SparkSession,
     source_path: str,
@@ -78,6 +132,7 @@ def refresh_aggregate(
     group_by: list[str],
     aggs: dict[str, tuple[str, str]],
     app_id: str = "delta-agg-maintenance",
+    source_format: str = "delta",
 ) -> dict:
     """Bring ``target_path`` up to date with
     ``SELECT group_by, aggs FROM source GROUP BY group_by``, reprocessing
@@ -85,6 +140,10 @@ def refresh_aggregate(
 
     ``aggs`` maps output column -> (fn, source column), fn in
     {sum, count, min, max}; source column "*" with count means COUNT(*).
+    ``source_format``: "delta" (marker = table version) or "iceberg"
+    (marker = snapshot sequence number, resolved back to a snapshot id
+    through the retained history).  The aggregate TARGET is always a Delta
+    table — its txn marker is the exactly-once mechanism.
 
     Returns {"since": v, "through": v', "delta_rows": n, "refreshed": bool}.
 
@@ -107,15 +166,20 @@ def refresh_aggregate(
                 f"(supported: {sorted(_DECOMPOSABLE)}); for avg, request "
                 "sum and count and divide at read time"
             )
-    source_version, _, _ = _read_log(source_path)
+    if source_format == "delta":
+        cur_marker, read_full, read_appends = _delta_source(spark, source_path)
+    elif source_format == "iceberg":
+        cur_marker, read_full, read_appends = _iceberg_source(spark, source_path)
+    else:
+        raise ValueError(f"unknown source_format {source_format!r}")
 
     if not table_exists(target_path):
-        snap = read_delta(spark, source_path, version=source_version)
+        snap = read_full()
         agg = _partial_agg(snap, group_by, aggs)
-        write_delta(agg, target_path, txn=(app_id, source_version))
+        write_delta(agg, target_path, txn=(app_id, cur_marker))
         return {
             "since": -1,
-            "through": source_version,
+            "through": cur_marker,
             "delta_rows": snap.count(),
             "refreshed": True,
         }
@@ -127,10 +191,10 @@ def refresh_aggregate(
             f"appId {app_id!r} — it was not built by refresh_aggregate; "
             "refusing to guess its coverage"
         )
-    if since >= source_version:
+    if since >= cur_marker:
         return {"since": since, "through": since, "delta_rows": 0, "refreshed": False}
 
-    delta = read_delta_appends(spark, source_path, since_version=since, end_version=source_version)
+    delta = read_appends(since)
     n = delta.count()
     if n == 0:
         # versions advanced without data (e.g. metadata-only commits):
@@ -144,5 +208,5 @@ def refresh_aggregate(
     # materialize BEFORE the overwrite deletes the old table the plan reads
     # from (localCheckpoint keeps it distributed; the aggregate is small)
     merged = merged.localCheckpoint(eager=True)
-    write_delta(merged, target_path, overwrite=True, txn=(app_id, source_version))
-    return {"since": since, "through": source_version, "delta_rows": n, "refreshed": True}
+    write_delta(merged, target_path, overwrite=True, txn=(app_id, cur_marker))
+    return {"since": since, "through": cur_marker, "delta_rows": n, "refreshed": True}

@@ -195,3 +195,47 @@ def test_streaming_materialized_view(spark, tmpdir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
         .collect()
     }
+
+
+def test_iceberg_source_refresh(spark, tmpdir):
+    """refresh_aggregate over an ICEBERG source: the marker is the snapshot
+    sequence number; incremental folds read only appended snapshots and
+    match a from-scratch aggregate."""
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    src, tgt = f"{tmpdir}/isrc", f"{tmpdir}/agg"
+    IC.write_iceberg(_batch(spark, 0, 60), src)
+    r1 = refresh_aggregate(
+        spark, src, tgt, ["k"], AGGS, app_id=APP, source_format="iceberg"
+    )
+    assert r1["refreshed"] and r1["delta_rows"] == 60
+    IC.write_iceberg(_batch(spark, 60, 100), src, append=True)
+    r2 = refresh_aggregate(
+        spark, src, tgt, ["k"], AGGS, app_id=APP, source_format="iceberg"
+    )
+    assert r2["refreshed"] and r2["delta_rows"] == 40
+    assert r2["since"] == r1["through"]
+    want = {
+        tuple(r)
+        for r in IC.read_iceberg(spark, src)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == want
+    # no-op when nothing new
+    r3 = refresh_aggregate(
+        spark, src, tgt, ["k"], AGGS, app_id=APP, source_format="iceberg"
+    )
+    assert not r3["refreshed"]
+    # overwrite rewrites history → loud refusal
+    IC.write_iceberg(_batch(spark, 0, 10), src, overwrite=True)
+    with pytest.raises(ConcurrentModificationError):
+        refresh_aggregate(
+            spark, src, tgt, ["k"], AGGS, app_id=APP, source_format="iceberg"
+        )
