@@ -154,3 +154,96 @@ def test_asof_join_null_left_ts_matches_nothing(spark):
         }
         assert out[1] == want, direction
         assert out[2] is None, f"null ts matched in {direction}"
+
+
+def test_chunk_tokens_covers_every_token_with_exact_overlap(spark):
+    """Invariants over a sweep of document lengths 1..300: chunks cover
+    [1, n] with no gap, every chunk is ≤ chunk_size tokens, consecutive
+    full chunks share exactly `overlap` tokens, and the final chunk ends
+    at the last token."""
+    C, O = 32, 8
+    docs = spark.range(1, 301).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.col("id")), lambda i: i.cast("string"))
+        ).alias("text"),
+    )
+    rows = T.chunk_tokens(docs, chunk_size=C, overlap=O).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(1, 301))
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["chunk_start"] == 1
+        for r in chunks:
+            assert 1 <= r["chunk_tokens"] <= C
+            assert r["chunk_start"] + r["chunk_tokens"] - 1 <= n
+        # coverage: no gap between consecutive chunks; exact overlap when full
+        for a, b in zip(chunks, chunks[1:]):
+            a_end = a["chunk_start"] + a["chunk_tokens"] - 1
+            assert b["chunk_start"] <= a_end + 1
+            if a["chunk_tokens"] == C:
+                assert a_end - b["chunk_start"] + 1 == O
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_tokens"] - 1 == n
+
+
+def test_repeated_spans_are_maximal_and_in_bounds(spark):
+    """Planted duplication: two docs share an identical 20-token run, one
+    doc privately repeats a 10-token run twice.  Spans must (a) stay
+    inside the doc, (b) be ≥ k tokens, (c) be separated by ≥ 1 token
+    (maximality: touching hits merged), and (d) cover the planted runs."""
+    from lakehouse_loader_spark.operators.dedup import repeated_ngram_spans
+
+    k = 8
+    shared = " ".join(f"s{i}" for i in range(20))
+    rep = " ".join(f"r{i}" for i in range(10))
+
+    def uniq(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq('a', 30)} {shared} {uniq('b', 25)}"),
+            (2, f"{uniq('c', 12)} {shared}"),
+            (3, f"{uniq('d', 40)} {rep} {uniq('e', 15)} {rep}"),
+            (4, uniq("f", 60)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_ngram_spans(docs, k=k).collect()
+    lens = {1: 30 + 20 + 25, 2: 12 + 20, 3: 40 + 10 + 15 + 10, 4: 60}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # all-unique doc has no spans
+    assert {1, 2, 3} <= set(by_doc)
+    for d, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_start"])
+        for s in spans:
+            assert 1 <= s["span_start"] <= s["span_end"] <= lens[d]
+            assert s["span_tokens"] == s["span_end"] - s["span_start"] + 1 >= k
+        for a, b in zip(spans, spans[1:]):
+            assert b["span_start"] >= a["span_end"] + 2  # maximal: gap survives
+    # the shared 20-token run is covered in both docs
+    assert any(s["span_start"] <= 31 and s["span_end"] >= 50 for s in by_doc[1])
+    assert any(s["span_start"] <= 13 and s["span_end"] >= 32 for s in by_doc[2])
+    # doc 3's private repetition is caught twice (two islands)
+    assert len(by_doc[3]) == 2
+
+
+def test_importance_sample_monotone_in_weight(spark):
+    """With weight 1 everything survives; with weight 0 nothing does; and
+    the kept set at weight w is a SUBSET of the kept set at w' > w (the
+    hash threshold is monotone — no reshuffling between levels)."""
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    full = SA.importance_sample(docs.withColumn("w", F.lit(1.0)), "doc_id", "w")
+    none = SA.importance_sample(docs.withColumn("w", F.lit(0.0)), "doc_id", "w")
+    assert full.count() == 2000 and none.count() == 0
+    lo = {r.doc_id for r in SA.importance_sample(
+        docs.withColumn("w", F.lit(0.2)), "doc_id", "w").collect()}
+    hi = {r.doc_id for r in SA.importance_sample(
+        docs.withColumn("w", F.lit(0.6)), "doc_id", "w").collect()}
+    assert lo <= hi
+    assert 0.1 < len(lo) / 2000 < 0.3 and 0.5 < len(hi) / 2000 < 0.7
