@@ -1318,3 +1318,60 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "asof_join_nearest_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS cp_ts,
+             SUM(value) / COUNT(*) AS day_rate
+      FROM events GROUP BY 1, 2),
+    ev AS (SELECT event_id, event_type, ts FROM events WHERE event_id % 29 = 0),
+    bounds AS (
+      SELECT ev.event_id, ev.event_type, ev.ts,
+             (SELECT MAX(cp_ts) FROM cp
+              WHERE cp.event_type = ev.event_type AND cp.cp_ts <= ev.ts) AS bts,
+             (SELECT MIN(cp_ts) FROM cp
+              WHERE cp.event_type = ev.event_type AND cp.cp_ts >= ev.ts) AS fts
+      FROM ev),
+    pick AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN bts IS NULL THEN fts
+                  WHEN fts IS NULL THEN bts
+                  WHEN (fts - ts) < (ts - bts) THEN fts ELSE bts END AS nts
+      FROM bounds)
+    SELECT p.event_id, p.event_type,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           STRFTIME(p.nts, '%Y-%m-%d') AS rate_day,
+           ROUND(cp.day_rate, 4) AS near_day_rate
+    FROM pick p LEFT JOIN cp
+      ON cp.event_type = p.event_type AND cp.cp_ts = p.nts
+    """,
+)
+def asof_join_nearest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each sampled event picks whichever
+    daily-rate checkpoint (latest-before or earliest-after) is closer in
+    time, ties to the backward row.  Same single union-merge shuffle as
+    the directional variants — the second scan direction is a window over
+    the SAME partitioning, one extra sort and zero extra exchanges."""
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cp = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("cp_ts"))
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("day_rate"))
+        .withColumn("cp_ts_out", F.col("cp_ts"))
+    )
+    left = ev.filter(F.col("event_id") % 29 == 0).select("event_id", "event_type", "ts")
+    joined = asof_join(
+        left, cp, key="event_type", left_ts="ts", right_ts="cp_ts",
+        value_cols=["cp_ts_out", "day_rate"], direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("cp_ts_out", "yyyy-MM-dd").alias("rate_day"),
+        F.round("day_rate", 4).alias("near_day_rate"),
+    )

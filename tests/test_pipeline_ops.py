@@ -247,3 +247,30 @@ def test_importance_sample_monotone_in_weight(spark):
         docs.withColumn("w", F.lit(0.6)), "doc_id", "w").collect()}
     assert lo <= hi
     assert 0.1 < len(lo) / 2000 < 0.3 and 0.5 < len(hi) / 2000 < 0.7
+
+
+def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0), ("k", "2024-01-02 00:00:00", 2.0)],
+        "key string, rts string, val double",
+    ).select("key", F.col("rts").cast("timestamp").alias("rts"), "val")
+    left = spark.createDataFrame(
+        [
+            (1, "k", "2024-01-01 06:00:00"),  # closer to 01-01 → 1.0
+            (2, "k", "2024-01-01 20:00:00"),  # closer to 01-02 → 2.0
+            (3, "k", "2024-01-01 12:00:00"),  # exact tie → backward → 1.0
+            (4, "k", None),                   # null ts → no match
+            (5, "z", "2024-01-01 00:00:00"),  # no right rows for key → null
+        ],
+        "id long, key string, ts string",
+    ).select("id", "key", F.col("ts").cast("timestamp").alias("ts"))
+    out = {
+        r["id"]: r["val"]
+        for r in asof_join(
+            left, right, key="key", left_ts="ts", right_ts="rts",
+            value_cols=["val"], direction="nearest",
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: 1.0, 4: None, 5: None}
