@@ -9,6 +9,7 @@ plus the loader-surface extensions for training-data interchange formats:
 
     lhl csv-to-delta / csv-to-iceberg     SOURCE TARGET [-o] [-a] [--schema DDL] [--delimiter C]
     lhl jsonl-to-delta / jsonl-to-iceberg SOURCE TARGET [-o] [-a] [--schema DDL]
+    lhl avro-to-delta / avro-to-iceberg   SOURCE TARGET [-o] [-a]
 
 and table-maintenance subcommands (engine extensions; a production lake
 runs these on a schedule next to the loader):
@@ -42,7 +43,7 @@ from lakehouse_loader_spark.sources.readers import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lhl-spark")
     sub = p.add_subparsers(dest="command", required=True)
-    formats = ("parquet", "pg", "csv", "jsonl")
+    formats = ("parquet", "pg", "csv", "jsonl", "avro")
     for fmt in formats:
         for sink in ("delta", "iceberg"):
             name = f"{fmt}-to-{sink}"
@@ -166,6 +167,10 @@ def do_main(argv: list[str]) -> None:
         df = read_csv_source(spark, args.source, schema=args.schema, delimiter=args.delimiter)
     elif fmt == "jsonl":
         df = read_jsonl_source(spark, args.source, schema=args.schema)
+    elif fmt == "avro":
+        from lakehouse_loader_spark.sources.readers import read_avro_source
+
+        df = read_avro_source(spark, args.source)
     else:
         df = read_parquet_source(spark, args.source)
     append = getattr(args, "append", False)

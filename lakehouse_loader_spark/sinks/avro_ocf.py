@@ -269,3 +269,25 @@ def read_ocf(path: str) -> tuple[dict, dict[str, str], list[dict]]:
             k: v.decode("utf-8", "replace") for k, v in meta.items() if k != "avro.schema"
         }
         return schema, str_meta, records
+
+
+def read_ocf_schema(path: str) -> dict:
+    """Writer schema from the OCF header ONLY (no block decode) — the
+    'prepare' step for the avro source: schema inference must not read
+    data (mirrors the reference's prepare-before-execute contract,
+    src/pg_arrow_source.rs:220-236)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                read_long(fh)
+            for _ in range(n):
+                k = _read_bytes(fh).decode("utf-8")
+                meta[k] = _read_bytes(fh)
+        return json.loads(meta["avro.schema"].decode("utf-8"))

@@ -177,3 +177,125 @@ def read_postgres_query(
     ).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+# -- Avro OCF source --------------------------------------------------------
+
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+_AVRO_LOGICAL_TO_SPARK = {
+    ("int", "date"): "date",
+    ("long", "timestamp-micros"): "timestamp_ntz",
+}
+
+
+def avro_schema_to_spark(avro_schema: dict):
+    """Map an Avro record schema to a Spark StructType.  Nullable fields
+    arrive as ``["null", T]`` unions; logical date / timestamp-micros map
+    to their Spark leaf types; anything else fails loudly (the reference's
+    closed-type-set discipline, src/pg_arrow_source.rs:168-188)."""
+    from pyspark.sql import types as T
+
+    if avro_schema.get("type") != "record":
+        raise ValueError(f"top-level avro schema must be a record, got {avro_schema}")
+
+    def leaf(t) -> str:
+        if isinstance(t, dict):
+            key = (t.get("type"), t.get("logicalType"))
+            if key in _AVRO_LOGICAL_TO_SPARK:
+                return _AVRO_LOGICAL_TO_SPARK[key]
+            raise ValueError(f"unsupported avro type {t!r} (cast your columns)")
+        if t in _AVRO_TO_SPARK:
+            return _AVRO_TO_SPARK[t]
+        raise ValueError(f"unsupported avro type {t!r} (cast your columns)")
+
+    fields = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):  # union — only [null, T] supported
+            non_null = [x for x in t if x != "null"]
+            if len(non_null) != 1:
+                raise ValueError(f"unsupported avro union {t!r}")
+            nullable = len(non_null) != len(t)
+            t = non_null[0]
+        fields.append(T.StructField(f["name"], T._parse_datatype_string(leaf(t)), nullable))
+    return T.StructType(fields)
+
+
+def read_avro_source(spark: SparkSession, path: str) -> DataFrame:
+    """Avro OCF source on the engine's own container-file codec
+    (sinks/avro_ocf.py — no Python Avro library ships here).
+
+    Same prepare-then-execute shape as the reference's Postgres source:
+    the schema comes from ONE file's header (no data read at plan time),
+    then each file decodes in its own task via mapInPandas — parallelism
+    is per-file, the right granularity for an OCF (blocks inside a file
+    are sequential anyway).  Every file must carry the same writer schema
+    (checked per-task; a drifted file fails the job loudly)."""
+    import glob as _glob
+    import os
+
+    from lakehouse_loader_spark.sinks.avro_ocf import read_ocf, read_ocf_schema
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"no avro files at {path}")
+    avro_schema = read_ocf_schema(files[0])
+    schema = avro_schema_to_spark(avro_schema)
+    names = [f.name for f in schema.fields]
+
+    # avro_ocf decodes logical types to their RAW representation (date →
+    # int days, timestamp-micros → long µs); surface them as the typed
+    # values the Spark schema declares
+    def _logical(f) -> str | None:
+        t = f["type"]
+        if isinstance(t, list):
+            t = next(x for x in t if x != "null")
+        return t.get("logicalType") if isinstance(t, dict) else None
+
+    logicals = {f["name"]: _logical(f) for f in avro_schema["fields"]}
+
+    def decode(batches):
+        import datetime as _dt
+
+        import pandas as pd
+
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_us = _dt.datetime(1970, 1, 1)
+
+        def conv(name, v):
+            if v is None:
+                return None
+            if logicals[name] == "date":
+                return epoch_d + _dt.timedelta(days=v)
+            if logicals[name] == "timestamp-micros":
+                return epoch_us + _dt.timedelta(microseconds=v)
+            return v
+
+        for pdf in batches:
+            for file_path in pdf["path"]:
+                file_schema, _, records = read_ocf(file_path)
+                if file_schema.get("fields") != avro_schema.get("fields"):
+                    raise ValueError(
+                        f"{file_path}: writer schema differs from {files[0]} — "
+                        "mixed-schema directories are not supported"
+                    )
+                yield pd.DataFrame(
+                    {n: [conv(n, r.get(n)) for r in records] for n in names}
+                )
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+    return paths_df.mapInPandas(decode, schema=schema)

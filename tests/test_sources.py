@@ -209,3 +209,87 @@ class TestPostgresJdbcContract:
 
         with pytest.raises(ValueError, match="postgres"):
             postgres_jdbc_options("mysql://h/db", "Q")
+
+
+# -- Avro OCF source --------------------------------------------------------
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+        {"name": "ts", "type": ["null", {"type": "long",
+                                         "logicalType": "timestamp-micros"}]},
+    ],
+}
+
+
+def _write_avro(path, rows):
+    from lakehouse_loader_spark.sinks.avro_ocf import write_ocf
+
+    write_ocf(path, _AVRO_SCHEMA, rows)
+
+
+def test_avro_reader_types_and_nulls(spark, tmpdir):
+    import datetime as dt
+
+    from lakehouse_loader_spark.sources.readers import read_avro_source
+
+    d = os.path.join(tmpdir, "av")
+    os.makedirs(d, exist_ok=True)
+    _write_avro(os.path.join(d, "a.avro"), [
+        {"id": 1, "name": "x", "score": 1.5, "d": 19000, "ts": 1_700_000_000_000_000},
+        {"id": 2, "name": None, "score": None, "d": None, "ts": None},
+    ])
+    _write_avro(os.path.join(d, "b.avro"), [
+        {"id": 3, "name": "z", "score": -0.5, "d": 0, "ts": 0},
+    ])
+    df = read_avro_source(spark, d)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double", "date", "timestamp_ntz"]
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].name == "x" and rows[1].score == 1.5
+    assert rows[1].d == dt.date(1970, 1, 1) + dt.timedelta(days=19000)
+    assert rows[1].ts == dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=1_700_000_000_000_000)
+    assert rows[2].name is None and rows[2].d is None and rows[2].ts is None
+    assert rows[3].d == dt.date(1970, 1, 1)
+
+
+def test_avro_reader_rejects_mixed_schemas(spark, tmpdir):
+    from lakehouse_loader_spark.sinks.avro_ocf import write_ocf
+    from lakehouse_loader_spark.sources.readers import read_avro_source
+
+    d = os.path.join(tmpdir, "av_mixed")
+    os.makedirs(d, exist_ok=True)
+    _write_avro(os.path.join(d, "a.avro"), [{"id": 1, "name": "x", "score": 0.0,
+                                             "d": None, "ts": None}])
+    write_ocf(
+        os.path.join(d, "z.avro"),
+        {"type": "record", "name": "other",
+         "fields": [{"name": "only", "type": "long"}]},
+        [{"only": 9}],
+    )
+    with pytest.raises(Exception, match="writer schema differs"):
+        read_avro_source(spark, d).collect()
+
+
+def test_cli_avro_to_delta_roundtrip(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+    from lakehouse_loader_spark.sinks.delta import read_delta
+
+    d = os.path.join(tmpdir, "av_cli")
+    os.makedirs(d, exist_ok=True)
+    _write_avro(os.path.join(d, "a.avro"), [
+        {"id": i, "name": f"n{i}", "score": i / 2, "d": i, "ts": i * 1000}
+        for i in range(50)
+    ])
+    out = os.path.join(tmpdir, "av_delta")
+    do_main(["avro-to-delta", d, out])
+    back = read_delta(spark, out)
+    assert back.count() == 50
+    assert {r.id for r in back.collect()} == set(range(50))
