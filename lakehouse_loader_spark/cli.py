@@ -19,6 +19,7 @@ runs these on a schedule next to the loader):
     lhl expire-snapshots  TARGET [--keep-last N]
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
     lhl convert-delta-to-iceberg SOURCE TARGET
+    lhl delete-delta      TARGET --where "SQL predicate"
 
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
@@ -85,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
+    dd = sub.add_parser("delete-delta")
+    dd.add_argument("target")
+    dd.add_argument("--where", required=True, help="SQL predicate; matching rows are deleted")
     return p
 
 
@@ -141,6 +145,16 @@ def do_main(argv: list[str]) -> None:
         print(
             f"folded versions {res['since']}..{res['through']} "
             f"({res['delta_rows']} delta rows, refreshed={res['refreshed']})",
+            file=sys.stderr,
+        )
+        return
+    if args.command == "delete-delta":
+        from lakehouse_loader_spark.sinks.delta import delete_from_delta
+
+        res = delete_from_delta(spark, args.target, args.where)
+        print(
+            f"deleted {res['deleted_rows']} rows "
+            f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
             file=sys.stderr,
         )
         return

@@ -937,3 +937,74 @@ def merge_delta(
         "updated": n_updated,
         "inserted": int(n_inserted),
     }
+
+
+@accepts_file_uris
+def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE (copy-on-write): rewrite ONLY the files that
+    actually contain rows matching ``predicate`` (a SQL expression), drop
+    those rows, and commit remove+add actions as one new version — the
+    GDPR/right-to-be-forgotten primitive a lakehouse needs.
+
+    Scale shape: the match probe is one scan with the predicate pushed
+    into parquet (row-group stats skip untouched files cheaply); only the
+    affected file LIST — file-level metadata, not data — returns to the
+    driver, and only those files are rewritten.  Untouched files are
+    carried unchanged, so a point delete on a 100 TB table rewrites
+    megabytes, not the table.
+
+    SQL DELETE semantics: rows where the predicate is TRUE are removed;
+    rows where it is false or NULL are kept.  Concurrency follows
+    WriteSerializable: files this delete rewrites must still be live at
+    commit time (ConcurrentModificationError otherwise); concurrently
+    APPENDED files are untouched — the delete applies to the snapshot it
+    read, new data is not retroactively covered.
+
+    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    """
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    _, meta, adds = _read_log(path)
+    schema = table_schema(path)
+    if not adds:
+        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": 0}
+    files = [os.path.join(os.path.abspath(path), r) for r in sorted(adds)]
+    pred = F.expr(predicate)
+    df = _file_reader(spark, path, meta, schema).parquet(*files)
+    probe = (
+        df.withColumn("__file", F.input_file_name())
+        .filter(pred)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    abs_root = os.path.abspath(path) + os.sep
+    affected_rel = sorted(
+        urlparse(r["__file"]).path.split(abs_root, 1)[1] for r in probe
+    )
+    n_deleted = sum(r["n"] for r in probe)
+    if not affected_rel:
+        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": len(adds)}
+
+    affected_abs = [os.path.join(path, r) for r in affected_rel]
+    keep = F.coalesce(pred, F.lit(False)) == F.lit(False)
+    kept_rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs).filter(keep)
+    part_cols = meta.get("partitionColumns") or None
+    new_adds = _write_parts(kept_rows, path, MAX_ROWS_PER_FILE, part_cols)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        _commit_info("DELETE", part_cols),
+        *[
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in affected_rel
+        ],
+        *[{"add": a} for a in new_adds],
+    ]
+    _commit_checked(path, lambda: actions, set(affected_rel))
+    return {
+        "deleted_rows": int(n_deleted),
+        "rewritten_files": len(affected_rel),
+        "kept_files": len(adds) - len(affected_rel),
+    }

@@ -989,3 +989,34 @@ def test_cli_convert_delta_to_iceberg(spark, small_df, tmpdir):
     DL.write_delta(small_df, dpath)
     do_main(["convert-delta-to-iceberg", dpath, ipath])
     assert IC.read_iceberg(spark, ipath).count() == 100
+
+
+def test_delta_delete_rewrites_only_matching_files(spark, tmpdir):
+    """Copy-on-write DELETE: rows matching the predicate disappear, files
+    with no matches are carried as-is (same physical file), history keeps
+    the pre-delete snapshot, and NULL predicate results are KEPT."""
+    path = os.path.join(tmpdir, "t")
+    lo = spark.range(0, 50).select("id", (F.col("id") % 2 == 0).alias("flag"))
+    hi = spark.range(1000, 1050).select("id", F.lit(None).cast("boolean").alias("flag"))
+    DL.write_delta(lo.repartition(1), path)
+    DL.write_delta(hi.repartition(1), path, append=True)
+    v_before = max(h["version"] for h in DL.table_history(path))
+    _, _, adds_before = DL._read_log(path)
+
+    res = DL.delete_from_delta(spark, path, "flag = true AND id < 20")
+    assert res["deleted_rows"] == 10  # ids 0,2,...,18
+    assert res["rewritten_files"] == 1 and res["kept_files"] == 1
+    back = DL.read_delta(spark, path)
+    assert back.count() == 90
+    assert back.filter("flag = true AND id < 20").count() == 0
+    # null-flag rows (hi range) are kept in full
+    assert back.filter("id >= 1000").count() == 50
+    # untouched file is the SAME file, not a rewrite
+    _, _, adds_after = DL._read_log(path)
+    assert set(adds_before) & set(adds_after)
+    # time travel still sees the pre-delete rows
+    assert DL.read_delta(spark, path, version=v_before).count() == 100
+    # predicate with no matches is a no-op commit-wise
+    res2 = DL.delete_from_delta(spark, path, "id = 999999")
+    assert res2 == {"deleted_rows": 0, "rewritten_files": 0,
+                    "kept_files": len(adds_after)}
