@@ -899,3 +899,60 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_tokens(
         load_table(spark, sf_dir, "documents"), chunk_size=128, overlap=16
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketches (Apache DataSketches, built into Spark 4): the
+# scale-path aggregate pattern — sketch per shard map-side, merge sketches,
+# never re-scan.  Estimates are engine-specific, so these register
+# rows-only; error bounds are pytest-asserted against exact answers
+# (tests/test_pipeline_ops.py).
+# --------------------------------------------------------------------------
+@query("agg_sketch_distinct_theta", oracle=None)
+def agg_sketch_distinct_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via theta sketches, plus a sketch-level
+    UNION across all types — the mergeable form of COUNT(DISTINCT): each
+    shard sketches locally, sketches (not rows) move in the shuffle, and
+    set operations (union here, intersection/difference for overlap
+    analyses) happen on the sketches.  At 100 TB this replaces the
+    expand-shuffle of exact distinct with constant-size state per group."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    out = per_type.select(
+        "event_type",
+        F.round(F.theta_sketch_estimate("sk"), 0).cast("bigint").alias("approx_users"),
+    )
+    total = per_type.agg(
+        F.round(
+            F.theta_sketch_estimate(F.theta_union_agg("sk")), 0
+        ).cast("bigint").alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return out.unionByName(total).orderBy("event_type")
+
+
+@query("agg_sketch_quantile_kll", oracle=None)
+def agg_sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles per status via KLL sketches, merged to a
+    global sketch — the mergeable form of percentile: per-group sketches
+    combine with kll_sketch_merge instead of re-sorting raw values, the
+    shape streaming/rollup quantile pipelines need at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    qs = per_status.select(
+        "o_orderstatus",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 2).alias("p95"),
+    )
+    # global sketch over all rows; pairwise kll_sketch_merge_double of the
+    # per-group sketches equals this (asserted in tests/test_pipeline_ops) —
+    # Spark exposes kll merge as a BINARY scalar, not an aggregate
+    merged = o.agg(F.kll_sketch_agg_double("o_totalprice").alias("sk")).select(
+        F.lit("__all__").alias("o_orderstatus"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 2).alias("p95"),
+    )
+    return qs.unionByName(merged).orderBy("o_orderstatus")

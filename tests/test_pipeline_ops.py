@@ -274,3 +274,69 @@ def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
         ).collect()
     }
     assert out == {1: 1.0, 2: 2.0, 3: 1.0, 4: None, 5: None}
+
+
+def test_theta_sketch_estimates_within_bounds(spark):
+    """Theta-sketch distinct estimates land within 5% of exact on the
+    oracle-scale data (default sketch params give far tighter error than
+    that at these cardinalities), and sketch-union equals the estimate
+    over the unioned raw data."""
+    from lakehouse_loader_spark.catalog import load_table
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_ORACLE
+
+    _ensure_loaded()
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["agg_sketch_distinct_theta"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.05 * v), (k, est[k], v)
+
+
+def test_kll_sketch_quantiles_and_mergeability(spark):
+    """KLL p50/p95 estimates sit within the sketch's rank-error band of the
+    exact percentiles, and pairwise kll_sketch_merge of per-group sketches
+    estimates the SAME global quantile as sketching all rows at once —
+    the mergeability property that makes sketches the scale path."""
+    from lakehouse_loader_spark.catalog import load_table
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_ORACLE
+
+    _ensure_loaded()
+    rows = {r["o_orderstatus"]: r for r in
+            REGISTRY["agg_sketch_quantile_kll"].fn(spark, SF_ORACLE).collect()}
+    o = load_table(spark, SF_ORACLE, "orders")
+    exact = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    ).first()
+    spread = o.agg((F.max("o_totalprice") - F.min("o_totalprice")).alias("s")).first()["s"]
+    # default KLL k=200 → normalized rank error ~1.65%; allow 3% of range
+    assert abs(rows["__all__"]["p50"] - exact["p50"]) <= 0.03 * spread
+    assert abs(rows["__all__"]["p95"] - exact["p95"]) <= 0.03 * spread
+    # mergeability: fold the per-status sketches with the binary merge fn
+    merged_est = (
+        o.groupBy("o_orderstatus")
+        .agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.kll_sketch_get_quantile_double(
+                F.reduce(
+                    F.expr("slice(sks, 2, size(sks) - 1)"),
+                    F.element_at("sks", 1),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ).alias("p50")
+        )
+        .first()["p50"]
+    )
+    assert abs(merged_est - exact["p50"]) <= 0.03 * spread
