@@ -19,7 +19,7 @@ runs these on a schedule next to the loader):
     lhl expire-snapshots  TARGET [--keep-last N]
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
     lhl convert-delta-to-iceberg SOURCE TARGET
-    lhl delete-delta      TARGET --where "SQL predicate"
+    lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
 
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
@@ -86,9 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
-    dd = sub.add_parser("delete-delta")
-    dd.add_argument("target")
-    dd.add_argument("--where", required=True, help="SQL predicate; matching rows are deleted")
+    for name in ("delete-delta", "delete-iceberg"):
+        dd = sub.add_parser(name)
+        dd.add_argument("target")
+        dd.add_argument(
+            "--where", required=True, help="SQL predicate; matching rows are deleted"
+        )
     return p
 
 
@@ -148,10 +151,13 @@ def do_main(argv: list[str]) -> None:
             file=sys.stderr,
         )
         return
-    if args.command == "delete-delta":
-        from lakehouse_loader_spark.sinks.delta import delete_from_delta
+    if args.command in ("delete-delta", "delete-iceberg"):
+        if args.command == "delete-delta":
+            from lakehouse_loader_spark.sinks.delta import delete_from_delta as _delete
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import delete_from_iceberg as _delete
 
-        res = delete_from_delta(spark, args.target, args.where)
+        res = _delete(spark, args.target, args.where)
         print(
             f"deleted {res['deleted_rows']} rows "
             f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",

@@ -1058,3 +1058,130 @@ def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
         "rows": manifest["added_rows_count"],
         "snapshot_id": snapshot_id,
     }
+
+
+def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE for the Iceberg table, copy-on-write — the format
+    twin of ``delta.delete_from_delta`` (same probe shape: one predicate-
+    pushed scan finds the files that actually contain matches; only those
+    rewrite).  The new snapshot's single manifest lists every live file —
+    untouched files carry over with their recorded partition values, so no
+    data file is reopened except the rewritten set.
+
+    Concurrency: the conditional metadata put is the commit point; if
+    another writer lands first, the probe's snapshot is stale and the
+    operation fails loudly (a DELETE must re-probe the new snapshot — its
+    file set changed), rather than retrying blindly.
+
+    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    """
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    spec_cols = [f["name"] for f in spec["fields"]]
+    by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+
+    entries_live: list[dict] = []
+    partitioned = False
+    for mf in _snapshot_manifests(path, meta):
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            entries_live.append(e["data_file"])
+            partitioned = partitioned or bool(e["data_file"]["partition"])
+    if not entries_live:
+        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": 0}
+    abs_files = [
+        fp if os.path.isabs(fp) else os.path.join(path, fp)
+        for fp in (d["file_path"] for d in entries_live)
+    ]
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    pred = F.expr(predicate)
+    probe = (
+        reader.parquet(*abs_files)
+        .withColumn("__file", F.input_file_name())
+        .filter(pred)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected = {urlparse(r["__file"]).path for r in probe}
+    n_deleted = sum(r["n"] for r in probe)
+    if not affected:
+        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": len(entries_live)}
+
+    keep = F.coalesce(pred, F.lit(False)) == F.lit(False)
+    kept_reader = spark.read.schema(schema)
+    if partitioned:
+        kept_reader = kept_reader.option(
+            "basePath", os.path.join(os.path.abspath(path), "data")
+        )
+    kept_rows = kept_reader.parquet(*sorted(affected)).filter(keep)
+    new_entries = _write_data_files(kept_rows, path, spec_cols or None)
+
+    # untouched files carry over; partition values convert back to the
+    # hive-string form _write_manifest expects
+    for d in entries_live:
+        fp = d["file_path"] if os.path.isabs(d["file_path"]) else os.path.join(path, d["file_path"])
+        if fp in affected:
+            continue
+        part = {}
+        for pf in spec["fields"]:
+            ice_t = by_id[pf["source-id"]]["type"]
+            part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
+        new_entries.append(
+            {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "file_size_in_bytes": d["file_size_in_bytes"],
+                "partition": part,
+            }
+        )
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    manifest = _write_manifest(path, snapshot_id, new_entries, meta)
+    manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {"operation": "delete", "predicate": predicate},
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the DELETE's "
+            "snapshot is stale — re-run against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    n_rewritten = len(affected)
+    return {
+        "deleted_rows": int(n_deleted),
+        "rewritten_files": n_rewritten,
+        "kept_files": len(entries_live) - n_rewritten,
+    }

@@ -1020,3 +1020,42 @@ def test_delta_delete_rewrites_only_matching_files(spark, tmpdir):
     res2 = DL.delete_from_delta(spark, path, "id = 999999")
     assert res2 == {"deleted_rows": 0, "rewritten_files": 0,
                     "kept_files": len(adds_after)}
+
+
+def test_iceberg_delete_rewrites_only_matching_files(spark, tmpdir):
+    """Copy-on-write DELETE on the Iceberg sink: matches disappear, the
+    untouched file carries over without rewrite, time travel still sees
+    the pre-delete snapshot, and partitioned tables keep their partition
+    values through the carried-over manifest entries."""
+    path = os.path.join(tmpdir, "ice")
+    lo = spark.range(0, 50).select("id", (F.col("id") % 2 == 0).alias("flag"))
+    hi = spark.range(1000, 1050).select("id", F.lit(None).cast("boolean").alias("flag"))
+    IC.write_iceberg(lo.coalesce(1), path)
+    IC.write_iceberg(hi.coalesce(1), path, append=True)
+    pre = IC.snapshot_ids(path)[-1]
+
+    res = IC.delete_from_iceberg(spark, path, "flag = true AND id < 20")
+    assert res["deleted_rows"] == 10
+    assert res["rewritten_files"] == 1 and res["kept_files"] == 1
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 90
+    assert back.filter("flag = true AND id < 20").count() == 0
+    assert back.filter("id >= 1000").count() == 50  # null-flag rows kept
+    assert IC.read_iceberg(spark, path, snapshot_id=pre).count() == 100
+    # no-match predicate: no new snapshot
+    v_before = IC.snapshot_ids(path)
+    res2 = IC.delete_from_iceberg(spark, path, "id = 999999")
+    assert res2["deleted_rows"] == 0 and IC.snapshot_ids(path) == v_before
+
+    # partitioned variant
+    ppath = os.path.join(tmpdir, "icep")
+    df = spark.range(0, 60).select("id", (F.col("id") % 3).alias("b"))
+    IC.write_iceberg(df, ppath, partition_by=["b"])
+    res3 = IC.delete_from_iceberg(spark, ppath, "b = 1 AND id < 30")
+    assert res3["deleted_rows"] == 10
+    back3 = IC.read_iceberg(spark, ppath)
+    assert back3.count() == 50
+    assert back3.filter("b = 1").count() == 10  # ids 31..58 step 3
+    # partition pruning still works on carried-over + rewritten entries
+    files, total = IC.prune_iceberg_files(ppath, "b", 2)
+    assert files and len(files) < total
