@@ -1008,3 +1008,83 @@ def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         "rewritten_files": len(affected_rel),
         "kept_files": len(adds) - len(affected_rel),
     }
+
+
+@accepts_file_uris
+def update_delta(
+    spark: SparkSession, path: str, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """Row-level UPDATE (copy-on-write): rewrite only the files containing
+    rows matching ``predicate``, applying ``set_exprs`` (column -> SQL
+    expression over the row) to the matching rows and carrying the rest of
+    each rewritten file unchanged.  Completes the DML triangle next to
+    MERGE (keyed upsert) and DELETE.
+
+    Same probe/commit shape as delete_from_delta: predicate-pushed match
+    scan → affected file list (metadata-sized) → rewrite only those files →
+    one remove+add commit with WriteSerializable conflict detection.
+    Updated columns must already exist (no implicit schema evolution — the
+    positional-alignment discipline of the append path applies here too).
+
+    Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n}.
+    """
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    _, meta, adds = _read_log(path)
+    schema = table_schema(path)
+    unknown = set(set_exprs) - set(schema.fieldNames())
+    if unknown:
+        raise ValueError(f"SET columns not in table schema: {sorted(unknown)}")
+    if not adds:
+        return {"updated_rows": 0, "rewritten_files": 0, "kept_files": 0}
+    files = [os.path.join(os.path.abspath(path), r) for r in sorted(adds)]
+    pred = F.expr(predicate)
+    df = _file_reader(spark, path, meta, schema).parquet(*files)
+    probe = (
+        df.withColumn("__file", F.input_file_name())
+        .filter(pred)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    abs_root = os.path.abspath(path) + os.sep
+    affected_rel = sorted(
+        urlparse(r["__file"]).path.split(abs_root, 1)[1] for r in probe
+    )
+    n_updated = sum(r["n"] for r in probe)
+    if not affected_rel:
+        return {"updated_rows": 0, "rewritten_files": 0, "kept_files": len(adds)}
+
+    affected_abs = [os.path.join(path, r) for r in affected_rel]
+    rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs)
+    hit = F.coalesce(pred, F.lit(False))
+    updated = rows.withColumns(
+        {
+            col: F.when(hit, F.expr(expr).cast(schema[col].dataType)).otherwise(F.col(col))
+            for col, expr in set_exprs.items()
+        }
+    )
+    part_cols = meta.get("partitionColumns") or None
+    if part_cols and set(set_exprs) & set(part_cols):
+        raise ValueError(
+            f"cannot UPDATE partition columns {sorted(set(set_exprs) & set(part_cols))}; "
+            "rewrite via MERGE (partition values are directory-encoded)"
+        )
+    new_adds = _write_parts(updated, path, MAX_ROWS_PER_FILE, part_cols)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        _commit_info("UPDATE", part_cols),
+        *[
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in affected_rel
+        ],
+        *[{"add": a} for a in new_adds],
+    ]
+    _commit_checked(path, lambda: actions, set(affected_rel))
+    return {
+        "updated_rows": int(n_updated),
+        "rewritten_files": len(affected_rel),
+        "kept_files": len(adds) - len(affected_rel),
+    }

@@ -1059,3 +1059,31 @@ def test_iceberg_delete_rewrites_only_matching_files(spark, tmpdir):
     # partition pruning still works on carried-over + rewritten entries
     files, total = IC.prune_iceberg_files(ppath, "b", 2)
     assert files and len(files) < total
+
+
+def test_delta_update_rewrites_only_matching_files(spark, tmpdir):
+    """Copy-on-write UPDATE: matching rows change, non-matching rows in
+    rewritten files survive byte-equal, untouched files carry over, and
+    partition-column updates are refused."""
+    path = os.path.join(tmpdir, "t")
+    DL.write_delta(spark.range(0, 50).select("id", F.lit(1.0).alias("v")).repartition(1), path)
+    DL.write_delta(
+        spark.range(100, 150).select("id", F.lit(2.0).alias("v")).repartition(1),
+        path, append=True,
+    )
+    res = DL.update_delta(spark, path, "id < 10", {"v": "v + 100"})
+    assert res["updated_rows"] == 10
+    assert res["rewritten_files"] == 1 and res["kept_files"] == 1
+    back = DL.read_delta(spark, path)
+    assert back.filter("id < 10").agg(F.min("v"), F.max("v")).first() == (101.0, 101.0)
+    assert back.filter("id >= 10 AND id < 50").agg(F.max("v")).first()[0] == 1.0
+    assert back.filter("id >= 100").agg(F.max("v")).first()[0] == 2.0
+    with pytest.raises(ValueError, match="not in table schema"):
+        DL.update_delta(spark, path, "id < 5", {"nope": "1"})
+    ppath = os.path.join(tmpdir, "tp")
+    DL.write_delta(
+        spark.range(0, 20).select("id", (F.col("id") % 2).alias("b")), ppath,
+        partition_by=["b"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        DL.update_delta(spark, ppath, "id < 5", {"b": "b + 1"})
