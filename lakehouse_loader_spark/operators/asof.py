@@ -36,6 +36,12 @@ def asof_join(
     Returns all left columns plus ``value_cols`` (null when no right row
     matches, like an ASOF LEFT JOIN).  Tolerance bounds are expressed by
     shifting ``left_ts`` before the call (see asof_join_event_rate)."""
+    # a right row with NULL timestamp can never be "at or before/after" any
+    # left row — drop them up front.  Without this, ascending-scan paths
+    # sort NULLs FIRST and last(ignorenulls) would hand every left row the
+    # null-ts payload as a bogus backward match (and in nearest mode its
+    # NULL distance poisons the closer-side comparison).
+    right = right.filter(F.col(right_ts).isNotNull())
     if direction == "nearest":
         return _asof_join_nearest(left, right, key, left_ts, right_ts, value_cols, how)
     if direction not in ("backward", "forward"):

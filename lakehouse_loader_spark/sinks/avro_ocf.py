@@ -227,24 +227,32 @@ def write_ocf(path: str, schema: dict, records: list[dict], metadata: dict[str, 
         fh.write(buf.getvalue())
 
 
+def _read_header(fh, path: str) -> dict[str, bytes]:
+    """Parse the OCF magic + metadata map, leaving ``fh`` positioned at the
+    16-byte sync marker.  Shared by the full reader and the header-only
+    schema probe so framing fixes can't diverge."""
+    if fh.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(fh)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            read_long(fh)
+        for _ in range(n):
+            k = _read_bytes(fh).decode("utf-8")
+            meta[k] = _read_bytes(fh)
+    return meta
+
+
 def read_ocf(path: str) -> tuple[dict, dict[str, str], list[dict]]:
     """Read an Avro OCF → (schema, metadata, records).  Accepts codec null
     and deflate, any block layout (so files written by other Avro
     implementations, e.g. the JVM library, parse too)."""
     with open(path, "rb") as fh:
-        if fh.read(4) != MAGIC:
-            raise ValueError(f"{path}: not an Avro object container file")
-        meta: dict[str, bytes] = {}
-        while True:
-            n = read_long(fh)
-            if n == 0:
-                break
-            if n < 0:
-                n = -n
-                read_long(fh)
-            for _ in range(n):
-                k = _read_bytes(fh).decode("utf-8")
-                meta[k] = _read_bytes(fh)
+        meta = _read_header(fh, path)
         sync = fh.read(16)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
@@ -277,17 +285,5 @@ def read_ocf_schema(path: str) -> dict:
     data (mirrors the reference's prepare-before-execute contract,
     src/pg_arrow_source.rs:220-236)."""
     with open(path, "rb") as fh:
-        if fh.read(4) != MAGIC:
-            raise ValueError(f"{path}: not an Avro object container file")
-        meta: dict[str, bytes] = {}
-        while True:
-            n = read_long(fh)
-            if n == 0:
-                break
-            if n < 0:
-                n = -n
-                read_long(fh)
-            for _ in range(n):
-                k = _read_bytes(fh).decode("utf-8")
-                meta[k] = _read_bytes(fh)
+        meta = _read_header(fh, path)
         return json.loads(meta["avro.schema"].decode("utf-8"))

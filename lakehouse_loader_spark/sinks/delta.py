@@ -939,37 +939,31 @@ def merge_delta(
     }
 
 
-@accepts_file_uris
-def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Row-level DELETE (copy-on-write): rewrite ONLY the files that
-    actually contain rows matching ``predicate`` (a SQL expression), drop
-    those rows, and commit remove+add actions as one new version — the
-    GDPR/right-to-be-forgotten primitive a lakehouse needs.
+def _cow_probe_and_commit(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    op: str,
+    rewrite_fn,
+):
+    """Shared copy-on-write skeleton for DELETE and UPDATE: one predicate-
+    pushed probe scan finds the files that actually contain matching rows
+    (only the file LIST — metadata, not data — returns to the driver);
+    ``rewrite_fn(rows_df, pred, schema)`` produces those files' replacement
+    rows; one remove+add commit lands with WriteSerializable conflict
+    detection (_commit_checked: rewritten files must still be live).
 
-    Scale shape: the match probe is one scan with the predicate pushed
-    into parquet (row-group stats skip untouched files cheaply); only the
-    affected file LIST — file-level metadata, not data — returns to the
-    driver, and only those files are rewritten.  Untouched files are
-    carried unchanged, so a point delete on a 100 TB table rewrites
-    megabytes, not the table.
-
-    SQL DELETE semantics: rows where the predicate is TRUE are removed;
-    rows where it is false or NULL are kept.  Concurrency follows
-    WriteSerializable: files this delete rewrites must still be live at
-    commit time (ConcurrentModificationError otherwise); concurrently
-    APPENDED files are untouched — the delete applies to the snapshot it
-    read, new data is not retroactively covered.
-
-    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    Returns (n_matched, n_rewritten_files, n_total_files); n_rewritten = 0
+    means nothing matched and NO commit was made.
     """
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
     _, meta, adds = _read_log(path)
-    schema = table_schema(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
-        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": 0}
+        return 0, 0, 0, meta
     files = [os.path.join(os.path.abspath(path), r) for r in sorted(adds)]
     pred = F.expr(predicate)
     df = _file_reader(spark, path, meta, schema).parquet(*files)
@@ -981,21 +975,24 @@ def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         .collect()
     )
     abs_root = os.path.abspath(path) + os.sep
+    # input_file_name() returns a URI — unquote percent-escapes (spaces in
+    # the table root, Spark-escaped partition values) so the derived
+    # relative paths compare equal to the add-action paths in the log
     affected_rel = sorted(
-        urlparse(r["__file"]).path.split(abs_root, 1)[1] for r in probe
+        unquote(urlparse(r["__file"]).path).split(abs_root, 1)[1] for r in probe
     )
-    n_deleted = sum(r["n"] for r in probe)
+    n_matched = sum(r["n"] for r in probe)
     if not affected_rel:
-        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": len(adds)}
+        return 0, 0, len(adds), meta
 
     affected_abs = [os.path.join(path, r) for r in affected_rel]
-    keep = F.coalesce(pred, F.lit(False)) == F.lit(False)
-    kept_rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs).filter(keep)
+    rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs)
+    replacement = rewrite_fn(rows, pred, schema)
     part_cols = meta.get("partitionColumns") or None
-    new_adds = _write_parts(kept_rows, path, MAX_ROWS_PER_FILE, part_cols)
+    new_adds = _write_parts(replacement, path, MAX_ROWS_PER_FILE, part_cols)
     now_ms = int(time.time() * 1000)
     actions = [
-        _commit_info("DELETE", part_cols),
+        _commit_info(op, part_cols),
         *[
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
             for p in affected_rel
@@ -1003,10 +1000,39 @@ def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         *[{"add": a} for a in new_adds],
     ]
     _commit_checked(path, lambda: actions, set(affected_rel))
+    return int(n_matched), len(affected_rel), len(adds), meta
+
+
+@accepts_file_uris
+def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE (copy-on-write): rewrite ONLY the files that
+    actually contain rows matching ``predicate`` (a SQL expression), drop
+    those rows, and commit remove+add actions as one new version — the
+    GDPR/right-to-be-forgotten primitive a lakehouse needs.  A point
+    delete on a 100 TB table rewrites megabytes, not the table
+    (_cow_probe_and_commit has the probe/commit shape).
+
+    SQL DELETE semantics: rows where the predicate is TRUE are removed;
+    rows where it is false or NULL are kept.  Concurrency follows
+    WriteSerializable: files this delete rewrites must still be live at
+    commit time (ConcurrentModificationError otherwise); concurrently
+    APPENDED files are untouched — the delete applies to the snapshot it
+    read, new data is not retroactively covered.
+
+    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    """
+    from pyspark.sql import functions as F
+
+    def drop_matches(rows, pred, _schema):
+        return rows.filter(F.coalesce(pred, F.lit(False)) == F.lit(False))
+
+    n, rewritten, total, _ = _cow_probe_and_commit(
+        spark, path, predicate, "DELETE", drop_matches
+    )
     return {
-        "deleted_rows": int(n_deleted),
-        "rewritten_files": len(affected_rel),
-        "kept_files": len(adds) - len(affected_rel),
+        "deleted_rows": n,
+        "rewritten_files": rewritten,
+        "kept_files": total - rewritten,
     }
 
 
@@ -1018,73 +1044,45 @@ def update_delta(
     rows matching ``predicate``, applying ``set_exprs`` (column -> SQL
     expression over the row) to the matching rows and carrying the rest of
     each rewritten file unchanged.  Completes the DML triangle next to
-    MERGE (keyed upsert) and DELETE.
+    MERGE (keyed upsert) and DELETE; same probe/commit shape
+    (_cow_probe_and_commit).
 
-    Same probe/commit shape as delete_from_delta: predicate-pushed match
-    scan → affected file list (metadata-sized) → rewrite only those files →
-    one remove+add commit with WriteSerializable conflict detection.
-    Updated columns must already exist (no implicit schema evolution — the
-    positional-alignment discipline of the append path applies here too).
+    Updated columns must already exist (no implicit schema evolution), and
+    partition columns cannot be SET (their values are directory-encoded) —
+    both validated from metadata BEFORE any data is scanned.
 
     Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n}.
     """
-    from urllib.parse import urlparse
-
     from pyspark.sql import functions as F
 
-    _, meta, adds = _read_log(path)
-    schema = table_schema(path)
+    _, meta, _ = _read_log(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     unknown = set(set_exprs) - set(schema.fieldNames())
     if unknown:
         raise ValueError(f"SET columns not in table schema: {sorted(unknown)}")
-    if not adds:
-        return {"updated_rows": 0, "rewritten_files": 0, "kept_files": 0}
-    files = [os.path.join(os.path.abspath(path), r) for r in sorted(adds)]
-    pred = F.expr(predicate)
-    df = _file_reader(spark, path, meta, schema).parquet(*files)
-    probe = (
-        df.withColumn("__file", F.input_file_name())
-        .filter(pred)
-        .groupBy("__file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    abs_root = os.path.abspath(path) + os.sep
-    affected_rel = sorted(
-        urlparse(r["__file"]).path.split(abs_root, 1)[1] for r in probe
-    )
-    n_updated = sum(r["n"] for r in probe)
-    if not affected_rel:
-        return {"updated_rows": 0, "rewritten_files": 0, "kept_files": len(adds)}
-
-    affected_abs = [os.path.join(path, r) for r in affected_rel]
-    rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs)
-    hit = F.coalesce(pred, F.lit(False))
-    updated = rows.withColumns(
-        {
-            col: F.when(hit, F.expr(expr).cast(schema[col].dataType)).otherwise(F.col(col))
-            for col, expr in set_exprs.items()
-        }
-    )
-    part_cols = meta.get("partitionColumns") or None
-    if part_cols and set(set_exprs) & set(part_cols):
+    part_cols = meta.get("partitionColumns") or []
+    if set(set_exprs) & set(part_cols):
         raise ValueError(
             f"cannot UPDATE partition columns {sorted(set(set_exprs) & set(part_cols))}; "
             "rewrite via MERGE (partition values are directory-encoded)"
         )
-    new_adds = _write_parts(updated, path, MAX_ROWS_PER_FILE, part_cols)
-    now_ms = int(time.time() * 1000)
-    actions = [
-        _commit_info("UPDATE", part_cols),
-        *[
-            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
-            for p in affected_rel
-        ],
-        *[{"add": a} for a in new_adds],
-    ]
-    _commit_checked(path, lambda: actions, set(affected_rel))
+
+    def apply_set(rows, pred, schema):
+        hit = F.coalesce(pred, F.lit(False))
+        return rows.withColumns(
+            {
+                col: F.when(hit, F.expr(expr).cast(schema[col].dataType)).otherwise(
+                    F.col(col)
+                )
+                for col, expr in set_exprs.items()
+            }
+        )
+
+    n, rewritten, total, _ = _cow_probe_and_commit(
+        spark, path, predicate, "UPDATE", apply_set
+    )
     return {
-        "updated_rows": int(n_updated),
-        "rewritten_files": len(affected_rel),
-        "kept_files": len(adds) - len(affected_rel),
+        "updated_rows": n,
+        "rewritten_files": rewritten,
+        "kept_files": total - rewritten,
     }

@@ -1075,7 +1075,7 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
 
     Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
     """
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -1115,7 +1115,12 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    affected = {urlparse(r["__file"]).path for r in probe}
+    # input_file_name() returns a URI — unquote percent-escapes (spaces,
+    # Spark-escaped partition values) so probe paths compare equal to the
+    # manifests' on-disk file paths; a silent mismatch here would BOTH
+    # carry the file over AND re-add its kept rows (resurrected deletes +
+    # duplicated rows)
+    affected = {unquote(urlparse(r["__file"]).path) for r in probe}
     n_deleted = sum(r["n"] for r in probe)
     if not affected:
         return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": len(entries_live)}

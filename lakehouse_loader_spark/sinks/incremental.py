@@ -149,10 +149,12 @@ def refresh_aggregate(
 
     Failure model: the fold OVERWRITES the (small) aggregate table, and the
     folded-through source version rides that same commit — a crash mid-
-    refresh leaves either the old table+old marker or no table at all (the
-    overwrite's delete-then-create window); the next refresh then resumes
-    from the marker or recomputes from scratch respectively.  Both re-reads
-    derive from the source log, so no state is ever unrecoverable.
+    refresh leaves the old table+old marker, no table at all, or (between
+    the overwrite's create commits) an EMPTY table with no marker; the next
+    refresh resumes from the marker or, in the latter two cases, recomputes
+    from scratch.  Every re-read derives from the source log, so no state
+    is ever unrecoverable.  A NON-empty unmarked target is refused — that
+    is someone else's table, not a crash remnant.
 
     Raises ConcurrentModificationError (from read_delta_appends) if the
     source range is not append-only — OPTIMIZE/MERGE on the source means
@@ -173,40 +175,66 @@ def refresh_aggregate(
     else:
         raise ValueError(f"unknown source_format {source_format!r}")
 
-    if not table_exists(target_path):
+    def _full_rebuild(overwrite: bool) -> dict:
         snap = read_full()
-        agg = _partial_agg(snap, group_by, aggs)
-        write_delta(agg, target_path, txn=(app_id, cur_marker))
+        # carry a hidden per-group row count through ONE source scan: the
+        # checkpoint materializes the partials, the tiny sum reads them —
+        # a separate snap.count() would re-scan the whole source just for
+        # the informational field
+        counted = _partial_agg(
+            snap, group_by, {**aggs, "__nrows": ("count", "*")}
+        ).localCheckpoint(eager=True)
+        n = counted.agg(F.sum("__nrows")).first()[0] or 0
+        write_delta(
+            counted.drop("__nrows"), target_path,
+            overwrite=overwrite, txn=(app_id, cur_marker),
+        )
         return {
             "since": -1,
             "through": cur_marker,
-            "delta_rows": snap.count(),
+            "delta_rows": int(n),
             "refreshed": True,
         }
 
+    if not table_exists(target_path):
+        return _full_rebuild(overwrite=False)
+
     since = last_txn_version(target_path, app_id)
     if since < 0:
+        _, _, live_adds = _read_log(target_path)
+        if not live_adds:
+            # crash remnant: overwrite's delete-then-create window can leave
+            # v0 (protocol+metaData) committed with no data and no txn
+            # marker; an EMPTY unmarked target holds nothing to lose, so
+            # recompute from scratch instead of wedging every future refresh
+            return _full_rebuild(overwrite=True)
         raise ValueError(
-            f"target {target_path} exists but carries no txn marker for "
-            f"appId {app_id!r} — it was not built by refresh_aggregate; "
-            "refusing to guess its coverage"
+            f"target {target_path} exists with data but carries no txn "
+            f"marker for appId {app_id!r} — it was not built by "
+            "refresh_aggregate; refusing to guess its coverage"
         )
     if since >= cur_marker:
         return {"since": since, "through": since, "delta_rows": 0, "refreshed": False}
 
     delta = read_appends(since)
-    n = delta.count()
+    # one scan of the new files: checkpoint the counted partials, then the
+    # row count is a tiny aggregate over them (not a second file scan)
+    partial_counted = _partial_agg(
+        delta, group_by, {**aggs, "__nrows": ("count", "*")}
+    ).localCheckpoint(eager=True)
+    n = partial_counted.agg(F.sum("__nrows")).first()[0] or 0
     if n == 0:
         # versions advanced without data (e.g. metadata-only commits):
         # still move the marker so the next refresh's log replay shortens
         merged = read_delta(spark, target_path)
     else:
-        partial = _partial_agg(delta, group_by, aggs)
         merged = _merge_agg(
-            read_delta(spark, target_path).unionByName(partial), group_by, aggs
+            read_delta(spark, target_path).unionByName(partial_counted.drop("__nrows")),
+            group_by,
+            aggs,
         )
     # materialize BEFORE the overwrite deletes the old table the plan reads
     # from (localCheckpoint keeps it distributed; the aggregate is small)
     merged = merged.localCheckpoint(eager=True)
     write_delta(merged, target_path, overwrite=True, txn=(app_id, cur_marker))
-    return {"since": since, "through": cur_marker, "delta_rows": n, "refreshed": True}
+    return {"since": since, "through": cur_marker, "delta_rows": int(n), "refreshed": True}

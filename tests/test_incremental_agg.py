@@ -239,3 +239,27 @@ def test_iceberg_source_refresh(spark, tmpdir):
         refresh_aggregate(
             spark, src, tgt, ["k"], AGGS, app_id=APP, source_format="iceberg"
         )
+
+
+def test_crash_remnant_empty_target_rebuilds(spark, tmpdir):
+    """An overwrite crash can leave the target with v0 committed but no
+    data and no txn marker; the next refresh must rebuild from scratch
+    instead of wedging forever.  A NON-empty unmarked table stays refused
+    (covered by test_foreign_target_rejected)."""
+    import os
+
+    from lakehouse_loader_spark.sinks.delta import _read_log
+
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 30), src)
+    refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    # simulate the crash window: strip the data commit, keep only v0
+    log = f"{tgt}/_delta_log"
+    for f in os.listdir(log):
+        if f.endswith(".json") and int(f.split(".")[0]) > 0:
+            os.remove(os.path.join(log, f))
+    _, _, live = _read_log(tgt)
+    assert not live and last_txn_version(tgt, APP) == -1  # remnant shape
+    r = refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    assert r["refreshed"] and r["since"] == -1 and r["delta_rows"] == 30
+    assert {tuple(x) for x in read_delta(spark, tgt).collect()} == _expected(spark, src)

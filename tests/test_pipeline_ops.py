@@ -340,3 +340,33 @@ def test_kll_sketch_quantiles_and_mergeability(spark):
         .first()["p50"]
     )
     assert abs(merged_est - exact["p50"]) <= 0.03 * spread
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL timestamp must never match in ANY direction —
+    ascending scans sort NULLs first, where an unfiltered null-ts payload
+    would become every left row's bogus backward match (and poison the
+    nearest-mode distance comparison)."""
+    from lakehouse_loader_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", None, 99.0), ("k", "2024-01-02 00:00:00", 2.0)],
+        "key string, rts string, val double",
+    ).select("key", F.col("rts").cast("timestamp").alias("rts"), "val")
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:00"), (2, "k", "2024-01-03 00:00:00")],
+        "id long, key string, ts string",
+    ).select("id", "key", F.col("ts").cast("timestamp").alias("ts"))
+    for direction, want in [
+        ("backward", {1: None, 2: 2.0}),
+        ("forward", {1: 2.0, 2: None}),
+        ("nearest", {1: 2.0, 2: 2.0}),
+    ]:
+        out = {
+            r["id"]: r["val"]
+            for r in asof_join(
+                left, right, key="key", left_ts="ts", right_ts="rts",
+                value_cols=["val"], direction=direction,
+            ).collect()
+        }
+        assert out == want, (direction, out)

@@ -1087,3 +1087,42 @@ def test_delta_update_rewrites_only_matching_files(spark, tmpdir):
     )
     with pytest.raises(ValueError, match="partition columns"):
         DL.update_delta(spark, ppath, "id < 5", {"b": "b + 1"})
+
+
+def test_delta_delete_on_uri_escaped_partition_values(spark, tmpdir):
+    """input_file_name() percent-escapes partition directory names (e.g. a
+    ':' in a string partition value); the DELETE/UPDATE probe must unquote
+    before comparing against the log's add paths, else the rewrite set
+    comes out empty or conflicts spuriously."""
+    path = os.path.join(tmpdir, "t esc")  # space in the table root too
+    df = spark.createDataFrame(
+        [(i, "00:30" if i % 2 == 0 else "01 45") for i in range(40)],
+        "id long, slot string",
+    )
+    DL.write_delta(df, path, partition_by=["slot"])
+    res = DL.delete_from_delta(spark, path, "slot = '00:30' AND id < 10")
+    assert res["deleted_rows"] == 5
+    back = DL.read_delta(spark, path)
+    assert back.count() == 35
+    assert back.filter("slot = '00:30'").count() == 15
+    res2 = DL.update_delta(spark, path, "slot = '01 45'", {"id": "id + 1000"})
+    assert res2["updated_rows"] == 20
+    assert DL.read_delta(spark, path).filter("id >= 1000").count() == 20
+
+
+def test_iceberg_delete_on_uri_escaped_partition_values(spark, tmpdir):
+    """Iceberg twin of the escaped-path probe: un-decoded URIs would BOTH
+    carry the affected file over AND re-add its kept rows (resurrected
+    deletes + duplicated rows) — exactness of the file-set diff depends on
+    unquoting."""
+    path = os.path.join(tmpdir, "ice esc")
+    df = spark.createDataFrame(
+        [(i, "00:30" if i % 2 == 0 else "0145") for i in range(40)],
+        "id long, slot string",
+    )
+    IC.write_iceberg(df, path, partition_by=["slot"])
+    res = IC.delete_from_iceberg(spark, path, "slot = '00:30' AND id < 10")
+    assert res["deleted_rows"] == 5
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 35
+    assert back.filter("slot = '00:30'").count() == 15
