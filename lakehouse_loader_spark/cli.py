@@ -14,7 +14,7 @@ plus the loader-surface extensions for training-data interchange formats:
 and table-maintenance subcommands (engine extensions; a production lake
 runs these on a schedule next to the loader):
 
-    lhl optimize-delta    TARGET [--target-partitions N] [--zorder-by COLS]
+    lhl optimize-delta / optimize-iceberg  TARGET [--target-partitions N] [--zorder-by COLS]
     lhl vacuum-delta      TARGET
     lhl expire-snapshots  TARGET [--keep-last N]
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
@@ -61,10 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                 sp.add_argument("--schema", default=None, help="DDL schema string (skips inference)")
             if fmt == "csv":
                 sp.add_argument("--delimiter", default=",")
-    opt = sub.add_parser("optimize-delta")
-    opt.add_argument("target")
-    opt.add_argument("--target-partitions", type=int, default=1)
-    opt.add_argument("--zorder-by", default=None, help="comma-separated columns")
+    for name in ("optimize-delta", "optimize-iceberg"):
+        opt = sub.add_parser(name)
+        opt.add_argument("target")
+        opt.add_argument("--target-partitions", type=int, default=1)
+        opt.add_argument("--zorder-by", default=None, help="comma-separated columns")
     vac = sub.add_parser("vacuum-delta")
     vac.add_argument("target")
     exp = sub.add_parser("expire-snapshots")
@@ -108,11 +109,14 @@ def do_main(argv: list[str]) -> None:
     except ValueError as exc:
         print(str(exc), file=sys.stderr)
         sys.exit(2)
-    if args.command == "optimize-delta":
-        from lakehouse_loader_spark.sinks.delta import optimize_delta
+    if args.command in ("optimize-delta", "optimize-iceberg"):
+        if args.command == "optimize-delta":
+            from lakehouse_loader_spark.sinks.delta import optimize_delta as _opt
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import optimize_iceberg as _opt
 
         zorder = args.zorder_by.split(",") if args.zorder_by else None
-        optimize_delta(
+        _opt(
             spark, args.target,
             target_partitions=args.target_partitions, zorder_by=zorder,
         )

@@ -1190,3 +1190,86 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         "rewritten_files": n_rewritten,
         "kept_files": len(entries_live) - n_rewritten,
     }
+
+
+def optimize_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE-style compaction for the Iceberg table — the format twin of
+    ``delta.optimize_delta``: rewrite the current snapshot's live files
+    into ``target_partitions`` files (per partition directory when the
+    table is partitioned) and commit a fresh snapshot whose manifest lists
+    only the rewritten files.  Prior snapshots stay in the metadata
+    history, so time travel to pre-compaction states keeps working until
+    ``expire_snapshots`` reclaims them.
+
+    ``sort_by`` clusters rows within rewritten files (tighter min/max
+    column stats → harder data skipping); ``zorder_by`` (mutually
+    exclusive) interleaves several columns' ranks so stats stay tight on
+    EVERY listed column (operators/zorder.py).
+
+    Returns {"rewritten_files": n, "new_files": n}.
+    """
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    spec_cols = [f["name"] for f in spec["fields"]]
+    n_before = sum(
+        len(_read_manifest_entries(path, mf["manifest_path"]))
+        for mf in _snapshot_manifests(path, meta)
+    )
+    df = read_iceberg(spark, path)
+    if zorder_by:
+        from lakehouse_loader_spark.operators.zorder import zorder_layout
+
+        df = zorder_layout(df, zorder_by, target_partitions)
+    elif not spec_cols:
+        df = df.coalesce(target_partitions)
+    else:
+        df = df.repartition(target_partitions, *spec_cols)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    entries = _write_data_files(df, path, spec_cols or None)
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    manifest = _write_manifest(path, snapshot_id, entries, meta)
+    manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {"operation": "replace"},
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the compaction "
+            "snapshot is stale — re-run OPTIMIZE against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {"rewritten_files": n_before, "new_files": len(entries)}

@@ -1126,3 +1126,24 @@ def test_iceberg_delete_on_uri_escaped_partition_values(spark, tmpdir):
     back = IC.read_iceberg(spark, path)
     assert back.count() == 35
     assert back.filter("slot = '00:30'").count() == 15
+
+
+def test_iceberg_optimize_compacts_and_keeps_history(spark, small_df, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(small_df.repartition(4), path)
+    IC.write_iceberg(small_df.limit(20).repartition(3), path, append=True)
+    pre = IC.snapshot_ids(path)[-1]
+    res = IC.optimize_iceberg(spark, path, target_partitions=1, sort_by=["id"])
+    assert res["rewritten_files"] >= 7 and res["new_files"] == 1
+    assert IC.read_iceberg(spark, path).count() == 120
+    assert IC.read_iceberg(spark, path, snapshot_id=pre).count() == 120
+    # partitioned: one compacted file per partition dir, pruning intact
+    ppath = os.path.join(tmpdir, "icep")
+    IC.write_iceberg(
+        small_df.withColumn("b", F.col("id") % 2).repartition(4), ppath,
+        partition_by=["b"],
+    )
+    res2 = IC.optimize_iceberg(spark, ppath, target_partitions=1)
+    assert res2["new_files"] == 2  # one per b=0 / b=1
+    files, total = IC.prune_iceberg_files(ppath, "b", 1)
+    assert len(files) == 1 and total == 2
