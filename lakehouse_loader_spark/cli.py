@@ -20,6 +20,7 @@ runs these on a schedule next to the loader):
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
     lhl convert-delta-to-iceberg SOURCE TARGET
     lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
+    lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
 
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
@@ -93,6 +94,19 @@ def build_parser() -> argparse.ArgumentParser:
         dd.add_argument(
             "--where", required=True, help="SQL predicate; matching rows are deleted"
         )
+    for name in ("update-delta", "update-iceberg"):
+        ud = sub.add_parser(name)
+        ud.add_argument("target")
+        ud.add_argument(
+            "--where", required=True, help="SQL predicate; matching rows are updated"
+        )
+        ud.add_argument(
+            "--set",
+            action="append",
+            required=True,
+            metavar="COL=EXPR",
+            help="column assignment, repeatable; EXPR is SQL over the row",
+        )
     return p
 
 
@@ -164,6 +178,26 @@ def do_main(argv: list[str]) -> None:
         res = _delete(spark, args.target, args.where)
         print(
             f"deleted {res['deleted_rows']} rows "
+            f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
+            file=sys.stderr,
+        )
+        return
+    if args.command in ("update-delta", "update-iceberg"):
+        if args.command == "update-delta":
+            from lakehouse_loader_spark.sinks.delta import update_delta as _update
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import update_iceberg as _update
+
+        set_exprs: dict[str, str] = {}
+        for spec in args.set:
+            if "=" not in spec:
+                print(f"bad --set spec {spec!r}, want COL=EXPR", file=sys.stderr)
+                sys.exit(2)
+            col, expr = spec.split("=", 1)
+            set_exprs[col.strip()] = expr
+        res = _update(spark, args.target, args.where, set_exprs)
+        print(
+            f"updated {res['updated_rows']} rows "
             f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
             file=sys.stderr,
         )

@@ -1060,20 +1060,19 @@ def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
     }
 
 
-def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Row-level DELETE for the Iceberg table, copy-on-write — the format
-    twin of ``delta.delete_from_delta`` (same probe shape: one predicate-
-    pushed scan finds the files that actually contain matches; only those
-    rewrite).  The new snapshot's single manifest lists every live file —
-    untouched files carry over with their recorded partition values, so no
-    data file is reopened except the rewritten set.
+def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrite_fn):
+    """Shared copy-on-write skeleton for Iceberg DELETE/UPDATE (mirrors
+    delta._cow_probe_and_commit): probe which live files contain predicate
+    matches, let ``rewrite_fn(rows_df, pred, schema)`` produce those files'
+    replacement rows, and commit a snapshot whose single manifest lists the
+    rewritten files plus the untouched ones (carried over with their
+    recorded partition values — no data file reopened except the rewritten
+    set).
 
     Concurrency: the conditional metadata put is the commit point; if
     another writer lands first, the probe's snapshot is stale and the
-    operation fails loudly (a DELETE must re-probe the new snapshot — its
-    file set changed), rather than retrying blindly.
-
-    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    operation fails loudly (re-probe the new snapshot), never retrying
+    blindly.  Returns (n_matched, n_rewritten, n_total_files).
     """
     from urllib.parse import unquote, urlparse
 
@@ -1098,17 +1097,21 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
             entries_live.append(e["data_file"])
             partitioned = partitioned or bool(e["data_file"]["partition"])
     if not entries_live:
-        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": 0}
+        return 0, 0, 0
     abs_files = [
         fp if os.path.isabs(fp) else os.path.join(path, fp)
         for fp in (d["file_path"] for d in entries_live)
     ]
-    reader = spark.read.schema(schema)
-    if partitioned:
-        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+
+    def reader():
+        r = spark.read.schema(schema)
+        if partitioned:
+            r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
+        return r
+
     pred = F.expr(predicate)
     probe = (
-        reader.parquet(*abs_files)
+        reader().parquet(*abs_files)
         .withColumn("__file", F.input_file_name())
         .filter(pred)
         .groupBy("__file")
@@ -1121,18 +1124,12 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     # carry the file over AND re-add its kept rows (resurrected deletes +
     # duplicated rows)
     affected = {unquote(urlparse(r["__file"]).path) for r in probe}
-    n_deleted = sum(r["n"] for r in probe)
+    n_matched = sum(r["n"] for r in probe)
     if not affected:
-        return {"deleted_rows": 0, "rewritten_files": 0, "kept_files": len(entries_live)}
+        return 0, 0, len(entries_live)
 
-    keep = F.coalesce(pred, F.lit(False)) == F.lit(False)
-    kept_reader = spark.read.schema(schema)
-    if partitioned:
-        kept_reader = kept_reader.option(
-            "basePath", os.path.join(os.path.abspath(path), "data")
-        )
-    kept_rows = kept_reader.parquet(*sorted(affected)).filter(keep)
-    new_entries = _write_data_files(kept_rows, path, spec_cols or None)
+    replacement = rewrite_fn(reader().parquet(*sorted(affected)), pred, schema)
+    new_entries = _write_data_files(replacement, path, spec_cols or None)
 
     # untouched files carry over; partition values convert back to the
     # hive-string form _write_manifest expects
@@ -1163,7 +1160,7 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         "sequence-number": sequence_number,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_list,
-        "summary": {"operation": "delete", "predicate": predicate},
+        "summary": {"operation": op, "predicate": predicate},
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
@@ -1177,18 +1174,83 @@ def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         )
     except FileExistsError:
         raise ConcurrentModificationError(
-            f"concurrent commit won v{version + 1} at {path}; the DELETE's "
+            f"concurrent commit won v{version + 1} at {path}; the {op}'s "
             "snapshot is stale — re-run against the new snapshot"
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
     with open(_hint_file(path), "w") as fh:
         fh.write(str(version + 1))
-    n_rewritten = len(affected)
+    return int(n_matched), len(affected), len(entries_live)
+
+
+def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE for the Iceberg table, copy-on-write — the format
+    twin of ``delta.delete_from_delta`` (probe/commit shape in
+    _cow_iceberg).  SQL DELETE semantics: TRUE predicate rows removed,
+    false/NULL kept.
+
+    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    """
+    from pyspark.sql import functions as F
+
+    def drop_matches(rows, pred, _schema):
+        return rows.filter(F.coalesce(pred, F.lit(False)) == F.lit(False))
+
+    n, rewritten, total = _cow_iceberg(spark, path, predicate, "delete", drop_matches)
     return {
-        "deleted_rows": int(n_deleted),
-        "rewritten_files": n_rewritten,
-        "kept_files": len(entries_live) - n_rewritten,
+        "deleted_rows": n,
+        "rewritten_files": rewritten,
+        "kept_files": total - rewritten,
+    }
+
+
+def update_iceberg(
+    spark: SparkSession, path: str, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """Row-level UPDATE for the Iceberg table, copy-on-write — the format
+    twin of ``delta.update_delta``.  SET columns must exist and cannot be
+    partition columns (directory-encoded) — validated from metadata before
+    any data is scanned.
+
+    Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n}.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    norm = local_path(path)
+    if not table_exists(norm):
+        raise FileNotFoundError(f"no iceberg table at {norm}")
+    _, meta = _read_metadata(norm)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    unknown = set(set_exprs) - set(schema.fieldNames())
+    if unknown:
+        raise ValueError(f"SET columns not in table schema: {sorted(unknown)}")
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    spec_cols = {f["name"] for f in spec["fields"]}
+    if set(set_exprs) & spec_cols:
+        raise ValueError(
+            f"cannot UPDATE partition columns {sorted(set(set_exprs) & spec_cols)}; "
+            "partition values are directory-encoded"
+        )
+
+    def apply_set(rows, pred, schema):
+        hit = F.coalesce(pred, F.lit(False))
+        return rows.withColumns(
+            {
+                col: F.when(hit, F.expr(expr).cast(schema[col].dataType)).otherwise(
+                    F.col(col)
+                )
+                for col, expr in set_exprs.items()
+            }
+        )
+
+    n, rewritten, total = _cow_iceberg(spark, norm, predicate, "update", apply_set)
+    return {
+        "updated_rows": n,
+        "rewritten_files": rewritten,
+        "kept_files": total - rewritten,
     }
 
 

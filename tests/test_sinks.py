@@ -1147,3 +1147,29 @@ def test_iceberg_optimize_compacts_and_keeps_history(spark, small_df, tmpdir):
     assert res2["new_files"] == 2  # one per b=0 / b=1
     files, total = IC.prune_iceberg_files(ppath, "b", 1)
     assert len(files) == 1 and total == 2
+
+
+def test_iceberg_update_rewrites_only_matching_files(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(
+        spark.range(0, 50).select("id", F.lit(1.0).alias("v")).coalesce(1), path
+    )
+    IC.write_iceberg(
+        spark.range(100, 150).select("id", F.lit(2.0).alias("v")).coalesce(1),
+        path, append=True,
+    )
+    res = IC.update_iceberg(spark, path, "id < 10", {"v": "v + 100"})
+    assert res["updated_rows"] == 10
+    assert res["rewritten_files"] == 1 and res["kept_files"] == 1
+    back = IC.read_iceberg(spark, path)
+    assert back.filter("id < 10").agg(F.min("v"), F.max("v")).first() == (101.0, 101.0)
+    assert back.filter("id >= 100").agg(F.max("v")).first()[0] == 2.0
+    with pytest.raises(ValueError, match="not in table schema"):
+        IC.update_iceberg(spark, path, "id < 5", {"nope": "1"})
+    ppath = os.path.join(tmpdir, "icep")
+    IC.write_iceberg(
+        spark.range(0, 20).select("id", (F.col("id") % 2).alias("b")), ppath,
+        partition_by=["b"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        IC.update_iceberg(spark, ppath, "id < 5", {"b": "b + 1"})
