@@ -1335,3 +1335,151 @@ def optimize_iceberg(
     with open(_hint_file(path), "w") as fh:
         fh.write(str(version + 1))
     return {"rewritten_files": n_before, "new_files": len(entries)}
+
+
+def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -> dict:
+    """MERGE (keyed upsert) into the Iceberg table, copy-on-write — the
+    format twin of ``delta.merge_delta``: files containing matched keys are
+    rewritten with the updated rows, unmatched source rows are inserted,
+    untouched files carry over in the new snapshot's manifest.
+
+    Probe note: these manifests record file paths/partitions but not
+    per-column value bounds, so the matched-file probe is one broadcast
+    semi-join of the source keys into a scan of the live files (predicate
+    pushdown still skips row groups via parquet footer stats); Delta's
+    stats-range pruning has no manifest-level equivalent here.
+
+    Returns {"rewritten_files": n, "updated": n, "inserted": n}.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    if set(source.columns) != set(schema.fieldNames()):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} must match table "
+            f"{sorted(schema.fieldNames())}"
+        )
+    source = source.select(*schema.fieldNames())
+    n_source_keys = source.select(key).distinct().count()
+    if source.count() != n_source_keys:
+        raise ValueError(
+            f"merge source has duplicate values in key column {key!r}; "
+            "deduplicate before merging (same contract as Delta MERGE)"
+        )
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    spec_cols = [f["name"] for f in spec["fields"]]
+    by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+
+    entries_live: list[dict] = []
+    partitioned = False
+    for mf in _snapshot_manifests(path, meta):
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            entries_live.append(e["data_file"])
+            partitioned = partitioned or bool(e["data_file"]["partition"])
+
+    keys = source.select(key).distinct()
+    affected: set[str] = set()
+    n_updated = 0
+    if entries_live:
+        abs_files = [
+            fp if os.path.isabs(fp) else os.path.join(path, fp)
+            for fp in (d["file_path"] for d in entries_live)
+        ]
+        reader = spark.read.schema(schema)
+        if partitioned:
+            reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+        probe = (
+            reader.parquet(*abs_files)
+            .withColumn("__file", F.input_file_name())
+            .join(F.broadcast(keys), key, "inner")
+            .groupBy("__file")
+            .agg(F.countDistinct(key).alias("nk"))
+            .collect()
+        )
+        affected = {unquote(urlparse(r["__file"]).path) for r in probe}
+        if affected:
+            matched_reader = spark.read.schema(schema)
+            if partitioned:
+                matched_reader = matched_reader.option(
+                    "basePath", os.path.join(os.path.abspath(path), "data")
+                )
+            cand = matched_reader.parquet(*sorted(affected))
+            n_updated = keys.join(cand.select(key), key, "left_semi").count()
+
+    if affected:
+        matched_reader = spark.read.schema(schema)
+        if partitioned:
+            matched_reader = matched_reader.option(
+                "basePath", os.path.join(os.path.abspath(path), "data")
+            )
+        kept = matched_reader.parquet(*sorted(affected)).join(
+            F.broadcast(keys), key, "left_anti"
+        )
+        rewritten = kept.unionByName(source)
+    else:
+        rewritten = source
+    n_inserted = n_source_keys - n_updated
+
+    new_entries = _write_data_files(rewritten, path, spec_cols or None)
+    for d in entries_live:
+        fp = d["file_path"] if os.path.isabs(d["file_path"]) else os.path.join(path, d["file_path"])
+        if fp in affected:
+            continue
+        part = {}
+        for pf in spec["fields"]:
+            ice_t = by_id[pf["source-id"]]["type"]
+            part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
+        new_entries.append(
+            {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "file_size_in_bytes": d["file_size_in_bytes"],
+                "partition": part,
+            }
+        )
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    manifest = _write_manifest(path, snapshot_id, new_entries, meta)
+    manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {"operation": "overwrite", "merge-key": key},
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the MERGE's "
+            "snapshot is stale — re-run against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "rewritten_files": len(affected),
+        "updated": int(n_updated),
+        "inserted": int(n_inserted),
+    }

@@ -1173,3 +1173,38 @@ def test_iceberg_update_rewrites_only_matching_files(spark, tmpdir):
     )
     with pytest.raises(ValueError, match="partition columns"):
         IC.update_iceberg(spark, ppath, "id < 5", {"b": "b + 1"})
+
+
+def test_iceberg_merge_upserts_by_key(spark, tmpdir):
+    """MERGE on the Iceberg sink: matched keys update in place (their files
+    rewritten), unmatched source rows insert, untouched files carry over,
+    history keeps the pre-merge snapshot."""
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(
+        spark.range(0, 30).select("id", F.lit(1.0).alias("v")).coalesce(1), path
+    )
+    IC.write_iceberg(
+        spark.range(100, 130).select("id", F.lit(1.0).alias("v")).coalesce(1),
+        path, append=True,
+    )
+    pre = IC.snapshot_ids(path)[-1]
+    source = spark.createDataFrame(
+        [(5, 50.0), (10, 99.0), (500, 7.0)], "id long, v double"
+    )
+    res = IC.merge_iceberg(spark, path, source, key="id")
+    assert res == {"rewritten_files": 1, "updated": 2, "inserted": 1}
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 61
+    got = {r.id: r.v for r in back.filter("id in (5, 10, 500, 105)").collect()}
+    assert got == {5: 50.0, 10: 99.0, 500: 7.0, 105: 1.0}
+    assert IC.read_iceberg(spark, path, snapshot_id=pre).count() == 60
+    with pytest.raises(ValueError, match="duplicate"):
+        IC.merge_iceberg(
+            spark, path,
+            spark.createDataFrame([(1, 1.0), (1, 2.0)], "id long, v double"),
+            key="id",
+        )
+    with pytest.raises(ValueError, match="must match table"):
+        IC.merge_iceberg(
+            spark, path, spark.createDataFrame([(1,)], "id long"), key="id"
+        )
