@@ -1375,3 +1375,57 @@ def asof_join_nearest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cp_ts_out", "yyyy-MM-dd").alias("rate_day"),
         F.round("day_rate", 4).alias("near_day_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming parity, driver-checked: the watermarked tumbling-window
+# aggregation runs as a BOUNDED STREAM (availableNow) and must hash-match
+# the batch SQL oracle — streaming correctness surfaces in the same
+# correctness gate as every batch query, not only in pytest.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_window_parity",
+    oracle="""
+    SELECT event_type,
+           STRFTIME(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the events table as a multi-file directory, consume it as a
+    file-source STREAM (2 files per micro-batch, availableNow trigger)
+    through the watermarked 10-minute tumbling-window aggregation, and
+    return the converged result from the memory sink.  Complete-mode
+    output over a bounded stream equals the batch aggregation exactly —
+    the batch/stream parity contract, checked by the same DuckDB oracle
+    as events_window_agg."""
+    import tempfile
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        windowed_event_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="qstream_parity_")
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+    sink = f"sw_parity_{_uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_agg(read_event_stream(spark, staged, max_files_per_trigger=2))
+        .writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    # the memory sink holds the materialized result; the staged input files
+    # are no longer referenced once the stream terminates
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(sink)
