@@ -1208,3 +1208,23 @@ def test_iceberg_merge_upserts_by_key(spark, tmpdir):
         IC.merge_iceberg(
             spark, path, spark.createDataFrame([(1,)], "id long"), key="id"
         )
+
+
+def test_cli_dml_subcommands(spark, small_df, tmpdir):
+    """update-/delete- for both formats through the real CLI arg parser."""
+    from lakehouse_loader_spark.cli import do_main
+
+    dp = os.path.join(tmpdir, "d")
+    ip = os.path.join(tmpdir, "i")
+    DL.write_delta(small_df, dp)
+    IC.write_iceberg(small_df, ip)
+    do_main(["update-delta", dp, "--where", "id < 10", "--set", "doubled = doubled + 1"])
+    do_main(["delete-delta", dp, "--where", "id >= 90"])
+    assert DL.read_delta(spark, dp).count() == 90
+    assert DL.read_delta(spark, dp).filter("id = 5").first()["doubled"] == 11
+    do_main(["update-iceberg", ip, "--where", "id < 10", "--set", "doubled = doubled + 1"])
+    do_main(["delete-iceberg", ip, "--where", "id >= 90"])
+    assert IC.read_iceberg(spark, ip).count() == 90
+    assert IC.read_iceberg(spark, ip).filter("id = 5").first()["doubled"] == 11
+    do_main(["optimize-iceberg", ip, "--target-partitions", "1"])
+    assert IC.read_iceberg(spark, ip).count() == 90
