@@ -1483,3 +1483,60 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         "updated": int(n_updated),
         "inserted": int(n_inserted),
     }
+
+
+def rollback_iceberg(path: str, snapshot_id: int) -> None:
+    """ROLLBACK: make the table's CURRENT snapshot equal a retained older
+    snapshot, as a NEW commit — the Iceberg twin of ``delta.restore_delta``
+    (history is never rewritten; the rollback itself is undoable).  The new
+    snapshot re-points at the target's manifest list with a fresh sequence
+    number — pure metadata, no data file touched.
+
+    Fails if the target snapshot's data files were removed by
+    ``expire_snapshots`` (validated before committing — a rollback onto
+    vacuumed files would read-error later, loudly now is better)."""
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    target = _snapshot_by_id(meta, snapshot_id)
+    files, _ = _snapshot_file_set(path, meta, target)
+    missing = [
+        fp for fp in sorted(files)
+        if not os.path.exists(fp if os.path.isabs(fp) else os.path.join(path, fp))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot roll back {path} to snapshot {snapshot_id}: data files "
+            f"expired: {missing[:5]}"
+        )
+    new_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    snapshot = {
+        "snapshot-id": new_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": target["manifest-list"],
+        "summary": {"operation": "rollback", "rolled-back-to": str(snapshot_id)},
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = new_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; re-run the rollback"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))

@@ -1228,3 +1228,23 @@ def test_cli_dml_subcommands(spark, small_df, tmpdir):
     assert IC.read_iceberg(spark, ip).filter("id = 5").first()["doubled"] == 11
     do_main(["optimize-iceberg", ip, "--target-partitions", "1"])
     assert IC.read_iceberg(spark, ip).count() == 90
+
+
+def test_iceberg_rollback_restores_old_snapshot(spark, small_df, tmpdir):
+    """Rollback re-points CURRENT at a retained snapshot as a NEW commit:
+    data reads equal the old state, history keeps growing (undoable), and
+    rolling back onto expired files fails loudly."""
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(small_df, path)
+    s1 = IC.snapshot_ids(path)[-1]
+    IC.write_iceberg(small_df.limit(13), path, append=True)
+    assert IC.read_iceberg(spark, path).count() == 113
+    IC.rollback_iceberg(path, s1)
+    assert IC.read_iceberg(spark, path).count() == 100
+    assert len(IC.snapshot_ids(path)) == 3  # create + append + rollback
+    # undoing: roll forward to the append snapshot
+    s2 = IC.snapshot_ids(path)[1]
+    IC.rollback_iceberg(path, s2)
+    assert IC.read_iceberg(spark, path).count() == 113
+    with pytest.raises(ValueError):
+        IC.rollback_iceberg(path, 424242)
