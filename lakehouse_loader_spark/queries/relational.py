@@ -1583,3 +1583,97 @@ def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+# each other — the semantics dimension the plain equi-join family above
+# deliberately lacks (its NULL keys match nothing).
+# --------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS k
+      FROM orders WHERE o_orderkey <= 200),
+    b AS (
+      SELECT CASE WHEN v = 5 THEN NULL ELSE v END AS k,
+             CONCAT('g', COALESCE(CAST(v AS VARCHAR), 'null')) AS tag
+      FROM (SELECT unnest(range(0, 6)) AS v))
+    SELECT a.o_orderkey, b.tag
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.o_orderkey, b.tag
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe join: rows whose derived key is NULL join the NULL-keyed
+    dim row (a plain equi-join would drop them).  Catalyst still plans a
+    hash join — NullSafeEqual is a valid equi-key, so no nested-loop
+    fallback and the same one-shuffle shape at scale."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    b = spark.range(0, 6).select(
+        F.when(F.col("id") == 5, F.lit(None).cast("bigint")).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("g"), F.coalesce(F.col("id").cast("string"), F.lit("null"))).alias("tag"),
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+        .select("o_orderkey", "tag")
+        .orderBy("o_orderkey", "tag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): hierarchy rollup — ancestor
+# closure over a deterministic binary-tree parent fn (parent(k)=(k-1) div 2
+# over the 25 nations), then per-subtree supplier aggregation.  The classic
+# org-chart/bill-of-materials shape no single-pass operator expresses.
+# --------------------------------------------------------------------------
+_RECURSIVE_SPARK_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(n_nationkey AS BIGINT) AS anc
+  FROM nation
+  UNION ALL
+  SELECT node, CAST((anc - 1) DIV 2 AS BIGINT) FROM anc WHERE anc > 0
+)
+SELECT CAST(anc AS BIGINT) AS subtree_root,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nations,
+       CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM anc LEFT JOIN supplier ON s_nationkey = node
+GROUP BY anc ORDER BY subtree_root
+"""
+
+
+@query(
+    "recursive_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT n_nationkey AS node, n_nationkey AS anc FROM nation
+      UNION ALL
+      SELECT node, (anc - 1) // 2 FROM anc WHERE anc > 0
+    )
+    SELECT CAST(anc AS BIGINT) AS subtree_root,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nations,
+           CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM anc LEFT JOIN supplier ON s_nationkey = node
+    GROUP BY anc ORDER BY subtree_root
+    """,
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE ancestor closure + subtree aggregation: every nation
+    contributes its suppliers to each ancestor's rollup.  Recursion depth
+    is the tree height (≈log₂ n — 5 levels here), each step one join on
+    the frontier; the closure is |nodes|·height rows, never materialized
+    quadratically.  Only SQL syntax differs from the oracle (DIV vs //
+    integer division)."""
+    register_views(spark, sf_dir, only=["nation", "supplier"])
+    return spark.sql(_RECURSIVE_SPARK_SQL)
