@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from lakehouse_loader_spark.sinks.staging import accepts_file_uris
-from lakehouse_loader_spark.sinks.alignment import check_schema_aligned
+from lakehouse_loader_spark.sinks.alignment import check_schema_aligned, merge_schemas
 from lakehouse_loader_spark.sinks.modes import (
     TargetExistsError,
     WriteMode,
@@ -442,12 +442,22 @@ def write_delta(
     max_rows_per_file: int = MAX_ROWS_PER_FILE,
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
     default create-exclusive, overwrite deletes existing state first
     (src/delta_destination.rs:414-432), append (engine extension beyond the
     reference's Delta CLI surface) validates positional schema alignment
     then commits new Add actions with optimistic retry.
+
+    ``merge_schema=True`` (append only) switches the alignment contract to
+    BY-NAME schema evolution (Delta's ``mergeSchema``): new columns are
+    appended to the table schema as nullable and the commit carries an
+    updated metaData action (same table id); columns the append omits stay
+    and read as null from the new files; a type conflict still fails.  The
+    merged schema is recomputed against the freshest log snapshot on every
+    commit attempt, so a concurrent evolved append cannot be clobbered by a
+    stale metaData.
 
     Deliberate deviation: on an existing table without --overwrite the
     reference logs "pass --overwrite" and returns Ok WITHOUT writing
@@ -473,19 +483,30 @@ def write_delta(
     os.makedirs(path, exist_ok=True)
 
     if mode is WriteMode.APPEND and exists:
-        check_schema_aligned(df.schema, table_schema(path))
         _, meta, _ = _read_log(path)
+        if not merge_schema:
+            check_schema_aligned(df.schema, table_schema(path))
         table_parts = meta.get("partitionColumns") or None
         adds = _write_parts(df, path, max_rows_per_file, table_parts)
-        append_actions = [
-            _commit_info("Append", table_parts),
-            *txn_actions,
-            *[{"add": a} for a in adds],
-        ]
         # append adds files only (no removes) — blind re-commit after a
-        # conflicting concurrent commit is safe
+        # conflicting concurrent commit is safe; the evolved metaData (if
+        # any) is re-derived from each attempt's fresh snapshot
         for attempt in range(COMMIT_RETRIES):
-            latest, _, _ = _read_log(path)
+            latest, meta, _ = _read_log(path)
+            meta_actions: list[dict] = []
+            if merge_schema:
+                table_sch = T.StructType.fromJson(json.loads(meta["schemaString"]))
+                merged = merge_schemas(table_sch, df.schema)
+                if merged.json() != table_sch.json():
+                    new_meta = dict(meta)
+                    new_meta["schemaString"] = merged.json()
+                    meta_actions = [{"metaData": new_meta}]
+            append_actions = [
+                _commit_info("Append", table_parts),
+                *meta_actions,
+                *txn_actions,
+                *[{"add": a} for a in adds],
+            ]
             try:
                 _commit(path, latest + 1, append_actions)
                 _maybe_checkpoint(path, latest + 1)

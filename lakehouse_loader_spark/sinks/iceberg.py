@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from lakehouse_loader_spark.sinks import avro_ocf
 from lakehouse_loader_spark.sinks.staging import accepts_file_uris
-from lakehouse_loader_spark.sinks.alignment import SchemaAlignmentError, check_schema_aligned
+from lakehouse_loader_spark.sinks.alignment import check_schema_aligned, merge_schemas
 from lakehouse_loader_spark.sinks.modes import (
     TargetExistsError,
     WriteMode,
@@ -524,6 +524,58 @@ def _evolve_spec(meta: dict, partition_by: list[str] | None) -> dict:
     return meta
 
 
+def _max_field_id(meta: dict) -> int:
+    """Highest field id used by ANY schema in the table's history (ids are
+    never reused across evolutions, per the Iceberg spec)."""
+
+    def walk(t) -> list[int]:
+        ids: list[int] = []
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    ids.append(f["id"])
+                    ids.extend(walk(f["type"]))
+            elif t.get("type") == "list":
+                ids.append(t["element-id"])
+                ids.extend(walk(t["element"]))
+        return ids
+
+    return max((i for s in meta["schemas"] for i in walk(s)), default=0)
+
+
+def _evolve_schema(meta: dict, incoming: T.StructType) -> dict:
+    """By-name add-column schema evolution for appends (opt-in engine
+    extension; the reference's positional alignment rejects added fields,
+    iceberg_destination.rs:96-99).  Existing columns KEEP their field ids
+    and iceberg types; new columns take fresh ids above every id ever used;
+    the changed schema is appended under a new schema-id and becomes
+    current.  New schema-ids equal their position in ``schemas`` so the
+    module's index-based current-schema lookups stay valid.  Returns
+    ``meta`` unchanged when the merged schema is identical."""
+    cur = meta["schemas"][meta["current-schema-id"]]
+    target = iceberg_to_schema(cur)
+    merged = merge_schemas(target, incoming)
+    if merged.json() == target.json():
+        return meta
+    by_name = {f["name"]: f for f in cur["fields"]}
+    next_id = [_max_field_id(meta) + 1]
+    fields: list[dict] = []
+    for f in merged.fields:
+        old = by_name.get(f.name)
+        if old is not None:
+            fields.append({**old, "required": not f.nullable})
+        else:
+            fields.extend(_iceberg_fields(T.StructType([f]), next_id))
+    new_schema_id = len(meta["schemas"])
+    out = dict(meta)
+    out["schemas"] = meta["schemas"] + [
+        {"type": "struct", "schema-id": new_schema_id, "fields": fields}
+    ]
+    out["current-schema-id"] = new_schema_id
+    out["last-column-id"] = next_id[0] - 1
+    return out
+
+
 @accepts_file_uris
 def write_iceberg(
     df: DataFrame,
@@ -532,6 +584,7 @@ def write_iceberg(
     append: bool = False,
     partition_by: list[str] | None = None,
     snapshot_props: dict[str, str] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Write ``df`` with the reference's iceberg-destination semantics (see
     module docstring).  Overwrite starts a fresh data lineage but keeps the
@@ -544,7 +597,14 @@ def write_iceberg(
     hive-style directories, manifests record per-file partition values, and
     partition-pruned reads touch only matching files.  Appends inherit the
     table's default spec; overwrite with a DIFFERENT spec records a new
-    spec-id (partition-spec evolution)."""
+    spec-id (partition-spec evolution).
+
+    ``evolve_schema=True`` (append only) switches alignment to BY-NAME
+    add-column evolution: new columns take fresh field ids and a new
+    schema-id becomes current (see ``_evolve_schema``); omitted columns
+    read as null from the new files, pre-evolution files as null for the
+    added ones.  Reads resolve by name against the current schema, so the
+    id bookkeeping keeps external Iceberg readers correct."""
     mode = resolve_write_mode(overwrite, append)
     exists = table_exists(path)
 
@@ -578,11 +638,11 @@ def write_iceberg(
             }
         else:
             version, meta = _read_metadata(path)
-            target_schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
-            try:
+            if evolve_schema and mode is WriteMode.APPEND:
+                meta = _evolve_schema(meta, df.schema)
+            else:
+                target_schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
                 check_schema_aligned(df.schema, target_schema)
-            except SchemaAlignmentError:
-                raise
             current_cols = _default_spec_cols(meta)
             if mode is WriteMode.APPEND:
                 if partition_by is not None and list(partition_by) != current_cols:
@@ -645,6 +705,10 @@ def write_iceberg(
             if mode is WriteMode.OVERWRITE:
                 # re-apply the spec evolution over the winner's metadata
                 meta = _evolve_spec(meta, partition_by)
+            if evolve_schema and mode is WriteMode.APPEND:
+                # re-derive the evolved schema over the winner's metadata —
+                # a concurrent evolved append may have taken our field ids
+                meta = _evolve_schema(meta, df.schema)
             if mode is WriteMode.APPEND and (partition_by or []) != _default_spec_cols(meta):
                 # a concurrent overwrite EVOLVED the partition spec while we
                 # were writing files under the old layout; merging our
