@@ -956,3 +956,52 @@ def agg_sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 2).alias("p95"),
     )
     return qs.unionByName(merged).orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Change-data-feed parity, driver-checked: a Delta table staged from orders
+# goes through append + row-level DELETE, and the log-derived change feed
+# must hash-match the oracle's direct computation of the same change set.
+# --------------------------------------------------------------------------
+@query(
+    "delta_change_feed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, 'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 10 IN (6, 7)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'delete' AS _change_type,
+           CAST(3 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 10 < 8 AND o_totalprice < 50000.0
+    """,
+)
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage orders (o_orderkey%10 < 6) as a Delta table, append the %10 in
+    (6,7) slice (commit v2), row-level DELETE o_totalprice < 50000 (commit
+    v3), then read the row-level change feed since v1.  The feed is derived
+    purely from the transaction log + changed files (sinks/delta.py:
+    read_delta_changes), so its inserts must equal the appended slice and
+    its deletes exactly the DELETE's matched rows — which the oracle
+    recomputes straight from the source table."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    cache = getattr(spark, "_lhl_cdf_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_cdf_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders")
+        table = os.path.join(tempfile.mkdtemp(prefix="qcdf_"), "orders_delta")
+        DL.write_delta(orders.filter(F.col("o_orderkey") % 10 < 6), table)
+        DL.write_delta(
+            orders.filter((F.col("o_orderkey") % 10).isin(6, 7)), table, append=True
+        )
+        DL.delete_from_delta(spark, table, "o_totalprice < 50000.0")
+        cache[sf_dir] = table
+    return DL.read_delta_changes(spark, table, since_version=1).select(
+        "o_orderkey", "o_custkey", "_change_type", "_commit_version"
+    )

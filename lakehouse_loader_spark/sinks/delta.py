@@ -596,6 +596,114 @@ def read_delta_appends(
 
 
 @accepts_file_uris
+def read_delta_changes(
+    spark: SparkSession, path: str, since_version: int, end_version: int | None = None
+) -> DataFrame:
+    """Row-level change feed (the Delta Change Data Feed read surface,
+    computed from the transaction log instead of persisted _change_data
+    files): every row inserted or deleted after ``since_version``
+    (exclusive) up to ``end_version`` (inclusive; default latest), as the
+    table columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version``.  An UPDATE/MERGE surfaces as delete+insert of the
+    changed rows (without persisted row tracking, pre/post images cannot be
+    paired — documented deviation from connector CDF).
+
+    Per-commit derivation:
+
+    - append-only commit → its added files' rows are inserts
+    - compaction (every remove carries dataChange=false: OPTIMIZE,
+      Z-ORDER) → no logical change, skipped entirely
+    - data-rewriting commit (DELETE / UPDATE / MERGE / RESTORE) →
+      multiset row diff of the removed vs added files: removed-side rows
+      not re-added are deletes, added-side rows not present before are
+      inserts — exactly the matched rows for a copy-on-write rewrite
+
+    Scale shape: planning is log-only; data reads and the exceptAll diffs
+    touch only the files the changed commits reference, never the whole
+    table.  Raises if a needed pre-image file was vacuumed."""
+    from pyspark.sql import functions as F
+
+    if not table_exists(path):
+        raise FileNotFoundError(f"no delta table at {path}")
+    latest, meta_end, _ = _read_log(path, as_of_version=end_version)
+    _read_log(path, as_of_version=since_version)  # validates the floor exists
+    end = latest if end_version is None else end_version
+    final_schema = T.StructType.fromJson(json.loads(meta_end["schemaString"]))
+    out_cols = [f.name for f in final_schema.fields]
+
+    def _empty() -> DataFrame:
+        return spark.createDataFrame([], final_schema).select(
+            *out_cols,
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_version"),
+        ).limit(0)
+
+    # walk the commits once, tracking the active schema (evolution-aware)
+    _, meta_cur, _ = _read_log(path, as_of_version=since_version)
+    pieces: list[DataFrame] = []
+    for v in range(since_version + 1, end + 1):
+        vf = _version_file(path, v)
+        if not os.path.exists(vf):
+            continue
+        adds_v: list[dict] = []
+        removes_v: list[dict] = []
+        with open(vf) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta_cur = action["metaData"]
+                elif "add" in action:
+                    adds_v.append(action["add"])
+                elif "remove" in action:
+                    removes_v.append(action["remove"])
+        if not adds_v and not removes_v:
+            continue
+        if removes_v and all(not r.get("dataChange", True) for r in removes_v):
+            continue  # compaction: bytes moved, no rows changed
+        schema_v = T.StructType.fromJson(json.loads(meta_cur["schemaString"]))
+
+        def _rows(paths: list[str]) -> DataFrame | None:
+            if not paths:
+                return None
+            missing = [p for p in paths if not os.path.exists(os.path.join(path, p))]
+            if missing:
+                raise FileNotFoundError(
+                    f"change feed for {path} v{v} needs vacuumed files: {missing[:5]}"
+                )
+            return _file_reader(spark, path, meta_cur, schema_v).parquet(
+                *[os.path.join(path, p) for p in paths]
+            )
+
+        def _align(df: DataFrame, change: str) -> DataFrame:
+            cols = [
+                F.col(c) if c in df.columns else F.lit(None).cast(f.dataType).alias(c)
+                for c, f in zip(out_cols, final_schema.fields)
+            ]
+            return df.select(
+                *cols,
+                F.lit(change).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        added = _rows([a["path"] for a in adds_v if a.get("dataChange", True)])
+        removed = _rows([r["path"] for r in removes_v if r.get("dataChange", True)])
+        if removed is None:
+            if added is not None:
+                pieces.append(_align(added, "insert"))
+            continue
+        new_side = added if added is not None else spark.createDataFrame([], schema_v)
+        pieces.append(_align(removed.exceptAll(new_side), "delete"))
+        pieces.append(_align(new_side.exceptAll(removed), "insert"))
+
+    if not pieces:
+        return _empty()
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@accepts_file_uris
 def optimize_delta(
     spark: SparkSession,
     path: str,
@@ -631,6 +739,11 @@ def optimize_delta(
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     new_adds = _write_parts(df, path, max_rows_per_file, part_cols)
+    for a in new_adds:
+        # compaction rearranges bytes, not rows: per the Delta protocol both
+        # sides of an OPTIMIZE carry dataChange=false, which is also what
+        # lets read_delta_changes skip it as a no-op
+        a["dataChange"] = False
     now_ms = int(time.time() * 1000)
     removes = [
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}

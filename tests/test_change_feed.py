@@ -1,0 +1,95 @@
+"""Row-level change feed derived from the Delta transaction log
+(`read_delta_changes`): inserts from appends, delete+insert diffs from
+copy-on-write DML, compactions skipped, vacuumed pre-images fail loudly."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks import delta as DL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="cdf_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"), F.concat(F.lit("r"), F.col("id")).alias("name")
+    )
+
+
+def _staged(spark, tmpdir):
+    """v0/v1 create with ids 0..9, v2 append ids 10..14, v3 delete id%3=0,
+    v4 optimize (no-op logically), v5 update names where id=7."""
+    t = os.path.join(tmpdir, "t")
+    DL.write_delta(_df(spark, 0, 10), t)
+    DL.write_delta(_df(spark, 10, 15), t, append=True)
+    DL.delete_from_delta(spark, t, "grp = 0")
+    DL.optimize_delta(spark, t)
+    DL.update_delta(spark, t, "id = 7", {"name": "'updated'"})
+    return t
+
+
+def _changes(spark, t, since, end=None):
+    df = DL.read_delta_changes(spark, t, since, end)
+    return {
+        (r.id, r._change_type, r._commit_version): r.name
+        for r in df.collect()
+    }
+
+
+def test_change_feed_classifies_commits(spark, tmpdir):
+    t = _staged(spark, tmpdir)
+    ch = _changes(spark, t, since=1)
+    # v2: pure inserts of ids 10..14
+    inserts_v2 = {k for k in ch if k[2] == 2}
+    assert inserts_v2 == {(i, "insert", 2) for i in range(10, 15)}
+    # v3: deletes of every id % 3 == 0 in 0..14
+    deletes_v3 = {k for k in ch if k[2] == 3}
+    assert deletes_v3 == {(i, "delete", 3) for i in range(0, 15) if i % 3 == 0}
+    # v4 (OPTIMIZE): absent entirely
+    assert not any(k[2] == 4 for k in ch)
+    # v5 (UPDATE id=7): one delete of the pre-image + one insert of the post
+    v5 = {k: v for k, v in ch.items() if k[2] == 5}
+    assert set(v5) == {(7, "delete", 5), (7, "insert", 5)}
+    assert v5[(7, "delete", 5)] == "r7" and v5[(7, "insert", 5)] == "updated"
+
+
+def test_change_feed_window_and_floor(spark, tmpdir):
+    t = _staged(spark, tmpdir)
+    # only the append commit
+    ch = _changes(spark, t, since=1, end=2)
+    assert ch and all(k[2] == 2 and k[1] == "insert" for k in ch)
+    # empty window -> empty frame with the contract columns
+    empty = DL.read_delta_changes(spark, t, 5)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "grp", "name", "_change_type", "_commit_version"]
+    with pytest.raises(ValueError):
+        DL.read_delta_changes(spark, t, 99)
+
+
+def test_change_feed_replays_evolved_schema(spark, tmpdir):
+    t = os.path.join(tmpdir, "t")
+    DL.write_delta(_df(spark, 0, 5), t)
+    evolved = _df(spark, 5, 8).withColumn("score", F.col("id") * 2.0)
+    DL.write_delta(evolved, t, append=True, merge_schema=True)
+    ch = DL.read_delta_changes(spark, t, 1)
+    assert "score" in ch.columns
+    got = {(r.id, r.score) for r in ch.collect()}
+    assert got == {(i, float(i * 2)) for i in range(5, 8)}
+
+
+def test_change_feed_fails_on_vacuumed_preimage(spark, tmpdir):
+    t = _staged(spark, tmpdir)
+    DL.vacuum_delta(t)  # drops unreferenced pre-image files
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        DL.read_delta_changes(spark, t, 1).count()
