@@ -21,6 +21,11 @@ runs these on a schedule next to the loader):
     lhl convert-delta-to-iceberg SOURCE TARGET
     lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
     lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
+    lhl changes-delta SOURCE TARGET --since N [--end M]   (change-feed export)
+
+All loader subcommands take -a (append; engine extension on delta) and
+--evolve-schema (with -a: by-name add-column evolution instead of the
+reference's positional alignment).
 
 Usage: python -m lakehouse_loader_spark.cli <subcommand> ...
 """
@@ -53,8 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("source")
             sp.add_argument("target")
             sp.add_argument("-o", "--overwrite", action="store_true")
-            if sink == "iceberg":
-                sp.add_argument("-a", "--append", action="store_true")
+            # the reference exposes -a only on iceberg (src/lib.rs:57-62);
+            # delta append + by-name evolution are engine extensions
+            sp.add_argument("-a", "--append", action="store_true")
+            sp.add_argument(
+                "--evolve-schema",
+                action="store_true",
+                help="with -a: merge new columns by name instead of "
+                "requiring positional alignment",
+            )
             if fmt == "pg":
                 sp.add_argument("-q", "--query", required=True)
                 sp.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
@@ -88,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
+    chd = sub.add_parser("changes-delta")
+    chd.add_argument("source", help="delta table to read the change feed from")
+    chd.add_argument("target", help="parquet directory for the exported change rows")
+    chd.add_argument("--since", type=int, required=True, help="exclusive version floor")
+    chd.add_argument("--end", type=int, default=None, help="inclusive ceiling (default latest)")
     for name in ("delete-delta", "delete-iceberg"):
         dd = sub.add_parser(name)
         dd.add_argument("target")
@@ -202,6 +219,17 @@ def do_main(argv: list[str]) -> None:
             file=sys.stderr,
         )
         return
+    if args.command == "changes-delta":
+        from lakehouse_loader_spark.sinks.delta import read_delta_changes
+
+        changes = read_delta_changes(spark, args.source, args.since, args.end)
+        changes.write.mode("errorifexists").parquet(args.target)
+        print(
+            f"exported {changes.count()} change rows "
+            f"(since v{args.since}) to {args.target}",
+            file=sys.stderr,
+        )
+        return
     if args.command == "convert-delta-to-iceberg":
         from lakehouse_loader_spark.sinks.iceberg import convert_delta_to_iceberg
 
@@ -232,15 +260,25 @@ def do_main(argv: list[str]) -> None:
     else:
         df = read_parquet_source(spark, args.source)
     append = getattr(args, "append", False)
+    evolve = getattr(args, "evolve_schema", False)
+    if evolve and not append:
+        print("--evolve-schema only applies to appends (-a)", file=sys.stderr)
+        sys.exit(2)
     try:
         if args.command.endswith("delta"):
             from lakehouse_loader_spark.sinks.delta import write_delta
 
-            write_delta(df, args.target, overwrite=args.overwrite, append=append)
+            write_delta(
+                df, args.target, overwrite=args.overwrite, append=append,
+                merge_schema=evolve,
+            )
         else:
             from lakehouse_loader_spark.sinks.iceberg import write_iceberg
 
-            write_iceberg(df, args.target, overwrite=args.overwrite, append=append)
+            write_iceberg(
+                df, args.target, overwrite=args.overwrite, append=append,
+                evolve_schema=evolve,
+            )
     except TargetExistsError:
         # Reference message (src/delta_destination.rs:421-427), but exit
         # nonzero — a silent no-op success hides data-loss-shaped mistakes

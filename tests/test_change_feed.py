@@ -93,3 +93,30 @@ def test_change_feed_fails_on_vacuumed_preimage(spark, tmpdir):
     DL.vacuum_delta(t)  # drops unreferenced pre-image files
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         DL.read_delta_changes(spark, t, 1).count()
+
+
+def test_cli_evolved_append_and_changes_export(spark, tmpdir):
+    """parquet-to-delta -a --evolve-schema appends a wider file by name;
+    changes-delta exports the feed's rows as parquet."""
+    from lakehouse_loader_spark.cli import do_main
+
+    base = os.path.join(tmpdir, "base.parquet")
+    wider = os.path.join(tmpdir, "wider.parquet")
+    _df(spark, 0, 10).write.parquet(base)
+    _df(spark, 10, 14).withColumn("score", F.col("id") * 2.0).write.parquet(wider)
+    t = os.path.join(tmpdir, "t")
+    do_main(["parquet-to-delta", base, t])
+    # evolved append via the CLI flag pair
+    do_main(["parquet-to-delta", wider, t, "-a", "--evolve-schema"])
+    back = DL.read_delta(spark, t)
+    assert back.count() == 14 and "score" in back.columns
+    # --evolve-schema without -a is a usage error
+    with pytest.raises(SystemExit) as exc_info:
+        do_main(["parquet-to-delta", wider, t, "--evolve-schema"])
+    assert exc_info.value.code == 2
+    out = os.path.join(tmpdir, "changes_out")
+    do_main(["changes-delta", t, out, "--since", "1"])
+    exported = spark.read.parquet(out)
+    assert exported.count() == 4
+    assert {r.id for r in exported.collect()} == {10, 11, 12, 13}
+    assert set(exported.columns) >= {"_change_type", "_commit_version"}
