@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from lakehouse_loader_spark.sinks import avro_ocf
+from lakehouse_loader_spark.sinks import transforms as TR
 from lakehouse_loader_spark.sinks.staging import accepts_file_uris
 from lakehouse_loader_spark.sinks.alignment import check_schema_aligned, merge_schemas
 from lakehouse_loader_spark.sinks.modes import (
@@ -192,15 +193,29 @@ def _write_data_files(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> list[dict]:
     """Executors write the parquet parts under data/ (hive-style
-    ``col=value`` directories when partitioned); returns manifest entries
-    carrying each file's identity-partition values — the metadata that
-    makes manifest-level partition pruning possible."""
+    ``field=value`` directories when partitioned); returns manifest entries
+    carrying each file's partition values — the metadata that makes
+    manifest-level partition pruning possible.
+
+    ``partition_by`` entries are canonical partition expressions
+    (sinks/transforms.py): bare columns partition directly (identity); a
+    transform expression derives a HIDDEN partition column for the write
+    (the data files keep only the source column, per the Iceberg spec)."""
     from lakehouse_loader_spark.sinks.staging import promote_staged_files
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.option("compression", "snappy")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        names = []
+        for expr in partition_by:
+            transform, src = TR.parse_partition_expr(expr)
+            name = TR.field_name(transform, src)
+            if transform != "identity":
+                df = df.withColumn(name, TR.transform_column(transform, src, src_types[src]))
+            names.append(name)
+        writer = df.write.option("compression", "snappy").partitionBy(*names)
+    else:
+        writer = df.write.option("compression", "snappy")
     writer.parquet(staging)
     return [
         {
@@ -254,21 +269,23 @@ def _spec_by_id(meta: dict, spec_id: int) -> dict:
 
 def _partition_avro_fields(spec: dict, schema_ice: dict) -> list[dict]:
     """Avro fields of the r102 partition record: one optional field per
-    identity-partition column, typed by the SOURCE column's iceberg type
-    and carrying the spec's partition field-id."""
+    partition field, typed by the TRANSFORM's result type (identity: the
+    source column's type; day: date; year/month/hour/bucket: int) and
+    carrying the spec's partition field-id."""
     by_id = {f["id"]: f for f in schema_ice["fields"]}
     fields = []
     for pf in spec["fields"]:
         src_type = by_id[pf["source-id"]]["type"]
-        if not isinstance(src_type, str) or src_type not in _ICE_TO_AVRO:
+        res_type = TR.result_type(pf["transform"], src_type) if isinstance(src_type, str) else src_type
+        if not isinstance(res_type, str) or res_type not in _ICE_TO_AVRO:
             raise ValueError(
-                f"identity partition on type {src_type!r} not supported by the "
+                f"partition value type {res_type!r} not supported by the "
                 "manifest encoder"
             )
         fields.append(
             {
                 "name": pf["name"],
-                "type": ["null", _ICE_TO_AVRO[src_type]],
+                "type": ["null", _ICE_TO_AVRO[res_type]],
                 "default": None,
                 "field-id": pf["field-id"],
             }
@@ -370,7 +387,8 @@ def _write_manifest(path: str, snapshot_id: int, entries: list[dict], meta: dict
         total_rows += n_rows
         partition = {
             name: _typed_partition_value(
-                e["partition"].get(name), by_id[pf["source-id"]]["type"]
+                e["partition"].get(name),
+                TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"]),
             )
             for name, pf in spec_fields.items()
         }
@@ -478,19 +496,22 @@ def _snapshot_manifests(path: str, meta: dict) -> list[dict]:
     return []
 
 
-def _identity_spec(schema_ice: dict, partition_by: list[str], spec_id: int) -> dict:
-    """Identity partition spec over named top-level columns (partition
-    field-ids start at 1000 per the Iceberg spec)."""
+def _partition_spec(schema_ice: dict, partition_by: list[str], spec_id: int) -> dict:
+    """Partition spec from canonical partition expressions — bare columns
+    (identity) or transforms like ``day(ts)`` / ``bucket(16, id)`` /
+    ``truncate(4, name)`` (sinks/transforms.py).  Partition field-ids start
+    at 1000 per the Iceberg spec."""
     by_name = {f["name"]: f["id"] for f in schema_ice["fields"]}
     fields = []
-    for i, col in enumerate(partition_by):
-        if col not in by_name:
-            raise ValueError(f"partition column {col!r} not in schema")
+    for i, expr in enumerate(partition_by):
+        transform, src = TR.parse_partition_expr(expr)
+        if src not in by_name:
+            raise ValueError(f"partition source column {src!r} not in schema")
         fields.append(
             {
-                "name": col,
-                "transform": "identity",
-                "source-id": by_name[col],
+                "name": TR.field_name(transform, src),
+                "transform": transform,
+                "source-id": by_name[src],
                 "field-id": 1000 + i,
             }
         )
@@ -498,11 +519,15 @@ def _identity_spec(schema_ice: dict, partition_by: list[str], spec_id: int) -> d
 
 
 def _default_spec_cols(meta: dict) -> list[str]:
-    """Partition column names of the table's default spec."""
+    """Canonical partition expressions of the table's default spec — bare
+    column names for identity fields (the historical return shape), or
+    ``day(ts)``-style strings for transform fields.  These round-trip
+    through ``_partition_spec`` / ``_write_data_files`` unchanged."""
     spec = next(
         s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
     )
-    return [f["name"] for f in spec["fields"]]
+    by_id = {f["id"]: f["name"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    return [TR.expr_of(f["transform"], by_id[f["source-id"]]) for f in spec["fields"]]
 
 
 def _evolve_spec(meta: dict, partition_by: list[str] | None) -> dict:
@@ -516,7 +541,7 @@ def _evolve_spec(meta: dict, partition_by: list[str] | None) -> dict:
     meta = dict(meta)
     new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
     meta["partition-specs"] = meta["partition-specs"] + [
-        _identity_spec(
+        _partition_spec(
             meta["schemas"][meta["current-schema-id"]], partition_by or [], new_spec_id
         )
     ]
@@ -628,7 +653,7 @@ def write_iceberg(
                 "last-column-id": 0,
                 "schemas": [schema_ice],
                 "current-schema-id": 0,
-                "partition-specs": [_identity_spec(schema_ice, partition_by or [], 0)],
+                "partition-specs": [_partition_spec(schema_ice, partition_by or [], 0)],
                 "default-spec-id": 0,
                 "last-partition-id": 999 + len(partition_by or []),
                 "sort-orders": [{"order-id": 0, "fields": []}],
@@ -777,12 +802,12 @@ def read_iceberg(
         # hive-style dirs carry the partition values; basePath re-derives
         # the partition columns the data files themselves omit
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
-    return reader.parquet(*files)
+    return reader.parquet(*files).select(*schema.fieldNames())
 
 
 @accepts_file_uris
 def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
-    """Manifest-level identity-partition pruning: data files of the current
+    """Manifest-level partition pruning: data files of the current
     snapshot whose partition value for ``column`` equals ``value``.
     Returns (matching file paths, total files) — only METADATA is read; at
     cluster scale no data file is opened to plan the scan.
@@ -795,17 +820,20 @@ def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
     from lakehouse_loader_spark.sinks.staging import hive_partition_str
 
     _, meta = _read_metadata(path)
-    spec_cols = _default_spec_cols(meta)
-    if column not in spec_cols:
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    field_names = [pf["name"] for pf in spec["fields"]]
+    if column not in field_names:
         raise ValueError(
-            f"{column!r} is not a partition column of {path} (spec: {spec_cols})"
+            f"{column!r} is not a partition field of {path} (spec fields: "
+            f"{field_names})"
         )
     want = hive_partition_str(value)
-    spec = _spec_by_id(meta, meta["default-spec-id"])
     schema_ice = meta["schemas"][meta["current-schema-id"]]
     by_id = {f["id"]: f for f in schema_ice["fields"]}
     src_type = next(
-        by_id[pf["source-id"]]["type"] for pf in spec["fields"] if pf["name"] == column
+        TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
+        for pf in spec["fields"]
+        if pf["name"] == column
     )
     kept, total = [], 0
     for mf in _snapshot_manifests(path, meta):
@@ -832,7 +860,9 @@ def read_iceberg_pruned(
     if not kept:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
-    return reader.parquet(*[p if os.path.isabs(p) else os.path.join(path, p) for p in kept])
+    return reader.parquet(
+        *[p if os.path.isabs(p) else os.path.join(path, p) for p in kept]
+    ).select(*schema.fieldNames())
 
 
 @accepts_file_uris
@@ -1023,7 +1053,7 @@ def read_iceberg_appends(
     reader = spark.read.schema(schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
-    return reader.parquet(*files)
+    return reader.parquet(*files).select(*schema.fieldNames())
 
 
 def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
@@ -1073,7 +1103,7 @@ def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
         "last-column-id": 0,
         "schemas": [schema_ice],
         "current-schema-id": 0,
-        "partition-specs": [_identity_spec(schema_ice, [], 0)],
+        "partition-specs": [_partition_spec(schema_ice, [], 0)],
         "default-spec-id": 0,
         "last-partition-id": 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -1151,7 +1181,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     version, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     spec = _spec_by_id(meta, meta["default-spec-id"])
-    spec_cols = [f["name"] for f in spec["fields"]]
+    spec_cols = _default_spec_cols(meta)
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
 
     entries_live: list[dict] = []
@@ -1192,7 +1222,9 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     if not affected:
         return 0, 0, len(entries_live)
 
-    replacement = rewrite_fn(reader().parquet(*sorted(affected)), pred, schema)
+    replacement = rewrite_fn(
+        reader().parquet(*sorted(affected)).select(*schema.fieldNames()), pred, schema
+    )
     new_entries = _write_data_files(replacement, path, spec_cols or None)
 
     # untouched files carry over; partition values convert back to the
@@ -1203,7 +1235,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
             continue
         part = {}
         for pf in spec["fields"]:
-            ice_t = by_id[pf["source-id"]]["type"]
+            ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
             part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
         new_entries.append(
             {
@@ -1350,7 +1382,8 @@ def optimize_iceberg(
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     spec = _spec_by_id(meta, meta["default-spec-id"])
-    spec_cols = [f["name"] for f in spec["fields"]]
+    spec_exprs = _default_spec_cols(meta)
+    spec_srcs = [TR.parse_partition_expr(e)[1] for e in spec_exprs]
     n_before = sum(
         len(_read_manifest_entries(path, mf["manifest_path"]))
         for mf in _snapshot_manifests(path, meta)
@@ -1360,13 +1393,13 @@ def optimize_iceberg(
         from lakehouse_loader_spark.operators.zorder import zorder_layout
 
         df = zorder_layout(df, zorder_by, target_partitions)
-    elif not spec_cols:
+    elif not spec_exprs:
         df = df.coalesce(target_partitions)
     else:
-        df = df.repartition(target_partitions, *spec_cols)
+        df = df.repartition(target_partitions, *spec_srcs)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
-    entries = _write_data_files(df, path, spec_cols or None)
+    entries = _write_data_files(df, path, spec_exprs or None)
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
@@ -1440,7 +1473,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             "deduplicate before merging (same contract as Delta MERGE)"
         )
     spec = _spec_by_id(meta, meta["default-spec-id"])
-    spec_cols = [f["name"] for f in spec["fields"]]
+    spec_cols = _default_spec_cols(meta)
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
 
     entries_live: list[dict] = []
@@ -1476,7 +1509,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
                 matched_reader = matched_reader.option(
                     "basePath", os.path.join(os.path.abspath(path), "data")
                 )
-            cand = matched_reader.parquet(*sorted(affected))
+            cand = matched_reader.parquet(*sorted(affected)).select(*schema.fieldNames())
             n_updated = keys.join(cand.select(key), key, "left_semi").count()
 
     if affected:
@@ -1485,7 +1518,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             matched_reader = matched_reader.option(
                 "basePath", os.path.join(os.path.abspath(path), "data")
             )
-        kept = matched_reader.parquet(*sorted(affected)).join(
+        kept = matched_reader.parquet(*sorted(affected)).select(*schema.fieldNames()).join(
             F.broadcast(keys), key, "left_anti"
         )
         rewritten = kept.unionByName(source)
@@ -1500,7 +1533,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             continue
         part = {}
         for pf in spec["fields"]:
-            ice_t = by_id[pf["source-id"]]["type"]
+            ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
             part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
         new_entries.append(
             {
