@@ -1005,3 +1005,85 @@ def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DL.read_delta_changes(spark, table, since_version=1).select(
         "o_orderkey", "o_custkey", "_change_type", "_commit_version"
     )
+
+
+@query(
+    "iceberg_change_feed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, 'insert' AS _change_type,
+           CAST(1 AS INTEGER) AS _snapshot_ordinal
+    FROM orders WHERE o_orderkey % 10 IN (6, 7)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'delete' AS _change_type,
+           CAST(2 AS INTEGER) AS _snapshot_ordinal
+    FROM orders WHERE o_orderkey % 10 < 8 AND o_totalprice < 50000.0
+    """,
+)
+def iceberg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format twin of delta_change_feed through the Iceberg sink: stage
+    orders (%10 < 6) as an Iceberg table (snapshot ordinal 0), append the
+    %10 in (6,7) slice (ordinal 1), row-level DELETE o_totalprice < 50000
+    (ordinal 2), then read the snapshot-derived change feed since the
+    creating snapshot (sinks/iceberg.py:read_iceberg_changes).  Inserts
+    must equal the appended slice and deletes exactly the DELETE's matched
+    rows — recomputed directly from the source table by the oracle."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_icdf_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_icdf_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders")
+        table = os.path.join(tempfile.mkdtemp(prefix="qicdf_"), "orders_ice")
+        IC.write_iceberg(orders.filter(F.col("o_orderkey") % 10 < 6), table)
+        IC.write_iceberg(
+            orders.filter((F.col("o_orderkey") % 10).isin(6, 7)), table, append=True
+        )
+        IC.delete_from_iceberg(spark, table, "o_totalprice < 50000.0")
+        cache[sf_dir] = table
+    first = IC.snapshot_ids(table)[0]
+    return IC.read_iceberg_changes(spark, table, since_snapshot_id=first).select(
+        "o_orderkey", "o_custkey", "_change_type", "_snapshot_ordinal"
+    )
+
+
+@query(
+    "iceberg_partition_pruned_scan",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    """,
+)
+def iceberg_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage events as an Iceberg table hidden-partitioned by day(ts)
+    (sinks/transforms.py), then answer a one-day query through MANIFEST-
+    level pruning: planning touches only metadata and the scan reads only
+    the matching day's files — the transform-partitioning payoff the
+    oracle checks by filtering the raw table directly."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_icepart_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_icepart_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value", "ts"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qicepart_"), "events_ice")
+        IC.write_iceberg(ev, table, partition_by=["day(ts)"])
+        cache[sf_dir] = table
+    return IC.read_iceberg_pruned(
+        spark, table, "ts_day", _dt.date(2024, 1, 15)
+    ).select("event_id", "event_type", "user_id", "value")

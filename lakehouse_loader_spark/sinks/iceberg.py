@@ -1056,6 +1056,107 @@ def read_iceberg_appends(
     return reader.parquet(*files).select(*schema.fieldNames())
 
 
+@accepts_file_uris
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    since_snapshot_id: int | None = None,
+    end_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level change feed for the Iceberg table — the format twin of
+    ``delta.read_delta_changes``.  Returns the table columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_snapshot_ordinal`` (the
+    snapshot's position in the table history — deterministic, unlike the
+    random snapshot id).  Changes strictly AFTER ``since_snapshot_id``
+    (``None``: from table creation, whose first snapshot surfaces as
+    inserts) up to ``end_snapshot_id`` inclusive (default: current).
+
+    Per-snapshot derivation from the summary operation each commit wrote:
+    ``append`` → added files' rows are inserts; ``replace`` (OPTIMIZE
+    compaction) → no logical change, skipped; everything else (overwrite,
+    delete, update, merge, rollback) → multiset row diff of the removed vs
+    added file sets.  Planning is manifest-only; data reads touch only the
+    changed snapshots' files.  Raises if a needed pre-image file was
+    expired (``expire_snapshots``)."""
+    from pyspark.sql import functions as F
+
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    snapshots = meta.get("snapshots", [])
+    ids = [s["snapshot-id"] for s in snapshots]
+    start_idx = 0
+    if since_snapshot_id is not None:
+        if since_snapshot_id not in ids:
+            raise ValueError(f"snapshot {since_snapshot_id} not in {path} (have {ids})")
+        start_idx = ids.index(since_snapshot_id) + 1
+    end_idx = len(snapshots) - 1
+    if end_snapshot_id is not None:
+        if end_snapshot_id not in ids:
+            raise ValueError(f"snapshot {end_snapshot_id} not in {path} (have {ids})")
+        end_idx = ids.index(end_snapshot_id)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    out_cols = schema.fieldNames()
+
+    def _reader(partitioned: bool):
+        r = spark.read.schema(schema)
+        if partitioned:
+            r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
+        return r
+
+    def _rows(files: set[str], partitioned: bool) -> DataFrame | None:
+        if not files:
+            return None
+        paths = [fp if os.path.isabs(fp) else os.path.join(path, fp) for fp in sorted(files)]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"change feed for {path} needs expired files: {missing[:5]}"
+            )
+        return _reader(partitioned).parquet(*paths).select(*out_cols)
+
+    pieces: list[DataFrame] = []
+    prev_files: set[str] = set()
+    if start_idx > 0:
+        prev_files, _ = _snapshot_file_set(path, meta, snapshots[start_idx - 1])
+    for idx in range(start_idx, end_idx + 1):
+        snap = snapshots[idx]
+        cur_files, partitioned = _snapshot_file_set(path, meta, snap)
+        op = (snap.get("summary") or {}).get("operation", "")
+        added, removed = cur_files - prev_files, prev_files - cur_files
+        prev_files = cur_files
+        if op == "replace":
+            continue  # compaction: bytes moved, no rows changed
+
+        def _align(df: DataFrame, change: str) -> DataFrame:
+            return df.select(
+                *out_cols,
+                F.lit(change).alias("_change_type"),
+                F.lit(idx).cast("int").alias("_snapshot_ordinal"),
+            )
+
+        added_df = _rows(added, partitioned)
+        removed_df = _rows(removed, partitioned)
+        if op == "append" or removed_df is None:
+            if added_df is not None:
+                pieces.append(_align(added_df, "insert"))
+            continue
+        new_side = added_df if added_df is not None else spark.createDataFrame([], schema)
+        pieces.append(_align(removed_df.exceptAll(new_side), "delete"))
+        pieces.append(_align(new_side.exceptAll(removed_df), "insert"))
+
+    if not pieces:
+        return spark.createDataFrame([], schema).select(
+            *out_cols,
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("int").alias("_snapshot_ordinal"),
+        ).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
     """Metadata-only Delta→Iceberg migration (the shape of Iceberg's
     ``snapshot`` migration procedure): build a brand-new Iceberg table whose

@@ -120,3 +120,41 @@ def test_cli_evolved_append_and_changes_export(spark, tmpdir):
     assert exported.count() == 4
     assert {r.id for r in exported.collect()} == {10, 11, 12, 13}
     assert set(exported.columns) >= {"_change_type", "_commit_version"}
+
+
+# -- Iceberg twin -----------------------------------------------------------
+
+
+def test_iceberg_change_feed(spark, tmpdir):
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    t = os.path.join(tmpdir, "it")
+    IC.write_iceberg(_df(spark, 0, 10), t)                      # ordinal 0
+    IC.write_iceberg(_df(spark, 10, 15), t, append=True)        # ordinal 1
+    IC.delete_from_iceberg(spark, t, "grp = 0")                 # ordinal 2
+    IC.optimize_iceberg(spark, t)                               # ordinal 3 (replace)
+    IC.update_iceberg(spark, t, "id = 7", {"name": "'updated'"})  # ordinal 4
+
+    first = IC.snapshot_ids(t)[0]
+    ch = {
+        (r.id, r._change_type, r._snapshot_ordinal): r.name
+        for r in IC.read_iceberg_changes(spark, t, since_snapshot_id=first).collect()
+    }
+    assert {k for k in ch if k[2] == 1} == {(i, "insert", 1) for i in range(10, 15)}
+    assert {k for k in ch if k[2] == 2} == {
+        (i, "delete", 2) for i in range(0, 15) if i % 3 == 0
+    }
+    assert not any(k[2] == 3 for k in ch)  # OPTIMIZE skipped
+    v4 = {k: v for k, v in ch.items() if k[2] == 4}
+    assert set(v4) == {(7, "delete", 4), (7, "insert", 4)}
+    assert v4[(7, "delete", 4)] == "r7" and v4[(7, "insert", 4)] == "updated"
+    # None since: the creating snapshot surfaces as inserts at ordinal 0
+    full = IC.read_iceberg_changes(spark, t)
+    assert full.filter(
+        (F.col("_snapshot_ordinal") == 0) & (F.col("_change_type") == "insert")
+    ).count() == 10
+    # expired history fails loudly: the since snapshot is gone from the
+    # metadata (and its files from disk), so the feed refuses the range
+    IC.expire_snapshots(t, keep_last=1)
+    with pytest.raises(ValueError, match="not in"):
+        IC.read_iceberg_changes(spark, t, since_snapshot_id=first).count()
