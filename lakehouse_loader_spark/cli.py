@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ragg.add_argument("--app-id", default="delta-agg-maintenance")
     ragg.add_argument("--source-format", choices=("delta", "iceberg"), default="delta")
+    ragg.add_argument(
+        "--on-rewrite",
+        choices=("fail", "rebuild", "cdf"),
+        default="fail",
+        help="when source history was rewritten by DML: fail (default), "
+        "full rebuild, or fold the row-level change feed (sum/count only)",
+    )
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -178,7 +185,7 @@ def do_main(argv: list[str]) -> None:
         res = refresh_aggregate(
             spark, args.source, args.target,
             group_by=args.group_by.split(","), aggs=aggs, app_id=args.app_id,
-            source_format=args.source_format,
+            source_format=args.source_format, on_rewrite=args.on_rewrite,
         )
         print(
             f"folded versions {res['since']}..{res['through']} "

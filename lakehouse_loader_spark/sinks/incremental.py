@@ -1,5 +1,6 @@
-"""Incremental materialized-aggregate maintenance over an append-only Delta
-source.
+"""Incremental materialized-aggregate maintenance over a Delta or Iceberg
+source — append-only by default, with opt-in incremental view maintenance
+over DML history via the row-level change feeds (``on_rewrite="cdf"``).
 
 The reference is a one-shot loader (each run rewrites or appends a whole
 table, src/lib.rs:84-198); the natural next step for a pipeline consuming
@@ -34,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_loader_spark.sinks.delta import (
+    ConcurrentModificationError,
     _read_log,
     last_txn_version,
     read_delta,
@@ -71,9 +73,31 @@ def _merge_agg(
     return df.groupBy(*group_by).agg(*cols)
 
 
+def _signed_partial(
+    changes: DataFrame, group_by: list[str], aggs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Partial aggregate over a change feed: inserts weigh +1, deletes -1,
+    so sums and counts fold DML exactly (an UPDATE's delete+insert pair
+    nets to the value difference).  Only invertible fns reach here —
+    min/max cannot be maintained under deletes without the full group."""
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    cols = []
+    for out, (fn, src) in aggs.items():
+        if fn == "sum":
+            cols.append(F.sum(F.col(src) * w).alias(out))
+        else:  # count
+            counted = F.lit(1) if src == "*" else F.when(F.col(src).isNotNull(), 1).otherwise(0)
+            cols.append(F.sum(counted * w).cast("long").alias(out))
+    cols.append(F.count(F.lit(1)).alias("__nchanges"))  # unsigned feed-row count
+    return changes.groupBy(*group_by).agg(*cols)
+
+
 def _delta_source(spark: SparkSession, source_path: str):
-    """(current marker, read-snapshot fn, read-appends fn) for a Delta
-    source; the marker is the table version (monotonic by construction)."""
+    """(current marker, read-snapshot fn, read-appends fn, read-changes fn)
+    for a Delta source; the marker is the table version (monotonic by
+    construction)."""
+    from lakehouse_loader_spark.sinks.delta import read_delta_changes
+
     source_version, _, _ = _read_log(source_path)
 
     def full():
@@ -84,7 +108,12 @@ def _delta_source(spark: SparkSession, source_path: str):
             spark, source_path, since_version=since_marker, end_version=source_version
         )
 
-    return source_version, full, appends
+    def changes(since_marker: int):
+        return read_delta_changes(
+            spark, source_path, since_version=since_marker, end_version=source_version
+        )
+
+    return source_version, full, appends, changes
 
 
 def _iceberg_source(spark: SparkSession, source_path: str):
@@ -96,6 +125,7 @@ def _iceberg_source(spark: SparkSession, source_path: str):
         _read_metadata,
         read_iceberg,
         read_iceberg_appends,
+        read_iceberg_changes,
     )
 
     _, meta = _read_metadata(source_path)
@@ -105,24 +135,35 @@ def _iceberg_source(spark: SparkSession, source_path: str):
         s["sequence-number"] for s in meta["snapshots"] if s["snapshot-id"] == cur_id
     )
 
-    def full():
-        return read_iceberg(spark, source_path, snapshot_id=cur_id)
-
-    def appends(since_marker: int):
+    def _resolve(since_marker: int) -> int:
         if since_marker not in by_seq:
             raise ValueError(
                 f"snapshot with sequence number {since_marker} is no longer "
                 f"retained in {source_path} (expired?); delete the aggregate "
                 "table and rebuild from scratch"
             )
+        return by_seq[since_marker]
+
+    def full():
+        return read_iceberg(spark, source_path, snapshot_id=cur_id)
+
+    def appends(since_marker: int):
         return read_iceberg_appends(
             spark,
             source_path,
-            since_snapshot_id=by_seq[since_marker],
+            since_snapshot_id=_resolve(since_marker),
             end_snapshot_id=cur_id,
         )
 
-    return cur_seq, full, appends
+    def changes(since_marker: int):
+        return read_iceberg_changes(
+            spark,
+            source_path,
+            since_snapshot_id=_resolve(since_marker),
+            end_snapshot_id=cur_id,
+        )
+
+    return cur_seq, full, appends, changes
 
 
 def refresh_aggregate(
@@ -133,6 +174,7 @@ def refresh_aggregate(
     aggs: dict[str, tuple[str, str]],
     app_id: str = "delta-agg-maintenance",
     source_format: str = "delta",
+    on_rewrite: str = "fail",
 ) -> dict:
     """Bring ``target_path`` up to date with
     ``SELECT group_by, aggs FROM source GROUP BY group_by``, reprocessing
@@ -156,10 +198,21 @@ def refresh_aggregate(
     is ever unrecoverable.  A NON-empty unmarked target is refused — that
     is someone else's table, not a crash remnant.
 
-    Raises ConcurrentModificationError (from read_delta_appends) if the
-    source range is not append-only — OPTIMIZE/MERGE on the source means
-    file-level deltas can no longer attribute rows, and a silent double
-    count is worse than a forced full recompute.
+    ``on_rewrite`` decides what happens when the source range is NOT
+    append-only (DELETE/UPDATE/MERGE/overwrite committed since the last
+    refresh):
+
+    - ``"fail"`` (default): raise ConcurrentModificationError (from the
+      append feed) — a silent double count is worse than a forced recompute
+    - ``"rebuild"``: recompute the aggregate from the full snapshot
+    - ``"cdf"``: fold the row-level change feed instead of the append feed
+      (incremental view maintenance): inserts weigh +1, deletes -1, so an
+      UPDATE nets to its value difference and an emptied group is dropped.
+      Requires every aggregate to be INVERTIBLE (sum/count only — a
+      deleted row may have held the group's min/max, which only the full
+      group can re-derive) plus one ``("count", "*")`` output so emptied
+      groups are detectable.  Works for both source formats; uses
+      read_delta_changes / read_iceberg_changes.
     """
     for out, (fn, _src) in aggs.items():
         if fn not in _DECOMPOSABLE:
@@ -168,10 +221,27 @@ def refresh_aggregate(
                 f"(supported: {sorted(_DECOMPOSABLE)}); for avg, request "
                 "sum and count and divide at read time"
             )
+    if on_rewrite not in ("fail", "rebuild", "cdf"):
+        raise ValueError(f"unknown on_rewrite mode {on_rewrite!r}")
+    nrows_col = next(
+        (out for out, (fn, src) in aggs.items() if fn == "count" and src == "*"), None
+    )
+    if on_rewrite == "cdf":
+        bad = [out for out, (fn, _s) in aggs.items() if fn in ("min", "max")]
+        if bad:
+            raise ValueError(
+                f"cdf maintenance cannot invert min/max ({bad}); use "
+                "on_rewrite='rebuild' or drop those columns"
+            )
+        if nrows_col is None:
+            raise ValueError(
+                "cdf maintenance needs a ('count', '*') output column to "
+                "detect emptied groups"
+            )
     if source_format == "delta":
-        cur_marker, read_full, read_appends = _delta_source(spark, source_path)
+        cur_marker, read_full, read_appends, read_changes = _delta_source(spark, source_path)
     elif source_format == "iceberg":
-        cur_marker, read_full, read_appends = _iceberg_source(spark, source_path)
+        cur_marker, read_full, read_appends, read_changes = _iceberg_source(spark, source_path)
     else:
         raise ValueError(f"unknown source_format {source_format!r}")
 
@@ -216,7 +286,43 @@ def refresh_aggregate(
     if since >= cur_marker:
         return {"since": since, "through": since, "delta_rows": 0, "refreshed": False}
 
-    delta = read_appends(since)
+    if on_rewrite == "cdf":
+        partial = _signed_partial(read_changes(since), group_by, aggs).localCheckpoint(
+            eager=True
+        )
+        n = partial.agg(F.sum("__nchanges")).first()[0] or 0
+        if n == 0:
+            merged = read_delta(spark, target_path)
+        else:
+            merged = _merge_agg(
+                read_delta(spark, target_path).unionByName(partial.drop("__nchanges")),
+                group_by,
+                aggs,
+            ).localCheckpoint(eager=True)
+            neg = merged.filter(F.col(nrows_col) < 0).count()
+            if neg:
+                raise ValueError(
+                    f"{neg} groups folded to a negative row count — the target "
+                    "does not cover the folded range (marker misuse?); delete "
+                    "it and rebuild from scratch"
+                )
+            # a group whose rows were all deleted leaves the aggregate
+            merged = merged.filter(F.col(nrows_col) > 0)
+        merged = merged.localCheckpoint(eager=True)
+        write_delta(merged, target_path, overwrite=True, txn=(app_id, cur_marker))
+        return {
+            "since": since,
+            "through": cur_marker,
+            "delta_rows": int(n),
+            "refreshed": True,
+        }
+
+    try:
+        delta = read_appends(since)
+    except ConcurrentModificationError:
+        if on_rewrite == "rebuild":
+            return _full_rebuild(overwrite=True)
+        raise
     # one scan of the new files: checkpoint the counted partials, then the
     # row count is a tiny aggregate over them (not a second file scan)
     partial_counted = _partial_agg(

@@ -263,3 +263,107 @@ def test_crash_remnant_empty_target_rebuilds(spark, tmpdir):
     r = refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
     assert r["refreshed"] and r["since"] == -1 and r["delta_rows"] == 30
     assert {tuple(x) for x in read_delta(spark, tgt).collect()} == _expected(spark, src)
+
+
+# -- DML-aware maintenance (on_rewrite modes) -------------------------------
+
+CDF_AGGS = {"n": ("count", "*"), "total": ("sum", "v")}
+
+
+def _cdf_expected(spark, src):
+    return {
+        tuple(r)
+        for r in read_delta(spark, src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+
+
+def test_cdf_mode_folds_deletes_and_updates(spark, tmpdir):
+    from lakehouse_loader_spark.sinks.delta import delete_from_delta, update_delta
+
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 300), src)
+    refresh_aggregate(spark, src, tgt, ["k"], CDF_AGGS, app_id=APP)
+    # DML on the source: the append feed would refuse this range
+    delete_from_delta(spark, src, "v % 5 = 0")
+    update_delta(spark, src, "v = 7", {"v": "v + 1000"})
+    with pytest.raises(ConcurrentModificationError):
+        refresh_aggregate(spark, src, tgt, ["k"], CDF_AGGS, app_id=APP)
+    res = refresh_aggregate(
+        spark, src, tgt, ["k"], CDF_AGGS, app_id=APP, on_rewrite="cdf"
+    )
+    assert res["refreshed"] and res["delta_rows"] > 0
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == _cdf_expected(spark, src)
+    # idempotent: a second cdf refresh folds nothing
+    again = refresh_aggregate(
+        spark, src, tgt, ["k"], CDF_AGGS, app_id=APP, on_rewrite="cdf"
+    )
+    assert not again["refreshed"]
+
+
+def test_cdf_mode_drops_emptied_groups(spark, tmpdir):
+    from lakehouse_loader_spark.sinks.delta import delete_from_delta
+
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 30), src)
+    refresh_aggregate(spark, src, tgt, ["k"], CDF_AGGS, app_id=APP)
+    delete_from_delta(spark, src, "v % 3 = 1")  # kills group k='1' entirely
+    refresh_aggregate(spark, src, tgt, ["k"], CDF_AGGS, app_id=APP, on_rewrite="cdf")
+    got = {r.k for r in read_delta(spark, tgt).collect()}
+    assert got == {"0", "2"}
+
+
+def test_cdf_mode_validates_aggs(spark, tmpdir):
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 10), src)
+    with pytest.raises(ValueError, match="min/max"):
+        refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP, on_rewrite="cdf")
+    with pytest.raises(ValueError, match="count"):
+        refresh_aggregate(
+            spark, src, tgt, ["k"], {"total": ("sum", "v")}, app_id=APP, on_rewrite="cdf"
+        )
+
+
+def test_rebuild_mode_recovers_from_rewrites(spark, tmpdir):
+    from lakehouse_loader_spark.sinks.delta import delete_from_delta
+
+    src, tgt = f"{tmpdir}/src", f"{tmpdir}/agg"
+    write_delta(_batch(spark, 0, 100), src)
+    refresh_aggregate(spark, src, tgt, ["k"], AGGS, app_id=APP)
+    delete_from_delta(spark, src, "v < 10")
+    # min/max stay maintainable through a full rebuild
+    res = refresh_aggregate(
+        spark, src, tgt, ["k"], AGGS, app_id=APP, on_rewrite="rebuild"
+    )
+    assert res["refreshed"] and res["since"] == -1
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == _expected(spark, src)
+
+
+def test_cdf_mode_iceberg_source(spark, tmpdir):
+    from lakehouse_loader_spark.sinks.iceberg import (
+        delete_from_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src, tgt = f"{tmpdir}/isrc", f"{tmpdir}/agg"
+    write_iceberg(_batch(spark, 0, 200), src)
+    refresh_aggregate(
+        spark, src, tgt, ["k"], CDF_AGGS, app_id=APP, source_format="iceberg"
+    )
+    delete_from_iceberg(spark, src, "v % 4 = 2")
+    res = refresh_aggregate(
+        spark, src, tgt, ["k"], CDF_AGGS, app_id=APP,
+        source_format="iceberg", on_rewrite="cdf",
+    )
+    assert res["refreshed"]
+    want = {
+        tuple(r)
+        for r in read_iceberg(spark, src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert {tuple(r) for r in read_delta(spark, tgt).collect()} == want
