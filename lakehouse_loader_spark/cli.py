@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("expire-snapshots")
     exp.add_argument("target")
     exp.add_argument("--keep-last", type=int, default=1)
+    orph = sub.add_parser("remove-orphans")
+    orph.add_argument("target")
+    orph.add_argument(
+        "--older-than-hours",
+        type=float,
+        default=24.0,
+        help="only delete unreferenced files older than this (grace period)",
+    )
     ragg = sub.add_parser("refresh-agg")
     ragg.add_argument("source")
     ragg.add_argument("target")
@@ -170,6 +178,12 @@ def do_main(argv: list[str]) -> None:
 
         deleted = expire_snapshots(args.target, keep_last=args.keep_last)
         print(f"deleted {len(deleted)} expired files", file=sys.stderr)
+        return
+    if args.command == "remove-orphans":
+        from lakehouse_loader_spark.sinks.iceberg import remove_orphan_files
+
+        removed = remove_orphan_files(args.target, older_than_s=args.older_than_hours * 3600)
+        print(f"removed {len(removed)} orphan files", file=sys.stderr)
         return
     if args.command == "refresh-agg":
         from lakehouse_loader_spark.sinks.incremental import refresh_aggregate

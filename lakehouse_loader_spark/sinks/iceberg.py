@@ -991,6 +991,69 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+@accepts_file_uris
+def remove_orphan_files(path: str, older_than_s: float = 24 * 3600) -> list[str]:
+    """Delete files under the table that NO snapshot references — the
+    debris a crashed writer leaves behind (data files whose commit lost
+    the conditional-put race, manifests/manifest lists of an abandoned
+    attempt, `.staging-*` directories).  The maintenance twin of Iceberg's
+    ``remove_orphan_files`` procedure, complementing ``expire_snapshots``
+    (which deletes files of snapshots being FORGOTTEN; this deletes files
+    no snapshot ever adopted).
+
+    Only files older than ``older_than_s`` (mtime, default 24 h) are
+    removed — an in-flight writer's files are younger than any sane grace
+    period, so the race against a concurrent commit is closed by time, the
+    same contract as the real procedure.  Scans ``data/`` and the
+    ``metadata/*.avro`` set; table metadata JSONs and the version hint are
+    never candidates.  Returns the table-relative paths deleted."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    root = os.path.abspath(path)
+
+    def _rel(p: str) -> str:
+        return os.path.relpath(p, root) if os.path.isabs(p) else p
+
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        referenced.add(_rel(snap["manifest-list"]))
+        for mf in _read_manifest_list(path, snap["manifest-list"]):
+            referenced.add(_rel(mf["manifest_path"]))
+            for entry in _read_manifest_entries(path, mf["manifest_path"]):
+                referenced.add(_rel(entry["data_file"]["file_path"]))
+
+    cutoff = time.time() - older_than_s
+    deleted: list[str] = []
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for dirpath, _dirs, files in os.walk(data_dir):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                rel = _rel(full)
+                if rel not in referenced and os.path.getmtime(full) < cutoff:
+                    os.remove(full)
+                    deleted.append(rel)
+    for f in os.listdir(_meta_dir(root)):
+        if not f.endswith(".avro"):
+            continue
+        full = os.path.join(_meta_dir(root), f)
+        rel = _rel(full)
+        if rel not in referenced and os.path.getmtime(full) < cutoff:
+            os.remove(full)
+            deleted.append(rel)
+    # abandoned write-attempt staging dirs (promote never ran)
+    import shutil as _shutil
+
+    for d in os.listdir(root):
+        if d.startswith(".staging-"):
+            full = os.path.join(root, d)
+            if os.path.getmtime(full) < cutoff:
+                _shutil.rmtree(full, ignore_errors=True)
+                deleted.append(d)
+    return sorted(deleted)
+
+
 def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
     matches = [s for s in meta.get("snapshots", []) if s["snapshot-id"] == snapshot_id]
     if not matches:

@@ -127,3 +127,61 @@ def test_transform_column_bucket_nulls(spark):
     by_input = {r[0]: None for r in out}
     vals = [r.b for r in out]
     assert vals[1] is None and vals[0] is not None and 0 <= vals[0] < 8
+
+
+# -- orphan-file cleanup ----------------------------------------------------
+
+
+def test_remove_orphan_files(spark, tmpdir):
+    """Unreferenced data files / manifests / staging dirs older than the
+    grace period are deleted; everything any snapshot references — and
+    anything younger than the grace — survives."""
+    import time
+
+    t = os.path.join(tmpdir, "t")
+    IC.write_iceberg(_events(spark), t)
+    IC.write_iceberg(_events(spark), t, append=True)
+    before = IC.read_iceberg(spark, t).count()
+
+    orphan_data = os.path.join(t, "data", "orphan-000.parquet")
+    _events(spark).limit(1).toPandas().to_parquet(orphan_data)
+    orphan_avro = os.path.join(t, "metadata", "manifest-deadbeef.avro")
+    with open(orphan_avro, "wb") as fh:
+        fh.write(b"Obj\x01junk")
+    staging = os.path.join(t, ".staging-crashed")
+    os.makedirs(staging)
+    old = time.time() - 7200
+    for p in (orphan_data, orphan_avro, staging):
+        os.utime(p, (old, old))
+
+    # young orphan: inside the grace period, must survive
+    young = os.path.join(t, "data", "orphan-young.parquet")
+    _events(spark).limit(1).toPandas().to_parquet(young)
+
+    removed = IC.remove_orphan_files(t, older_than_s=3600)
+    assert sorted(removed) == [
+        ".staging-crashed",
+        "data/orphan-000.parquet",
+        "metadata/manifest-deadbeef.avro",
+    ]
+    assert not os.path.exists(orphan_data) and not os.path.exists(staging)
+    assert os.path.exists(young)
+    # the table itself is untouched, including time travel
+    assert IC.read_iceberg(spark, t).count() == before
+    first = IC.snapshot_ids(t)[0]
+    assert IC.read_iceberg(spark, t, snapshot_id=first).count() == before // 2
+
+
+def test_remove_orphans_cli(spark, tmpdir):
+    import time
+
+    from lakehouse_loader_spark.cli import do_main
+
+    t = os.path.join(tmpdir, "t")
+    IC.write_iceberg(_events(spark), t)
+    orphan = os.path.join(t, "data", "orphan.parquet")
+    _events(spark).limit(1).toPandas().to_parquet(orphan)
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    do_main(["remove-orphans", t, "--older-than-hours", "1"])
+    assert not os.path.exists(orphan)
+    assert IC.read_iceberg(spark, t).count() == 60
