@@ -1677,3 +1677,294 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division)."""
     register_views(spark, sf_dir, only=["nation", "supplier"])
     return spark.sql(_RECURSIVE_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# TPC-H flavored widening, round 5: q8/q9/q13/q15/q17/q21 shapes over the
+# available tables (no partsupp/commitdate in the testdata — adaptations
+# keep each query's defining plan shape and are noted per query).
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q8_like",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (q8): the fraction of AMERICA's PROMO-part
+    import volume supplied by NATION_5, per order year.  Plan shape: every
+    dim (part, supplier, both nation copies, region) broadcasts; the fact
+    shuffles only for the orders/customer joins and once for the year agg;
+    the share is a conditional-sum ratio folded into one hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_like",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (q9, adapted: the testdata has no partsupp, so
+    profit is revenue without the supply-cost term).  part/supplier/nation
+    broadcast; the fact takes one shuffle for orders and one agg shuffle
+    keyed (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q13_like",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (q13): LEFT join keeps zero-order
+    customers (count(o_orderkey) = 0 for the all-null group), double
+    aggregation — per-customer counts, then the histogram.  The join
+    predicate's non-key conjunct stays IN the join (filtering afterwards
+    would wrongly drop the null-extended rows)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_like",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (q15): quarterly per-supplier revenue, then the rows
+    matching the global max (the view + scalar-subquery shape).  Revenue
+    rounds to 2 BEFORE the max comparison so the float equality is between
+    identically-rounded values in both engines.  The scalar max broadcasts
+    back as a one-row join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_like",
+    oracle="""
+    SELECT ROUND(SUM(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l1.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (q17): lineitems below 20% of their
+    part's average quantity.  The correlated scalar subquery decorrelates
+    to a per-part average join; quantities are integer-valued doubles, so
+    the 0.2·avg threshold is bit-identical in both engines (exact integer
+    sums, one division).  The brand filter broadcasts; the per-part
+    average reuses the already-filtered fact — one agg + one join shuffle
+    on l_partkey."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("q_thresh")
+    )
+    return (
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q21_like",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-supplier count (q21, adapted: no commit/receipt dates in the
+    testdata, so "kept everyone waiting" becomes "shipped strictly last
+    among the order's suppliers").  The defining shape survives: a
+    multi-supplier EXISTS plus a correlated NOT EXISTS anti-join on the
+    same fact.  Both correlations collapse to per-order aggregates instead
+    of two self-joins: "no OTHER supplier shipped later than me" is
+    l1.l_shipdate >= max-over-other-suppliers, derived from each order's
+    top-two per-supplier ship maxima (one agg + one window on the order
+    key); EXISTS-other-supplier is simply that a second supplier ranks."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    per_os = li.groupBy(
+        F.col("l_orderkey").alias("po_key"), F.col("l_suppkey").alias("po_supp")
+    ).agg(F.max("l_shipdate").alias("s_max"))
+    w = Window.partitionBy("po_key").orderBy(F.col("s_max").desc(), F.col("po_supp"))
+    ranked = per_os.withColumn("rn", F.row_number().over(w))
+    per_order = (
+        ranked.groupBy("po_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_supps"),
+            F.max(F.when(F.col("rn") == 1, F.col("s_max"))).alias("m1_max"),
+            F.max(F.when(F.col("rn") == 1, F.col("po_supp"))).alias("m1_supp"),
+            F.max(F.when(F.col("rn") == 2, F.col("s_max"))).alias("m2_max"),
+        )
+        .filter(F.col("n_supps") > 1)  # EXISTS another supplier
+    )
+    max_other = F.when(F.col("l_suppkey") == F.col("m1_supp"), F.col("m2_max")).otherwise(
+        F.col("m1_max")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_key"))
+        .filter(F.col("l_shipdate") >= max_other)  # NOT EXISTS a later other
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
