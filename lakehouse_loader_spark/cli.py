@@ -67,6 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
                 help="with -a: merge new columns by name instead of "
                 "requiring positional alignment",
             )
+            sp.add_argument(
+                "--bloom-filter",
+                default=None,
+                metavar="COLS",
+                help="comma-separated columns to write parquet bloom filters for",
+            )
+            sp.add_argument(
+                "--sort-by",
+                default=None,
+                metavar="COLS",
+                help="comma-separated columns to cluster rows by before writing",
+            )
             if fmt == "pg":
                 sp.add_argument("-q", "--query", required=True)
                 sp.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
@@ -285,20 +297,22 @@ def do_main(argv: list[str]) -> None:
     if evolve and not append:
         print("--evolve-schema only applies to appends (-a)", file=sys.stderr)
         sys.exit(2)
+    bloom = args.bloom_filter.split(",") if getattr(args, "bloom_filter", None) else None
+    sort_by = args.sort_by.split(",") if getattr(args, "sort_by", None) else None
     try:
         if args.command.endswith("delta"):
             from lakehouse_loader_spark.sinks.delta import write_delta
 
             write_delta(
                 df, args.target, overwrite=args.overwrite, append=append,
-                merge_schema=evolve,
+                merge_schema=evolve, bloom_filter_columns=bloom, sort_by=sort_by,
             )
         else:
             from lakehouse_loader_spark.sinks.iceberg import write_iceberg
 
             write_iceberg(
                 df, args.target, overwrite=args.overwrite, append=append,
-                evolve_schema=evolve,
+                evolve_schema=evolve, bloom_filter_columns=bloom, sort_by=sort_by,
             )
     except TargetExistsError:
         # Reference message (src/delta_destination.rs:421-427), but exit

@@ -195,18 +195,30 @@ def _write_parts(
     path: str,
     max_rows_per_file: int,
     partition_by: list[str] | None = None,
+    bloom_filter_columns: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> list[dict]:
     """Write parquet parts via Spark into a staging dir, then promote them to
     the table root; returns Add actions.  Executors do all data I/O — the
     driver only renames and records metadata (cheap, like the reference's
     commit stage).  With ``partition_by``, parts land under hive-style
-    ``col=value/`` directories and the Add actions carry partitionValues."""
+    ``col=value/`` directories and the Add actions carry partitionValues.
+
+    ``bloom_filter_columns`` writes parquet bloom filters for those columns
+    and ``sort_by`` clusters rows within each task's files before writing —
+    the two write-path optimizations the reference left as TODOs
+    (src/lib.rs:199-203: "bloom filters are disabled", "sort on certain
+    columns ... later")."""
     from lakehouse_loader_spark.sinks.staging import promote_staged_files
 
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.option("maxRecordsPerFile", str(max_rows_per_file)).option(
         "compression", "snappy"
     )
+    for col in bloom_filter_columns or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -443,6 +455,8 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    bloom_filter_columns: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
     default create-exclusive, overwrite deletes existing state first
@@ -487,7 +501,9 @@ def write_delta(
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
         table_parts = meta.get("partitionColumns") or None
-        adds = _write_parts(df, path, max_rows_per_file, table_parts)
+        adds = _write_parts(
+            df, path, max_rows_per_file, table_parts, bloom_filter_columns, sort_by
+        )
         # append adds files only (no removes) — blind re-commit after a
         # conflicting concurrent commit is safe; the evolved metaData (if
         # any) is re-derived from each attempt's fresh snapshot
@@ -517,7 +533,9 @@ def write_delta(
         return
 
     # create (or post-overwrite create): v0 = protocol+metaData, v1 = adds
-    adds = _write_parts(df, path, max_rows_per_file, partition_by)
+    adds = _write_parts(
+        df, path, max_rows_per_file, partition_by, bloom_filter_columns, sort_by
+    )
     _commit(
         path,
         0,

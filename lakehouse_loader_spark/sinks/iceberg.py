@@ -190,7 +190,11 @@ def _latest_version_on_disk(path: str) -> tuple[int, dict]:
 
 
 def _write_data_files(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bloom_filter_columns: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> list[dict]:
     """Executors write the parquet parts under data/ (hive-style
     ``field=value`` directories when partitioned); returns manifest entries
@@ -203,6 +207,8 @@ def _write_data_files(
     (the data files keep only the source column, per the Iceberg spec)."""
     from lakehouse_loader_spark.sinks.staging import promote_staged_files
 
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     if partition_by:
         src_types = {f.name: f.dataType for f in df.schema.fields}
@@ -216,6 +222,8 @@ def _write_data_files(
         writer = df.write.option("compression", "snappy").partitionBy(*names)
     else:
         writer = df.write.option("compression", "snappy")
+    for col in bloom_filter_columns or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     writer.parquet(staging)
     return [
         {
@@ -610,6 +618,8 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     snapshot_props: dict[str, str] | None = None,
     evolve_schema: bool = False,
+    bloom_filter_columns: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` with the reference's iceberg-destination semantics (see
     module docstring).  Overwrite starts a fresh data lineage but keeps the
@@ -679,7 +689,7 @@ def write_iceberg(
                 meta = _evolve_spec(meta, partition_by)
         break
 
-    entries = _write_data_files(df, path, partition_by)
+    entries = _write_data_files(df, path, partition_by, bloom_filter_columns, sort_by)
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
     manifest = _write_manifest(path, snapshot_id, entries, meta)
