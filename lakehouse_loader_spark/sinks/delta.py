@@ -970,6 +970,7 @@ def merge_delta(
     path: str,
     source: DataFrame,
     key: str,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE (upsert) by key, copy-on-write: files containing matched keys
     are rewritten with updated rows; unmatched source rows are appended.
@@ -978,6 +979,10 @@ def merge_delta(
     range intersects the source's).
 
     Returns {"rewritten_files": n, "updated": n, "inserted": n}.
+
+    ``txn`` stamps the commit with a Delta transaction identifier
+    (appId, version) — the idempotency handshake streaming upserts use
+    (streaming/events.py:stream_upsert_to_delta).
     """
     from pyspark.sql import functions as F
 
@@ -1045,8 +1050,14 @@ def merge_delta(
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
         for p in sorted(cand_rel)
     ]
+    txn_actions = (
+        [{"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}]
+        if txn
+        else []
+    )
     actions = [
         _commit_info("MERGE", part_cols),
+        *txn_actions,
         *removes,
         *[{"add": a} for a in new_adds],
     ]

@@ -223,6 +223,69 @@ def stream_to_delta(stream: DataFrame, table_path: str, checkpoint_dir: str):
     )
 
 
+def stream_upsert_to_delta(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str,
+    latest_by: str | None = None,
+):
+    """Streaming UPSERT (CDC apply): each micro-batch MERGEs on ``key``
+    into the Delta table — matched keys rewritten with the batch's values,
+    new keys appended — maintaining a latest-state table from an event
+    stream (the change-capture consumption pattern, vs stream_to_delta's
+    append-only event log).
+
+    ``latest_by`` names an ordering column (e.g. the event timestamp):
+    within each micro-batch only the last row per key by that order is
+    merged (ties broken arbitrarily but deterministically by row_number);
+    without it, batches must already be unique per key — merge_delta
+    raises otherwise.
+
+    Exactly-once: the same (appId from checkpoint contents, version =
+    batch_id) txn handshake as stream_to_delta, stamped through
+    merge_delta's commit.  Skipping replayed batches matters MORE here
+    than for appends: re-merging an old batch after later batches advanced
+    the same keys would regress them."""
+    from pyspark.sql.window import Window
+
+    from lakehouse_loader_spark.sinks.delta import (
+        last_txn_version,
+        merge_delta,
+        table_exists,
+        write_delta,
+    )
+
+    app_id = resolve_stream_app_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= last_txn_version(table_path, app_id):
+            return  # already committed; checkpoint replay after crash
+        if latest_by is not None:
+            w = Window.partitionBy(key).orderBy(F.col(latest_by).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if not table_exists(table_path):
+            write_delta(batch_df, table_path, txn=(app_id, batch_id))
+        else:
+            merge_delta(
+                batch_df.sparkSession, table_path, batch_df, key,
+                txn=(app_id, batch_id),
+            )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_to_iceberg(stream: DataFrame, table_path: str, checkpoint_dir: str):
     """Continuous ingestion into the Iceberg sink — the Iceberg twin of
     ``stream_to_delta``.  Each micro-batch appends through the same

@@ -374,3 +374,64 @@ def test_resolve_stream_app_id_uri_schemes(tmpdir):
     # no stray local dirs were created for the s3 URI
     assert set(os.listdir(".")) == cwd_entries
     assert not os.path.exists("s3:")
+
+
+def test_stream_upsert_maintains_latest_state(spark):
+    """stream_upsert_to_delta keyed on user_id with latest_by=ts: after the
+    bounded stream drains (time-ordered micro-batches), the table holds
+    exactly one row per user — the globally latest event — and a replayed
+    batch is suppressed by the txn marker."""
+    import datetime as dt
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    src_dir = tempfile.mkdtemp(prefix="upsrc_")
+    out = tempfile.mkdtemp(prefix="uptbl_")
+    ckpt = tempfile.mkdtemp(prefix="upckpt_")
+    try:
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows_by_batch = []
+        eid = 0
+        for b in range(3):  # time-sliced batches: batch b covers hour b
+            rows = []
+            for i in range(40):
+                uid = i % 7
+                rows.append(
+                    (
+                        eid,
+                        base + dt.timedelta(hours=b, minutes=i),
+                        uid,
+                        "view",
+                        float(eid),
+                        "{}",
+                    )
+                )
+                eid += 1
+            rows_by_batch.append(rows)
+        for b, rows in enumerate(rows_by_batch):
+            spark.createDataFrame(rows, SE.EVENT_SCHEMA).coalesce(1).write.parquet(
+                os.path.join(src_dir, f"b{b}")
+            )
+        # one dir per batch -> 3 dirs of 1 file; stream them in name order
+        stream = SE.read_event_stream(spark, os.path.join(src_dir, "b*"))
+        q = SE.stream_upsert_to_delta(
+            stream, os.path.join(out, "t"), ckpt, key="user_id", latest_by="ts"
+        )
+        q.awaitTermination(120)
+        q.stop()
+        back = DL.read_delta(spark, os.path.join(out, "t"))
+        got = {(r.user_id): (r.event_id, r.ts) for r in back.collect()}
+        # global latest per user: the last batch holds every user's newest event
+        all_rows = [r for rows in rows_by_batch for r in rows]
+        want = {}
+        for r in sorted(all_rows, key=lambda r: r[1]):
+            want[r[2]] = (r[0], r[1])
+        assert back.count() == 7
+        assert got == want
+        # exactly-once marker recorded the last merged batch
+        app_id = SE.resolve_stream_app_id(ckpt)
+        assert DL.last_txn_version(os.path.join(out, "t"), app_id) >= 1
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
