@@ -127,6 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
+    addc = sub.add_parser("add-constraint")
+    addc.add_argument("target")
+    addc.add_argument("--name", required=True)
+    addc.add_argument("--check", required=True, help="SQL expression every row must satisfy")
+    dropc = sub.add_parser("drop-constraint")
+    dropc.add_argument("target")
+    dropc.add_argument("--name", required=True)
     chd = sub.add_parser("changes-delta")
     chd.add_argument("source", help="delta table to read the change feed from")
     chd.add_argument("target", help="parquet directory for the exported change rows")
@@ -251,6 +258,23 @@ def do_main(argv: list[str]) -> None:
             f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
             file=sys.stderr,
         )
+        return
+    if args.command == "add-constraint":
+        from lakehouse_loader_spark.sinks.delta import (
+            add_check_constraint,
+            check_table_constraints,
+        )
+
+        add_check_constraint(args.target, args.name, args.check)
+        # fail loudly if EXISTING rows already violate the new constraint
+        check_table_constraints(spark, args.target)
+        print(f"added CHECK constraint {args.name}", file=sys.stderr)
+        return
+    if args.command == "drop-constraint":
+        from lakehouse_loader_spark.sinks.delta import drop_check_constraint
+
+        drop_check_constraint(args.target, args.name)
+        print(f"dropped CHECK constraint {args.name}", file=sys.stderr)
         return
     if args.command == "changes-delta":
         from lakehouse_loader_spark.sinks.delta import read_delta_changes

@@ -445,6 +445,132 @@ def _commit_checked(
                 raise
 
 
+class ConstraintViolationError(ValueError):
+    """Rows being written violate a table CHECK constraint."""
+
+
+def _constraints_of(meta: dict) -> dict[str, str]:
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(prefix)
+    }
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """CHECK constraints of the table: name -> SQL expression, stored as
+    ``delta.constraints.<name>`` metaData configuration entries (the Delta
+    protocol's CHECK-constraint feature)."""
+    _, meta, _ = _read_log(path)
+    return _constraints_of(meta)
+
+
+def check_table_constraints(spark: SparkSession, path: str) -> None:
+    """Validate the table's CURRENT rows against every CHECK constraint
+    (use before add_check_constraint when existing data must qualify)."""
+    _enforce_constraints(read_delta(spark, path), table_constraints(path))
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Raise ConstraintViolationError if any row of ``df`` fails any CHECK
+    expression (NULL counts as a violation, per the Delta protocol: the
+    expression must evaluate to true).  One pass over the incoming batch —
+    all constraints are counted in a single aggregate."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(name)
+            for name, expr in constraints.items()
+        ]
+    ).first()
+    bad = {name: counts[name] for name in constraints if (counts[name] or 0) > 0}
+    if bad:
+        detail = ", ".join(
+            f"{name} ({constraints[name]!r}): {n} rows" for name, n in sorted(bad.items())
+        )
+        raise ConstraintViolationError(f"CHECK constraint violation: {detail}")
+
+
+def add_check_constraint(path: str, name: str, expr: str) -> None:
+    """Add a CHECK constraint: every future write/append/merge/update
+    enforces ``expr`` over its incoming rows.
+
+    Commits an updated metaData (configuration gains
+    ``delta.constraints.<name>``) plus a protocol bump to minWriter=3, the
+    version real Delta requires of constraint-aware writers — an older
+    writer must refuse to write blind, exactly the protection the bump
+    provides.  This function is metadata-only (no SparkSession needed);
+    validating that EXISTING rows already satisfy the expression is the
+    caller's job — run the table through ``check_table_constraints``
+    first when that matters."""
+    if not name.isidentifier():
+        raise ValueError(f"constraint name {name!r} must be an identifier")
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, _ = _read_log(path)
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key in conf:
+            raise ValueError(f"constraint {name!r} already exists on {path}")
+        conf[key] = expr
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            {"metaData": new_meta},
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            },
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            _maybe_checkpoint(path, latest + 1)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+def drop_check_constraint(path: str, name: str) -> None:
+    """Remove a CHECK constraint (metadata-only commit; the protocol stays
+    at the bumped version — Delta never downgrades protocols)."""
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, _ = _read_log(path)
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key not in conf:
+            raise ValueError(f"no constraint {name!r} on {path}")
+        del conf[key]
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions = [
+            {"metaData": new_meta},
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            _maybe_checkpoint(path, latest + 1)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
 @accepts_file_uris
 def write_delta(
     df: DataFrame,
@@ -500,6 +626,7 @@ def write_delta(
         _, meta, _ = _read_log(path)
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
+        _enforce_constraints(df, _constraints_of(meta))
         table_parts = meta.get("partitionColumns") or None
         adds = _write_parts(
             df, path, max_rows_per_file, table_parts, bloom_filter_columns, sort_by
@@ -994,6 +1121,7 @@ def merge_delta(
             f"{sorted(schema.fieldNames())}"
         )
     source = source.select(*schema.fieldNames())
+    _enforce_constraints(source, _constraints_of(meta))
     n_source_keys = source.select(key).distinct().count()
     if source.count() != n_source_keys:
         raise ValueError(
@@ -1151,6 +1279,10 @@ def _cow_probe_and_commit(
     affected_abs = [os.path.join(path, r) for r in affected_rel]
     rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs)
     replacement = rewrite_fn(rows, pred, schema)
+    if op == "UPDATE":
+        # a SET can break a CHECK constraint; enforcement covers the whole
+        # rewrite set (kept rows satisfied it already, so any hit is real)
+        _enforce_constraints(replacement, _constraints_of(meta))
     part_cols = meta.get("partitionColumns") or None
     new_adds = _write_parts(replacement, path, MAX_ROWS_PER_FILE, part_cols)
     now_ms = int(time.time() * 1000)

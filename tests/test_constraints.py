@@ -1,0 +1,99 @@
+"""Delta CHECK constraints: metadata round-trip, protocol bump, and
+enforcement across append / UPDATE / MERGE write paths."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks import delta as DL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="constr_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmpdir):
+    t = os.path.join(tmpdir, "t")
+    DL.write_delta(_df(spark, 0, 50), t)
+    DL.add_check_constraint(t, "v_nonneg", "v >= 0")
+    return t
+
+
+def test_constraint_metadata_and_protocol(spark, table):
+    assert DL.table_constraints(table) == {"v_nonneg": "v >= 0"}
+    DL.check_table_constraints(spark, table)  # current rows qualify
+    # the constraint commit bumps the writer protocol to 3
+    with open(os.path.join(table, "_delta_log", f"{2:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 3}]
+    with pytest.raises(ValueError, match="already exists"):
+        DL.add_check_constraint(table, "v_nonneg", "v >= 0")
+
+
+def test_append_enforcement(spark, table):
+    bad = spark.range(0, 5).select(F.col("id"), F.lit(-1.0).alias("v"))
+    with pytest.raises(DL.ConstraintViolationError, match="v_nonneg"):
+        DL.write_delta(bad, table, append=True)
+    # the refused append committed nothing
+    assert DL.read_delta(spark, table).count() == 50
+    DL.write_delta(_df(spark, 50, 60), table, append=True)
+    assert DL.read_delta(spark, table).count() == 60
+
+
+def test_null_counts_as_violation(spark, table):
+    nully = spark.range(0, 3).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    )
+    with pytest.raises(DL.ConstraintViolationError, match="3 rows"):
+        DL.write_delta(nully, table, append=True)
+
+
+def test_update_and_merge_enforcement(spark, table):
+    with pytest.raises(DL.ConstraintViolationError):
+        DL.update_delta(spark, table, "id = 7", {"v": "-5.0"})
+    # a DELETE can never violate
+    DL.delete_from_delta(spark, table, "id = 7")
+    src = spark.range(0, 4).select(F.col("id"), F.lit(-2.0).alias("v"))
+    with pytest.raises(DL.ConstraintViolationError):
+        DL.merge_delta(spark, table, src, "id")
+    ok = spark.range(0, 4).select(F.col("id"), F.lit(3.0).alias("v"))
+    DL.merge_delta(spark, table, ok, "id")
+    got = DL.read_delta(spark, table)
+    assert got.filter("v < 0").count() == 0
+
+
+def test_drop_constraint_unblocks(spark, table):
+    DL.drop_check_constraint(table, "v_nonneg")
+    assert DL.table_constraints(table) == {}
+    bad = spark.range(100, 105).select(F.col("id"), F.lit(-1.0).alias("v"))
+    DL.write_delta(bad, table, append=True)
+    assert DL.read_delta(spark, table).filter("v < 0").count() == 5
+    with pytest.raises(ValueError, match="no constraint"):
+        DL.drop_check_constraint(table, "v_nonneg")
+
+
+def test_constraint_survives_checkpoint(spark, table):
+    DL.write_checkpoint(table)
+    # replay now seeds from the checkpoint parquet: configuration (and so
+    # the constraint) must round-trip through it
+    assert DL.table_constraints(table) == {"v_nonneg": "v >= 0"}
+    bad = spark.range(0, 2).select(F.col("id"), F.lit(-9.0).alias("v"))
+    with pytest.raises(DL.ConstraintViolationError):
+        DL.write_delta(bad, table, append=True)
