@@ -148,6 +148,65 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
     return latest, meta, adds
 
 
+class UnsupportedProtocolError(RuntimeError):
+    """The table's Delta protocol demands reader/writer features this
+    engine does not implement — proceeding would silently misread (e.g.
+    unapplied deletion vectors) or corrupt, so the protocol's contract is
+    to refuse."""
+
+
+SUPPORTED_READER_VERSION = 1
+SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
+
+
+@accepts_file_uris
+def table_protocol(path: str) -> dict:
+    """The table's current protocol action (last one wins), seeded from
+    the newest checkpoint and replayed through newer JSON commits."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 1}
+    floor = -1
+    ckpts = _checkpoint_versions(path)
+    if ckpts:
+        import pyarrow.parquet as pq
+
+        floor = ckpts[-1]
+        for row in pq.read_table(_checkpoint_file(path, floor)).to_pylist():
+            pr = row.get("protocol")
+            if pr and pr.get("minReaderVersion") is not None:
+                proto = {k: v for k, v in pr.items() if v is not None}
+    for v in sorted(
+        int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
+    ):
+        if v <= floor:
+            continue
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                if '"protocol"' not in line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+    return proto
+
+
+def _check_protocol(path: str, for_write: bool) -> None:
+    proto = table_protocol(path)
+    reader = proto.get("minReaderVersion", 1)
+    writer = proto.get("minWriterVersion", 1)
+    if reader > SUPPORTED_READER_VERSION:
+        raise UnsupportedProtocolError(
+            f"{path} requires minReaderVersion {reader} (supported: "
+            f"{SUPPORTED_READER_VERSION}); reading would silently ignore "
+            "features like deletion vectors or column mapping"
+        )
+    if for_write and writer > SUPPORTED_WRITER_VERSION:
+        raise UnsupportedProtocolError(
+            f"{path} requires minWriterVersion {writer} (supported: "
+            f"{SUPPORTED_WRITER_VERSION}); writing blind would break "
+            "invariants this engine does not implement"
+        )
+
+
 @accepts_file_uris
 def table_schema(path: str) -> T.StructType:
     _, meta, _ = _read_log(path)
@@ -323,7 +382,7 @@ def write_checkpoint(path: str) -> int:
         ]
     )
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
+        {"protocol": table_protocol(path)},
         {
             "metaData": {
                 "id": meta.get("id"),
@@ -623,6 +682,7 @@ def write_delta(
     os.makedirs(path, exist_ok=True)
 
     if mode is WriteMode.APPEND and exists:
+        _check_protocol(path, for_write=True)
         _, meta, _ = _read_log(path)
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
@@ -695,6 +755,7 @@ def read_delta(spark: SparkSession, path: str, version: int | None = None) -> Da
     earlier snapshot."""
     if not table_exists(path):
         raise FileNotFoundError(f"no delta table at {path}")
+    _check_protocol(path, for_write=False)
     _, meta, adds = _read_log(path, as_of_version=version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     files = [os.path.join(path, p) for p in sorted(adds)]
@@ -722,6 +783,7 @@ def read_delta_appends(
     compacted rows."""
     if not table_exists(path):
         raise FileNotFoundError(f"no delta table at {path}")
+    _check_protocol(path, for_write=False)
     _, meta_old, adds_old = _read_log(path, as_of_version=since_version)
     latest, meta, adds_new = _read_log(path, as_of_version=end_version)
     gone = sorted(set(adds_old) - set(adds_new))
@@ -770,6 +832,7 @@ def read_delta_changes(
 
     if not table_exists(path):
         raise FileNotFoundError(f"no delta table at {path}")
+    _check_protocol(path, for_write=False)
     latest, meta_end, _ = _read_log(path, as_of_version=end_version)
     _read_log(path, as_of_version=since_version)  # validates the floor exists
     end = latest if end_version is None else end_version
@@ -870,6 +933,7 @@ def optimize_delta(
     skipping then works for predicates on any of them."""
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
+    _check_protocol(path, for_write=True)
     latest, meta, adds = _read_log(path)
     df = read_delta(spark, path)
     part_cols = meta.get("partitionColumns") or None
@@ -999,6 +1063,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
     itself is time-travelable and undoable).  Files added since the target
     version are removed; files live at the target version but since
     removed are re-added.  Metadata-only: no data file is rewritten."""
+    _check_protocol(path, for_write=True)
     _, meta_then, adds_then = _read_log(path, as_of_version=version)
     now_ms = int(time.time() * 1000)
 
@@ -1075,6 +1140,7 @@ def vacuum_delta(path: str) -> list[str]:
     (removed by overwrite-in-place or OPTIMIZE).  Time travel to versions
     that referenced them stops working — same contract as Delta VACUUM.
     Returns the deleted relative paths."""
+    _check_protocol(path, for_write=True)
     _, _, adds = _read_log(path)
     live = set(adds)
     deleted = []
@@ -1113,6 +1179,7 @@ def merge_delta(
     """
     from pyspark.sql import functions as F
 
+    _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     schema = table_schema(path)
     if set(source.columns) != set(schema.fieldNames()):
@@ -1251,6 +1318,7 @@ def _cow_probe_and_commit(
 
     from pyspark.sql import functions as F
 
+    _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:

@@ -171,7 +171,15 @@ def _read_version(path: str) -> int:
 def _read_metadata(path: str) -> tuple[int, dict]:
     v = _read_version(path)
     with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as fh:
-        return v, json.load(fh)
+        meta = json.load(fh)
+    fv = meta.get("format-version", 2)
+    if fv not in (1, 2):
+        raise RuntimeError(
+            f"iceberg format-version {fv} at {path} is not supported (spec "
+            "v3 features like deletion vectors / row lineage would be "
+            "silently ignored); refusing per the spec's forward-compat rule"
+        )
+    return v, meta
 
 
 def _latest_version_on_disk(path: str) -> tuple[int, dict]:

@@ -97,3 +97,59 @@ def test_constraint_survives_checkpoint(spark, table):
     bad = spark.range(0, 2).select(F.col("id"), F.lit(-9.0).alias("v"))
     with pytest.raises(DL.ConstraintViolationError):
         DL.write_delta(bad, table, append=True)
+
+
+# -- protocol guards --------------------------------------------------------
+
+
+def _bump_protocol(t, reader, writer):
+    log = os.path.join(t, "_delta_log")
+    latest = max(int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json"))
+    with open(os.path.join(log, f"{latest + 1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}) + "\n")
+        fh.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}) + "\n")
+
+
+def test_reader_version_guard(spark, tmpdir):
+    t = os.path.join(tmpdir, "t")
+    DL.write_delta(_df(spark, 0, 10), t)
+    _bump_protocol(t, reader=3, writer=7)  # e.g. deletion vectors
+    with pytest.raises(DL.UnsupportedProtocolError, match="minReaderVersion 3"):
+        DL.read_delta(spark, t)
+    with pytest.raises(DL.UnsupportedProtocolError):
+        DL.read_delta_changes(spark, t, 0)
+    with pytest.raises(DL.UnsupportedProtocolError):
+        DL.delete_from_delta(spark, t, "id = 1")
+
+
+def test_writer_version_guard_read_still_works(spark, tmpdir):
+    t = os.path.join(tmpdir, "t")
+    DL.write_delta(_df(spark, 0, 10), t)
+    _bump_protocol(t, reader=1, writer=7)  # writer features we lack
+    assert DL.read_delta(spark, t).count() == 10  # reading is fine
+    with pytest.raises(DL.UnsupportedProtocolError, match="minWriterVersion 7"):
+        DL.write_delta(_df(spark, 10, 12), t, append=True)
+    with pytest.raises(DL.UnsupportedProtocolError):
+        DL.optimize_delta(spark, t)
+
+
+def test_checkpoint_preserves_bumped_protocol(spark, table):
+    """add_check_constraint bumps minWriter to 3; a checkpoint written
+    afterwards must carry that protocol, not a downgraded (1,1)."""
+    DL.write_checkpoint(table)
+    assert DL.table_protocol(table) == {"minReaderVersion": 1, "minWriterVersion": 3}
+
+
+def test_iceberg_format_version_guard(spark, tmpdir):
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    t = os.path.join(tmpdir, "it")
+    IC.write_iceberg(_df(spark, 0, 10), t)
+    v, meta = IC._read_metadata(t)
+    meta["format-version"] = 3
+    with open(os.path.join(t, "metadata", f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(v + 1))
+    with pytest.raises(RuntimeError, match="format-version 3"):
+        IC.read_iceberg(spark, t)
