@@ -143,3 +143,86 @@ def test_normalized_text_idempotent(spark, texts):
     twice = once.select("i", normalized_text_col(F.col("n")).alias("n2"))
     joined = once.join(twice, "i")
     assert joined.filter(F.col("n") != F.col("n2")).count() == 0
+
+
+# -- merge_schemas (by-name evolution) --------------------------------------
+
+from lakehouse_loader_spark.sinks.alignment import merge_schemas
+
+_named_fields = st.lists(_field, min_size=1, max_size=6, unique_by=lambda f: f[0])
+
+
+@given(_named_fields)
+def test_merge_idempotent(fields):
+    """merge(s, s) == s up to nullability widening, and merging the result
+    with itself is a fixed point."""
+    s = _schema(fields)
+    m = merge_schemas(s, s)
+    assert [f.name for f in m.fields] == [f.name for f in s.fields]
+    assert merge_schemas(m, m).json() == m.json()
+
+
+@given(_named_fields, _named_fields)
+def test_merge_never_drops_and_orders_stably(a_fields, b_fields):
+    """The merge keeps every target column (in order) and appends the
+    incoming-only ones (in incoming order); types never change."""
+    a, b = _schema(a_fields), _schema(b_fields)
+    a_types = {f.name: f.dataType for f in a.fields}
+    b_types = {f.name: f.dataType for f in b.fields}
+    conflict = any(n in a_types and a_types[n] != t for n, t in b_types.items())
+    if conflict:
+        import pytest as _pytest
+
+        with _pytest.raises(SchemaAlignmentError):
+            merge_schemas(a, b)
+        return
+    m = merge_schemas(a, b)
+    names = [f.name for f in m.fields]
+    assert names[: len(a.fields)] == [f.name for f in a.fields]
+    assert names[len(a.fields):] == [f.name for f in b.fields if f.name not in a_types]
+    for f in m.fields:
+        assert f.dataType == a_types.get(f.name, b_types.get(f.name))
+    # a column absent from the incoming side must be nullable afterwards
+    for f in m.fields:
+        if f.name not in b_types:
+            assert f.nullable
+
+
+@given(_named_fields, _named_fields)
+def test_merge_accepts_any_aligned_append(a_fields, b_fields):
+    """Anything appendable onto the merged schema positionally includes the
+    incoming frame's own columns laid out by name."""
+    a, b = _schema(a_fields), _schema(b_fields)
+    a_types = {f.name: f.dataType for f in a.fields}
+    if any(n in a_types and a_types[n] != f.dataType for n, f in ((f.name, f) for f in b.fields)):
+        return
+    m = merge_schemas(a, b)
+    by_name = {f.name: f for f in m.fields}
+    for f in b.fields:
+        assert by_name[f.name].dataType == f.dataType
+
+
+# -- Iceberg transform hashes ----------------------------------------------
+
+import numpy as np
+
+from lakehouse_loader_spark.sinks.transforms import murmur3_bytes, murmur3_long
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=50))
+def test_murmur3_long_vectorized_equals_scalar(vals):
+    """The numpy-vectorized long hash equals the scalar byte-wise Murmur3
+    over the 8-byte little-endian encoding — the Iceberg spec definition."""
+    arr = np.array(vals, dtype=np.int64)
+    vec = murmur3_long(arr)
+    for v, h in zip(vals, vec):
+        b = (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+        assert murmur3_bytes(b) == int(h)
+
+
+@given(st.integers(min_value=-(10**9), max_value=10**9), st.integers(min_value=1, max_value=1000))
+def test_truncate_transform_properties(v, w):
+    """Iceberg truncate over ints: result <= v, v - result < w, and the
+    result is a multiple of w (the positive-mod definition)."""
+    r = v - (((v % w) + w) % w)
+    assert r <= v and v - r < w and r % w == 0
