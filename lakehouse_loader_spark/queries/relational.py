@@ -1968,3 +1968,205 @@ def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
     )
+
+
+@query(
+    "tpch_q2_like",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             ROUND(SUM(l_extendedprice) / SUM(l_quantity), 4) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM supply JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part JOIN eu ON p_partkey = ps_partkey
+    WHERE p_size <= 5 AND p_type = 'STANDARD'
+      AND ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM eu e2 WHERE e2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (q2, adapted: no partsupp in the testdata, so
+    the supply relation derives from lineitem — per (part, supplier) unit
+    cost = sum(price)/sum(qty), rounded to 4 BEFORE the min comparison so
+    the equality is between identically-rounded values in both engines).
+    The defining shape survives: a region-filtered supply view probed
+    twice, once as the fact and once under a correlated MIN, decorrelated
+    to a per-part min join.  supplier/nation/region broadcast; the supply
+    agg and the per-part min reuse the same shuffle key (l_partkey), and
+    the min side broadcasts back."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("ps_supplycost")
+    )
+    eu = (
+        supply.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eu.groupBy(F.col("ps_partkey").alias("mc_key")).agg(
+        F.min("ps_supplycost").alias("mc_min")
+    )
+    return (
+        eu.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_key"))
+            & (F.col("ps_supplycost") == F.col("mc_min")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_like",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey AS ps_partkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1)
+    SELECT ps_partkey, part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT SUM(part_value) * 0.0008 FROM value_by_part)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (q11, adapted: value = one nation's suppliers'
+    revenue per part instead of partsupp qty*cost).  The defining shape is
+    the HAVING-over-global-fraction: the same per-part value view feeds
+    both the rows and the scalar threshold; the threshold comes back as a
+    one-row broadcast join, never a driver collect.  Per-part values round
+    to 2 first so both engines filter identical inputs; the 0.08% scalar
+    itself is a sum of those exact 2-decimal values."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    vbp = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "part_value"
+            )
+        )
+    )
+    thresh = vbp.agg((F.sum("part_value") * F.lit(0.0008)).alias("vt"))
+    return (
+        vbp.join(F.broadcast(thresh), F.col("part_value") > F.col("vt"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16_like",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier relationship (q16, adapted: the supply relation is
+    lineitem's (part, supplier) pairs; the excluded-supplier NOT IN uses
+    negative account balances in place of the complaints LIKE).  The
+    defining shape survives: a NOT IN anti-join against a tiny exclude
+    set (broadcast left-anti — keys are non-null so NOT IN ≡ anti-join),
+    then COUNT(DISTINCT supplier) per part attribute triple.  The part
+    filter broadcasts; one distinct-expand agg shuffle keyed by the
+    (brand, type, size) triple."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 14, 23, 45))
+    )
+    excl = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_like",
+    oracle="""
+    WITH bysupp AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_total,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty97
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM bysupp
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+        AND qty97 > 0 AND qty_total > 2 * qty97)
+    AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-stock suppliers (q20, adapted: "availqty > half of shipped"
+    becomes "lifetime supplied quantity more than 2x the 1997 demand" —
+    stock proxied by total supply, demand by the dated window, both from
+    lineitem since there is no partsupp).  The nested-IN pyramid survives:
+    part-name IN (broadcast semi), the correlated quantity comparison
+    (decorrelated into ONE conditional-sum aggregate instead of two scans
+    of the fact), and the outer supplier IN (semi on the distinct
+    qualifying suppliers).  Quantities are integer-valued doubles, so the
+    2x comparison is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    blue = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    bysupp = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qty97"),
+        )
+        .filter((F.col("qty97") > 0) & (F.col("qty_total") > 2 * F.col("qty97")))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(bysupp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
