@@ -476,3 +476,65 @@ def pca_project(
     return emb.select(
         F.col(id_col), project(F.col(vec_col)).alias("pca")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicate pruning
+# WITHIN precomputed clusters
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: keep one representative of every semantic-duplicate set,
+    comparing only WITHIN clusters (``group_col`` — a k-means assignment,
+    an IVF cell, or any precomputed partition).
+
+    Per cluster, an Arrow-batched applyInPandas task builds the unit-norm
+    float64 matrix and one BLAS matmul yields all pairwise cosines; a row
+    is a duplicate iff some LOWER-id member sits at cosine ≥ threshold,
+    and ``dup_of`` is the smallest such partner (so representatives are
+    exactly the ids no lower id shadows — deterministic, order-free).
+
+    100 TB shape: candidate volume is Σ mᵢ² over cluster sizes mᵢ — the
+    clustering bounds mᵢ, so total work is linear in corpus size times the
+    (constant) cluster width, parallelized one task per cluster; nothing
+    all-pairs, nothing driver-side.  Output: (id, group, dup_of, keep).
+    """
+    out_schema = f"{id_col} BIGINT, {group_col} INT, dup_of BIGINT, keep BOOLEAN"
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+        # dot-then-divide (matches the SQL-oracle operation order)
+        dots = mat @ mat.T
+        norms = np.sqrt(np.diag(dots))
+        sims = dots / np.outer(norms, norms)
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            hits = np.nonzero(sims[i, :i] >= threshold)[0]
+            if hits.size:
+                dup_of[i] = ids[hits[0]]  # ids sorted → first hit is smallest
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                group_col: np.full(n, int(pdf[group_col].iloc[0]), dtype=np.int32),
+                "dup_of": dup_of,
+                "keep": dup_of < 0,
+            }
+        )
+
+    out = emb.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
+        per_cluster, schema=out_schema
+    )
+    return out.withColumn(
+        "dup_of", F.when(F.col("dup_of") >= 0, F.col("dup_of"))
+    )  # -1 sentinel → NULL

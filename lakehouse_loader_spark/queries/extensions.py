@@ -1437,3 +1437,123 @@ def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memory sink holds the materialized result; the staged directory
     # stays for the session-level cache above (tmp, OS-reclaimed)
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup within precomputed clusters (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS dup_id, MIN(b.vec_id) AS dup_of
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+      WHERE {_cos_expr('a.embedding', 'b.embedding')} >= 0.35
+      GROUP BY 1)
+    SELECT e.vec_id, e.label, p.dup_of, (p.dup_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN p ON e.vec_id = p.dup_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: near-duplicate pruning WITHIN clusters (here the
+    precomputed ``label`` partition; in production the IVF k-means cells
+    from similarity_ivf_topk).  One task per cluster computes a BLAS
+    matmul; a row is kept iff no lower-id cluster-mate sits at cosine
+    ≥ 0.35.  The oracle brute-forces the same within-cluster pairs."""
+    return S.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, group_col="label"
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality score: mean token log-probability under the corpus
+# unigram distribution (the classic cheap perplexity proxy for data quality)
+# --------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents),
+    tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS avg_logprob
+    FROM toks JOIN tc USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring: token frequencies aggregate once (the vocab —
+    tiny relative to the corpus — broadcasts back, as does the one-row
+    total), then a per-doc mean of ln p(token).  Two shuffles total (vocab
+    count + doc agg) regardless of corpus size; the perplexity-filter
+    shape used to score crawl text against a reference corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    tc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(tc), "t")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n").cast("double"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge step: weighted adjacent-symbol-pair counts over the vocabulary
+# (the hot inner loop of byte-pair-encoding tokenizer training)
+# --------------------------------------------------------------------------
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents)
+      GROUP BY 1),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+      FROM words, unnest(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2)
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1
+    ORDER BY cnt DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round: the most frequent adjacent character pairs,
+    weighted by word frequency.  The 100 TB shape: the corpus collapses to
+    its DISTINCT-word vocabulary first (one shuffle; vocab ≪ corpus by
+    Heaps' law), and pair explosion runs over vocabulary entries weighted
+    by count — corpus volume is touched exactly once.  Iterating = merge
+    the top pair into the symbol sequences and re-count (same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )

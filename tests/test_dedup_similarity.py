@@ -301,3 +301,39 @@ def test_pca_projection_matches_local_numpy(spark, emb):
         np.testing.assert_allclose(got[vid], want[vid], atol=1e-8)
     var = np.array([[v[j] for v in got.values()] for j in range(8)]).var(axis=1)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
+
+
+def test_semantic_dedup_invariants_and_brute_agreement(spark, emb):
+    """SemDeDup verdicts: dup_of is always a lower id in the SAME cluster,
+    keep ⇔ dup_of IS NULL, and the flagged-duplicate set equals the ids
+    having a lower-id within-cluster partner at cosine ≥ τ (brute force)."""
+    tau = 0.35
+    out = S.semantic_dedup(emb, threshold=tau, group_col="label").cache()
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == emb.count()
+    for r in rows.values():
+        assert (r.dup_of is None) == bool(r.keep)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            assert rows[r.dup_of].label == r.label
+
+    brute = (
+        S.cosine_neardup_pairs(
+            emb.withColumn("embedding", F.col("embedding")), threshold=tau
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la")),
+            "vec_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb")),
+            "vec_b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    expect = {r.vec_b: r.dup_of for r in brute.collect()}
+    got = {k: r.dup_of for k, r in rows.items() if r.dup_of is not None}
+    assert got == expect
+    out.unpersist()
