@@ -145,6 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
         dd.add_argument(
             "--where", required=True, help="SQL predicate; matching rows are deleted"
         )
+        if name == "delete-iceberg":
+            dd.add_argument(
+                "--strategy",
+                choices=("copy-on-write", "merge-on-read"),
+                default="copy-on-write",
+                help="copy-on-write rewrites matched files; merge-on-read "
+                "commits position-delete files (spec v2) applied at read time",
+            )
     for name in ("update-delta", "update-iceberg"):
         ud = sub.add_parser(name)
         ud.add_argument("target")
@@ -229,15 +237,25 @@ def do_main(argv: list[str]) -> None:
     if args.command in ("delete-delta", "delete-iceberg"):
         if args.command == "delete-delta":
             from lakehouse_loader_spark.sinks.delta import delete_from_delta as _delete
+
+            res = _delete(spark, args.target, args.where)
         else:
             from lakehouse_loader_spark.sinks.iceberg import delete_from_iceberg as _delete
 
-        res = _delete(spark, args.target, args.where)
-        print(
-            f"deleted {res['deleted_rows']} rows "
-            f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
-            file=sys.stderr,
-        )
+            res = _delete(spark, args.target, args.where, strategy=args.strategy)
+        if "delete_files" in res:  # merge-on-read result shape
+            print(
+                f"deleted {res['deleted_rows']} rows "
+                f"(wrote {res['delete_files']} position-delete files, "
+                f"{res['data_files']} data files untouched)",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"deleted {res['deleted_rows']} rows "
+                f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
+                file=sys.stderr,
+            )
         return
     if args.command in ("update-delta", "update-iceberg"):
         if args.command == "update-delta":

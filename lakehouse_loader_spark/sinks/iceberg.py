@@ -49,6 +49,18 @@ from lakehouse_loader_spark.sinks.modes import (
 
 COMMIT_RETRIES = 3
 
+# Position-delete file schema (Iceberg spec v2: reserved field-ids
+# 2147483546 = file_path, 2147483545 = pos).  Files are parquet, sorted by
+# (file_path, pos).  Note: Spark's parquet writer does not stamp the
+# reserved field-ids into the files; readers here (and any name-based
+# reader) resolve the two columns by name.
+_POS_DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
 
 class ConcurrentSpecChangeError(RuntimeError):
     """The table's default partition spec changed between planning an
@@ -378,11 +390,16 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     }
 
 
-def _write_manifest(path: str, snapshot_id: int, entries: list[dict], meta: dict) -> dict:
+def _write_manifest(
+    path: str, snapshot_id: int, entries: list[dict], meta: dict, content: int = 0
+) -> dict:
     """Write one Avro manifest for this commit's added files; returns its
     ``manifest_file`` record with sequence numbers unset (the manifest-list
     writer stamps them — they may change on a commit-conflict retry, which
     is exactly why the spec inherits entry sequence numbers).
+
+    ``content=1`` writes a DELETE manifest (spec v2): its entries describe
+    position-delete files (``data_file.content = 1``) rather than data.
 
     Per-file record counts come from the parquet footers (a driver-side
     metadata read; on a cluster the task commit messages would carry them)."""
@@ -415,7 +432,7 @@ def _write_manifest(path: str, snapshot_id: int, entries: list[dict], meta: dict
                 "sequence_number": None,  # inherit from manifest_file
                 "file_sequence_number": None,
                 "data_file": {
-                    "content": 0,
+                    "content": e.get("content", 0),
                     "file_path": file_abs,
                     "file_format": "PARQUET",
                     "partition": partition,
@@ -439,14 +456,14 @@ def _write_manifest(path: str, snapshot_id: int, entries: list[dict], meta: dict
             "partition-spec": json.dumps(spec["fields"]),
             "partition-spec-id": str(spec["spec-id"]),
             "format-version": "2",
-            "content": "data",
+            "content": "deletes" if content == 1 else "data",
         },
     )
     return {
         "manifest_path": full,
         "manifest_length": os.path.getsize(full),
         "partition_spec_id": spec["spec-id"],
-        "content": 0,  # data
+        "content": content,  # 0 data / 1 deletes
         "sequence_number": -1,  # stamped by _write_manifest_list
         "min_sequence_number": -1,
         "added_snapshot_id": snapshot_id,
@@ -510,6 +527,80 @@ def _snapshot_manifests(path: str, meta: dict) -> list[dict]:
         if snap["snapshot-id"] == snap_id:
             return _read_manifest_list(path, snap["manifest-list"])
     return []
+
+
+def _split_live_entries(
+    path: str, meta: dict, snapshot_id: int | None = None
+) -> tuple[list[dict], list[dict], bool]:
+    """(data_entries, position_delete_entries, partitioned) for a snapshot —
+    the ``data_file`` records split by content (0 = data, 1 = position
+    deletes), file paths left exactly as recorded."""
+    if snapshot_id is None:
+        manifests = _snapshot_manifests(path, meta)
+    else:
+        matches = [s for s in meta.get("snapshots", []) if s["snapshot-id"] == snapshot_id]
+        if not matches:
+            raise ValueError(
+                f"snapshot {snapshot_id} not in {path} "
+                f"(have {[s['snapshot-id'] for s in meta.get('snapshots', [])]})"
+            )
+        manifests = _read_manifest_list(path, matches[0]["manifest-list"])
+    data, deletes, partitioned = [], [], False
+    for mf in manifests:
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            d = e["data_file"]
+            if d.get("content", 0) == 1:
+                deletes.append(d)
+            else:
+                data.append(d)
+                partitioned = partitioned or bool(d["partition"])
+    return data, deletes, partitioned
+
+
+def _abs_file(path: str, fp: str) -> str:
+    return fp if os.path.isabs(fp) else os.path.join(path, fp)
+
+
+def _decode_scan_path(col):
+    """``_metadata.file_path`` (a ``file:/…`` URI, possibly percent-encoded)
+    → the plain filesystem path manifests record.  Percent-decoding uses
+    url_decode with '+' pre-escaped so it is a pure %XX decode (form-style
+    '+' → space would corrupt literal plus signs in paths)."""
+    from pyspark.sql import functions as F
+
+    stripped = F.regexp_replace(col, "^file:(//)?", "")
+    return F.url_decode(F.replace(stripped, F.lit("+"), F.lit("%2B")))
+
+
+def _with_row_positions(reader, abs_files: list[str], schema: T.StructType):
+    """Scan data files with each row's (file path, row position) attached as
+    ``__path`` / ``__pos`` — the join key position deletes address."""
+    from pyspark.sql import functions as F
+
+    return reader.parquet(*abs_files).select(
+        *schema.fieldNames(),
+        _decode_scan_path(F.col("_metadata.file_path")).alias("__path"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
+
+def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_entries: list[dict]) -> DataFrame:
+    """Drop rows addressed by position-delete files: one broadcast anti-join
+    on (file path, row position).  The delete set is metadata-sized (rows
+    deleted since the last compaction), so at cluster scale this stays a
+    map-side hash probe against the full scan — the read half of
+    merge-on-read."""
+    from pyspark.sql import functions as F
+
+    if not delete_entries:
+        return scan
+    del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
+    dels = spark.read.schema(_POS_DELETE_SCHEMA).parquet(*del_files)
+    return scan.join(
+        F.broadcast(dels),
+        (scan["__path"] == dels["file_path"]) & (scan["__pos"] == dels["pos"]),
+        "left_anti",
+    )
 
 
 def _partition_spec(schema_ice: dict, partition_by: list[str], spec_id: int) -> dict:
@@ -791,36 +882,33 @@ def read_iceberg(
 ) -> DataFrame:
     """Read a snapshot by walking version-hint → metadata → manifest list →
     manifests → data files.  ``snapshot_id`` time-travels to any retained
-    snapshot (every snapshot stays in the metadata history)."""
+    snapshot (every snapshot stays in the metadata history).
+
+    Merge-on-read: when the snapshot carries position-delete files
+    (``delete_from_iceberg(strategy="merge-on-read")``), deleted rows are
+    dropped at scan time via one broadcast anti-join on
+    (file path, row position) — see ``_apply_pos_deletes``."""
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
-    if snapshot_id is None:
-        manifests = _snapshot_manifests(path, meta)
-    else:
-        matches = [s for s in meta.get("snapshots", []) if s["snapshot-id"] == snapshot_id]
-        if not matches:
-            raise ValueError(
-                f"snapshot {snapshot_id} not in {path} "
-                f"(have {[s['snapshot-id'] for s in meta.get('snapshots', [])]})"
-            )
-        manifests = _read_manifest_list(path, matches[0]["manifest-list"])
-    files = []
-    partitioned = False
-    for mf in manifests:
-        for e in _read_manifest_entries(path, mf["manifest_path"]):
-            fp = e["data_file"]["file_path"]
-            files.append(fp if os.path.isabs(fp) else os.path.join(path, fp))
-            partitioned = partitioned or bool(e["data_file"]["partition"])
-    if not files:
+    data_entries, delete_entries, partitioned = _split_live_entries(
+        path, meta, snapshot_id
+    )
+    if not data_entries:
         return spark.createDataFrame([], schema)
+    files = [_abs_file(path, d["file_path"]) for d in data_entries]
     reader = spark.read.schema(schema)
     if partitioned:
         # hive-style dirs carry the partition values; basePath re-derives
         # the partition columns the data files themselves omit
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
-    return reader.parquet(*files).select(*schema.fieldNames())
+    if not delete_entries:
+        return reader.parquet(*files).select(*schema.fieldNames())
+    scan = _with_row_positions(reader, files, schema)
+    return _apply_pos_deletes(spark, scan, path, delete_entries).select(
+        *schema.fieldNames()
+    )
 
 
 @accepts_file_uris
@@ -856,6 +944,8 @@ def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
     kept, total = [], 0
     for mf in _snapshot_manifests(path, meta):
         for e in _read_manifest_entries(path, mf["manifest_path"]):
+            if e["data_file"].get("content", 0) == 1:
+                continue  # position-delete files are not scan candidates
             total += 1
             # manifests store TYPED partition values; canonicalize both
             # sides to the hive string form for comparison (dates are
@@ -871,16 +961,22 @@ def read_iceberg_pruned(
     spark: SparkSession, path: str, column: str, value
 ) -> DataFrame:
     """Partition-pruned read: plan from manifests (prune_iceberg_files),
-    then scan only the matching data files."""
+    then scan only the matching data files.  Position deletes (global
+    scope) still apply to the pruned scan."""
     kept, _ = prune_iceberg_files(path, column, value)
     _, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     if not kept:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
-    return reader.parquet(
-        *[p if os.path.isabs(p) else os.path.join(path, p) for p in kept]
-    ).select(*schema.fieldNames())
+    files = [_abs_file(path, p) for p in kept]
+    _, delete_entries, _ = _split_live_entries(path, meta)
+    if not delete_entries:
+        return reader.parquet(*files).select(*schema.fieldNames())
+    scan = _with_row_positions(reader, files, schema)
+    return _apply_pos_deletes(spark, scan, path, delete_entries).select(
+        *schema.fieldNames()
+    )
 
 
 @accepts_file_uris
@@ -1082,14 +1178,23 @@ def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
     return matches[0]
 
 
-def _snapshot_file_set(path: str, meta: dict, snapshot: dict) -> tuple[set[str], bool]:
+def _snapshot_file_set(
+    path: str, meta: dict, snapshot: dict
+) -> tuple[set[str], set[str], bool]:
+    """(data file paths, position-delete file paths, partitioned) of a
+    snapshot, paths as recorded in the manifests."""
     files: set[str] = set()
+    dels: set[str] = set()
     partitioned = False
     for mf in _read_manifest_list(path, snapshot["manifest-list"]):
         for e in _read_manifest_entries(path, mf["manifest_path"]):
-            files.add(e["data_file"]["file_path"])
-            partitioned = partitioned or bool(e["data_file"]["partition"])
-    return files, partitioned
+            d = e["data_file"]
+            if d.get("content", 0) == 1:
+                dels.add(d["file_path"])
+            else:
+                files.add(d["file_path"])
+                partitioned = partitioned or bool(d["partition"])
+    return files, dels, partitioned
 
 
 @accepts_file_uris
@@ -1114,10 +1219,12 @@ def read_iceberg_appends(
         raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
-    old_files, _ = _snapshot_file_set(path, meta, _snapshot_by_id(meta, since_snapshot_id))
+    old_files, old_dels, _ = _snapshot_file_set(
+        path, meta, _snapshot_by_id(meta, since_snapshot_id)
+    )
     if end_snapshot_id is None:
         end_snapshot_id = meta["current-snapshot-id"]
-    new_files, partitioned = _snapshot_file_set(
+    new_files, new_dels, partitioned = _snapshot_file_set(
         path, meta, _snapshot_by_id(meta, end_snapshot_id)
     )
     gone = sorted(old_files - new_files)
@@ -1125,6 +1232,14 @@ def read_iceberg_appends(
         raise ConcurrentModificationError(
             f"files live at snapshot {since_snapshot_id} are missing at "
             f"snapshot {end_snapshot_id} (e.g. {gone[0]}): history is not "
+            "append-only over this range; re-read the full snapshot"
+        )
+    if new_dels != old_dels:
+        # a merge-on-read DELETE (or a rollback dropping one) changed rows
+        # without touching the data-file set — not append-only either
+        raise ConcurrentModificationError(
+            f"position-delete files changed between snapshots "
+            f"{since_snapshot_id} and {end_snapshot_id}: history is not "
             "append-only over this range; re-read the full snapshot"
         )
     fresh = sorted(new_files - old_files)
@@ -1185,27 +1300,54 @@ def read_iceberg_changes(
             r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
         return r
 
-    def _rows(files: set[str], partitioned: bool) -> DataFrame | None:
-        if not files:
-            return None
-        paths = [fp if os.path.isabs(fp) else os.path.join(path, fp) for fp in sorted(files)]
+    def _check_exists(paths: list[str]) -> list[str]:
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
             raise FileNotFoundError(
                 f"change feed for {path} needs expired files: {missing[:5]}"
             )
-        return _reader(partitioned).parquet(*paths).select(*out_cols)
+        return paths
+
+    def _rows(files: set[str], partitioned: bool, dels: set[str]) -> DataFrame | None:
+        """Logical rows of ``files`` with the position-delete files ``dels``
+        applied (merge-on-read) — None when the file set is empty."""
+        if not files:
+            return None
+        paths = _check_exists([_abs_file(path, fp) for fp in sorted(files)])
+        if not dels:
+            return _reader(partitioned).parquet(*paths).select(*out_cols)
+        scan = _with_row_positions(_reader(partitioned), paths, schema)
+        entries = [{"file_path": d} for d in sorted(dels)]
+        _check_exists([_abs_file(path, d) for d in sorted(dels)])
+        return _apply_pos_deletes(spark, scan, path, entries).select(*out_cols)
+
+    def _delete_targets(dels: set[str]) -> set[str]:
+        """Data files addressed by the given position-delete files."""
+        if not dels:
+            return set()
+        paths = _check_exists([_abs_file(path, d) for d in sorted(dels)])
+        rows = (
+            spark.read.schema(_POS_DELETE_SCHEMA)
+            .parquet(*paths)
+            .select("file_path")
+            .distinct()
+            .collect()
+        )
+        return {r["file_path"] for r in rows}
 
     pieces: list[DataFrame] = []
     prev_files: set[str] = set()
+    prev_dels: set[str] = set()
     if start_idx > 0:
-        prev_files, _ = _snapshot_file_set(path, meta, snapshots[start_idx - 1])
+        prev_files, prev_dels, _ = _snapshot_file_set(path, meta, snapshots[start_idx - 1])
     for idx in range(start_idx, end_idx + 1):
         snap = snapshots[idx]
-        cur_files, partitioned = _snapshot_file_set(path, meta, snap)
+        cur_files, cur_dels, partitioned = _snapshot_file_set(path, meta, snap)
         op = (snap.get("summary") or {}).get("operation", "")
         added, removed = cur_files - prev_files, prev_files - cur_files
-        prev_files = cur_files
+        changed_dels = (cur_dels - prev_dels) | (prev_dels - cur_dels)
+        p_files, p_dels = prev_files, prev_dels
+        prev_files, prev_dels = cur_files, cur_dels
         if op == "replace":
             continue  # compaction: bytes moved, no rows changed
 
@@ -1216,15 +1358,30 @@ def read_iceberg_changes(
                 F.lit(idx).cast("int").alias("_snapshot_ordinal"),
             )
 
-        added_df = _rows(added, partitioned)
-        removed_df = _rows(removed, partitioned)
-        if op == "append" or removed_df is None:
+        if op == "append" or (not removed and not changed_dels):
+            added_df = _rows(added, partitioned, set())
             if added_df is not None:
                 pieces.append(_align(added_df, "insert"))
             continue
-        new_side = added_df if added_df is not None else spark.createDataFrame([], schema)
-        pieces.append(_align(removed_df.exceptAll(new_side), "delete"))
-        pieces.append(_align(new_side.exceptAll(removed_df), "insert"))
+
+        # general case (overwrite / delete / update / merge / rollback /
+        # merge-on-read delete): diff the OLD vs NEW logical rows of the
+        # files whose content logically changed — removed/added data files
+        # plus the carried files targeted by changed position-delete files.
+        # Both sides apply their snapshot's deletes, so merge-on-read
+        # deletions surface as row-level 'delete' changes and a rollback
+        # dropping delete files resurfaces rows as 'insert'.
+        touched = _delete_targets(changed_dels)
+        # manifests record absolute paths; carried sets are path-keyed
+        carried = {_abs_file(path, f) for f in (cur_files & p_files)}
+        touched = {f for f in touched if f in carried}
+        old_df = _rows(removed | touched, partitioned, p_dels)
+        new_df = _rows(added | touched, partitioned, cur_dels)
+        empty = spark.createDataFrame([], schema)
+        old_side = old_df if old_df is not None else empty
+        new_side = new_df if new_df is not None else empty
+        pieces.append(_align(old_side.exceptAll(new_side), "delete"))
+        pieces.append(_align(new_side.exceptAll(old_side), "insert"))
 
     if not pieces:
         return spark.createDataFrame([], schema).select(
@@ -1349,9 +1506,12 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     another writer lands first, the probe's snapshot is stale and the
     operation fails loudly (re-probe the new snapshot), never retrying
     blindly.  Returns (n_matched, n_rewritten, n_total_files).
-    """
-    from urllib.parse import unquote, urlparse
 
+    Merge-on-read interplay: when the table carries position-delete files,
+    their target data files are FORCED into the rewrite set (deletes
+    applied during the rewrite), and the new snapshot drops every delete
+    manifest — copy-on-write DML doubles as a deletes compaction.
+    """
     from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
@@ -1366,18 +1526,10 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     spec_cols = _default_spec_cols(meta)
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
 
-    entries_live: list[dict] = []
-    partitioned = False
-    for mf in _snapshot_manifests(path, meta):
-        for e in _read_manifest_entries(path, mf["manifest_path"]):
-            entries_live.append(e["data_file"])
-            partitioned = partitioned or bool(e["data_file"]["partition"])
+    entries_live, delete_entries, partitioned = _split_live_entries(path, meta)
     if not entries_live:
         return 0, 0, 0
-    abs_files = [
-        fp if os.path.isabs(fp) else os.path.join(path, fp)
-        for fp in (d["file_path"] for d in entries_live)
-    ]
+    abs_files = [_abs_file(path, d["file_path"]) for d in entries_live]
 
     def reader():
         r = spark.read.schema(schema)
@@ -1385,27 +1537,40 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
             r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
         return r
 
+    def scan(files):
+        # (file path, row position) attached + existing position deletes
+        # applied, so a copy-on-write pass over a merge-on-read table never
+        # resurrects deleted rows
+        s = _with_row_positions(reader(), files, schema)
+        return _apply_pos_deletes(spark, s, path, delete_entries)
+
     pred = F.expr(predicate)
     probe = (
-        reader().parquet(*abs_files)
-        .withColumn("__file", F.input_file_name())
+        scan(abs_files)
         .filter(pred)
-        .groupBy("__file")
+        .groupBy("__path")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    # input_file_name() returns a URI — unquote percent-escapes (spaces,
-    # Spark-escaped partition values) so probe paths compare equal to the
-    # manifests' on-disk file paths; a silent mismatch here would BOTH
-    # carry the file over AND re-add its kept rows (resurrected deletes +
-    # duplicated rows)
-    affected = {unquote(urlparse(r["__file"]).path) for r in probe}
+    affected = {r["__path"] for r in probe}
     n_matched = sum(r["n"] for r in probe)
+    if delete_entries:
+        # force delete-target files into the rewrite so their delete files
+        # (dropped below with every delete manifest) are materialized
+        del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
+        targets = (
+            spark.read.schema(_POS_DELETE_SCHEMA)
+            .parquet(*del_files)
+            .select("file_path")
+            .distinct()
+            .collect()
+        )
+        affected |= {r["file_path"] for r in targets} & set(abs_files)
     if not affected:
         return 0, 0, len(entries_live)
 
     replacement = rewrite_fn(
-        reader().parquet(*sorted(affected)).select(*schema.fieldNames()), pred, schema
+        scan(sorted(affected)).select(*schema.fieldNames()), pred, schema
     )
     new_entries = _write_data_files(replacement, path, spec_cols or None)
 
@@ -1462,15 +1627,163 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     return int(n_matched), len(affected), len(entries_live)
 
 
-def delete_from_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Row-level DELETE for the Iceberg table, copy-on-write — the format
-    twin of ``delta.delete_from_delta`` (probe/commit shape in
-    _cow_iceberg).  SQL DELETE semantics: TRUE predicate rows removed,
-    false/NULL kept.
+def _write_pos_delete_files(matches: DataFrame, path: str) -> list[dict]:
+    """Write position-delete parquet files (file_path, pos — sorted, as the
+    spec requires) under data/ as ``delete-<uuid>.parquet``; returns their
+    manifest entries (``content=1``, empty partition → the deletes apply
+    table-wide).  Empty output parts are discarded."""
+    import pyarrow.parquet as pq
+    import shutil
 
-    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    matches.sort("file_path", "pos").write.option("compression", "snappy").parquet(
+        staging
+    )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            new_name = f"delete-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(data_dir, new_name)
+            shutil.move(src, dst)
+            entries.append(
+                {
+                    "content": 1,
+                    "file_path": f"data/{new_name}",
+                    "file_format": "PARQUET",
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "partition": {},
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE: instead of rewriting matched data files
+    (copy-on-write), commit small position-delete files recording
+    (file path, row position) of every matched row; readers drop them via
+    a broadcast anti-join (``_apply_pos_deletes``) until ``optimize_iceberg``
+    compacts the deletes away.
+
+    The 100 TB trade: a delete touching 1% of rows spread over every file
+    would rewrite the whole table under copy-on-write; merge-on-read
+    writes only the match positions (delete-size, not table-size I/O) and
+    shifts the cost to reads — the same knob Iceberg v2 exposes as
+    ``write.delete.mode``.
+
+    Concurrency: conditional metadata put, stale probe fails loudly (no
+    blind retry) — same contract as the copy-on-write path."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    if not data_entries:
+        return {"deleted_rows": 0, "delete_files": 0, "data_files": 0}
+
+    files = [_abs_file(path, d["file_path"]) for d in data_entries]
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    scan = _with_row_positions(reader, files, schema)
+    # rows already position-deleted must not be re-recorded (double-counted
+    # delete totals, and needless growth of the delete set)
+    scan = _apply_pos_deletes(spark, scan, path, delete_entries)
+    matches = scan.filter(F.coalesce(F.expr(predicate), F.lit(False))).select(
+        F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    new_delete_entries = _write_pos_delete_files(matches, path)
+    if not new_delete_entries:
+        return {"deleted_rows": 0, "delete_files": 0, "data_files": len(data_entries)}
+    n_deleted = sum(
+        pq.ParquetFile(_abs_file(path, e["file_path"])).metadata.num_rows
+        for e in new_delete_entries
+    )
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    manifest = _write_manifest(path, snapshot_id, new_delete_entries, meta, content=1)
+    manifests = _snapshot_manifests(path, meta) + [manifest]
+    manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {
+            "operation": "delete",
+            "predicate": predicate,
+            "delete-mode": "merge-on-read",
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        # clean up the delete files the lost commit staged
+        for e in new_delete_entries:
+            full = _abs_file(path, e["file_path"])
+            if os.path.exists(full):
+                os.remove(full)
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the DELETE's "
+            "snapshot is stale — re-run against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "deleted_rows": int(n_deleted),
+        "delete_files": len(new_delete_entries),
+        "data_files": len(data_entries),
+    }
+
+
+def delete_from_iceberg(
+    spark: SparkSession, path: str, predicate: str, strategy: str = "copy-on-write"
+) -> dict:
+    """Row-level DELETE for the Iceberg table — the format twin of
+    ``delta.delete_from_delta``.  SQL DELETE semantics: TRUE predicate rows
+    removed, false/NULL kept.
+
+    ``strategy`` picks the spec-v2 delete mode: ``"copy-on-write"`` rewrites
+    matched files (read-optimized; probe/commit shape in _cow_iceberg),
+    ``"merge-on-read"`` commits position-delete files instead
+    (write-optimized; see _mor_delete_iceberg).
+
+    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n} for
+    copy-on-write; {"deleted_rows": n, "delete_files": n, "data_files": n}
+    for merge-on-read.
     """
     from pyspark.sql import functions as F
+
+    if strategy == "merge-on-read":
+        return _mor_delete_iceberg(spark, path, predicate)
+    if strategy != "copy-on-write":
+        raise ValueError(f"unknown delete strategy {strategy!r}")
 
     def drop_matches(rows, pred, _schema):
         return rows.filter(F.coalesce(pred, F.lit(False)) == F.lit(False))
@@ -1566,10 +1879,11 @@ def optimize_iceberg(
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_exprs = _default_spec_cols(meta)
     spec_srcs = [TR.parse_partition_expr(e)[1] for e in spec_exprs]
-    n_before = sum(
-        len(_read_manifest_entries(path, mf["manifest_path"]))
-        for mf in _snapshot_manifests(path, meta)
-    )
+    data_before, deletes_before, _ = _split_live_entries(path, meta)
+    n_before = len(data_before)
+    # read_iceberg applies position-delete files, so compaction doubles as
+    # the merge-on-read deletes purge: the new snapshot's manifest lists
+    # clean data files only and carries no delete manifest
     df = read_iceberg(spark, path)
     if zorder_by:
         from lakehouse_loader_spark.operators.zorder import zorder_layout
@@ -1613,7 +1927,11 @@ def optimize_iceberg(
         json.dump(new_meta, fh, indent=2)
     with open(_hint_file(path), "w") as fh:
         fh.write(str(version + 1))
-    return {"rewritten_files": n_before, "new_files": len(entries)}
+    return {
+        "rewritten_files": n_before,
+        "new_files": len(entries),
+        "purged_delete_files": len(deletes_before),
+    }
 
 
 def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -> dict:
@@ -1630,8 +1948,6 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
 
     Returns {"rewritten_files": n, "updated": n, "inserted": n}.
     """
-    from urllib.parse import unquote, urlparse
-
     from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
@@ -1658,49 +1974,48 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     spec_cols = _default_spec_cols(meta)
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
 
-    entries_live: list[dict] = []
-    partitioned = False
-    for mf in _snapshot_manifests(path, meta):
-        for e in _read_manifest_entries(path, mf["manifest_path"]):
-            entries_live.append(e["data_file"])
-            partitioned = partitioned or bool(e["data_file"]["partition"])
+    entries_live, delete_entries, partitioned = _split_live_entries(path, meta)
+
+    def scan(files):
+        # position deletes applied (merge-on-read interplay — see
+        # _cow_iceberg); row positions attached for path attribution
+        r = spark.read.schema(schema)
+        if partitioned:
+            r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
+        s = _with_row_positions(r, files, schema)
+        return _apply_pos_deletes(spark, s, path, delete_entries)
 
     keys = source.select(key).distinct()
     affected: set[str] = set()
     n_updated = 0
     if entries_live:
-        abs_files = [
-            fp if os.path.isabs(fp) else os.path.join(path, fp)
-            for fp in (d["file_path"] for d in entries_live)
-        ]
-        reader = spark.read.schema(schema)
-        if partitioned:
-            reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+        abs_files = [_abs_file(path, d["file_path"]) for d in entries_live]
         probe = (
-            reader.parquet(*abs_files)
-            .withColumn("__file", F.input_file_name())
+            scan(abs_files)
             .join(F.broadcast(keys), key, "inner")
-            .groupBy("__file")
+            .groupBy("__path")
             .agg(F.countDistinct(key).alias("nk"))
             .collect()
         )
-        affected = {unquote(urlparse(r["__file"]).path) for r in probe}
+        affected = {r["__path"] for r in probe}
+        if delete_entries:
+            # force delete-target files into the rewrite: the new snapshot
+            # drops every delete manifest, so their effect must materialize
+            del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
+            targets = (
+                spark.read.schema(_POS_DELETE_SCHEMA)
+                .parquet(*del_files)
+                .select("file_path")
+                .distinct()
+                .collect()
+            )
+            affected |= {r["file_path"] for r in targets} & set(abs_files)
         if affected:
-            matched_reader = spark.read.schema(schema)
-            if partitioned:
-                matched_reader = matched_reader.option(
-                    "basePath", os.path.join(os.path.abspath(path), "data")
-                )
-            cand = matched_reader.parquet(*sorted(affected)).select(*schema.fieldNames())
+            cand = scan(sorted(affected)).select(*schema.fieldNames())
             n_updated = keys.join(cand.select(key), key, "left_semi").count()
 
     if affected:
-        matched_reader = spark.read.schema(schema)
-        if partitioned:
-            matched_reader = matched_reader.option(
-                "basePath", os.path.join(os.path.abspath(path), "data")
-            )
-        kept = matched_reader.parquet(*sorted(affected)).select(*schema.fieldNames()).join(
+        kept = scan(sorted(affected)).select(*schema.fieldNames()).join(
             F.broadcast(keys), key, "left_anti"
         )
         rewritten = kept.unionByName(source)
@@ -1782,9 +2097,9 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     target = _snapshot_by_id(meta, snapshot_id)
-    files, _ = _snapshot_file_set(path, meta, target)
+    data_files, del_files, _ = _snapshot_file_set(path, meta, target)
     missing = [
-        fp for fp in sorted(files)
+        fp for fp in sorted(data_files | del_files)
         if not os.path.exists(fp if os.path.isabs(fp) else os.path.join(path, fp))
     ]
     if missing:

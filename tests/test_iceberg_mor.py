@@ -1,0 +1,233 @@
+"""Merge-on-read positional deletes for the Iceberg sink (spec v2
+content=1 delete files): write-side commits, read-side anti-join
+application, copy-on-write/compaction interplay, and the change feed."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks import iceberg as IC
+from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+
+
+def _data_files(path):
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+        if "delete-" not in os.path.basename(f)
+    )
+
+
+def _delete_files(path):
+    return sorted(glob.glob(os.path.join(path, "data", "delete-*.parquet")))
+
+
+def _two_file_table(spark, path):
+    lo = spark.range(0, 50).select("id", (F.col("id") % 2 == 0).alias("flag"))
+    hi = spark.range(1000, 1050).select("id", F.lit(None).cast("boolean").alias("flag"))
+    IC.write_iceberg(lo.coalesce(1), path)
+    IC.write_iceberg(hi.coalesce(1), path, append=True)
+
+
+def test_mor_delete_writes_positions_not_data(spark, tmpdir):
+    """Merge-on-read DELETE: no data file is rewritten — a position-delete
+    file appears instead — and reads drop exactly the matched rows.  Time
+    travel to the pre-delete snapshot still sees everything."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    before = _data_files(path)
+    pre = IC.snapshot_ids(path)[-1]
+
+    res = IC.delete_from_iceberg(
+        spark, path, "flag = true AND id < 20", strategy="merge-on-read"
+    )
+    assert res["deleted_rows"] == 10
+    assert res["delete_files"] >= 1 and res["data_files"] == 2
+    assert _data_files(path) == before  # untouched bytes
+    assert _delete_files(path)
+
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 90
+    assert back.filter("flag = true AND id < 20").count() == 0
+    assert back.filter("id >= 1000").count() == 50
+    assert IC.read_iceberg(spark, path, snapshot_id=pre).count() == 100
+
+    snap = [s for s in IC.snapshot_ids(path)][-1]
+    _, meta = IC._read_metadata(path)
+    summary = [s for s in meta["snapshots"] if s["snapshot-id"] == snap][0]["summary"]
+    assert summary["operation"] == "delete"
+    assert summary["delete-mode"] == "merge-on-read"
+
+
+def test_mor_delete_is_idempotent_on_deleted_rows(spark, tmpdir):
+    """A second merge-on-read DELETE whose predicate overlaps the first
+    must not re-record already-deleted positions (delete-set growth and
+    double-counted totals)."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    r1 = IC.delete_from_iceberg(spark, path, "id < 20", strategy="merge-on-read")
+    assert r1["deleted_rows"] == 20
+    r2 = IC.delete_from_iceberg(spark, path, "id < 30", strategy="merge-on-read")
+    assert r2["deleted_rows"] == 10  # only 20..29
+    assert IC.read_iceberg(spark, path).count() == 70
+    # zero-match delete commits nothing
+    snaps = IC.snapshot_ids(path)
+    r3 = IC.delete_from_iceberg(spark, path, "id < 30", strategy="merge-on-read")
+    assert r3["deleted_rows"] == 0
+    assert IC.snapshot_ids(path) == snaps
+
+
+def test_mor_delete_on_partitioned_table_and_pruned_read(spark, tmpdir):
+    path = os.path.join(tmpdir, "icep")
+    df = spark.range(0, 60).select("id", (F.col("id") % 3).alias("b"))
+    IC.write_iceberg(df, path, partition_by=["b"])
+    res = IC.delete_from_iceberg(
+        spark, path, "b = 1 AND id < 30", strategy="merge-on-read"
+    )
+    assert res["deleted_rows"] == 10
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 50
+    assert back.filter("b = 1").count() == 10
+    # prune skips delete files in its candidates and the pruned scan still
+    # applies the deletes
+    files, total = IC.prune_iceberg_files(path, "b", 1)
+    assert files and total >= len(files)
+    assert all("delete-" not in f for f in files)
+    pruned = IC.read_iceberg_pruned(spark, path, "b", 1)
+    assert pruned.count() == 10
+    assert pruned.filter("id < 30").count() == 0
+
+
+def test_optimize_purges_position_deletes(spark, tmpdir):
+    """Compaction reads merge-on-read state and commits clean data files:
+    the logical rows are unchanged, no delete manifest is carried, and the
+    post-compaction snapshot needs no anti-join."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.delete_from_iceberg(spark, path, "id < 10", strategy="merge-on-read")
+    logical = sorted(r.id for r in IC.read_iceberg(spark, path).collect())
+
+    res = IC.optimize_iceberg(spark, path)
+    assert res["purged_delete_files"] >= 1
+    _, meta = IC._read_metadata(path)
+    data, dels, _ = IC._split_live_entries(path, meta)
+    assert dels == [] and data
+    assert sorted(r.id for r in IC.read_iceberg(spark, path).collect()) == logical
+
+
+def test_cow_dml_on_mor_table_materializes_deletes(spark, tmpdir):
+    """Copy-on-write DELETE/UPDATE over a table carrying position deletes:
+    deleted rows never resurrect (delete-target files are forced into the
+    rewrite and every delete manifest drops from the new snapshot)."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.delete_from_iceberg(spark, path, "id < 10", strategy="merge-on-read")
+
+    # COW update touching only the hi file: lo file is a delete target and
+    # must be rewritten anyway
+    res = IC.update_iceberg(spark, path, "id >= 1040", {"flag": "true"})
+    assert res["updated_rows"] == 10
+    _, meta = IC._read_metadata(path)
+    data, dels, _ = IC._split_live_entries(path, meta)
+    assert dels == []
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 90  # MOR deletes stayed applied
+    assert back.filter("id < 10").count() == 0
+    assert back.filter("flag = true AND id >= 1040").count() == 10
+
+
+def test_merge_on_mor_table_treats_deleted_keys_as_inserts(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.delete_from_iceberg(spark, path, "id < 5", strategy="merge-on-read")
+    source = spark.range(3, 8).select(
+        "id", F.lit(True).alias("flag")
+    )  # 3,4 deleted → inserts; 5,6,7 live → updates
+    res = IC.merge_iceberg(spark, path, source, key="id")
+    assert res["updated"] == 3 and res["inserted"] == 2
+    _, meta = IC._read_metadata(path)
+    _, dels, _ = IC._split_live_entries(path, meta)
+    assert dels == []
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 97  # 100 - 5 deleted + 2 re-inserted
+    assert back.filter("id IN (0, 1, 2)").count() == 0
+    assert back.filter("flag = true AND id IN (3, 4, 5, 6, 7)").count() == 5
+
+
+def test_change_feed_surfaces_mor_deletes_as_row_deletes(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    first = IC.snapshot_ids(path)[-1]
+    IC.delete_from_iceberg(spark, path, "id >= 1045", strategy="merge-on-read")
+    ch = IC.read_iceberg_changes(spark, path, since_snapshot_id=first)
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r.id for r in rows) == [1045, 1046, 1047, 1048, 1049]
+    # appends reader refuses the non-append-only range
+    with pytest.raises(ConcurrentModificationError):
+        IC.read_iceberg_appends(spark, path, since_snapshot_id=first)
+
+
+def test_mor_delete_then_append_then_changes(spark, tmpdir):
+    """Sequence MOR-delete → append: the append's change rows are pure
+    inserts (carried delete files don't leak into the diff), and the final
+    read applies deletes only to their target files."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    base = IC.snapshot_ids(path)[-1]
+    IC.delete_from_iceberg(spark, path, "id < 3", strategy="merge-on-read")
+    extra = spark.range(2000, 2010).select("id", F.lit(False).alias("flag"))
+    IC.write_iceberg(extra.coalesce(1), path, append=True)
+
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 107
+    assert back.filter("id < 3").count() == 0
+
+    ch = IC.read_iceberg_changes(spark, path, since_snapshot_id=base).collect()
+    dels = sorted(r.id for r in ch if r["_change_type"] == "delete")
+    ins = sorted(r.id for r in ch if r["_change_type"] == "insert")
+    assert dels == [0, 1, 2]
+    assert ins == list(range(2000, 2010))
+
+
+def test_unknown_delete_strategy_rejected(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    with pytest.raises(ValueError, match="unknown delete strategy"):
+        IC.delete_from_iceberg(spark, path, "id < 5", strategy="mor")
+
+
+def test_rollback_past_mor_delete_resurrects_rows(spark, tmpdir):
+    """Rolling back to a pre-delete snapshot drops the delete files from
+    the current state (pure metadata): the rows read again, and the change
+    feed shows the rollback as row-level inserts."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    pre = IC.snapshot_ids(path)[-1]
+    IC.delete_from_iceberg(spark, path, "id < 4", strategy="merge-on-read")
+    post = IC.snapshot_ids(path)[-1]
+    assert IC.read_iceberg(spark, path).count() == 96
+
+    IC.rollback_iceberg(path, pre)
+    assert IC.read_iceberg(spark, path).count() == 100
+    ch = IC.read_iceberg_changes(spark, path, since_snapshot_id=post).collect()
+    assert {r["_change_type"] for r in ch} == {"insert"}
+    assert sorted(r.id for r in ch) == [0, 1, 2, 3]
+
+
+def test_cli_mor_delete_subcommand(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    before = _data_files(path)
+    do_main(
+        ["delete-iceberg", path, "--where", "id >= 1045", "--strategy", "merge-on-read"]
+    )
+    assert _data_files(path) == before
+    assert _delete_files(path)
+    assert IC.read_iceberg(spark, path).count() == 95
