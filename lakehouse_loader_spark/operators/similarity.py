@@ -538,3 +538,41 @@ def semantic_dedup(
     return out.withColumn(
         "dup_of", F.when(F.col("dup_of") >= 0, F.col("dup_of"))
     )  # -1 sentinel → NULL
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2): one
+    Arrow-batched pass, each batch a single numpy distance matrix against
+    the broadcast (n_centroids × dim) array — the cluster-assignment half
+    of k-means document clustering / topic bucketing.  Output:
+    (id, cluster, dist)."""
+    import pandas as pd
+
+    bc = [list(map(float, c)) for c in centroids]
+    out_schema = f"{id_col} BIGINT, cluster INT, dist DOUBLE"
+
+    def assign(batches):
+        c = np.asarray(bc, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cid = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": cid.astype(np.int32),
+                    "dist": np.sqrt(d[np.arange(len(cid)), cid]),
+                }
+            )
+
+    vecs = emb.select(
+        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
+    )
+    return vecs.mapInPandas(assign, schema=out_schema)

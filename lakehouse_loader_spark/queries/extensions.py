@@ -1557,3 +1557,90 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# K-means document clustering (topic bucketing over embeddings — the
+# clustering stage SemDeDup & IVF share)
+# --------------------------------------------------------------------------
+@query("embedding_kmeans_clusters", oracle=None)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the embedding corpus: centroids train on a bounded
+    hash-ordered sample (constant driver state, corpus-size-independent —
+    see train_ivf_centroids_sampled), then one Arrow-batched pass assigns
+    every vector via a numpy distance matmul.  Rows-only (k-means has no
+    SQL equivalent); determinism and balance are pytest-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids_sampled(emb, n_centroids=8, n_iters=5)
+    out = S.kmeans_assign(emb, cents)
+    return out.select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality score (the next step up from text_unigram_logprob)
+# --------------------------------------------------------------------------
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t, pos FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents)),
+    bi AS (
+      SELECT a.doc_id, a.t AS w1, b.t AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bi GROUP BY 1, 2),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab FROM toks)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((CAST(n2 AS DOUBLE) + 1.0)
+                        / (CAST(n1 AS DOUBLE) + CAST(vocab AS DOUBLE)))), 4)
+             AS avg_logprob
+    FROM bi JOIN c1 USING (w1) JOIN c2 USING (w1, w2) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed bigram LM scoring: per-doc mean
+    ln (c(w1,w2)+1)/(c(w1·)+V).  Adjacent pairs are built MAP-SIDE from
+    each doc's token array (transform over sequence — no self-join, no
+    shuffle to form bigrams); the bigram/context vocabularies aggregate
+    from that stream and broadcast back with the one-row vocab size.
+    Corpus volume is touched once; vocab tables scale with Heaps' law,
+    not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+    bi = tk.select(
+        "doc_id",
+        # zip the array against itself shifted by one (slice lengths are
+        # size-1 → empty for single-token docs; sequence() would flip to a
+        # descending range there)
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    v = tk.select(F.explode("tk").alias("t")).agg(F.countDistinct("t").alias("vocab"))
+    return (
+        bi.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("n2").cast("double") + F.lit(1.0))
+                        / (F.col("n1").cast("double") + F.col("vocab").cast("double"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

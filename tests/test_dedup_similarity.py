@@ -337,3 +337,27 @@ def test_semantic_dedup_invariants_and_brute_agreement(spark, emb):
     got = {k: r.dup_of for k, r in rows.items() if r.dup_of is not None}
     assert got == expect
     out.unpersist()
+
+
+def test_kmeans_assign_matches_local_numpy(spark, emb):
+    """Cluster assignment: deterministic, total, and each vector's cluster
+    is its true argmin squared-L2 centroid (verified against local numpy
+    on the full corpus)."""
+    import numpy as np
+
+    cents = S.train_ivf_centroids_sampled(emb, n_centroids=8, n_iters=5)
+    out = S.kmeans_assign(emb, cents)
+    rows = {r.vec_id: (r.cluster, r.dist) for r in out.collect()}
+    assert len(rows) == emb.count()
+
+    local = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+    c = np.asarray(cents, dtype=np.float64)
+    for vid, v in local.items():
+        d = ((c - v) ** 2).sum(axis=1)
+        assert rows[vid][0] == int(d.argmin())
+        assert abs(rows[vid][1] - float(np.sqrt(d.min()))) < 1e-9
+
+    again = {r.vec_id: r.cluster for r in S.kmeans_assign(emb, cents).collect()}
+    assert again == {k: v[0] for k, v in rows.items()}
