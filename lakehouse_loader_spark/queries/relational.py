@@ -1997,11 +1997,12 @@ def tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supply relation derives from lineitem — per (part, supplier) unit
     cost = sum(price)/sum(qty), rounded to 4 BEFORE the min comparison so
     the equality is between identically-rounded values in both engines).
-    The defining shape survives: a region-filtered supply view probed
-    twice, once as the fact and once under a correlated MIN, decorrelated
-    to a per-part min join.  supplier/nation/region broadcast; the supply
-    agg and the per-part min reuse the same shuffle key (l_partkey), and
-    the min side broadcasts back."""
+    The defining shape survives: a region-filtered supply view probed as
+    the fact and under a correlated MIN — decorrelated here to a per-part
+    window minimum so the supply subtree is built ONCE (the min-join form
+    would scan/aggregate lineitem twice).  supplier/nation/region/part
+    broadcast; the supply agg and the window share the l_partkey shuffle
+    key, so the window adds a sort but no extra exchange."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -2020,16 +2021,11 @@ def tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
     )
-    min_cost = eu.groupBy(F.col("ps_partkey").alias("mc_key")).agg(
-        F.min("ps_supplycost").alias("mc_min")
-    )
+    mc = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
     return (
-        eu.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            F.broadcast(min_cost),
-            (F.col("ps_partkey") == F.col("mc_key"))
-            & (F.col("ps_supplycost") == F.col("mc_min")),
-        )
+        eu.withColumn("mc_min", mc)
+        .filter(F.col("ps_supplycost") == F.col("mc_min"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
