@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
             if fmt == "pg":
                 sp.add_argument("-q", "--query", required=True)
                 sp.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
+                # parallel partitioned ingest (all four required together):
+                # -q becomes the "(subquery) alias" dbtable form when
+                # --partition-column is set
+                sp.add_argument("--partition-column", default=None)
+                sp.add_argument("--num-partitions", type=int, default=None)
+                sp.add_argument("--lower-bound", type=int, default=None)
+                sp.add_argument("--upper-bound", type=int, default=None)
             if fmt in ("csv", "jsonl"):
                 sp.add_argument("--schema", default=None, help="DDL schema string (skips inference)")
             if fmt == "csv":
@@ -317,13 +324,41 @@ def do_main(argv: list[str]) -> None:
         return
     fmt = args.command.split("-to-")[0]
     if fmt == "pg":
-        df = read_postgres_query(
-            spark,
-            args.source,
-            args.query,
-            batch_size=args.batch_size,
-            password=os.environ.get("PGPASSWORD"),
+        part_args = (
+            args.partition_column,
+            args.num_partitions,
+            args.lower_bound,
+            args.upper_bound,
         )
+        if any(a is not None for a in part_args):
+            if any(a is None for a in part_args):
+                raise SystemExit(
+                    "--partition-column, --num-partitions, --lower-bound and "
+                    "--upper-bound must be given together"
+                )
+            from lakehouse_loader_spark.sources.readers import (
+                read_postgres_table_parallel,
+            )
+
+            df = read_postgres_table_parallel(
+                spark,
+                args.source,
+                table=f"({args.query}) lhl_src",
+                partition_column=args.partition_column,
+                lower_bound=args.lower_bound,
+                upper_bound=args.upper_bound,
+                num_partitions=args.num_partitions,
+                batch_size=args.batch_size,
+                password=os.environ.get("PGPASSWORD"),
+            )
+        else:
+            df = read_postgres_query(
+                spark,
+                args.source,
+                args.query,
+                batch_size=args.batch_size,
+                password=os.environ.get("PGPASSWORD"),
+            )
     elif fmt == "csv":
         df = read_csv_source(spark, args.source, schema=args.schema, delimiter=args.delimiter)
     elif fmt == "jsonl":

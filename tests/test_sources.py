@@ -293,3 +293,76 @@ def test_cli_avro_to_delta_roundtrip(spark, tmpdir):
     back = read_delta(spark, out)
     assert back.count() == 50
     assert {r.id for r in back.collect()} == set(range(50))
+
+
+class TestPostgresJdbcPartitionedContract:
+    def test_partitioned_options_assembly(self):
+        from lakehouse_loader_spark.sources.readers import (
+            postgres_jdbc_partitioned_options,
+        )
+
+        opts = postgres_jdbc_partitioned_options(
+            "postgresql://u:pw@db.example:5433/prod?sslmode=require",
+            table="public.events",
+            partition_column="event_id",
+            lower_bound=0,
+            upper_bound=1_000_000,
+            num_partitions=64,
+        )
+        assert opts["url"] == "jdbc:postgresql://db.example:5433/prod?sslmode=require"
+        assert opts["dbtable"] == "public.events"
+        assert opts["partitionColumn"] == "event_id"
+        assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+        assert opts["numPartitions"] == "64"
+        assert opts["user"] == "u" and opts["password"] == "pw"
+        assert "query" not in opts  # mutually exclusive with partitioning
+
+    def test_partitioned_options_validation(self):
+        import pytest
+
+        from lakehouse_loader_spark.sources.readers import (
+            postgres_jdbc_partitioned_options,
+        )
+
+        with pytest.raises(ValueError, match="num_partitions"):
+            postgres_jdbc_partitioned_options(
+                "postgresql://h/db", "t", "id", 0, 10, 0
+            )
+        with pytest.raises(ValueError, match="upper_bound"):
+            postgres_jdbc_partitioned_options(
+                "postgresql://h/db", "t", "id", 10, 10, 4
+            )
+
+    def test_subquery_alias_form(self):
+        from lakehouse_loader_spark.sources.readers import (
+            postgres_jdbc_partitioned_options,
+        )
+
+        opts = postgres_jdbc_partitioned_options(
+            "postgresql://h/db",
+            table="(SELECT id, v FROM t WHERE v > 0) src",
+            partition_column="id",
+            lower_bound=1,
+            upper_bound=100,
+            num_partitions=8,
+        )
+        assert opts["dbtable"].startswith("(SELECT")
+
+
+def test_cli_pg_partitioned_flags_validated():
+    """--partition-column & friends must be given together (the CLI fails
+    fast before touching Spark)."""
+    import pytest
+
+    from lakehouse_loader_spark.cli import build_parser, do_main
+
+    args = build_parser().parse_args(
+        ["pg-to-delta", "postgresql://h/db", "/tmp/x", "-q", "SELECT 1",
+         "--partition-column", "id"]
+    )
+    assert args.partition_column == "id" and args.num_partitions is None
+    with pytest.raises(SystemExit, match="must be given together"):
+        do_main(
+            ["pg-to-delta", "postgresql://h/db", "/tmp/x", "-q", "SELECT 1",
+             "--partition-column", "id"]
+        )
