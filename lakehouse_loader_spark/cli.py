@@ -19,6 +19,7 @@ runs these on a schedule next to the loader):
     lhl expire-snapshots  TARGET [--keep-last N]
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
     lhl convert-delta-to-iceberg SOURCE TARGET
+    lhl convert-iceberg-to-delta SOURCE TARGET
     lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
     lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
     lhl changes-delta SOURCE TARGET --since N [--end M]   (change-feed export)
@@ -131,6 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="when source history was rewritten by DML: fail (default), "
         "full rebuild, or fold the row-level change feed (sum/count only)",
     )
+    cid = sub.add_parser("convert-iceberg-to-delta")
+    cid.add_argument("source")
+    cid.add_argument("target")
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -319,6 +323,15 @@ def do_main(argv: list[str]) -> None:
         print(
             f"converted {res['files']} files / {res['rows']} rows "
             f"(snapshot {res['snapshot_id']})",
+            file=sys.stderr,
+        )
+        return
+    if args.command == "convert-iceberg-to-delta":
+        from lakehouse_loader_spark.sinks.delta import convert_iceberg_to_delta
+
+        res = convert_iceberg_to_delta(args.source, args.target)
+        print(
+            f"converted {res['files']} files / {res['rows']} rows",
             file=sys.stderr,
         )
         return

@@ -1449,3 +1449,90 @@ def update_delta(
         "rewritten_files": rewritten,
         "kept_files": total - rewritten,
     }
+
+
+def convert_iceberg_to_delta(iceberg_path: str, delta_path: str) -> dict:
+    """Metadata-only Iceberg→Delta migration — the exact reverse of
+    ``iceberg.convert_delta_to_iceberg``: a fresh Delta table whose log
+    references the Iceberg table's CURRENT live parquet files in place
+    (absolute add paths, which the Delta protocol permits) — zero data
+    movement, so table size is irrelevant to conversion cost.
+
+    Same caveats as the forward direction: unpartitioned sources only
+    (Iceberg hive-dirs would need partitionValues re-derivation), the
+    source must outlive the converted table (``expire_snapshots`` on the
+    Iceberg side would pull files out from under it), and tables carrying
+    merge-on-read position deletes must be compacted first
+    (``optimize_iceberg``) — a Delta add cannot express row-level delete
+    files.
+
+    Returns {"files": n, "rows": n}.
+    """
+    import pyarrow.parquet as pq
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    iceberg_path = local_path(iceberg_path)
+    delta_path = local_path(delta_path)
+    if not IC.table_exists(iceberg_path):
+        raise FileNotFoundError(f"no iceberg table at {iceberg_path}")
+    if table_exists(delta_path):
+        raise TargetExistsError(f"delta table already exists at {delta_path}")
+    _, meta_ice = IC._read_metadata(iceberg_path)
+    schema = IC.iceberg_to_schema(meta_ice["schemas"][meta_ice["current-schema-id"]])
+    spec_cols = IC._default_spec_cols(meta_ice)
+    if spec_cols:
+        raise ValueError(
+            "convert_iceberg_to_delta supports unpartitioned sources only "
+            f"(table is partitioned by {spec_cols})"
+        )
+    data_entries, delete_entries, _ = IC._split_live_entries(iceberg_path, meta_ice)
+    if delete_entries:
+        raise ValueError(
+            f"{iceberg_path} carries {len(delete_entries)} merge-on-read "
+            "position-delete files; run optimize_iceberg to compact them "
+            "before converting"
+        )
+
+    now_ms = int(time.time() * 1000)
+    adds, total_rows = [], 0
+    for d in sorted(data_entries, key=lambda d: d["file_path"]):
+        full = IC._abs_file(iceberg_path, d["file_path"])
+        n_rows = pq.ParquetFile(full).metadata.num_rows
+        total_rows += n_rows
+        adds.append(
+            {
+                "path": full,  # absolute: points into the Iceberg data dir
+                "partitionValues": {},
+                "size": d["file_size_in_bytes"],
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": json.dumps(_file_stats(full)),
+            }
+        )
+
+    _commit(
+        delta_path,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
+            _metadata_action(schema, None),
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CONVERT",
+                    "operationParameters": {
+                        "sourceFormat": "iceberg",
+                        "sourcePath": os.path.abspath(iceberg_path),
+                    },
+                }
+            },
+        ],
+    )
+    _commit(
+        delta_path,
+        1,
+        [_commit_info("Append", None), *[{"add": a} for a in adds]],
+    )
+    return {"files": len(adds), "rows": total_rows}

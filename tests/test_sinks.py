@@ -1248,3 +1248,52 @@ def test_iceberg_rollback_restores_old_snapshot(spark, small_df, tmpdir):
     assert IC.read_iceberg(spark, path).count() == 113
     with pytest.raises(ValueError):
         IC.rollback_iceberg(path, 424242)
+
+
+def test_convert_iceberg_to_delta_metadata_only(spark, small_df, tmpdir):
+    """Reverse conversion: the Delta log's absolute add paths reference the
+    Iceberg data files in place (no bytes copied), rows/schema round-trip,
+    and the converted table accepts its own appends afterwards.  Refused:
+    existing target, partitioned source, merge-on-read delete files."""
+    import glob as _glob
+
+    ipath = os.path.join(tmpdir, "ice")
+    dpath = os.path.join(tmpdir, "dl")
+    IC.write_iceberg(small_df.repartition(2), ipath)
+    res = DL.convert_iceberg_to_delta(ipath, dpath)
+    assert res["files"] == 2 and res["rows"] == small_df.count()
+    assert _glob.glob(os.path.join(dpath, "*.parquet")) == []  # metadata only
+    back = DL.read_delta(spark, dpath)
+    assert back.count() == small_df.count()
+    # nullability flattens through the Iceberg schema (optional fields);
+    # names and types must survive exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in small_df.schema.fields
+    ]
+    # appended files land under the DELTA root and read together
+    DL.write_delta(small_df.limit(7), dpath, append=True)
+    assert DL.read_delta(spark, dpath).count() == small_df.count() + 7
+
+    with pytest.raises(TargetExistsError):
+        DL.convert_iceberg_to_delta(ipath, dpath)
+    ppath = os.path.join(tmpdir, "icep")
+    IC.write_iceberg(
+        small_df.withColumn("b", F.col("id") % 2), ppath, partition_by=["b"]
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        DL.convert_iceberg_to_delta(ppath, os.path.join(tmpdir, "d2"))
+    mpath = os.path.join(tmpdir, "icem")
+    IC.write_iceberg(small_df, mpath)
+    IC.delete_from_iceberg(spark, mpath, "id < 5", strategy="merge-on-read")
+    with pytest.raises(ValueError, match="position-delete"):
+        DL.convert_iceberg_to_delta(mpath, os.path.join(tmpdir, "d3"))
+
+
+def test_cli_convert_iceberg_to_delta(spark, small_df, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    ipath = os.path.join(tmpdir, "ice")
+    dpath = os.path.join(tmpdir, "dl")
+    IC.write_iceberg(small_df, ipath)
+    do_main(["convert-iceberg-to-delta", ipath, dpath])
+    assert DL.read_delta(spark, dpath).count() == small_df.count()
