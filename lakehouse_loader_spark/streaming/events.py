@@ -366,3 +366,19 @@ def stream_stream_click_purchase_join(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
         "inner",
     ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def enrich_stream_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment: broadcast-join a dimension snapshot onto
+    every micro-batch — the streaming form of the fact⋈dim pattern (user
+    profiles, model-version routing tables, feature lookups).
+
+    The static side re-resolves per micro-batch, so a dimension backed by
+    a lakehouse table picks up slowly-changing updates between batches
+    without restarting the query; broadcast keeps the join map-side (no
+    shuffle of the unbounded stream side).  LEFT join: events without a
+    dimension row pass through with nulls rather than silently dropping
+    (an inner join would make dimension lag look like data loss)."""
+    return stream.join(F.broadcast(dim), on, "left")

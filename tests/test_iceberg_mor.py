@@ -231,3 +231,25 @@ def test_cli_mor_delete_subcommand(spark, tmpdir):
     assert _data_files(path) == before
     assert _delete_files(path)
     assert IC.read_iceberg(spark, path).count() == 95
+
+
+def test_mor_equals_cow_for_any_predicate(spark, tmpdir):
+    """Strategy equivalence: for a set of predicates (null-valued, empty,
+    full-file, cross-file), merge-on-read and copy-on-write leave the SAME
+    logical table — only the physical layout differs."""
+    preds = [
+        "flag = true AND id < 20",   # partial, one file
+        "id >= 1000",                # an entire file
+        "flag IS NULL",              # null semantics
+        "id % 7 = 0",                # scattered across files
+    ]
+    for i, pred in enumerate(preds):
+        mor = os.path.join(tmpdir, f"mor{i}")
+        cow = os.path.join(tmpdir, f"cow{i}")
+        _two_file_table(spark, mor)
+        _two_file_table(spark, cow)
+        IC.delete_from_iceberg(spark, mor, pred, strategy="merge-on-read")
+        IC.delete_from_iceberg(spark, cow, pred, strategy="copy-on-write")
+        a = sorted(map(tuple, IC.read_iceberg(spark, mor).collect()))
+        b = sorted(map(tuple, IC.read_iceberg(spark, cow).collect()))
+        assert a == b, pred

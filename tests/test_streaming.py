@@ -435,3 +435,42 @@ def test_stream_upsert_maintains_latest_state(spark):
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_static_enrichment_matches_batch(spark, staged_events):
+    """Stream-static broadcast enrichment converges to the batch left
+    join: per-user tier labels attach to every event, unknown users pass
+    through with null tier."""
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        enrich_stream_with_dimension,
+        read_event_stream,
+    )
+
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "gold").otherwise("basic").alias("tier"),
+    )
+    path, _src = staged_events
+    stream = read_event_stream(spark, path, max_files_per_trigger=2)
+    sink = f"enrich_{_uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_stream_with_dimension(stream, dim, on="user_id")
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(sink)
+
+    batch = spark.read.parquet(path).join(F.broadcast(dim), "user_id", "left")
+    assert got.count() == batch.count()
+    assert (
+        got.filter("tier IS NULL").count() == batch.filter("tier IS NULL").count()
+    )
+    g = {r.event_id: r.tier for r in got.select("event_id", "tier").collect()}
+    b = {r.event_id: r.tier for r in batch.select("event_id", "tier").collect()}
+    assert g == b
