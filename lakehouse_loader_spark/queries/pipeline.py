@@ -1087,3 +1087,50 @@ def iceberg_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     return IC.read_iceberg_pruned(
         spark, table, "ts_day", _dt.date(2024, 1, 15)
     ).select("event_id", "event_type", "user_id", "value")
+
+
+@query(
+    "iceberg_mor_delete_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 < 8
+      AND NOT (o_totalprice < 50000.0 AND o_orderstatus = 'F')
+    """,
+)
+def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the correctness gate: stage orders
+    (%10 < 8, two appended file sets) as an Iceberg table, DELETE
+    low-price F-status rows with strategy="merge-on-read" (position-delete
+    files committed, zero data files rewritten), then read the table back
+    — the scan-side broadcast anti-join on (file path, row position) must
+    reproduce exactly the oracle's surviving rows."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_mor_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_mor_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qmor_"), "orders_mor")
+        IC.write_iceberg(orders.filter(F.col("o_orderkey") % 10 < 5), table)
+        IC.write_iceberg(
+            orders.filter((F.col("o_orderkey") % 10).isin(5, 6, 7)),
+            table,
+            append=True,
+        )
+        IC.delete_from_iceberg(
+            spark,
+            table,
+            "o_totalprice < 50000.0 AND o_orderstatus = 'F'",
+            strategy="merge-on-read",
+        )
+        cache[sf_dir] = table
+    return IC.read_iceberg(spark, table)
