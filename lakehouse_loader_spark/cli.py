@@ -20,6 +20,9 @@ runs these on a schedule next to the loader):
     lhl refresh-agg       SOURCE TARGET --group-by COLS --agg OUT:FN:COL ...
     lhl convert-delta-to-iceberg SOURCE TARGET
     lhl convert-iceberg-to-delta SOURCE TARGET
+    lhl delta-to-jsonl / iceberg-to-jsonl  SOURCE TARGET   (training export)
+    lhl export-webdataset SOURCE TARGET --key-col K --payload-col P
+        [--meta-cols a,b] [--shard-rows N]   (sharded tar export)
     lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
     lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
     lhl changes-delta SOURCE TARGET --since N [--end M]   (change-feed export)
@@ -135,6 +138,18 @@ def build_parser() -> argparse.ArgumentParser:
     cid = sub.add_parser("convert-iceberg-to-delta")
     cid.add_argument("source")
     cid.add_argument("target")
+    for name in ("delta-to-jsonl", "iceberg-to-jsonl"):
+        ej = sub.add_parser(name)
+        ej.add_argument("source")
+        ej.add_argument("target")
+        ej.add_argument("--max-records-per-file", type=int, default=100_000)
+    wds = sub.add_parser("export-webdataset")
+    wds.add_argument("source", help="parquet path, or delta:/iceberg: prefixed table")
+    wds.add_argument("target")
+    wds.add_argument("--key-col", required=True)
+    wds.add_argument("--payload-col", required=True)
+    wds.add_argument("--meta-cols", default=None, help="comma-separated metadata columns")
+    wds.add_argument("--shard-rows", type=int, default=1000)
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -332,6 +347,49 @@ def do_main(argv: list[str]) -> None:
         res = convert_iceberg_to_delta(args.source, args.target)
         print(
             f"converted {res['files']} files / {res['rows']} rows",
+            file=sys.stderr,
+        )
+        return
+    if args.command in ("delta-to-jsonl", "iceberg-to-jsonl"):
+        from lakehouse_loader_spark.sinks.export import export_jsonl
+
+        if args.command == "delta-to-jsonl":
+            from lakehouse_loader_spark.sinks.delta import read_delta as _rd
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg as _rd
+        n = export_jsonl(
+            _rd(spark, args.source),
+            args.target,
+            max_records_per_file=args.max_records_per_file,
+        )
+        print(f"exported {n} jsonl parts to {args.target}", file=sys.stderr)
+        return
+    if args.command == "export-webdataset":
+        from lakehouse_loader_spark.sinks.export import export_webdataset
+
+        src = args.source
+        if src.startswith("delta:"):
+            from lakehouse_loader_spark.sinks.delta import read_delta
+
+            df = read_delta(spark, src[len("delta:") :])
+        elif src.startswith("iceberg:"):
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg
+
+            df = read_iceberg(spark, src[len("iceberg:") :])
+        else:
+            df = spark.read.parquet(src)
+        meta_cols = args.meta_cols.split(",") if args.meta_cols else []
+        manifest = export_webdataset(
+            df,
+            args.target,
+            key_col=args.key_col,
+            payload_col=args.payload_col,
+            meta_cols=meta_cols,
+            shard_rows=args.shard_rows,
+        ).collect()
+        print(
+            f"wrote {len(manifest)} shards / "
+            f"{sum(m.n_entries for m in manifest)} samples to {args.target}",
             file=sys.stderr,
         )
         return

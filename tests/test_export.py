@@ -1,0 +1,118 @@
+"""Training-data export: JSONL round-trip and WebDataset tar shards."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks.export import export_jsonl, export_webdataset
+from lakehouse_loader_spark.sources.readers import read_jsonl_source
+
+
+def test_export_jsonl_roundtrip(spark, tmpdir):
+    df = spark.range(0, 500).select(
+        "id", F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    path = os.path.join(tmpdir, "out")
+    n_parts = export_jsonl(df, path, max_records_per_file=200)
+    assert n_parts >= 3  # 500 rows / 200-per-file bound
+    assert glob.glob(os.path.join(path, "part-*.gz"))  # compressed parts
+    back = read_jsonl_source(spark, path, schema="id long, text string")
+    assert back.count() == 500
+    assert sorted(r.id for r in back.collect()) == list(range(500))
+
+
+def test_export_webdataset_shards(spark, tmpdir):
+    """Every sample lands exactly once as a (bin, json) member pair, shards
+    respect shard_rows, the manifest matches the bytes on disk, and
+    payloads/metadata round-trip byte-exactly."""
+    from lakehouse_loader_spark.operators.multimodal import with_binary_payload
+
+    docs = (
+        spark.createDataFrame(
+            [(i, f"text {i}", f"src{i % 3}") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        .repartition(2)
+    )
+    docs = with_binary_payload(docs)
+    out = os.path.join(tmpdir, "wds")
+    manifest = export_webdataset(
+        docs,
+        out,
+        key_col="doc_id",
+        payload_col="payload",
+        meta_cols=["source"],
+        shard_rows=30,
+    ).collect()
+
+    assert sum(m.n_entries for m in manifest) == 100
+    assert all(m.n_entries <= 30 for m in manifest)
+    seen = {}
+    for m in manifest:
+        full = os.path.join(out, m.shard)
+        assert os.path.getsize(full) == m.n_bytes
+        with tarfile.open(full) as tf:
+            names = tf.getnames()
+            bins = {n[: -len(".bin")] for n in names if n.endswith(".bin")}
+            jsons = {n[: -len(".json")] for n in names if n.endswith(".json")}
+            assert bins == jsons and len(bins) == m.n_entries
+            for key in sorted(bins):
+                payload = tf.extractfile(f"{key}.bin").read()
+                meta = json.loads(tf.extractfile(f"{key}.json").read())
+                seen[key] = (payload, meta["source"])
+    assert len(seen) == 100  # unique keys across all shards
+    expect = {
+        str(r.doc_id): (bytes(r.payload), r.source)
+        for r in docs.select("doc_id", "payload", "source").collect()
+    }
+    assert seen == expect
+
+
+def test_export_webdataset_null_payload(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"xy"))], "doc_id long, payload binary"
+    )
+    out = os.path.join(tmpdir, "wds0")
+    man = export_webdataset(df, out, key_col="doc_id", payload_col="payload").collect()
+    assert sum(m.n_entries for m in man) == 2
+    got = {}
+    for m in man:
+        with tarfile.open(os.path.join(out, m.shard)) as tf:
+            for n in tf.getnames():
+                if n.endswith(".bin"):
+                    got[n] = tf.extractfile(n).read()
+    assert got == {"1.bin": b"", "2.bin": b"xy"}
+
+
+def test_cli_export_subcommands(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+    from lakehouse_loader_spark.sinks.delta import write_delta
+
+    dpath = os.path.join(tmpdir, "dl")
+    df = spark.range(0, 50).select(
+        "id", F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    write_delta(df, dpath)
+    jpath = os.path.join(tmpdir, "jl")
+    do_main(["delta-to-jsonl", dpath, jpath])
+    back = read_jsonl_source(spark, jpath, schema="id long, text string")
+    assert back.count() == 50
+
+    wpath = os.path.join(tmpdir, "wd")
+    do_main(
+        ["export-webdataset", f"delta:{dpath}", wpath,
+         "--key-col", "id", "--payload-col", "text",
+         "--meta-cols", "text", "--shard-rows", "20"]
+    )
+    shards = glob.glob(os.path.join(wpath, "shard-*.tar"))
+    assert shards
+    total = 0
+    for s in shards:
+        with tarfile.open(s) as tf:
+            total += sum(1 for n in tf.getnames() if n.endswith(".bin"))
+    assert total == 50
