@@ -1134,3 +1134,84 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cache[sf_dir] = table
     return IC.read_iceberg(spark, table)
+
+
+# --------------------------------------------------------------------------
+# Token-budget corpus selection: highest-quality documents first until a
+# global token budget is spent (the "best N billion tokens" curation step)
+# --------------------------------------------------------------------------
+_TB_BUDGET = 10_000
+_TB_CELLS = 32
+
+
+@query(
+    "sample_token_budget",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / length(text), 6) AS quality
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= {_TB_BUDGET}
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation: keep the highest-quality docs until the running
+    token total hits the budget.  The global quality-ordered prefix sum
+    runs WITHOUT a global-order window (the pack_sequences two-pass
+    shape): quality maps monotonically onto a coarse cell, per-cell token
+    totals (constant driver state) become broadcast exclusive offsets,
+    and a cell-keyed window forms the local running sum — cell-local
+    cumsum + cell offset IS the global prefix sum because equal qualities
+    share a cell.  At extreme quality skew the cells would instead come
+    from a sampled-quantile binning pass; the shape is unchanged."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("quality"),
+    )
+    # higher quality → lower cell, so ascending cell order = descending quality
+    t2 = t.withColumn(
+        "_cell",
+        F.least(
+            F.lit(_TB_CELLS - 1),
+            F.floor((1 - F.col("quality")) * _TB_CELLS).cast("int"),
+        ),
+    )
+    cells = t2.groupBy("_cell").agg(F.sum("n_tokens").alias("tok")).collect()
+    offsets, running = [], 0
+    for row in sorted(cells, key=lambda r: r["_cell"]):
+        offsets.append((int(row["_cell"]), running))
+        running += int(row["tok"])
+    off_df = spark.createDataFrame(offsets, "_cell int, _off bigint")
+    w = (
+        W.partitionBy("_cell")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t2.join(F.broadcast(off_df), "_cell")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            (F.sum("n_tokens").over(w) + F.col("_off"))
+            .cast("bigint")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _TB_BUDGET)
+    )
