@@ -1644,3 +1644,61 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string matching: edit-distance join with q-gram candidate pruning
+# (entity resolution / catalog dedup over name-like columns)
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS nm FROM part WHERE length(p_name) >= 6)
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.nm < b.nm
+    WHERE abs(length(a.nm) - length(b.nm)) <= 2
+      AND levenshtein(a.nm, b.nm) <= 2
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 2 name pairs, EXACTLY — but never all-pairs: the
+    corpus collapses to its distinct-name vocabulary, candidates must
+    share a positional 2-gram and pass the length filter (the q-gram
+    count theorem guarantees zero false negatives for length ≥ 6 at
+    k=2, q=2: shared grams ≥ L-q+1-kq > 0), and only candidates pay the
+    levenshtein verify.  At web scale the gram join upgrades to the
+    rarest-gram prefix filter dedup_ngram_jaccard already uses; the
+    shape is identical."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("nm"))
+        .filter(F.length("nm") >= 6)
+        .distinct()
+    )
+    grams = names.select(
+        "nm",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(nm) - 1), i -> substring(nm, i, 2))")
+            )
+        ).alias("g"),
+    )
+    a = grams.select(F.col("nm").alias("name_a"), "g")
+    b = grams.select(F.col("nm").alias("name_b"), "g")
+    cand = (
+        a.join(
+            b,
+            (a.g == b.g)
+            & (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+    )
