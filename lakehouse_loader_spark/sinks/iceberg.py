@@ -2134,3 +2134,29 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
         json.dump(new_meta, fh, indent=2)
     with open(_hint_file(path), "w") as fh:
         fh.write(str(version + 1))
+
+
+@accepts_file_uris
+def iceberg_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY for the Iceberg table — the format twin of
+    ``delta.table_history``: one entry per retained snapshot (newest
+    first) with its sequence number, operation, summary properties and
+    whether it is the current snapshot.  Pure metadata."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    current = meta.get("current-snapshot-id")
+    out = []
+    for snap in meta.get("snapshots", []):
+        summary = dict(snap.get("summary") or {})
+        out.append(
+            {
+                "snapshot_id": snap["snapshot-id"],
+                "sequence_number": snap["sequence-number"],
+                "timestamp_ms": snap["timestamp-ms"],
+                "operation": summary.pop("operation", None),
+                "summary": summary,
+                "is_current": snap["snapshot-id"] == current,
+            }
+        )
+    return list(reversed(out))

@@ -253,3 +253,14 @@ def test_mor_equals_cow_for_any_predicate(spark, tmpdir):
         a = sorted(map(tuple, IC.read_iceberg(spark, mor).collect()))
         b = sorted(map(tuple, IC.read_iceberg(spark, cow).collect()))
         assert a == b, pred
+
+
+def test_iceberg_history_lists_operations_newest_first(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.delete_from_iceberg(spark, path, "id < 3", strategy="merge-on-read")
+    hist = IC.iceberg_history(path)
+    assert [h["operation"] for h in hist] == ["delete", "append", "overwrite"]
+    assert hist[0]["is_current"] and not hist[1]["is_current"]
+    assert hist[0]["summary"]["delete-mode"] == "merge-on-read"
+    assert hist[0]["sequence_number"] > hist[1]["sequence_number"]
