@@ -1215,3 +1215,60 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= _TB_BUDGET)
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations report (read-side audit; write-side enforcement
+# is the Delta sink's CHECK constraints)
+# --------------------------------------------------------------------------
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'qty_range' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+             AS violations,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.08) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_fk',
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations audit: four boolean rules evaluated in ONE conditional
+    aggregate pass over the fact (operators/quality.py — no per-rule
+    scans), plus a foreign-key orphan check as an anti-join, unioned into
+    the tidy (rule, violations, n_rows) report.  The oracle recomputes
+    each rule independently."""
+    from lakehouse_loader_spark.operators import quality as QL
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    report = QL.expectations_report(
+        li,
+        {
+            "qty_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08),
+            "price_positive": F.col("l_extendedprice") <= 0,
+            "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+    fk = QL.referential_violations(li, o, "l_orderkey", "o_orderkey", "orderkey_fk")
+    return report.unionByName(fk)

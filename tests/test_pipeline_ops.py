@@ -370,3 +370,28 @@ def test_asof_null_right_ts_never_matches(spark):
             ).collect()
         }
         assert out == want, (direction, out)
+
+
+def test_expectations_report_counts_null_as_violation(spark):
+    from lakehouse_loader_spark.operators.quality import (
+        expectations_report,
+        referential_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    rep = {
+        r.rule: (r.violations, r.n_rows)
+        for r in expectations_report(
+            df, {"v_positive": F.col("v") <= 0}
+        ).collect()
+    }
+    # row 3 violates (v <= 0); row 2's NULL comparison is unevaluable → violation
+    assert rep == {"v_positive": (2, 3)}
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (9,), (None,)], "k long")
+    fk = referential_violations(child, parent, "k", "k", "fk").collect()[0]
+    # 9 is an orphan; NULL references nothing (SQL FK semantics)
+    assert (fk.rule, fk.violations, fk.n_rows) == ("fk", 1, 3)
