@@ -352,6 +352,133 @@ def _hive_from_typed(value, ice_type: str) -> str | None:
     return str(value)
 
 
+# -- Column-bound encoding (Iceberg single-value binary, spec Appendix D) --
+# Bounds enable manifest-level data skipping: per-file [min,max] per column,
+# keyed by schema field-id, stored as the spec's k_v array representation of
+# map<int, binary>.
+
+_BOUND_STRUCT = {
+    "int": "<i",
+    "long": "<q",
+    "float": "<f",
+    "double": "<d",
+    "date": "<i",
+    "timestamp": "<q",
+    "timestamptz": "<q",
+}
+
+
+def _encode_bound(ice_type: str, v) -> bytes | None:
+    """Serialize one bound value, or None when the type is unsupported
+    (bounds are optional per column — absence just disables skipping)."""
+    import datetime as _dt
+    import struct
+
+    if v is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    fmt = _BOUND_STRUCT.get(ice_type)
+    if fmt is None:
+        return None
+    if ice_type == "date":
+        v = (v - _dt.date(1970, 1, 1)).days if isinstance(v, _dt.date) else int(v)
+    elif ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            v = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        else:
+            v = int(v)
+    return struct.pack(fmt, v)
+
+
+def _decode_bound(ice_type: str, b: bytes):
+    import datetime as _dt
+    import struct
+
+    if b is None:
+        return None
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type == "string":
+        return bytes(b).decode("utf-8")
+    fmt = _BOUND_STRUCT.get(ice_type)
+    if fmt is None:
+        return None
+    (v,) = struct.unpack(fmt, bytes(b))
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if ice_type in ("timestamp", "timestamptz"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+    return v
+
+
+def _parquet_column_bounds(pf, fields_by_name: dict) -> tuple[list, list]:
+    """(lower_bounds, upper_bounds) k_v records for one data file, from its
+    parquet footer row-group statistics.  ``fields_by_name`` maps column
+    name → (field-id, ice_type).  A column contributes only when EVERY row
+    group has min/max stats for it (a partial bound is not a bound)."""
+    md = pf.metadata
+    mins: dict = {}
+    maxs: dict = {}
+    complete: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in fields_by_name:
+                continue
+            try:
+                st = col.statistics
+                ok = st is not None and st.has_min_max
+            except Exception:
+                ok = False
+            if not ok:
+                complete[name] = False
+                continue
+            complete.setdefault(name, True)
+            mn, mx = st.min, st.max
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    lowers, uppers = [], []
+    for name, (fid, ice_type) in sorted(fields_by_name.items(), key=lambda kv: kv[1][0]):
+        if not complete.get(name):
+            continue
+        lo = _encode_bound(ice_type, mins.get(name))
+        hi = _encode_bound(ice_type, maxs.get(name))
+        if lo is None or hi is None:
+            continue
+        lowers.append({"key": fid, "value": lo})
+        uppers.append({"key": fid, "value": hi})
+    return lowers, uppers
+
+
+def _bounds_avro_field(name: str, fid: int, kid: int, vid: int) -> dict:
+    return {
+        "name": name,
+        "field-id": fid,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": "bytes", "field-id": vid},
+                    ],
+                },
+            },
+        ],
+    }
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     return {
         "type": "record",
@@ -383,6 +510,8 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        _bounds_avro_field("lower_bounds", 125, 126, 127),
+                        _bounds_avro_field("upper_bounds", 128, 129, 130),
                     ],
                 },
             },
@@ -412,33 +541,51 @@ def _write_manifest(
     part_fields = _partition_avro_fields(spec, schema_ice)
     schema = _manifest_entry_schema(part_fields)
 
+    # scalar leaf columns eligible for manifest column bounds (data files
+    # only; the encodable type set is _encode_bound's)
+    bound_fields = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_ice["fields"]
+        if isinstance(f["type"], str)
+        and (f["type"] in _BOUND_STRUCT or f["type"] in ("boolean", "string"))
+    }
+
     abs_path = os.path.abspath(path)
     records, total_rows = [], 0
     for e in entries:
         file_abs = os.path.join(abs_path, e["file_path"])
-        n_rows = pq.ParquetFile(file_abs).metadata.num_rows
+        pf = pq.ParquetFile(file_abs)
+        n_rows = pf.metadata.num_rows
         total_rows += n_rows
         partition = {
             name: _typed_partition_value(
                 e["partition"].get(name),
-                TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"]),
+                TR.result_type(pf_spec["transform"], by_id[pf_spec["source-id"]]["type"]),
             )
-            for name, pf in spec_fields.items()
+            for name, pf_spec in spec_fields.items()
         }
+        data_file = {
+            "content": e.get("content", 0),
+            "file_path": file_abs,
+            "file_format": "PARQUET",
+            "partition": partition,
+            "record_count": n_rows,
+            "file_size_in_bytes": e["file_size_in_bytes"],
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        if e.get("content", 0) == 0 and bound_fields:
+            lowers, uppers = _parquet_column_bounds(pf, bound_fields)
+            if lowers:
+                data_file["lower_bounds"] = lowers
+                data_file["upper_bounds"] = uppers
         records.append(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
                 "sequence_number": None,  # inherit from manifest_file
                 "file_sequence_number": None,
-                "data_file": {
-                    "content": e.get("content", 0),
-                    "file_path": file_abs,
-                    "file_format": "PARQUET",
-                    "partition": partition,
-                    "record_count": n_rows,
-                    "file_size_in_bytes": e["file_size_in_bytes"],
-                },
+                "data_file": data_file,
             }
         )
 
@@ -971,6 +1118,68 @@ def read_iceberg_pruned(
     reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
     files = [_abs_file(path, p) for p in kept]
     _, delete_entries, _ = _split_live_entries(path, meta)
+    if not delete_entries:
+        return reader.parquet(*files).select(*schema.fieldNames())
+    scan = _with_row_positions(reader, files, schema)
+    return _apply_pos_deletes(spark, scan, path, delete_entries).select(
+        *schema.fieldNames()
+    )
+
+
+def _entry_bounds(entry: dict, field_id: int, ice_type: str):
+    """(min, max) decoded from a data_file record's bounds, or (None, None)
+    when the file predates bounds or the column has none."""
+
+    def pick(kv_list):
+        for kv in kv_list or []:
+            if kv["key"] == field_id:
+                return _decode_bound(ice_type, kv["value"])
+        return None
+
+    return pick(entry.get("lower_bounds")), pick(entry.get("upper_bounds"))
+
+
+@accepts_file_uris
+def prune_iceberg_files_by_stats(
+    path: str, column: str, lower, upper
+) -> tuple[list[str], int]:
+    """Data skipping from manifest column bounds — the Iceberg twin of
+    ``delta.prune_files_by_stats``: live data files whose [min,max] range
+    for ``column`` intersects [lower, upper].  Only MANIFESTS are read;
+    files without recorded bounds (pre-bounds manifests, unsupported
+    types) are kept, never skipped.  Returns (kept paths, total files)."""
+    _, meta = _read_metadata(path)
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    field = next((f for f in schema_ice["fields"] if f["name"] == column), None)
+    if field is None:
+        raise ValueError(f"{column!r} is not a column of {path}")
+    ice_type = field["type"]
+    data_entries, _, _ = _split_live_entries(path, meta)
+    kept = []
+    for d in data_entries:
+        mn, mx = _entry_bounds(d, field["id"], ice_type)
+        if mn is None or mx is None or (mx >= lower and mn <= upper):
+            kept.append(d["file_path"])
+    return kept, len(data_entries)
+
+
+@accepts_file_uris
+def read_iceberg_stats_pruned(
+    spark: SparkSession, path: str, column: str, lower, upper
+) -> DataFrame:
+    """Read only the files whose bounds intersect [lower, upper] (caller
+    still applies the exact row filter); position deletes apply to the
+    pruned scan."""
+    kept, _ = prune_iceberg_files_by_stats(path, column, lower, upper)
+    _, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    if not kept:
+        return spark.createDataFrame([], schema)
+    _, delete_entries, partitioned = _split_live_entries(path, meta)
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    files = [_abs_file(path, p) for p in kept]
     if not delete_entries:
         return reader.parquet(*files).select(*schema.fieldNames())
     scan = _with_row_positions(reader, files, schema)
@@ -1940,11 +2149,13 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     rewritten with the updated rows, unmatched source rows are inserted,
     untouched files carry over in the new snapshot's manifest.
 
-    Probe note: these manifests record file paths/partitions but not
-    per-column value bounds, so the matched-file probe is one broadcast
-    semi-join of the source keys into a scan of the live files (predicate
-    pushdown still skips row groups via parquet footer stats); Delta's
-    stats-range pruning has no manifest-level equivalent here.
+    Probe note: manifests record per-column bounds (lower/upper_bounds,
+    spec field-ids 125/128), so files whose key range cannot intersect the
+    source keys' [min,max] are skipped from the probe entirely — the
+    manifest-level analog of Delta's stats-range pruning; the remaining
+    candidates take one broadcast semi-join scan (predicate pushdown still
+    skips row groups via parquet footer stats).  Files from pre-bounds
+    manifests always scan.
 
     Returns {"rewritten_files": n, "updated": n, "inserted": n}.
     """
@@ -1989,13 +2200,43 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     affected: set[str] = set()
     n_updated = 0
     if entries_live:
-        abs_files = [_abs_file(path, d["file_path"]) for d in entries_live]
+        # manifest-bounds pruning (the Delta stats-range analog): only files
+        # whose recorded [min,max] for the key column intersects the source
+        # keys' range can contain matches; bound-less files always scan
+        key_field = next(
+            (
+                f
+                for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+                if f["name"] == key
+            ),
+            None,
+        )
+        probe_entries = entries_live
+        if key_field is not None and isinstance(key_field["type"], str):
+            lo_hi = source.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            if lo_hi["lo"] is not None:
+                probe_entries = [
+                    d
+                    for d in entries_live
+                    if (
+                        lambda b: b[0] is None
+                        or b[1] is None
+                        or (b[1] >= lo_hi["lo"] and b[0] <= lo_hi["hi"])
+                    )(_entry_bounds(d, key_field["id"], key_field["type"]))
+                ]
+        abs_files = [_abs_file(path, d["file_path"]) for d in probe_entries]
         probe = (
-            scan(abs_files)
-            .join(F.broadcast(keys), key, "inner")
-            .groupBy("__path")
-            .agg(F.countDistinct(key).alias("nk"))
-            .collect()
+            (
+                scan(abs_files)
+                .join(F.broadcast(keys), key, "inner")
+                .groupBy("__path")
+                .agg(F.countDistinct(key).alias("nk"))
+                .collect()
+            )
+            if abs_files
+            else []
         )
         affected = {r["__path"] for r in probe}
         if delete_entries:
@@ -2009,7 +2250,11 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
                 .distinct()
                 .collect()
             )
-            affected |= {r["file_path"] for r in targets} & set(abs_files)
+            # intersect with ALL live data files, not the bounds-pruned
+            # probe set — a delete-target file outside the probe range must
+            # still rewrite or its dropped delete files would resurrect rows
+            all_live = {_abs_file(path, d["file_path"]) for d in entries_live}
+            affected |= {r["file_path"] for r in targets} & all_live
         if affected:
             cand = scan(sorted(affected)).select(*schema.fieldNames())
             n_updated = keys.join(cand.select(key), key, "left_semi").count()
