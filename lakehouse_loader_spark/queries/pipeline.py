@@ -1272,3 +1272,39 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = QL.referential_violations(li, o, "l_orderkey", "o_orderkey", "orderkey_fk")
     return report.unionByName(fk)
+
+
+@query(
+    "iceberg_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 2500
+    """,
+)
+def iceberg_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-bounds data skipping under the correctness gate: orders
+    staged as an Iceberg table in range-disjoint files (repartitionByRange
+    on the key), then a range read plans from the manifests' recorded
+    lower/upper_bounds — files whose key range cannot intersect are never
+    opened — with the exact row filter applied on top."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_stats_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_stats_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qstats_"), "orders_stats")
+        IC.write_iceberg(orders.repartitionByRange(6, "o_orderkey"), table)
+        cache[sf_dir] = table
+    return IC.read_iceberg_stats_pruned(spark, table, "o_orderkey", 2000, 2500).filter(
+        F.col("o_orderkey").between(2000, 2500)
+    )
