@@ -1025,11 +1025,12 @@ def write_iceberg(
 
 @accepts_file_uris
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession, path: str, snapshot_id: int | None = None, ref: str | None = None
 ) -> DataFrame:
     """Read a snapshot by walking version-hint → metadata → manifest list →
     manifests → data files.  ``snapshot_id`` time-travels to any retained
-    snapshot (every snapshot stays in the metadata history).
+    snapshot (every snapshot stays in the metadata history); ``ref``
+    time-travels to a named tag/branch (``create_ref``).
 
     Merge-on-read: when the snapshot carries position-delete files
     (``delete_from_iceberg(strategy="merge-on-read")``), deleted rows are
@@ -1038,6 +1039,13 @@ def read_iceberg(
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(f"no ref {ref!r} on {path} (have {sorted(refs)})")
+        snapshot_id = refs[ref]["snapshot-id"]
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     data_entries, delete_entries, partitioned = _split_live_entries(
         path, meta, snapshot_id
@@ -1188,6 +1196,99 @@ def read_iceberg_stats_pruned(
     )
 
 
+def _commit_metadata_update(path: str, mutate, op_desc: str) -> None:
+    """Shared conditional-put commit for pure-metadata updates: re-read the
+    latest metadata, apply ``mutate(meta) -> new_meta`` and write vN+1
+    exclusively, retrying on conflicts (the mutation re-applies over the
+    winner's state — safe because these updates touch only their own
+    keys)."""
+    version, meta = _read_metadata(path)
+    for attempt in range(COMMIT_RETRIES):
+        new_meta = mutate(dict(meta))
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            fd = os.open(
+                os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh, indent=2)
+            with open(_hint_file(path), "w") as fh:
+                fh.write(str(version + 1))
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            version, meta = _latest_version_on_disk(path)
+
+
+@accepts_file_uris
+def create_ref(
+    path: str, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
+) -> None:
+    """Create (or move) a named snapshot reference — Iceberg's tags and
+    branches (spec v2 ``refs``): a tag pins a snapshot for as long as the
+    name exists (``expire_snapshots`` never reclaims a ref-pointed
+    snapshot), a branch is a movable head usable for write-audit-publish
+    flows.  Defaults to the current snapshot.  Pure metadata."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be 'tag' or 'branch', got {ref_type!r}")
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id not in {s["snapshot-id"] for s in meta.get("snapshots", [])}:
+        raise ValueError(f"snapshot {snapshot_id} not in {path}")
+
+    def mutate(m: dict) -> dict:
+        if snapshot_id not in {s["snapshot-id"] for s in m.get("snapshots", [])}:
+            raise ValueError(
+                f"snapshot {snapshot_id} disappeared from {path} (expired "
+                "concurrently?)"
+            )
+        refs = dict(m.get("refs") or {})
+        refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+        m["refs"] = refs
+        return m
+
+    _commit_metadata_update(path, mutate, f"create-{ref_type}")
+
+
+@accepts_file_uris
+def drop_ref(path: str, name: str) -> None:
+    """Drop a named reference; the snapshot becomes expirable again."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    if name not in (meta.get("refs") or {}):
+        raise ValueError(f"no ref {name!r} on {path}")
+
+    def mutate(m: dict) -> dict:
+        refs = dict(m.get("refs") or {})
+        refs.pop(name, None)
+        m["refs"] = refs
+        return m
+
+    _commit_metadata_update(path, mutate, "drop-ref")
+
+
+@accepts_file_uris
+def list_refs(path: str) -> dict[str, dict]:
+    """All named references: name → {"snapshot-id", "type"}."""
+    _, meta = _read_metadata(path)
+    return dict(meta.get("refs") or {})
+
+
+@accepts_file_uris
+def resolve_ref(path: str, name: str) -> int:
+    _, meta = _read_metadata(path)
+    refs = meta.get("refs") or {}
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} on {path} (have {sorted(refs)})")
+    return refs[name]["snapshot-id"]
+
+
 @accepts_file_uris
 def snapshot_ids(path: str) -> list[int]:
     """All retained snapshot ids, oldest first."""
@@ -1244,9 +1345,19 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     snaps = meta.get("snapshots", [])
     if len(snaps) <= keep_last:
         return []
-    retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # ref-pointed snapshots (tags/branches) are pinned: age-based expiry
+    # never breaks a named reference
+    pinned = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+    retained = snaps[-keep_last:] + [
+        s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
+    ]
+    retained_ids = {s["snapshot-id"] for s in retained}
+    retained = [s for s in snaps if s["snapshot-id"] in retained_ids]  # keep order
+    expired = [s for s in snaps if s["snapshot-id"] not in retained_ids]
+    if not expired:
+        return []
     current = meta.get("current-snapshot-id")
-    if current is not None and current not in {s["snapshot-id"] for s in retained}:
+    if current is not None and current not in retained_ids:
         raise RuntimeError("current snapshot would be expired; refusing")
 
     root = os.path.abspath(path)

@@ -264,3 +264,39 @@ def test_iceberg_history_lists_operations_newest_first(spark, tmpdir):
     assert hist[0]["is_current"] and not hist[1]["is_current"]
     assert hist[0]["summary"]["delete-mode"] == "merge-on-read"
     assert hist[0]["sequence_number"] > hist[1]["sequence_number"]
+
+
+def test_refs_tag_pin_and_expire_interplay(spark, tmpdir):
+    """Tags/branches: a ref time-travels by name, pins its snapshot
+    against expire_snapshots, and dropping it makes the snapshot
+    expirable again."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    first = IC.snapshot_ids(path)[0]
+    IC.create_ref(path, "v1.0", snapshot_id=first, ref_type="tag")
+    IC.write_iceberg(
+        spark.range(3000, 3010).select("id", F.lit(True).alias("flag")).coalesce(1),
+        path,
+        append=True,
+    )
+    assert IC.resolve_ref(path, "v1.0") == first
+    assert IC.read_iceberg(spark, path, ref="v1.0").count() == 50
+    assert IC.read_iceberg(spark, path).count() == 110
+
+    # expire keeps the tagged snapshot alive
+    IC.expire_snapshots(path, keep_last=1)
+    assert first in IC.snapshot_ids(path)
+    assert IC.read_iceberg(spark, path, ref="v1.0").count() == 50
+
+    with pytest.raises(ValueError, match="not both"):
+        IC.read_iceberg(spark, path, snapshot_id=first, ref="v1.0")
+    with pytest.raises(ValueError, match="no ref"):
+        IC.read_iceberg(spark, path, ref="nope")
+    with pytest.raises(ValueError, match="ref_type"):
+        IC.create_ref(path, "x", ref_type="bogus")
+
+    # dropping the tag releases the pin
+    IC.drop_ref(path, "v1.0")
+    assert IC.list_refs(path) == {}
+    IC.expire_snapshots(path, keep_last=1)
+    assert first not in IC.snapshot_ids(path)
