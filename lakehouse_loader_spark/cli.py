@@ -150,6 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
     wds.add_argument("--payload-col", required=True)
     wds.add_argument("--meta-cols", default=None, help="comma-separated metadata columns")
     wds.add_argument("--shard-rows", type=int, default=1000)
+    cr = sub.add_parser("tag-iceberg")
+    cr.add_argument("target")
+    cr.add_argument("name")
+    cr.add_argument("--snapshot-id", type=int, default=None)
+    cr.add_argument("--branch", action="store_true", help="movable branch instead of a tag")
+    dr = sub.add_parser("drop-ref-iceberg")
+    dr.add_argument("target")
+    dr.add_argument("name")
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -363,6 +371,27 @@ def do_main(argv: list[str]) -> None:
             max_records_per_file=args.max_records_per_file,
         )
         print(f"exported {n} jsonl parts to {args.target}", file=sys.stderr)
+        return
+    if args.command == "tag-iceberg":
+        from lakehouse_loader_spark.sinks.iceberg import create_ref, resolve_ref
+
+        create_ref(
+            args.target,
+            args.name,
+            snapshot_id=args.snapshot_id,
+            ref_type="branch" if args.branch else "tag",
+        )
+        print(
+            f"{'branch' if args.branch else 'tag'} {args.name} -> "
+            f"{resolve_ref(args.target, args.name)}",
+            file=sys.stderr,
+        )
+        return
+    if args.command == "drop-ref-iceberg":
+        from lakehouse_loader_spark.sinks.iceberg import drop_ref
+
+        drop_ref(args.target, args.name)
+        print(f"dropped ref {args.name}", file=sys.stderr)
         return
     if args.command == "export-webdataset":
         from lakehouse_loader_spark.sinks.export import export_webdataset

@@ -300,3 +300,15 @@ def test_refs_tag_pin_and_expire_interplay(spark, tmpdir):
     assert IC.list_refs(path) == {}
     IC.expire_snapshots(path, keep_last=1)
     assert first not in IC.snapshot_ids(path)
+
+
+def test_cli_ref_subcommands(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    do_main(["tag-iceberg", path, "rel-1"])
+    assert "rel-1" in IC.list_refs(path)
+    assert IC.read_iceberg(spark, path, ref="rel-1").count() == 100
+    do_main(["drop-ref-iceberg", path, "rel-1"])
+    assert IC.list_refs(path) == {}
