@@ -2516,3 +2516,113 @@ def iceberg_history(path: str) -> list[dict]:
             }
         )
     return list(reversed(out))
+
+
+def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
+    """Write-audit-publish, step 1: append ``df`` on a named BRANCH — the
+    snapshot commits to the table history and the branch ref moves to it,
+    but the table's CURRENT snapshot is untouched, so readers of the main
+    line never see unaudited data.  A fresh branch forks from the current
+    snapshot.  Returns the new snapshot id.
+
+    Step 2 is auditing (``read_iceberg(ref=branch)`` + whatever checks —
+    e.g. operators.quality.expectations_report); step 3 is
+    ``publish_branch``.  Same optimistic-commit contract as write_iceberg.
+    """
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    existing = (meta.get("refs") or {}).get(branch)
+    if existing is not None and existing.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a tag, not a branch")
+    target_schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    check_schema_aligned(df.schema, target_schema)
+    spec_cols = _default_spec_cols(meta)
+
+    entries = _write_data_files(df, path, spec_cols or None)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+
+    def base_manifests(m: dict) -> list[dict]:
+        ref = (m.get("refs") or {}).get(branch)
+        base_id = ref["snapshot-id"] if ref else m.get("current-snapshot-id")
+        for snap in m.get("snapshots", []):
+            if snap["snapshot-id"] == base_id:
+                return _read_manifest_list(path, snap["manifest-list"])
+        return []
+
+    manifest = _write_manifest(path, snapshot_id, entries, meta)
+    for attempt in range(COMMIT_RETRIES):
+        sequence_number = meta["last-sequence-number"] + 1
+        manifests = base_manifests(meta) + [manifest]
+        manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": sequence_number,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": manifest_list,
+            "summary": {"operation": "append", "branch": branch},
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = sequence_number
+        new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+        new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        new_meta["refs"] = refs
+        # current-snapshot-id deliberately unchanged: the main line moves
+        # only at publish_branch
+        try:
+            fd = os.open(
+                os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh, indent=2)
+            break
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            version, meta = _latest_version_on_disk(path)
+            cur = (meta.get("refs") or {}).get(branch)
+            if cur is not None and cur.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} became a tag concurrently")
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return snapshot_id
+
+
+def publish_branch(path: str, branch: str, drop: bool = True) -> int:
+    """Write-audit-publish, step 3: fast-forward the table's CURRENT
+    snapshot to the branch head (pure metadata — the audited files are
+    already in place).  ``drop`` removes the branch ref after publishing
+    (its snapshot is now the main line).  Returns the published snapshot
+    id."""
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    ref = (meta.get("refs") or {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"no branch {branch!r} on {path}")
+    target = ref["snapshot-id"]
+
+    def mutate(m: dict) -> dict:
+        r = (m.get("refs") or {}).get(branch)
+        if r is None or r["snapshot-id"] != target:
+            raise ConcurrentSpecChangeError(
+                f"branch {branch!r} moved concurrently; re-audit before publishing"
+            )
+        m["current-snapshot-id"] = target
+        if drop:
+            refs = dict(m.get("refs") or {})
+            refs.pop(branch, None)
+            m["refs"] = refs
+        return m
+
+    _commit_metadata_update(path, mutate, "publish-branch")
+    return target

@@ -312,3 +312,53 @@ def test_cli_ref_subcommands(spark, tmpdir):
     assert IC.read_iceberg(spark, path, ref="rel-1").count() == 100
     do_main(["drop-ref-iceberg", path, "rel-1"])
     assert IC.list_refs(path) == {}
+
+
+def test_write_audit_publish_flow(spark, tmpdir):
+    """WAP: a branch append is invisible on the main line until audited
+    and published; publishing fast-forwards current (pure metadata) and
+    drops the branch; a second branch append stacks on the branch head."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+
+    s1 = IC.append_to_branch(
+        spark.range(5000, 5020).select("id", F.lit(True).alias("flag")).coalesce(1),
+        path,
+        "audit",
+    )
+    # main line unchanged; branch sees the staged rows
+    assert IC.read_iceberg(spark, path).count() == 100
+    assert IC.read_iceberg(spark, path, ref="audit").count() == 120
+    assert IC.resolve_ref(path, "audit") == s1
+
+    # second staged append stacks on the BRANCH head, not on current
+    IC.append_to_branch(
+        spark.range(6000, 6005).select("id", F.lit(False).alias("flag")).coalesce(1),
+        path,
+        "audit",
+    )
+    assert IC.read_iceberg(spark, path).count() == 100
+    assert IC.read_iceberg(spark, path, ref="audit").count() == 125
+
+    # audit with the quality operator, then publish
+    from lakehouse_loader_spark.operators.quality import expectations_report
+
+    staged = IC.read_iceberg(spark, path, ref="audit")
+    rep = {
+        r.rule: r.violations
+        for r in expectations_report(staged, {"id_neg": F.col("id") < 0}).collect()
+    }
+    assert rep == {"id_neg": 0}
+    published = IC.publish_branch(path, "audit")
+    assert IC.read_iceberg(spark, path).count() == 125
+    assert IC.list_refs(path) == {}
+    assert published in IC.snapshot_ids(path)
+
+    # guards: publishing a missing branch / appending to a tag
+    with pytest.raises(ValueError, match="no branch"):
+        IC.publish_branch(path, "audit")
+    IC.create_ref(path, "pin", ref_type="tag")
+    with pytest.raises(ValueError, match="is a tag"):
+        IC.append_to_branch(
+            spark.range(1).select("id", F.lit(True).alias("flag")), path, "pin"
+        )
