@@ -505,8 +505,10 @@ def semantic_dedup(
     clustering bounds mᵢ, so total work is linear in corpus size times the
     (constant) cluster width, parallelized one task per cluster; nothing
     all-pairs, nothing driver-side.  Output: (id, group, dup_of, keep).
-    """
-    out_schema = f"{id_col} BIGINT, {group_col} INT, dup_of BIGINT, keep BOOLEAN"
+    ``group_col`` may be any scalar type (k-means id, IVF cell, language
+    tag, …) — the output schema mirrors the input's."""
+    group_dt = emb.schema[group_col].dataType.simpleString()
+    out_schema = f"{id_col} BIGINT, {group_col} {group_dt}, dup_of BIGINT, keep BOOLEAN"
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -526,7 +528,7 @@ def semantic_dedup(
         return pd.DataFrame(
             {
                 id_col: ids,
-                group_col: np.full(n, int(pdf[group_col].iloc[0]), dtype=np.int32),
+                group_col: [pdf[group_col].iloc[0]] * n,
                 "dup_of": dup_of,
                 "keep": dup_of < 0,
             }

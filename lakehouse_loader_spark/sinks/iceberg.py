@@ -389,7 +389,10 @@ def _encode_bound(ice_type: str, v) -> bytes | None:
         if isinstance(v, _dt.datetime):
             if v.tzinfo is not None:
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            v = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+            # timedelta floor-division is exact; total_seconds()*1e6 loses a
+            # microsecond on ~1% of values (float rounding), which would
+            # make an upper bound exclude rows the file contains
+            v = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
         else:
             v = int(v)
     return struct.pack(fmt, v)
@@ -729,6 +732,24 @@ def _with_row_positions(reader, abs_files: list[str], schema: T.StructType):
         _decode_scan_path(F.col("_metadata.file_path")).alias("__path"),
         F.col("_metadata.row_index").alias("__pos"),
     )
+
+
+def _delete_target_files(
+    spark: SparkSession, path: str, delete_entries: list[dict]
+) -> set[str]:
+    """Data files addressed by the given position-delete files — bounded
+    by the table's file count (metadata-sized driver state)."""
+    if not delete_entries:
+        return set()
+    del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
+    rows = (
+        spark.read.schema(_POS_DELETE_SCHEMA)
+        .parquet(*del_files)
+        .select("file_path")
+        .distinct()
+        .collect()
+    )
+    return {r["file_path"] for r in rows}
 
 
 def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_entries: list[dict]) -> DataFrame:
@@ -1078,9 +1099,15 @@ def prune_iceberg_files(path: str, column: str, value) -> tuple[list[str], int]:
     ``value`` is canonicalized to the hive string form manifests store
     (booleans lowercase, None matches the null sentinel — see
     staging.hive_partition_str); manifest values are stored UNESCAPED."""
+    _, meta = _read_metadata(path)
+    return _prune_files_by_partition(path, meta, column, value)
+
+
+def _prune_files_by_partition(
+    path: str, meta: dict, column: str, value
+) -> tuple[list[str], int]:
     from lakehouse_loader_spark.sinks.staging import hive_partition_str
 
-    _, meta = _read_metadata(path)
     spec = _spec_by_id(meta, meta["default-spec-id"])
     field_names = [pf["name"] for pf in spec["fields"]]
     if column not in field_names:
@@ -1117,10 +1144,11 @@ def read_iceberg_pruned(
 ) -> DataFrame:
     """Partition-pruned read: plan from manifests (prune_iceberg_files),
     then scan only the matching data files.  Position deletes (global
-    scope) still apply to the pruned scan."""
-    kept, _ = prune_iceberg_files(path, column, value)
+    scope) still apply to the pruned scan; kept files and the delete set
+    come from ONE metadata read (see read_iceberg_stats_pruned)."""
     _, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    kept, _ = _prune_files_by_partition(path, meta, column, value)
     if not kept:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
@@ -1147,6 +1175,21 @@ def _entry_bounds(entry: dict, field_id: int, ice_type: str):
     return pick(entry.get("lower_bounds")), pick(entry.get("upper_bounds"))
 
 
+def _prune_entries_by_stats(
+    path: str, meta: dict, data_entries: list[dict], column: str, lower, upper
+) -> list[str]:
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    field = next((f for f in schema_ice["fields"] if f["name"] == column), None)
+    if field is None:
+        raise ValueError(f"{column!r} is not a column of {path}")
+    kept = []
+    for d in data_entries:
+        mn, mx = _entry_bounds(d, field["id"], field["type"])
+        if mn is None or mx is None or (mx >= lower and mn <= upper):
+            kept.append(d["file_path"])
+    return kept
+
+
 @accepts_file_uris
 def prune_iceberg_files_by_stats(
     path: str, column: str, lower, upper
@@ -1155,19 +1198,11 @@ def prune_iceberg_files_by_stats(
     ``delta.prune_files_by_stats``: live data files whose [min,max] range
     for ``column`` intersects [lower, upper].  Only MANIFESTS are read;
     files without recorded bounds (pre-bounds manifests, unsupported
-    types) are kept, never skipped.  Returns (kept paths, total files)."""
+    types) are kept, never skipped.  Timestamp bounds decode and compare
+    as UTC-naive datetimes.  Returns (kept paths, total files)."""
     _, meta = _read_metadata(path)
-    schema_ice = meta["schemas"][meta["current-schema-id"]]
-    field = next((f for f in schema_ice["fields"] if f["name"] == column), None)
-    if field is None:
-        raise ValueError(f"{column!r} is not a column of {path}")
-    ice_type = field["type"]
     data_entries, _, _ = _split_live_entries(path, meta)
-    kept = []
-    for d in data_entries:
-        mn, mx = _entry_bounds(d, field["id"], ice_type)
-        if mn is None or mx is None or (mx >= lower and mn <= upper):
-            kept.append(d["file_path"])
+    kept = _prune_entries_by_stats(path, meta, data_entries, column, lower, upper)
     return kept, len(data_entries)
 
 
@@ -1177,13 +1212,17 @@ def read_iceberg_stats_pruned(
 ) -> DataFrame:
     """Read only the files whose bounds intersect [lower, upper] (caller
     still applies the exact row filter); position deletes apply to the
-    pruned scan."""
-    kept, _ = prune_iceberg_files_by_stats(path, column, lower, upper)
+    pruned scan.  The kept-file list and the delete set come from ONE
+    metadata read — planning from two snapshots could pair rewritten-away
+    files with a newer delete set under a concurrent commit."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    kept = _prune_entries_by_stats(path, meta, data_entries, column, lower, upper)
     if not kept:
         return spark.createDataFrame([], schema)
-    _, delete_entries, partitioned = _split_live_entries(path, meta)
     reader = spark.read.schema(schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
@@ -1196,7 +1235,7 @@ def read_iceberg_stats_pruned(
     )
 
 
-def _commit_metadata_update(path: str, mutate, op_desc: str) -> None:
+def _commit_metadata_update(path: str, mutate) -> None:
     """Shared conditional-put commit for pure-metadata updates: re-read the
     latest metadata, apply ``mutate(meta) -> new_meta`` and write vN+1
     exclusively, retrying on conflicts (the mutation re-applies over the
@@ -1252,7 +1291,7 @@ def create_ref(
         m["refs"] = refs
         return m
 
-    _commit_metadata_update(path, mutate, f"create-{ref_type}")
+    _commit_metadata_update(path, mutate)
 
 
 @accepts_file_uris
@@ -1270,7 +1309,7 @@ def drop_ref(path: str, name: str) -> None:
         m["refs"] = refs
         return m
 
-    _commit_metadata_update(path, mutate, "drop-ref")
+    _commit_metadata_update(path, mutate)
 
 
 @accepts_file_uris
@@ -1345,9 +1384,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     snaps = meta.get("snapshots", [])
     if len(snaps) <= keep_last:
         return []
-    # ref-pointed snapshots (tags/branches) are pinned: age-based expiry
-    # never breaks a named reference
+    # ref-pointed snapshots (tags/branches) are pinned, and so is the
+    # CURRENT snapshot — during a write-audit-publish window the newest
+    # snapshots are unpublished branch commits and current sits further
+    # back, which age-based retention alone would expire
     pinned = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+    if meta.get("current-snapshot-id") is not None:
+        pinned.add(meta["current-snapshot-id"])
     retained = snaps[-keep_last:] + [
         s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
     ]
@@ -1642,18 +1685,12 @@ def read_iceberg_changes(
         return _apply_pos_deletes(spark, scan, path, entries).select(*out_cols)
 
     def _delete_targets(dels: set[str]) -> set[str]:
-        """Data files addressed by the given position-delete files."""
         if not dels:
             return set()
-        paths = _check_exists([_abs_file(path, d) for d in sorted(dels)])
-        rows = (
-            spark.read.schema(_POS_DELETE_SCHEMA)
-            .parquet(*paths)
-            .select("file_path")
-            .distinct()
-            .collect()
+        _check_exists([_abs_file(path, d) for d in sorted(dels)])
+        return _delete_target_files(
+            spark, path, [{"file_path": d} for d in sorted(dels)]
         )
-        return {r["file_path"] for r in rows}
 
     pieces: list[DataFrame] = []
     prev_files: set[str] = set()
@@ -1877,15 +1914,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     if delete_entries:
         # force delete-target files into the rewrite so their delete files
         # (dropped below with every delete manifest) are materialized
-        del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
-        targets = (
-            spark.read.schema(_POS_DELETE_SCHEMA)
-            .parquet(*del_files)
-            .select("file_path")
-            .distinct()
-            .collect()
-        )
-        affected |= {r["file_path"] for r in targets} & set(abs_files)
+        affected |= _delete_target_files(spark, path, delete_entries) & set(abs_files)
     if not affected:
         return 0, 0, len(entries_live)
 
@@ -2313,7 +2342,11 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     if entries_live:
         # manifest-bounds pruning (the Delta stats-range analog): only files
         # whose recorded [min,max] for the key column intersects the source
-        # keys' range can contain matches; bound-less files always scan
+        # keys' range can contain matches; bound-less files always scan.
+        # Timestamp keys compare in UTC MICROSECONDS on both sides
+        # (unix_micros on the source, raw encoded micros from the bounds) —
+        # collect()ed datetimes are session-LOCAL-naive while bounds are
+        # UTC, so comparing them directly would misprune by the TZ offset.
         key_field = next(
             (
                 f
@@ -2324,9 +2357,26 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         )
         probe_entries = entries_live
         if key_field is not None and isinstance(key_field["type"], str):
+            import struct as _struct
+
+            temporal = key_field["type"] in ("timestamp", "timestamptz")
+            key_expr = F.expr(f"unix_micros({key})") if temporal else F.col(key)
             lo_hi = source.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
+                F.min(key_expr).alias("lo"), F.max(key_expr).alias("hi")
             ).collect()[0]
+
+            def bounds_of(d):
+                if temporal:
+                    # raw micros, bypassing the datetime decode
+                    def raw(kvs):
+                        for kv in kvs or []:
+                            if kv["key"] == key_field["id"]:
+                                return _struct.unpack("<q", bytes(kv["value"]))[0]
+                        return None
+
+                    return raw(d.get("lower_bounds")), raw(d.get("upper_bounds"))
+                return _entry_bounds(d, key_field["id"], key_field["type"])
+
             if lo_hi["lo"] is not None:
                 probe_entries = [
                     d
@@ -2335,7 +2385,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
                         lambda b: b[0] is None
                         or b[1] is None
                         or (b[1] >= lo_hi["lo"] and b[0] <= lo_hi["hi"])
-                    )(_entry_bounds(d, key_field["id"], key_field["type"]))
+                    )(bounds_of(d))
                 ]
         abs_files = [_abs_file(path, d["file_path"]) for d in probe_entries]
         probe = (
@@ -2352,20 +2402,12 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         affected = {r["__path"] for r in probe}
         if delete_entries:
             # force delete-target files into the rewrite: the new snapshot
-            # drops every delete manifest, so their effect must materialize
-            del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
-            targets = (
-                spark.read.schema(_POS_DELETE_SCHEMA)
-                .parquet(*del_files)
-                .select("file_path")
-                .distinct()
-                .collect()
-            )
-            # intersect with ALL live data files, not the bounds-pruned
+            # drops every delete manifest, so their effect must materialize.
+            # Intersect with ALL live data files, not the bounds-pruned
             # probe set — a delete-target file outside the probe range must
             # still rewrite or its dropped delete files would resurrect rows
             all_live = {_abs_file(path, d["file_path"]) for d in entries_live}
-            affected |= {r["file_path"] for r in targets} & all_live
+            affected |= _delete_target_files(spark, path, delete_entries) & all_live
         if affected:
             cand = scan(sorted(affected)).select(*schema.fieldNames())
             n_updated = keys.join(cand.select(key), key, "left_semi").count()
@@ -2589,6 +2631,19 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
             cur = (meta.get("refs") or {}).get(branch)
             if cur is not None and cur.get("type") != "branch":
                 raise ValueError(f"ref {branch!r} became a tag concurrently")
+            # same guards write_iceberg's append retry applies: a concurrent
+            # overwrite may have evolved the partition spec (our data files
+            # were written under the old layout) or the schema
+            if _default_spec_cols(meta) != spec_cols:
+                raise ConcurrentSpecChangeError(
+                    f"partition spec changed concurrently (now "
+                    f"{_default_spec_cols(meta)}, wrote {spec_cols}); "
+                    "re-run the branch append"
+                )
+            check_schema_aligned(
+                df.schema,
+                iceberg_to_schema(meta["schemas"][meta["current-schema-id"]]),
+            )
     with open(_hint_file(path), "w") as fh:
         fh.write(str(version + 1))
     return snapshot_id
@@ -2624,5 +2679,5 @@ def publish_branch(path: str, branch: str, drop: bool = True) -> int:
             m["refs"] = refs
         return m
 
-    _commit_metadata_update(path, mutate, "publish-branch")
+    _commit_metadata_update(path, mutate)
     return target

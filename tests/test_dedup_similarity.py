@@ -361,3 +361,14 @@ def test_kmeans_assign_matches_local_numpy(spark, emb):
 
     again = {r.vec_id: r.cluster for r in S.kmeans_assign(emb, cents).collect()}
     assert again == {k: v[0] for k, v in rows.items()}
+
+
+def test_semantic_dedup_string_group_column(spark, emb):
+    """group_col may be any scalar type — a string partition (language tag
+    shape) must work, with the output schema mirroring the input's."""
+    labeled = emb.withColumn("lang", F.concat(F.lit("g"), (F.col("label") % 3)))
+    out = S.semantic_dedup(labeled, threshold=0.35, group_col="lang")
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert dict(out.dtypes)["lang"] == "string"
+    assert {r.lang for r in rows} == {"g0", "g1", "g2"}

@@ -103,3 +103,28 @@ def test_pre_bounds_manifests_still_read_and_never_skip(spark, tmpdir):
     assert total2 == 1 and len(kept2) == 1
     pruned = IC.read_iceberg_stats_pruned(spark, path, "id", 0, 100)
     assert pruned.count() == 45  # deletes applied to the pruned scan
+
+
+def test_timestamp_bound_encoding_is_exact():
+    """int(total_seconds()*1e6) loses a microsecond on ~1% of values; the
+    timedelta floor-division encode must round-trip EVERY microsecond
+    timestamp (an upper bound 1us low would skip files that contain the
+    boundary row)."""
+    base = dt.datetime(2038, 2, 27, 21, 18, 46, 981929)  # a known-bad value
+    assert IC._decode_bound("timestamp", IC._encode_bound("timestamp", base)) == base
+    for i in range(50_000):
+        v = dt.datetime(2030, 1, 1) + dt.timedelta(microseconds=981929 + i * 7919)
+        assert IC._decode_bound("timestamp", IC._encode_bound("timestamp", v)) == v
+
+
+def test_expire_pins_current_during_wap_window(spark, tmpdir):
+    """With unpublished branch commits newer than current, expire must pin
+    the CURRENT snapshot (age-based retention alone would expire it) and
+    the table stays readable on both lines."""
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(spark.range(0, 10).coalesce(1), path)
+    IC.append_to_branch(spark.range(10, 20).coalesce(1), path, "audit")
+    IC.append_to_branch(spark.range(20, 30).coalesce(1), path, "audit")
+    IC.expire_snapshots(path, keep_last=1)
+    assert IC.read_iceberg(spark, path).count() == 10  # main line intact
+    assert IC.read_iceberg(spark, path, ref="audit").count() == 30
