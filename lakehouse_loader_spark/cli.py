@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
         opt.add_argument("target")
         opt.add_argument("--target-partitions", type=int, default=1)
         opt.add_argument("--zorder-by", default=None, help="comma-separated columns")
+        opt.add_argument(
+            "--small-file-threshold",
+            type=int,
+            default=None,
+            help="bytes: bin-packing mode — rewrite only files below this size",
+        )
     vac = sub.add_parser("vacuum-delta")
     vac.add_argument("target")
     exp = sub.add_parser("expire-snapshots")
@@ -226,6 +232,7 @@ def do_main(argv: list[str]) -> None:
         _opt(
             spark, args.target,
             target_partitions=args.target_partitions, zorder_by=zorder,
+            small_file_threshold=args.small_file_threshold,
         )
         return
     if args.command == "vacuum-delta":

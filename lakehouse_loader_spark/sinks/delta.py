@@ -919,11 +919,20 @@ def optimize_delta(
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     max_rows_per_file: int = MAX_ROWS_PER_FILE,
+    small_file_threshold: int | None = None,
 ) -> None:
     """OPTIMIZE-style compaction: rewrite the live file set into
     ``target_partitions`` files per partition directory and commit
     remove+add actions as one new version.  Old files stay on disk, so time
     travel to pre-compaction versions keeps working.
+
+    ``small_file_threshold`` (bytes) switches to BIN-PACKING compaction —
+    the incremental form real tables need: only files smaller than the
+    threshold are rewritten (packed toward threshold-sized outputs),
+    already-large files carry over untouched.  A steady stream of small
+    appends then compacts at cost proportional to the SMALL bytes, not
+    the table — at 100 TB a full rewrite per OPTIMIZE is not a plan.
+    No-op when fewer than two files qualify.
 
     ``sort_by`` clusters rows within the rewritten files (the reference's
     explicit pre-write-sorting TODO, src/lib.rs:202) — sorted clustering
@@ -935,8 +944,22 @@ def optimize_delta(
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     _check_protocol(path, for_write=True)
     latest, meta, adds = _read_log(path)
-    df = read_delta(spark, path)
     part_cols = meta.get("partitionColumns") or None
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if small_file_threshold is not None:
+        small = {
+            p: a for p, a in adds.items() if a.get("size", 0) < small_file_threshold
+        }
+        if len(small) < 2:
+            return  # nothing worth packing
+        small_bytes = sum(a.get("size", 0) for a in small.values())
+        target_partitions = max(1, small_bytes // small_file_threshold)
+        df = _file_reader(spark, path, meta, schema).parquet(
+            *[os.path.join(path, p) for p in sorted(small)]
+        ).select(*schema.fieldNames())
+        adds = small  # only these are removed below
+    else:
+        df = read_delta(spark, path)
     if zorder_by:
         from lakehouse_loader_spark.operators.zorder import zorder_layout
 

@@ -2200,6 +2200,7 @@ def optimize_iceberg(
     target_partitions: int = 1,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    small_file_threshold: int | None = None,
 ) -> dict:
     """OPTIMIZE-style compaction for the Iceberg table — the format twin of
     ``delta.optimize_delta``: rewrite the current snapshot's live files
@@ -2209,12 +2210,20 @@ def optimize_iceberg(
     history, so time travel to pre-compaction states keeps working until
     ``expire_snapshots`` reclaims them.
 
+    ``small_file_threshold`` (bytes) switches to BIN-PACKING compaction:
+    only files below the threshold rewrite (packed toward threshold-sized
+    outputs); large files carry over in the new manifest.  Position-delete
+    TARGET files are forced into the rewrite set regardless of size — the
+    new snapshot drops every delete manifest, so their effect must
+    materialize (same rule as copy-on-write DML).  No-op when fewer than
+    two files qualify and no delete files exist.
+
     ``sort_by`` clusters rows within rewritten files (tighter min/max
     column stats → harder data skipping); ``zorder_by`` (mutually
     exclusive) interleaves several columns' ranks so stats stay tight on
     EVERY listed column (operators/zorder.py).
 
-    Returns {"rewritten_files": n, "new_files": n}.
+    Returns {"rewritten_files": n, "new_files": n, "purged_delete_files": n}.
     """
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
     from lakehouse_loader_spark.sinks.staging import local_path
@@ -2228,12 +2237,65 @@ def optimize_iceberg(
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_exprs = _default_spec_cols(meta)
     spec_srcs = [TR.parse_partition_expr(e)[1] for e in spec_exprs]
-    data_before, deletes_before, _ = _split_live_entries(path, meta)
+    by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    data_before, deletes_before, partitioned = _split_live_entries(path, meta)
     n_before = len(data_before)
-    # read_iceberg applies position-delete files, so compaction doubles as
-    # the merge-on-read deletes purge: the new snapshot's manifest lists
-    # clean data files only and carries no delete manifest
-    df = read_iceberg(spark, path)
+
+    carried: list[dict] = []
+    if small_file_threshold is not None:
+        small = {
+            _abs_file(path, d["file_path"])
+            for d in data_before
+            if d["file_size_in_bytes"] < small_file_threshold
+        }
+        # delete targets rewrite regardless of size (delete manifests drop)
+        all_live = {_abs_file(path, d["file_path"]) for d in data_before}
+        small |= _delete_target_files(spark, path, deletes_before) & all_live
+        if not small or (len(small) < 2 and not deletes_before):
+            return {
+                "rewritten_files": 0,
+                "new_files": 0,
+                "purged_delete_files": 0,
+            }
+        carried_entries = [
+            d for d in data_before if _abs_file(path, d["file_path"]) not in small
+        ]
+        for d in carried_entries:
+            part = {}
+            for pf in spec["fields"]:
+                ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
+                part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
+            carried.append(
+                {
+                    "content": 0,
+                    "file_path": _abs_file(path, d["file_path"]),
+                    "file_size_in_bytes": d["file_size_in_bytes"],
+                    "file_format": "PARQUET",
+                    "partition": part,
+                }
+            )
+        small_bytes = sum(
+            d["file_size_in_bytes"]
+            for d in data_before
+            if _abs_file(path, d["file_path"]) in small
+        )
+        target_partitions = max(1, small_bytes // small_file_threshold)
+        n_before = len(small)
+        reader = spark.read.schema(schema)
+        if partitioned:
+            reader = reader.option(
+                "basePath", os.path.join(os.path.abspath(path), "data")
+            )
+        scan = _with_row_positions(reader, sorted(small), schema)
+        df = _apply_pos_deletes(spark, scan, path, deletes_before).select(
+            *schema.fieldNames()
+        )
+    else:
+        # read_iceberg applies position-delete files, so compaction doubles
+        # as the merge-on-read deletes purge: the new snapshot's manifest
+        # lists clean data files only and carries no delete manifest
+        df = read_iceberg(spark, path)
     if zorder_by:
         from lakehouse_loader_spark.operators.zorder import zorder_layout
 
@@ -2244,7 +2306,7 @@ def optimize_iceberg(
         df = df.repartition(target_partitions, *spec_srcs)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
-    entries = _write_data_files(df, path, spec_exprs or None)
+    entries = _write_data_files(df, path, spec_exprs or None) + carried
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1

@@ -362,3 +362,42 @@ def test_write_audit_publish_flow(spark, tmpdir):
         IC.append_to_branch(
             spark.range(1).select("id", F.lit(True).alias("flag")), path, "pin"
         )
+
+
+def test_binpack_compaction_rewrites_only_small_files(spark, tmpdir):
+    """small_file_threshold: small files pack, the big file's BYTES carry
+    over untouched, logical rows unchanged; with position deletes, the
+    delete-target file rewrites regardless of size and the deletes purge."""
+    import glob as _glob
+
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(spark.range(0, 50_000).coalesce(1), path)  # big file
+    for lo in (60_000, 60_100, 60_200):  # three tiny appends
+        IC.write_iceberg(spark.range(lo, lo + 100).coalesce(1), path, append=True)
+    _, meta = IC._read_metadata(path)
+    data, _, _ = IC._split_live_entries(path, meta)
+    big = max(data, key=lambda d: d["file_size_in_bytes"])["file_path"]
+    sizes = sorted(d["file_size_in_bytes"] for d in data)
+    threshold = sizes[-1]  # everything but the big file is "small"
+
+    res = IC.optimize_iceberg(spark, path, small_file_threshold=threshold)
+    assert res["rewritten_files"] == 3 and res["new_files"] >= 1
+    _, meta2 = IC._read_metadata(path)
+    data2, _, _ = IC._split_live_entries(path, meta2)
+    assert big in {d["file_path"] for d in data2}  # carried, not rewritten
+    assert len(data2) < len(data)
+    assert IC.read_iceberg(spark, path).count() == 50_300
+
+    # nothing small left → no-op, no new snapshot
+    snaps = IC.snapshot_ids(path)
+    res2 = IC.optimize_iceberg(spark, path, small_file_threshold=threshold)
+    assert res2["rewritten_files"] == 0 and IC.snapshot_ids(path) == snaps
+
+    # a MOR delete on the BIG file forces it into the binpack rewrite
+    IC.delete_from_iceberg(spark, path, "id < 10", strategy="merge-on-read")
+    res3 = IC.optimize_iceberg(spark, path, small_file_threshold=threshold)
+    assert res3["purged_delete_files"] >= 1
+    _, meta3 = IC._read_metadata(path)
+    data3, dels3, _ = IC._split_live_entries(path, meta3)
+    assert dels3 == []
+    assert IC.read_iceberg(spark, path).count() == 50_290

@@ -1297,3 +1297,27 @@ def test_cli_convert_iceberg_to_delta(spark, small_df, tmpdir):
     IC.write_iceberg(small_df, ipath)
     do_main(["convert-iceberg-to-delta", ipath, dpath])
     assert DL.read_delta(spark, dpath).count() == small_df.count()
+
+
+def test_delta_binpack_compaction_rewrites_only_small_files(spark, tmpdir):
+    """small_file_threshold on the Delta side: the big file carries over
+    (still referenced, not removed), small files pack, rows unchanged, and
+    a threshold with <2 qualifying files is a no-op commit-wise."""
+    path = os.path.join(tmpdir, "dl")
+    DL.write_delta(spark.range(0, 50_000).coalesce(1), path)
+    for lo in (60_000, 60_100, 60_200):
+        DL.write_delta(spark.range(lo, lo + 100).coalesce(1), path, append=True)
+    _, _, adds = DL._read_log(path)
+    big = max(adds, key=lambda p: adds[p].get("size", 0))
+    threshold = max(a.get("size", 0) for a in adds.values())
+
+    DL.optimize_delta(spark, path, small_file_threshold=threshold)
+    latest, _, adds2 = DL._read_log(path)
+    assert big in adds2  # carried
+    assert len(adds2) < len(adds)
+    assert DL.read_delta(spark, path).count() == 50_300
+
+    before = latest
+    DL.optimize_delta(spark, path, small_file_threshold=threshold)  # no-op
+    latest2, _, _ = DL._read_log(path)
+    assert latest2 == before
