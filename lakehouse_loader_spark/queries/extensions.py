@@ -1702,3 +1702,64 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: top terms per document
+# --------------------------------------------------------------------------
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, t AS term,
+             ROUND(tf * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (t) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keywords: top-3 terms by tf·idf.  Term frequencies
+    aggregate once; the document-frequency table (vocab-sized) and the
+    one-row corpus count broadcast back; the per-doc top-3 is a keyed
+    window (WindowGroupLimit prunes it to a per-partition top-k — no
+    global sort anywhere).  Scores round to 6 BEFORE ranking so the
+    tie-break is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
