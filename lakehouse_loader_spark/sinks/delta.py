@@ -947,6 +947,22 @@ def optimize_delta(
     part_cols = meta.get("partitionColumns") or None
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if small_file_threshold is not None:
+        if small_file_threshold < 1:
+            raise ValueError("small_file_threshold must be >= 1 byte")
+        if target_partitions != 1:
+            raise ValueError(
+                "bin-packing derives its own output count from the small "
+                "bytes; don't combine small_file_threshold with "
+                "target_partitions"
+            )
+        if zorder_by:
+            raise ValueError(
+                "zorder_by promises table-wide clustering; combining it "
+                "with bin-packing would cluster only the rewritten subset "
+                "— run a full OPTIMIZE to Z-order"
+            )
+        # (sort_by stays allowed: it clusters WITHIN the newly packed
+        # files, which is exactly its per-file stats contract)
         small = {
             p: a for p, a in adds.items() if a.get("size", 0) < small_file_threshold
         }

@@ -557,8 +557,21 @@ def _write_manifest(
     records, total_rows = [], 0
     for e in entries:
         file_abs = os.path.join(abs_path, e["file_path"])
-        pf = pq.ParquetFile(file_abs)
-        n_rows = pf.metadata.num_rows
+        if "record_count" in e:
+            # carried-over entry: row count and bounds come from its prior
+            # manifest record — re-opening every carried footer would make
+            # metadata cost scale with TABLE size instead of commit size
+            n_rows = e["record_count"]
+            lowers = e.get("lower_bounds")
+            uppers = e.get("upper_bounds")
+        else:
+            pf = pq.ParquetFile(file_abs)
+            n_rows = pf.metadata.num_rows
+            lowers = uppers = None
+            if e.get("content", 0) == 0 and bound_fields:
+                lo, up = _parquet_column_bounds(pf, bound_fields)
+                if lo:
+                    lowers, uppers = lo, up
         total_rows += n_rows
         partition = {
             name: _typed_partition_value(
@@ -574,14 +587,9 @@ def _write_manifest(
             "partition": partition,
             "record_count": n_rows,
             "file_size_in_bytes": e["file_size_in_bytes"],
-            "lower_bounds": None,
-            "upper_bounds": None,
+            "lower_bounds": lowers,
+            "upper_bounds": uppers,
         }
-        if e.get("content", 0) == 0 and bound_fields:
-            lowers, uppers = _parquet_column_bounds(pf, bound_fields)
-            if lowers:
-                data_file["lower_bounds"] = lowers
-                data_file["upper_bounds"] = uppers
         records.append(
             {
                 "status": 1,  # ADDED
@@ -732,6 +740,45 @@ def _with_row_positions(reader, abs_files: list[str], schema: T.StructType):
         _decode_scan_path(F.col("_metadata.file_path")).alias("__path"),
         F.col("_metadata.row_index").alias("__pos"),
     )
+
+
+def _carried_entry(path: str, d: dict, spec: dict, by_id: dict) -> dict:
+    """Re-encode a live ``data_file`` record as a carry-over entry for a new
+    manifest: partition values convert back to the hive-string form
+    `_write_manifest` expects, and record_count/bounds ride along so the
+    carried file's footer is never re-opened."""
+    part = {}
+    for pf in spec["fields"]:
+        ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
+        part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
+    return {
+        "content": 0,
+        "file_path": _abs_file(path, d["file_path"]),
+        "file_format": "PARQUET",
+        "file_size_in_bytes": d["file_size_in_bytes"],
+        "partition": part,
+        "record_count": d.get("record_count", 0),
+        "lower_bounds": d.get("lower_bounds"),
+        "upper_bounds": d.get("upper_bounds"),
+    }
+
+
+def _scan_with_deletes(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    partitioned: bool,
+    files: list[str],
+    delete_entries: list[dict],
+) -> DataFrame:
+    """Scan data files with (path, position) attached and position deletes
+    applied — the shared read shape of copy-on-write DML, MERGE, and
+    bin-packing compaction over merge-on-read tables."""
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    scan = _with_row_positions(reader, files, schema)
+    return _apply_pos_deletes(spark, scan, path, delete_entries)
 
 
 def _delete_target_files(
@@ -1888,18 +1935,11 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
         return 0, 0, 0
     abs_files = [_abs_file(path, d["file_path"]) for d in entries_live]
 
-    def reader():
-        r = spark.read.schema(schema)
-        if partitioned:
-            r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
-        return r
-
     def scan(files):
         # (file path, row position) attached + existing position deletes
         # applied, so a copy-on-write pass over a merge-on-read table never
         # resurrects deleted rows
-        s = _with_row_positions(reader(), files, schema)
-        return _apply_pos_deletes(spark, s, path, delete_entries)
+        return _scan_with_deletes(spark, path, schema, partitioned, files, delete_entries)
 
     pred = F.expr(predicate)
     probe = (
@@ -1922,26 +1962,12 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
         scan(sorted(affected)).select(*schema.fieldNames()), pred, schema
     )
     new_entries = _write_data_files(replacement, path, spec_cols or None)
-
-    # untouched files carry over; partition values convert back to the
-    # hive-string form _write_manifest expects
-    for d in entries_live:
-        fp = d["file_path"] if os.path.isabs(d["file_path"]) else os.path.join(path, d["file_path"])
-        if fp in affected:
-            continue
-        part = {}
-        for pf in spec["fields"]:
-            ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
-            part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
-        new_entries.append(
-            {
-                "content": 0,
-                "file_path": fp,
-                "file_format": "PARQUET",
-                "file_size_in_bytes": d["file_size_in_bytes"],
-                "partition": part,
-            }
-        )
+    # untouched files carry over with their stats (no footer re-opened)
+    new_entries += [
+        _carried_entry(path, d, spec, by_id)
+        for d in entries_live
+        if _abs_file(path, d["file_path"]) not in affected
+    ]
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
@@ -2244,6 +2270,20 @@ def optimize_iceberg(
 
     carried: list[dict] = []
     if small_file_threshold is not None:
+        if small_file_threshold < 1:
+            raise ValueError("small_file_threshold must be >= 1 byte")
+        if target_partitions != 1:
+            raise ValueError(
+                "bin-packing derives its own output count from the small "
+                "bytes; don't combine small_file_threshold with "
+                "target_partitions"
+            )
+        if zorder_by:
+            raise ValueError(
+                "zorder_by promises table-wide clustering; combining it "
+                "with bin-packing would cluster only the rewritten subset "
+                "— run a full OPTIMIZE to Z-order"
+            )
         small = {
             _abs_file(path, d["file_path"])
             for d in data_before
@@ -2258,23 +2298,11 @@ def optimize_iceberg(
                 "new_files": 0,
                 "purged_delete_files": 0,
             }
-        carried_entries = [
-            d for d in data_before if _abs_file(path, d["file_path"]) not in small
+        carried = [
+            _carried_entry(path, d, spec, by_id)
+            for d in data_before
+            if _abs_file(path, d["file_path"]) not in small
         ]
-        for d in carried_entries:
-            part = {}
-            for pf in spec["fields"]:
-                ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
-                part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
-            carried.append(
-                {
-                    "content": 0,
-                    "file_path": _abs_file(path, d["file_path"]),
-                    "file_size_in_bytes": d["file_size_in_bytes"],
-                    "file_format": "PARQUET",
-                    "partition": part,
-                }
-            )
         small_bytes = sum(
             d["file_size_in_bytes"]
             for d in data_before
@@ -2282,15 +2310,9 @@ def optimize_iceberg(
         )
         target_partitions = max(1, small_bytes // small_file_threshold)
         n_before = len(small)
-        reader = spark.read.schema(schema)
-        if partitioned:
-            reader = reader.option(
-                "basePath", os.path.join(os.path.abspath(path), "data")
-            )
-        scan = _with_row_positions(reader, sorted(small), schema)
-        df = _apply_pos_deletes(spark, scan, path, deletes_before).select(
-            *schema.fieldNames()
-        )
+        df = _scan_with_deletes(
+            spark, path, schema, partitioned, sorted(small), deletes_before
+        ).select(*schema.fieldNames())
     else:
         # read_iceberg applies position-delete files, so compaction doubles
         # as the merge-on-read deletes purge: the new snapshot's manifest
@@ -2340,7 +2362,7 @@ def optimize_iceberg(
         fh.write(str(version + 1))
     return {
         "rewritten_files": n_before,
-        "new_files": len(entries),
+        "new_files": len(entries) - len(carried),  # files actually written
         "purged_delete_files": len(deletes_before),
     }
 
@@ -2392,11 +2414,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     def scan(files):
         # position deletes applied (merge-on-read interplay — see
         # _cow_iceberg); row positions attached for path attribution
-        r = spark.read.schema(schema)
-        if partitioned:
-            r = r.option("basePath", os.path.join(os.path.abspath(path), "data"))
-        s = _with_row_positions(r, files, schema)
-        return _apply_pos_deletes(spark, s, path, delete_entries)
+        return _scan_with_deletes(spark, path, schema, partitioned, files, delete_entries)
 
     keys = source.select(key).distinct()
     affected: set[str] = set()
@@ -2484,23 +2502,12 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     n_inserted = n_source_keys - n_updated
 
     new_entries = _write_data_files(rewritten, path, spec_cols or None)
-    for d in entries_live:
-        fp = d["file_path"] if os.path.isabs(d["file_path"]) else os.path.join(path, d["file_path"])
-        if fp in affected:
-            continue
-        part = {}
-        for pf in spec["fields"]:
-            ice_t = TR.result_type(pf["transform"], by_id[pf["source-id"]]["type"])
-            part[pf["name"]] = _hive_from_typed(d["partition"].get(pf["name"]), ice_t)
-        new_entries.append(
-            {
-                "content": 0,
-                "file_path": fp,
-                "file_format": "PARQUET",
-                "file_size_in_bytes": d["file_size_in_bytes"],
-                "partition": part,
-            }
-        )
+    # untouched files carry over with their stats (no footer re-opened)
+    new_entries += [
+        _carried_entry(path, d, spec, by_id)
+        for d in entries_live
+        if _abs_file(path, d["file_path"]) not in affected
+    ]
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1

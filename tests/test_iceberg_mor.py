@@ -401,3 +401,20 @@ def test_binpack_compaction_rewrites_only_small_files(spark, tmpdir):
     data3, dels3, _ = IC._split_live_entries(path, meta3)
     assert dels3 == []
     assert IC.read_iceberg(spark, path).count() == 50_290
+
+
+def test_binpack_parameter_validation(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    with pytest.raises(ValueError, match=">= 1 byte"):
+        IC.optimize_iceberg(spark, path, small_file_threshold=0)
+    with pytest.raises(ValueError, match="don't combine"):
+        IC.optimize_iceberg(spark, path, target_partitions=4, small_file_threshold=10)
+    with pytest.raises(ValueError, match="table-wide clustering"):
+        IC.optimize_iceberg(spark, path, zorder_by=["id"], small_file_threshold=10)
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    dp = os.path.join(tmpdir, "dl")
+    DL.write_delta(spark.range(10).coalesce(1), dp)
+    with pytest.raises(ValueError, match=">= 1 byte"):
+        DL.optimize_delta(spark, dp, small_file_threshold=-5)
