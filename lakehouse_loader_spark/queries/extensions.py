@@ -1763,3 +1763,54 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 history: change events → versioned dimension rows
+# --------------------------------------------------------------------------
+@query(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev),
+    versioned AS (
+      SELECT user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             STRFTIME(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S') AS valid_to
+      FROM changes)
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versioned
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each user's event_type stream
+    collapses to its CHANGE points (lag filter), every change opens a
+    version row valid until the next change (lead), the open row flagged
+    current — the dimension-history build warehouses run on every load.
+    Both windows share one user-keyed shuffle; no global ordering."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+    )
+    out = changes.withColumn("next_ts", F.lead("ts").over(w))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format("next_ts", fmt).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
