@@ -1575,3 +1575,41 @@ def convert_iceberg_to_delta(iceberg_path: str, delta_path: str) -> dict:
         [_commit_info("Append", None), *[{"add": a} for a in adds]],
     )
     return {"files": len(adds), "rows": total_rows}
+
+
+@accepts_file_uris
+def read_delta_meta(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Metadata inspection tables for the Delta sink — ``files`` (live adds
+    with size/stats presence) and ``history`` (per-version commitInfo),
+    the engine-side mirror of DESCRIBE DETAIL/HISTORY as DataFrames.
+    Pure log replay; nothing data-sized."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no delta table at {path}")
+    if table == "files":
+        _, _, adds = _read_log(path)
+        rows = [
+            (
+                p,
+                int(a.get("size", 0)),
+                json.loads(a.get("stats", "{}") or "{}").get("numRecords"),
+                bool(a.get("stats")),
+            )
+            for p, a in sorted(adds.items())
+        ]
+        return spark.createDataFrame(
+            rows, "file_path string, size bigint, num_records bigint, has_stats boolean"
+        )
+    if table == "history":
+        rows = [
+            (
+                h["version"],
+                h.get("timestamp"),
+                h.get("operation"),
+                json.dumps(h.get("operationParameters", {})),
+            )
+            for h in table_history(path)
+        ]
+        return spark.createDataFrame(
+            rows, "version int, timestamp long, operation string, operation_parameters string"
+        )
+    raise ValueError(f"unknown metadata table {table!r} (have files/history)")

@@ -2750,3 +2750,80 @@ def publish_branch(path: str, branch: str, drop: bool = True) -> int:
 
     _commit_metadata_update(path, mutate)
     return target
+
+
+@accepts_file_uris
+def read_iceberg_meta(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Metadata inspection tables — the engine-side mirror of Iceberg's
+    ``db.table.files`` / ``snapshots`` / ``manifests`` / ``refs``
+    selectors: table state AS DataFrames, so operational queries (file
+    size distributions, snapshot cadence, delete-file ratios) compose
+    with the rest of the engine.  Pure metadata; nothing data-sized.
+
+    ``table``: ``files`` (current snapshot's data + delete files with
+    size/rows/bounds presence), ``snapshots``, ``manifests`` (current
+    snapshot's manifest list), or ``refs``."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    if table == "files":
+        data, dels, _ = _split_live_entries(path, meta)
+        rows = [
+            (
+                d["file_path"],
+                "data" if d.get("content", 0) == 0 else "position-deletes",
+                int(d.get("record_count", 0)),
+                int(d["file_size_in_bytes"]),
+                d.get("lower_bounds") is not None,
+            )
+            for d in data + dels
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, content string, record_count bigint, "
+            "file_size_in_bytes bigint, has_bounds boolean",
+        )
+    if table == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                s["sequence-number"],
+                s["timestamp-ms"],
+                (s.get("summary") or {}).get("operation"),
+                s["snapshot-id"] == meta.get("current-snapshot-id"),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, timestamp_ms long, "
+            "operation string, is_current boolean",
+        )
+    if table == "manifests":
+        rows = [
+            (
+                m["manifest_path"],
+                int(m["manifest_length"]),
+                "data" if m.get("content", 0) == 0 else "deletes",
+                int(m["sequence_number"]),
+                int(m["added_files_count"]),
+                int(m["added_rows_count"]),
+            )
+            for m in _snapshot_manifests(path, meta)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "manifest_path string, manifest_length bigint, content string, "
+            "sequence_number bigint, added_files_count int, added_rows_count bigint",
+        )
+    if table == "refs":
+        rows = [
+            (name, r["type"], r["snapshot-id"])
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    raise ValueError(
+        f"unknown metadata table {table!r} (have files/snapshots/manifests/refs)"
+    )

@@ -5,6 +5,7 @@ application, copy-on-write/compaction interplay, and the change feed."""
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pytest
@@ -418,3 +419,47 @@ def test_binpack_parameter_validation(spark, tmpdir):
     DL.write_delta(spark.range(10).coalesce(1), dp)
     with pytest.raises(ValueError, match=">= 1 byte"):
         DL.optimize_delta(spark, dp, small_file_threshold=-5)
+
+
+def test_metadata_inspection_tables(spark, tmpdir):
+    """files/snapshots/manifests/refs come back as DataFrames with the
+    live state; the Delta twin exposes files/history."""
+    from lakehouse_loader_spark.sinks import delta as DL
+    from lakehouse_loader_spark.sinks.delta import read_delta_meta
+    from lakehouse_loader_spark.sinks.iceberg import read_iceberg_meta
+
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.delete_from_iceberg(spark, path, "id < 5", strategy="merge-on-read")
+    IC.create_ref(path, "v1")
+
+    files = read_iceberg_meta(spark, path, "files")
+    by_content = {r.content: r for r in files.collect()}
+    assert files.count() == 3  # 2 data + 1 delete file
+    assert by_content["position-deletes"].record_count == 5
+    assert by_content["data"].has_bounds
+
+    snaps = read_iceberg_meta(spark, path, "snapshots")
+    assert [r.operation for r in snaps.collect()] == ["overwrite", "append", "delete"]
+    assert snaps.filter("is_current").count() == 1
+
+    mans = read_iceberg_meta(spark, path, "manifests")
+    assert {r.content for r in mans.collect()} == {"data", "deletes"}
+
+    refs = read_iceberg_meta(spark, path, "refs")
+    assert refs.collect()[0].name == "v1"
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        read_iceberg_meta(spark, path, "nope")
+
+    dpath = os.path.join(tmpdir, "dl")
+    DL.write_delta(spark.range(10).coalesce(1), dpath)
+    DL.write_delta(spark.range(10, 20).coalesce(1), dpath, append=True)
+    dfiles = read_delta_meta(spark, dpath, "files")
+    assert dfiles.count() == 2 and all(r.has_stats for r in dfiles.collect())
+    assert sum(r.num_records for r in dfiles.collect()) == 20
+    hist = read_delta_meta(spark, dpath, "history")
+    modes = [
+        json.loads(r.operation_parameters).get("mode")
+        for r in hist.orderBy("version").collect()
+    ]
+    assert modes[:2] == ["CreateTable", "Append"]
