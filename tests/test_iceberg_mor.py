@@ -463,3 +463,30 @@ def test_metadata_inspection_tables(spark, tmpdir):
         for r in hist.orderBy("version").collect()
     ]
     assert modes[:2] == ["CreateTable", "Append"]
+
+
+def test_mor_delete_on_hidden_partitioned_table(spark, tmpdir):
+    """MOR deletes over a TRANSFORM-partitioned table (bucket hidden
+    partitioning): the delete anti-join keys on physical file paths, so
+    hidden partition dirs must round-trip through the scan normalization;
+    compaction then purges deletes while keeping the spec layout."""
+    path = os.path.join(tmpdir, "iceb")
+    df = spark.range(0, 300).select("id", (F.col("id") % 7).alias("v"))
+    IC.write_iceberg(df, path, partition_by=["bucket(4, id)"])
+    res = IC.delete_from_iceberg(spark, path, "v = 3", strategy="merge-on-read")
+    assert res["deleted_rows"] == df.filter("v = 3").count()
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 300 - res["deleted_rows"]
+    assert back.filter("v = 3").count() == 0
+    # partition-pruned read still applies the deletes
+    files, total = IC.prune_iceberg_files(path, "id_bucket", 2)
+    assert files and total >= len(files)
+    pruned = IC.read_iceberg_pruned(spark, path, "id_bucket", 2)
+    assert pruned.filter("v = 3").count() == 0
+    # compaction keeps the hidden-partition layout and purges the deletes
+    out = IC.optimize_iceberg(spark, path)
+    assert out["purged_delete_files"] >= 1
+    back2 = IC.read_iceberg(spark, path)
+    assert back2.count() == 300 - res["deleted_rows"]
+    files2, _ = IC.prune_iceberg_files(path, "id_bucket", 2)
+    assert files2  # spec survived the rewrite
