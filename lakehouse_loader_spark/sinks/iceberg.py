@@ -515,6 +515,15 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                         _bounds_avro_field("lower_bounds", 125, 126, 127),
                         _bounds_avro_field("upper_bounds", 128, 129, 130),
+                        {
+                            "name": "equality_ids",
+                            "field-id": 135,
+                            "default": None,
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int", "element-id": 136},
+                            ],
+                        },
                     ],
                 },
             },
@@ -589,6 +598,7 @@ def _write_manifest(
             "file_size_in_bytes": e["file_size_in_bytes"],
             "lower_bounds": lowers,
             "upper_bounds": uppers,
+            "equality_ids": e.get("equality_ids"),
         }
         records.append(
             {
@@ -690,9 +700,14 @@ def _snapshot_manifests(path: str, meta: dict) -> list[dict]:
 def _split_live_entries(
     path: str, meta: dict, snapshot_id: int | None = None
 ) -> tuple[list[dict], list[dict], bool]:
-    """(data_entries, position_delete_entries, partitioned) for a snapshot —
-    the ``data_file`` records split by content (0 = data, 1 = position
-    deletes), file paths left exactly as recorded."""
+    """(data_entries, delete_entries, partitioned) for a snapshot — the
+    ``data_file`` records split by content (0 = data; 1 = position
+    deletes, 2 = equality deletes both land in the delete list), file
+    paths left exactly as recorded.  Every record carries ``__seq``, the
+    sequence number inherited from its manifest — position deletes apply
+    by physical (path, pos) so they never consult it, but equality
+    deletes apply ONLY to data files with strictly smaller sequence
+    numbers (rows inserted after the delete survive)."""
     if snapshot_id is None:
         manifests = _snapshot_manifests(path, meta)
     else:
@@ -706,8 +721,9 @@ def _split_live_entries(
     data, deletes, partitioned = [], [], False
     for mf in manifests:
         for e in _read_manifest_entries(path, mf["manifest_path"]):
-            d = e["data_file"]
-            if d.get("content", 0) == 1:
+            d = dict(e["data_file"])
+            d["__seq"] = mf["sequence_number"]
+            if d.get("content", 0) in (1, 2):
                 deletes.append(d)
             else:
                 data.append(d)
@@ -773,7 +789,20 @@ def _scan_with_deletes(
 ) -> DataFrame:
     """Scan data files with (path, position) attached and position deletes
     applied — the shared read shape of copy-on-write DML, MERGE, and
-    bin-packing compaction over merge-on-read tables."""
+    bin-packing compaction over merge-on-read tables.
+
+    Equality deletes are refused here: these writers drop every delete
+    manifest and force POSITION-delete targets into their rewrite, but an
+    equality delete's affected-file set isn't knowable from metadata, so a
+    partial rewrite could resurrect rows.  Run a full ``optimize_iceberg``
+    (whose read path applies both encodings) to purge them first."""
+    n_eq = sum(1 for d in delete_entries if d.get("content", 0) == 2)
+    if n_eq:
+        raise ValueError(
+            f"{path} carries {n_eq} equality-delete files; run a full "
+            "optimize_iceberg to compact them before copy-on-write "
+            "DML/MERGE/bin-packing"
+        )
     reader = spark.read.schema(schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
@@ -784,8 +813,10 @@ def _scan_with_deletes(
 def _delete_target_files(
     spark: SparkSession, path: str, delete_entries: list[dict]
 ) -> set[str]:
-    """Data files addressed by the given position-delete files — bounded
-    by the table's file count (metadata-sized driver state)."""
+    """Data files addressed by the given POSITION-delete files — bounded
+    by the table's file count (metadata-sized driver state).  Equality
+    deletes carry key values, not paths, and are filtered out here."""
+    delete_entries = [d for d in delete_entries if d.get("content", 0) == 1]
     if not delete_entries:
         return set()
     del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
@@ -807,6 +838,7 @@ def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_e
     merge-on-read."""
     from pyspark.sql import functions as F
 
+    delete_entries = [d for d in delete_entries if d.get("content", 0) == 1]
     if not delete_entries:
         return scan
     del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
@@ -816,6 +848,77 @@ def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_e
         (scan["__path"] == dels["file_path"]) & (scan["__pos"] == dels["pos"]),
         "left_anti",
     )
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    scan: DataFrame,
+    path: str,
+    delete_entries: list[dict],
+    data_entries: list[dict],
+    schema_ice: dict,
+) -> DataFrame:
+    """Drop rows matched by equality-delete files (spec content=2): an
+    anti-join on the delete's key columns, applied ONLY to data files with
+    sequence number strictly below the delete's — rows (re)inserted after
+    the delete survive, which is what makes equality deletes the
+    streaming-upsert delete encoding.
+
+    The per-row file sequence comes from a broadcast (path → seq) map over
+    the data entries (file-count-sized); delete files group by their
+    equality_ids so heterogeneous key sets each get their own anti-join."""
+    from pyspark.sql import functions as F
+
+    eq_entries = [d for d in delete_entries if d.get("content", 0) == 2]
+    if not eq_entries:
+        return scan
+    by_id = {f["id"]: f["name"] for f in schema_ice["fields"]}
+    seq_rows = [
+        (_abs_file(path, d["file_path"]), int(d.get("__seq", 0))) for d in data_entries
+    ]
+    seq_map = spark.createDataFrame(seq_rows, "file_path string, __fseq bigint")
+    out = scan.join(
+        F.broadcast(seq_map), scan["__path"] == seq_map["file_path"], "left"
+    ).drop("file_path")
+    groups: dict[tuple, list[dict]] = {}
+    for d in eq_entries:
+        groups.setdefault(tuple(d.get("equality_ids") or ()), []).append(d)
+    for ids, entries in groups.items():
+        if not ids:
+            raise ValueError(
+                f"equality-delete file without equality_ids in {path}"
+            )
+        cols = [by_id[i] for i in ids]
+        keys = None
+        for d in entries:
+            k = (
+                spark.read.parquet(_abs_file(path, d["file_path"]))
+                .select(*cols)
+                .withColumn("__dseq", F.lit(int(d.get("__seq", 0))))
+            )
+            keys = k if keys is None else keys.unionByName(k)
+        renamed = keys.select(
+            *[F.col(c).alias(f"__k_{c}") for c in cols], "__dseq"
+        )
+        cond = F.col("__dseq") > F.col("__fseq")
+        for c in cols:
+            # null-safe: an equality delete with a NULL key matches NULL
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        out = out.join(F.broadcast(renamed), cond, "left_anti")
+    return out.drop("__fseq")
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    scan: DataFrame,
+    path: str,
+    delete_entries: list[dict],
+    data_entries: list[dict],
+    schema_ice: dict,
+) -> DataFrame:
+    """Apply BOTH merge-on-read delete encodings to a positioned scan."""
+    out = _apply_pos_deletes(spark, scan, path, delete_entries)
+    return _apply_eq_deletes(spark, out, path, delete_entries, data_entries, schema_ice)
 
 
 def _partition_spec(schema_ice: dict, partition_by: list[str], spec_id: int) -> dict:
@@ -1129,9 +1232,14 @@ def read_iceberg(
     if not delete_entries:
         return reader.parquet(*files).select(*schema.fieldNames())
     scan = _with_row_positions(reader, files, schema)
-    return _apply_pos_deletes(spark, scan, path, delete_entries).select(
-        *schema.fieldNames()
-    )
+    return _apply_deletes(
+        spark,
+        scan,
+        path,
+        delete_entries,
+        data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    ).select(*schema.fieldNames())
 
 
 @accepts_file_uris
@@ -1200,13 +1308,18 @@ def read_iceberg_pruned(
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
     files = [_abs_file(path, p) for p in kept]
-    _, delete_entries, _ = _split_live_entries(path, meta)
+    data_entries, delete_entries, _ = _split_live_entries(path, meta)
     if not delete_entries:
         return reader.parquet(*files).select(*schema.fieldNames())
     scan = _with_row_positions(reader, files, schema)
-    return _apply_pos_deletes(spark, scan, path, delete_entries).select(
-        *schema.fieldNames()
-    )
+    return _apply_deletes(
+        spark,
+        scan,
+        path,
+        delete_entries,
+        data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    ).select(*schema.fieldNames())
 
 
 def _entry_bounds(entry: dict, field_id: int, ice_type: str):
@@ -1277,9 +1390,14 @@ def read_iceberg_stats_pruned(
     if not delete_entries:
         return reader.parquet(*files).select(*schema.fieldNames())
     scan = _with_row_positions(reader, files, schema)
-    return _apply_pos_deletes(spark, scan, path, delete_entries).select(
-        *schema.fieldNames()
-    )
+    return _apply_deletes(
+        spark,
+        scan,
+        path,
+        delete_entries,
+        data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    ).select(*schema.fieldNames())
 
 
 def _commit_metadata_update(path: str, mutate) -> None:
@@ -1591,15 +1709,15 @@ def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
 def _snapshot_file_set(
     path: str, meta: dict, snapshot: dict
 ) -> tuple[set[str], set[str], bool]:
-    """(data file paths, position-delete file paths, partitioned) of a
-    snapshot, paths as recorded in the manifests."""
+    """(data file paths, delete file paths — position AND equality,
+    partitioned) of a snapshot, paths as recorded in the manifests."""
     files: set[str] = set()
     dels: set[str] = set()
     partitioned = False
     for mf in _read_manifest_list(path, snapshot["manifest-list"]):
         for e in _read_manifest_entries(path, mf["manifest_path"]):
             d = e["data_file"]
-            if d.get("content", 0) == 1:
+            if d.get("content", 0) in (1, 2):
                 dels.add(d["file_path"])
             else:
                 files.add(d["file_path"])
@@ -1718,40 +1836,49 @@ def read_iceberg_changes(
             )
         return paths
 
-    def _rows(files: set[str], partitioned: bool, dels: set[str]) -> DataFrame | None:
-        """Logical rows of ``files`` with the position-delete files ``dels``
-        applied (merge-on-read) — None when the file set is empty."""
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+
+    def _rows(
+        files: set[str],
+        partitioned: bool,
+        del_entries: list[dict],
+        data_entries: list[dict],
+    ) -> DataFrame | None:
+        """Logical rows of ``files`` with that snapshot's delete files
+        (position AND equality) applied — None when the set is empty."""
         if not files:
             return None
         paths = _check_exists([_abs_file(path, fp) for fp in sorted(files)])
-        if not dels:
+        if not del_entries:
             return _reader(partitioned).parquet(*paths).select(*out_cols)
+        _check_exists([_abs_file(path, d["file_path"]) for d in del_entries])
         scan = _with_row_positions(_reader(partitioned), paths, schema)
-        entries = [{"file_path": d} for d in sorted(dels)]
-        _check_exists([_abs_file(path, d) for d in sorted(dels)])
-        return _apply_pos_deletes(spark, scan, path, entries).select(*out_cols)
-
-    def _delete_targets(dels: set[str]) -> set[str]:
-        if not dels:
-            return set()
-        _check_exists([_abs_file(path, d) for d in sorted(dels)])
-        return _delete_target_files(
-            spark, path, [{"file_path": d} for d in sorted(dels)]
-        )
+        return _apply_deletes(
+            spark, scan, path, del_entries, data_entries, schema_ice
+        ).select(*out_cols)
 
     pieces: list[DataFrame] = []
-    prev_files: set[str] = set()
-    prev_dels: set[str] = set()
+    prev_data: list[dict] = []
+    prev_del_entries: list[dict] = []
     if start_idx > 0:
-        prev_files, prev_dels, _ = _snapshot_file_set(path, meta, snapshots[start_idx - 1])
+        prev_data, prev_del_entries, _ = _split_live_entries(
+            path, meta, snapshots[start_idx - 1]["snapshot-id"]
+        )
+    prev_files = {d["file_path"] for d in prev_data}
+    prev_dels = {d["file_path"] for d in prev_del_entries}
     for idx in range(start_idx, end_idx + 1):
         snap = snapshots[idx]
-        cur_files, cur_dels, partitioned = _snapshot_file_set(path, meta, snap)
+        cur_data, cur_del_entries, partitioned = _split_live_entries(
+            path, meta, snap["snapshot-id"]
+        )
+        cur_files = {d["file_path"] for d in cur_data}
+        cur_dels = {d["file_path"] for d in cur_del_entries}
         op = (snap.get("summary") or {}).get("operation", "")
         added, removed = cur_files - prev_files, prev_files - cur_files
-        changed_dels = (cur_dels - prev_dels) | (prev_dels - cur_dels)
-        p_files, p_dels = prev_files, prev_dels
+        changed_del_paths = (cur_dels - prev_dels) | (prev_dels - cur_dels)
+        p_files, p_data, p_del_entries = prev_files, prev_data, prev_del_entries
         prev_files, prev_dels = cur_files, cur_dels
+        prev_data, prev_del_entries = cur_data, cur_del_entries
         if op == "replace":
             continue  # compaction: bytes moved, no rows changed
 
@@ -1762,8 +1889,8 @@ def read_iceberg_changes(
                 F.lit(idx).cast("int").alias("_snapshot_ordinal"),
             )
 
-        if op == "append" or (not removed and not changed_dels):
-            added_df = _rows(added, partitioned, set())
+        if op == "append" or (not removed and not changed_del_paths):
+            added_df = _rows(added, partitioned, [], cur_data)
             if added_df is not None:
                 pieces.append(_align(added_df, "insert"))
             continue
@@ -1771,16 +1898,27 @@ def read_iceberg_changes(
         # general case (overwrite / delete / update / merge / rollback /
         # merge-on-read delete): diff the OLD vs NEW logical rows of the
         # files whose content logically changed — removed/added data files
-        # plus the carried files targeted by changed position-delete files.
-        # Both sides apply their snapshot's deletes, so merge-on-read
-        # deletions surface as row-level 'delete' changes and a rollback
-        # dropping delete files resurfaces rows as 'insert'.
-        touched = _delete_targets(changed_dels)
-        # manifests record absolute paths; carried sets are path-keyed
-        carried = {_abs_file(path, f) for f in (cur_files & p_files)}
-        touched = {f for f in touched if f in carried}
-        old_df = _rows(removed | touched, partitioned, p_dels)
-        new_df = _rows(added | touched, partitioned, cur_dels)
+        # plus the carried files affected by changed delete files.  Both
+        # sides apply their snapshot's deletes, so merge-on-read deletions
+        # surface as row-level 'delete' changes and a rollback dropping
+        # delete files resurfaces rows as 'insert'.
+        changed_del_entries = [
+            d
+            for d in (cur_del_entries + p_del_entries)
+            if d["file_path"] in changed_del_paths
+        ]
+        if any(d.get("content", 0) == 2 for d in changed_del_entries):
+            # equality deletes address KEYS, not files — the affected
+            # carried set isn't knowable from metadata, so diff every
+            # carried file (correct, conservative; position-only changes
+            # keep the targeted incremental path below)
+            touched = {_abs_file(path, f) for f in (cur_files & p_files)}
+        else:
+            touched = _delete_target_files(spark, path, changed_del_entries)
+            carried = {_abs_file(path, f) for f in (cur_files & p_files)}
+            touched = {f for f in touched if f in carried}
+        old_df = _rows(removed | touched, partitioned, p_del_entries, p_data)
+        new_df = _rows(added | touched, partitioned, cur_del_entries, cur_data)
         empty = spark.createDataFrame([], schema)
         old_side = old_df if old_df is not None else empty
         new_side = new_df if new_df is not None else empty
@@ -2076,9 +2214,16 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     scan = _with_row_positions(reader, files, schema)
-    # rows already position-deleted must not be re-recorded (double-counted
-    # delete totals, and needless growth of the delete set)
-    scan = _apply_pos_deletes(spark, scan, path, delete_entries)
+    # rows already deleted (either encoding) must not be re-recorded
+    # (double-counted delete totals, and needless growth of the delete set)
+    scan = _apply_deletes(
+        spark,
+        scan,
+        path,
+        delete_entries,
+        data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    )
     matches = scan.filter(F.coalesce(F.expr(predicate), F.lit(False))).select(
         F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
     )
@@ -2135,6 +2280,128 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         "delete_files": len(new_delete_entries),
         "data_files": len(data_entries),
     }
+
+
+def equality_delete_iceberg(
+    spark: SparkSession, path: str, keys: DataFrame, key_cols: list[str] | None = None
+) -> dict:
+    """Merge-on-read EQUALITY delete (spec v2 content=2): commit a file of
+    KEY VALUES; readers drop every matching row in data files with a
+    strictly smaller sequence number.  Unlike position deletes, the writer
+    never scans the table — this is the O(keys) delete encoding streaming
+    upserts and GDPR key-purge pipelines want: delete-by-key now, let
+    compaction materialize it later.  Rows (re)inserted AFTER the delete
+    survive, which is exactly the upsert semantic.
+
+    ``keys``: a DataFrame whose columns (or ``key_cols`` subset) name the
+    equality columns; values are deduplicated.  Returns
+    {"delete_files": n, "key_rows": n}.
+    """
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema_ice["fields"]}
+    cols = list(key_cols) if key_cols is not None else list(keys.columns)
+    unknown = [c for c in cols if c not in by_name]
+    if unknown:
+        raise ValueError(f"equality columns not in table schema: {unknown}")
+    table_schema = iceberg_to_schema(schema_ice)
+    key_frame = keys.select(
+        *[F.col(c).cast(table_schema[c].dataType) for c in cols]
+    ).distinct()
+    n_distinct = key_frame.count()
+    if n_distinct == 0:
+        return {"delete_files": 0, "key_rows": 0}
+    # ~2M keys per delete file: a handful-of-keys purge yields ONE file,
+    # a billion-key purge still parallelizes the sort
+    parts = max(1, n_distinct // 2_000_000 + (1 if n_distinct % 2_000_000 else 0))
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    (
+        key_frame.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .write.option("compression", "snappy")
+        .parquet(staging)
+    )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries, n_keys = [], 0
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            n = pq.ParquetFile(src).metadata.num_rows
+            if n == 0:
+                continue
+            n_keys += n
+            new_name = f"eqdelete-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(data_dir, new_name)
+            _shutil.move(src, dst)
+            entries.append(
+                {
+                    "content": 2,
+                    "file_path": f"data/{new_name}",
+                    "file_format": "PARQUET",
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "partition": {},
+                    "equality_ids": [by_name[c]["id"] for c in cols],
+                }
+            )
+    _shutil.rmtree(staging, ignore_errors=True)
+    if not entries:
+        return {"delete_files": 0, "key_rows": 0}
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    manifest = _write_manifest(path, snapshot_id, entries, meta, content=1)
+    manifests = _snapshot_manifests(path, meta) + [manifest]
+    manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {
+            "operation": "delete",
+            "delete-mode": "merge-on-read-equality",
+            "equality-columns": ",".join(cols),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        for e in entries:
+            full = _abs_file(path, e["file_path"])
+            if os.path.exists(full):
+                os.remove(full)
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the equality "
+            "DELETE's snapshot is stale — re-run against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {"delete_files": len(entries), "key_rows": int(n_keys)}
 
 
 def delete_from_iceberg(
@@ -2768,10 +3035,11 @@ def read_iceberg_meta(spark: SparkSession, path: str, table: str) -> DataFrame:
     _, meta = _read_metadata(path)
     if table == "files":
         data, dels, _ = _split_live_entries(path, meta)
+        content_name = {0: "data", 1: "position-deletes", 2: "equality-deletes"}
         rows = [
             (
                 d["file_path"],
-                "data" if d.get("content", 0) == 0 else "position-deletes",
+                content_name.get(d.get("content", 0), "unknown"),
                 int(d.get("record_count", 0)),
                 int(d["file_size_in_bytes"]),
                 d.get("lower_bounds") is not None,
