@@ -1308,3 +1308,48 @@ def iceberg_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IC.read_iceberg_stats_pruned(spark, table, "o_orderkey", 2000, 2500).filter(
         F.col("o_orderkey").between(2000, 2500)
     )
+
+
+@query(
+    "iceberg_equality_delete_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 < 8 AND o_orderkey % 1000 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 1000 = 0 AND o_orderkey % 10 < 8
+    """,
+)
+def iceberg_equality_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes under the correctness gate: stage orders as an
+    Iceberg table, DELETE-BY-KEY every o_orderkey divisible by 1000
+    (content=2 file of key values — no table scan), then RE-APPEND those
+    keys with o_totalprice = -1.  The sequence-aware anti-join must drop
+    only the pre-delete rows: the oracle is the original rows minus the
+    keys plus the re-inserts — the streaming-upsert read semantic."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_eqdel_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_eqdel_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        staged = orders.filter(F.col("o_orderkey") % 10 < 8)
+        table = os.path.join(tempfile.mkdtemp(prefix="qeqdel_"), "orders_eq")
+        IC.write_iceberg(staged.repartition(4), table)
+        keys = staged.filter(F.col("o_orderkey") % 1000 == 0).select("o_orderkey")
+        IC.equality_delete_iceberg(spark, table, keys)
+        reinserts = staged.filter(F.col("o_orderkey") % 1000 == 0).select(
+            "o_orderkey", "o_custkey", F.lit(-1.0).alias("o_totalprice")
+        )
+        IC.write_iceberg(reinserts, table, append=True)
+        cache[sf_dir] = table
+    return IC.read_iceberg(spark, table)
