@@ -850,6 +850,21 @@ def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_e
     )
 
 
+def _refuse_equality_deletes(path: str, delete_entries: list[dict], op: str) -> None:
+    """Writers that drop delete manifests and rewrite a SUBSET of files
+    (copy-on-write DML, MERGE, bin-packing) must refuse equality deletes
+    up front: their affected-file set is not knowable from metadata, so a
+    partial rewrite could silently resurrect deleted rows — and the probe
+    may legitimately scan nothing at all, so a scan-time guard alone can
+    be bypassed."""
+    n_eq = sum(1 for d in delete_entries if d.get("content", 0) == 2)
+    if n_eq:
+        raise ValueError(
+            f"{path} carries {n_eq} equality-delete files; run a full "
+            f"optimize_iceberg to compact them before {op}"
+        )
+
+
 def _apply_eq_deletes(
     spark: SparkSession,
     scan: DataFrame,
@@ -876,10 +891,12 @@ def _apply_eq_deletes(
     seq_rows = [
         (_abs_file(path, d["file_path"]), int(d.get("__seq", 0))) for d in data_entries
     ]
-    seq_map = spark.createDataFrame(seq_rows, "file_path string, __fseq bigint")
+    # helper columns use reserved __-names: a user column literally named
+    # "file_path" must survive the join/drop
+    seq_map = spark.createDataFrame(seq_rows, "__seq_path string, __fseq bigint")
     out = scan.join(
-        F.broadcast(seq_map), scan["__path"] == seq_map["file_path"], "left"
-    ).drop("file_path")
+        F.broadcast(seq_map), scan["__path"] == seq_map["__seq_path"], "left"
+    ).drop("__seq_path")
     groups: dict[tuple, list[dict]] = {}
     for d in eq_entries:
         groups.setdefault(tuple(d.get("equality_ids") or ()), []).append(d)
@@ -1763,10 +1780,11 @@ def read_iceberg_appends(
             "append-only over this range; re-read the full snapshot"
         )
     if new_dels != old_dels:
-        # a merge-on-read DELETE (or a rollback dropping one) changed rows
-        # without touching the data-file set — not append-only either
+        # a merge-on-read DELETE — position or equality — (or a rollback
+        # dropping one) changed rows without touching the data-file set:
+        # not append-only either
         raise ConcurrentModificationError(
-            f"position-delete files changed between snapshots "
+            f"delete files changed between snapshots "
             f"{since_snapshot_id} and {end_snapshot_id}: history is not "
             "append-only over this range; re-read the full snapshot"
         )
@@ -1907,6 +1925,9 @@ def read_iceberg_changes(
             for d in (cur_del_entries + p_del_entries)
             if d["file_path"] in changed_del_paths
         ]
+        _check_exists(
+            [_abs_file(path, d["file_path"]) for d in changed_del_entries]
+        )
         if any(d.get("content", 0) == 2 for d in changed_del_entries):
             # equality deletes address KEYS, not files — the affected
             # carried set isn't knowable from metadata, so diff every
@@ -2069,6 +2090,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
 
     entries_live, delete_entries, partitioned = _split_live_entries(path, meta)
+    _refuse_equality_deletes(path, delete_entries, f"copy-on-write {op}")
     if not entries_live:
         return 0, 0, 0
     abs_files = [_abs_file(path, d["file_path"]) for d in entries_live]
@@ -2140,41 +2162,55 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     return int(n_matched), len(affected), len(entries_live)
 
 
-def _write_pos_delete_files(matches: DataFrame, path: str) -> list[dict]:
-    """Write position-delete parquet files (file_path, pos — sorted, as the
-    spec requires) under data/ as ``delete-<uuid>.parquet``; returns their
-    manifest entries (``content=1``, empty partition → the deletes apply
-    table-wide).  Empty output parts are discarded."""
+def _promote_staged_delete_files(
+    staging: str, path: str, prefix: str, content: int, extra: dict | None = None
+) -> tuple[list[dict], int]:
+    """Move the parquet parts of a staged delete-file write into data/
+    under ``prefix``-<uuid> names, skipping empty parts — the shared
+    promotion protocol of position and equality delete writers.  Returns
+    (manifest entries with ``content`` and ``extra`` fields, total rows)."""
     import pyarrow.parquet as pq
     import shutil
 
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    matches.sort("file_path", "pos").write.option("compression", "snappy").parquet(
-        staging
-    )
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    entries = []
+    entries, total_rows = [], 0
     for root, _dirs, files in os.walk(staging):
         for name in sorted(files):
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(root, name)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
+            n = pq.ParquetFile(src).metadata.num_rows
+            if n == 0:
                 continue
-            new_name = f"delete-{uuid.uuid4().hex}.parquet"
+            total_rows += n
+            new_name = f"{prefix}-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(data_dir, new_name)
             shutil.move(src, dst)
             entries.append(
                 {
-                    "content": 1,
+                    "content": content,
                     "file_path": f"data/{new_name}",
                     "file_format": "PARQUET",
                     "file_size_in_bytes": os.path.getsize(dst),
                     "partition": {},
+                    **(extra or {}),
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
+    return entries, total_rows
+
+
+def _write_pos_delete_files(matches: DataFrame, path: str) -> list[dict]:
+    """Write position-delete parquet files (file_path, pos — sorted, as the
+    spec requires) under data/ as ``delete-<uuid>.parquet``; returns their
+    manifest entries (``content=1``, empty partition → the deletes apply
+    table-wide).  Empty output parts are discarded."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    matches.sort("file_path", "pos").write.option("compression", "snappy").parquet(
+        staging
+    )
+    entries, _ = _promote_staged_delete_files(staging, path, "delete", 1)
     return entries
 
 
@@ -2297,8 +2333,6 @@ def equality_delete_iceberg(
     equality columns; values are deduplicated.  Returns
     {"delete_files": n, "key_rows": n}.
     """
-    import shutil as _shutil
-
     from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
@@ -2331,34 +2365,13 @@ def equality_delete_iceberg(
         .write.option("compression", "snappy")
         .parquet(staging)
     )
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    entries, n_keys = [], 0
-    import pyarrow.parquet as pq
-
-    for root, _dirs, files in os.walk(staging):
-        for name in sorted(files):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            n = pq.ParquetFile(src).metadata.num_rows
-            if n == 0:
-                continue
-            n_keys += n
-            new_name = f"eqdelete-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(data_dir, new_name)
-            _shutil.move(src, dst)
-            entries.append(
-                {
-                    "content": 2,
-                    "file_path": f"data/{new_name}",
-                    "file_format": "PARQUET",
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "partition": {},
-                    "equality_ids": [by_name[c]["id"] for c in cols],
-                }
-            )
-    _shutil.rmtree(staging, ignore_errors=True)
+    entries, n_keys = _promote_staged_delete_files(
+        staging,
+        path,
+        "eqdelete",
+        2,
+        extra={"equality_ids": [by_name[c]["id"] for c in cols]},
+    )
     if not entries:
         return {"delete_files": 0, "key_rows": 0}
 
@@ -2537,6 +2550,7 @@ def optimize_iceberg(
 
     carried: list[dict] = []
     if small_file_threshold is not None:
+        _refuse_equality_deletes(path, deletes_before, "bin-packing")
         if small_file_threshold < 1:
             raise ValueError("small_file_threshold must be >= 1 byte")
         if target_partitions != 1:
@@ -2677,6 +2691,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
 
     entries_live, delete_entries, partitioned = _split_live_entries(path, meta)
+    _refuse_equality_deletes(path, delete_entries, "MERGE")
 
     def scan(files):
         # position deletes applied (merge-on-read interplay — see

@@ -118,3 +118,36 @@ def test_equality_delete_change_feed_and_pruned_reads(spark, tmpdir):
 
     with pytest.raises(ConcurrentModificationError):
         IC.read_iceberg_appends(spark, path, since_snapshot_id=base)
+
+
+def test_merge_refuses_even_when_bounds_prune_everything(spark, tmpdir):
+    """Regression: a MERGE whose source keys fall entirely outside every
+    file's bounds scans nothing — the refusal must fire BEFORE the probe,
+    or the commit would silently drop the equality-delete manifests and
+    resurrect deleted rows."""
+    path = os.path.join(tmpdir, "ice")
+    _table(spark, path)  # ids 0..99 → bounds exclude 100000
+    IC.equality_delete_iceberg(spark, path, spark.createDataFrame([(5,)], "id long"))
+    with pytest.raises(ValueError, match="equality-delete"):
+        IC.merge_iceberg(
+            spark,
+            path,
+            spark.createDataFrame([(100000, 0.0)], "id long, v double"),
+            key="id",
+        )
+    # the table is untouched: the delete still applies
+    assert IC.read_iceberg(spark, path).filter("id = 5").count() == 0
+
+
+def test_equality_delete_on_table_with_file_path_column(spark, tmpdir):
+    """A user column literally named file_path must survive the
+    sequence-map join (helper columns use reserved __-names)."""
+    path = os.path.join(tmpdir, "ice")
+    df = spark.createDataFrame(
+        [(1, "/a/b.bin"), (2, "/c/d.bin"), (3, "/e/f.bin")],
+        "id long, file_path string",
+    )
+    IC.write_iceberg(df, path)
+    IC.equality_delete_iceberg(spark, path, spark.createDataFrame([(2,)], "id long"))
+    rows = {(r.id, r.file_path) for r in IC.read_iceberg(spark, path).collect()}
+    assert rows == {(1, "/a/b.bin"), (3, "/e/f.bin")}
