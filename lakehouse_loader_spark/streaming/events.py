@@ -326,6 +326,74 @@ def stream_to_iceberg(stream: DataFrame, table_path: str, checkpoint_dir: str):
     )
 
 
+def stream_upsert_to_iceberg(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str,
+    latest_by: str | None = None,
+):
+    """Streaming UPSERT into the Iceberg sink via EQUALITY DELETES — the
+    write shape Flink's Iceberg upsert sink uses: each micro-batch first
+    commits an equality-delete file of the batch's keys (O(keys), no table
+    scan — nothing is rewritten), then appends the batch's rows.  The
+    sequence-aware read drops every older row for those keys, so the table
+    always reads as the latest state per key, and compaction
+    (``optimize_iceberg``) materializes it physically whenever convenient.
+
+    Contrast with ``stream_upsert_to_delta``: the Delta path pays a MERGE
+    (read + rewrite of every matched file) per batch; this path's per-batch
+    cost is independent of table size — the difference that matters when a
+    small hot-key stream updates a 100 TB table.
+
+    ``latest_by`` keeps only each key's last row per batch, as in the Delta
+    twin.  Exactly-once: the append commit stamps the ``lhl-stream-<appId>``
+    batch marker; a replayed batch is skipped whole.  A crash between the
+    delete and the append replays the batch — the duplicate equality delete
+    is semantically idempotent and the append then lands, so the visible
+    state converges (the only anomaly is a transient window where the
+    batch's keys read as absent)."""
+    from pyspark.sql.window import Window
+
+    from lakehouse_loader_spark.sinks.iceberg import (
+        _stream_summary_key,
+        equality_delete_iceberg,
+        last_committed_batch,
+        table_exists,
+        write_iceberg,
+    )
+
+    app_id = resolve_stream_app_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= last_committed_batch(table_path, app_id):
+            return  # already committed; checkpoint replay after crash
+        if latest_by is not None:
+            w = Window.partitionBy(key).orderBy(F.col(latest_by).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        props = {_stream_summary_key(app_id): str(batch_id)}
+        if not table_exists(table_path):
+            write_iceberg(batch_df, table_path, snapshot_props=props)
+            return
+        equality_delete_iceberg(
+            batch_df.sparkSession, table_path, batch_df.select(key), key_cols=[key]
+        )
+        write_iceberg(batch_df, table_path, append=True, snapshot_props=props)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -474,3 +474,67 @@ def test_stream_static_enrichment_matches_batch(spark, staged_events):
     g = {r.event_id: r.tier for r in got.select("event_id", "tier").collect()}
     b = {r.event_id: r.tier for r in batch.select("event_id", "tier").collect()}
     assert g == b
+
+
+def test_stream_upsert_to_iceberg_via_equality_deletes(spark):
+    """The Iceberg streaming upsert: each batch commits an equality delete
+    of its keys then appends — no file rewritten, yet the table reads as
+    latest-state per key; compaction materializes it physically."""
+    import datetime as dt
+    import glob as _glob
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    src_dir = tempfile.mkdtemp(prefix="iupsrc_")
+    out = tempfile.mkdtemp(prefix="iuptbl_")
+    ckpt = tempfile.mkdtemp(prefix="iupckpt_")
+    try:
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows_by_batch = []
+        eid = 0
+        for b in range(3):
+            rows = []
+            for i in range(40):
+                uid = i % 7
+                rows.append(
+                    (eid, base + dt.timedelta(hours=b, minutes=i), uid,
+                     "view", float(eid), "{}")
+                )
+                eid += 1
+            rows_by_batch.append(rows)
+        for b, rows in enumerate(rows_by_batch):
+            spark.createDataFrame(rows, SE.EVENT_SCHEMA).coalesce(1).write.parquet(
+                os.path.join(src_dir, f"b{b}")
+            )
+        stream = SE.read_event_stream(spark, os.path.join(src_dir, "b*"))
+        table = os.path.join(out, "t")
+        q = SE.stream_upsert_to_iceberg(
+            stream, table, ckpt, key="user_id", latest_by="ts"
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        back = IC.read_iceberg(spark, table)
+        got = {r.user_id: (r.event_id, r.ts) for r in back.collect()}
+        all_rows = [r for rows in rows_by_batch for r in rows]
+        want = {}
+        for r in sorted(all_rows, key=lambda r: r[1]):
+            want[r[2]] = (r[0], r[1])
+        assert back.count() == 7
+        assert got == want
+        # upserts arrived as equality-delete files, not rewrites
+        assert _glob.glob(os.path.join(table, "data", "eqdelete-*.parquet"))
+        app_id = SE.resolve_stream_app_id(ckpt)
+        assert IC.last_committed_batch(table, app_id) >= 1
+
+        # compaction materializes the latest state and drops the deletes
+        IC.optimize_iceberg(spark, table)
+        back2 = IC.read_iceberg(spark, table)
+        assert {r.user_id: (r.event_id, r.ts) for r in back2.collect()} == want
+        _, meta = IC._read_metadata(table)
+        _, dels, _ = IC._split_live_entries(table, meta)
+        assert dels == []
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
