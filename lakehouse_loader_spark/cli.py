@@ -164,6 +164,14 @@ def build_parser() -> argparse.ArgumentParser:
     dr = sub.add_parser("drop-ref-iceberg")
     dr.add_argument("target")
     dr.add_argument("name")
+    eqd = sub.add_parser("eqdelete-iceberg")
+    eqd.add_argument("target")
+    eqd.add_argument(
+        "--keys-from", required=True, help="parquet path holding the key values"
+    )
+    eqd.add_argument(
+        "--key-cols", required=True, help="comma-separated equality columns"
+    )
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -399,6 +407,22 @@ def do_main(argv: list[str]) -> None:
 
         drop_ref(args.target, args.name)
         print(f"dropped ref {args.name}", file=sys.stderr)
+        return
+    if args.command == "eqdelete-iceberg":
+        from lakehouse_loader_spark.sinks.iceberg import equality_delete_iceberg
+
+        cols = args.key_cols.split(",")
+        res = equality_delete_iceberg(
+            spark,
+            args.target,
+            spark.read.parquet(args.keys_from).select(*cols),
+            key_cols=cols,
+        )
+        print(
+            f"committed {res['key_rows']} delete keys "
+            f"({res['delete_files']} equality-delete files)",
+            file=sys.stderr,
+        )
         return
     if args.command == "export-webdataset":
         from lakehouse_loader_spark.sinks.export import export_webdataset

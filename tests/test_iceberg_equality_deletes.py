@@ -151,3 +151,16 @@ def test_equality_delete_on_table_with_file_path_column(spark, tmpdir):
     IC.equality_delete_iceberg(spark, path, spark.createDataFrame([(2,)], "id long"))
     rows = {(r.id, r.file_path) for r in IC.read_iceberg(spark, path).collect()}
     assert rows == {(1, "/a/b.bin"), (3, "/e/f.bin")}
+
+
+def test_cli_eqdelete_subcommand(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    path = os.path.join(tmpdir, "ice")
+    _table(spark, path)
+    keys = os.path.join(tmpdir, "keys")
+    spark.createDataFrame([(11,), (12,)], "id long").write.parquet(keys)
+    do_main(["eqdelete-iceberg", path, "--keys-from", keys, "--key-cols", "id"])
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 98
+    assert back.filter("id IN (11, 12)").count() == 0
