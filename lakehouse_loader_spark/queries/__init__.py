@@ -61,6 +61,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # everything is bucket 2 and registration order is preserved verbatim.
 
 
+def _record_is_green(rec: dict) -> bool:
+    """A driver CORRECTNESS record counts as green only if it ran without
+    error AND none of the match flags is explicitly False.  A
+    rows/schema-match-but-hash-fail record (tpch_q12_like, r05) carries
+    err=None, so checking err alone would park a standing red in the
+    refresh-stale bucket instead of the re-prove-first bucket."""
+    return (
+        rec.get("err") in (None, "no_oracle")
+        and rec.get("spark_rows") is not None
+        and rec.get("hash_match") is not False
+        and rec.get("rows_match") is not False
+        and rec.get("schema_match") is not False
+    )
+
+
 def _driver_history() -> dict[str, tuple[int, bool]]:
     """name -> (latest round sampled, was that record green)."""
     import glob
@@ -83,9 +98,7 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
             for name, rec in data.items():
                 if not isinstance(rec, dict):
                     continue
-                green = rec.get("err") in (None, "no_oracle") and rec.get(
-                    "spark_rows"
-                ) is not None
+                green = _record_is_green(rec)
                 prev = hist.get(name)
                 if prev is None or rnd >= prev[0]:
                     hist[name] = (rnd, green)

@@ -20,10 +20,32 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def assert_dtype_discipline(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
+    """The driver's value hash is representation-sensitive: bigint 1085 on the
+    Spark side vs HUGEINT→float64 1085.0 on the DuckDB side hash differently
+    even though the values are equal (tpch_q12_like, round 5).  Flag any
+    column whose dtype *kind* is integer on one side and float on the other
+    while neither side carries a null (nulls legitimately coerce pandas ints
+    to float on both sides, so those are exempt)."""
+    for col in spark_pdf.columns:
+        if col not in oracle_pdf.columns:
+            continue
+        a, b = spark_pdf[col], oracle_pdf[col]
+        kinds = {a.dtype.kind, b.dtype.kind}
+        if kinds in ({"i", "f"}, {"u", "f"}) and not (a.isna().any() or b.isna().any()):
+            raise AssertionError(
+                f"{name}.{col}: dtype kind mismatch spark={a.dtype} oracle={b.dtype} "
+                f"with no nulls — the driver hash will diverge on equal values; "
+                f"CAST the oracle expression (or alias the Spark side) so both are "
+                f"the same numeric family"
+            )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )
+    assert_dtype_discipline(spark_pdf, oracle_pdf, name)
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )

@@ -77,3 +77,22 @@ def test_all_queries_have_distinct_output_columns(spark):
     for name, fn in ent.queries().items():
         cols = fn(spark, SF_ORACLE).columns
         assert len(cols) == len(set(cols)), f"{name} has duplicate columns: {cols}"
+
+
+def test_hash_fail_record_is_not_green():
+    """A hash-mismatch record with err=None must land in the re-prove-first
+    bucket (r05: tpch_q12_like had rows/schema match but hash_match=False and
+    was mis-bucketed as green, so the fix was never re-sampled)."""
+    from lakehouse_loader_spark.queries import _record_is_green
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 3, "oracle_rows": 3, "err": None}
+    assert _record_is_green(ok)
+    assert _record_is_green({**ok, "err": "no_oracle"})
+    assert not _record_is_green({**ok, "hash_match": False})
+    assert not _record_is_green({**ok, "rows_match": False})
+    assert not _record_is_green({**ok, "schema_match": False})
+    assert not _record_is_green({**ok, "err": "boom"})
+    assert not _record_is_green({**ok, "spark_rows": None})
+    # rows-only records carry no match flags at all — still green
+    assert _record_is_green({"spark_rows": 10, "err": None})
