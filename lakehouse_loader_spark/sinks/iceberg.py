@@ -735,6 +735,24 @@ def _abs_file(path: str, fp: str) -> str:
     return fp if os.path.isabs(fp) else os.path.join(path, fp)
 
 
+def _cleanup_lost_commit(
+    path: str, entries: list[dict], manifest: dict | None, manifest_list: str | None
+) -> None:
+    """Remove everything a LOSING optimistic commit staged: the parquet
+    files it wrote AND the Avro manifest / manifest-list it minted for the
+    never-committed snapshot.  No committed metadata version references any
+    of these, so leaving them would just litter metadata/ on every retry."""
+    for e in entries:
+        full = _abs_file(path, e["file_path"])
+        if os.path.exists(full):
+            os.remove(full)
+    for fp in ((manifest or {}).get("manifest_path"), manifest_list):
+        if fp:
+            full = _abs_file(path, fp)
+            if os.path.exists(full):
+                os.remove(full)
+
+
 def _decode_scan_path(col):
     """``_metadata.file_path`` (a ``file:/…`` URI, possibly percent-encoded)
     → the plain filesystem path manifests record.  Percent-decoding uses
@@ -1298,8 +1316,13 @@ def _prune_files_by_partition(
     kept, total = [], 0
     for mf in _snapshot_manifests(path, meta):
         for e in _read_manifest_entries(path, mf["manifest_path"]):
-            if e["data_file"].get("content", 0) == 1:
-                continue  # position-delete files are not scan candidates
+            if e["data_file"].get("content", 0) in (1, 2):
+                # position- AND equality-delete files are not scan
+                # candidates (equality deletes are written with an empty
+                # partition dict even on partitioned tables, so a
+                # value=None probe would otherwise match them and scan
+                # the key-file as schema-mismatched data)
+                continue
             total += 1
             # manifests store TYPED partition values; canonicalize both
             # sides to the hive string form for comparison (dates are
@@ -1825,12 +1848,24 @@ def read_iceberg_changes(
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
-    snapshots = meta.get("snapshots", [])
+    # Walk the MAIN lineage only: unpublished WAP branch snapshots
+    # (append_to_branch) live in the same snapshots list without moving
+    # current-snapshot-id, so a linear walk would emit phantom insert/delete
+    # pairs for branch-only files.  publish_branch strips the 'branch'
+    # summary marker from the head it fast-forwards, so published commits
+    # stay in the feed (their rows surface at the publish point).
+    snapshots = [
+        s for s in meta.get("snapshots", []) if "branch" not in (s.get("summary") or {})
+    ]
     ids = [s["snapshot-id"] for s in snapshots]
     start_idx = 0
     if since_snapshot_id is not None:
         if since_snapshot_id not in ids:
-            raise ValueError(f"snapshot {since_snapshot_id} not in {path} (have {ids})")
+            raise ValueError(
+                f"snapshot {since_snapshot_id} not in the main lineage of "
+                f"{path} (have {ids}; unpublished branch snapshots are not "
+                "valid change-feed bounds)"
+            )
         start_idx = ids.index(since_snapshot_id) + 1
     end_idx = len(snapshots) - 1
     if end_snapshot_id is not None:
@@ -2298,11 +2333,7 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
             os.O_CREAT | os.O_EXCL | os.O_WRONLY,
         )
     except FileExistsError:
-        # clean up the delete files the lost commit staged
-        for e in new_delete_entries:
-            full = _abs_file(path, e["file_path"])
-            if os.path.exists(full):
-                os.remove(full)
+        _cleanup_lost_commit(path, new_delete_entries, manifest, manifest_list)
         raise ConcurrentModificationError(
             f"concurrent commit won v{version + 1} at {path}; the DELETE's "
             "snapshot is stale — re-run against the new snapshot"
@@ -2402,10 +2433,7 @@ def equality_delete_iceberg(
             os.O_CREAT | os.O_EXCL | os.O_WRONLY,
         )
     except FileExistsError:
-        for e in entries:
-            full = _abs_file(path, e["file_path"])
-            if os.path.exists(full):
-                os.remove(full)
+        _cleanup_lost_commit(path, entries, manifest, manifest_list)
         raise ConcurrentModificationError(
             f"concurrent commit won v{version + 1} at {path}; the equality "
             "DELETE's snapshot is stale — re-run against the new snapshot"
@@ -2963,7 +2991,23 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
         new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
         new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
         refs = dict(meta.get("refs") or {})
-        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        prior = refs.get(branch)
+        # Remember which main-line snapshot the branch forked from: a fresh
+        # branch forks from the CURRENT snapshot; further appends keep the
+        # original fork base.  publish_branch refuses to fast-forward when
+        # the main line has advanced past this base (the branch head would
+        # not be a descendant of current, so publishing would silently drop
+        # the intervening main-line rows).
+        fork_base = (
+            prior.get("fork-base-snapshot-id")
+            if prior is not None
+            else meta.get("current-snapshot-id")
+        )
+        refs[branch] = {
+            "snapshot-id": snapshot_id,
+            "type": "branch",
+            "fork-base-snapshot-id": fork_base,
+        }
         new_meta["refs"] = refs
         # current-snapshot-id deliberately unchanged: the main line moves
         # only at publish_branch
@@ -3023,7 +3067,30 @@ def publish_branch(path: str, branch: str, drop: bool = True) -> int:
             raise ConcurrentSpecChangeError(
                 f"branch {branch!r} moved concurrently; re-audit before publishing"
             )
+        # the fast-forward is only sound if the branch head descends from
+        # the current snapshot — i.e. the main line hasn't moved since the
+        # branch forked.  Otherwise publishing would replace current with a
+        # lineage that lacks the intervening main-line commits (silent row
+        # loss).  Fail loudly, like every other concurrent-change path here.
+        if "fork-base-snapshot-id" in r and m.get("current-snapshot-id") != r[
+            "fork-base-snapshot-id"
+        ]:
+            raise ConcurrentSpecChangeError(
+                f"main line advanced since branch {branch!r} forked "
+                f"(current={m.get('current-snapshot-id')}, fork base="
+                f"{r['fork-base-snapshot-id']}); publishing would drop the "
+                "intervening commits — re-run the branch append on current"
+            )
         m["current-snapshot-id"] = target
+        # mark the published snapshot as main-line so history walkers
+        # (read_iceberg_changes) can tell it apart from unpublished
+        # branch-only snapshots that share the snapshots list
+        for snap in m.get("snapshots", []):
+            if snap["snapshot-id"] == target:
+                summ = dict(snap.get("summary") or {})
+                summ.pop("branch", None)
+                summ["published-from-branch"] = branch
+                snap["summary"] = summ
         if drop:
             refs = dict(m.get("refs") or {})
             refs.pop(branch, None)

@@ -164,3 +164,39 @@ def test_cli_eqdelete_subcommand(spark, tmpdir):
     back = IC.read_iceberg(spark, path)
     assert back.count() == 98
     assert back.filter("id IN (11, 12)").count() == 0
+
+
+def test_equality_delete_files_excluded_from_partition_prune(spark, tmpdir):
+    """Equality-delete files are written with an EMPTY partition dict even on
+    partitioned tables (they address keys, not partitions), so a prune probe
+    with value=None must not match them as data, and `total` must count only
+    data files (ADVICE r5)."""
+    path = os.path.join(tmpdir, "icep")
+    df = spark.range(0, 60).select(
+        "id",
+        F.when(F.col("id") < 40, F.col("id") % 2).alias("b"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    IC.write_iceberg(df.repartition(3, "b"), path, partition_by=["b"])
+    n_data = len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+            if "delete-" not in os.path.basename(f)
+        ]
+    )
+    IC.equality_delete_iceberg(
+        spark, path, spark.createDataFrame([(41,), (43,)], "id long")
+    )
+
+    # value=None selects the null partition — only genuine data files
+    files, total = IC.prune_iceberg_files(path, "b", None)
+    assert all("delete-" not in os.path.basename(f) for f in files)
+    assert total == n_data, "delete files must not inflate the candidate total"
+    pruned = IC.read_iceberg_pruned(spark, path, "b", None)
+    rows = pruned.collect()
+    assert sorted(r.id for r in rows) == [40, 42] + list(range(44, 60)), (
+        "null-partition scan must apply the equality delete and never scan "
+        "the key file as data"
+    )
+    assert all(r.v == r.id * 2.0 for r in rows)

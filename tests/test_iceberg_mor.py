@@ -490,3 +490,113 @@ def test_mor_delete_on_hidden_partitioned_table(spark, tmpdir):
     assert back2.count() == 300 - res["deleted_rows"]
     files2, _ = IC.prune_iceberg_files(path, "id_bucket", 2)
     assert files2  # spec survived the rewrite
+
+
+def test_publish_branch_refuses_when_main_advanced(spark, tmpdir):
+    """WAP race (ADVICE r5): a main-line commit lands during the audit
+    window.  Fast-forwarding current to the branch head would silently drop
+    that commit's rows (the branch forked BEFORE it), so publish must fail
+    loudly; dropping the branch and re-staging on the new current works."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+
+    IC.append_to_branch(
+        spark.range(5000, 5020).select("id", F.lit(True).alias("flag")).coalesce(1),
+        path,
+        "audit",
+    )
+    # concurrent main-line append during the audit window
+    IC.write_iceberg(
+        spark.range(7000, 7010).select("id", F.lit(False).alias("flag")).coalesce(1),
+        path,
+        append=True,
+    )
+    with pytest.raises(IC.ConcurrentSpecChangeError, match="main line advanced"):
+        IC.publish_branch(path, "audit")
+    # main line rows are intact — nothing was dropped
+    assert IC.read_iceberg(spark, path).count() == 110
+    # remediation: re-fork from the new current and publish cleanly
+    IC.drop_ref(path, "audit")
+    IC.append_to_branch(
+        spark.range(5000, 5020).select("id", F.lit(True).alias("flag")).coalesce(1),
+        path,
+        "audit",
+    )
+    IC.publish_branch(path, "audit")
+    assert IC.read_iceberg(spark, path).count() == 130
+
+
+def test_change_feed_skips_unpublished_branch_snapshots(spark, tmpdir):
+    """An unpublished WAP branch snapshot interleaves with main-line commits
+    in the snapshots list; the change feed must walk only the main lineage
+    (no phantom insert/delete pairs for branch-only files) until the branch
+    is published — then its rows surface once, at the publish point."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    base = IC.snapshot_ids(path)[-1]
+
+    staged = IC.append_to_branch(
+        spark.range(5000, 5020).select("id", F.lit(True).alias("flag")).coalesce(1),
+        path,
+        "audit",
+    )
+    # main-line append AFTER the branch snapshot entered the list
+    IC.write_iceberg(
+        spark.range(7000, 7010).select("id", F.lit(False).alias("flag")).coalesce(1),
+        path,
+        append=True,
+    )
+    ch = IC.read_iceberg_changes(spark, path, since_snapshot_id=base).collect()
+    assert {r["_change_type"] for r in ch} == {"insert"}
+    assert sorted(r.id for r in ch) == list(range(7000, 7010)), (
+        "branch-only rows must not appear in the main-line change feed"
+    )
+    # a branch-only snapshot id is not a valid feed bound
+    with pytest.raises(ValueError, match="main lineage"):
+        IC.read_iceberg_changes(spark, path, since_snapshot_id=staged)
+    # publish (after re-forking past the race guard) surfaces the rows once
+    IC.drop_ref(path, "audit")
+    IC.append_to_branch(
+        spark.range(5000, 5020).select("id", F.lit(True).alias("flag")).coalesce(1),
+        path,
+        "audit",
+    )
+    IC.publish_branch(path, "audit")
+    ch2 = IC.read_iceberg_changes(spark, path, since_snapshot_id=base).collect()
+    assert sorted(r.id for r in ch2) == list(range(5000, 5020)) + list(range(7000, 7010))
+    assert {r["_change_type"] for r in ch2} == {"insert"}
+
+
+def test_lost_mor_commit_leaves_no_orphan_metadata(spark, tmpdir):
+    """A losing optimistic DELETE commit must clean up everything it staged:
+    parquet delete files AND the Avro manifest / manifest-list minted for
+    the never-committed snapshot (ADVICE r5: metadata litter on retry)."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    meta_files_before = sorted(glob.glob(os.path.join(path, "metadata", "*")))
+
+    # simulate a concurrent winner: pre-create the next metadata version
+    version = max(
+        int(os.path.basename(p).split(".")[0][1:])
+        for p in glob.glob(os.path.join(path, "metadata", "v*.metadata.json"))
+    )
+    blocker = os.path.join(path, "metadata", f"v{version + 1}.metadata.json")
+    with open(blocker, "w") as fh:
+        fh.write("{}")
+
+    with pytest.raises(ConcurrentModificationError):
+        IC.delete_from_iceberg(spark, path, "id < 10", strategy="merge-on-read")
+    os.remove(blocker)
+    assert sorted(glob.glob(os.path.join(path, "metadata", "*"))) == meta_files_before
+    assert _delete_files(path) == []
+
+    # same contract for the equality-delete path
+    with open(blocker, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ConcurrentModificationError):
+        IC.equality_delete_iceberg(
+            spark, path, spark.createDataFrame([(1,), (2,)], "id long")
+        )
+    os.remove(blocker)
+    assert sorted(glob.glob(os.path.join(path, "metadata", "*"))) == meta_files_before
+    assert _delete_files(path) == []
