@@ -181,41 +181,69 @@ def test_connected_components_chain_and_star(spark):
     assert clusters == {1: (1, 5), 10: (10, 4), 20: (20, 2)}
 
 
-def test_connected_components_long_chain_needs_iterations(spark):
-    from lakehouse_loader_spark.operators.clusters import connected_components
+def test_connected_components_long_chain_needs_iterations(spark, monkeypatch):
+    from lakehouse_loader_spark.operators import clusters as C
 
+    # force the DISTRIBUTED loop (the size gate would otherwise solve a
+    # 12-edge graph exactly on the driver, budget-free)
+    monkeypatch.setattr(C, "LOCAL_CC_MAX_EDGES", -1)
     n = 12
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
     # diameter n needs n change-iterations + 1 fixpoint-confirm iteration
     cc = {
         r.node: r.component
-        for r in connected_components(pairs, max_iterations=n + 1).collect()
+        for r in C.connected_components(pairs, max_iterations=n + 1).collect()
     }
     assert set(cc.values()) == {0}
     # too-small budget must fail loudly, never return split components
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=3).collect()
+        C.connected_components(pairs, max_iterations=3).collect()
 
 
-def test_star_contraction_handles_high_diameter(spark):
+def test_local_union_find_matches_distributed(spark, monkeypatch):
+    """The size-gated driver union-find fast path must be exactly
+    interchangeable with both distributed algorithms — same (node,
+    component) map, component = min member id."""
+    import random
+
+    from lakehouse_loader_spark.operators import clusters as C
+
+    rng = random.Random(11)
+    nodes = list(range(300))
+    edge_list = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(220)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    pairs = spark.createDataFrame(edge_list, ["doc_a", "doc_b"])
+
+    fast = sorted(
+        (r.node, r.component) for r in C.connected_components(pairs).collect()
+    )
+    monkeypatch.setattr(C, "LOCAL_CC_MAX_EDGES", -1)
+    dist = sorted(
+        (r.node, r.component) for r in C.connected_components(pairs).collect()
+    )
+    dist_star = sorted(
+        (r.node, r.component) for r in C.connected_components_star(pairs).collect()
+    )
+    assert fast == dist == dist_star
+
+
+def test_star_contraction_handles_high_diameter(spark, monkeypatch):
     """A path graph of length ≫ the min-label budget: star contraction must
     converge in O(log² n) rounds where min-label propagation (one round per
     diameter unit) exhausts its budget — the scale property the variant
     exists for (VERDICT r04 design headroom)."""
     import pytest as _pytest
 
-    from lakehouse_loader_spark.operators.clusters import (
-        connected_components,
-        connected_components_star,
-    )
+    from lakehouse_loader_spark.operators import clusters as C
 
+    monkeypatch.setattr(C, "LOCAL_CC_MAX_EDGES", -1)  # exercise the loops
     n = 200  # diameter 200 ≫ min-label's default 25-iteration budget
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["doc_a", "doc_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs).collect()
-    cc = {r.node: r.component for r in connected_components_star(pairs).collect()}
+        C.connected_components(pairs).collect()
+    cc = {r.node: r.component for r in C.connected_components_star(pairs).collect()}
     assert len(cc) == n + 1
     assert set(cc.values()) == {0}
 
