@@ -109,6 +109,34 @@ def main() -> None:
         loader["lineitem_rows"] = n_rows
         loader["delta_rows_per_sec"] = round(n_rows / loader["parquet_to_delta_sec"])
         loader["iceberg_rows_per_sec"] = round(n_rows / loader["parquet_to_iceberg_sec"])
+
+        # MOR lifecycle on the just-written table: equality-delete 1000
+        # orderkeys, MOR-delete a predicate, append a slice, then read the
+        # merged view — proves delete application cost stays linear in the
+        # delete set (not quadratic in snapshots) at the same scale the
+        # plain loader numbers use
+        from lakehouse_loader_spark.sinks.iceberg import (
+            delete_from_iceberg,
+            equality_delete_iceberg,
+            read_iceberg,
+        )
+
+        ice_path = os.path.join(tmp, "iceberg")
+        t0 = time.perf_counter()
+        keys = li.select("l_orderkey").distinct().limit(1000)
+        equality_delete_iceberg(spark, ice_path, keys)
+        delete_from_iceberg(
+            spark, ice_path, "l_quantity < 2", strategy="merge-on-read"
+        )
+        write_iceberg(li.limit(50_000), ice_path, append=True)
+        loader["iceberg_mor_dml_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        n_merged = read_iceberg(spark, ice_path).count()
+        loader["iceberg_mor_read_sec"] = round(time.perf_counter() - t0, 4)
+        loader["iceberg_mor_read_rows"] = n_merged
+        loader["iceberg_mor_read_rows_per_sec"] = round(
+            n_merged / loader["iceberg_mor_read_sec"]
+        )
     except Exception as exc:  # loader failure must not kill the query numbers
         errors["__loader__"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# loader ERROR: {errors['__loader__'][:200]}", file=sys.stderr)
@@ -147,6 +175,7 @@ def main() -> None:
         compact_payload = {**payload, "queries": qs, "loader": {
             "delta_rps": loader.get("delta_rows_per_sec"),
             "iceberg_rps": loader.get("iceberg_rows_per_sec"),
+            "mor_read_rps": loader.get("iceberg_mor_read_rows_per_sec"),
         }}
         if errors:
             # full tracebacks live in BENCH_DETAIL.json; the JSON line only

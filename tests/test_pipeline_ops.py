@@ -395,3 +395,25 @@ def test_expectations_report_counts_null_as_violation(spark):
     fk = referential_violations(child, parent, "k", "k", "fk").collect()[0]
     # 9 is an orphan; NULL references nothing (SQL FK semantics)
     assert (fk.rule, fk.violations, fk.n_rows) == ("fk", 1, 3)
+
+
+def test_prefix_sum_queries_leave_no_cache_residue(spark):
+    """The two-pass prefix-sum family (pack_sequences, sample_token_budget,
+    shuffle_deterministic) must not leave persisted frames behind after the
+    result is materialized: a persist referenced by the returned plan leaks
+    for the session lifetime (ADVICE r04/r05) — the design recomputes the
+    cheap token expression instead of caching."""
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_SMOKE
+
+    _ensure_loaded()
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids():
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    for key in ("pack_sequences", "sample_token_budget", "shuffle_deterministic"):
+        before = persistent_ids()
+        REGISTRY[key].fn(spark, SF_SMOKE).collect()
+        leaked = persistent_ids() - before
+        assert not leaked, f"{key} left persisted RDDs behind: {leaked}"
