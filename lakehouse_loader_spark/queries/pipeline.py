@@ -908,54 +908,128 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only; error bounds are pytest-asserted against exact answers
 # (tests/test_pipeline_ops.py).
 # --------------------------------------------------------------------------
-@query("agg_sketch_distinct_theta", oracle=None)
+@query(
+    "agg_sketch_distinct_theta",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    ORDER BY event_type
+    """,
+)
 def agg_sketch_distinct_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type via theta sketches, plus a sketch-level
     UNION across all types — the mergeable form of COUNT(DISTINCT): each
     shard sketches locally, sketches (not rows) move in the shuffle, and
     set operations (union here, intersection/difference for overlap
     analyses) happen on the sketches.  At 100 TB this replaces the
-    expand-shuffle of exact distinct with constant-size state per group."""
+    expand-shuffle of exact distinct with constant-size state per group.
+
+    Oracle contract (VERDICT r5 item 5): the estimate itself is
+    engine-specific, so the output carries the EXACT count (hash-compared
+    against DuckDB) plus ``within_bound`` = |estimate − exact| ≤ 5% · exact
+    — the driver goes red if the sketch ever drifts past its published
+    error (default lgK=12 ⇒ ~3.1% at 2σ; 5% gives deterministic headroom,
+    and below 4096 distincts the sketch is exact).  The exact aggregate
+    exists only to power this check; the sketch side is the scale path."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("sk")
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    out = per_type.select(
-        "event_type",
-        F.round(F.theta_sketch_estimate("sk"), 0).cast("bigint").alias("approx_users"),
+    est = F.theta_sketch_estimate("sk")
+    ok = (F.abs(est - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+        "within_bound"
     )
-    total = per_type.agg(
-        F.round(
-            F.theta_sketch_estimate(F.theta_union_agg("sk")), 0
-        ).cast("bigint").alias("approx_users")
-    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    out = per_type.select("event_type", F.col("exact_users").cast("bigint"), ok)
+    total_est = F.theta_sketch_estimate(F.theta_union_agg("sk"))
+    total = (
+        per_type.agg(
+            total_est.alias("e"),
+            # exact distinct across types needs the raw column, not the
+            # per-type exacts (users appear under several types)
+        )
+        .crossJoin(F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_users"))))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.col("exact_users").cast("bigint"),
+            (F.abs(F.col("e") - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+                "within_bound"
+            ),
+        )
+    )
     return out.unionByName(total).orderBy("event_type")
 
 
-@query("agg_sketch_quantile_kll", oracle=None)
+@query(
+    "agg_sketch_quantile_kll",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '__all__', CAST(COUNT(*) AS BIGINT), TRUE, TRUE FROM orders
+    ORDER BY o_orderstatus
+    """,
+)
 def agg_sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-price quantiles per status via KLL sketches, merged to a
     global sketch — the mergeable form of percentile: per-group sketches
-    combine with kll_sketch_merge instead of re-sorting raw values, the
-    shape streaming/rollup quantile pipelines need at scale."""
+    combine instead of re-sorting raw values, the shape streaming/rollup
+    quantile pipelines need at scale.
+
+    Oracle contract (VERDICT r5 item 5): quantile VALUES are
+    engine-specific, but KLL's published guarantee is on RANK (default
+    k=200 ⇒ ~1.65% at 99% confidence), so the output verifies the
+    estimate's true rank — the fraction of rows ≤ the estimated p50 (p95)
+    must land within ±5% of 0.5 (0.95) — and hash-compares that boolean
+    plus the exact group count against DuckDB.  A drifting sketch turns
+    the driver row red."""
     o = load_table(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderstatus").agg(
         F.kll_sketch_agg_double("o_totalprice").alias("sk")
     )
-    qs = per_status.select(
+    est = per_status.select(
         "o_orderstatus",
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 2).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50e"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95e"),
     )
-    # global sketch over all rows; pairwise kll_sketch_merge_double of the
-    # per-group sketches equals this (asserted in tests/test_pipeline_ops) —
-    # Spark exposes kll merge as a BINARY scalar, not an aggregate
     merged = o.agg(F.kll_sketch_agg_double("o_totalprice").alias("sk")).select(
         F.lit("__all__").alias("o_orderstatus"),
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.95)), 2).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50e"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95e"),
     )
-    return qs.unionByName(merged).orderBy("o_orderstatus")
+    targets = est.unionByName(merged)
+
+    def rank_check(df: DataFrame) -> DataFrame:
+        price = F.col("o_totalprice").cast("double")
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg((price <= F.col("p50e")).cast("double")).alias("r50"),
+            F.avg((price <= F.col("p95e")).cast("double")).alias("r95"),
+        )
+
+    # broadcast the tiny (status → estimate) table back over the rows to
+    # measure each estimate's TRUE rank in one pass
+    per = rank_check(o.join(F.broadcast(targets.filter("o_orderstatus <> '__all__'")), "o_orderstatus"))
+    allr = rank_check(
+        o.crossJoin(F.broadcast(targets.filter("o_orderstatus = '__all__'").drop("o_orderstatus")))
+        .withColumn("o_orderstatus", F.lit("__all__"))
+    )
+    return (
+        per.unionByName(allr)
+        .select(
+            "o_orderstatus",
+            F.col("n_rows").cast("bigint"),
+            (F.abs(F.col("r50") - 0.5) <= 0.05).alias("p50_rank_ok"),
+            (F.abs(F.col("r95") - 0.95) <= 0.05).alias("p95_rank_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 # --------------------------------------------------------------------------

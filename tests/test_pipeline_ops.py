@@ -277,17 +277,18 @@ def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
 
 
 def test_theta_sketch_estimates_within_bounds(spark):
-    """Theta-sketch distinct estimates land within 5% of exact on the
-    oracle-scale data (default sketch params give far tighter error than
-    that at these cardinalities), and sketch-union equals the estimate
-    over the unioned raw data."""
+    """The query now SELF-CERTIFIES the 5% error bound in its output (the
+    oracle hash-compares `within_bound` against literal TRUE), so the
+    pytest checks the exported booleans plus the raw-estimate bound via the
+    sketch functions directly (sketch-union over groups vs exact distinct
+    over the unioned raw data)."""
     from lakehouse_loader_spark.catalog import load_table
     from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
     from tests.conftest import SF_ORACLE
 
     _ensure_loaded()
-    est = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in REGISTRY["agg_sketch_distinct_theta"].fn(spark, SF_ORACLE).collect()
     }
     ev = load_table(spark, SF_ORACLE, "events")
@@ -296,9 +297,18 @@ def test_theta_sketch_estimates_within_bounds(spark):
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
     exact["__all__"] = ev.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, v in exact.items():
-        assert abs(est[k] - v) <= max(1, 0.05 * v), (k, est[k], v)
+        assert rows[k]["exact_users"] == v, (k, rows[k], v)
+        assert rows[k]["within_bound"], (k, rows[k])
+    # sketch-union across types bounds-matches the exact union cardinality
+    union_est = (
+        ev.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .agg(F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert abs(union_est - exact["__all__"]) <= max(1, 0.05 * exact["__all__"])
 
 
 def test_kll_sketch_quantiles_and_mergeability(spark):
@@ -313,6 +323,10 @@ def test_kll_sketch_quantiles_and_mergeability(spark):
     _ensure_loaded()
     rows = {r["o_orderstatus"]: r for r in
             REGISTRY["agg_sketch_quantile_kll"].fn(spark, SF_ORACLE).collect()}
+    # the query self-certifies rank error (oracle hash-compares the
+    # booleans against TRUE); assert them here too for a local signal
+    for k, r in rows.items():
+        assert r["p50_rank_ok"] and r["p95_rank_ok"], (k, r)
     o = load_table(spark, SF_ORACLE, "orders")
     exact = o.agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
@@ -320,8 +334,12 @@ def test_kll_sketch_quantiles_and_mergeability(spark):
     ).first()
     spread = o.agg((F.max("o_totalprice") - F.min("o_totalprice")).alias("s")).first()["s"]
     # default KLL k=200 → normalized rank error ~1.65%; allow 3% of range
-    assert abs(rows["__all__"]["p50"] - exact["p50"]) <= 0.03 * spread
-    assert abs(rows["__all__"]["p95"] - exact["p95"]) <= 0.03 * spread
+    global_est = o.agg(F.kll_sketch_agg_double("o_totalprice").alias("sk")).select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+    ).first()
+    assert abs(global_est["p50"] - exact["p50"]) <= 0.03 * spread
+    assert abs(global_est["p95"] - exact["p95"]) <= 0.03 * spread
     # mergeability: fold the per-status sketches with the binary merge fn
     merged_est = (
         o.groupBy("o_orderstatus")
