@@ -7,10 +7,17 @@ training-data pipeline uses it: an opaque ``binary`` payload column +
 typed metadata struct, with decode/feature-extraction as Arrow-batched
 ``mapInPandas`` stages.
 
-The actual media decode (image/audio/video) is STUBBED — the container has
-no codec libraries — but the Spark-side plumbing (schema, batch iteration,
-partition-parallel UDF signature) is real and tested; swap `_decode_stub`
-for a PIL/ffmpeg call in production.
+Two decode tiers:
+
+* REAL codecs (operators/media_codec.py): WAV (RIFF/PCM), PPM/PGM, and
+  uncompressed 24-bit BMP decode genuinely with numpy — no media
+  libraries needed.  ``decode_media_features`` / ``resize_media_features``
+  run these end-to-end (and are oracle-checked via deterministic
+  synthesized media whose decoded fields SQL can recompute).
+* The byte-statistics path (``_decode_stub`` / ``_resize_stub``) remains
+  for OPAQUE payloads — compressed formats (JPEG/MP3/H.264) need codec
+  libraries the container doesn't ship; production swaps in PIL/ffmpeg
+  behind the same mapInPandas signatures.
 """
 
 from __future__ import annotations
@@ -178,6 +185,109 @@ def sample_frames(
                     totals.append(len(chunks))
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames, "n_frames": totals}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=schema)
+
+# -- REAL codec stages (operators/media_codec.py: WAV / PPM / PGM / BMP) ----
+
+MEDIA_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("peak_value", T.DoubleType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL media payload per row — WAV bytes for even ids, PPM
+    for odd (media_codec.synth_payload) — Arrow-batched.  This is the
+    deterministic staging used by tests/bench/oracles; a production table
+    would carry ingested bytes in the same (id, payload) shape."""
+    from lakehouse_loader_spark.operators import media_codec as MC
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids.values, "payload": [MC.synth_payload(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
+def decode_media_features(df: DataFrame) -> DataFrame:
+    """REAL decode stage: sniff + parse WAV/PPM/PGM/BMP per payload
+    (numpy, executor-side); opaque/compressed payloads degrade to byte
+    statistics with media_format='opaque' instead of failing the task."""
+    from lakehouse_loader_spark.operators import media_codec as MC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [MC.decode_media(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats).rename(columns={"format": "media_format"})
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in MEDIA_DECODE_SCHEMA.fields]]
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=MEDIA_DECODE_SCHEMA)
+
+
+def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame:
+    """REAL resize stage: images → nearest-neighbor ``out_dim``×``out_dim``
+    grayscale thumbnail (channel-mean then index-map resize); audio →
+    ``out_dim``² RMS windows.  Both land in one fixed-length
+    ``array<double>`` column (the embedding-table shape), so resized media
+    feeds the similarity/ANN operators directly."""
+    from lakehouse_loader_spark.operators import media_codec as MC
+    import numpy as np
+
+    n_out = out_dim * out_dim
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_format", T.StringType()),
+            T.StructField("resized", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def one(payload: bytes) -> tuple[str, list[float]]:
+        kind = MC.sniff_format(payload)
+        if kind == "wav":
+            d = MC.decode_wav(payload)
+            return "wav", MC.audio_window_rms(d["samples"], n_out).tolist()
+        if kind in ("ppm", "pgm", "bmp"):
+            d = MC.decode_ppm(payload) if kind in ("ppm", "pgm") else MC.decode_bmp(payload)
+            px = d["pixels"].astype(np.float64)
+            if px.ndim == 3:
+                px = px.mean(axis=2)
+            return d["format"], MC.resize_image_nearest(px, out_dim, out_dim).ravel().tolist()
+        return "opaque", _resize_stub(payload, n_out)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_format": [k for k, _ in pairs],
+                    "resized": [v for _, v in pairs],
+                }
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=schema)

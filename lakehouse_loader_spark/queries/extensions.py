@@ -387,6 +387,156 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_media",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    wav AS (
+      SELECT doc_id,
+             1 + (doc_id // 2) % 2 AS nch,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 22050 END AS rate,
+             400 + (doc_id % 7) * 50 AS n_frames
+      FROM d WHERE doc_id % 2 = 0),
+    wav_vals AS (
+      SELECT w.doc_id, ((t.i * 7 + ch.c * 3 + w.doc_id * 13) % 201 - 100) AS v
+      FROM wav w
+      JOIN range(0, 700) t(i) ON t.i < w.n_frames
+      JOIN range(0, 2) ch(c) ON ch.c < w.nch),
+    wav_stats AS (
+      SELECT doc_id, AVG(v) AS mean_value, CAST(MAX(ABS(v)) AS DOUBLE) AS peak_value
+      FROM wav_vals GROUP BY doc_id),
+    wav_rows AS (
+      SELECT w.doc_id, 'wav' AS media_format,
+             CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+             CAST(w.nch AS BIGINT) AS n_channels,
+             CAST(w.rate AS BIGINT) AS sample_rate,
+             CAST(w.n_frames * w.nch AS BIGINT) AS n_samples,
+             CAST(w.n_frames AS DOUBLE) / w.rate AS duration_s,
+             s.mean_value, s.peak_value,
+             CAST(44 + w.n_frames * w.nch * 2 AS BIGINT) AS byte_len
+      FROM wav w JOIN wav_stats s USING (doc_id)),
+    img AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      FROM d WHERE doc_id % 2 = 1),
+    img_vals AS (
+      SELECT i.doc_id, ((x.x * 7 + y.y * 11 + c.c * 5 + i.doc_id * 3) % 251) AS v
+      FROM img i
+      JOIN range(0, 17) x(x) ON x.x < i.w
+      JOIN range(0, 11) y(y) ON y.y < i.h
+      JOIN range(0, 3) c(c) ON TRUE),
+    img_stats AS (
+      SELECT doc_id, AVG(v) AS mean_value, CAST(MAX(v) AS DOUBLE) AS peak_value
+      FROM img_vals GROUP BY doc_id),
+    img_rows AS (
+      SELECT i.doc_id, 'ppm' AS media_format,
+             CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS n_channels,
+             CAST(NULL AS BIGINT) AS sample_rate,
+             CAST(i.w * i.h * 3 AS BIGINT) AS n_samples,
+             CAST(NULL AS DOUBLE) AS duration_s,
+             s.mean_value, s.peak_value,
+             CAST(9 + LENGTH(CAST(i.w AS VARCHAR)) + LENGTH(CAST(i.h AS VARCHAR))
+                  + i.w * i.h * 3 AS BIGINT) AS byte_len
+      FROM img i JOIN img_stats s USING (doc_id))
+    SELECT * FROM wav_rows UNION ALL SELECT * FROM img_rows
+    """,
+)
+def multimodal_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec end-to-end: synthesize genuine WAV (even doc_ids) / PPM
+    (odd) bytes per document, then DECODE them with the pure-numpy RIFF and
+    Netpbm parsers (operators/media_codec.py) — header fields, duration and
+    exact sample/pixel statistics all come from parsing the byte stream.
+    The oracle recomputes every decoded field analytically from the doc_id
+    → media parameter map (synth uses modular-ramp signals precisely so the
+    SQL side can), which makes the decoder itself driver-hash-checked: a
+    mis-parsed header or sample buffer shows up as a red row.  Compressed
+    formats (JPEG/MP3) remain out of scope — they degrade to
+    media_format='opaque' rather than failing (decode_media never raises).
+    """
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media_features(M.synthesize_media(docs))
+
+
+@query(
+    "multimodal_resize_media",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    -- images: nearest-neighbor 16x16 grayscale thumbnail, cell (i,j) =
+    -- channel mean of source pixel (x=(j*w)//16, y=(i*h)//16)
+    img AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      FROM d WHERE doc_id % 2 = 1),
+    img_cells AS (
+      SELECT i.doc_id, gi.i, gj.j,
+             AVG((((gj.j * i.w) // 16) * 7 + ((gi.i * i.h) // 16) * 11
+                  + c.c * 5 + i.doc_id * 3) % 251) AS cell
+      FROM img i
+      JOIN range(0, 16) gi(i) ON TRUE
+      JOIN range(0, 16) gj(j) ON TRUE
+      JOIN range(0, 3) c(c) ON TRUE
+      GROUP BY i.doc_id, gi.i, gj.j),
+    img_rows AS (
+      SELECT doc_id, 'ppm' AS media_format,
+             ROUND(MAX(CASE WHEN i = 0 AND j = 0 THEN cell END), 6) AS r_first,
+             ROUND(MIN(cell), 6) AS r_min,
+             ROUND(MAX(cell), 6) AS r_max,
+             CAST(256 AS INT) AS r_dim
+      FROM img_cells GROUP BY doc_id),
+    -- audio: 256 RMS windows over the channel-mean signal; frame i of n
+    -- belongs to window (i*256 + 255) // n (the closed form of the
+    -- bounds[k] = (k*n)//256 partition, identity verified in tests)
+    wav AS (
+      SELECT doc_id, 1 + (doc_id // 2) % 2 AS nch,
+             400 + (doc_id % 7) * 50 AS n_frames
+      FROM d WHERE doc_id % 2 = 0),
+    mono AS (
+      SELECT w.doc_id, t.i, w.n_frames,
+             AVG((t.i * 7 + ch.c * 3 + w.doc_id * 13) % 201 - 100) AS v
+      FROM wav w
+      JOIN range(0, 700) t(i) ON t.i < w.n_frames
+      JOIN range(0, 2) ch(c) ON ch.c < w.nch
+      GROUP BY w.doc_id, t.i, w.n_frames),
+    rms AS (
+      SELECT doc_id, (i * 256 + 255) // n_frames AS k,
+             SQRT(AVG(v * v)) AS r
+      FROM mono GROUP BY doc_id, (i * 256 + 255) // n_frames),
+    wav_rows AS (
+      SELECT doc_id, 'wav' AS media_format,
+             ROUND(MAX(CASE WHEN k = 0 THEN r END), 6) AS r_first,
+             ROUND(MIN(r), 6) AS r_min,
+             ROUND(MAX(r), 6) AS r_max,
+             CAST(256 AS INT) AS r_dim
+      FROM rms GROUP BY doc_id)
+    SELECT * FROM img_rows UNION ALL SELECT * FROM wav_rows
+    """,
+)
+def multimodal_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end: decode the synthesized WAV/PPM payloads and
+    produce the fixed 256-length feature vector — nearest-neighbor 16×16
+    grayscale thumbnail for images, 256-window RMS envelope for audio —
+    summarized to first/min/max scalars (rounded 6dp) so the driver hash
+    never sees a list cell.  The oracle recomputes thumbnail cells from the
+    nearest-neighbor index map and RMS windows from the closed-form window
+    assignment, so the resize kernels (index arithmetic included) are
+    value-checked, not just shape-checked."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = M.resize_media_features(M.synthesize_media(docs))
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return resized.select(
+        "doc_id",
+        "media_format",
+        r6(F.element_at("resized", 1)).alias("r_first"),
+        r6(F.array_min("resized")).alias("r_min"),
+        r6(F.array_max("resized")).alias("r_max"),
+        F.size("resized").alias("r_dim"),
+    )
+
+
 @query("multimodal_frame_sample", oracle=None)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each payload sliced into fixed-size frames, every
