@@ -1385,6 +1385,60 @@ def iceberg_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_compound_pruned_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1995-12-31 23:59:59'
+      AND l_orderkey BETWEEN 1000 AND 4000
+      AND l_quantity >= 25.0
+    """,
+)
+def iceberg_compound_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general scan path (r6, sinks/iceberg.py:plan_iceberg_scan):
+    lineitem staged as an Iceberg table hidden-partitioned by
+    month(l_shipdate) AND range-clustered on l_orderkey, then a compound
+    AND-of-predicates read — the date range prunes partitions exactly
+    through the month transform, the key range prunes surviving files via
+    manifest bounds, the quantity predicate stays residual-only, and all
+    three re-apply exactly row-level.  At 100 TB this is the planner
+    every ad-hoc query rides: transform-aware partition pruning + file
+    skipping from ONE metadata read, no data touched to plan."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_compound_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_compound_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qcompound_"), "li_compound")
+        IC.write_iceberg(
+            li.repartitionByRange(4, "l_orderkey").sortWithinPartitions("l_orderkey"),
+            table,
+            partition_by=["month(l_shipdate)"],
+        )
+        cache[sf_dir] = table
+    return IC.read_iceberg_scan(
+        spark,
+        table,
+        [
+            ("l_shipdate", "between", "1995-01-01T00:00:00", "1995-12-31T23:59:59"),
+            ("l_orderkey", "between", 1000, 4000),
+            ("l_quantity", ">=", 25.0),
+        ],
+        ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate"],
+    )
+
+
+@query(
     "iceberg_equality_delete_scan",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -1440,6 +1440,291 @@ def read_iceberg_stats_pruned(
     ).select(*schema.fieldNames())
 
 
+# -- Compound-predicate scan planning ---------------------------------------
+# The general read path a query engine sits on: AND-of-predicates →
+# hidden-partition pruning (exact, via the spec transforms) → manifest
+# bounds skipping → pruned parquet scan with delete application → exact
+# residual filter → column projection.  Single-column prune/stats entry
+# points above remain as the focused primitives; this composes them.
+
+_SCAN_OPS = ("=", "<", "<=", ">", ">=", "between", "in")
+
+# transforms that preserve source ordering (range predicates can prune on
+# the transformed partition value); bucket[N] is the one non-monotone case
+_MONOTONE_PREFIXES = ("identity", "year", "month", "day", "hour", "truncate[")
+
+
+def _coerce_scan_literal(v, ice_type: str):
+    """Accept ISO strings for temporal columns so predicates read naturally;
+    everything else passes through in the bound-comparison domain."""
+    import datetime as _dt
+
+    if isinstance(v, str) and ice_type == "date":
+        return _dt.date.fromisoformat(v)
+    if isinstance(v, str) and ice_type in ("timestamp", "timestamptz"):
+        return _dt.datetime.fromisoformat(v)
+    return v
+
+
+def _transform_literal(transform: str, v, ice_type: str):
+    """Apply an Iceberg partition transform to a PREDICATE literal on the
+    driver, yielding the manifest-typed partition value it would map to —
+    the exact mirror of transforms.transform_column's executor-side math."""
+    import datetime as _dt
+    import re as _re
+
+    if isinstance(v, str):
+        v = _coerce_scan_literal(v, ice_type)
+    if transform == "identity":
+        # manifests store identity partition values in their Avro-typed
+        # form: epoch days for dates, epoch micros for timestamps
+        if ice_type == "date" and isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        if ice_type in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
+            return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        return v
+    if transform in ("year", "month", "day", "hour"):
+        if isinstance(v, _dt.datetime):
+            d, t = v.date(), v
+        elif isinstance(v, _dt.date):
+            d, t = v, _dt.datetime(v.year, v.month, v.day)
+        else:
+            raise ValueError(f"{transform} needs a date/timestamp literal, got {v!r}")
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        if transform == "day":
+            return (d - _dt.date(1970, 1, 1)).days
+        epoch = _dt.datetime(1970, 1, 1)
+        return int((t - epoch).total_seconds() // 3600)
+    m = _re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        return v[:w] if isinstance(v, str) else v - (v % w)
+    m = _re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        import numpy as _np
+
+        n = int(m.group(1))
+        if isinstance(v, str):
+            h = TR.murmur3_bytes(v.encode("utf-8"))
+        else:
+            if isinstance(v, _dt.datetime):
+                v = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+            elif isinstance(v, _dt.date):
+                v = (v - _dt.date(1970, 1, 1)).days
+            h = int(TR.murmur3_long(_np.array([int(v)], dtype=_np.int64))[0])
+        return (h & 0x7FFFFFFF) % n
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _normalize_preds(predicates: list[tuple]) -> list[tuple]:
+    out = []
+    for p in predicates:
+        col, op = p[0], p[1]
+        if op not in _SCAN_OPS:
+            raise ValueError(f"unsupported op {op!r} (have {_SCAN_OPS})")
+        if op == "between":
+            if len(p) != 4:
+                raise ValueError("between needs (col, 'between', lo, hi)")
+        elif op == "in":
+            if len(p) != 3 or not isinstance(p[2], (list, tuple, set)):
+                raise ValueError("in needs (col, 'in', [values...])")
+        elif len(p) != 3:
+            raise ValueError(f"predicate needs (col, op, value): {p!r}")
+        out.append(tuple(p))
+    return out
+
+
+def _partition_excludes(op: str, part, pv) -> bool:
+    """Can the file be excluded given its exact transformed partition value
+    ``part`` and the transformed predicate literal(s) ``pv``?  All our ops
+    are null-rejecting, so a null partition (whole file has col NULL)
+    excludes unconditionally."""
+    if part is None:
+        return True
+    if op == "=":
+        return part != pv
+    if op == "in":
+        return part not in pv
+    if op in (">", ">="):
+        return part < pv
+    if op in ("<", "<="):
+        return part > pv
+    if op == "between":
+        lo, hi = pv
+        return part < lo or part > hi
+    return False
+
+
+def _bounds_exclude(op: str, mn, mx, v) -> bool:
+    """Can the file be excluded from its [mn, mx] column bounds?  Files
+    without bounds are never excluded (mn/mx None)."""
+    if mn is None or mx is None:
+        return False
+    if op == "=":
+        return not (mn <= v <= mx)
+    if op == "in":
+        return not any(mn <= x <= mx for x in v)
+    if op == ">":
+        return mx <= v
+    if op == ">=":
+        return mx < v
+    if op == "<":
+        return mn >= v
+    if op == "<=":
+        return mn > v
+    if op == "between":
+        lo, hi = v
+        return mx < lo or mn > hi
+    return False
+
+
+@accepts_file_uris
+def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
+    """Plan a scan under AND-of-``predicates`` without touching data files:
+    each predicate prunes via the file's EXACT (hidden) partition value
+    when its column is a partition source — equality through any spec
+    transform incl. bucket/truncate/temporal, ranges through the monotone
+    ones — and via manifest column bounds otherwise.  A file survives only
+    if no predicate proves it empty.
+
+    ``predicates``: (col, op, value) with op in =, <, <=, >, >=;
+    (col, 'between', lo, hi); (col, 'in', [v...]).  ISO strings accepted
+    for temporal columns.
+
+    Returns {"files", "total", "excluded_by_partition", "excluded_by_stats"}
+    — the counters make pruning effectiveness observable (and testable).
+    """
+    preds = _normalize_preds(predicates)
+    _, meta = _read_metadata(path)
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    fields = {f["name"]: f for f in schema_ice["fields"]}
+    by_id = {f["id"]: f for f in schema_ice["fields"]}
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    # column name -> (partition field name, transform)
+    part_of = {
+        by_id[pf["source-id"]]["name"]: (pf["name"], pf["transform"])
+        for pf in spec["fields"]
+    }
+    for p in preds:
+        if p[0] not in fields:
+            raise ValueError(f"{p[0]!r} is not a column of {path}")
+
+    data_entries, _, _ = _split_live_entries(path, meta)
+    kept: list[str] = []
+    n_part = n_stats = 0
+    for d in data_entries:
+        verdict = None
+        for p in preds:
+            col, op = p[0], p[1]
+            ice_type = fields[col]["type"]
+            raw = p[2:] if op == "between" else (p[2],)
+            if col in part_of and part_of[col][0] in d["partition"]:
+                pf_name, transform = part_of[col]
+                part = d["partition"][pf_name]
+                rangeable = transform.startswith(_MONOTONE_PREFIXES)
+                if op in ("=", "in") or rangeable:
+                    if op == "in":
+                        pv = [_transform_literal(transform, x, ice_type) for x in raw[0]]
+                    elif op == "between":
+                        pv = tuple(_transform_literal(transform, x, ice_type) for x in raw)
+                    else:
+                        pv = _transform_literal(transform, raw[0], ice_type)
+                    if _partition_excludes(op, part, pv):
+                        verdict = "partition"
+                        break
+            mn, mx = _entry_bounds(d, fields[col]["id"], ice_type)
+            if op == "in":
+                v = [_coerce_scan_literal(x, ice_type) for x in raw[0]]
+            elif op == "between":
+                v = tuple(_coerce_scan_literal(x, ice_type) for x in raw)
+            else:
+                v = _coerce_scan_literal(raw[0], ice_type)
+            if _bounds_exclude(op, mn, mx, v):
+                verdict = "stats"
+                break
+        if verdict == "partition":
+            n_part += 1
+        elif verdict == "stats":
+            n_stats += 1
+        else:
+            kept.append(d["file_path"])
+    return {
+        "files": kept,
+        "total": len(data_entries),
+        "excluded_by_partition": n_part,
+        "excluded_by_stats": n_stats,
+    }
+
+
+def _predicate_column(p: tuple):
+    from pyspark.sql import functions as F
+
+    col, op = F.col(p[0]), p[1]
+    if op == "=":
+        return col == F.lit(p[2])
+    if op == "<":
+        return col < F.lit(p[2])
+    if op == "<=":
+        return col <= F.lit(p[2])
+    if op == ">":
+        return col > F.lit(p[2])
+    if op == ">=":
+        return col >= F.lit(p[2])
+    if op == "between":
+        return col.between(F.lit(p[2]), F.lit(p[3]))
+    return col.isin([x for x in p[2]])
+
+
+@accepts_file_uris
+def read_iceberg_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Execute a planned scan: read only the surviving files, apply the
+    snapshot's position/equality deletes, apply every predicate EXACTLY as
+    a residual filter (pruning is file-granular; rows inside kept files
+    still need it — and parquet row-group pushdown gets it for free), then
+    project ``columns``.  Plan and delete set come from one metadata read."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    preds = _normalize_preds(predicates)
+    _, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    out_cols = columns or schema.fieldNames()
+    for c in out_cols:
+        if c not in schema.fieldNames():
+            raise ValueError(f"{c!r} is not a column of {path}")
+    plan = plan_iceberg_scan(path, preds)
+    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    if not plan["files"]:
+        return spark.createDataFrame([], schema).select(*out_cols)
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    files = [_abs_file(path, p) for p in plan["files"]]
+    if delete_entries:
+        scan = _with_row_positions(reader, files, schema)
+        scan = _apply_deletes(
+            spark, scan, path, delete_entries, data_entries,
+            meta["schemas"][meta["current-schema-id"]],
+        )
+    else:
+        scan = reader.parquet(*files)
+    import functools
+
+    residual = functools.reduce(
+        lambda a, b: a & b, (_predicate_column(p) for p in preds)
+    ) if preds else None
+    if residual is not None:
+        scan = scan.filter(residual)
+    return scan.select(*out_cols)
+
+
 def _commit_metadata_update(path: str, mutate) -> None:
     """Shared conditional-put commit for pure-metadata updates: re-read the
     latest metadata, apply ``mutate(meta) -> new_meta`` and write vN+1

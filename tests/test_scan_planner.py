@@ -1,0 +1,159 @@
+"""Compound-predicate scan planning (sinks/iceberg.py: plan_iceberg_scan /
+read_iceberg_scan): hidden-partition pruning through the spec transforms,
+manifest-bounds skipping, residual-filter exactness, delete interplay."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks import iceberg as IC
+
+
+def _staged(spark, path, partition_by=None, sort_col=None):
+    df = spark.range(0, 1000).select(
+        "id",
+        (F.col("id") % 10).alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int")).alias("d"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.concat(F.lit("name-"), F.lpad((F.col("id") % 50).cast("string"), 3, "0")).alias("name"),
+    )
+    if sort_col:
+        df = df.repartitionByRange(8, sort_col).sortWithinPartitions(sort_col)
+    IC.write_iceberg(df, path, partition_by=partition_by)
+    return df
+
+
+def _expected(spark, df, predicate_sql, cols):
+    return sorted(
+        map(tuple, df.filter(predicate_sql).select(*cols).collect())
+    )
+
+
+def test_identity_partition_equality_and_range(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    df = _staged(spark, path, partition_by=["k"])
+    plan = IC.plan_iceberg_scan(path, [("k", "=", 3)])
+    assert plan["excluded_by_partition"] >= 1
+    got = sorted(map(tuple, IC.read_iceberg_scan(spark, path, [("k", "=", 3)], ["id", "k"]).collect()))
+    assert got == _expected(spark, df, "k = 3", ["id", "k"])
+    # range through identity
+    plan2 = IC.plan_iceberg_scan(path, [("k", ">=", 8)])
+    assert plan2["excluded_by_partition"] >= 1
+    got2 = sorted(map(tuple, IC.read_iceberg_scan(spark, path, [("k", ">=", 8)], ["id"]).collect()))
+    assert got2 == _expected(spark, df, "k >= 8", ["id"])
+
+
+def test_day_transform_prunes_date_ranges(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    df = _staged(spark, path, partition_by=["day(d)"])
+    preds = [("d", "between", "2024-02-01", "2024-02-10")]
+    plan = IC.plan_iceberg_scan(path, preds)
+    assert plan["excluded_by_partition"] > 0
+    assert len(plan["files"]) < plan["total"]
+    got = sorted(map(tuple, IC.read_iceberg_scan(spark, path, preds, ["id", "d"]).collect()))
+    assert got == _expected(
+        spark, df, "d BETWEEN DATE'2024-02-01' AND DATE'2024-02-10'", ["id", "d"]
+    )
+    # equality with a datetime.date literal
+    got_eq = IC.read_iceberg_scan(spark, path, [("d", "=", dt.date(2024, 1, 5))], ["id"])
+    assert sorted(r.id for r in got_eq.collect()) == sorted(
+        r.id for r in df.filter("d = DATE'2024-01-05'").select("id").collect()
+    )
+
+
+def test_bucket_transform_prunes_equality_only(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    df = _staged(spark, path, partition_by=["bucket(8, id)"])
+    plan = IC.plan_iceberg_scan(path, [("id", "=", 137)])
+    assert plan["excluded_by_partition"] > 0
+    got = IC.read_iceberg_scan(spark, path, [("id", "=", 137)], ["id", "k"]).collect()
+    assert [tuple(r) for r in got] == [(137, 7)]
+    # ranges must NOT prune through bucket (non-monotone) — but stats may;
+    # the result stays exact either way
+    got2 = sorted(r.id for r in IC.read_iceberg_scan(spark, path, [("id", ">=", 990)], ["id"]).collect())
+    assert got2 == list(range(990, 1000))
+
+
+def test_truncate_transform_string_prefix(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    # names are 'name-NNN' — truncate on a prefix length that actually
+    # varies across rows (chars 1-7 include the first digit)
+    df = _staged(spark, path, partition_by=["truncate(7, name)"])
+    preds = [("name", "=", "name-007")]
+    plan = IC.plan_iceberg_scan(path, preds)
+    assert plan["excluded_by_partition"] > 0
+    got = IC.read_iceberg_scan(spark, path, preds, ["id", "name"]).collect()
+    assert got and all(r.name == "name-007" for r in got)
+    assert sorted(r.id for r in got) == [
+        r[0] for r in _expected(spark, df, "name = 'name-007'", ["id"])
+    ]
+    # string ranges prune through truncate too (prefix order is monotone)
+    plan_r = IC.plan_iceberg_scan(path, [("name", ">=", "name-04")])
+    assert plan_r["excluded_by_partition"] > 0
+    got_r = sorted(r.id for r in IC.read_iceberg_scan(
+        spark, path, [("name", ">=", "name-04")], ["id"]).collect())
+    assert got_r == [r[0] for r in _expected(spark, df, "name >= 'name-04'", ["id"])]
+
+
+def test_stats_pruning_on_sorted_non_partition_column(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    df = _staged(spark, path, sort_col="id")
+    plan = IC.plan_iceberg_scan(path, [("id", "between", 100, 140)])
+    assert plan["excluded_by_stats"] > 0
+    assert len(plan["files"]) < plan["total"]
+    got = sorted(r.id for r in IC.read_iceberg_scan(
+        spark, path, [("id", "between", 100, 140)], ["id"]).collect())
+    assert got == list(range(100, 141))
+    # IN-list pruning
+    plan_in = IC.plan_iceberg_scan(path, [("id", "in", [5, 990])])
+    assert plan_in["excluded_by_stats"] > 0
+    got_in = sorted(r.id for r in IC.read_iceberg_scan(
+        spark, path, [("id", "in", [5, 990])], ["id"]).collect())
+    assert got_in == [5, 990]
+
+
+def test_compound_predicates_combine_partition_and_stats(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    df = _staged(spark, path, partition_by=["k"], sort_col="id")
+    preds = [("k", "=", 4), ("id", "<", 200), ("v", ">=", 0.0)]
+    plan = IC.plan_iceberg_scan(path, preds)
+    assert plan["excluded_by_partition"] > 0
+    got = sorted(map(tuple, IC.read_iceberg_scan(spark, path, preds, ["id", "k", "v"]).collect()))
+    assert got == _expected(spark, df, "k = 4 AND id < 200 AND v >= 0.0", ["id", "k", "v"])
+
+
+def test_scan_applies_deletes_and_projection(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _staged(spark, path, partition_by=["k"])
+    IC.delete_from_iceberg(spark, path, "k = 3 AND id < 500", strategy="merge-on-read")
+    got = sorted(r.id for r in IC.read_iceberg_scan(spark, path, [("k", "=", 3)], ["id"]).collect())
+    assert got == [i for i in range(500, 1000) if i % 10 == 3]
+    # equality deletes also apply
+    IC.equality_delete_iceberg(spark, path, spark.createDataFrame([(503,)], "id long"))
+    got2 = sorted(r.id for r in IC.read_iceberg_scan(spark, path, [("k", "=", 3)], ["id"]).collect())
+    assert got2 == [i for i in range(500, 1000) if i % 10 == 3 and i != 503]
+
+
+def test_scan_validates_inputs(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _staged(spark, path)
+    with pytest.raises(ValueError, match="not a column"):
+        IC.plan_iceberg_scan(path, [("nope", "=", 1)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        IC.plan_iceberg_scan(path, [("id", "!=", 1)])
+    with pytest.raises(ValueError, match="between needs"):
+        IC.plan_iceberg_scan(path, [("id", "between", 1)])
+    with pytest.raises(ValueError, match="not a column"):
+        IC.read_iceberg_scan(spark, path, [("id", "=", 1)], ["ghost"])
+
+
+def test_empty_plan_returns_typed_empty_frame(spark, tmpdir):
+    path = os.path.join(tmpdir, "ice")
+    _staged(spark, path, partition_by=["k"])
+    out = IC.read_iceberg_scan(spark, path, [("k", "=", 99)], ["id", "name"])
+    assert out.collect() == []
+    assert out.columns == ["id", "name"]
