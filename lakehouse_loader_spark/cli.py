@@ -201,6 +201,20 @@ def build_parser() -> argparse.ArgumentParser:
                 help="copy-on-write rewrites matched files; merge-on-read "
                 "commits position-delete files (spec v2) applied at read time",
             )
+    for name in ("scan-delta", "scan-iceberg"):
+        sc = sub.add_parser(name)
+        sc.add_argument("source", help="table to scan")
+        sc.add_argument("target", help="parquet directory for the result rows")
+        sc.add_argument(
+            "--pred",
+            action="append",
+            required=True,
+            metavar="'COL OP VALUE'",
+            help="repeatable AND-ed predicate: 'col = v', 'col >= v', "
+            "'col between lo hi', 'col in v1,v2,...' — planned via "
+            "partition pruning + file stats before any data is read",
+        )
+        sc.add_argument("--columns", default=None, help="comma-separated projection")
     for name in ("update-delta", "update-iceberg"):
         ud = sub.add_parser(name)
         ud.add_argument("target")
@@ -342,6 +356,44 @@ def do_main(argv: list[str]) -> None:
 
         drop_check_constraint(args.target, args.name)
         print(f"dropped CHECK constraint {args.name}", file=sys.stderr)
+        return
+    if args.command in ("scan-delta", "scan-iceberg"):
+        def _parse_value(s: str):
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    pass
+            return s
+
+        preds = []
+        for raw in args.pred:
+            toks = raw.split()
+            if len(toks) == 3 and toks[1].lower() == "in":
+                preds.append((toks[0], "in", [_parse_value(v) for v in toks[2].split(",")]))
+            elif len(toks) == 4 and toks[1].lower() == "between":
+                preds.append((toks[0], "between", _parse_value(toks[2]), _parse_value(toks[3])))
+            elif len(toks) == 3:
+                preds.append((toks[0], toks[1], _parse_value(toks[2])))
+            else:
+                print(f"bad --pred {raw!r}", file=sys.stderr)
+                sys.exit(2)
+        cols = args.columns.split(",") if args.columns else None
+        if args.command == "scan-delta":
+            from lakehouse_loader_spark.sinks.delta import plan_delta_scan as _plan
+            from lakehouse_loader_spark.sinks.delta import read_delta_scan as _scan
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import plan_iceberg_scan as _plan
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg_scan as _scan
+        plan = _plan(args.source, preds)
+        out = _scan(spark, args.source, preds, cols)
+        out.write.mode("errorifexists").parquet(args.target)
+        print(
+            f"scanned {len(plan['files'])}/{plan['total']} files "
+            f"(partition-pruned {plan['excluded_by_partition']}, "
+            f"stats-pruned {plan['excluded_by_stats']}) -> {args.target}",
+            file=sys.stderr,
+        )
         return
     if args.command == "changes-delta":
         from lakehouse_loader_spark.sinks.delta import read_delta_changes

@@ -1095,6 +1095,133 @@ def read_delta_pruned(
     return _file_reader(spark, path, meta, schema).parquet(*files)
 
 
+# -- Compound-predicate scan planning (format twin of iceberg's) ------------
+
+
+def _delta_literal(v, dtype: T.DataType):
+    """Predicate literal → the comparison domain Delta stats live in:
+    temporals are ISO strings (``_iso_utc_naive`` wrote them that way, and
+    ISO ordering is chronological), everything else native."""
+    import datetime as _dt
+
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, str):
+            return v if "T" in v or isinstance(dtype, T.DateType) else v.replace(" ", "T")
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return _iso_utc_naive(v)
+    return v
+
+
+def _delta_partition_value(raw: str | None, dtype: T.DataType):
+    """add.partitionValues string → the same comparison domain."""
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw == "true"
+    return raw  # strings and ISO-formatted temporals compare as-is
+
+
+@accepts_file_uris
+def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
+    """Plan a scan under AND-of-predicates from the transaction log alone —
+    the Delta twin of ``iceberg.plan_iceberg_scan``: partition columns
+    prune exactly from ``partitionValues`` (Delta partitions are identity
+    only, so every op applies), everything else from the per-file
+    min/max stats; a file survives only if no predicate proves it empty.
+    Returns {"files", "total", "excluded_by_partition", "excluded_by_stats"}.
+    """
+    from lakehouse_loader_spark.sinks.scan_predicates import (
+        bounds_exclude,
+        normalize_preds,
+        partition_excludes,
+    )
+
+    preds = normalize_preds(predicates)
+    _, meta, adds = _read_log(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = {f.name: f.dataType for f in schema.fields}
+    part_cols = set(meta.get("partitionColumns") or [])
+    for p in preds:
+        if p[0] not in fields:
+            raise ValueError(f"{p[0]!r} is not a column of {path}")
+
+    kept: list[str] = []
+    n_part = n_stats = 0
+    for rel, add in sorted(adds.items()):
+        stats = json.loads(add.get("stats", "{}") or "{}")
+        verdict = None
+        for p in preds:
+            col, op = p[0], p[1]
+            dtype = fields[col]
+            raw = p[2:] if op == "between" else (p[2],)
+            if op == "in":
+                v = [_delta_literal(x, dtype) for x in raw[0]]
+            elif op == "between":
+                v = tuple(_delta_literal(x, dtype) for x in raw)
+            else:
+                v = _delta_literal(raw[0], dtype)
+            if col in part_cols and col in (add.get("partitionValues") or {}):
+                part = _delta_partition_value(add["partitionValues"][col], dtype)
+                if partition_excludes(op, part, v):
+                    verdict = "partition"
+                    break
+            mn = stats.get("minValues", {}).get(col)
+            mx = stats.get("maxValues", {}).get(col)
+            if bounds_exclude(op, mn, mx, v):
+                verdict = "stats"
+                break
+        if verdict == "partition":
+            n_part += 1
+        elif verdict == "stats":
+            n_stats += 1
+        else:
+            kept.append(rel)
+    return {
+        "files": kept,
+        "total": len(adds),
+        "excluded_by_partition": n_part,
+        "excluded_by_stats": n_stats,
+    }
+
+
+@accepts_file_uris
+def read_delta_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Execute a planned Delta scan: surviving files only, every predicate
+    re-applied exactly as the residual filter, then projected.  One log
+    replay feeds plan, schema and partitioning — a single consistent
+    snapshot under concurrent commits."""
+    from lakehouse_loader_spark.sinks.scan_predicates import (
+        normalize_preds,
+        residual_filter,
+    )
+
+    preds = normalize_preds(predicates)
+    _, meta, adds = _read_log(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    out_cols = columns or schema.fieldNames()
+    for c in out_cols:
+        if c not in schema.fieldNames():
+            raise ValueError(f"{c!r} is not a column of {path}")
+    plan = plan_delta_scan(path, preds)
+    if not plan["files"]:
+        return spark.createDataFrame([], schema).select(*out_cols)
+    files = [os.path.join(path, p) for p in plan["files"]]
+    scan = _file_reader(spark, path, meta, schema).parquet(*files)
+    residual = residual_filter(preds)
+    if residual is not None:
+        scan = scan.filter(residual)
+    return scan.select(*out_cols)
+
+
 @accepts_file_uris
 def restore_delta(spark: SparkSession, path: str, version: int) -> None:
     """RESTORE: make the table's CURRENT state equal its state at

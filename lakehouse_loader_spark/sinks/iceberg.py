@@ -1447,7 +1447,13 @@ def read_iceberg_stats_pruned(
 # residual filter → column projection.  Single-column prune/stats entry
 # points above remain as the focused primitives; this composes them.
 
-_SCAN_OPS = ("=", "<", "<=", ">", ">=", "between", "in")
+from lakehouse_loader_spark.sinks.scan_predicates import (  # noqa: E402
+    SCAN_OPS as _SCAN_OPS,
+    bounds_exclude as _bounds_exclude,
+    normalize_preds as _normalize_preds,
+    partition_excludes as _partition_excludes,
+    residual_filter as _residual_filter,
+)
 
 # transforms that preserve source ordering (range predicates can prune on
 # the transformed partition value); bucket[N] is the one non-monotone case
@@ -1519,66 +1525,7 @@ def _transform_literal(transform: str, v, ice_type: str):
     raise ValueError(f"unknown transform {transform!r}")
 
 
-def _normalize_preds(predicates: list[tuple]) -> list[tuple]:
-    out = []
-    for p in predicates:
-        col, op = p[0], p[1]
-        if op not in _SCAN_OPS:
-            raise ValueError(f"unsupported op {op!r} (have {_SCAN_OPS})")
-        if op == "between":
-            if len(p) != 4:
-                raise ValueError("between needs (col, 'between', lo, hi)")
-        elif op == "in":
-            if len(p) != 3 or not isinstance(p[2], (list, tuple, set)):
-                raise ValueError("in needs (col, 'in', [values...])")
-        elif len(p) != 3:
-            raise ValueError(f"predicate needs (col, op, value): {p!r}")
-        out.append(tuple(p))
-    return out
 
-
-def _partition_excludes(op: str, part, pv) -> bool:
-    """Can the file be excluded given its exact transformed partition value
-    ``part`` and the transformed predicate literal(s) ``pv``?  All our ops
-    are null-rejecting, so a null partition (whole file has col NULL)
-    excludes unconditionally."""
-    if part is None:
-        return True
-    if op == "=":
-        return part != pv
-    if op == "in":
-        return part not in pv
-    if op in (">", ">="):
-        return part < pv
-    if op in ("<", "<="):
-        return part > pv
-    if op == "between":
-        lo, hi = pv
-        return part < lo or part > hi
-    return False
-
-
-def _bounds_exclude(op: str, mn, mx, v) -> bool:
-    """Can the file be excluded from its [mn, mx] column bounds?  Files
-    without bounds are never excluded (mn/mx None)."""
-    if mn is None or mx is None:
-        return False
-    if op == "=":
-        return not (mn <= v <= mx)
-    if op == "in":
-        return not any(mn <= x <= mx for x in v)
-    if op == ">":
-        return mx <= v
-    if op == ">=":
-        return mx < v
-    if op == "<":
-        return mn >= v
-    if op == "<=":
-        return mn > v
-    if op == "between":
-        lo, hi = v
-        return mx < lo or mn > hi
-    return False
 
 
 @accepts_file_uris
@@ -1659,24 +1606,6 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
     }
 
 
-def _predicate_column(p: tuple):
-    from pyspark.sql import functions as F
-
-    col, op = F.col(p[0]), p[1]
-    if op == "=":
-        return col == F.lit(p[2])
-    if op == "<":
-        return col < F.lit(p[2])
-    if op == "<=":
-        return col <= F.lit(p[2])
-    if op == ">":
-        return col > F.lit(p[2])
-    if op == ">=":
-        return col >= F.lit(p[2])
-    if op == "between":
-        return col.between(F.lit(p[2]), F.lit(p[3]))
-    return col.isin([x for x in p[2]])
-
 
 @accepts_file_uris
 def read_iceberg_scan(
@@ -1715,11 +1644,7 @@ def read_iceberg_scan(
         )
     else:
         scan = reader.parquet(*files)
-    import functools
-
-    residual = functools.reduce(
-        lambda a, b: a & b, (_predicate_column(p) for p in preds)
-    ) if preds else None
+    residual = _residual_filter(preds)
     if residual is not None:
         scan = scan.filter(residual)
     return scan.select(*out_cols)

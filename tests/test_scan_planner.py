@@ -157,3 +157,110 @@ def test_empty_plan_returns_typed_empty_frame(spark, tmpdir):
     out = IC.read_iceberg_scan(spark, path, [("k", "=", 99)], ["id", "name"])
     assert out.collect() == []
     assert out.columns == ["id", "name"]
+
+
+# -- Delta twin --------------------------------------------------------------
+
+from lakehouse_loader_spark.sinks import delta as DL  # noqa: E402
+
+
+def _staged_delta(spark, path, partition_by=None, sort_col=None):
+    df = spark.range(0, 1000).select(
+        "id",
+        (F.col("id") % 10).alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int")).alias("d"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int"))
+        ).alias("ts"),
+        F.concat(F.lit("n"), (F.col("id") % 50).cast("string")).alias("name"),
+    )
+    if sort_col:
+        df = df.repartitionByRange(8, sort_col).sortWithinPartitions(sort_col)
+    DL.write_delta(df, path, partition_by=partition_by)
+    return df
+
+
+def test_delta_partition_and_stats_pruning(spark, tmpdir):
+    path = os.path.join(tmpdir, "dl")
+    df = _staged_delta(spark, path, partition_by=["k"], sort_col="id")
+    preds = [("k", "=", 4), ("id", "<", 200)]
+    plan = DL.plan_delta_scan(path, preds)
+    assert plan["excluded_by_partition"] > 0
+    assert len(plan["files"]) < plan["total"]
+    got = sorted(map(tuple, DL.read_delta_scan(spark, path, preds, ["id", "k"]).collect()))
+    want = sorted(map(tuple, df.filter("k = 4 AND id < 200").select("id", "k").collect()))
+    assert got == want
+    # range over the partition column (identity → every op prunes)
+    plan_r = DL.plan_delta_scan(path, [("k", ">=", 8)])
+    assert plan_r["excluded_by_partition"] > 0
+
+
+def test_delta_temporal_stats_prune_as_iso_strings(spark, tmpdir):
+    path = os.path.join(tmpdir, "dl")
+    df = _staged_delta(spark, path, sort_col="d")
+    import datetime as dt
+
+    preds = [("d", "between", dt.date(2024, 2, 1), dt.date(2024, 2, 10))]
+    plan = DL.plan_delta_scan(path, preds)
+    assert plan["excluded_by_stats"] > 0
+    got = sorted(r.id for r in DL.read_delta_scan(spark, path, preds, ["id"]).collect())
+    want = sorted(
+        r.id
+        for r in df.filter("d BETWEEN DATE'2024-02-01' AND DATE'2024-02-10'").select("id").collect()
+    )
+    assert got == want
+    # timestamp column with an ISO string literal
+    got_ts = sorted(r.id for r in DL.read_delta_scan(
+        spark, path, [("ts", ">=", "2024-03-25T00:00:00")], ["id"]).collect())
+    want_ts = sorted(r.id for r in df.filter("ts >= TIMESTAMP'2024-03-25 00:00:00'").select("id").collect())
+    assert got_ts == want_ts
+
+
+def test_delta_scan_matches_iceberg_scan_semantics(spark, tmpdir):
+    """Format parity: the same predicates over the same rows through both
+    planners must return identical results."""
+    dpath, ipath = os.path.join(tmpdir, "dl"), os.path.join(tmpdir, "ice")
+    df = _staged_delta(spark, dpath, partition_by=["k"], sort_col="id")
+    IC.write_iceberg(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"), ipath, partition_by=["k"]
+    )
+    preds = [("k", "in", [2, 5]), ("id", "between", 300, 700), ("name", ">=", "n3")]
+    a = sorted(map(tuple, DL.read_delta_scan(spark, dpath, preds, ["id", "k", "name"]).collect()))
+    b = sorted(map(tuple, IC.read_iceberg_scan(spark, ipath, preds, ["id", "k", "name"]).collect()))
+    assert a == b
+    assert a == sorted(map(tuple, df.filter(
+        "k IN (2,5) AND id BETWEEN 300 AND 700 AND name >= 'n3'"
+    ).select("id", "k", "name").collect()))
+
+
+def test_delta_scan_validates_and_empty(spark, tmpdir):
+    path = os.path.join(tmpdir, "dl")
+    _staged_delta(spark, path, partition_by=["k"])
+    with pytest.raises(ValueError, match="not a column"):
+        DL.plan_delta_scan(path, [("nope", "=", 1)])
+    out = DL.read_delta_scan(spark, path, [("k", "=", 42)], ["id"])
+    assert out.collect() == [] and out.columns == ["id"]
+
+
+def test_cli_scan_subcommands(spark, tmpdir):
+    from lakehouse_loader_spark.cli import do_main
+
+    dpath = os.path.join(tmpdir, "dl")
+    ipath = os.path.join(tmpdir, "ice")
+    df = _staged_delta(spark, dpath, partition_by=["k"], sort_col="id")
+    IC.write_iceberg(df, ipath, partition_by=["k"])
+    out1 = os.path.join(tmpdir, "out1")
+    do_main([
+        "scan-delta", dpath, out1,
+        "--pred", "k = 4", "--pred", "id between 100 300",
+        "--columns", "id,k",
+    ])
+    got = sorted(r.id for r in spark.read.parquet(out1).collect())
+    assert got == [i for i in range(100, 301) if i % 10 == 4]
+    out2 = os.path.join(tmpdir, "out2")
+    do_main([
+        "scan-iceberg", ipath, out2,
+        "--pred", "k in 2,5", "--pred", "id <= 50",
+    ])
+    got2 = sorted(r.id for r in spark.read.parquet(out2).collect())
+    assert got2 == [i for i in range(51) if i % 10 in (2, 5)]
