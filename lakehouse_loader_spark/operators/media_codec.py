@@ -289,11 +289,13 @@ def audio_window_rms(samples: np.ndarray, n_windows: int) -> np.ndarray:
     if mono.size == 0:
         return np.zeros(n_windows)
     bounds = (np.arange(n_windows + 1) * mono.size) // n_windows
+    counts = np.diff(bounds)
+    # segment sums without a python loop; reduceat returns sq[b] for an
+    # empty segment (b == next bound), so mask those back to 0
+    sums = np.add.reduceat(mono * mono, bounds[:-1])
     out = np.zeros(n_windows)
-    for k in range(n_windows):
-        seg = mono[bounds[k] : bounds[k + 1]]
-        if seg.size:
-            out[k] = float(np.sqrt(np.mean(seg * seg)))
+    nz = counts > 0
+    out[nz] = np.sqrt(sums[nz] / counts[nz])
     return out
 
 
