@@ -1589,6 +1589,214 @@ def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _staged_event_files(spark: SparkSession, sf_dir: str, key: str, prep) -> str:
+    """Session-cached staging of the events table as a multi-file parquet
+    directory for file-source streaming queries; ``prep`` shapes the frame
+    (partitioning decides micro-batch arrival order)."""
+    import os
+    import tempfile
+
+    cache = getattr(spark, "_lhl_stream_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_stream_staging = cache
+    staged = cache.get((key, sf_dir))
+    if staged is None or not os.path.isdir(staged):
+        ev = load_table(spark, sf_dir, "events")
+        staged = tempfile.mkdtemp(prefix=f"qstream_{key}_")
+        prep(ev).write.mode("overwrite").parquet(staged)
+        cache[(key, sf_dir)] = staged
+    return staged
+
+
+@query(
+    "streaming_dedup_parity",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the driver gate: consume the staged
+    events as a file stream, dropDuplicatesWithinWatermark on (user_id,
+    event_type) with a horizon wider than the data's event-time span, and
+    collect the append-mode emissions — exactly one row per key, equal to
+    batch DISTINCT.  Only the key columns are returned: WHICH duplicate
+    survives depends on arrival order inside a micro-batch, but the key
+    set is exact — the guarantee the operator makes on an at-least-once
+    source."""
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        streaming_dedup,
+    )
+
+    staged = _staged_event_files(
+        spark, sf_dir, "dedup", lambda ev: ev.repartition(4)
+    )
+    sink = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(
+            read_event_stream(spark, staged, max_files_per_trigger=2),
+            key_cols=("user_id", "event_type"),
+            watermark="3650 days",
+        )
+        .select("user_id", "event_type")
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+@query(
+    "streaming_upsert_parity",
+    oracle="""
+    SELECT user_id, STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events_in_batchset
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply through the driver gate: each micro-batch MERGEs
+    its per-user latest event time into a Delta table with an ORDER-AWARE
+    upsert (last_ts = greatest(prior, batch) — micro-batch arrival order is
+    NOT event-time order for a file source, and a correct CDC apply must
+    not regress keys when batches arrive out of order).  The converged
+    table must hold every user's GLOBAL max event time, and row counts
+    fold in as a running per-key sum, so the check covers the merge
+    arithmetic too, not just key presence."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.sinks.delta import read_delta
+    from lakehouse_loader_spark.streaming.events import read_event_stream
+
+    # 4 files / 2 per trigger = multiple micro-batches (the property under
+    # test) without paying for 4 merge commits; arrival order is irrelevant
+    # to the order-aware merge
+    staged = _staged_event_files(
+        spark, sf_dir, "upsert", lambda ev: ev.repartition(4)
+    )
+    # per-invocation state: counts accumulate across batches inside ONE run
+    run_dir = tempfile.mkdtemp(prefix=f"qupsert_{_uuid.uuid4().hex[:8]}_")
+    table = os.path.join(run_dir, "t")
+    ckpt = os.path.join(run_dir, "ckpt")
+
+    from lakehouse_loader_spark.sinks.delta import (
+        last_txn_version,
+        merge_delta,
+        table_exists,
+        write_delta,
+    )
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    app_id = resolve_stream_app_id(ckpt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= last_txn_version(table, app_id):
+            return
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_batch"))
+        )
+        if not table_exists(table):
+            write_delta(
+                latest.withColumnRenamed("n_batch", "n_events_in_batchset"),
+                table,
+                txn=(app_id, batch_id),
+            )
+            return
+        prior = read_delta(batch_df.sparkSession, table).select(
+            "user_id",
+            F.col("last_ts").alias("prior_ts"),
+            F.col("n_events_in_batchset").alias("n_prior"),
+        )
+        merged = (
+            latest.join(prior, "user_id", "left")
+            .select(
+                "user_id",
+                F.greatest(F.coalesce("prior_ts", "last_ts"), F.col("last_ts")).alias(
+                    "last_ts"
+                ),
+                (F.coalesce("n_prior", F.lit(0)) + F.col("n_batch")).alias(
+                    "n_events_in_batchset"
+                ),
+            )
+        )
+        merge_delta(batch_df.sparkSession, table, merged, "user_id", txn=(app_id, batch_id))
+
+    q = (
+        read_event_stream(spark, staged, max_files_per_trigger=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return read_delta(spark, table).select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("n_events_in_batchset").cast("bigint").alias("n_events_in_batchset"),
+    )
+
+
+@query(
+    "streaming_session_parity",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization through the driver gate: the
+    bounded file stream runs the SAME session_window aggregation the
+    events_session_window_native batch query uses (complete mode over
+    availableNow), and the converged memory-sink result must hash-match
+    the batch recursive-gap oracle — proving streaming sessions merge
+    exactly like batch ones, fragments across micro-batches included."""
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        session_window_agg,
+    )
+
+    staged = _staged_event_files(
+        spark, sf_dir, "session", lambda ev: ev.repartition(4)
+    )
+    sink = f"ssess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_agg(read_event_stream(spark, staged, max_files_per_trigger=2))
+        .writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: semantic dedup within precomputed clusters (Abbas et al. 2023)
 # --------------------------------------------------------------------------
