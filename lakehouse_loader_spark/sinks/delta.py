@@ -749,12 +749,41 @@ def _file_reader(spark: SparkSession, path: str, meta: dict, schema: T.StructTyp
 
 
 @accepts_file_uris
-def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Read a Delta table by replaying its transaction log (adds minus
-    removes) — no connector JAR required.  ``version`` time-travels to an
-    earlier snapshot."""
+def version_as_of(path: str, timestamp_ms: int) -> int:
+    """AS OF TIMESTAMP resolution for the Delta log: the latest version
+    whose commit timestamp (commitInfo.timestamp, falling back to the
+    commit file's mtime for logs written without one) is ≤ the instant —
+    Delta's time-travel-by-time rule.  Raises if no commit is that old."""
     if not table_exists(path):
         raise FileNotFoundError(f"no delta table at {path}")
+    best = None
+    for entry in table_history(path):
+        ts = entry["timestamp"]
+        if ts is None:
+            ts = int(os.path.getmtime(_version_file(path, entry["version"])) * 1000)
+        if ts <= timestamp_ms and (best is None or entry["version"] > best):
+            best = entry["version"]
+    if best is None:
+        raise ValueError(f"no commit of {path} at or before timestamp {timestamp_ms}")
+    return best
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Read a Delta table by replaying its transaction log (adds minus
+    removes) — no connector JAR required.  ``version`` time-travels to an
+    earlier snapshot; ``as_of_timestamp_ms`` resolves AS OF TIMESTAMP
+    semantics via ``version_as_of``."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no delta table at {path}")
+    if version is not None and as_of_timestamp_ms is not None:
+        raise ValueError("pass version or as_of_timestamp_ms, not both")
+    if as_of_timestamp_ms is not None:
+        version = version_as_of(path, as_of_timestamp_ms)
     _check_protocol(path, for_write=False)
     _, meta, adds = _read_log(path, as_of_version=version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))

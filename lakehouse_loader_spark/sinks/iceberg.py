@@ -1230,13 +1230,34 @@ def write_iceberg(
 
 
 @accepts_file_uris
+def snapshot_as_of(path: str, timestamp_ms: int) -> int:
+    """AS OF TIMESTAMP resolution: the latest snapshot whose commit
+    timestamp is ≤ ``timestamp_ms`` (Iceberg's time-travel-by-time rule).
+    Raises if the table has no snapshot that old."""
+    _, meta = _read_metadata(path)
+    eligible = [
+        s for s in meta.get("snapshots", []) if s["timestamp-ms"] <= timestamp_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot of {path} at or before timestamp {timestamp_ms}"
+        )
+    return max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+
+
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None, ref: str | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a snapshot by walking version-hint → metadata → manifest list →
     manifests → data files.  ``snapshot_id`` time-travels to any retained
     snapshot (every snapshot stays in the metadata history); ``ref``
-    time-travels to a named tag/branch (``create_ref``).
+    time-travels to a named tag/branch (``create_ref``);
+    ``as_of_timestamp_ms`` resolves AS OF TIMESTAMP semantics (latest
+    snapshot committed at or before the instant, ``snapshot_as_of``).
 
     Merge-on-read: when the snapshot carries position-delete files
     (``delete_from_iceberg(strategy="merge-on-read")``), deleted rows are
@@ -1245,9 +1266,11 @@ def read_iceberg(
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     _, meta = _read_metadata(path)
+    if sum(x is not None for x in (snapshot_id, ref, as_of_timestamp_ms)) > 1:
+        raise ValueError("pass at most one of snapshot_id / ref / as_of_timestamp_ms")
+    if as_of_timestamp_ms is not None:
+        snapshot_id = snapshot_as_of(path, as_of_timestamp_ms)
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or ref, not both")
         refs = meta.get("refs") or {}
         if ref not in refs:
             raise ValueError(f"no ref {ref!r} on {path} (have {sorted(refs)})")

@@ -1321,3 +1321,39 @@ def test_delta_binpack_compaction_rewrites_only_small_files(spark, tmpdir):
     DL.optimize_delta(spark, path, small_file_threshold=threshold)  # no-op
     latest2, _, _ = DL._read_log(path)
     assert latest2 == before
+
+
+def test_time_travel_by_timestamp_both_formats(spark, tmpdir):
+    """AS OF TIMESTAMP: the latest commit/snapshot at or before the instant
+    wins; earlier instants raise; later instants see the newest state."""
+    import time as _time
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+    from lakehouse_loader_spark.sinks.delta import (
+        read_delta,
+        version_as_of,
+        write_delta,
+    )
+
+    dpath = os.path.join(str(tmpdir), "dl")
+    ipath = os.path.join(str(tmpdir), "ice")
+    write_delta(spark.range(0, 10), dpath)
+    IC.write_iceberg(spark.range(0, 10), ipath)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(1.1)  # commit timestamps are ms; ensure strict separation
+    write_delta(spark.range(10, 30), dpath, append=True)
+    IC.write_iceberg(spark.range(10, 30), ipath, append=True)
+
+    assert read_delta(spark, dpath, as_of_timestamp_ms=t_mid).count() == 10
+    assert IC.read_iceberg(spark, ipath, as_of_timestamp_ms=t_mid).count() == 10
+    t_now = int(_time.time() * 1000)
+    assert read_delta(spark, dpath, as_of_timestamp_ms=t_now).count() == 30
+    assert IC.read_iceberg(spark, ipath, as_of_timestamp_ms=t_now).count() == 30
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(dpath, 1000)
+    with pytest.raises(ValueError, match="at or before"):
+        IC.snapshot_as_of(ipath, 1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, dpath, version=0, as_of_timestamp_ms=t_now)
+    with pytest.raises(ValueError, match="at most one"):
+        IC.read_iceberg(spark, ipath, snapshot_id=1, as_of_timestamp_ms=t_now)
