@@ -41,6 +41,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a declared query under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            # silent clobbering hides whichever registration runs first (a
+            # duplicate went unnoticed in r6 until the registry count
+            # failed to move) — fail at import instead
+            raise ValueError(f"query {name!r} registered twice")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 

@@ -928,37 +928,6 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q13c distribution window functions (ntile / percent_rank / cume_dist)
-# --------------------------------------------------------------------------
-@query(
-    "window_distribution",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(NTILE(4) OVER w AS INT) AS price_quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-           ROUND(CUME_DIST() OVER w, 6) AS cd
-    FROM orders
-    WHERE o_orderkey <= 2000
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions — quartile assignment (NTILE),
-    relative rank (PERCENT_RANK) and cumulative distribution (CUME_DIST)
-    per order status.  The ordering includes the unique key so ranks are
-    deterministic; identical ANSI semantics on both engines.  One keyed
-    window — no global sort."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
-    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-    )
-
-
-# --------------------------------------------------------------------------
 # Q20b JSON → typed struct + map functions
 # --------------------------------------------------------------------------
 @query(

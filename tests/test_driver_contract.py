@@ -96,3 +96,15 @@ def test_hash_fail_record_is_not_green():
     assert not _record_is_green({**ok, "spark_rows": None})
     # rows-only records carry no match flags at all — still green
     assert _record_is_green({"spark_rows": 10, "err": None})
+
+
+def test_duplicate_query_name_raises():
+    from lakehouse_loader_spark.queries import _ensure_loaded, query
+
+    _ensure_loaded()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="registered twice"):
+        @query("scan_project")
+        def clobber(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
