@@ -29,3 +29,30 @@ def ddb():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def planner_tables(spark, tmp_path_factory):
+    """One staged Iceberg table per partition layout for the planner
+    property test (session-scoped: hypothesis re-runs share the staging)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    base = tmp_path_factory.mktemp("planner")
+    df = spark.range(0, 1000).select(
+        "id",
+        (F.col("id") % 10).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.concat(F.lit("n"), (F.col("id") % 50).cast("string")).alias("name"),
+    )
+    tables = {}
+    for layout in (None, ["k"], ["bucket(4, id)"], ["truncate(2, name)"]):
+        path = str(base / f"t_{abs(hash(str(layout)))}")
+        IC.write_iceberg(
+            df.repartitionByRange(6, "id").sortWithinPartitions("id"),
+            path,
+            partition_by=layout,
+        )
+        tables[str(layout)] = path
+    return df, tables

@@ -264,3 +264,49 @@ def test_cli_scan_subcommands(spark, tmpdir):
     ])
     got2 = sorted(r.id for r in spark.read.parquet(out2).collect())
     assert got2 == [i for i in range(51) if i % 10 in (2, 5)]
+
+
+# -- Property: planner soundness under random predicates ---------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_COLS = ("id", "k", "v", "name")
+
+
+def _rand_pred(draw):
+    col = draw(st.sampled_from(_COLS))
+    if col == "name":
+        vals = st.sampled_from([f"n{i}" for i in range(0, 60, 7)])
+    elif col == "v":
+        vals = st.sampled_from([float(x) for x in range(0, 7)])
+    else:
+        vals = st.integers(min_value=-5, max_value=1005)
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "between", "in"]))
+    if op == "between":
+        a, b = draw(vals), draw(vals)
+        return (col, "between", min(a, b), max(a, b))
+    if op == "in":
+        return (col, "in", draw(st.lists(vals, min_size=1, max_size=4)))
+    return (col, op, draw(vals))
+
+
+@st.composite
+def _pred_sets(draw):
+    return [_rand_pred(draw) for _ in range(draw(st.integers(1, 3)))]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(preds=_pred_sets(), layout=st.sampled_from(
+    [None, ["k"], ["bucket(4, id)"], ["truncate(2, name)"]]
+))
+def test_planner_soundness_random_predicates(spark, planner_tables, preds, layout):
+    """SOUNDNESS: for ANY predicate set and ANY partition layout, the
+    planned scan must return exactly the rows the full-table filter does —
+    pruning may only skip files that provably contain no match."""
+    df, tables = planner_tables
+    path = tables[str(layout)]
+    from lakehouse_loader_spark.sinks.scan_predicates import residual_filter
+
+    want = sorted(r.id for r in df.filter(residual_filter(preds)).select("id").collect())
+    got = sorted(r.id for r in IC.read_iceberg_scan(spark, path, preds, ["id"]).collect())
+    assert got == want, (preds, layout)
