@@ -81,15 +81,18 @@ def _record_is_green(rec: dict) -> bool:
     )
 
 
-def _driver_history() -> dict[str, tuple[int, bool]]:
-    """name -> (latest round sampled, was that record green)."""
+def _driver_history() -> dict[str, tuple[int, bool, bool]]:
+    """name -> (latest round sampled, was that record green, was it a
+    rows-only check).  The third flag lets the ordering re-prove a query
+    whose contract was UPGRADED from rows-only to oracle-checked since its
+    last sample (the old green proves less than the registry now claims)."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    hist: dict[str, tuple[int, bool]] = {}
+    hist: dict[str, tuple[int, bool, bool]] = {}
     try:
         for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
             m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -104,9 +107,12 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
                 if not isinstance(rec, dict):
                     continue
                 green = _record_is_green(rec)
+                rows_only = rec.get("err") == "no_oracle" or (
+                    rec.get("err") is None and rec.get("hash_match") is None
+                )
                 prev = hist.get(name)
                 if prev is None or rnd >= prev[0]:
-                    hist[name] = (rnd, green)
+                    hist[name] = (rnd, green, rows_only)
     except Exception:
         return {}
     return hist
@@ -121,9 +127,14 @@ def _ordered_names() -> list[str]:
         rec = hist.get(n)
         if rec is None:
             return (1, 0, pos[n])  # never sampled
-        rnd, green = rec
+        rnd, green, rows_only = rec
         if not green:
             return (0, rnd, pos[n])  # broken / fixed-but-unproven: re-prove first
+        if rows_only and REGISTRY[n].oracle is not None:
+            # last driver evidence was a rows-only run but the registry now
+            # carries an oracle — the green on file proves less than the
+            # current contract, so re-prove alongside the never-sampled
+            return (1, rnd, pos[n])
         return (2, rnd, pos[n])  # green — oldest evidence first
 
     return sorted(reg, key=rank)

@@ -50,22 +50,33 @@ def test_sampling_order_derived_from_driver_records():
     prefix = set(names[:50])
     broken = [n for n in REGISTRY if n in hist and not hist[n][1]]
     never = [n for n in REGISTRY if n not in hist]
+    # a green whose last record was rows-only but whose registry entry now
+    # carries an oracle must RE-prove (the old green proves less than the
+    # current contract) — it ranks with the never-sampled bucket
+    upgraded = [
+        n for n in REGISTRY
+        if n in hist and hist[n][1] and hist[n][2] and REGISTRY[n].oracle is not None
+    ]
     for n in broken:
         assert n in prefix, f"{n} (broken record) must be in the sampled prefix"
-    # ordering is broken < never-sampled < green
+    # ordering is broken < (never-sampled ∪ contract-upgraded) < settled green
     rank_of = {n: i for i, n in enumerate(names)}
+    settled = [
+        n for n in REGISTRY if n in hist and hist[n][1] and n not in upgraded
+    ]
     if never:
-        worst_never = max(rank_of[n] for n in never)
-        for n in REGISTRY:
-            if n in hist and hist[n][1]:
-                assert rank_of[n] > max(rank_of[b] for b in broken + never[:1]), n
-        greens_before_never = [
-            n for n in REGISTRY
-            if n in hist and hist[n][1] and rank_of[n] < worst_never
-        ]
+        worst_reprove = max(rank_of[n] for n in never + upgraded)
+        for n in settled:
+            assert rank_of[n] > max(rank_of[b] for b in broken + never[:1]), n
+        greens_before_never = [n for n in settled if rank_of[n] < worst_reprove]
         assert greens_before_never == [], greens_before_never
-    # greens are ordered stalest-first
-    green_rounds = [hist[n][0] for n in names if n in hist and hist[n][1]]
+    # settled greens are ordered stalest-first (contract-upgraded greens
+    # rank earlier, in the re-prove bucket, regardless of round)
+    green_rounds = [
+        hist[n][0]
+        for n in names
+        if n in hist and hist[n][1] and n not in set(upgraded)
+    ]
     assert green_rounds == sorted(green_rounds)
 
 
