@@ -768,6 +768,7 @@ def version_as_of(path: str, timestamp_ms: int) -> int:
     return best
 
 
+@accepts_file_uris
 def read_delta(
     spark: SparkSession,
     path: str,

@@ -722,7 +722,16 @@ def _split_live_entries(
     for mf in manifests:
         for e in _read_manifest_entries(path, mf["manifest_path"]):
             d = dict(e["data_file"])
-            d["__seq"] = mf["sequence_number"]
+            # spec inheritance rule: an entry's sequence number is explicit
+            # when present, inherited from the manifest when null — the
+            # explicit form is what lets rewrite_manifests consolidate
+            # entries of MANY commits into one manifest without collapsing
+            # their sequence distinctions (equality deletes depend on them)
+            d["__seq"] = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf["sequence_number"]
+            )
             if d.get("content", 0) in (1, 2):
                 deletes.append(d)
             else:
@@ -1245,6 +1254,7 @@ def snapshot_as_of(path: str, timestamp_ms: int) -> int:
     return max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
 
 
+@accepts_file_uris
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1804,13 +1814,21 @@ def last_committed_batch(path: str, app_id: str) -> int:
 
 
 @accepts_file_uris
-def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(
+    path: str, keep_last: int = 1, older_than_ms: int | None = None
+) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots and delete every
     file only they reference — manifest lists always (one per snapshot),
     manifests and data files only when no retained snapshot still lists
     them (append lineages share manifests across snapshots, so an expired
     append's manifest usually survives; an overwritten lineage's data
     files do not).  Returns the table-relative paths deleted.
+
+    ``older_than_ms`` adds Iceberg's time-based retention rule: only
+    snapshots whose commit timestamp is strictly before the instant are
+    candidates for expiry (newer ones stay even beyond ``keep_last``), so
+    `keep_last=1, older_than_ms=now-7d` reads as "keep a week of time
+    travel".
 
     This is the Iceberg maintenance twin of ``vacuum_delta``: metadata
     history shrinks (expired ids no longer time-travelable), the current
@@ -1832,6 +1850,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     retained = snaps[-keep_last:] + [
         s for s in snaps[:-keep_last] if s["snapshot-id"] in pinned
     ]
+    if older_than_ms is not None:
+        # time-based retention: anything at/after the instant stays
+        retained += [
+            s for s in snaps if s["timestamp-ms"] >= older_than_ms
+        ]
     retained_ids = {s["snapshot-id"] for s in retained}
     retained = [s for s in snaps if s["snapshot-id"] in retained_ids]  # keep order
     expired = [s for s in snaps if s["snapshot-id"] not in retained_ids]
@@ -2758,6 +2781,184 @@ def update_iceberg(
         "updated_rows": n,
         "rewritten_files": rewritten,
         "kept_files": total - rewritten,
+    }
+
+
+def rewrite_manifests(path: str, min_count: int = 2) -> dict:
+    """Manifest consolidation — Iceberg's ``rewrite_manifests`` maintenance
+    action: collapse the current snapshot's manifests into ONE data
+    manifest (plus one delete manifest when delete files exist) so scan
+    PLANNING cost stops growing with commit count.  After thousands of
+    appends a snapshot drags one manifest per commit; every planner walk
+    (reads, pruning, change feeds) opens them all.  Pure metadata: data
+    files are untouched, entries keep their ORIGINAL sequence numbers as
+    explicit values (status EXISTING) so equality-delete ordering survives
+    the rewrite, and prior snapshots still reference the old manifests
+    until ``expire_snapshots`` reclaims them.
+
+    No-op when the snapshot has fewer than ``min_count`` manifests.
+    Returns {"manifests_before", "manifests_after"}."""
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    manifests = _snapshot_manifests(path, meta)
+    if len(manifests) < max(2, min_count):
+        return {"manifests_before": len(manifests), "manifests_after": len(manifests)}
+    spec_ids = {mf["partition_spec_id"] for mf in manifests}
+    if len(spec_ids) > 1:
+        raise ValueError(
+            f"snapshot spans partition specs {sorted(spec_ids)}; consolidate "
+            "after compacting the old-spec files (mixed-spec manifests would "
+            "need per-spec Avro schemas)"
+        )
+
+    # collect raw entries with their EFFECTIVE sequence numbers
+    by_content: dict[int, list[tuple[dict, int, int | None]]] = {0: [], 1: []}
+    for mf in manifests:
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            seq = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf["sequence_number"]
+            )
+            fseq = (
+                e.get("file_sequence_number")
+                if e.get("file_sequence_number") is not None
+                else mf["sequence_number"]
+            )
+            bucket = 1 if e["data_file"].get("content", 0) in (1, 2) else 0
+            by_content[bucket].append((e["data_file"], seq, fseq))
+
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    part_fields = _partition_avro_fields(spec, schema_ice)
+    entry_schema = _manifest_entry_schema(part_fields)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+
+    def write_consolidated(rows: list[tuple[dict, int, int | None]], content: int) -> dict:
+        records = [
+            {
+                "status": 0,  # EXISTING: carried, not added by this snapshot
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,  # explicit — no inheritance
+                "file_sequence_number": fseq,
+                "data_file": df,
+            }
+            for df, seq, fseq in rows
+        ]
+        name = f"manifest-{uuid.uuid4()}.avro"
+        full = os.path.join(_meta_dir(os.path.abspath(path)), name)
+        avro_ocf.write_ocf(
+            full,
+            entry_schema,
+            records,
+            metadata={
+                "schema": json.dumps(schema_ice),
+                "schema-id": str(meta["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": "2",
+                "content": "deletes" if content == 1 else "data",
+            },
+        )
+        seqs = [seq for _, seq, _ in rows]
+        return {
+            "manifest_path": full,
+            "manifest_length": os.path.getsize(full),
+            "partition_spec_id": spec["spec-id"],
+            "content": content,
+            "sequence_number": -1,  # stamped with the commit's seq
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(records),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": sum(
+                int(df.get("record_count", 0)) for df, _, _ in rows
+            ),
+            "deleted_rows_count": 0,
+        }
+
+    for attempt in range(COMMIT_RETRIES):
+        sequence_number = meta["last-sequence-number"] + 1
+        new_manifests = [write_consolidated(by_content[0], 0)]
+        if by_content[1]:
+            new_manifests.append(write_consolidated(by_content[1], 1))
+        # min_sequence_number must stay the entries' minimum even though
+        # the list writer stamps sequence_number with the commit's
+        stamped = []
+        for m in new_manifests:
+            m = dict(m)
+            m["sequence_number"] = sequence_number
+            stamped.append(m)
+        manifest_list = _write_manifest_list(
+            path, snapshot_id, stamped, sequence_number
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": sequence_number,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": manifest_list,
+            "summary": {
+                "operation": "replace",
+                "rewrite": "manifests",
+                "manifests-before": str(len(manifests)),
+            },
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = sequence_number
+        new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+        new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        new_meta["current-snapshot-id"] = snapshot_id
+        try:
+            fd = os.open(
+                os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh, indent=2)
+            break
+        except FileExistsError:
+            for m in new_manifests:
+                if os.path.exists(m["manifest_path"]):
+                    os.remove(m["manifest_path"])
+            ml = _abs_file(path, manifest_list)
+            if os.path.exists(ml):
+                os.remove(ml)
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            version, meta = _latest_version_on_disk(path)
+            # a concurrent commit changed the snapshot — re-derive from it
+            manifests = _snapshot_manifests(path, meta)
+            if len(manifests) < max(2, min_count):
+                return {
+                    "manifests_before": len(manifests),
+                    "manifests_after": len(manifests),
+                }
+            by_content = {0: [], 1: []}
+            for mf in manifests:
+                for e in _read_manifest_entries(path, mf["manifest_path"]):
+                    seq = (
+                        e.get("sequence_number")
+                        if e.get("sequence_number") is not None
+                        else mf["sequence_number"]
+                    )
+                    fseq = (
+                        e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else mf["sequence_number"]
+                    )
+                    bucket = 1 if e["data_file"].get("content", 0) in (1, 2) else 0
+                    by_content[bucket].append((e["data_file"], seq, fseq))
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "manifests_before": len(manifests),
+        "manifests_after": len(new_manifests),
     }
 
 

@@ -600,3 +600,64 @@ def test_lost_mor_commit_leaves_no_orphan_metadata(spark, tmpdir):
     os.remove(blocker)
     assert sorted(glob.glob(os.path.join(path, "metadata", "*"))) == meta_files_before
     assert _delete_files(path) == []
+
+
+def test_rewrite_manifests_consolidates_and_preserves_semantics(spark, tmpdir):
+    """Manifest consolidation is pure metadata: one data (+ one delete)
+    manifest afterwards, same rows, equality-delete sequence ordering
+    preserved via explicit entry sequence numbers, time travel intact, and
+    the change feed sees no phantom changes (operation=replace)."""
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(spark.range(0, 20).coalesce(1), path)
+    for lo in (20, 40, 60):
+        IC.write_iceberg(spark.range(lo, lo + 20).coalesce(1), path, append=True)
+    # equality-delete ids 5 and 25, then re-insert 5 (post-delete row must
+    # survive ONLY because its sequence number is larger)
+    IC.equality_delete_iceberg(spark, path, spark.createDataFrame([(5,), (25,)], "id long"))
+    IC.write_iceberg(spark.range(5, 6).coalesce(1), path, append=True)
+    pre_rows = sorted(r.id for r in IC.read_iceberg(spark, path).collect())
+    pre_snapshot = IC.snapshot_ids(path)[-1]
+    n_manifests_before = len(
+        IC._snapshot_manifests(path, IC._read_metadata(path)[1])
+    )
+    assert n_manifests_before >= 5
+
+    res = IC.rewrite_manifests(path)
+    assert res["manifests_before"] == n_manifests_before
+    assert res["manifests_after"] == 2  # one data + one delete manifest
+
+    post = sorted(r.id for r in IC.read_iceberg(spark, path).collect())
+    assert post == pre_rows
+    assert 25 not in post and 5 in post  # delete held; re-insert survived
+    # time travel to the pre-rewrite snapshot still resolves
+    assert sorted(
+        r.id for r in IC.read_iceberg(spark, path, snapshot_id=pre_snapshot).collect()
+    ) == pre_rows
+    # change feed: the rewrite snapshot contributes nothing
+    ch = IC.read_iceberg_changes(spark, path, since_snapshot_id=pre_snapshot).collect()
+    assert ch == []
+    # idempotent no-op below the threshold
+    again = IC.rewrite_manifests(path)
+    assert again == {"manifests_before": 2, "manifests_after": 2}
+    # a further append stacks on the consolidated base
+    IC.write_iceberg(spark.range(100, 110).coalesce(1), path, append=True)
+    assert IC.read_iceberg(spark, path).count() == len(pre_rows) + 10
+
+
+def test_expire_snapshots_older_than_keeps_recent_history(spark, tmpdir):
+    import time as _time
+
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(spark.range(0, 5).coalesce(1), path)
+    IC.write_iceberg(spark.range(5, 10).coalesce(1), path, append=True)
+    _time.sleep(1.1)
+    cutoff = int(_time.time() * 1000)
+    IC.write_iceberg(spark.range(10, 15).coalesce(1), path, append=True)
+    # keep_last=1 alone would expire both old snapshots; the time rule
+    # additionally retains everything at/after the cutoff
+    deleted = IC.expire_snapshots(path, keep_last=1, older_than_ms=cutoff)
+    assert deleted, "two pre-cutoff snapshots should expire"
+    assert len(IC.snapshot_ids(path)) == 1
+    assert IC.read_iceberg(spark, path).count() == 15
+    # with a cutoff before ALL snapshots nothing is old enough
+    assert IC.expire_snapshots(path, keep_last=1, older_than_ms=1000) == []
