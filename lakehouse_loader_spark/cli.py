@@ -113,6 +113,14 @@ def build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("expire-snapshots")
     exp.add_argument("target")
     exp.add_argument("--keep-last", type=int, default=1)
+    rman = sub.add_parser("rewrite-manifests")
+    rman.add_argument("target")
+    rman.add_argument(
+        "--min-count",
+        type=int,
+        default=2,
+        help="consolidate only when the snapshot has at least this many manifests",
+    )
     orph = sub.add_parser("remove-orphans")
     orph.add_argument("target")
     orph.add_argument(
@@ -268,6 +276,15 @@ def do_main(argv: list[str]) -> None:
 
         deleted = expire_snapshots(args.target, keep_last=args.keep_last)
         print(f"deleted {len(deleted)} expired files", file=sys.stderr)
+        return
+    if args.command == "rewrite-manifests":
+        from lakehouse_loader_spark.sinks.iceberg import rewrite_manifests
+
+        res = rewrite_manifests(args.target, min_count=args.min_count)
+        print(
+            f"manifests {res['manifests_before']} -> {res['manifests_after']}",
+            file=sys.stderr,
+        )
         return
     if args.command == "remove-orphans":
         from lakehouse_loader_spark.sinks.iceberg import remove_orphan_files
