@@ -219,7 +219,8 @@ def build_parser() -> argparse.ArgumentParser:
             required=True,
             metavar="'COL OP VALUE'",
             help="repeatable AND-ed predicate: 'col = v', 'col >= v', "
-            "'col between lo hi', 'col in v1,v2,...' — planned via "
+            "'col between lo hi', 'col in v1,v2,...'; ' | '-separated "
+            "atoms inside one --pred form an OR-group — planned via "
             "partition pruning + file stats before any data is read",
         )
         sc.add_argument("--columns", default=None, help="comma-separated projection")
@@ -383,18 +384,21 @@ def do_main(argv: list[str]) -> None:
                     pass
             return s
 
-        preds = []
-        for raw in args.pred:
+        def _parse_atom(raw: str):
             toks = raw.split()
             if len(toks) == 3 and toks[1].lower() == "in":
-                preds.append((toks[0], "in", [_parse_value(v) for v in toks[2].split(",")]))
-            elif len(toks) == 4 and toks[1].lower() == "between":
-                preds.append((toks[0], "between", _parse_value(toks[2]), _parse_value(toks[3])))
-            elif len(toks) == 3:
-                preds.append((toks[0], toks[1], _parse_value(toks[2])))
-            else:
-                print(f"bad --pred {raw!r}", file=sys.stderr)
-                sys.exit(2)
+                return (toks[0], "in", [_parse_value(v) for v in toks[2].split(",")])
+            if len(toks) == 4 and toks[1].lower() == "between":
+                return (toks[0], "between", _parse_value(toks[2]), _parse_value(toks[3]))
+            if len(toks) == 3:
+                return (toks[0], toks[1], _parse_value(toks[2]))
+            print(f"bad --pred {raw!r}", file=sys.stderr)
+            sys.exit(2)
+
+        preds = []
+        for raw in args.pred:
+            atoms = [_parse_atom(a.strip()) for a in raw.split("|")]
+            preds.append(atoms[0] if len(atoms) == 1 else atoms)
         cols = args.columns.split(",") if args.columns else None
         if args.command == "scan-delta":
             from lakehouse_loader_spark.sinks.delta import plan_delta_scan as _plan

@@ -1157,25 +1157,28 @@ def _delta_partition_value(raw: str | None, dtype: T.DataType):
 
 @accepts_file_uris
 def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
-    """Plan a scan under AND-of-predicates from the transaction log alone —
-    the Delta twin of ``iceberg.plan_iceberg_scan``: partition columns
-    prune exactly from ``partitionValues`` (Delta partitions are identity
-    only, so every op applies), everything else from the per-file
-    min/max stats; a file survives only if no predicate proves it empty.
+    """Plan a scan under CNF predicates (AND of atoms / OR-groups, same
+    grammar as ``iceberg.plan_iceberg_scan``) from the transaction log
+    alone — partition columns prune exactly from ``partitionValues``
+    (Delta partitions are identity only, so every op applies), everything
+    else from the per-file min/max stats; a file survives unless some
+    conjunct proves it empty (an OR-group only when EVERY disjunct does).
     Returns {"files", "total", "excluded_by_partition", "excluded_by_stats"}.
     """
     from lakehouse_loader_spark.sinks.scan_predicates import (
+        atoms_of,
         bounds_exclude,
+        file_verdict,
         normalize_preds,
         partition_excludes,
     )
 
-    preds = normalize_preds(predicates)
+    groups = normalize_preds(predicates)
     _, meta, adds = _read_log(path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     fields = {f.name: f.dataType for f in schema.fields}
     part_cols = set(meta.get("partitionColumns") or [])
-    for p in preds:
+    for p in atoms_of(groups):
         if p[0] not in fields:
             raise ValueError(f"{p[0]!r} is not a column of {path}")
 
@@ -1183,8 +1186,8 @@ def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
     n_part = n_stats = 0
     for rel, add in sorted(adds.items()):
         stats = json.loads(add.get("stats", "{}") or "{}")
-        verdict = None
-        for p in preds:
+
+        def atom_excludes(p: tuple) -> str | None:
             col, op = p[0], p[1]
             dtype = fields[col]
             raw = p[2:] if op == "between" else (p[2],)
@@ -1197,13 +1200,14 @@ def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
             if col in part_cols and col in (add.get("partitionValues") or {}):
                 part = _delta_partition_value(add["partitionValues"][col], dtype)
                 if partition_excludes(op, part, v):
-                    verdict = "partition"
-                    break
+                    return "partition"
             mn = stats.get("minValues", {}).get(col)
             mx = stats.get("maxValues", {}).get(col)
             if bounds_exclude(op, mn, mx, v):
-                verdict = "stats"
-                break
+                return "stats"
+            return None
+
+        verdict = file_verdict(groups, atom_excludes)
         if verdict == "partition":
             n_part += 1
         elif verdict == "stats":

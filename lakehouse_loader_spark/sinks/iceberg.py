@@ -1570,14 +1570,18 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
     ones — and via manifest column bounds otherwise.  A file survives only
     if no predicate proves it empty.
 
-    ``predicates``: (col, op, value) with op in =, <, <=, >, >=;
-    (col, 'between', lo, hi); (col, 'in', [v...]).  ISO strings accepted
-    for temporal columns.
+    ``predicates``: a list ANDed together; each element is an atomic
+    (col, op, value) / (col, 'between', lo, hi) / (col, 'in', [v...]), or
+    a LIST of atomics ORed together (CNF) — an OR-group excludes a file
+    only when EVERY disjunct does.  ISO strings accepted for temporal
+    columns.
 
     Returns {"files", "total", "excluded_by_partition", "excluded_by_stats"}
     — the counters make pruning effectiveness observable (and testable).
     """
-    preds = _normalize_preds(predicates)
+    from lakehouse_loader_spark.sinks.scan_predicates import atoms_of, file_verdict
+
+    groups = _normalize_preds(predicates)
     _, meta = _read_metadata(path)
     schema_ice = meta["schemas"][meta["current-schema-id"]]
     fields = {f["name"]: f for f in schema_ice["fields"]}
@@ -1588,7 +1592,7 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
         by_id[pf["source-id"]]["name"]: (pf["name"], pf["transform"])
         for pf in spec["fields"]
     }
-    for p in preds:
+    for p in atoms_of(groups):
         if p[0] not in fields:
             raise ValueError(f"{p[0]!r} is not a column of {path}")
 
@@ -1596,8 +1600,8 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
     kept: list[str] = []
     n_part = n_stats = 0
     for d in data_entries:
-        verdict = None
-        for p in preds:
+
+        def atom_excludes(p: tuple) -> str | None:
             col, op = p[0], p[1]
             ice_type = fields[col]["type"]
             raw = p[2:] if op == "between" else (p[2],)
@@ -1613,8 +1617,7 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
                     else:
                         pv = _transform_literal(transform, raw[0], ice_type)
                     if _partition_excludes(op, part, pv):
-                        verdict = "partition"
-                        break
+                        return "partition"
             mn, mx = _entry_bounds(d, fields[col]["id"], ice_type)
             if op == "in":
                 v = [_coerce_scan_literal(x, ice_type) for x in raw[0]]
@@ -1623,8 +1626,10 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
             else:
                 v = _coerce_scan_literal(raw[0], ice_type)
             if _bounds_exclude(op, mn, mx, v):
-                verdict = "stats"
-                break
+                return "stats"
+            return None
+
+        verdict = file_verdict(groups, atom_excludes)
         if verdict == "partition":
             n_part += 1
         elif verdict == "stats":

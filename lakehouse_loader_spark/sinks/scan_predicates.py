@@ -7,22 +7,55 @@ from __future__ import annotations
 SCAN_OPS = ("=", "<", "<=", ">", ">=", "between", "in")
 
 
-def normalize_preds(predicates: list[tuple]) -> list[tuple]:
-    out = []
+def _check_atom(p: tuple) -> tuple:
+    col, op = p[0], p[1]
+    if op not in SCAN_OPS:
+        raise ValueError(f"unsupported op {op!r} (have {SCAN_OPS})")
+    if op == "between":
+        if len(p) != 4:
+            raise ValueError("between needs (col, 'between', lo, hi)")
+    elif op == "in":
+        if len(p) != 3 or not isinstance(p[2], (list, tuple, set)):
+            raise ValueError("in needs (col, 'in', [values...])")
+    elif len(p) != 3:
+        raise ValueError(f"predicate needs (col, op, value): {p!r}")
+    return tuple(p)
+
+
+def normalize_preds(predicates: list) -> list[list[tuple]]:
+    """CNF normalization: the input is a list ANDed together; each element
+    is either one atomic predicate tuple, or a LIST of atomic tuples ORed
+    together.  Returns a list of OR-groups (singletons for plain atoms).
+    A file is excludable under a group only when EVERY disjunct excludes
+    it; under the whole predicate when ANY group does."""
+    groups: list[list[tuple]] = []
     for p in predicates:
-        col, op = p[0], p[1]
-        if op not in SCAN_OPS:
-            raise ValueError(f"unsupported op {op!r} (have {SCAN_OPS})")
-        if op == "between":
-            if len(p) != 4:
-                raise ValueError("between needs (col, 'between', lo, hi)")
-        elif op == "in":
-            if len(p) != 3 or not isinstance(p[2], (list, tuple, set)):
-                raise ValueError("in needs (col, 'in', [values...])")
-        elif len(p) != 3:
-            raise ValueError(f"predicate needs (col, op, value): {p!r}")
-        out.append(tuple(p))
-    return out
+        if isinstance(p, (list,)) or (
+            isinstance(p, tuple) and p and isinstance(p[0], (list, tuple))
+        ):
+            group = [_check_atom(a) for a in p]
+            if not group:
+                raise ValueError("empty OR-group")
+            groups.append(group)
+        else:
+            groups.append([_check_atom(p)])
+    return groups
+
+
+def atoms_of(groups: list[list[tuple]]) -> list[tuple]:
+    return [a for g in groups for a in g]
+
+
+def file_verdict(groups: list[list[tuple]], atom_excludes) -> str | None:
+    """None (keep) or the excluding mechanism: 'partition' when every
+    disjunct of the deciding group was excluded by its exact partition
+    value, else 'stats'.  ``atom_excludes(atom) -> None|'partition'|'stats'``.
+    """
+    for group in groups:
+        results = [atom_excludes(a) for a in group]
+        if all(r is not None for r in results):
+            return "partition" if all(r == "partition" for r in results) else "stats"
+    return None
 
 
 def partition_excludes(op: str, part, pv) -> bool:
@@ -90,9 +123,16 @@ def predicate_column(p: tuple):
     return col.isin([x for x in p[2]])
 
 
-def residual_filter(preds: list[tuple]):
+def residual_filter(groups: list):
+    """Exact Spark filter for a normalized (or raw) predicate set: AND over
+    groups, OR within a group."""
     import functools
 
-    if not preds:
+    groups = normalize_preds(groups)  # idempotent on normalized input
+    if not groups:
         return None
-    return functools.reduce(lambda a, b: a & b, (predicate_column(p) for p in preds))
+
+    def group_col(g):
+        return functools.reduce(lambda a, b: a | b, (predicate_column(p) for p in g))
+
+    return functools.reduce(lambda a, b: a & b, (group_col(g) for g in groups))

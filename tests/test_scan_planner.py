@@ -292,7 +292,13 @@ def _rand_pred(draw):
 
 @st.composite
 def _pred_sets(draw):
-    return [_rand_pred(draw) for _ in range(draw(st.integers(1, 3)))]
+    out = []
+    for _ in range(draw(st.integers(1, 3))):
+        if draw(st.booleans()):
+            out.append([_rand_pred(draw) for _ in range(draw(st.integers(1, 3)))])
+        else:
+            out.append(_rand_pred(draw))
+    return out
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
@@ -310,3 +316,45 @@ def test_planner_soundness_random_predicates(spark, planner_tables, preds, layou
     want = sorted(r.id for r in df.filter(residual_filter(preds)).select("id").collect())
     got = sorted(r.id for r in IC.read_iceberg_scan(spark, path, preds, ["id"]).collect())
     assert got == want, (preds, layout)
+
+
+def test_cnf_or_groups_prune_and_match(spark, tmpdir):
+    """An OR-group excludes a file only when EVERY disjunct does; results
+    stay exact and parity holds across both formats and the CLI."""
+    ipath = os.path.join(tmpdir, "ice")
+    dpath = os.path.join(tmpdir, "dl")
+    df = _staged(spark, ipath, partition_by=["k"], sort_col="id")
+    DL.write_delta(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"), dpath, partition_by=["k"]
+    )
+    preds = [
+        [("k", "=", 2), ("k", "=", 7)],          # OR-group over the partition
+        [("id", "<", 100), ("id", ">=", 900)],   # OR-group over sorted stats
+        ("v", ">=", 0.0),                        # plain atom
+    ]
+    plan = IC.plan_iceberg_scan(ipath, preds)
+    assert plan["excluded_by_partition"] > 0
+    want = sorted(
+        map(tuple, df.filter(
+            "(k = 2 OR k = 7) AND (id < 100 OR id >= 900) AND v >= 0.0"
+        ).select("id", "k").collect())
+    )
+    got_i = sorted(map(tuple, IC.read_iceberg_scan(spark, ipath, preds, ["id", "k"]).collect()))
+    got_d = sorted(map(tuple, DL.read_delta_scan(spark, dpath, preds, ["id", "k"]).collect()))
+    assert got_i == want and got_d == want
+    # a group with one always-true disjunct can never exclude
+    loose = [[("k", "=", 2), ("id", ">=", 0)]]
+    assert len(IC.plan_iceberg_scan(ipath, loose)["files"]) == IC.plan_iceberg_scan(ipath, loose)["total"]
+
+    # CLI '|' syntax
+    from lakehouse_loader_spark.cli import do_main
+
+    out = os.path.join(tmpdir, "out")
+    do_main([
+        "scan-iceberg", ipath, out,
+        "--pred", "k = 2 | k = 7",
+        "--pred", "id < 100 | id >= 900",
+        "--columns", "id,k",
+    ])
+    got_cli = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got_cli == want
