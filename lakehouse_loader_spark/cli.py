@@ -401,13 +401,12 @@ def do_main(argv: list[str]) -> None:
             preds.append(atoms[0] if len(atoms) == 1 else atoms)
         cols = args.columns.split(",") if args.columns else None
         if args.command == "scan-delta":
-            from lakehouse_loader_spark.sinks.delta import plan_delta_scan as _plan
-            from lakehouse_loader_spark.sinks.delta import read_delta_scan as _scan
+            from lakehouse_loader_spark.sinks.delta import scan_delta_with_plan as _scan
         else:
-            from lakehouse_loader_spark.sinks.iceberg import plan_iceberg_scan as _plan
-            from lakehouse_loader_spark.sinks.iceberg import read_iceberg_scan as _scan
-        plan = _plan(args.source, preds)
-        out = _scan(spark, args.source, preds, cols)
+            from lakehouse_loader_spark.sinks.iceberg import (
+                scan_iceberg_with_plan as _scan,
+            )
+        out, plan = _scan(spark, args.source, preds, cols)
         out.write.mode("errorifexists").parquet(args.target)
         print(
             f"scanned {len(plan['files'])}/{plan['total']} files "

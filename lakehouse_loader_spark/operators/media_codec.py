@@ -75,6 +75,12 @@ def decode_wav(payload: bytes) -> dict:
             )
             if audio_format != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV encoding (fmt={audio_format}, bits={bits})")
+            if n_channels < 1 or sample_rate < 1:
+                # hostile/corrupt fmt chunk: zero values would divide by
+                # zero below, escaping decode_media's ValueError catch
+                raise ValueError(
+                    f"invalid WAV fmt (channels={n_channels}, rate={sample_rate})"
+                )
             fmt = (n_channels, sample_rate, block_align)
         elif cid == b"data":
             data = body

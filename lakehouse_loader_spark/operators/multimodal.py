@@ -267,16 +267,21 @@ def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame
     )
 
     def one(payload: bytes) -> tuple[str, list[float]]:
+        import struct as _struct
+
         kind = MC.sniff_format(payload)
-        if kind == "wav":
-            d = MC.decode_wav(payload)
-            return "wav", MC.audio_window_rms(d["samples"], n_out).tolist()
-        if kind in ("ppm", "pgm", "bmp"):
-            d = MC.decode_ppm(payload) if kind in ("ppm", "pgm") else MC.decode_bmp(payload)
-            px = d["pixels"].astype(np.float64)
-            if px.ndim == 3:
-                px = px.mean(axis=2)
-            return d["format"], MC.resize_image_nearest(px, out_dim, out_dim).ravel().tolist()
+        try:
+            if kind == "wav":
+                d = MC.decode_wav(payload)
+                return "wav", MC.audio_window_rms(d["samples"], n_out).tolist()
+            if kind in ("ppm", "pgm", "bmp"):
+                d = MC.decode_ppm(payload) if kind in ("ppm", "pgm") else MC.decode_bmp(payload)
+                px = d["pixels"].astype(np.float64)
+                if px.ndim == 3:
+                    px = px.mean(axis=2)
+                return d["format"], MC.resize_image_nearest(px, out_dim, out_dim).ravel().tolist()
+        except (ValueError, _struct.error):
+            pass  # sniffed-but-corrupt stream: same never-die contract as decode
         return "opaque", _resize_stub(payload, n_out)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

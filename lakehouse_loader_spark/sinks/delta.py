@@ -1131,19 +1131,30 @@ def read_delta_pruned(
 def _delta_literal(v, dtype: T.DataType):
     """Predicate literal → the comparison domain Delta stats live in:
     temporals are ISO strings (``_iso_utc_naive`` wrote them that way, and
-    ISO ordering is chronological), everything else native."""
+    ISO ordering is chronological), everything else native.  Date-only
+    strings against timestamp columns expand to midnight — the same value
+    Spark's residual cast produces, so pruning and the exact filter agree
+    ('1995-01-01' < '1995-01-01T00:00:00' lexically would otherwise prune
+    a midnight-only file the filter matches)."""
     import datetime as _dt
 
-    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+    ts_like = isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
+    if isinstance(dtype, T.DateType) or ts_like:
         if isinstance(v, str):
-            return v if "T" in v or isinstance(dtype, T.DateType) else v.replace(" ", "T")
+            v = v.replace(" ", "T")
+            if ts_like and "T" not in v:
+                v = v + "T00:00:00"
+            return v
         if isinstance(v, (_dt.date, _dt.datetime)):
             return _iso_utc_naive(v)
     return v
 
 
 def _delta_partition_value(raw: str | None, dtype: T.DataType):
-    """add.partitionValues string → the same comparison domain."""
+    """add.partitionValues string → the same comparison domain.  Hive dir
+    names format timestamps with a SPACE ('2024-01-01 00:00:00'); the
+    literal domain is 'T'-separated ISO, so normalize — comparing the raw
+    form would wrongly exclude every matching file ('T' > ' ')."""
     if raw is None:
         return None
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -1152,11 +1163,15 @@ def _delta_partition_value(raw: str | None, dtype: T.DataType):
         return float(raw)
     if isinstance(dtype, T.BooleanType):
         return raw == "true"
-    return raw  # strings and ISO-formatted temporals compare as-is
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return raw.replace(" ", "T")
+    return raw  # strings, dates and ISO temporals compare as-is
 
 
 @accepts_file_uris
-def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
+def plan_delta_scan(
+    path: str, predicates: list[tuple], _snapshot: tuple | None = None
+) -> dict:
     """Plan a scan under CNF predicates (AND of atoms / OR-groups, same
     grammar as ``iceberg.plan_iceberg_scan``) from the transaction log
     alone — partition columns prune exactly from ``partitionValues``
@@ -1164,6 +1179,9 @@ def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
     else from the per-file min/max stats; a file survives unless some
     conjunct proves it empty (an OR-group only when EVERY disjunct does).
     Returns {"files", "total", "excluded_by_partition", "excluded_by_stats"}.
+
+    ``_snapshot``: (meta, adds) from an already-replayed log — the read
+    path passes it so plan, schema and file set come from ONE snapshot.
     """
     from lakehouse_loader_spark.sinks.scan_predicates import (
         atoms_of,
@@ -1174,13 +1192,28 @@ def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
     )
 
     groups = normalize_preds(predicates)
-    _, meta, adds = _read_log(path)
+    if _snapshot is None:
+        _, meta, adds = _read_log(path)
+    else:
+        meta, adds = _snapshot
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     fields = {f.name: f.dataType for f in schema.fields}
     part_cols = set(meta.get("partitionColumns") or [])
     for p in atoms_of(groups):
         if p[0] not in fields:
             raise ValueError(f"{p[0]!r} is not a column of {path}")
+
+    # per-atom literal normalization happens ONCE, not per file
+    prepared = {
+        p: (
+            [_delta_literal(x, fields[p[0]]) for x in p[2]]
+            if p[1] == "in"
+            else tuple(_delta_literal(x, fields[p[0]]) for x in p[2:])
+            if p[1] == "between"
+            else _delta_literal(p[2], fields[p[0]])
+        )
+        for p in set(atoms_of(groups))
+    }
 
     kept: list[str] = []
     n_part = n_stats = 0
@@ -1189,16 +1222,9 @@ def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
 
         def atom_excludes(p: tuple) -> str | None:
             col, op = p[0], p[1]
-            dtype = fields[col]
-            raw = p[2:] if op == "between" else (p[2],)
-            if op == "in":
-                v = [_delta_literal(x, dtype) for x in raw[0]]
-            elif op == "between":
-                v = tuple(_delta_literal(x, dtype) for x in raw)
-            else:
-                v = _delta_literal(raw[0], dtype)
+            v = prepared[p]
             if col in part_cols and col in (add.get("partitionValues") or {}):
-                part = _delta_partition_value(add["partitionValues"][col], dtype)
+                part = _delta_partition_value(add["partitionValues"][col], fields[col])
                 if partition_excludes(op, part, v):
                     return "partition"
             mn = stats.get("minValues", {}).get(col)
@@ -1223,16 +1249,16 @@ def plan_delta_scan(path: str, predicates: list[tuple]) -> dict:
 
 
 @accepts_file_uris
-def read_delta_scan(
+def scan_delta_with_plan(
     spark: SparkSession,
     path: str,
     predicates: list[tuple],
     columns: list[str] | None = None,
-) -> DataFrame:
-    """Execute a planned Delta scan: surviving files only, every predicate
-    re-applied exactly as the residual filter, then projected.  One log
-    replay feeds plan, schema and partitioning — a single consistent
-    snapshot under concurrent commits."""
+) -> tuple[DataFrame, dict]:
+    """Execute a planned Delta scan and return (frame, plan): surviving
+    files only, every predicate re-applied exactly as the residual filter,
+    then projected.  ONE log replay feeds plan, schema and partitioning —
+    a single consistent snapshot under concurrent commits."""
     from lakehouse_loader_spark.sinks.scan_predicates import (
         normalize_preds,
         residual_filter,
@@ -1245,15 +1271,27 @@ def read_delta_scan(
     for c in out_cols:
         if c not in schema.fieldNames():
             raise ValueError(f"{c!r} is not a column of {path}")
-    plan = plan_delta_scan(path, preds)
+    plan = plan_delta_scan(path, preds, _snapshot=(meta, adds))
     if not plan["files"]:
-        return spark.createDataFrame([], schema).select(*out_cols)
+        return spark.createDataFrame([], schema).select(*out_cols), plan
     files = [os.path.join(path, p) for p in plan["files"]]
     scan = _file_reader(spark, path, meta, schema).parquet(*files)
     residual = residual_filter(preds)
     if residual is not None:
         scan = scan.filter(residual)
-    return scan.select(*out_cols)
+    return scan.select(*out_cols), plan
+
+
+@accepts_file_uris
+def read_delta_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """``scan_delta_with_plan`` without the plan — the plain read API."""
+    df, _ = scan_delta_with_plan(spark, path, predicates, columns)
+    return df
 
 
 @accepts_file_uris

@@ -1240,12 +1240,18 @@ def write_iceberg(
 
 @accepts_file_uris
 def snapshot_as_of(path: str, timestamp_ms: int) -> int:
-    """AS OF TIMESTAMP resolution: the latest snapshot whose commit
-    timestamp is ≤ ``timestamp_ms`` (Iceberg's time-travel-by-time rule).
+    """AS OF TIMESTAMP resolution: the latest MAIN-LINE snapshot whose
+    commit timestamp is ≤ ``timestamp_ms`` (Iceberg's time-travel-by-time
+    rule).  Unpublished WAP branch snapshots share the snapshots list but
+    are not part of the published history — resolving to one would leak
+    unaudited rows (the same phantom read_iceberg_changes filters out).
     Raises if the table has no snapshot that old."""
     _, meta = _read_metadata(path)
     eligible = [
-        s for s in meta.get("snapshots", []) if s["timestamp-ms"] <= timestamp_ms
+        s
+        for s in meta.get("snapshots", [])
+        if s["timestamp-ms"] <= timestamp_ms
+        and "branch" not in (s.get("summary") or {})
     ]
     if not eligible:
         raise ValueError(
@@ -1562,7 +1568,9 @@ def _transform_literal(transform: str, v, ice_type: str):
 
 
 @accepts_file_uris
-def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
+def plan_iceberg_scan(
+    path: str, predicates: list[tuple], _snapshot: tuple | None = None
+) -> dict:
     """Plan a scan under AND-of-``predicates`` without touching data files:
     each predicate prunes via the file's EXACT (hidden) partition value
     when its column is a partition source — equality through any spec
@@ -1578,11 +1586,20 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
 
     Returns {"files", "total", "excluded_by_partition", "excluded_by_stats"}
     — the counters make pruning effectiveness observable (and testable).
+
+    ``_snapshot``: (meta, data_entries) from an already-performed metadata
+    read — the read path passes it so plan, delete set and schema all come
+    from ONE snapshot (two reads could straddle a concurrent commit and
+    pair snapshot A's files with snapshot B's deletes).
     """
     from lakehouse_loader_spark.sinks.scan_predicates import atoms_of, file_verdict
 
     groups = _normalize_preds(predicates)
-    _, meta = _read_metadata(path)
+    if _snapshot is None:
+        _, meta = _read_metadata(path)
+        data_entries, _, _ = _split_live_entries(path, meta)
+    else:
+        meta, data_entries = _snapshot
     schema_ice = meta["schemas"][meta["current-schema-id"]]
     fields = {f["name"]: f for f in schema_ice["fields"]}
     by_id = {f["id"]: f for f in schema_ice["fields"]}
@@ -1596,36 +1613,48 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
         if p[0] not in fields:
             raise ValueError(f"{p[0]!r} is not a column of {path}")
 
-    data_entries, _, _ = _split_live_entries(path, meta)
+    # precompute every atom's literals ONCE — transform application (regex,
+    # datetime arithmetic, murmur3) depends only on (atom, spec), not on
+    # the file, and the entry loop below runs per live file
+    prepared: dict[tuple, dict] = {}
+    for p in set(atoms_of(groups)):
+        col, op = p[0], p[1]
+        ice_type = fields[col]["type"]
+        raw = p[2:] if op == "between" else (p[2],)
+        info: dict = {"col": col, "op": op, "field_id": fields[col]["id"], "ice_type": ice_type}
+        if op == "in":
+            info["v"] = [_coerce_scan_literal(x, ice_type) for x in raw[0]]
+        elif op == "between":
+            info["v"] = tuple(_coerce_scan_literal(x, ice_type) for x in raw)
+        else:
+            info["v"] = _coerce_scan_literal(raw[0], ice_type)
+        if col in part_of:
+            pf_name, transform = part_of[col]
+            rangeable = transform.startswith(_MONOTONE_PREFIXES)
+            if op in ("=", "in") or rangeable:
+                if op == "in":
+                    pv = [_transform_literal(transform, x, ice_type) for x in raw[0]]
+                elif op == "between":
+                    pv = tuple(_transform_literal(transform, x, ice_type) for x in raw)
+                else:
+                    pv = _transform_literal(transform, raw[0], ice_type)
+                info["part"] = (pf_name, pv)
+        prepared[p] = info
+
     kept: list[str] = []
     n_part = n_stats = 0
     for d in data_entries:
 
         def atom_excludes(p: tuple) -> str | None:
-            col, op = p[0], p[1]
-            ice_type = fields[col]["type"]
-            raw = p[2:] if op == "between" else (p[2],)
-            if col in part_of and part_of[col][0] in d["partition"]:
-                pf_name, transform = part_of[col]
-                part = d["partition"][pf_name]
-                rangeable = transform.startswith(_MONOTONE_PREFIXES)
-                if op in ("=", "in") or rangeable:
-                    if op == "in":
-                        pv = [_transform_literal(transform, x, ice_type) for x in raw[0]]
-                    elif op == "between":
-                        pv = tuple(_transform_literal(transform, x, ice_type) for x in raw)
-                    else:
-                        pv = _transform_literal(transform, raw[0], ice_type)
-                    if _partition_excludes(op, part, pv):
-                        return "partition"
-            mn, mx = _entry_bounds(d, fields[col]["id"], ice_type)
-            if op == "in":
-                v = [_coerce_scan_literal(x, ice_type) for x in raw[0]]
-            elif op == "between":
-                v = tuple(_coerce_scan_literal(x, ice_type) for x in raw)
-            else:
-                v = _coerce_scan_literal(raw[0], ice_type)
-            if _bounds_exclude(op, mn, mx, v):
+            info = prepared[p]
+            part_rule = info.get("part")
+            if part_rule is not None and part_rule[0] in d["partition"]:
+                if _partition_excludes(
+                    info["op"], d["partition"][part_rule[0]], part_rule[1]
+                ):
+                    return "partition"
+            mn, mx = _entry_bounds(d, info["field_id"], info["ice_type"])
+            if _bounds_exclude(info["op"], mn, mx, info["v"]):
                 return "stats"
             return None
 
@@ -1646,17 +1675,20 @@ def plan_iceberg_scan(path: str, predicates: list[tuple]) -> dict:
 
 
 @accepts_file_uris
-def read_iceberg_scan(
+def scan_iceberg_with_plan(
     spark: SparkSession,
     path: str,
     predicates: list[tuple],
     columns: list[str] | None = None,
-) -> DataFrame:
-    """Execute a planned scan: read only the surviving files, apply the
-    snapshot's position/equality deletes, apply every predicate EXACTLY as
-    a residual filter (pruning is file-granular; rows inside kept files
-    still need it — and parquet row-group pushdown gets it for free), then
-    project ``columns``.  Plan and delete set come from one metadata read."""
+) -> tuple[DataFrame, dict]:
+    """Execute a planned scan and return (frame, plan): read only the
+    surviving files, apply the snapshot's position/equality deletes, apply
+    every predicate EXACTLY as a residual filter (pruning is
+    file-granular; rows inside kept files still need it — and parquet
+    row-group pushdown gets it for free), then project ``columns``.
+    Metadata is read ONCE: plan, delete set and schema come from the same
+    snapshot (two reads could straddle a concurrent commit and pair
+    snapshot A's files with snapshot B's deletes)."""
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     preds = _normalize_preds(predicates)
@@ -1666,10 +1698,10 @@ def read_iceberg_scan(
     for c in out_cols:
         if c not in schema.fieldNames():
             raise ValueError(f"{c!r} is not a column of {path}")
-    plan = plan_iceberg_scan(path, preds)
     data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    plan = plan_iceberg_scan(path, preds, _snapshot=(meta, data_entries))
     if not plan["files"]:
-        return spark.createDataFrame([], schema).select(*out_cols)
+        return spark.createDataFrame([], schema).select(*out_cols), plan
     reader = spark.read.schema(schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
@@ -1685,7 +1717,19 @@ def read_iceberg_scan(
     residual = _residual_filter(preds)
     if residual is not None:
         scan = scan.filter(residual)
-    return scan.select(*out_cols)
+    return scan.select(*out_cols), plan
+
+
+@accepts_file_uris
+def read_iceberg_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """``scan_iceberg_with_plan`` without the plan — the plain read API."""
+    df, _ = scan_iceberg_with_plan(spark, path, predicates, columns)
+    return df
 
 
 def _commit_metadata_update(path: str, mutate) -> None:

@@ -17,6 +17,9 @@ def _check_atom(p: tuple) -> tuple:
     elif op == "in":
         if len(p) != 3 or not isinstance(p[2], (list, tuple, set)):
             raise ValueError("in needs (col, 'in', [values...])")
+        # tuple-ize the value list so normalized atoms are hashable
+        # (planners key per-atom literal caches on the atom itself)
+        return (p[0], "in", tuple(p[2]))
     elif len(p) != 3:
         raise ValueError(f"predicate needs (col, op, value): {p!r}")
     return tuple(p)

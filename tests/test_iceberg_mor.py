@@ -289,7 +289,7 @@ def test_refs_tag_pin_and_expire_interplay(spark, tmpdir):
     assert first in IC.snapshot_ids(path)
     assert IC.read_iceberg(spark, path, ref="v1.0").count() == 50
 
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         IC.read_iceberg(spark, path, snapshot_id=first, ref="v1.0")
     with pytest.raises(ValueError, match="no ref"):
         IC.read_iceberg(spark, path, ref="nope")

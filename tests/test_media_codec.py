@@ -138,3 +138,42 @@ def test_spark_resize_stage_shapes_and_values(spark):
     d3 = MC.decode_ppm(MC.synth_payload(3))
     expected = float(d3["pixels"][0, 0].astype(np.float64).mean())
     assert rows[3]["resized"][0] == expected
+
+
+def test_hostile_wav_zero_channels_degrades_to_opaque():
+    """fmt chunks declaring 0 channels / 0 rate must not divide by zero —
+    decode_media degrades, never raises (r6 review)."""
+    import struct
+
+    b = bytearray(MC.encode_wav(np.zeros(100, "<i2"), 8000))
+    struct.pack_into("<H", b, 22, 0)  # n_channels = 0
+    assert MC.decode_media(bytes(b))["format"] == "opaque"
+    b2 = bytearray(MC.encode_wav(np.zeros(100, "<i2"), 8000))
+    struct.pack_into("<I", b2, 24, 0)  # sample_rate = 0
+    assert MC.decode_media(bytes(b2))["format"] == "opaque"
+
+
+def test_resize_stage_survives_corrupt_sniffed_payloads(spark):
+    """A payload that sniffs as WAV/PPM but is truncated/corrupt must fall
+    back to the opaque tier instead of killing the task (r6 review)."""
+    import pandas as pd
+
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    good = MC.synth_payload(0)
+    rows = [
+        (0, good),
+        (1, good[:20]),                  # truncated RIFF
+        (2, b"P6\ngarbage"),             # broken PNM header
+        (3, b"BM" + b"\x00" * 10),       # truncated BMP
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.resize_media_features(df).collect()}
+    assert out[0]["media_format"] == "wav"
+    for bad in (1, 2, 3, 4):
+        assert out[bad]["media_format"] == "opaque"
+        assert len(out[bad]["resized"]) == 256
+    dec = {r["doc_id"]: r for r in M.decode_media_features(df).collect()}
+    for bad in (1, 2, 3, 4):
+        assert dec[bad]["media_format"] == "opaque"

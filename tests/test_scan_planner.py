@@ -358,3 +358,64 @@ def test_cnf_or_groups_prune_and_match(spark, tmpdir):
     ])
     got_cli = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got_cli == want
+
+
+def test_delta_timestamp_partition_pruning_normalizes_hive_form(spark, tmpdir):
+    """Hive dir names store timestamps with a SPACE; the literal domain is
+    'T'-separated ISO — without normalization every matching file was
+    silently pruned (r6 review finding)."""
+    path = os.path.join(tmpdir, "dl")
+    df = spark.range(0, 40).select(
+        "id",
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 4).cast("int"))
+        ).alias("ts"),
+    )
+    DL.write_delta(df, path, partition_by=["ts"])
+    preds = [("ts", "=", "2024-01-02T00:00:00")]
+    plan = DL.plan_delta_scan(path, preds)
+    assert plan["files"], "matching partition must survive"
+    assert plan["excluded_by_partition"] > 0
+    got = sorted(r.id for r in DL.read_delta_scan(spark, path, preds, ["id"]).collect())
+    assert got == [i for i in range(40) if i % 4 == 1]
+    # range over the ts partition prunes too and stays exact
+    got_r = sorted(r.id for r in DL.read_delta_scan(
+        spark, path, [("ts", ">=", "2024-01-03 00:00:00")], ["id"]).collect())
+    assert got_r == [i for i in range(40) if i % 4 >= 2]
+    # datetime literal form
+    import datetime as _dt
+
+    got_dt = sorted(r.id for r in DL.read_delta_scan(
+        spark, path, [("ts", "=", _dt.datetime(2024, 1, 4))], ["id"]).collect())
+    assert got_dt == [i for i in range(40) if i % 4 == 3]
+
+
+def test_delta_date_only_literal_on_timestamp_column(spark, tmpdir):
+    """A date-only string against a timestamp column must expand to
+    midnight — Spark's residual cast matches midnight rows, so stats
+    pruning must not exclude a min=max=midnight file (r6 review)."""
+    path = os.path.join(tmpdir, "dl")
+    df = spark.range(0, 8).select(
+        "id", F.lit("1995-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    DL.write_delta(df.coalesce(1), path)
+    got = DL.read_delta_scan(spark, path, [("ts", "=", "1995-01-01")], ["id"]).collect()
+    assert len(got) == 8
+    plan = DL.plan_delta_scan(path, [("ts", "=", "1995-01-01")])
+    assert plan["files"], "midnight-only file must not be stats-pruned"
+
+
+def test_as_of_timestamp_skips_unpublished_branch_snapshots(spark, tmpdir):
+    """AS OF TIMESTAMP must resolve against the MAIN lineage only — a WAP
+    branch snapshot is unaudited and must not leak into time travel (r6
+    review)."""
+    import time as _time
+
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(spark.range(0, 10).coalesce(1), path)
+    IC.append_to_branch(spark.range(100, 120).coalesce(1), path, "audit")
+    now = int(_time.time() * 1000) + 1000
+    assert IC.read_iceberg(spark, path, as_of_timestamp_ms=now).count() == 10
+    # after publishing, the rows ARE part of the main lineage
+    IC.publish_branch(path, "audit")
+    assert IC.read_iceberg(spark, path, as_of_timestamp_ms=int(_time.time() * 1000) + 1000).count() == 30
