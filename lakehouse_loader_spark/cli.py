@@ -108,6 +108,16 @@ def build_parser() -> argparse.ArgumentParser:
             default=None,
             help="bytes: bin-packing mode — rewrite only files below this size",
         )
+        if name == "optimize-iceberg":
+            opt.add_argument(
+                "--pred",
+                action="append",
+                default=None,
+                metavar="'COL OP VALUE'",
+                help="OPTIMIZE WHERE: scope the rewrite to files this "
+                "AND-ed predicate can touch (scan-iceberg grammar incl. "
+                "'|' OR-groups); others carry over untouched",
+            )
     vac = sub.add_parser("vacuum-delta")
     vac.add_argument("target")
     exp = sub.add_parser("expire-snapshots")
@@ -240,6 +250,37 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_preds(raws: list[str]) -> list:
+    """CLI predicate mini-grammar shared by scan-* and optimize-iceberg:
+    each string is 'col op value' / 'col between lo hi' / 'col in a,b,c';
+    ' | '-separated atoms in one string form an OR-group."""
+
+    def _parse_value(s: str):
+        for cast in (int, float):
+            try:
+                return cast(s)
+            except ValueError:
+                pass
+        return s
+
+    def _parse_atom(raw: str):
+        toks = raw.split()
+        if len(toks) == 3 and toks[1].lower() == "in":
+            return (toks[0], "in", [_parse_value(v) for v in toks[2].split(",")])
+        if len(toks) == 4 and toks[1].lower() == "between":
+            return (toks[0], "between", _parse_value(toks[2]), _parse_value(toks[3]))
+        if len(toks) == 3:
+            return (toks[0], toks[1], _parse_value(toks[2]))
+        print(f"bad --pred {raw!r}", file=sys.stderr)
+        sys.exit(2)
+
+    preds = []
+    for raw in raws:
+        atoms = [_parse_atom(a.strip()) for a in raw.split("|")]
+        preds.append(atoms[0] if len(atoms) == 1 else atoms)
+    return preds
+
+
 def do_main(argv: list[str]) -> None:
     args = build_parser().parse_args(argv)
     spark = get_spark("lhl-spark-cli")
@@ -260,10 +301,14 @@ def do_main(argv: list[str]) -> None:
             from lakehouse_loader_spark.sinks.iceberg import optimize_iceberg as _opt
 
         zorder = args.zorder_by.split(",") if args.zorder_by else None
+        kwargs = {}
+        if args.command == "optimize-iceberg" and getattr(args, "pred", None):
+            kwargs["where"] = _parse_preds(args.pred)
         _opt(
             spark, args.target,
             target_partitions=args.target_partitions, zorder_by=zorder,
             small_file_threshold=args.small_file_threshold,
+            **kwargs,
         )
         return
     if args.command == "vacuum-delta":
@@ -376,29 +421,7 @@ def do_main(argv: list[str]) -> None:
         print(f"dropped CHECK constraint {args.name}", file=sys.stderr)
         return
     if args.command in ("scan-delta", "scan-iceberg"):
-        def _parse_value(s: str):
-            for cast in (int, float):
-                try:
-                    return cast(s)
-                except ValueError:
-                    pass
-            return s
-
-        def _parse_atom(raw: str):
-            toks = raw.split()
-            if len(toks) == 3 and toks[1].lower() == "in":
-                return (toks[0], "in", [_parse_value(v) for v in toks[2].split(",")])
-            if len(toks) == 4 and toks[1].lower() == "between":
-                return (toks[0], "between", _parse_value(toks[2]), _parse_value(toks[3]))
-            if len(toks) == 3:
-                return (toks[0], toks[1], _parse_value(toks[2]))
-            print(f"bad --pred {raw!r}", file=sys.stderr)
-            sys.exit(2)
-
-        preds = []
-        for raw in args.pred:
-            atoms = [_parse_atom(a.strip()) for a in raw.split("|")]
-            preds.append(atoms[0] if len(atoms) == 1 else atoms)
+        preds = _parse_preds(args.pred)
         cols = args.columns.split(",") if args.columns else None
         if args.command == "scan-delta":
             from lakehouse_loader_spark.sinks.delta import scan_delta_with_plan as _scan

@@ -3018,6 +3018,7 @@ def optimize_iceberg(
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     small_file_threshold: int | None = None,
+    where: list | None = None,
 ) -> dict:
     """OPTIMIZE-style compaction for the Iceberg table — the format twin of
     ``delta.optimize_delta``: rewrite the current snapshot's live files
@@ -3040,6 +3041,15 @@ def optimize_iceberg(
     exclusive) interleaves several columns' ranks so stats stay tight on
     EVERY listed column (operators/zorder.py).
 
+    ``where`` (CNF predicates, plan_iceberg_scan grammar) scopes the
+    rewrite to the files the predicate can touch — OPTIMIZE WHERE, the
+    realistic maintenance shape at scale (compact yesterday's partition,
+    not the whole table).  Non-matching files carry over untouched;
+    position-delete TARGET files rewrite regardless (the new snapshot
+    drops every delete manifest, so their effect must materialize);
+    composes with ``small_file_threshold`` (compact small files IN the
+    scope); refused with ``zorder_by`` (table-wide clustering promise).
+
     Returns {"rewritten_files": n, "new_files": n, "purged_delete_files": n}.
     """
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
@@ -3058,6 +3068,18 @@ def optimize_iceberg(
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     data_before, deletes_before, partitioned = _split_live_entries(path, meta)
     n_before = len(data_before)
+
+    selected_abs: set[str] | None = None
+    if where is not None:
+        if zorder_by:
+            raise ValueError(
+                "zorder_by promises table-wide clustering; a scoped rewrite "
+                "would cluster only the matching subset — run a full "
+                "OPTIMIZE to Z-order"
+            )
+        _refuse_equality_deletes(path, deletes_before, "scoped optimize")
+        plan = plan_iceberg_scan(path, where, _snapshot=(meta, data_before))
+        selected_abs = {_abs_file(path, p) for p in plan["files"]}
 
     carried: list[dict] = []
     if small_file_threshold is not None:
@@ -3081,7 +3103,10 @@ def optimize_iceberg(
             for d in data_before
             if d["file_size_in_bytes"] < small_file_threshold
         }
-        # delete targets rewrite regardless of size (delete manifests drop)
+        if selected_abs is not None:
+            small &= selected_abs  # OPTIMIZE WHERE + bin-pack: small IN scope
+        # delete targets rewrite regardless of size or scope (delete
+        # manifests drop, so their effect must materialize)
         all_live = {_abs_file(path, d["file_path"]) for d in data_before}
         small |= _delete_target_files(spark, path, deletes_before) & all_live
         if not small or (len(small) < 2 and not deletes_before):
@@ -3104,6 +3129,24 @@ def optimize_iceberg(
         n_before = len(small)
         df = _scan_with_deletes(
             spark, path, schema, partitioned, sorted(small), deletes_before
+        ).select(*schema.fieldNames())
+    elif selected_abs is not None:
+        # OPTIMIZE WHERE without bin-packing: rewrite exactly the scoped
+        # files (plus delete targets), carry the rest untouched
+        all_live = {_abs_file(path, d["file_path"]) for d in data_before}
+        rewrite = (selected_abs & all_live) | (
+            _delete_target_files(spark, path, deletes_before) & all_live
+        )
+        if not rewrite:
+            return {"rewritten_files": 0, "new_files": 0, "purged_delete_files": 0}
+        carried = [
+            _carried_entry(path, d, spec, by_id)
+            for d in data_before
+            if _abs_file(path, d["file_path"]) not in rewrite
+        ]
+        n_before = len(rewrite)
+        df = _scan_with_deletes(
+            spark, path, schema, partitioned, sorted(rewrite), deletes_before
         ).select(*schema.fieldNames())
     else:
         # read_iceberg applies position-delete files, so compaction doubles

@@ -661,3 +661,53 @@ def test_expire_snapshots_older_than_keeps_recent_history(spark, tmpdir):
     assert IC.read_iceberg(spark, path).count() == 15
     # with a cutoff before ALL snapshots nothing is old enough
     assert IC.expire_snapshots(path, keep_last=1, older_than_ms=1000) == []
+
+
+def test_optimize_where_scopes_the_rewrite(spark, tmpdir):
+    """OPTIMIZE WHERE: only the files the predicate can touch rewrite; the
+    rest carry over byte-identical.  Position deletes still materialize
+    (their targets join the rewrite set) and rows are unchanged."""
+    path = os.path.join(tmpdir, "icep")
+    df = spark.range(0, 300).select("id", (F.col("id") % 3).alias("b"))
+    IC.write_iceberg(df.repartition(3, "b"), path, partition_by=["b"])
+    # fragment partition b=1 with extra appends
+    for lo in (1000, 2000):
+        IC.write_iceberg(
+            spark.range(lo, lo + 30).select("id", F.lit(1).cast("long").alias("b")).coalesce(1),
+            path,
+            append=True,
+        )
+    files_before = {
+        d["file_path"] for d in IC._split_live_entries(path, IC._read_metadata(path)[1])[0]
+    }
+    untouched_before = {
+        d["file_path"]
+        for d in IC._split_live_entries(path, IC._read_metadata(path)[1])[0]
+        if "b=1" not in d["file_path"]
+    }
+    res = IC.optimize_iceberg(spark, path, where=[("b", "=", 1)])
+    assert res["rewritten_files"] == len(files_before) - len(untouched_before)
+    data_after = {
+        d["file_path"] for d in IC._split_live_entries(path, IC._read_metadata(path)[1])[0]
+    }
+    # non-matching files carried over byte-identical (same paths)
+    assert untouched_before <= data_after
+    assert not (data_after & (files_before - untouched_before)), "scoped files rewrote"
+    back = IC.read_iceberg(spark, path)
+    assert back.count() == 360
+    assert back.filter("b = 1").count() == 160
+
+    # deletes on a carried partition force their targets into the rewrite
+    IC.delete_from_iceberg(spark, path, "b = 0 AND id < 30", strategy="merge-on-read")
+    res2 = IC.optimize_iceberg(spark, path, where=[("b", "=", 2)])
+    assert res2["purged_delete_files"] >= 1
+    back2 = IC.read_iceberg(spark, path)
+    assert back2.count() == 360 - 10
+    assert back2.filter("b = 0 AND id < 30").count() == 0
+
+    # no-match scope is a no-op; zorder_by is refused
+    assert IC.optimize_iceberg(spark, path, where=[("b", "=", 99)]) == {
+        "rewritten_files": 0, "new_files": 0, "purged_delete_files": 0,
+    }
+    with pytest.raises(ValueError, match="table-wide clustering"):
+        IC.optimize_iceberg(spark, path, where=[("b", "=", 1)], zorder_by=["id"])
