@@ -108,16 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
             default=None,
             help="bytes: bin-packing mode — rewrite only files below this size",
         )
-        if name == "optimize-iceberg":
-            opt.add_argument(
-                "--pred",
-                action="append",
-                default=None,
-                metavar="'COL OP VALUE'",
-                help="OPTIMIZE WHERE: scope the rewrite to files this "
-                "AND-ed predicate can touch (scan-iceberg grammar incl. "
-                "'|' OR-groups); others carry over untouched",
-            )
+        opt.add_argument(
+            "--pred",
+            action="append",
+            default=None,
+            metavar="'COL OP VALUE'",
+            help="OPTIMIZE WHERE: scope the rewrite to files this "
+            "AND-ed predicate can touch (scan-* grammar incl. "
+            "'|' OR-groups); others carry over untouched",
+        )
     vac = sub.add_parser("vacuum-delta")
     vac.add_argument("target")
     exp = sub.add_parser("expire-snapshots")
@@ -302,7 +301,7 @@ def do_main(argv: list[str]) -> None:
 
         zorder = args.zorder_by.split(",") if args.zorder_by else None
         kwargs = {}
-        if args.command == "optimize-iceberg" and getattr(args, "pred", None):
+        if getattr(args, "pred", None):
             kwargs["where"] = _parse_preds(args.pred)
         _opt(
             spark, args.target,

@@ -950,6 +950,7 @@ def optimize_delta(
     zorder_by: list[str] | None = None,
     max_rows_per_file: int = MAX_ROWS_PER_FILE,
     small_file_threshold: int | None = None,
+    where: list | None = None,
 ) -> None:
     """OPTIMIZE-style compaction: rewrite the live file set into
     ``target_partitions`` files per partition directory and commit
@@ -969,13 +970,34 @@ def optimize_delta(
     tightens per-file min/max stats so data skipping prunes harder.
     ``zorder_by`` (mutually exclusive) interleaves several columns' ranks
     (operators/zorder.py) so stats stay tight on EVERY listed column —
-    skipping then works for predicates on any of them."""
+    skipping then works for predicates on any of them.
+
+    ``where`` (CNF predicates, plan_delta_scan grammar) scopes the rewrite
+    to the files the predicate can touch — OPTIMIZE WHERE, the Iceberg
+    twin's semantics: non-matching files carry over untouched; composes
+    with ``small_file_threshold``; refused with ``zorder_by``."""
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if where is not None and zorder_by:
+        raise ValueError(
+            "zorder_by promises table-wide clustering; a scoped rewrite "
+            "would cluster only the matching subset — run a full OPTIMIZE "
+            "to Z-order"
+        )
     _check_protocol(path, for_write=True)
     latest, meta, adds = _read_log(path)
     part_cols = meta.get("partitionColumns") or None
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if where is not None:
+        plan = plan_delta_scan(path, where, _snapshot=(meta, adds))
+        scoped = set(plan["files"])
+        adds = {p: a for p, a in adds.items() if p in scoped}
+        if not adds or (len(adds) < 2 and small_file_threshold is None):
+            return  # nothing in scope worth rewriting
+        if small_file_threshold is None:
+            df = _file_reader(spark, path, meta, schema).parquet(
+                *[os.path.join(path, p) for p in sorted(adds)]
+            ).select(*schema.fieldNames())
     if small_file_threshold is not None:
         if small_file_threshold < 1:
             raise ValueError("small_file_threshold must be >= 1 byte")
@@ -1004,8 +1026,9 @@ def optimize_delta(
             *[os.path.join(path, p) for p in sorted(small)]
         ).select(*schema.fieldNames())
         adds = small  # only these are removed below
-    else:
+    elif where is None:
         df = read_delta(spark, path)
+    # (where-scoped full rewrite already built df from the scoped adds)
     if zorder_by:
         from lakehouse_loader_spark.operators.zorder import zorder_layout
 

@@ -419,3 +419,33 @@ def test_as_of_timestamp_skips_unpublished_branch_snapshots(spark, tmpdir):
     # after publishing, the rows ARE part of the main lineage
     IC.publish_branch(path, "audit")
     assert IC.read_iceberg(spark, path, as_of_timestamp_ms=int(_time.time() * 1000) + 1000).count() == 30
+
+
+def test_delta_optimize_where_scopes_the_rewrite(spark, tmpdir):
+    """Delta OPTIMIZE WHERE parity: only scoped files rewrite; carried
+    files keep their paths; rows unchanged; zorder refused with a scope."""
+    path = os.path.join(tmpdir, "dl")
+    df = spark.range(0, 300).select("id", (F.col("id") % 3).alias("k"))
+    DL.write_delta(df.repartition(3, "k"), path, partition_by=["k"])
+    for lo in (1000, 2000):
+        DL.write_delta(
+            spark.range(lo, lo + 30).select("id", F.lit(1).cast("long").alias("k")).coalesce(1),
+            path,
+            append=True,
+        )
+    before = set(DL._read_log(path)[2])
+    untouched = {p for p in before if "k=1" not in p}
+    DL.optimize_delta(spark, path, where=[("k", "=", 1)])
+    after = set(DL._read_log(path)[2])
+    assert untouched <= after
+    assert not (after & (before - untouched)), "scoped files must be replaced"
+    back = DL.read_delta(spark, path)
+    assert back.count() == 360 and back.filter("k = 1").count() == 160
+    # scoped bin-packing composes; no-match scope is a no-op
+    DL.optimize_delta(spark, path, where=[("k", "=", 0)], small_file_threshold=10**9)
+    assert DL.read_delta(spark, path).count() == 360
+    v_before = DL._read_log(path)[0]
+    DL.optimize_delta(spark, path, where=[("k", "=", 99)])
+    assert DL._read_log(path)[0] == v_before, "no-op must not commit"
+    with pytest.raises(ValueError, match="table-wide clustering"):
+        DL.optimize_delta(spark, path, where=[("k", "=", 1)], zorder_by=["id"])
