@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
         )
     vac = sub.add_parser("vacuum-delta")
     vac.add_argument("target")
+    vac.add_argument(
+        "--retain-versions",
+        type=int,
+        default=0,
+        help="keep files referenced by the last N versions (time travel "
+        "inside the window keeps working)",
+    )
     exp = sub.add_parser("expire-snapshots")
     exp.add_argument("target")
     exp.add_argument("--keep-last", type=int, default=1)
@@ -313,7 +320,7 @@ def do_main(argv: list[str]) -> None:
     if args.command == "vacuum-delta":
         from lakehouse_loader_spark.sinks.delta import vacuum_delta
 
-        removed = vacuum_delta(args.target)
+        removed = vacuum_delta(args.target, retain_versions=args.retain_versions)
         print(f"removed {len(removed)} unreferenced files", file=sys.stderr)
         return
     if args.command == "expire-snapshots":

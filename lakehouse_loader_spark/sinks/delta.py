@@ -1396,14 +1396,22 @@ def table_history(path: str) -> list[dict]:
 
 
 @accepts_file_uris
-def vacuum_delta(path: str) -> list[str]:
+def vacuum_delta(path: str, retain_versions: int = 0) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     (removed by overwrite-in-place or OPTIMIZE).  Time travel to versions
     that referenced them stops working — same contract as Delta VACUUM.
-    Returns the deleted relative paths."""
+    ``retain_versions`` keeps files referenced by any of the last N
+    versions too (the version-count analog of VACUUM's retention window:
+    time travel within the window keeps working).  Returns the deleted
+    relative paths."""
+    if retain_versions < 0:
+        raise ValueError("retain_versions must be >= 0")
     _check_protocol(path, for_write=True)
-    _, _, adds = _read_log(path)
+    latest, _, adds = _read_log(path)
     live = set(adds)
+    for v in range(max(0, latest - retain_versions), latest):
+        _, _, old_adds = _read_log(path, as_of_version=v)
+        live |= set(old_adds)
     deleted = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or ".staging-" in root:

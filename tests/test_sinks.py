@@ -1357,3 +1357,31 @@ def test_time_travel_by_timestamp_both_formats(spark, tmpdir):
         read_delta(spark, dpath, version=0, as_of_timestamp_ms=t_now)
     with pytest.raises(ValueError, match="at most one"):
         IC.read_iceberg(spark, ipath, snapshot_id=1, as_of_timestamp_ms=t_now)
+
+
+def test_vacuum_retain_versions_window(spark, tmpdir):
+    """VACUUM with a retention window: files referenced by the last N
+    versions survive, time travel inside the window keeps working, and a
+    later unwindowed vacuum reclaims them."""
+    from lakehouse_loader_spark.sinks.delta import (
+        _read_log,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = os.path.join(str(tmpdir), "dl")
+    write_delta(spark.range(0, 10).coalesce(1), path)
+    write_delta(spark.range(10, 30).coalesce(1), path, append=True)
+    pre_optimize = _read_log(path)[0]
+    optimize_delta(spark, path)  # rewrites; old files stay for time travel
+    # retention window covers the pre-optimize version: nothing reclaimed
+    assert vacuum_delta(path, retain_versions=1) == []
+    assert read_delta(spark, path, version=pre_optimize).count() == 30
+    # unwindowed vacuum reclaims the two pre-optimize files
+    deleted = vacuum_delta(path)
+    assert len(deleted) == 2
+    assert read_delta(spark, path).count() == 30
+    with pytest.raises(Exception):
+        read_delta(spark, path, version=pre_optimize).collect()
