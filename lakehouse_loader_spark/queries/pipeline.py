@@ -1439,6 +1439,57 @@ def iceberg_compound_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_compound_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_orderstatus = 'P')
+      AND o_orderkey BETWEEN 500 AND 5000
+      AND o_totalprice >= 50000.0
+    """,
+)
+def delta_compound_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta twin of iceberg_compound_pruned_scan (r6,
+    sinks/delta.py:plan_delta_scan): orders staged as a Delta table
+    partitioned by o_orderstatus and range-clustered on o_orderkey, then a
+    CNF scan — the status OR-group prunes partitions exactly, the key
+    range prunes surviving files via Add-action stats, the price predicate
+    stays residual-only, and all three re-apply exactly row-level.  One
+    log replay plans the whole scan."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    cache = getattr(spark, "_lhl_dcompound_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_dcompound_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qdcompound_"), "orders_compound")
+        DL.write_delta(
+            o.repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey"),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        cache[sf_dir] = table
+    return DL.read_delta_scan(
+        spark,
+        table,
+        [
+            [("o_orderstatus", "=", "F"), ("o_orderstatus", "=", "P")],
+            ("o_orderkey", "between", 500, 5000),
+            ("o_totalprice", ">=", 50000.0),
+        ],
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+
+@query(
     "iceberg_equality_delete_scan",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
