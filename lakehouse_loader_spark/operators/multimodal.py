@@ -266,9 +266,9 @@ def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame
         ]
     )
 
-    def one(payload: bytes) -> tuple[str, list[float]]:
-        import struct as _struct
+    import struct as _struct
 
+    def one(payload: bytes) -> tuple[str, list[float]]:
         kind = MC.sniff_format(payload)
         try:
             if kind == "wav":

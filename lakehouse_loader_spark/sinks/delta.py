@@ -1162,14 +1162,28 @@ def _delta_literal(v, dtype: T.DataType):
     import datetime as _dt
 
     ts_like = isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
-    if isinstance(dtype, T.DateType) or ts_like:
+    if isinstance(dtype, T.DateType):
+        # datetime IS a date subclass — test it first; a datetime literal
+        # against a date column compares at date granularity (stats are
+        # 'YYYY-MM-DD' strings)
+        if isinstance(v, _dt.datetime):
+            return v.date().isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, str):
+            return v.replace(" ", "T").split("T")[0]
+    elif ts_like:
         if isinstance(v, str):
             v = v.replace(" ", "T")
-            if ts_like and "T" not in v:
+            if "T" not in v:
                 v = v + "T00:00:00"
             return v
-        if isinstance(v, (_dt.date, _dt.datetime)):
+        if isinstance(v, _dt.datetime):
             return _iso_utc_naive(v)
+        if isinstance(v, _dt.date):
+            # date literal on a timestamp column = midnight, matching
+            # Spark's residual cast — the string branch's expansion rule
+            return v.isoformat() + "T00:00:00"
     return v
 
 
@@ -1409,6 +1423,9 @@ def vacuum_delta(path: str, retain_versions: int = 0) -> list[str]:
     _check_protocol(path, for_write=True)
     latest, _, adds = _read_log(path)
     live = set(adds)
+    # per-version replay is bounded, not O(history): _read_log seeds from
+    # the newest checkpoint at/below the version, so each call parses at
+    # most CHECKPOINT_INTERVAL json commits + one checkpoint parquet
     for v in range(max(0, latest - retain_versions), latest):
         _, _, old_adds = _read_log(path, as_of_version=v)
         live |= set(old_adds)

@@ -1500,14 +1500,26 @@ _MONOTONE_PREFIXES = ("identity", "year", "month", "day", "hour", "truncate[")
 
 
 def _coerce_scan_literal(v, ice_type: str):
-    """Accept ISO strings for temporal columns so predicates read naturally;
-    everything else passes through in the bound-comparison domain."""
+    """Normalize a predicate literal into the bound-comparison domain for
+    its column type: ISO strings parse, and MIXED temporal granularity is
+    promoted/truncated (a ``date`` literal on a timestamp column means
+    midnight — mixed date/datetime comparisons would otherwise raise or,
+    worse, silently mis-prune through the partition transforms)."""
     import datetime as _dt
 
-    if isinstance(v, str) and ice_type == "date":
-        return _dt.date.fromisoformat(v)
-    if isinstance(v, str) and ice_type in ("timestamp", "timestamptz"):
-        return _dt.datetime.fromisoformat(v)
+    if ice_type == "date":
+        if isinstance(v, str):
+            return _dt.date.fromisoformat(v.replace(" ", "T").split("T")[0])
+        if isinstance(v, _dt.datetime):  # datetime IS a date — test first
+            return v.date()
+        return v
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, str):
+            return _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
     return v
 
 
@@ -1518,8 +1530,9 @@ def _transform_literal(transform: str, v, ice_type: str):
     import datetime as _dt
     import re as _re
 
-    if isinstance(v, str):
-        v = _coerce_scan_literal(v, ice_type)
+    # unconditional: coercion also promotes/truncates temporal GRANULARITY
+    # (date literal on a timestamp column etc.), not just parses strings
+    v = _coerce_scan_literal(v, ice_type)
     if transform == "identity":
         # manifests store identity partition values in their Avro-typed
         # form: epoch days for dates, epoch micros for timestamps

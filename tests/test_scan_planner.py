@@ -449,3 +449,42 @@ def test_delta_optimize_where_scopes_the_rewrite(spark, tmpdir):
     assert DL._read_log(path)[0] == v_before, "no-op must not commit"
     with pytest.raises(ValueError, match="table-wide clustering"):
         DL.optimize_delta(spark, path, where=[("k", "=", 1)], zorder_by=["id"])
+
+
+def test_temporal_object_literals_match_string_semantics(spark, tmpdir):
+    """datetime.date / datetime.datetime OBJECT literals must prune and
+    match exactly like their string forms on BOTH formats and BOTH
+    temporal column types (r6 review #2: the object branches skipped the
+    granularity normalization and silently pruned matching files)."""
+    import datetime as _dt
+
+    ipath = os.path.join(tmpdir, "ice")
+    dpath = os.path.join(tmpdir, "dl")
+    df = spark.range(0, 40).select(
+        "id",
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 4).cast("int")).alias("d"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 4).cast("int"))
+        ).alias("ts"),
+    )
+    IC.write_iceberg(df.coalesce(2), ipath, partition_by=["day(ts)"])
+    DL.write_delta(df.coalesce(2), dpath, partition_by=["ts"])
+    want = [i for i in range(40) if i % 4 == 1]
+
+    for preds in (
+        [("ts", "=", _dt.date(2024, 1, 2))],            # date obj on ts col
+        [("ts", "=", _dt.datetime(2024, 1, 2))],        # datetime obj
+        [("d", "=", _dt.datetime(2024, 1, 2, 0, 0))],   # datetime obj on date col
+        [("d", "=", "2024-01-02T00:00:00")],            # datetime str on date col
+    ):
+        got_i = sorted(r.id for r in IC.read_iceberg_scan(spark, ipath, preds, ["id"]).collect())
+        got_d = sorted(r.id for r in DL.read_delta_scan(spark, dpath, preds, ["id"]).collect())
+        assert got_i == want, (preds, "iceberg", got_i[:5])
+        assert got_d == want, (preds, "delta", got_d[:5])
+    # ranges with date objects on a ts column (unpartitioned bounds path:
+    # stage a second unpartitioned table so stats do the pruning)
+    ipath2 = os.path.join(tmpdir, "ice2")
+    IC.write_iceberg(df.repartitionByRange(4, "ts").sortWithinPartitions("ts"), ipath2)
+    got_r = sorted(r.id for r in IC.read_iceberg_scan(
+        spark, ipath2, [("ts", ">=", _dt.date(2024, 1, 3))], ["id"]).collect())
+    assert got_r == [i for i in range(40) if i % 4 >= 2]
