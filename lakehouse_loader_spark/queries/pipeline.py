@@ -1439,6 +1439,64 @@ def iceberg_compound_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_maintenance_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 < 5 AND o_orderkey % 100 >= 10
+    """,
+)
+def iceberg_maintenance_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 maintenance ops under the correctness gate: stage orders
+    (o_orderkey%10 < 5) as an Iceberg table partitioned by a status-derived
+    bucket, fragment it with three more appends, MOR-delete the
+    o_orderkey%100 < 10 slice, then run OPTIMIZE WHERE over one partition
+    (materializing the deletes it touches), rewrite_manifests to collapse
+    the commit-per-append metadata, and read the final table — which must
+    equal the plain SQL the maintenance must never change."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_maint_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_maint_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qmaint_"), "orders_maint")
+        base = o.filter(F.col("o_orderkey") % 10 < 5)
+        IC.write_iceberg(
+            base.filter(F.col("o_orderkey") % 10 == 0).coalesce(2),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        for m in (1, 2, 3, 4):
+            IC.write_iceberg(
+                base.filter(F.col("o_orderkey") % 10 == m).coalesce(2),
+                table,
+                append=True,
+            )
+        IC.delete_from_iceberg(
+            spark, table, "o_orderkey % 100 < 10", strategy="merge-on-read"
+        )
+        # consolidate the commit-per-append manifests FIRST (after OPTIMIZE
+        # the snapshot would hold one manifest and the rewrite would no-op),
+        # then the scoped compaction runs over the consolidated metadata
+        res = IC.rewrite_manifests(table)
+        assert res["manifests_after"] < res["manifests_before"]
+        IC.optimize_iceberg(spark, table, where=[("o_orderstatus", "=", "F")])
+        cache[sf_dir] = table
+    return IC.read_iceberg(spark, table).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
     "delta_compound_pruned_scan",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
