@@ -966,6 +966,55 @@ def agg_sketch_distinct_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_sketch_distinct_hll",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def agg_sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counting — the third DataSketches family next to
+    theta (set operations) and KLL (quantiles): HyperLogLog trades theta's
+    set algebra for the smallest possible mergeable state (KB per group at
+    any cardinality), the right sketch when only the COUNT is needed.
+    Per-type sketches merge via hll_union_agg for the __all__ row.  Same
+    oracle contract as the theta query: exact count + within_bound
+    (default lgConfigK=12 ⇒ ~1.6% RSE; 5% bound with 2σ headroom),
+    hash-checked by the driver."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    est = F.hll_sketch_estimate("sk")
+    out = per_type.select(
+        "event_type",
+        F.col("exact_users").cast("bigint"),
+        (F.abs(est - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+    total = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .crossJoin(F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_users"))))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.col("exact_users").cast("bigint"),
+            (F.abs(F.col("e") - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+                "within_bound"
+            ),
+        )
+    )
+    return out.unionByName(total).orderBy("event_type")
+
+
+@query(
     "agg_sketch_quantile_kll",
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
