@@ -435,3 +435,30 @@ def test_prefix_sum_queries_leave_no_cache_residue(spark):
         REGISTRY[key].fn(spark, SF_SMOKE).collect()
         leaked = persistent_ids() - before
         assert not leaked, f"{key} left persisted RDDs behind: {leaked}"
+
+
+def test_hll_sketch_union_matches_exact_within_bounds(spark):
+    """HLL mergeability: per-type sketches unioned via hll_union_agg bound
+    the exact union cardinality, and the query's self-certified flags hold
+    (same contract as the theta test)."""
+    from lakehouse_loader_spark.catalog import load_table
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_ORACLE
+
+    _ensure_loaded()
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_sketch_distinct_hll"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    assert rows["__all__"]["exact_users"] == exact_all
+    for r in rows.values():
+        assert r["within_bound"], r
+    union_est = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert abs(union_est - exact_all) <= max(1, 0.05 * exact_all)
