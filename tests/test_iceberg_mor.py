@@ -711,3 +711,17 @@ def test_optimize_where_scopes_the_rewrite(spark, tmpdir):
     }
     with pytest.raises(ValueError, match="table-wide clustering"):
         IC.optimize_iceberg(spark, path, where=[("b", "=", 1)], zorder_by=["id"])
+
+
+def test_optimize_where_refuses_equality_deletes(spark, tmpdir):
+    """A scoped rewrite cannot materialize key-scoped equality deletes for
+    only SOME files while dropping the delete manifest — carried files
+    would resurrect deleted rows.  Must refuse loudly."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.equality_delete_iceberg(spark, path, spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(ValueError, match="scoped optimize"):
+        IC.optimize_iceberg(spark, path, where=[("id", "<", 100)])
+    # a FULL optimize still refuses until the equality deletes compact away
+    # via the documented route
+    assert IC.read_iceberg(spark, path).filter("id = 3").count() == 0
