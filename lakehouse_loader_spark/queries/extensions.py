@@ -1797,6 +1797,55 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@query(
+    "streaming_stateful_parity",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming through the driver gate: the
+    applyInPandasWithState running-totals operator (streaming/events.py:
+    stateful_user_totals — the extension mechanism for state machines
+    Spark's built-in aggregations can't express) consumes the bounded file
+    stream in update mode; per user the emission with the highest running
+    count IS the converged state (counts grow monotonically per batch),
+    and it must hash-match the batch GROUP BY.  Rounding at 4dp follows
+    the streaming_window_parity precedent for cross-batch float
+    accumulation order."""
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        stateful_user_totals,
+    )
+
+    staged = _staged_event_files(
+        spark, sf_dir, "stateful", lambda ev: ev.repartition(4)
+    )
+    sink = f"sstate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_totals(read_event_stream(spark, staged, max_files_per_trigger=2))
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table(sink)
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("tv"),
+        )
+        .select("user_id", "n_events", F.round("tv", 4).alias("total_value"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: semantic dedup within precomputed clusters (Abbas et al. 2023)
 # --------------------------------------------------------------------------
