@@ -454,15 +454,20 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     whiten: bool = False,
+    model=None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Project embeddings onto the top-``k`` principal components
     (optionally whitened to unit variance) — the dimensionality-reduction /
     decorrelation step before clustering or coarse ANN.  Training is one
     pass (train_pca); projection is one numpy matmul per Arrow batch with
-    the (d, k) component matrix broadcast in the UDF closure."""
+    the (d, k) component matrix broadcast in the UDF closure.
+
+    ``model`` (a ``train_pca`` result) skips retraining; ``keep_vec``
+    carries the raw vector through for downstream invariant checks."""
     from pyspark.sql.functions import pandas_udf
 
-    mean, evals, evecs = train_pca(emb, vec_col)
+    mean, evals, evecs = model if model is not None else train_pca(emb, vec_col)
     comps = evecs[:, :k]  # (d, k)
     if whiten:
         comps = comps / np.sqrt(np.maximum(evals[:k], 1e-12))
@@ -473,9 +478,10 @@ def pca_project(
         out = (m - mean) @ comps
         return pd.Series(list(out))
 
-    return emb.select(
-        F.col(id_col), project(F.col(vec_col)).alias("pca")
-    )
+    cols = [F.col(id_col), project(F.col(vec_col)).alias("pca")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return emb.select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -329,17 +329,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct is HLL++-based and intentionally not oracle-matched
-# (DuckDB's sketch differs); the driver records a rows-only check and
-# tests/test_queries.py bounds the relative error against the exact count.
-@query("agg_approx_distinct", oracle=None)
+# approx_count_distinct is HLL++-based; the raw estimate is engine-specific
+# (DuckDB's sketch differs), so — like the DataSketches trio
+# (pipeline.py:agg_sketch_distinct_theta) — the driver-checked output
+# carries the EXACT count plus a within_bound flag: the estimate must land
+# within 5% of exact (rsd=0.02 ⇒ ~2% at 1σ; HLL++ is exact below its sparse
+# threshold, so 5% is deterministic headroom).  A drifting sketch turns the
+# driver row red.  tests/test_queries.py additionally bounds the error.
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the scale path when exact distinct's
-    expand-shuffle is too expensive at 100 TB."""
+    expand-shuffle is too expensive at 100 TB.  Oracle contract (r7): exact
+    count hash-compared, estimate asserted within its published bound."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
-        F.countDistinct("l_suppkey").alias("exact_supp"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("exact_supp"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_suppkey", rsd=0.02)
+                - F.countDistinct("l_suppkey")
+            )
+            <= 0.05 * F.countDistinct("l_suppkey")
+        ).alias("within_bound"),
     )
 
 
