@@ -8,7 +8,52 @@ collect — so the same code runs at 100 TB on a real cluster.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _reap_scratch() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+def materialize_shared(df: DataFrame, label: str = "shared") -> DataFrame:
+    """Materialize a multiply-consumed frame to session-scoped scratch
+    parquet and return a frame that SCANS the materialized files.
+
+    The sharing pattern for an expensive subplan referenced by several
+    subtrees of one query (dedup shingles feed df-rank, prefix-join and
+    verify sides).  The alternatives all fail at scale or in lifecycle:
+    - ``persist()`` pins a corpus-sized frame in executor memory for the
+      SESSION whenever the returned lazy plan references it — it can never
+      be released synchronously (VERDICT r6 item 3);
+    - recompute re-runs the subplan once per consumer (1.8–3.1× on the
+      dedup family at sf0.1, PERF_NOTES.md r7);
+    - a shared repartition exchange never canonicalizes equal across
+      consumers (per-branch column pruning rewrites each copy), so
+      ReusedExchange does not fire.
+    A scratch parquet costs one write pass, then every consumer runs an
+    independent COLUMN-PRUNED columnar scan (the df-count branch reads only
+    the 8-byte hash column), holds nothing in executor memory, and the
+    files are reaped at interpreter exit (plus wiped with the OS temp dir).
+    On a multi-node cluster set ``spark.lakehouse.scratch.dir`` to a
+    cluster-visible path (HDFS/S3 scratch) — executors write the files.
+    """
+    spark = df.sparkSession
+    root = spark.conf.get("spark.lakehouse.scratch.dir", None) or tempfile.gettempdir()
+    path = os.path.join(root, f"lhl-scratch-{label}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    if not _SCRATCH_DIRS:
+        atexit.register(_reap_scratch)
+    _SCRATCH_DIRS.append(path)
+    return spark.read.parquet(path)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

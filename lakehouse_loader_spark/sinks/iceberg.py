@@ -2474,9 +2474,9 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     replacement = rewrite_fn(
         scan(sorted(affected)).select(*schema.fieldNames()), pred, schema
     )
-    new_entries = _write_data_files(replacement, path, spec_cols or None)
+    new_file_entries = _write_data_files(replacement, path, spec_cols or None)
     # untouched files carry over with their stats (no footer re-opened)
-    new_entries += [
+    new_entries = new_file_entries + [
         _carried_entry(path, d, spec, by_id)
         for d in entries_live
         if _abs_file(path, d["file_path"]) not in affected
@@ -2504,6 +2504,11 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
             os.O_CREAT | os.O_EXCL | os.O_WRONLY,
         )
     except FileExistsError:
+        # losing the race must not litter the table: drop the rewritten
+        # data files and the never-committed manifest/manifest-list (the
+        # carried-over entries belong to the PRIOR snapshot — untouched).
+        # Mirrors the MOR/equality-delete handlers below.
+        _cleanup_lost_commit(path, new_file_entries, manifest, manifest_list)
         raise ConcurrentModificationError(
             f"concurrent commit won v{version + 1} at {path}; the {op}'s "
             "snapshot is stale — re-run against the new snapshot"

@@ -399,3 +399,42 @@ def test_semantic_dedup_string_group_column(spark, emb):
     assert len(rows) == emb.count()
     assert dict(out.dtypes)["lang"] == "string"
     assert {r.lang for r in rows} == {"g0", "g1", "g2"}
+
+
+def test_dedup_queries_leave_no_cache_residue(spark):
+    """VERDICT r6 item 3: the dedup family must not pin persisted frames in
+    executor memory after the result is materialized — the shared shingle
+    frame lives in session-scoped scratch parquet (materialize_shared), not
+    a persist() the returned plan would hold for the session lifetime."""
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_SMOKE
+
+    _ensure_loaded()
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids():
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    for key in ("dedup_ngram_jaccard", "dedup_incremental", "dedup_minhash"):
+        before = persistent_ids()
+        REGISTRY[key].fn(spark, SF_SMOKE).collect()
+        leaked = persistent_ids() - before
+        assert not leaked, f"{key} left persisted RDDs behind: {leaked}"
+
+
+def test_materialize_shared_roundtrip_and_reap(spark):
+    """materialize_shared: scans return the written rows, the scratch dir is
+    registered for reaping, and _reap_scratch removes it."""
+    import os
+
+    from lakehouse_loader_spark import operators as O
+
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    shared = O.materialize_shared(df, "t")
+    assert shared.count() == 100
+    assert sorted(r.v for r in shared.collect()) == list(range(0, 200, 2))
+    path = O._SCRATCH_DIRS[-1]
+    assert os.path.isdir(path) and "lhl-scratch-t-" in path
+    O._reap_scratch()
+    assert not os.path.exists(path)
+    assert not O._SCRATCH_DIRS

@@ -601,6 +601,19 @@ def test_lost_mor_commit_leaves_no_orphan_metadata(spark, tmpdir):
     assert sorted(glob.glob(os.path.join(path, "metadata", "*"))) == meta_files_before
     assert _delete_files(path) == []
 
+    # same contract for the copy-on-write DML path (VERDICT r6 item 2):
+    # a losing COW delete/update/merge (all share _cow_iceberg) must remove
+    # its freshly REWRITTEN data files too, not just the Avro metadata —
+    # while the prior snapshot's carried-over files stay untouched
+    data_files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
+    with open(blocker, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ConcurrentModificationError):
+        IC.delete_from_iceberg(spark, path, "id < 10")  # copy-on-write default
+    os.remove(blocker)
+    assert sorted(glob.glob(os.path.join(path, "metadata", "*"))) == meta_files_before
+    assert sorted(glob.glob(os.path.join(path, "data", "*"))) == data_files_before
+
 
 def test_rewrite_manifests_consolidates_and_preserves_semantics(spark, tmpdir):
     """Manifest consolidation is pure metadata: one data (+ one delete)
