@@ -267,6 +267,7 @@ def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame
     )
 
     import struct as _struct
+    import zlib as _zlib
 
     def one(payload: bytes) -> tuple[str, list[float]]:
         kind = MC.sniff_format(payload)
@@ -274,13 +275,17 @@ def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame
             if kind == "wav":
                 d = MC.decode_wav(payload)
                 return "wav", MC.audio_window_rms(d["samples"], n_out).tolist()
-            if kind in ("ppm", "pgm", "bmp"):
-                d = MC.decode_ppm(payload) if kind in ("ppm", "pgm") else MC.decode_bmp(payload)
+            if kind in ("ppm", "pgm", "bmp", "png"):
+                d = (
+                    MC.decode_ppm(payload)
+                    if kind in ("ppm", "pgm")
+                    else MC.decode_bmp(payload) if kind == "bmp" else MC.decode_png(payload)
+                )
                 px = d["pixels"].astype(np.float64)
                 if px.ndim == 3:
                     px = px.mean(axis=2)
                 return d["format"], MC.resize_image_nearest(px, out_dim, out_dim).ravel().tolist()
-        except (ValueError, _struct.error):
+        except (ValueError, _struct.error, _zlib.error):
             pass  # sniffed-but-corrupt stream: same never-die contract as decode
         return "opaque", _resize_stub(payload, n_out)
 

@@ -480,31 +480,40 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, AVG(v) AS mean_value, CAST(MAX(v) AS DOUBLE) AS peak_value
       FROM img_vals GROUP BY doc_id),
     img_rows AS (
-      SELECT i.doc_id, 'ppm' AS media_format,
+      -- doc_id % 4 = 3 images ship as PNG (r7): stored-deflate zlib, so
+      -- byte_len is the closed form 68 + h*(1 + 3w); the pixel ramp (and
+      -- hence every stat) is identical to the PPM rows
+      SELECT i.doc_id,
+             CASE WHEN i.doc_id % 4 = 3 THEN 'png' ELSE 'ppm' END AS media_format,
              CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
              CAST(3 AS BIGINT) AS n_channels,
              CAST(NULL AS BIGINT) AS sample_rate,
              CAST(i.w * i.h * 3 AS BIGINT) AS n_samples,
              CAST(NULL AS DOUBLE) AS duration_s,
              s.mean_value, s.peak_value,
-             CAST(9 + LENGTH(CAST(i.w AS VARCHAR)) + LENGTH(CAST(i.h AS VARCHAR))
-                  + i.w * i.h * 3 AS BIGINT) AS byte_len
+             CAST(CASE WHEN i.doc_id % 4 = 3
+                       THEN 68 + i.h * (1 + 3 * i.w)
+                       ELSE 9 + LENGTH(CAST(i.w AS VARCHAR))
+                            + LENGTH(CAST(i.h AS VARCHAR)) + i.w * i.h * 3
+                  END AS BIGINT) AS byte_len
       FROM img i JOIN img_stats s USING (doc_id))
     SELECT * FROM wav_rows UNION ALL SELECT * FROM img_rows
     """,
 )
 def multimodal_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec end-to-end: synthesize genuine WAV (even doc_ids) / PPM
-    (odd) bytes per document, then DECODE them with the pure-numpy RIFF and
-    Netpbm parsers (operators/media_codec.py) — header fields, duration and
-    exact sample/pixel statistics all come from parsing the byte stream.
-    The oracle recomputes every decoded field analytically from the doc_id
-    → media parameter map (synth uses modular-ramp signals precisely so the
-    SQL side can), which makes the decoder itself driver-hash-checked: a
-    mis-parsed header or sample buffer shows up as a red row.  Compressed
-    formats (JPEG/MP3) remain out of scope — they degrade to
-    media_format='opaque' rather than failing (decode_media never raises).
-    """
+    (doc_id%4==1) / PNG (doc_id%4==3, r7 — zlib inflate + scanline
+    unfiltering) bytes per document, then DECODE them with the pure-numpy
+    parsers (operators/media_codec.py) — header fields, duration and exact
+    sample/pixel statistics all come from parsing the byte stream.  The
+    oracle recomputes every decoded field analytically from the doc_id →
+    media parameter map (synth uses modular-ramp signals and stored-block
+    zlib framing precisely so the SQL side can — a PNG's byte_len is the
+    closed form 68 + h·(1+3w)), which makes the decoders driver-hash-
+    checked: a mis-parsed header, sample buffer or unfilter pass shows up
+    as a red row.  Formats needing external codec libraries (JPEG/MP3)
+    remain out of scope — they degrade to media_format='opaque' rather
+    than failing (decode_media never raises)."""
     from lakehouse_loader_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
@@ -530,7 +539,8 @@ def multimodal_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN range(0, 3) c(c) ON TRUE
       GROUP BY i.doc_id, gi.i, gj.j),
     img_rows AS (
-      SELECT doc_id, 'ppm' AS media_format,
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 3 THEN 'png' ELSE 'ppm' END AS media_format,
              ROUND(MAX(CASE WHEN i = 0 AND j = 0 THEN cell END), 6) AS r_first,
              ROUND(MIN(cell), 6) AS r_min,
              ROUND(MAX(cell), 6) AS r_max,

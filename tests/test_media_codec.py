@@ -67,8 +67,11 @@ def test_decode_media_never_raises():
     # truncated WAV degrades, not dies
     b = MC.encode_wav(np.zeros(100, "<i2"), 8000)
     assert MC.decode_media(b[:20])["format"] == "opaque"
-    # PNG magic is out of scope → opaque
-    assert MC.sniff_format(b"\x89PNG\r\n\x1a\n") == "opaque"
+    # bare PNG magic with no chunks sniffs as png but degrades to opaque
+    assert MC.sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
+    assert MC.decode_media(b"\x89PNG\r\n\x1a\n")["format"] == "opaque"
+    # JPEG remains out of scope → opaque
+    assert MC.sniff_format(b"\xff\xd8\xff\xe0" + b"\0" * 16) == "opaque"
 
 
 def test_resize_nearest_matches_index_map():
@@ -98,7 +101,7 @@ def test_synth_payload_decodes_to_its_params():
             assert out["n_channels"] == p["n_channels"]
             assert out["n_samples"] == p["n_frames"] * p["n_channels"]
         else:
-            assert out["format"] == "ppm"
+            assert out["format"] == p["kind"]  # 'png' for doc_id%4==3, else 'ppm'
             assert (out["width"], out["height"]) == (p["width"], p["height"])
 
 
@@ -133,9 +136,9 @@ def test_spark_resize_stage_shapes_and_values(spark):
     }
     for doc_id, r in rows.items():
         assert len(r["resized"]) == 256
-        assert r["media_format"] == ("wav" if doc_id % 2 == 0 else "ppm")
+        assert r["media_format"] == ("wav" if doc_id % 2 == 0 else MC.synth_params(doc_id)["kind"])
     # image thumbnail cell (0,0) = channel mean of source pixel (0,0)
-    d3 = MC.decode_ppm(MC.synth_payload(3))
+    d3 = MC.decode_png(MC.synth_payload(3))
     expected = float(d3["pixels"][0, 0].astype(np.float64).mean())
     assert rows[3]["resized"][0] == expected
 
@@ -177,3 +180,117 @@ def test_resize_stage_survives_corrupt_sniffed_payloads(spark):
     dec = {r["doc_id"]: r for r in M.decode_media_features(df).collect()}
     for bad in (1, 2, 3, 4):
         assert dec[bad]["media_format"] == "opaque"
+
+
+def test_png_roundtrip_all_encode_filters():
+    """encode_png(filter 0/1/2) → decode_png recovers exact pixels for RGB
+    and gray; filter-0 payload length matches the stored-block closed form
+    68 + h·(1 + w·channels) that the SQL oracle relies on."""
+    rng = np.random.default_rng(0)
+    for shape in [(6, 9, 3), (10, 17, 3), (1, 1, 3), (5, 7)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in (0, 1, 2):
+            d = MC.decode_png(MC.encode_png(px, filter_type=ft))
+            assert np.array_equal(d["pixels"], px), (shape, ft)
+        ch = 3 if len(shape) == 3 else 1
+        b0 = MC.encode_png(px, 0)
+        assert MC.sniff_format(b0) == "png"
+        assert len(b0) == 68 + shape[0] * (1 + shape[1] * ch)
+
+
+def test_png_decode_real_zlib_average_paeth_rgba():
+    """decode_png must read genuinely COMPRESSED zlib streams (not just the
+    stored blocks encode_png emits), unfilter Average/Paeth scanlines, and
+    handle RGBA (color type 6)."""
+    import zlib
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    flat = px.reshape(6, 27)
+    ihdr = struct.pack(">IIBBBBB", 9, 6, 8, 2, 0, 0, 0)
+
+    raw0 = b"".join(b"\x00" + flat[y].tobytes() for y in range(6))
+    real = (
+        MC.PNG_SIG
+        + MC._png_chunk(b"IHDR", ihdr)
+        + MC._png_chunk(b"IDAT", zlib.compress(raw0, 9))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(MC.decode_png(real)["pixels"], px)
+
+    def filt(ftype):
+        out, prev = [], np.zeros(27, np.int32)
+        for y in range(6):
+            row = flat[y].astype(np.int32)
+            enc = np.zeros(27, np.int32)
+            for x in range(27):
+                left = row[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                if ftype == 3:
+                    enc[x] = (row[x] - (left + prev[x]) // 2) % 256
+                else:
+                    enc[x] = (row[x] - MC._paeth(int(left), int(prev[x]), int(ul))) % 256
+            out.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+            prev = row
+        return b"".join(out)
+
+    for ftype in (3, 4):
+        s = (
+            MC.PNG_SIG
+            + MC._png_chunk(b"IHDR", ihdr)
+            + MC._png_chunk(b"IDAT", MC._zlib_stored(filt(ftype)))
+            + MC._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(MC.decode_png(s)["pixels"], px), ftype
+
+    px4 = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    raw4 = b"".join(b"\x00" + px4[y].tobytes() for y in range(4))
+    s4 = (
+        MC.PNG_SIG
+        + MC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 6, 0, 0, 0))
+        + MC._png_chunk(b"IDAT", MC._zlib_stored(raw4))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    d4 = MC.decode_png(s4)
+    assert d4["n_channels"] == 4 and np.array_equal(d4["pixels"], px4)
+
+
+def test_png_synth_rows_match_ppm_pixels():
+    """doc_id % 4 == 3 images ship as PNG with the SAME pixel ramp as the
+    PPM rows: decode_png recovers exactly the analytic pixels, and
+    decode_media reports format='png' with the closed-form byte_len."""
+    for did in (3, 7, 11, 15):
+        prm = MC.synth_params(did)
+        assert prm["kind"] == "png"
+        payload = MC.synth_payload(did)
+        x = np.arange(prm["width"])[None, :, None]
+        y = np.arange(prm["height"])[:, None, None]
+        c = np.arange(3)[None, None, :]
+        expect = ((x * 7 + y * 11 + c * 5 + did * 3) % 251).astype(np.uint8)
+        assert np.array_equal(MC.decode_png(payload)["pixels"], expect)
+        d = MC.decode_media(payload)
+        assert d["format"] == "png"
+        assert d["byte_len"] == 68 + prm["height"] * (1 + 3 * prm["width"])
+    assert MC.synth_params(1)["kind"] == "ppm"  # non-%4==3 odd ids unchanged
+
+
+def test_png_corrupt_degrades_to_opaque():
+    """Truncated/hostile PNG payloads fall back to the opaque tier (the
+    never-raise decode contract), including zero-dimension headers."""
+    good = MC.synth_payload(3)
+    assert MC.decode_media(good[:30])["format"] == "opaque"
+    bad_ihdr = (
+        MC.PNG_SIG
+        + MC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+        + MC._png_chunk(b"IDAT", MC._zlib_stored(b""))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    assert MC.decode_media(bad_ihdr)["format"] == "opaque"
+    # 16-bit depth: unsupported → opaque, not a crash
+    deep = (
+        MC.PNG_SIG
+        + MC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + MC._png_chunk(b"IDAT", MC._zlib_stored(b"\x00" * 26))
+        + MC._png_chunk(b"IEND", b"")
+    )
+    assert MC.decode_media(deep)["format"] == "opaque"
