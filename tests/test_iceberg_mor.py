@@ -738,3 +738,42 @@ def test_optimize_where_refuses_equality_deletes(spark, tmpdir):
     # a FULL optimize still refuses until the equality deletes compact away
     # via the documented route
     assert IC.read_iceberg(spark, path).filter("id = 3").count() == 0
+
+
+def test_publish_branch_detects_midcall_mainline_commit(spark, tmpdir, monkeypatch):
+    """VERDICT r6 item 8 (the symmetric half of the fork-base guard): a
+    main-line commit that lands BETWEEN publish_branch's metadata read and
+    its O_EXCL conditional put must fail the publish loudly — the commit
+    loop retries over the WINNER's state and the fork-base check re-fires
+    there — leaving the main line and the branch ref intact."""
+    path = os.path.join(tmpdir, "ice")
+    IC.write_iceberg(spark.range(0, 10).coalesce(1), path)  # S0
+    IC.append_to_branch(spark.range(100, 110).coalesce(1), path, "audit")
+    stale_version, stale_meta = IC._read_metadata(path)
+    # the racing main-line append wins the next version while publish_branch
+    # (below) still holds the pre-append view of the table
+    IC.write_iceberg(spark.range(10, 20).coalesce(1), path, append=True)  # S1
+
+    real_read = IC._read_metadata
+    calls = {"n": 0}
+
+    def stale_read(p):
+        # publish_branch reads twice before its first O_EXCL (its own probe
+        # + the commit loop's); serve both the pre-append state so the race
+        # is detected by the conditional put, not the entry check
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            return stale_version, json.loads(json.dumps(stale_meta))
+        return real_read(p)
+
+    monkeypatch.setattr(IC, "_read_metadata", stale_read)
+    with pytest.raises(IC.ConcurrentSpecChangeError, match="main line advanced"):
+        IC.publish_branch(path, "audit")
+    monkeypatch.undo()
+
+    # nothing corrupted: current is still the main-line S1 lineage, the
+    # branch rows stayed unpublished, and the failed publish kept the ref
+    rows = sorted(r.id for r in IC.read_iceberg(spark, path).collect())
+    assert rows == list(range(0, 20))
+    refs = IC._read_metadata(path)[1]["refs"]
+    assert refs["audit"]["type"] == "branch"
