@@ -402,26 +402,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.payload_features(M.with_binary_payload(docs))
 
 
-@query("multimodal_decode", oracle=None)
+# The payloads these stages consume are the documents' UTF-8 bytes
+# (with_binary_payload), and the corpus is pure ASCII (pytested:
+# tests/test_media_codec.py::test_corpus_is_ascii_so_byte_oracles_hold), so
+# every byte statistic the mapInPandas stages compute is recomputable in
+# SQL from the character stream — bytes ≡ code points.  That converts the
+# last three rows-only media queries to full oracles (r7).
+_BYTES_CTE = """
+    WITH b AS (
+      SELECT doc_id, n, pos, ascii(text[CAST(pos + 1 AS BIGINT)]) AS byte
+      FROM (SELECT doc_id, text, octet_length(encode(text)) AS n,
+                   unnest(range(0, octet_length(encode(text)))) AS pos
+            FROM documents))
+"""
+
+
+@query(
+    "multimodal_decode",
+    oracle=_BYTES_CTE
+    + """
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS byte_len,
+           SUM(byte) / CAST(COUNT(*) AS DOUBLE) AS mean_byte,
+           CAST(MAX(CASE WHEN pos = 0 THEN byte ELSE 0 END) * 16777216
+              + MAX(CASE WHEN pos = 1 THEN byte ELSE 0 END) * 65536
+              + MAX(CASE WHEN pos = 2 THEN byte ELSE 0 END) * 256
+              + MAX(CASE WHEN pos = 3 THEN byte ELSE 0 END) AS BIGINT) AS head_u32
+    FROM b GROUP BY doc_id
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature stage over mapInPandas (codec stubbed —
-    deterministic byte statistics; see operators.multimodal._decode_stub).
-    Rows-only: the mapInPandas batch plumbing has no SQL equivalent."""
+    """Arrow-batched decode/feature stage over mapInPandas (byte-statistics
+    tier; see operators.multimodal._decode_stub).  Oracle (r7): the payload
+    is the document's UTF-8 bytes and the corpus is ASCII, so byte_len /
+    mean_byte / big-endian head_u32 are recomputed character-wise in SQL —
+    the Arrow plumbing itself is what gets hash-checked."""
     from lakehouse_loader_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_features(M.with_binary_payload(docs))
 
 
-@query("multimodal_resize", oracle=None)
+@query(
+    "multimodal_resize",
+    oracle=_BYTES_CTE
+    + """,
+    cells AS (
+      SELECT doc_id, (pos * 16) // n AS j, AVG(byte) AS cell
+      FROM b GROUP BY doc_id, (pos * 16) // n)
+    SELECT doc_id,
+           ROUND(MAX(CASE WHEN j = 0 THEN cell END), 6) AS r_first,
+           ROUND(MIN(cell), 6) AS r_min,
+           ROUND(MAX(cell), 6) AS r_max,
+           ROUND(SUM(cell), 6) AS r_sum,
+           CAST(16 AS INT) AS r_dim
+    FROM cells GROUP BY doc_id
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage: variable-size payload → fixed-16 mean-pooled vector
-    (the thumbnail/spectrogram shape contract; codec stubbed).  Output is
-    the embedding-table shape, composable with the similarity operators.
-    Rows-only: mapInPandas plumbing.  The declared query summarizes the
-    array into scalar columns (first/min/max/sum, the
-    embedding_quantize_int8 pattern) so the driver canonicalizer — which
-    sorts/hashes every column — never sees a list-valued cell; the full
+    (the thumbnail/spectrogram shape contract).  Output is the
+    embedding-table shape, composable with the similarity operators.
+    Oracle (r7): bucket j = (pos·16)//n mean byte per bucket, recomputed in
+    SQL from the ASCII character stream (every bucket is non-empty because
+    the corpus's min length ≥ 16 — pytested with the ASCII guard).  The
+    declared query summarizes the array into scalar columns (first/min/
+    max/sum) so the driver canonicalizer never sees a list cell; the full
     vector stays available via operators.multimodal.resize_features."""
     from lakehouse_loader_spark.operators import multimodal as M
 
@@ -598,16 +644,43 @@ def multimodal_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, n, (n + 31) // 32 AS n_frames,
+             unnest(range(0, (octet_length(encode(text)) + 31) // 32)) AS ci
+      FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents))
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(ci * 32 + 1 AS BIGINT), 32)) AS frame_md5,
+           CAST(LEAST(32, n - ci * 32) AS BIGINT) AS frame_len,
+           CAST(n_frames AS BIGINT) AS n_frames
+    FROM f WHERE ci % 4 = 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: each payload sliced into fixed-size frames, every
-    4th kept — the row-EXPANDING mapInPandas shape for video pipelines
-    (one media row → many frame rows, expanded executor-side).
-    Rows-only: mapInPandas plumbing."""
+    """Frame sampling: each payload sliced into fixed-size 32-byte frames,
+    every 4th kept — the row-EXPANDING mapInPandas shape for video
+    pipelines (one media row → many frame rows, expanded executor-side).
+    Oracle (r7): frames are byte slices of the ASCII payload, so the SQL
+    side recomputes each kept frame's md5/length from substr — the row
+    expansion (indices, counts, content) is fully hash-checked.  The
+    declared query carries frames as md5 + length (the chunk_documents
+    convention) so the canonicalizer compares bytes without raw binary
+    cells; raw frames stay available via operators.multimodal.sample_frames."""
     from lakehouse_loader_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
-    return M.sample_frames(M.with_binary_payload(docs))
+    frames = M.sample_frames(M.with_binary_payload(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("bigint").alias("frame_len"),
+        "n_frames",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -294,3 +294,32 @@ def test_png_corrupt_degrades_to_opaque():
         + MC._png_chunk(b"IEND", b"")
     )
     assert MC.decode_media(deep)["format"] == "opaque"
+
+
+def test_corpus_is_ascii_so_byte_oracles_hold():
+    """The multimodal_decode/resize/frame_sample oracles equate UTF-8 BYTES
+    with code points (and the resize oracle assumes every 16-bucket is
+    non-empty, i.e. length ≥ 16).  Guard both assumptions so a corpus
+    regeneration with non-ASCII or tiny documents fails HERE with a clear
+    message, not as a confusing driver hash-mismatch."""
+    import glob
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    dirs = sorted(glob.glob(os.path.join(os.path.dirname(SF_ORACLE.rstrip("/")), "sf*")))
+    assert dirs, "testdata scale dirs missing"
+    for d in dirs:
+        docs = os.path.join(d, "documents.parquet")
+        if not os.path.exists(docs):
+            continue
+        non_ascii, min_len = con.execute(
+            f"""SELECT COUNT(*) FILTER (WHERE octet_length(encode(text)) != length(text)),
+                       MIN(length(text))
+                FROM read_parquet('{docs}')"""
+        ).fetchone()
+        assert non_ascii == 0, f"{d}: non-ASCII text breaks the byte oracles"
+        assert min_len >= 16, f"{d}: docs shorter than 16 bytes break the resize oracle"
