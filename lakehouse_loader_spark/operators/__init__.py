@@ -18,10 +18,34 @@ from pyspark.sql import DataFrame
 
 _SCRATCH_DIRS: list[str] = []
 
+# how many materialized generations stay on disk: older ones are reclaimed
+# eagerly on the next materialize_shared call (their consumers have long
+# since run — the engine executes one query at a time), bounding scratch
+# growth in a long bench/driver session instead of deferring everything to
+# interpreter exit.  A frame re-collected after its scratch was reclaimed
+# fails loudly (missing files), never silently wrong.
+SCRATCH_KEEP_GENERATIONS = 8
 
-def _reap_scratch() -> None:
+
+def _rm_scratch(path: str, spark=None) -> None:
+    """Remove one scratch dir — shutil for local paths, the Hadoop
+    FileSystem API for scheme'd URIs (hdfs://, s3a://...), where
+    shutil.rmtree would silently no-op."""
+    if "://" in path and spark is not None:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            pass  # best-effort: scratch cleanup must never fail a query
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _reap_scratch(spark=None) -> None:
     while _SCRATCH_DIRS:
-        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+        _rm_scratch(_SCRATCH_DIRS.pop(), spark)
 
 
 def materialize_shared(df: DataFrame, label: str = "shared") -> DataFrame:
@@ -41,18 +65,26 @@ def materialize_shared(df: DataFrame, label: str = "shared") -> DataFrame:
       ReusedExchange does not fire.
     A scratch parquet costs one write pass, then every consumer runs an
     independent COLUMN-PRUNED columnar scan (the df-count branch reads only
-    the 8-byte hash column), holds nothing in executor memory, and the
-    files are reaped at interpreter exit (plus wiped with the OS temp dir).
-    On a multi-node cluster set ``spark.lakehouse.scratch.dir`` to a
-    cluster-visible path (HDFS/S3 scratch) — executors write the files.
+    the 8-byte hash column) and holds nothing in executor memory.  Disk
+    lifecycle: the newest ``SCRATCH_KEEP_GENERATIONS`` dirs stay; older
+    generations are reclaimed on the next call (and everything at
+    interpreter exit), so a long bench/driver session's scratch footprint
+    is bounded.  On a multi-node cluster set ``spark.lakehouse.scratch.dir``
+    to a cluster-visible path (HDFS/S3 scratch) — executors write the
+    files, and reclamation goes through the Hadoop FileSystem API.
     """
     spark = df.sparkSession
     root = spark.conf.get("spark.lakehouse.scratch.dir", None) or tempfile.gettempdir()
-    path = os.path.join(root, f"lhl-scratch-{label}-{uuid.uuid4().hex}")
+    sep = "/" if "://" in root else os.sep
+    path = f"{root.rstrip(sep)}{sep}lhl-scratch-{label}-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(path)
     if not _SCRATCH_DIRS:
         atexit.register(_reap_scratch)
     _SCRATCH_DIRS.append(path)
+    # generation reclamation: retire the oldest scratch beyond the keep
+    # window now, while the session (and its Hadoop FS) is still alive
+    while len(_SCRATCH_DIRS) > SCRATCH_KEEP_GENERATIONS:
+        _rm_scratch(_SCRATCH_DIRS.pop(0), spark)
     return spark.read.parquet(path)
 
 

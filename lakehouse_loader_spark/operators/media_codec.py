@@ -387,6 +387,26 @@ def sniff_format(payload: bytes | None) -> str:
     return "opaque"
 
 
+# single-sourced dispatch contract (r7 review): every decoder stage keys on
+# these — a new image format or decoder exception type is added HERE once,
+# not per consumer
+IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png")
+DECODE_ERRORS = (ValueError, struct.error, zlib.error)
+
+
+def decode_image(payload: bytes, kind: str | None = None) -> dict:
+    """Decode any supported image container to its pixel dict; ``kind``
+    skips re-sniffing when the caller already knows it."""
+    kind = kind or sniff_format(payload)
+    if kind in ("ppm", "pgm"):
+        return decode_ppm(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
+    raise ValueError(f"not a decodable image format: {kind}")
+
+
 def decode_media(payload: bytes | None) -> dict:
     """Decode any supported format; unsupported/undecodable payloads come
     back as format='opaque' with byte statistics only (never raises —
@@ -417,12 +437,8 @@ def decode_media(payload: bytes | None) -> dict:
                 mean_value=float(s.sum()) / s.size if s.size else 0.0,
                 peak_value=float(np.abs(s).max()) if s.size else 0.0,
             )
-        elif kind in ("ppm", "pgm", "bmp", "png"):
-            d = (
-                decode_ppm(payload)
-                if kind in ("ppm", "pgm")
-                else decode_bmp(payload) if kind == "bmp" else decode_png(payload)
-            )
+        elif kind in IMAGE_FORMATS:
+            d = decode_image(payload, kind)
             p = d["pixels"].astype(np.int64)
             base.update(
                 format=d["format"],
@@ -438,7 +454,7 @@ def decode_media(payload: bytes | None) -> dict:
             base.update(
                 mean_value=float(arr.sum()) / arr.size, peak_value=float(arr.max())
             )
-    except (ValueError, struct.error, zlib.error):
+    except DECODE_ERRORS:
         pass  # malformed stream → opaque byte stats (already set above)
     return base
 

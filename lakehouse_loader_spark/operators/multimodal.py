@@ -266,26 +266,19 @@ def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame
         ]
     )
 
-    import struct as _struct
-    import zlib as _zlib
-
     def one(payload: bytes) -> tuple[str, list[float]]:
         kind = MC.sniff_format(payload)
         try:
             if kind == "wav":
                 d = MC.decode_wav(payload)
                 return "wav", MC.audio_window_rms(d["samples"], n_out).tolist()
-            if kind in ("ppm", "pgm", "bmp", "png"):
-                d = (
-                    MC.decode_ppm(payload)
-                    if kind in ("ppm", "pgm")
-                    else MC.decode_bmp(payload) if kind == "bmp" else MC.decode_png(payload)
-                )
+            if kind in MC.IMAGE_FORMATS:
+                d = MC.decode_image(payload, kind)
                 px = d["pixels"].astype(np.float64)
                 if px.ndim == 3:
                     px = px.mean(axis=2)
                 return d["format"], MC.resize_image_nearest(px, out_dim, out_dim).ravel().tolist()
-        except (ValueError, _struct.error, _zlib.error):
+        except MC.DECODE_ERRORS:
             pass  # sniffed-but-corrupt stream: same never-die contract as decode
         return "opaque", _resize_stub(payload, n_out)
 

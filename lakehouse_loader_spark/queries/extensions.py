@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_loader_spark.catalog import load_table
+from lakehouse_loader_spark.operators import materialize_shared
 from lakehouse_loader_spark.operators import dedup as D
 from lakehouse_loader_spark.operators import similarity as S
 from lakehouse_loader_spark.operators import text as T
@@ -233,10 +234,15 @@ def _ann_recall_frame(
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    per_q = (
+    # materialize the tiny per-query recall frame ONCE: its subplan embeds
+    # the whole ANN pipeline AND the brute-force baseline, and the
+    # crossJoin(broadcast(avg-of-self)) below would otherwise plan that
+    # subplan on both join sides, running everything twice (r7 review)
+    per_q = materialize_shared(
         queries.select(F.col("vec_id").alias("q_id"))
         .join(hits, "q_id", "left")
-        .select("q_id", (F.coalesce(F.col("n_hits"), F.lit(0)) / k).alias("recall"))
+        .select("q_id", (F.coalesce(F.col("n_hits"), F.lit(0)) / k).alias("recall")),
+        "ann-recall",
     )
     avg = per_q.agg(F.avg("recall").alias("avg_recall"))  # one row — broadcast scalar
     return (
@@ -1539,11 +1545,24 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", mean_lit, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)
     )
     ce = F.aggregate(centered, F.lit(0.0), lambda a, x: a + x)
-    per = proj.select("vec_id", pe.alias("pe"), ce.alias("ce"))
+    # materialize the per-vector energies ONCE: the crossJoin(broadcast(agg))
+    # shape otherwise embeds this subplan — a corpus-wide pandas-UDF matmul —
+    # on BOTH sides of the join, running the projection twice (r7 review)
+    per = materialize_shared(
+        proj.select(
+            "vec_id",
+            pe.alias("pe"),
+            ce.alias("ce"),
+            # real projection width, NOT a literal: a mis-sized component
+            # slice must turn the driver row red (r7 review)
+            F.size("pca").cast("bigint").alias("pc_dim"),
+        ),
+        "pca-energy",
+    )
     tot = per.agg(F.sum("pe").alias("spe"), F.sum("ce").alias("sce"))  # one row
     return per.crossJoin(F.broadcast(tot)).select(
         "vec_id",
-        F.lit(16).cast("bigint").alias("pc_dim"),
+        "pc_dim",
         (F.col("pe") <= F.col("ce") * (1 + 1e-9) + 1e-9).alias("energy_ok"),
         (
             (F.col("spe") / F.col("sce") >= 0.25)
@@ -2176,9 +2195,13 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, v: a + v,
     )
     min_sq = F.array_min(F.transform(cent_lit, sq_dist))
-    per = (
+    # materialize ONCE: the inertia aggregate below would otherwise re-plan
+    # this subplan (assignment UDF + join + 8 JVM distance folds per row)
+    # on the broadcast side of the crossJoin (r7 review)
+    per = materialize_shared(
         assigned.join(emb.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", (F.col("dist") * F.col("dist")).alias("dsq"), min_sq.alias("msq"))
+        .select("vec_id", (F.col("dist") * F.col("dist")).alias("dsq"), min_sq.alias("msq")),
+        "kmeans-assign",
     )
     inertia = per.agg(F.sum("dsq").alias("inertia"))  # one row
     # single-centroid baseline SSE, pure SQL path: per-dim Σx² − (Σx)²/n

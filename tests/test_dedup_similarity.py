@@ -438,3 +438,24 @@ def test_materialize_shared_roundtrip_and_reap(spark):
     O._reap_scratch()
     assert not os.path.exists(path)
     assert not O._SCRATCH_DIRS
+
+
+def test_materialize_shared_generation_cap(spark):
+    """Scratch growth is bounded: beyond SCRATCH_KEEP_GENERATIONS the
+    oldest dirs are reclaimed eagerly on the next call, not at exit."""
+    import os
+
+    from lakehouse_loader_spark import operators as O
+
+    O._reap_scratch()
+    made = []
+    for i in range(O.SCRATCH_KEEP_GENERATIONS + 3):
+        O.materialize_shared(spark.range(0, 5), f"cap{i}")
+        made.append(O._SCRATCH_DIRS[-1])
+    assert len(O._SCRATCH_DIRS) == O.SCRATCH_KEEP_GENERATIONS
+    for old in made[:3]:
+        assert not os.path.exists(old), "oldest generation should be reclaimed"
+    for recent in made[3:]:
+        assert os.path.exists(recent)
+    O._reap_scratch()
+    assert all(not os.path.exists(p) for p in made)
