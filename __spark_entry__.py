@@ -25,5 +25,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (rows-only ops omitted)."""
+    """DuckDB-runnable ANSI SQL oracle per query (r7: all 147 queries)."""
     return all_oracles()
