@@ -323,3 +323,32 @@ def test_corpus_is_ascii_so_byte_oracles_hold():
         ).fetchone()
         assert non_ascii == 0, f"{d}: non-ASCII text breaks the byte oracles"
         assert min_len >= 16, f"{d}: docs shorter than 16 bytes break the resize oracle"
+
+
+# -- property tests: PNG round-trip over random images/filters --------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    gray=st.booleans(),
+    filter_type=st.sampled_from([0, 1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, gray, filter_type, seed):
+    """decode(encode(px, any supported filter)) == px for arbitrary
+    dimensions/content, and the filter-0 stored-block length formula holds
+    universally (hypothesis: the closed form the SQL oracle depends on is a
+    theorem of the encoder, not a coincidence of the synth sizes)."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    d = MC.decode_png(MC.encode_png(px, filter_type=filter_type))
+    assert d["width"] == w and d["height"] == h
+    assert np.array_equal(d["pixels"], px)
+    ch = 1 if gray else 3
+    raw = h * (1 + w * ch)
+    if raw <= 65535:  # single stored block
+        assert len(MC.encode_png(px, 0)) == 68 + raw

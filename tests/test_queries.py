@@ -23,8 +23,19 @@ def test_query_matches_oracle(spark, ddb, key):
     assert_frames_match(spark_pdf, oracle_pdf, key)
 
 
+def test_every_query_carries_an_oracle():
+    """r7 invariant: the whole registry is oracle-checked — a new query
+    landing with oracle=None (or a regression re-opening a rows-only gap)
+    fails here with the offending keys listed, instead of silently
+    weakening the driver's correctness gate."""
+    assert ROWS_ONLY_KEYS == [], f"queries without oracles: {ROWS_ONLY_KEYS}"
+    assert len(ORACLE_KEYS) == len(REGISTRY)
+
+
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_query_runs(spark, key):
+    # retained for the (currently empty) rows-only tier: a future genuinely
+    # SQL-inexpressible query still gets a smoke check here
     spec = REGISTRY[key]
     df = spec.fn(spark, SF_ORACLE)
     assert df.count() >= 0
