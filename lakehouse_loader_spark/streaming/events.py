@@ -98,6 +98,78 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_type_histogram(stream: DataFrame) -> DataFrame:
+    """Per-user event-type histogram via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API that supersedes applyInPandasWithState:
+    MULTIPLE typed state variables per key (ValueState/ListState/MapState,
+    each queryable/updatable entry-wise against the RocksDB state store),
+    plus timers and per-state TTL.  Here each user's state is a MapState
+    keyed by event_type, so a micro-batch touches ONLY the entries its
+    rows hit — with applyInPandasWithState the whole per-user state blob
+    would round-trip every batch.  At scale state size is
+    O(users x live types) in the store, but per-batch IO is O(touched
+    entries) — the point of entry-wise state.
+
+    Emits the RUNNING (n_events, total_value) per (user, type) seen in
+    each batch (update mode): counts grow monotonically, so the emission
+    with the highest count per pair IS the converged total (the parity
+    contract streaming_transformwithstate_parity hash-checks).
+
+    Runtime requirements: the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider — transformWithState is not
+    implemented on the default HDFS-backed store) AND the ``protobuf``
+    package (the transformWithState state-server protocol; NOT shipped in
+    this container, so the parity test is dependency-gated like the live
+    Postgres/MinIO suite — tests/test_streaming.py).  The operator itself
+    is complete; it is not registered as a driver query because the gate
+    environment cannot execute it."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TypeHistogram(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._hist = handle.getMapState(
+                "hist", "event_type string", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            batch: dict[str, list] = {}
+            for pdf in rows:
+                for et, grp in pdf.groupby("event_type"):
+                    acc = batch.setdefault(str(et), [0, 0.0])
+                    acc[0] += len(grp)
+                    acc[1] += float(grp["value"].sum())
+            types, ns, totals = [], [], []
+            for et in sorted(batch):
+                dn, dv = batch[et]
+                prior = self._hist.getValue((et,)) if self._hist.containsKey((et,)) else None
+                n = (prior[0] if prior else 0) + dn
+                tv = (prior[1] if prior else 0.0) + dv
+                self._hist.updateValue((et,), (n, tv))
+                types.append(et)
+                ns.append(n)
+                totals.append(tv)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(types),
+                    "event_type": types,
+                    "n_events": ns,
+                    "total_value": totals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeHistogram(),
+        outputStructType="user_id BIGINT, event_type STRING, n_events BIGINT, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_window_agg(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
