@@ -104,6 +104,14 @@ def _load_checkpoint(path: str, version: int) -> tuple[dict, dict[str, dict], di
         elif row.get("add"):
             a = dict(row["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
+            dv = a.get("deletionVector")
+            if dv is None:
+                a.pop("deletionVector", None)
+            else:
+                # strip null struct members (inline DVs have no offset) so
+                # checkpoint-loaded descriptors compare EQUAL to their
+                # JSON-commit twins in _dv_unchanged_validator
+                a["deletionVector"] = {k: v for k, v in dict(dv).items() if v is not None}
             adds[a["path"]] = a
         elif row.get("txn"):
             t = row["txn"]
@@ -158,6 +166,16 @@ class UnsupportedProtocolError(RuntimeError):
 SUPPORTED_READER_VERSION = 1
 SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
 
+# Table-features protocol (reader v3 / writer v7): only features this
+# engine actually implements are claimed — reading past an unknown reader
+# feature would silently misread (the exact failure _check_protocol's
+# docstring warns about), so membership here is a correctness contract,
+# not a capability advertisement.  "invariants" is deliberately absent:
+# this writer never emits them and refuses foreign v7 tables that demand
+# them (conservative = safe).
+SUPPORTED_READER_FEATURES = {"deletionVectors"}
+SUPPORTED_WRITER_FEATURES = {"deletionVectors", "checkConstraints", "appendOnly"}
+
 
 @accepts_file_uris
 def table_protocol(path: str) -> dict:
@@ -194,17 +212,59 @@ def _check_protocol(path: str, for_write: bool) -> None:
     reader = proto.get("minReaderVersion", 1)
     writer = proto.get("minWriterVersion", 1)
     if reader > SUPPORTED_READER_VERSION:
-        raise UnsupportedProtocolError(
-            f"{path} requires minReaderVersion {reader} (supported: "
-            f"{SUPPORTED_READER_VERSION}); reading would silently ignore "
-            "features like deletion vectors or column mapping"
+        # reader v3 = table features: supported iff every listed reader
+        # feature is implemented here (deletionVectors is)
+        unknown = (
+            set(proto.get("readerFeatures") or []) - SUPPORTED_READER_FEATURES
+            if reader == 3
+            else {f"minReaderVersion={reader}"}
         )
+        if unknown:
+            raise UnsupportedProtocolError(
+                f"{path} requires reader features {sorted(unknown)} "
+                f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); reading "
+                "would silently ignore features like column mapping"
+            )
     if for_write and writer > SUPPORTED_WRITER_VERSION:
-        raise UnsupportedProtocolError(
-            f"{path} requires minWriterVersion {writer} (supported: "
-            f"{SUPPORTED_WRITER_VERSION}); writing blind would break "
-            "invariants this engine does not implement"
+        unknown = (
+            set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
+            if writer == 7
+            else {f"minWriterVersion={writer}"}
         )
+        if unknown:
+            raise UnsupportedProtocolError(
+                f"{path} requires writer features {sorted(unknown)} "
+                f"(supported: {sorted(SUPPORTED_WRITER_FEATURES)}); writing "
+                "blind would break invariants this engine does not implement"
+            )
+
+
+def _forbid_if_append_only(meta: dict, op: str) -> None:
+    """Honor ``delta.appendOnly`` (claimed in SUPPORTED_WRITER_FEATURES, so
+    it MUST be enforced): data-changing removes are refused."""
+    if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
+        raise ValueError(f"{op} is not allowed: table is delta.appendOnly")
+
+
+def _dv_protocol_actions(path: str) -> list[dict]:
+    """Protocol-upgrade action for the first deletion-vector write on a
+    table (reader 3 / writer 7 with the feature lists), or [] if the table
+    already advertises deletionVectors.  Rides in the SAME commit as the
+    first DV add — a reader that sees the DV also sees the demand to
+    understand it."""
+    proto = table_protocol(path)
+    if "deletionVectors" in (proto.get("writerFeatures") or []):
+        return []
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": sorted(SUPPORTED_WRITER_FEATURES),
+            }
+        }
+    ]
 
 
 @accepts_file_uris
@@ -348,7 +408,17 @@ def write_checkpoint(path: str) -> int:
 
     schema = pa.schema(
         [
-            ("protocol", pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())])),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
             (
                 "metaData",
                 pa.struct(
@@ -372,6 +442,18 @@ def write_checkpoint(path: str) -> int:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -402,6 +484,7 @@ def write_checkpoint(path: str) -> int:
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": bool(a.get("dataChange", True)),
                     "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
                 }
             }
             for a in adds.values()
@@ -748,6 +831,97 @@ def _file_reader(spark: SparkSession, path: str, meta: dict, schema: T.StructTyp
     return reader
 
 
+# positions frames up to this cardinality broadcast for the DV anti-join;
+# bigger delete sets fall back to a shuffled join (AQE picks the strategy)
+# rather than forcing an executor-memory-sized broadcast
+DV_BROADCAST_MAX = 4_000_000
+
+
+def _scan_adds(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    schema: T.StructType,
+    adds: dict[str, dict],
+    with_path: bool = False,
+):
+    """Scan a set of live add actions with their deletion vectors applied —
+    the merge-on-read read half for Delta, the format twin of the Iceberg
+    sink's ``_apply_pos_deletes``.
+
+    DV'd rows are dropped by ONE anti-join on (file path, row position):
+    positions come from ``_metadata.row_index`` (stable parquet row
+    numbering), the delete side is metadata-sized (rows deleted since the
+    last purge) and broadcasts below DV_BROADCAST_MAX, so at cluster scale
+    this is a map-side hash probe against the full scan.  ``with_path``
+    keeps the decoded ``__path``/``__pos`` helper columns for callers that
+    need per-file attribution (the DML probe)."""
+    from pyspark.sql import functions as F
+
+    files = [os.path.join(path, p) for p in sorted(adds)]
+    if not files:
+        raise ValueError("_scan_adds needs a non-empty add set")
+    dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
+    reader = _file_reader(spark, path, meta, schema)
+    if not dv_adds and not with_path:
+        return reader.parquet(*files)
+    from lakehouse_loader_spark.sinks.iceberg import _decode_scan_path
+
+    scan = reader.parquet(*files).select(
+        *schema.fieldNames(),
+        _decode_scan_path(F.col("_metadata.file_path")).alias("__path"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if dv_adds:
+        import pandas as pd
+
+        from lakehouse_loader_spark.sinks import dv as dvmod
+
+        frames = []
+        total = 0
+        for rel, add in sorted(dv_adds.items()):
+            pos = dvmod.load_descriptor(path, add["deletionVector"])
+            total += len(pos)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "__dv_path": os.path.abspath(os.path.join(path, rel)),
+                        "__dv_pos": pos.astype("int64"),
+                    }
+                )
+            )
+        dels = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+        if total <= DV_BROADCAST_MAX:
+            dels = F.broadcast(dels)
+        scan = scan.join(
+            dels,
+            (scan["__path"] == dels["__dv_path"])
+            & (scan["__pos"] == dels["__dv_pos"]),
+            "left_anti",
+        )
+    return scan if with_path else scan.drop("__path", "__pos")
+
+
+def _dv_unchanged_validator(snapshot_adds: dict[str, dict], remove_set: set[str]):
+    """_commit_checked validate hook: every file this transaction removes
+    must still carry the SAME deletion vector it had in our snapshot — a
+    concurrent MOR delete that landed a new DV on one of them would be
+    silently undone by our remove+rewrite (its deleted rows resurrected
+    from our pre-DV copy)."""
+
+    def validate(live: dict[str, dict]) -> None:
+        for p in remove_set:
+            if p in live and (live[p].get("deletionVector") or None) != (
+                snapshot_adds[p].get("deletionVector") or None
+            ):
+                raise ConcurrentModificationError(
+                    f"deletion vector of {p} changed under this transaction; "
+                    "re-run against the new snapshot"
+                )
+
+    return validate
+
+
 @accepts_file_uris
 def version_as_of(path: str, timestamp_ms: int) -> int:
     """AS OF TIMESTAMP resolution for the Delta log: the latest version
@@ -788,10 +962,9 @@ def read_delta(
     _check_protocol(path, for_write=False)
     _, meta, adds = _read_log(path, as_of_version=version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    files = [os.path.join(path, p) for p in sorted(adds)]
-    if not files:
+    if not adds:
         return spark.createDataFrame([], schema)
-    return _file_reader(spark, path, meta, schema).parquet(*files)
+    return _scan_adds(spark, path, meta, schema, adds)
 
 
 @accepts_file_uris
@@ -824,12 +997,32 @@ def read_delta_appends(
             f"(e.g. {gone[0]}): history is not append-only over this range, "
             "so an append feed would miscount; re-read the full snapshot"
         )
+    # a deletion vector landing (or changing) on a file live at the floor
+    # version is a row-level delete of PRE-WINDOW rows — same violation of
+    # the append-only contract as a removed file, just encoded
+    # merge-on-read.  (A DV on a file ADDED in-window only cancels rows
+    # the window itself added; the net rows are still a pure append, so
+    # those scan below with their DV applied.)
+    dv_changed = sorted(
+        p
+        for p, a in adds_new.items()
+        if p in adds_old
+        and (a.get("deletionVector") or None)
+        != (adds_old[p].get("deletionVector") or None)
+    )
+    if dv_changed:
+        raise ConcurrentModificationError(
+            f"deletion vectors changed after version {since_version} "
+            f"(e.g. {dv_changed[0]}): history is not append-only over this "
+            "range; re-read the full snapshot"
+        )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     fresh = sorted(set(adds_new) - set(adds_old))
     if not fresh:
         return spark.createDataFrame([], schema)
-    files = [os.path.join(path, p) for p in fresh]
-    return _file_reader(spark, path, meta, schema).parquet(*files)
+    return _scan_adds(
+        spark, path, meta, schema, {p: adds_new[p] for p in fresh}
+    )
 
 
 @accepts_file_uris
@@ -877,7 +1070,11 @@ def read_delta_changes(
         ).limit(0)
 
     # walk the commits once, tracking the active schema (evolution-aware)
-    _, meta_cur, _ = _read_log(path, as_of_version=since_version)
+    # AND the live-add state (deletion-vector-aware: each side of a commit
+    # must be read under ITS OWN DV — the pre-image with the descriptor the
+    # file had before the commit, the post-image with the new one, so a
+    # merge-on-read DELETE diffs to exactly its newly-deleted rows)
+    _, meta_cur, state = _read_log(path, as_of_version=since_version)
     pieces: list[DataFrame] = []
     for v in range(since_version + 1, end + 1):
         vf = _version_file(path, v)
@@ -894,22 +1091,31 @@ def read_delta_changes(
                     adds_v.append(action["add"])
                 elif "remove" in action:
                     removes_v.append(action["remove"])
+        pre_state = {r["path"]: state[r["path"]] for r in removes_v if r["path"] in state}
+        for r in removes_v:
+            state.pop(r["path"], None)
+        for a in adds_v:
+            state[a["path"]] = a
         if not adds_v and not removes_v:
             continue
         if removes_v and all(not r.get("dataChange", True) for r in removes_v):
             continue  # compaction: bytes moved, no rows changed
         schema_v = T.StructType.fromJson(json.loads(meta_cur["schemaString"]))
 
-        def _rows(paths: list[str]) -> DataFrame | None:
-            if not paths:
+        def _rows(add_dicts: list[dict]) -> DataFrame | None:
+            if not add_dicts:
                 return None
-            missing = [p for p in paths if not os.path.exists(os.path.join(path, p))]
+            missing = [
+                a["path"]
+                for a in add_dicts
+                if not os.path.exists(os.path.join(path, a["path"]))
+            ]
             if missing:
                 raise FileNotFoundError(
                     f"change feed for {path} v{v} needs vacuumed files: {missing[:5]}"
                 )
-            return _file_reader(spark, path, meta_cur, schema_v).parquet(
-                *[os.path.join(path, p) for p in paths]
+            return _scan_adds(
+                spark, path, meta_cur, schema_v, {a["path"]: a for a in add_dicts}
             )
 
         def _align(df: DataFrame, change: str) -> DataFrame:
@@ -923,8 +1129,14 @@ def read_delta_changes(
                 F.lit(v).cast("long").alias("_commit_version"),
             )
 
-        added = _rows([a["path"] for a in adds_v if a.get("dataChange", True)])
-        removed = _rows([r["path"] for r in removes_v if r.get("dataChange", True)])
+        added = _rows([a for a in adds_v if a.get("dataChange", True)])
+        removed = _rows(
+            [
+                pre_state.get(r["path"], {"path": r["path"]})
+                for r in removes_v
+                if r.get("dataChange", True)
+            ]
+        )
         if removed is None:
             if added is not None:
                 pieces.append(_align(added, "insert"))
@@ -992,12 +1204,13 @@ def optimize_delta(
         plan = plan_delta_scan(path, where, _snapshot=(meta, adds))
         scoped = set(plan["files"])
         adds = {p: a for p, a in adds.items() if p in scoped}
-        if not adds or (len(adds) < 2 and small_file_threshold is None):
+        has_dv = any(a.get("deletionVector") for a in adds.values())
+        if not adds or (len(adds) < 2 and small_file_threshold is None and not has_dv):
             return  # nothing in scope worth rewriting
         if small_file_threshold is None:
-            df = _file_reader(spark, path, meta, schema).parquet(
-                *[os.path.join(path, p) for p in sorted(adds)]
-            ).select(*schema.fieldNames())
+            df = _scan_adds(spark, path, meta, schema, adds).select(
+                *schema.fieldNames()
+            )
     if small_file_threshold is not None:
         if small_file_threshold < 1:
             raise ValueError("small_file_threshold must be >= 1 byte")
@@ -1015,16 +1228,22 @@ def optimize_delta(
             )
         # (sort_by stays allowed: it clusters WITHIN the newly packed
         # files, which is exactly its per-file stats contract)
+        # DV'd files always qualify regardless of size: bin-packing is also
+        # the PURGE path that folds deletion vectors back into clean files
         small = {
-            p: a for p, a in adds.items() if a.get("size", 0) < small_file_threshold
+            p: a
+            for p, a in adds.items()
+            if a.get("size", 0) < small_file_threshold or a.get("deletionVector")
         }
-        if len(small) < 2:
+        if len(small) < 2 and not any(
+            a.get("deletionVector") for a in small.values()
+        ):
             return  # nothing worth packing
         small_bytes = sum(a.get("size", 0) for a in small.values())
         target_partitions = max(1, small_bytes // small_file_threshold)
-        df = _file_reader(spark, path, meta, schema).parquet(
-            *[os.path.join(path, p) for p in sorted(small)]
-        ).select(*schema.fieldNames())
+        df = _scan_adds(spark, path, meta, schema, small).select(
+            *schema.fieldNames()
+        )
         adds = small  # only these are removed below
     elif where is None:
         df = read_delta(spark, path)
@@ -1056,8 +1275,15 @@ def optimize_delta(
         *[{"add": a} for a in new_adds],
     ]
     # concurrent appends are compatible with OPTIMIZE (their files aren't in
-    # our remove set); a concurrent remove of one of OUR inputs is not
-    _commit_checked(path, lambda: actions, set(adds))
+    # our remove set); a concurrent remove of one of OUR inputs is not, and
+    # neither is a concurrent merge-on-read delete changing an input's DV
+    # (our rewritten copies would resurrect its freshly-deleted rows)
+    _commit_checked(
+        path,
+        lambda: actions,
+        set(adds),
+        validate=_dv_unchanged_validator(adds, set(adds)),
+    )
 
 
 def _file_stats(file_path: str) -> dict:
@@ -1145,7 +1371,10 @@ def read_delta_pruned(
     files, _ = prune_files_by_stats(path, column, lower, upper, adds=adds)
     if not files:
         return spark.createDataFrame([], schema)
-    return _file_reader(spark, path, meta, schema).parquet(*files)
+    kept_rel = {os.path.relpath(f, path).replace(os.sep, "/") for f in files}
+    return _scan_adds(
+        spark, path, meta, schema, {p: adds[p] for p in kept_rel}
+    )
 
 
 # -- Compound-predicate scan planning (format twin of iceberg's) ------------
@@ -1311,8 +1540,9 @@ def scan_delta_with_plan(
     plan = plan_delta_scan(path, preds, _snapshot=(meta, adds))
     if not plan["files"]:
         return spark.createDataFrame([], schema).select(*out_cols), plan
-    files = [os.path.join(path, p) for p in plan["files"]]
-    scan = _file_reader(spark, path, meta, schema).parquet(*files)
+    scan = _scan_adds(
+        spark, path, meta, schema, {p: adds[p] for p in plan["files"]}
+    )
     residual = residual_filter(preds)
     if residual is not None:
         scan = scan.filter(residual)
@@ -1346,20 +1576,35 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
         # Validate inside each commit attempt: a vacuum racing the restore
         # could delete a restored-from file after an earlier check passed,
         # so re-verify against the files THIS attempt is about to re-add.
+        from lakehouse_loader_spark.sinks.dv import descriptor_dv_files
+
         missing = [
             p for p in adds_then if not os.path.exists(os.path.join(path, p))
+        ] + [
+            p
+            for p in descriptor_dv_files(path, adds_then)
+            if not os.path.exists(p)
         ]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore {path} to v{version}: data files vacuumed: {missing[:5]}"
             )
         _, _, adds_now = _read_log(path)
+        # a path can be live in BOTH snapshots with a DIFFERENT add action
+        # (a merge-on-read delete changed its deletion vector): restoring
+        # must revert the action, not just the path set
+        changed = sorted(
+            p
+            for p in set(adds_then) & set(adds_now)
+            if adds_then[p] != adds_now[p]
+        )
         removes = [
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
-            for p in sorted(set(adds_now) - set(adds_then))
+            for p in sorted(set(adds_now) - set(adds_then)) + changed
         ]
         re_adds = [
-            {"add": adds_then[p]} for p in sorted(set(adds_then) - set(adds_now))
+            {"add": adds_then[p]}
+            for p in sorted(set(adds_then) - set(adds_now)) + changed
         ]
         info = _commit_info("RESTORE", meta_then.get("partitionColumns"))
         info["commitInfo"]["operation"] = "RESTORE"
@@ -1420,25 +1665,36 @@ def vacuum_delta(path: str, retain_versions: int = 0) -> list[str]:
     relative paths."""
     if retain_versions < 0:
         raise ValueError("retain_versions must be >= 0")
+    from lakehouse_loader_spark.sinks.dv import descriptor_dv_files
+
     _check_protocol(path, for_write=True)
     latest, _, adds = _read_log(path)
     live = set(adds)
+    live_dv = {os.path.abspath(p) for p in descriptor_dv_files(path, adds)}
     # per-version replay is bounded, not O(history): _read_log seeds from
     # the newest checkpoint at/below the version, so each call parses at
     # most CHECKPOINT_INTERVAL json commits + one checkpoint parquet
     for v in range(max(0, latest - retain_versions), latest):
         _, _, old_adds = _read_log(path, as_of_version=v)
         live |= set(old_adds)
+        live_dv |= {os.path.abspath(p) for p in descriptor_dv_files(path, old_adds)}
     deleted = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or ".staging-" in root:
             continue
         for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path).replace(os.sep, "/")
+            if name.startswith("deletion_vector_") and name.endswith(".bin"):
+                # DV files are referenced by descriptor, not add-path
+                if os.path.abspath(full) not in live_dv:
+                    os.remove(full)
+                    deleted.append(rel)
+                continue
             if not name.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, name), path).replace(os.sep, "/")
             if rel not in live:
-                os.remove(os.path.join(root, name))
+                os.remove(full)
                 deleted.append(rel)
     return deleted
 
@@ -1467,6 +1723,7 @@ def merge_delta(
 
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
+    _forbid_if_append_only(meta, "MERGE")
     schema = table_schema(path)
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -1509,11 +1766,13 @@ def merge_delta(
             .collect()
         )
         cand_rel |= {r["__rel"] for r in hit}
-    candidates = [os.path.join(path, r) for r in sorted(cand_rel)]
-
     keys = source.select(key).distinct()
-    if candidates:
-        cand_df = _file_reader(spark, path, meta, schema).parquet(*candidates)
+    if cand_rel:
+        # DV-aware: rows already deleted merge-on-read must neither count
+        # as matches nor be resurrected into the rewritten files
+        cand_df = _scan_adds(
+            spark, path, meta, schema, {r: adds[r] for r in cand_rel}
+        )
         # count matched KEYS, not matched rows: a key present in several
         # table rows updates them all but is still one update
         n_updated = keys.join(cand_df.select(key), key, "left_semi").count()
@@ -1553,7 +1812,12 @@ def merge_delta(
     snapshot_files = set(adds)
     new_rel = {a["path"] for a in new_adds}
 
+    _dv_validate = _dv_unchanged_validator(adds, set(cand_rel))
+
     def _validate(live: dict[str, dict]) -> None:
+        # a concurrent merge-on-read delete changing a rewritten file's DV
+        # would be undone by our pre-DV copies
+        _dv_validate(live)
         # a file appended concurrently may contain rows whose key this MERGE
         # should have updated; if its stats range intersects the source key
         # range (or it has no stats — conservative), the snapshot is stale
@@ -1599,39 +1863,36 @@ def _cow_probe_and_commit(
 
     Returns (n_matched, n_rewritten_files, n_total_files); n_rewritten = 0
     means nothing matched and NO commit was made.
-    """
-    from urllib.parse import unquote, urlparse
 
+    Deletion-vector aware on both sides: the probe and the rewrite scans
+    apply each file's DV (already-deleted rows can neither match the
+    predicate nor be resurrected by the rewrite), and the commit validates
+    that no concurrent merge-on-read delete changed a rewritten file's DV
+    under us (_dv_unchanged_validator)."""
     from pyspark.sql import functions as F
 
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
+    _forbid_if_append_only(meta, op)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         return 0, 0, 0, meta
-    files = [os.path.join(os.path.abspath(path), r) for r in sorted(adds)]
     pred = F.expr(predicate)
-    df = _file_reader(spark, path, meta, schema).parquet(*files)
+    df = _scan_adds(spark, path, meta, schema, adds, with_path=True)
     probe = (
-        df.withColumn("__file", F.input_file_name())
-        .filter(pred)
-        .groupBy("__file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        df.filter(pred).groupBy("__path").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     abs_root = os.path.abspath(path) + os.sep
-    # input_file_name() returns a URI — unquote percent-escapes (spaces in
-    # the table root, Spark-escaped partition values) so the derived
-    # relative paths compare equal to the add-action paths in the log
-    affected_rel = sorted(
-        unquote(urlparse(r["__file"]).path).split(abs_root, 1)[1] for r in probe
-    )
+    # __path is the decoded on-disk path (_decode_scan_path), so stripping
+    # the absolute table root yields exactly the add-action relative paths
+    affected_rel = sorted(r["__path"].split(abs_root, 1)[1] for r in probe)
     n_matched = sum(r["n"] for r in probe)
     if not affected_rel:
         return 0, 0, len(adds), meta
 
-    affected_abs = [os.path.join(path, r) for r in affected_rel]
-    rows = _file_reader(spark, path, meta, schema).parquet(*affected_abs)
+    rows = _scan_adds(
+        spark, path, meta, schema, {p: adds[p] for p in affected_rel}
+    )
     replacement = rewrite_fn(rows, pred, schema)
     if op == "UPDATE":
         # a SET can break a CHECK constraint; enforcement covers the whole
@@ -1648,29 +1909,53 @@ def _cow_probe_and_commit(
         ],
         *[{"add": a} for a in new_adds],
     ]
-    _commit_checked(path, lambda: actions, set(affected_rel))
+    _commit_checked(
+        path,
+        lambda: actions,
+        set(affected_rel),
+        validate=_dv_unchanged_validator(adds, set(affected_rel)),
+    )
     return int(n_matched), len(affected_rel), len(adds), meta
 
 
 @accepts_file_uris
-def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Row-level DELETE (copy-on-write): rewrite ONLY the files that
-    actually contain rows matching ``predicate`` (a SQL expression), drop
-    those rows, and commit remove+add actions as one new version — the
-    GDPR/right-to-be-forgotten primitive a lakehouse needs.  A point
-    delete on a 100 TB table rewrites megabytes, not the table
-    (_cow_probe_and_commit has the probe/commit shape).
+def delete_from_delta(
+    spark: SparkSession, path: str, predicate: str, mode: str = "copy-on-write"
+) -> dict:
+    """Row-level DELETE: rewrite ONLY the files that actually contain rows
+    matching ``predicate`` (a SQL expression) and commit one new version —
+    the GDPR/right-to-be-forgotten primitive a lakehouse needs.
+
+    ``mode="copy-on-write"`` (default) drops the rows by rewriting the
+    affected files (_cow_probe_and_commit has the probe/commit shape): a
+    point delete on a 100 TB table rewrites megabytes, not the table.
+    ``mode="merge-on-read"`` writes DELETION VECTORS instead — the affected
+    files are re-added unchanged with a roaring-bitmap DV of their deleted
+    row positions (sinks/dv.py), so the delete writes KILOBYTES of bitmap
+    no matter how large the affected files are; readers apply the DV as a
+    broadcast anti-join and a later OPTIMIZE purges it.  The first DV
+    upgrades the table protocol to reader 3 / writer 7 with the
+    deletionVectors table feature, in the same commit.
 
     SQL DELETE semantics: rows where the predicate is TRUE are removed;
     rows where it is false or NULL are kept.  Concurrency follows
-    WriteSerializable: files this delete rewrites must still be live at
-    commit time (ConcurrentModificationError otherwise); concurrently
-    APPENDED files are untouched — the delete applies to the snapshot it
-    read, new data is not retroactively covered.
+    WriteSerializable: files this delete touches must still be live with
+    an unchanged DV at commit time (ConcurrentModificationError
+    otherwise); concurrently APPENDED files are untouched — the delete
+    applies to the snapshot it read, new data is not retroactively
+    covered.
 
-    Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n}.
+    Returns {"deleted_rows", "rewritten_files", "kept_files"} for
+    copy-on-write; {"deleted_rows", "dv_files", "removed_files"} for
+    merge-on-read (removed_files counts files whose every row died — those
+    drop out of the table entirely instead of carrying a full-file DV).
     """
     from pyspark.sql import functions as F
+
+    if mode == "merge-on-read":
+        return _delete_mor(spark, path, predicate)
+    if mode != "copy-on-write":
+        raise ValueError(f"mode must be copy-on-write or merge-on-read, got {mode!r}")
 
     def drop_matches(rows, pred, _schema):
         return rows.filter(F.coalesce(pred, F.lit(False)) == F.lit(False))
@@ -1682,6 +1967,147 @@ def delete_from_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         "deleted_rows": n,
         "rewritten_files": rewritten,
         "kept_files": total - rewritten,
+    }
+
+
+# serialized DVs at or below this size ride inline in the add action
+# ("i" storage) instead of a .bin file — one less file per point delete
+DV_INLINE_MAX = 512
+
+
+def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE via deletion vectors.  The bitmaps are BUILT
+    EXECUTOR-SIDE (one applyInPandas group per affected file serializes its
+    sorted positions); only the compressed blobs reach the driver, which
+    merges them with any existing DV, packs them into one DV file (or
+    inline descriptors), and commits remove+re-add actions.  Driver memory
+    is therefore ∝ compressed delete size, not row count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks import dv as dvmod
+
+    _check_protocol(path, for_write=True)
+    _, meta, adds = _read_log(path)
+    _forbid_if_append_only(meta, "DELETE")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    empty = {"deleted_rows": 0, "dv_files": 0, "removed_files": 0}
+    if not adds:
+        return empty
+    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
+    pred = F.expr(predicate)
+    matched = scan.filter(F.coalesce(pred, F.lit(False))).select("__path", "__pos")
+
+    def _to_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(pdf["__pos"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "__path": [pdf["__path"].iloc[0]],
+                "blob": [dvmod.serialize_positions(pos)],
+            }
+        )
+
+    blob_rows = (
+        matched.groupBy("__path")
+        .applyInPandas(_to_blob, "__path string, blob binary")
+        .collect()
+    )
+    if not blob_rows:
+        return empty
+
+    abs_root = os.path.abspath(path) + os.sep
+    per_file: dict[str, tuple[bytes, int]] = {}  # rel -> (merged blob, card)
+    removed_fully: list[str] = []
+    n_deleted = 0
+    for r in blob_rows:
+        rel = r["__path"].split(abs_root, 1)[1]
+        new_pos = dvmod.deserialize_positions(bytes(r["blob"]))
+        n_deleted += len(new_pos)
+        old_desc = adds[rel].get("deletionVector")
+        if old_desc:
+            merged = np.union1d(dvmod.load_descriptor(path, old_desc), new_pos)
+            blob = dvmod.serialize_positions(merged)
+        else:
+            merged, blob = new_pos, bytes(r["blob"])
+        stats = json.loads(adds[rel].get("stats", "{}") or "{}")
+        nrec = stats.get("numRecords")
+        if nrec is not None and len(merged) >= nrec:
+            # every physical row is dead: drop the file outright instead of
+            # carrying a full-file DV (same call delta-spark makes)
+            removed_fully.append(rel)
+        else:
+            per_file[rel] = (blob, len(merged))
+
+    descs: dict[str, dict] = {}
+    packed_rel: str | None = None
+    to_pack = [
+        (rel, blob, card)
+        for rel, (blob, card) in sorted(per_file.items())
+        if len(blob) > DV_INLINE_MAX
+    ]
+    for rel, (blob, card) in per_file.items():
+        if len(blob) <= DV_INLINE_MAX:
+            descs[rel] = dvmod.make_descriptor(blob, cardinality=card)
+    if to_pack:
+        packed_rel, spans = dvmod.write_dv_file(path, [b for _, b, _ in to_pack])
+        for (rel, _b, card), (off, size) in zip(to_pack, spans):
+            descs[rel] = dvmod.make_descriptor(packed_rel, off, size, card)
+
+    part_cols = meta.get("partitionColumns") or None
+    affected = sorted(per_file) + sorted(removed_fully)
+    now_ms = int(time.time() * 1000)
+
+    def actions() -> list[dict]:
+        proto = _dv_protocol_actions(path) if descs else []
+        info = _commit_info("DELETE", part_cols)
+        info["commitInfo"]["operationParameters"]["mode"] = "merge-on-read"
+        return [
+            *proto,
+            info,
+            *[
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for p in affected
+            ],
+            *[
+                {
+                    "add": {
+                        **adds[rel],
+                        "deletionVector": descs[rel],
+                        "dataChange": True,
+                        "modificationTime": now_ms,
+                    }
+                }
+                for rel in sorted(per_file)
+            ],
+        ]
+
+    try:
+        _commit_checked(
+            path,
+            actions,
+            set(affected),
+            validate=_dv_unchanged_validator(adds, set(affected)),
+        )
+    except (ConcurrentModificationError, FileExistsError):
+        # lost the race: reclaim the DV file this attempt staged (same
+        # loud-fail hygiene as the COW and Iceberg lost-commit handlers)
+        if packed_rel is not None:
+            try:
+                os.remove(os.path.join(path, packed_rel))
+            except OSError:
+                pass
+        raise
+    return {
+        "deleted_rows": int(n_deleted),
+        "dv_files": len(per_file),
+        "removed_files": len(removed_fully),
     }
 
 
@@ -1840,11 +2266,14 @@ def read_delta_meta(spark: SparkSession, path: str, table: str) -> DataFrame:
                 int(a.get("size", 0)),
                 json.loads(a.get("stats", "{}") or "{}").get("numRecords"),
                 bool(a.get("stats")),
+                int((a.get("deletionVector") or {}).get("cardinality", 0)),
             )
             for p, a in sorted(adds.items())
         ]
         return spark.createDataFrame(
-            rows, "file_path string, size bigint, num_records bigint, has_stats boolean"
+            rows,
+            "file_path string, size bigint, num_records bigint, "
+            "has_stats boolean, dv_cardinality bigint",
         )
     if table == "history":
         rows = [

@@ -102,19 +102,34 @@ def test_constraint_survives_checkpoint(spark, table):
 # -- protocol guards --------------------------------------------------------
 
 
-def _bump_protocol(t, reader, writer):
+def _bump_protocol(t, reader, writer, reader_features=None, writer_features=None):
     log = os.path.join(t, "_delta_log")
     latest = max(int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json"))
+    proto = {"minReaderVersion": reader, "minWriterVersion": writer}
+    if reader_features is not None:
+        proto["readerFeatures"] = reader_features
+    if writer_features is not None:
+        proto["writerFeatures"] = writer_features
     with open(os.path.join(log, f"{latest + 1:020d}.json"), "w") as fh:
-        fh.write(json.dumps({"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}) + "\n")
+        fh.write(json.dumps({"protocol": proto}) + "\n")
         fh.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}) + "\n")
 
 
 def test_reader_version_guard(spark, tmpdir):
+    """Reader v2 (column mapping) and v3 tables demanding features this
+    engine lacks are refused; v3 tables demanding only deletionVectors are
+    NOT (that feature is implemented — test_delta_dv.py)."""
     t = os.path.join(tmpdir, "t")
     DL.write_delta(_df(spark, 0, 10), t)
-    _bump_protocol(t, reader=3, writer=7)  # e.g. deletion vectors
-    with pytest.raises(DL.UnsupportedProtocolError, match="minReaderVersion 3"):
+    _bump_protocol(t, reader=2, writer=5)  # column mapping: unsupported
+    with pytest.raises(DL.UnsupportedProtocolError, match="minReaderVersion=2"):
+        DL.read_delta(spark, t)
+    _bump_protocol(
+        t, reader=3, writer=7,
+        reader_features=["deletionVectors", "columnMapping"],
+        writer_features=["deletionVectors", "columnMapping"],
+    )
+    with pytest.raises(DL.UnsupportedProtocolError, match="columnMapping"):
         DL.read_delta(spark, t)
     with pytest.raises(DL.UnsupportedProtocolError):
         DL.read_delta_changes(spark, t, 0)
@@ -125,9 +140,11 @@ def test_reader_version_guard(spark, tmpdir):
 def test_writer_version_guard_read_still_works(spark, tmpdir):
     t = os.path.join(tmpdir, "t")
     DL.write_delta(_df(spark, 0, 10), t)
-    _bump_protocol(t, reader=1, writer=7)  # writer features we lack
+    _bump_protocol(
+        t, reader=1, writer=7, writer_features=["identityColumns"]
+    )  # a writer feature we lack
     assert DL.read_delta(spark, t).count() == 10  # reading is fine
-    with pytest.raises(DL.UnsupportedProtocolError, match="minWriterVersion 7"):
+    with pytest.raises(DL.UnsupportedProtocolError, match="identityColumns"):
         DL.write_delta(_df(spark, 10, 12), t, append=True)
     with pytest.raises(DL.UnsupportedProtocolError):
         DL.optimize_delta(spark, t)
