@@ -137,6 +137,25 @@ def main() -> None:
         loader["iceberg_mor_read_rows_per_sec"] = round(
             n_merged / loader["iceberg_mor_read_sec"]
         )
+
+        # Delta twin: deletion-vector DML + merged read on the delta copy —
+        # same predicate so the two formats' MOR numbers compare directly
+        from lakehouse_loader_spark.sinks.delta import delete_from_delta, read_delta
+
+        delta_path = os.path.join(tmp, "delta")
+        t0 = time.perf_counter()
+        delete_from_delta(
+            spark, delta_path, "l_quantity < 2", mode="merge-on-read"
+        )
+        write_delta(li.limit(50_000), delta_path, append=True)
+        loader["delta_dv_dml_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        n_dv = read_delta(spark, delta_path).count()
+        loader["delta_dv_read_sec"] = round(time.perf_counter() - t0, 4)
+        loader["delta_dv_read_rows"] = n_dv
+        loader["delta_dv_read_rows_per_sec"] = round(
+            n_dv / loader["delta_dv_read_sec"]
+        )
     except Exception as exc:  # loader failure must not kill the query numbers
         errors["__loader__"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# loader ERROR: {errors['__loader__'][:200]}", file=sys.stderr)

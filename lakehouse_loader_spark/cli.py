@@ -225,6 +225,14 @@ def build_parser() -> argparse.ArgumentParser:
                 help="copy-on-write rewrites matched files; merge-on-read "
                 "commits position-delete files (spec v2) applied at read time",
             )
+        else:
+            dd.add_argument(
+                "--mode",
+                choices=("copy-on-write", "merge-on-read"),
+                default="copy-on-write",
+                help="copy-on-write rewrites matched files; merge-on-read "
+                "commits roaring-bitmap deletion vectors applied at read time",
+            )
     for name in ("scan-delta", "scan-iceberg"):
         sc = sub.add_parser(name)
         sc.add_argument("source", help="table to scan")
@@ -370,16 +378,23 @@ def do_main(argv: list[str]) -> None:
         if args.command == "delete-delta":
             from lakehouse_loader_spark.sinks.delta import delete_from_delta as _delete
 
-            res = _delete(spark, args.target, args.where)
+            res = _delete(spark, args.target, args.where, mode=args.mode)
         else:
             from lakehouse_loader_spark.sinks.iceberg import delete_from_iceberg as _delete
 
             res = _delete(spark, args.target, args.where, strategy=args.strategy)
-        if "delete_files" in res:  # merge-on-read result shape
+        if "delete_files" in res:  # iceberg merge-on-read result shape
             print(
                 f"deleted {res['deleted_rows']} rows "
                 f"(wrote {res['delete_files']} position-delete files, "
                 f"{res['data_files']} data files untouched)",
+                file=sys.stderr,
+            )
+        elif "dv_files" in res:  # delta merge-on-read result shape
+            print(
+                f"deleted {res['deleted_rows']} rows "
+                f"(deletion vectors on {res['dv_files']} files, "
+                f"{res['removed_files']} fully-dead files dropped)",
                 file=sys.stderr,
             )
         else:
