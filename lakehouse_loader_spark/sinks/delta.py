@@ -1706,14 +1706,21 @@ def merge_delta(
     source: DataFrame,
     key: str,
     txn: tuple[str, int] | None = None,
+    mode: str = "copy-on-write",
 ) -> dict:
-    """MERGE (upsert) by key, copy-on-write: files containing matched keys
-    are rewritten with updated rows; unmatched source rows are appended.
-    One commit of remove+add actions; untouched files are untouched (at
-    scale, stats-based pruning limits the rewrite set to files whose key
-    range intersects the source's).
+    """MERGE (upsert) by key.  ``mode="copy-on-write"`` (default): files
+    containing matched keys are rewritten with updated rows; unmatched
+    source rows are appended.  One commit of remove+add actions; untouched
+    files are untouched (at scale, stats-based pruning limits the rewrite
+    set to files whose key range intersects the source's).
+    ``mode="merge-on-read"``: the matched rows are masked behind deletion
+    vectors and the full source is appended — write cost ∝ source size,
+    never ∝ the size of the candidate files; a later OPTIMIZE folds the
+    DVs away.
 
-    Returns {"rewritten_files": n, "updated": n, "inserted": n}.
+    Returns {"rewritten_files": n, "updated": n, "inserted": n} for
+    copy-on-write; {"updated", "inserted", "dv_files", "removed_files"}
+    for merge-on-read.
 
     ``txn`` stamps the commit with a Delta transaction identifier
     (appId, version) — the idempotency handshake streaming upserts use
@@ -1721,6 +1728,8 @@ def merge_delta(
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"mode must be copy-on-write or merge-on-read, got {mode!r}")
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "MERGE")
@@ -1784,24 +1793,12 @@ def merge_delta(
     n_inserted = n_source_keys - n_updated
 
     part_cols = meta.get("partitionColumns") or None
-    new_adds = _write_parts(rewritten, path, MAX_ROWS_PER_FILE, part_cols)
     now_ms = int(time.time() * 1000)
-    removes = [
-        {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
-        for p in sorted(cand_rel)
-    ]
     txn_actions = (
         [{"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}]
         if txn
         else []
     )
-    actions = [
-        _commit_info("MERGE", part_cols),
-        *txn_actions,
-        *removes,
-        *[{"add": a} for a in new_adds],
-    ]
-
     key_bounds = keys.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).first()
     # canonicalize to the same representation _file_stats writes: temporal
     # stats are serialized as isoformat strings in the "stats" payload, so
@@ -1810,7 +1807,7 @@ def merge_delta(
     if hasattr(kb_mn, "isoformat"):
         kb_mn, kb_mx = _iso_utc_naive(kb_mn), _iso_utc_naive(kb_mx)
     snapshot_files = set(adds)
-    new_rel = {a["path"] for a in new_adds}
+    new_rel: set[str] = set()  # filled once the new parts are staged
 
     _dv_validate = _dv_unchanged_validator(adds, set(cand_rel))
 
@@ -1839,6 +1836,60 @@ def merge_delta(
                     "re-run MERGE against the new snapshot"
                 )
 
+    if mode == "merge-on-read":
+        # mask the matched rows behind DVs, append the FULL source (updated
+        # copies + inserts) — write cost ∝ source size, never ∝ the size of
+        # the candidate files
+        if cand_rel:
+            cand_scan = _scan_adds(
+                spark, path, meta, schema, {r: adds[r] for r in cand_rel},
+                with_path=True,
+            )
+            masked = cand_scan.join(F.broadcast(keys), key, "left_semi").select(
+                "__path", "__pos"
+            )
+        else:
+            masked = spark.createDataFrame([], "__path string, __pos bigint")
+        new_adds = _write_parts(source, path, MAX_ROWS_PER_FILE, part_cols)
+        new_rel |= {a["path"] for a in new_adds}
+        try:
+            res = _dv_mask_commit(
+                spark,
+                path,
+                meta,
+                adds,
+                masked,
+                "MERGE",
+                new_adds=new_adds,
+                validate=_validate,
+                extra_actions=txn_actions,
+            )
+        except (ConcurrentModificationError, FileExistsError):
+            for a in new_adds:
+                try:
+                    os.remove(os.path.join(path, a["path"]))
+                except OSError:
+                    pass
+            raise
+        return {
+            "updated": n_updated,
+            "inserted": int(n_inserted),
+            "dv_files": res["dv_files"],
+            "removed_files": res["removed_files"],
+        }
+
+    new_adds = _write_parts(rewritten, path, MAX_ROWS_PER_FILE, part_cols)
+    new_rel |= {a["path"] for a in new_adds}
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+        for p in sorted(cand_rel)
+    ]
+    actions = [
+        _commit_info("MERGE", part_cols),
+        *txn_actions,
+        *removes,
+        *[{"add": a} for a in new_adds],
+    ]
     _commit_checked(path, lambda: actions, set(cand_rel), validate=_validate)
     return {
         "rewritten_files": len(cand_rel),
@@ -1975,29 +2026,34 @@ def delete_from_delta(
 DV_INLINE_MAX = 512
 
 
-def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Merge-on-read DELETE via deletion vectors.  The bitmaps are BUILT
-    EXECUTOR-SIDE (one applyInPandas group per affected file serializes its
-    sorted positions); only the compressed blobs reach the driver, which
-    merges them with any existing DV, packs them into one DV file (or
-    inline descriptors), and commits remove+re-add actions.  Driver memory
-    is therefore ∝ compressed delete size, not row count."""
+def _dv_mask_commit(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    adds: dict[str, dict],
+    masked,
+    op: str,
+    new_adds: list[dict] | None = None,
+    validate=None,
+    extra_actions: list[dict] | None = None,
+) -> dict:
+    """Shared merge-on-read commit skeleton: mask the rows in ``masked``
+    (a DataFrame[__path, __pos]) behind deletion vectors and commit, plus
+    any ``new_adds`` (the appended replacement/insert files for UPDATE and
+    MERGE).  The bitmaps are BUILT EXECUTOR-SIDE (one applyInPandas group
+    per affected file serializes its sorted positions); only the
+    compressed blobs reach the driver, which merges them with any existing
+    DV, packs them into one DV file (or inline descriptors under
+    DV_INLINE_MAX), and commits remove+re-add actions.  Driver memory is
+    therefore ∝ compressed delete size, not row count.  Files whose every
+    physical row dies are dropped outright instead of carrying a
+    full-file DV.  Returns {"masked_rows", "dv_files", "removed_files"};
+    masked_rows == 0 means NO commit was made (unless new_adds exist,
+    which still commit)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.sinks import dv as dvmod
-
-    _check_protocol(path, for_write=True)
-    _, meta, adds = _read_log(path)
-    _forbid_if_append_only(meta, "DELETE")
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    empty = {"deleted_rows": 0, "dv_files": 0, "removed_files": 0}
-    if not adds:
-        return empty
-    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
-    pred = F.expr(predicate)
-    matched = scan.filter(F.coalesce(pred, F.lit(False))).select("__path", "__pos")
 
     def _to_blob(pdf: pd.DataFrame) -> pd.DataFrame:
         pos = np.sort(pdf["__pos"].to_numpy(np.int64))
@@ -2009,21 +2065,22 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
         )
 
     blob_rows = (
-        matched.groupBy("__path")
+        masked.groupBy("__path")
         .applyInPandas(_to_blob, "__path string, blob binary")
         .collect()
     )
-    if not blob_rows:
-        return empty
+    new_adds = new_adds or []
+    if not blob_rows and not new_adds:
+        return {"masked_rows": 0, "dv_files": 0, "removed_files": 0}
 
     abs_root = os.path.abspath(path) + os.sep
     per_file: dict[str, tuple[bytes, int]] = {}  # rel -> (merged blob, card)
     removed_fully: list[str] = []
-    n_deleted = 0
+    n_masked = 0
     for r in blob_rows:
         rel = r["__path"].split(abs_root, 1)[1]
         new_pos = dvmod.deserialize_positions(bytes(r["blob"]))
-        n_deleted += len(new_pos)
+        n_masked += len(new_pos)
         old_desc = adds[rel].get("deletionVector")
         if old_desc:
             merged = np.union1d(dvmod.load_descriptor(path, old_desc), new_pos)
@@ -2060,11 +2117,12 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
 
     def actions() -> list[dict]:
         proto = _dv_protocol_actions(path) if descs else []
-        info = _commit_info("DELETE", part_cols)
+        info = _commit_info(op, part_cols)
         info["commitInfo"]["operationParameters"]["mode"] = "merge-on-read"
         return [
             *proto,
             info,
+            *(extra_actions or []),
             *[
                 {
                     "remove": {
@@ -2086,15 +2144,18 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
                 }
                 for rel in sorted(per_file)
             ],
+            *[{"add": a} for a in new_adds],
         ]
 
+    dv_validate = _dv_unchanged_validator(adds, set(affected))
+
+    def _validate(live: dict[str, dict]) -> None:
+        dv_validate(live)
+        if validate is not None:
+            validate(live)
+
     try:
-        _commit_checked(
-            path,
-            actions,
-            set(affected),
-            validate=_dv_unchanged_validator(adds, set(affected)),
-        )
+        _commit_checked(path, actions, set(affected), validate=_validate)
     except (ConcurrentModificationError, FileExistsError):
         # lost the race: reclaim the DV file this attempt staged (same
         # loud-fail hygiene as the COW and Iceberg lost-commit handlers)
@@ -2105,32 +2166,68 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
                 pass
         raise
     return {
-        "deleted_rows": int(n_deleted),
+        "masked_rows": int(n_masked),
         "dv_files": len(per_file),
         "removed_files": len(removed_fully),
     }
 
 
+def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE via deletion vectors (_dv_mask_commit has the
+    bitmap/commit machinery)."""
+    from pyspark.sql import functions as F
+
+    _check_protocol(path, for_write=True)
+    _, meta, adds = _read_log(path)
+    _forbid_if_append_only(meta, "DELETE")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if not adds:
+        return {"deleted_rows": 0, "dv_files": 0, "removed_files": 0}
+    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
+    pred = F.expr(predicate)
+    masked = scan.filter(F.coalesce(pred, F.lit(False))).select("__path", "__pos")
+    res = _dv_mask_commit(spark, path, meta, adds, masked, "DELETE")
+    return {
+        "deleted_rows": res["masked_rows"],
+        "dv_files": res["dv_files"],
+        "removed_files": res["removed_files"],
+    }
+
+
 @accepts_file_uris
 def update_delta(
-    spark: SparkSession, path: str, predicate: str, set_exprs: dict[str, str]
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    mode: str = "copy-on-write",
 ) -> dict:
-    """Row-level UPDATE (copy-on-write): rewrite only the files containing
-    rows matching ``predicate``, applying ``set_exprs`` (column -> SQL
-    expression over the row) to the matching rows and carrying the rest of
-    each rewritten file unchanged.  Completes the DML triangle next to
-    MERGE (keyed upsert) and DELETE; same probe/commit shape
-    (_cow_probe_and_commit).
+    """Row-level UPDATE: apply ``set_exprs`` (column -> SQL expression over
+    the row) to the rows matching ``predicate``.  Completes the DML
+    triangle next to MERGE (keyed upsert) and DELETE.
+
+    ``mode="copy-on-write"`` (default) rewrites only the files containing
+    matches, carrying the rest of each rewritten file unchanged
+    (_cow_probe_and_commit has the probe/commit shape).
+    ``mode="merge-on-read"`` masks the matched rows behind deletion
+    vectors and APPENDS their updated copies as new files — the write cost
+    is ∝ matched rows (plus kilobytes of bitmap), never ∝ the size of the
+    files they happen to live in; a later OPTIMIZE folds the DVs away.
+    The predicate must be deterministic (same contract as Delta UPDATE):
+    the mask and the appended copies come from two scans of the same
+    immutable snapshot.
 
     Updated columns must already exist (no implicit schema evolution), and
     partition columns cannot be SET (their values are directory-encoded) —
     both validated from metadata BEFORE any data is scanned.
 
-    Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n}.
+    Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n} for
+    copy-on-write; {"updated_rows", "dv_files", "removed_files",
+    "new_files"} for merge-on-read.
     """
     from pyspark.sql import functions as F
 
-    _, meta, _ = _read_log(path)
+    _, meta, adds = _read_log(path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     unknown = set(set_exprs) - set(schema.fieldNames())
     if unknown:
@@ -2141,6 +2238,11 @@ def update_delta(
             f"cannot UPDATE partition columns {sorted(set(set_exprs) & set(part_cols))}; "
             "rewrite via MERGE (partition values are directory-encoded)"
         )
+
+    if mode == "merge-on-read":
+        return _update_mor(spark, path, predicate, set_exprs, meta, adds, schema)
+    if mode != "copy-on-write":
+        raise ValueError(f"mode must be copy-on-write or merge-on-read, got {mode!r}")
 
     def apply_set(rows, pred, schema):
         hit = F.coalesce(pred, F.lit(False))
@@ -2160,6 +2262,71 @@ def update_delta(
         "updated_rows": n,
         "rewritten_files": rewritten,
         "kept_files": total - rewritten,
+    }
+
+
+def _update_mor(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    meta: dict,
+    adds: dict[str, dict],
+    schema: T.StructType,
+) -> dict:
+    """Merge-on-read UPDATE: DV the matched rows, append updated copies."""
+    from pyspark.sql import functions as F
+
+    _check_protocol(path, for_write=True)
+    _forbid_if_append_only(meta, "UPDATE")
+    empty = {"updated_rows": 0, "dv_files": 0, "removed_files": 0, "new_files": 0}
+    if not adds:
+        return empty
+    part_cols = meta.get("partitionColumns") or None
+    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
+    matched = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    updated = matched.withColumns(
+        {
+            col: F.expr(expr).cast(schema[col].dataType)
+            for col, expr in set_exprs.items()
+        }
+    ).select(*schema.fieldNames())
+    _enforce_constraints(updated, _constraints_of(meta))
+    new_adds = _write_parts(updated, path, MAX_ROWS_PER_FILE, part_cols)
+    n_new = sum(
+        json.loads(a.get("stats", "{}") or "{}").get("numRecords", 0)
+        for a in new_adds
+    )
+    if n_new == 0:
+        # nothing matched: reclaim the (empty) staged parts, commit nothing
+        for a in new_adds:
+            try:
+                os.remove(os.path.join(path, a["path"]))
+            except OSError:
+                pass
+        return empty
+    try:
+        res = _dv_mask_commit(
+            spark,
+            path,
+            meta,
+            adds,
+            matched.select("__path", "__pos"),
+            "UPDATE",
+            new_adds=new_adds,
+        )
+    except (ConcurrentModificationError, FileExistsError):
+        for a in new_adds:
+            try:
+                os.remove(os.path.join(path, a["path"]))
+            except OSError:
+                pass
+        raise
+    return {
+        "updated_rows": res["masked_rows"],
+        "dv_files": res["dv_files"],
+        "removed_files": res["removed_files"],
+        "new_files": len(new_adds),
     }
 
 

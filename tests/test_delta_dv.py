@@ -440,3 +440,66 @@ def test_restore_to_pre_dv_version(spark, tmpdir):
     assert D.read_delta(spark, path).count() == 1000
     _, _, adds = D._read_log(path)
     assert not any(a.get("deletionVector") for a in adds.values())
+
+
+# -- merge-on-read UPDATE / MERGE -------------------------------------------
+
+
+def test_mor_update_masks_and_appends(spark, tmpdir):
+    """UPDATE merge-on-read: no candidate file rewritten — matched rows are
+    DV-masked and their updated copies appended as new files."""
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path)
+    before = set(_parquets(path))
+    res = D.update_delta(
+        spark, path, "grp = 4", {"val": "val + 1"}, mode="merge-on-read"
+    )
+    assert res["updated_rows"] == 1000 and res["new_files"] >= 1
+    assert before <= set(_parquets(path))  # originals untouched
+    got = D.read_delta(spark, path)
+    assert got.count() == 10_000
+    assert got.filter("grp = 4 AND val != id * 2 + 1").count() == 0
+    assert got.filter("grp != 4 AND val != id * 2").count() == 0
+
+
+def test_mor_update_nothing_matched_commits_nothing(spark, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path, n=100, files=1)
+    v0, _, _ = D._read_log(path)
+    res = D.update_delta(
+        spark, path, "id = -1", {"val": "0"}, mode="merge-on-read"
+    )
+    assert res == {"updated_rows": 0, "dv_files": 0, "removed_files": 0, "new_files": 0}
+    v1, _, _ = D._read_log(path)
+    assert v1 == v0  # no commit, no litter
+
+
+def test_mor_merge_masks_matches_appends_source(spark, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path, n=100, files=2)
+    src = spark.createDataFrame(
+        [(7, 7, 777), (500, 0, 500)], "id long, grp long, val long"
+    )
+    res = D.merge_delta(spark, path, src, key="id", mode="merge-on-read")
+    assert res["updated"] == 1 and res["inserted"] == 1
+    assert res["dv_files"] == 1  # id=7 lives in one of the two files
+    got = D.read_delta(spark, path)
+    assert got.count() == 101
+    assert {r["val"] for r in got.filter("id IN (7, 500)").collect()} == {777, 500}
+    # updated row exists exactly once (mask worked)
+    assert got.filter("id = 7").count() == 1
+
+
+def test_mor_merge_then_optimize_purges(spark, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path, n=1000, files=2)
+    src = spark.range(0, 100).select(
+        "id", (F.col("id") % 10).alias("grp"), F.lit(-1).alias("val")
+    )
+    D.merge_delta(spark, path, src, key="id", mode="merge-on-read")
+    assert D.read_delta(spark, path).filter("val = -1").count() == 100
+    D.optimize_delta(spark, path, target_partitions=1)
+    _, _, adds = D._read_log(path)
+    assert not any(a.get("deletionVector") for a in adds.values())
+    got = D.read_delta(spark, path)
+    assert got.count() == 1000 and got.filter("val = -1").count() == 100
