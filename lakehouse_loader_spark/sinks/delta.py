@@ -170,11 +170,51 @@ SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
 # engine actually implements are claimed — reading past an unknown reader
 # feature would silently misread (the exact failure _check_protocol's
 # docstring warns about), so membership here is a correctness contract,
-# not a capability advertisement.  "invariants" is deliberately absent:
-# this writer never emits them and refuses foreign v7 tables that demand
-# them (conservative = safe).
+# not a capability advertisement.  "invariants" is claimed because
+# _enforce_constraints also evaluates column invariants
+# (delta.invariants field metadata) on every write path.
 SUPPORTED_READER_FEATURES = {"deletionVectors"}
-SUPPORTED_WRITER_FEATURES = {"deletionVectors", "checkConstraints", "appendOnly"}
+SUPPORTED_WRITER_FEATURES = {
+    "deletionVectors",
+    "checkConstraints",
+    "appendOnly",
+    "invariants",
+}
+
+# What each LEGACY protocol version implies once a table converts to the
+# table-features form (Delta PROTOCOL.md, "Table Features" mapping).  An
+# upgrade that drops an implied feature from the emitted lists would make
+# feature-aware external writers silently stop enforcing it.
+_LEGACY_READER_FEATURES = {1: set(), 2: {"columnMapping"}}
+_LEGACY_WRITER_FEATURES = {
+    1: set(),
+    2: {"appendOnly", "invariants"},
+    3: {"appendOnly", "invariants", "checkConstraints"},
+    4: {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+    },
+    5: {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+    },
+    6: {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+        "identityColumns",
+    },
+}
 
 
 @accepts_file_uris
@@ -246,25 +286,81 @@ def _forbid_if_append_only(meta: dict, op: str) -> None:
         raise ValueError(f"{op} is not allowed: table is delta.appendOnly")
 
 
+def _protocol_upgrade_actions(
+    path: str,
+    *,
+    writer_feature: str | None = None,
+    legacy_writer: int = 1,
+    reader_feature: str | None = None,
+    force_features: bool = False,
+) -> list[dict]:
+    """Non-downgrading protocol action granting one capability demand, or
+    [] when the current protocol already satisfies it.
+
+    Rules (Delta PROTOCOL.md): versions never decrease; a table already on
+    the table-features form (reader 3 / writer 7) keeps its existing
+    feature lists with the new feature MERGED in — re-emitting a plain
+    legacy protocol over it would be a downgrade that strips e.g. the
+    deletionVectors reader gate while live adds still carry DVs; and a
+    legacy table converting to the features form carries every feature its
+    old minWriterVersion implied (dropping an implied 'invariants' would
+    make external feature-aware writers stop enforcing them).
+
+    ``force_features`` demands the features form regardless of current
+    state (deletion vectors have no legacy encoding); otherwise a legacy
+    table satisfiable by a plain version bump stays legacy
+    (``legacy_writer``)."""
+    cur = table_protocol(path)
+    cr = cur.get("minReaderVersion", 1)
+    cw = cur.get("minWriterVersion", 1)
+    cur_rf = (
+        set(cur.get("readerFeatures") or [])
+        if cr >= 3
+        else _LEGACY_READER_FEATURES.get(cr, set())
+    )
+    cur_wf = (
+        set(cur.get("writerFeatures") or [])
+        if cw >= 7
+        else _LEGACY_WRITER_FEATURES.get(cw, set())
+    )
+    on_features = cw >= 7 or cr >= 3
+    writer_ok = writer_feature is None or (
+        writer_feature in cur_wf if on_features else cw >= legacy_writer
+    )
+    reader_ok = reader_feature is None or (on_features and reader_feature in cur_rf)
+    if writer_ok and reader_ok:
+        return []
+    if not (on_features or force_features):
+        # plain legacy bump suffices
+        return [
+            {
+                "protocol": {
+                    "minReaderVersion": cr,
+                    "minWriterVersion": max(cw, legacy_writer),
+                }
+            }
+        ]
+    new_wf = cur_wf | ({writer_feature} if writer_feature else set())
+    new_rf = cur_rf | ({reader_feature} if reader_feature else set())
+    proto: dict = {"minReaderVersion": 3 if new_rf else cr, "minWriterVersion": 7}
+    if proto["minReaderVersion"] >= 3:
+        proto["readerFeatures"] = sorted(new_rf)
+    proto["writerFeatures"] = sorted(new_wf)
+    return [{"protocol": proto}]
+
+
 def _dv_protocol_actions(path: str) -> list[dict]:
     """Protocol-upgrade action for the first deletion-vector write on a
     table (reader 3 / writer 7 with the feature lists), or [] if the table
     already advertises deletionVectors.  Rides in the SAME commit as the
     first DV add — a reader that sees the DV also sees the demand to
     understand it."""
-    proto = table_protocol(path)
-    if "deletionVectors" in (proto.get("writerFeatures") or []):
-        return []
-    return [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": sorted(SUPPORTED_WRITER_FEATURES),
-            }
-        }
-    ]
+    return _protocol_upgrade_actions(
+        path,
+        writer_feature="deletionVectors",
+        reader_feature="deletionVectors",
+        force_features=True,
+    )
 
 
 @accepts_file_uris
@@ -600,6 +696,43 @@ def _constraints_of(meta: dict) -> dict[str, str]:
     }
 
 
+def _invariants_of(meta: dict) -> dict[str, str]:
+    """Column invariants (the legacy writer-v2 feature): per-field
+    ``delta.invariants`` metadata entries in schemaString, each a JSON
+    ``{"expression": {"expression": "<sql>"}}``.  Claimed in
+    SUPPORTED_WRITER_FEATURES, so every write path MUST enforce them —
+    they ride through _enforce_constraints alongside CHECK constraints."""
+    out: dict[str, str] = {}
+
+    def walk(fields: list[dict], prefix: str) -> None:
+        for f in fields:
+            name = prefix + f.get("name", "")
+            inv = (f.get("metadata") or {}).get("delta.invariants")
+            if inv:
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                except (ValueError, KeyError, TypeError):
+                    raise ValueError(
+                        f"unparseable delta.invariants on column {name!r}: {inv!r}"
+                    ) from None
+                out[f"invariant_{name.replace('.', '_')}"] = expr
+            ftype = f.get("type")
+            if isinstance(ftype, dict) and ftype.get("type") == "struct":
+                walk(ftype.get("fields") or [], name + ".")
+
+    schema_str = meta.get("schemaString")
+    if schema_str:
+        walk(json.loads(schema_str).get("fields") or [], "")
+    return out
+
+
+def _write_rules(meta: dict) -> dict[str, str]:
+    """Everything a write must satisfy: CHECK constraints + column
+    invariants (both evaluate rows the same way — expression must be
+    true)."""
+    return {**_constraints_of(meta), **_invariants_of(meta)}
+
+
 def table_constraints(path: str) -> dict[str, str]:
     """CHECK constraints of the table: name -> SQL expression, stored as
     ``delta.constraints.<name>`` metaData configuration entries (the Delta
@@ -662,8 +795,16 @@ def add_check_constraint(path: str, name: str, expr: str) -> None:
         conf[key] = expr
         new_meta = dict(meta)
         new_meta["configuration"] = conf
+        # Never downgrade: on a table-features table (e.g. after a DV
+        # write put it at reader 3/writer 7) this merges checkConstraints
+        # into the existing feature lists instead of stamping a legacy
+        # {1,3} over them — which would strip the deletionVectors reader
+        # gate while live adds still carry DVs.
+        proto_actions = _protocol_upgrade_actions(
+            path, writer_feature="checkConstraints", legacy_writer=3
+        )
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            *proto_actions,
             {"metaData": new_meta},
             {
                 "commitInfo": {
@@ -769,7 +910,7 @@ def write_delta(
         _, meta, _ = _read_log(path)
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
-        _enforce_constraints(df, _constraints_of(meta))
+        _enforce_constraints(df, _write_rules(meta))
         table_parts = meta.get("partitionColumns") or None
         adds = _write_parts(
             df, path, max_rows_per_file, table_parts, bloom_filter_columns, sort_by
@@ -873,24 +1014,41 @@ def _scan_adds(
         F.col("_metadata.row_index").alias("__pos"),
     )
     if dv_adds:
-        import pandas as pd
-
         from lakehouse_loader_spark.sinks import dv as dvmod
 
-        frames = []
+        # Driver materializes ONLY the compressed bitmap blobs (CRC-checked;
+        # bytes ~ compressed delete size, the same bound the write path
+        # guarantees); position expansion — O(deleted rows) int64s — happens
+        # executor-side in mapInPandas.  Cardinality for the broadcast gate
+        # comes from the descriptors, so no decode is needed to decide.
+        blob_rows = []
         total = 0
         for rel, add in sorted(dv_adds.items()):
-            pos = dvmod.load_descriptor(path, add["deletionVector"])
-            total += len(pos)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "__dv_path": os.path.abspath(os.path.join(path, rel)),
-                        "__dv_pos": pos.astype("int64"),
-                    }
+            desc = add["deletionVector"]
+            total += int(desc.get("cardinality") or 0)
+            blob_rows.append(
+                (
+                    os.path.abspath(os.path.join(path, rel)),
+                    bytearray(dvmod.load_descriptor_bytes(path, desc)),
                 )
             )
-        dels = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+        blobs = spark.createDataFrame(
+            blob_rows, "__dv_path string, __dv_blob binary"
+        ).repartition(min(len(blob_rows), spark.sparkContext.defaultParallelism))
+
+        def _expand(batches):
+            import pandas as pd
+
+            from lakehouse_loader_spark.sinks import dv as _dv
+
+            for pdf in batches:
+                for p, blob in zip(pdf["__dv_path"], pdf["__dv_blob"]):
+                    pos = _dv.deserialize_positions(bytes(blob))
+                    yield pd.DataFrame(
+                        {"__dv_path": p, "__dv_pos": pos.astype("int64")}
+                    )
+
+        dels = blobs.mapInPandas(_expand, "__dv_path string, __dv_pos long")
         if total <= DV_BROADCAST_MAX:
             dels = F.broadcast(dels)
         scan = scan.join(
@@ -1691,6 +1849,16 @@ def vacuum_delta(path: str, retain_versions: int = 0) -> list[str]:
                     os.remove(full)
                     deleted.append(rel)
                 continue
+            if name.startswith(".deletion_vector_") and name.endswith(".tmp"):
+                # orphaned DV staging file: a crash between write and
+                # os.replace leaks these; they are never referenced (the
+                # rename target is what descriptors point at), so any
+                # survivor is garbage.  Age-gate by a minute so we never
+                # race a concurrent writer mid-stage.
+                if time.time() - os.path.getmtime(full) > 60:
+                    os.remove(full)
+                    deleted.append(rel)
+                continue
             if not name.endswith(".parquet"):
                 continue
             if rel not in live:
@@ -1740,7 +1908,7 @@ def merge_delta(
             f"{sorted(schema.fieldNames())}"
         )
     source = source.select(*schema.fieldNames())
-    _enforce_constraints(source, _constraints_of(meta))
+    _enforce_constraints(source, _write_rules(meta))
     n_source_keys = source.select(key).distinct().count()
     if source.count() != n_source_keys:
         raise ValueError(
@@ -1948,7 +2116,7 @@ def _cow_probe_and_commit(
     if op == "UPDATE":
         # a SET can break a CHECK constraint; enforcement covers the whole
         # rewrite set (kept rows satisfied it already, so any hit is real)
-        _enforce_constraints(replacement, _constraints_of(meta))
+        _enforce_constraints(replacement, _write_rules(meta))
     part_cols = meta.get("partitionColumns") or None
     new_adds = _write_parts(replacement, path, MAX_ROWS_PER_FILE, part_cols)
     now_ms = int(time.time() * 1000)
@@ -2291,7 +2459,7 @@ def _update_mor(
             for col, expr in set_exprs.items()
         }
     ).select(*schema.fieldNames())
-    _enforce_constraints(updated, _constraints_of(meta))
+    _enforce_constraints(updated, _write_rules(meta))
     new_adds = _write_parts(updated, path, MAX_ROWS_PER_FILE, part_cols)
     n_new = sum(
         json.loads(a.get("stats", "{}") or "{}").get("numRecords", 0)

@@ -162,8 +162,15 @@ def _deserialize_rb32(buf: bytes, start: int) -> tuple[np.ndarray, int]:
                 -1, 2
             )
             p += 4 * n_runs
+            # int() before arithmetic: s and ln are numpy uint16 scalars, and
+            # under NumPy>=2 (NEP 50) a spec-valid run ending at 65535 would
+            # wrap (s+ln+1 -> 0) into an empty range — silently undeleting
+            # a foreign writer's rows.  Python ints never wrap.
             vals = np.concatenate(
-                [np.arange(s, s + ln + 1, dtype=np.uint32) for s, ln in runs]
+                [
+                    np.arange(int(s), int(s) + int(ln) + 1, dtype=np.uint32)
+                    for s, ln in runs
+                ]
             ) if n_runs else np.empty(0, dtype=np.uint32)
         elif card <= _ARRAY_MAX:
             vals = np.frombuffer(buf, dtype="<u2", count=card, offset=p).astype(
@@ -277,14 +284,17 @@ def make_descriptor(
     }
 
 
-def load_descriptor(table_path: str, desc: dict) -> np.ndarray:
-    """Descriptor → sorted uint64 deleted positions.  Verifies the size
-    field and CRC for on-disk DVs ("u"/"p") — a torn or mismatched bitmap
-    must fail loudly, not silently undelete rows."""
+def load_descriptor_bytes(table_path: str, desc: dict) -> bytes:
+    """Descriptor → the COMPRESSED serialized-bitmap blob, CRC-verified for
+    on-disk DVs ("u"/"p") — a torn or mismatched bitmap must fail loudly,
+    not silently undelete rows.  Split from position expansion so the read
+    path can ship only these (small) bytes to executors and expand there:
+    driver memory stays proportional to the compressed delete size, the
+    same bound the write path guarantees."""
     st = desc["storageType"]
     if st == "i":
         raw = z85_decode(desc["pathOrInlineDv"])
-        return deserialize_positions(raw[: desc["sizeInBytes"]])
+        return raw[: desc["sizeInBytes"]]
     if st == "u":
         raw = desc["pathOrInlineDv"]
         prefix, z = raw[:-20], raw[-20:]
@@ -306,7 +316,14 @@ def load_descriptor(table_path: str, desc: dict) -> np.ndarray:
         (crc,) = struct.unpack(">I", fh.read(4))
         if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
             raise ValueError(f"DV checksum mismatch in {fp}@{desc['offset']}")
-    return deserialize_positions(data)
+    return data
+
+
+def load_descriptor(table_path: str, desc: dict) -> np.ndarray:
+    """Descriptor → sorted uint64 deleted positions (driver-side expansion;
+    prefer load_descriptor_bytes + executor-side deserialize_positions for
+    scan-path use)."""
+    return deserialize_positions(load_descriptor_bytes(table_path, desc))
 
 
 def descriptor_dv_files(table_path: str, adds: dict[str, dict]) -> set[str]:

@@ -503,3 +503,157 @@ def test_mor_merge_then_optimize_purges(spark, tmpdir):
     assert not any(a.get("deletionVector") for a in adds.values())
     got = D.read_delta(spark, path)
     assert got.count() == 1000 and got.filter("val = -1").count() == 100
+
+
+# -- round-8 hardening: protocol merge, run-wrap, staging leak, read path ---
+
+
+def test_run_container_ending_at_65535_decodes_fully():
+    """A foreign writer's run container whose last run ends at value 65535
+    must decode completely: numpy uint16 arithmetic would wrap s+ln+1 to 0
+    under NEP 50 and silently drop the run (the exact silent-undelete this
+    module promises to fail loudly on)."""
+    import struct
+
+    # rb32: run cookie, 1 container, run flag set, key 0, card 6,
+    # no offset header (n<4), 1 run: start=65530 len=5 -> 65530..65535
+    rb = struct.pack("<HH", DV._SERIAL_COOKIE_RUN, 0)  # n_containers-1 = 0
+    rb += bytes([0b1])  # run flag byte
+    rb += struct.pack("<HH", 0, 5)  # key=0, cardinality-1=5
+    rb += struct.pack("<H", 1)  # n_runs
+    rb += struct.pack("<HH", 65530, 5)  # start, length
+    blob = struct.pack("<iq", DV.DV_MAGIC, 1) + struct.pack("<i", 0) + rb
+    got = DV.deserialize_positions(blob)
+    assert got.tolist() == [65530, 65531, 65532, 65533, 65534, 65535]
+
+
+def test_add_constraint_after_dv_does_not_downgrade_protocol(spark, tmpdir):
+    """add_check_constraint on a table-features table (reader 3/writer 7
+    after a MOR delete) must MERGE checkConstraints into the feature lists,
+    not stamp legacy {1,3} over them — that downgrade would strip the
+    deletionVectors reader gate while live adds still carry DVs."""
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path)
+    D.delete_from_delta(spark, path, "id = 5", mode="merge-on-read")
+    D.add_check_constraint(path, "val_nonneg", "val >= 0")
+    proto = D.table_protocol(path)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert "checkConstraints" in proto["writerFeatures"]
+    # still readable + constraint active
+    assert D.read_delta(spark, path).count() == 9_999
+    bad = spark.range(1, 2).select(
+        "id", (F.col("id") % 10).alias("grp"), F.lit(-5).cast("long").alias("val")
+    )
+    with pytest.raises(D.ConstraintViolationError):
+        D.write_delta(bad, path, append=True)
+
+
+def test_constraint_then_dv_already_satisfied_emits_no_second_protocol(
+    spark, tmpdir
+):
+    """Once 3/7 with checkConstraints merged, adding another constraint
+    emits NO protocol action (already satisfied)."""
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path)
+    D.delete_from_delta(spark, path, "id = 5", mode="merge-on-read")
+    D.add_check_constraint(path, "c1", "val >= 0")
+    before = D.table_protocol(path)
+    D.add_check_constraint(path, "c2", "grp >= 0")
+    assert D.table_protocol(path) == before
+    latest, _, _ = D._read_log(path)
+    lines = [json.loads(x) for x in open(D._version_file(path, latest))]
+    assert not any("protocol" in a for a in lines)
+
+
+def test_dv_upgrade_from_legacy_writer_keeps_implied_features(spark, tmpdir):
+    """Upgrading a legacy minWriter-3 table (implies appendOnly, invariants,
+    checkConstraints) to table features must list ALL implied features —
+    dropping 'invariants' would make feature-aware external writers stop
+    enforcing invariants recorded in the schema."""
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path)
+    D.add_check_constraint(path, "val_nonneg", "val >= 0")
+    assert D.table_protocol(path) == {"minReaderVersion": 1, "minWriterVersion": 3}
+    D.delete_from_delta(spark, path, "id = 5", mode="merge-on-read")
+    proto = D.table_protocol(path)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    for feat in ("appendOnly", "invariants", "checkConstraints", "deletionVectors"):
+        assert feat in proto["writerFeatures"], feat
+
+
+def test_column_invariants_enforced_on_write(spark, tmpdir):
+    """delta.invariants field metadata (the legacy writer-v2 feature this
+    engine claims in SUPPORTED_WRITER_FEATURES) is enforced on append."""
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path, n=10, files=1)
+    # plant an invariant in the schemaString the way delta-spark stores it
+    latest, meta, _ = D._read_log(path)
+    schema = json.loads(meta["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "val":
+            f["metadata"] = {
+                "delta.invariants": json.dumps(
+                    {"expression": {"expression": "val < 1000"}}
+                )
+            }
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    D._commit(
+        path,
+        latest + 1,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": new_meta},
+        ],
+    )
+    def row(i, v):
+        return spark.range(i, i + 1).select(
+            "id", (F.col("id") % 10).alias("grp"), F.lit(v).cast("long").alias("val")
+        )
+
+    D.write_delta(row(100, 500), path, append=True)
+    with pytest.raises(D.ConstraintViolationError, match="invariant_val"):
+        D.write_delta(row(101, 5000), path, append=True)
+
+
+def test_vacuum_reaps_orphaned_dv_staging_tmp(spark, tmpdir):
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path, n=100, files=1)
+    D.delete_from_delta(spark, path, "id = 1", mode="merge-on-read")
+    orphan = os.path.join(
+        path, ".deletion_vector_deadbeef.bin.deadbeef.tmp"
+    )
+    with open(orphan, "wb") as fh:
+        fh.write(b"\x01junk")
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
+    fresh = os.path.join(path, ".deletion_vector_cafebabe.bin.cafebabe.tmp")
+    with open(fresh, "wb") as fh:
+        fh.write(b"\x01junk")
+    D.vacuum_delta(path)
+    assert not os.path.exists(orphan)  # aged orphan reaped
+    assert os.path.exists(fresh)  # in-flight staging respected
+    assert D.read_delta(spark, path).count() == 99
+
+
+def test_dv_read_expands_positions_executor_side(spark, tmpdir):
+    """The scan path must never materialize a positions frame on the
+    driver: _scan_adds ships compressed blobs and expands in mapInPandas.
+    Pin it structurally (no pandas concat of positions in the plan build)
+    and behaviorally with a multi-million-position DV."""
+    path = os.path.join(tmpdir, "t")
+    n = 3_000_000
+    D.write_delta(spark.range(0, n).select("id"), path)
+    D.delete_from_delta(spark, path, "id % 2 = 0", mode="merge-on-read")
+    _, _, adds = D._read_log(path)
+    assert (
+        sum(a["deletionVector"]["cardinality"] for a in adds.values() if a.get("deletionVector"))
+        == n // 2
+    )
+    got = D.read_delta(spark, path)
+    # plan carries the mapInPandas expansion stage
+    assert "mapinpandas" in got._jdf.queryExecution().analyzed().toString().lower()
+    assert got.count() == n // 2
+    assert got.agg(F.min("id")).first()[0] == 1
