@@ -857,21 +857,43 @@ def _delete_target_files(
     return {r["file_path"] for r in rows}
 
 
-def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_entries: list[dict]) -> DataFrame:
-    """Drop rows addressed by position-delete files: one broadcast anti-join
-    on (file path, row position).  The delete set is metadata-sized (rows
-    deleted since the last compaction), so at cluster scale this stays a
-    map-side hash probe against the full scan — the read half of
-    merge-on-read."""
+# Delete frames up to this many rows broadcast for the MOR anti-joins;
+# bigger accumulated delete sets fall back to a shuffled join rather than
+# forcing an executor-memory-sized broadcast (same gate as the Delta
+# sink's DV_BROADCAST_MAX — the twin formats share the failure mode).
+# The estimate is metadata-only: manifest entries carry record_count.
+DELETE_BROADCAST_MAX = 4_000_000
+
+
+def _gated_broadcast(dels: DataFrame, entries: list[dict]) -> DataFrame:
+    """Broadcast the delete frame only when the manifests' record counts
+    say it fits; above the gate return it as-is so the anti-join plans as
+    a shuffled join (AQE picks the strategy).  A missing/zero record_count
+    (a foreign writer violating the spec's required field) counts as
+    unknown and disables the broadcast — the safe direction."""
     from pyspark.sql import functions as F
 
+    counts = [int(d.get("record_count") or 0) for d in entries]
+    if all(counts) and sum(counts) <= DELETE_BROADCAST_MAX:
+        return F.broadcast(dels)
+    return dels
+
+
+def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_entries: list[dict]) -> DataFrame:
+    """Drop rows addressed by position-delete files: one anti-join on
+    (file path, row position).  The delete set is metadata-sized (rows
+    deleted since the last compaction) and broadcasts below
+    DELETE_BROADCAST_MAX, so at cluster scale this stays a map-side hash
+    probe against the full scan — the read half of merge-on-read; an
+    over-threshold accumulated set degrades to a shuffled anti-join
+    instead of blowing the broadcast ceiling."""
     delete_entries = [d for d in delete_entries if d.get("content", 0) == 1]
     if not delete_entries:
         return scan
     del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
     dels = spark.read.schema(_POS_DELETE_SCHEMA).parquet(*del_files)
     return scan.join(
-        F.broadcast(dels),
+        _gated_broadcast(dels, delete_entries),
         (scan["__path"] == dels["file_path"]) & (scan["__pos"] == dels["pos"]),
         "left_anti",
     )
@@ -948,7 +970,13 @@ def _apply_eq_deletes(
         for c in cols:
             # null-safe: an equality delete with a NULL key matches NULL
             cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
-        out = out.join(F.broadcast(renamed), cond, "left_anti")
+        # "O(keys)" by design, but a streaming-upsert feed accumulates
+        # keys without bound between OPTIMIZE purges — gate the broadcast
+        # on the manifests' record counts like the position-delete path.
+        # The eqNullSafe conjuncts stay valid equi-keys for a shuffled
+        # sort-merge anti-join; the seq comparison rides as its extra
+        # condition.
+        out = out.join(_gated_broadcast(renamed, entries), cond, "left_anti")
     return out.drop("__fseq")
 
 
@@ -3271,6 +3299,11 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         return _scan_with_deletes(spark, path, schema, partitioned, files, delete_entries)
 
     keys = source.select(key).distinct()
+    if n_source_keys <= DELETE_BROADCAST_MAX:
+        # key-frame size is already known (n_source_keys) — broadcast the
+        # probe/anti-join side only when it fits; a huge batch upsert
+        # degrades to shuffled joins instead of an over-ceiling broadcast
+        keys = F.broadcast(keys)
     affected: set[str] = set()
     n_updated = 0
     if entries_live:
@@ -3325,7 +3358,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         probe = (
             (
                 scan(abs_files)
-                .join(F.broadcast(keys), key, "inner")
+                .join(keys, key, "inner")
                 .groupBy("__path")
                 .agg(F.countDistinct(key).alias("nk"))
                 .collect()
@@ -3348,7 +3381,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
 
     if affected:
         kept = scan(sorted(affected)).select(*schema.fieldNames()).join(
-            F.broadcast(keys), key, "left_anti"
+            keys, key, "left_anti"
         )
         rewritten = kept.unionByName(source)
     else:

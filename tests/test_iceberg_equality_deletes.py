@@ -200,3 +200,34 @@ def test_equality_delete_files_excluded_from_partition_prune(spark, tmpdir):
         "the key file as data"
     )
     assert all(r.v == r.id * 2.0 for r in rows)
+
+
+def test_eq_delete_broadcast_gated_and_never_bnlj(spark, tmpdir, monkeypatch):
+    """Equality deletes are O(keys) by design, but a streaming-upsert feed
+    accumulates keys without bound between OPTIMIZE purges — the key-frame
+    broadcast must gate on the manifests' record counts, and the shuffled
+    fallback must stay a hash/merge anti-join: the eqNullSafe key
+    conjuncts are equi-keys, the seq comparison an extra condition.  A
+    future Spark degrading this to BroadcastNestedLoopJoin fails here."""
+    path = os.path.join(tmpdir, "ice")
+    _table(spark, path)
+    IC.equality_delete_iceberg(
+        spark, path, spark.createDataFrame([(3,), (7,)], "id long")
+    )
+
+    def plans(df):
+        qe = df._jdf.queryExecution()
+        return qe.optimizedPlan().toString(), qe.executedPlan().toString()
+
+    under_log, under_phys = plans(IC.read_iceberg(spark, path))
+    assert "strategy=broadcast" in under_log
+    assert "BroadcastNestedLoopJoin" not in under_phys
+    monkeypatch.setattr(IC, "DELETE_BROADCAST_MAX", 0)
+    over = IC.read_iceberg(spark, path)
+    over_log, over_phys = plans(over)
+    # seq_map (file->seq, file-count-sized) legitimately keeps its hint;
+    # the anti-join delete-key side must have lost its
+    n_hints = over_log.count("strategy=broadcast")
+    assert n_hints < under_log.count("strategy=broadcast")
+    assert "BroadcastNestedLoopJoin" not in over_phys
+    assert over.count() == 98  # rows identical under either plan

@@ -777,3 +777,31 @@ def test_publish_branch_detects_midcall_mainline_commit(spark, tmpdir, monkeypat
     assert rows == list(range(0, 20))
     refs = IC._read_metadata(path)[1]["refs"]
     assert refs["audit"]["type"] == "branch"
+
+
+def test_pos_delete_broadcast_gated_by_record_count(spark, tmpdir, monkeypatch):
+    """The MOR read anti-join broadcasts the position-delete frame only
+    while the manifests' record counts fit DELETE_BROADCAST_MAX; an
+    over-threshold accumulated delete set plans a shuffled anti-join —
+    never an executor-memory-sized broadcast.  The estimate is
+    metadata-only (no delete file opened to decide)."""
+    path = os.path.join(tmpdir, "ice")
+    _two_file_table(spark, path)
+    IC.delete_from_iceberg(spark, path, "id % 5 = 0", strategy="merge-on-read")
+
+    def hinted(df):
+        # the gate manifests as an explicit broadcast hint on the delete
+        # side of the logical plan (Spark may still auto-broadcast tiny
+        # frames by its size threshold — that is size-aware and safe; the
+        # bug was HINTING an arbitrarily large frame past that threshold)
+        return "strategy=broadcast" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    under = IC.read_iceberg(spark, path)
+    assert hinted(under)
+    assert under.count() == 80
+    monkeypatch.setattr(IC, "DELETE_BROADCAST_MAX", 0)
+    over = IC.read_iceberg(spark, path)
+    assert not hinted(over)
+    p = over._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p  # equi keys keep it hash/merge
+    assert over.count() == 80  # same rows either way
