@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
                 sp.add_argument("--num-partitions", type=int, default=None)
                 sp.add_argument("--lower-bound", type=int, default=None)
                 sp.add_argument("--upper-bound", type=int, default=None)
+                sp.add_argument(
+                    "--pg-driver",
+                    choices=("auto", "jdbc", "wire"),
+                    default="auto",
+                    help="transport: Spark JDBC (needs the pgJDBC jar) or "
+                    "the pure-Python wire protocol; auto picks by "
+                    "classpath probe",
+                )
             if fmt in ("csv", "jsonl"):
                 sp.add_argument("--schema", default=None, help="DDL schema string (skips inference)")
             if fmt == "csv":
@@ -597,6 +605,7 @@ def do_main(argv: list[str]) -> None:
                 num_partitions=args.num_partitions,
                 batch_size=args.batch_size,
                 password=os.environ.get("PGPASSWORD"),
+                driver=args.pg_driver,
             )
         else:
             df = read_postgres_query(
@@ -605,6 +614,7 @@ def do_main(argv: list[str]) -> None:
                 args.query,
                 batch_size=args.batch_size,
                 password=os.environ.get("PGPASSWORD"),
+                driver=args.pg_driver,
             )
     elif fmt == "csv":
         df = read_csv_source(spark, args.source, schema=args.schema, delimiter=args.delimiter)

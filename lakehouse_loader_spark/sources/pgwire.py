@@ -1,0 +1,549 @@
+"""Pure-stdlib PostgreSQL wire-protocol source (frontend/backend protocol
+v3 + binary COPY), so the Postgres scan (SURVEY §2 R1, the reference's
+primary source — src/pg_arrow_source.rs) EXECUTES without a JDBC driver
+jar or any third-party Python driver.
+
+Everything here derives from the public PostgreSQL documentation:
+
+- message flow and framing: "Frontend/Backend Protocol" chapter
+  (postgresql.org/docs/current/protocol.html) — StartupMessage,
+  Parse/Describe/Sync for result-schema discovery (the same prepare step
+  the reference performs, pg_arrow_source.rs:220-236), simple Query for
+  the COPY subprotocol
+- auth: AuthenticationMD5Password and SASL SCRAM-SHA-256 (RFC 5802/7677;
+  hashlib.pbkdf2_hmac + hmac are stdlib)
+- COPY BINARY tuple format and per-type binary encodings: "COPY" SQL
+  reference, "Binary Format" — int/float big-endian, timestamps as
+  microseconds since 2000-01-01, NUMERIC as base-10000 digit groups
+
+Scale design: the driver connects ONCE to discover the result schema
+(Parse/Describe — zero data rows); data flows on EXECUTORS, each
+partition opening its own connection and streaming
+``COPY (…) TO STDOUT (FORMAT binary)`` in bounded-size pandas batches
+through mapInPandas — the same partition-predicate shape as Spark's JDBC
+source, so a 1000-executor cluster fans N server cursors out in
+parallel and no row ever transits the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+import socket
+import struct
+from base64 import b64decode, b64encode
+from dataclasses import dataclass
+from decimal import Decimal
+from urllib.parse import parse_qsl, unquote, urlparse
+
+# -- libpq URL parsing -------------------------------------------------------
+
+
+@dataclass
+class ConnParams:
+    host: str
+    port: int
+    user: str
+    password: str | None
+    database: str
+
+    def as_tuple(self):
+        return (self.host, self.port, self.user, self.password, self.database)
+
+
+def parse_libpq_url(
+    conn_url: str, user: str | None = None, password: str | None = None
+) -> ConnParams:
+    """postgresql://user:pw@host:port/db[?user=…&password=…] → ConnParams.
+    Credential precedence mirrors the JDBC path (sources/readers.py):
+    explicit argument > PGPASSWORD > URL."""
+    body = conn_url[len("jdbc:"):] if conn_url.startswith("jdbc:") else conn_url
+    parsed = urlparse(body)
+    if parsed.scheme not in ("postgresql", "postgres"):
+        raise ValueError(f"not a postgres connection url: {conn_url!r}")
+    q = dict(parse_qsl(parsed.query, keep_blank_values=True))
+    u = user or parsed.username or q.get("user") or os.environ.get("PGUSER") or "postgres"
+    pw = (
+        password
+        or os.environ.get("PGPASSWORD")
+        or (unquote(parsed.password) if parsed.password else None)
+        or q.get("password")
+    )
+    db = (parsed.path or "/").lstrip("/") or u
+    return ConnParams(parsed.hostname or "localhost", parsed.port or 5432, u, pw, db)
+
+
+# -- protocol plumbing -------------------------------------------------------
+
+
+class PgError(RuntimeError):
+    pass
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise PgError("server closed connection mid-message")
+        buf += chunk
+    return bytes(buf)
+
+
+def _read_msg(sock: socket.socket) -> tuple[bytes, bytes]:
+    head = _recv_exact(sock, 5)
+    typ, ln = head[:1], struct.unpack(">i", head[1:])[0]
+    return typ, _recv_exact(sock, ln - 4)
+
+
+def _msg(typ: bytes, payload: bytes) -> bytes:
+    return typ + struct.pack(">i", len(payload) + 4) + payload
+
+
+def _error_text(payload: bytes) -> str:
+    fields = {}
+    for part in payload.split(b"\x00"):
+        if part:
+            fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+    return f"{fields.get('S', 'ERROR')}: {fields.get('M', '?')} ({fields.get('C', '')})"
+
+
+def _scram_sha256(sock: socket.socket, user: str, password: str) -> None:
+    """SASL SCRAM-SHA-256 exchange (RFC 5802/7677) — the modern default
+    (password_encryption = scram-sha-256 since PostgreSQL 14)."""
+    nonce = b64encode(os.urandom(18)).decode()
+    first_bare = f"n=,r={nonce}"
+    init = b"SCRAM-SHA-256\x00" + struct.pack(">i", len(first_bare) + 3) + b"n,," + first_bare.encode()
+    sock.sendall(_msg(b"p", init))
+    typ, payload = _read_msg(sock)
+    if typ == b"E":
+        raise PgError(_error_text(payload))
+    assert typ == b"R" and struct.unpack(">i", payload[:4])[0] == 11, "expected SASLContinue"
+    server_first = payload[4:].decode()
+    attrs = dict(p.split("=", 1) for p in server_first.split(","))
+    combined, salt, iters = attrs["r"], b64decode(attrs["s"]), int(attrs["i"])
+    if not combined.startswith(nonce):
+        raise PgError("SCRAM server nonce does not extend client nonce")
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+    client_key = hmac.digest(salted, b"Client Key", "sha256")
+    stored_key = hashlib.sha256(client_key).digest()
+    final_wo_proof = f"c=biws,r={combined}"
+    auth_msg = f"{first_bare},{server_first},{final_wo_proof}".encode()
+    client_sig = hmac.digest(stored_key, auth_msg, "sha256")
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    final = f"{final_wo_proof},p={b64encode(proof).decode()}"
+    sock.sendall(_msg(b"p", final.encode()))
+    typ, payload = _read_msg(sock)
+    if typ == b"E":
+        raise PgError(_error_text(payload))
+    assert typ == b"R" and struct.unpack(">i", payload[:4])[0] == 12, "expected SASLFinal"
+    server_key = hmac.digest(salted, b"Server Key", "sha256")
+    expect = b64encode(hmac.digest(server_key, auth_msg, "sha256")).decode()
+    got = dict(p.split("=", 1) for p in payload[4:].decode().split(","))["v"]
+    if not hmac.compare_digest(expect, got):
+        raise PgError("SCRAM server signature mismatch (server does not know the password)")
+
+
+def connect(params: ConnParams, timeout: float = 30.0) -> socket.socket:
+    """Open + authenticate a session (trust, cleartext, md5, or
+    SCRAM-SHA-256), then drain parameter status through ReadyForQuery."""
+    sock = socket.create_connection((params.host, params.port), timeout=timeout)
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    kv = (
+        f"user\x00{params.user}\x00database\x00{params.database}\x00"
+        "client_encoding\x00UTF8\x00".encode()
+    )
+    startup = struct.pack(">ii", len(kv) + 9, 196608) + kv + b"\x00"  # proto 3.0
+    sock.sendall(startup)
+    while True:
+        typ, payload = _read_msg(sock)
+        if typ == b"E":
+            sock.close()
+            raise PgError(_error_text(payload))
+        if typ == b"R":
+            (code,) = struct.unpack(">i", payload[:4])
+            if code == 0:
+                continue  # AuthenticationOk
+            if code == 3:  # cleartext
+                if params.password is None:
+                    raise PgError("server demands a password; none provided")
+                sock.sendall(_msg(b"p", params.password.encode() + b"\x00"))
+            elif code == 5:  # md5
+                if params.password is None:
+                    raise PgError("server demands a password; none provided")
+                salt = payload[4:8]
+                inner = hashlib.md5(
+                    params.password.encode() + params.user.encode()
+                ).hexdigest()
+                outer = hashlib.md5(inner.encode() + salt).hexdigest()
+                sock.sendall(_msg(b"p", b"md5" + outer.encode() + b"\x00"))
+            elif code == 10:  # SASL
+                mechs = payload[4:].split(b"\x00")
+                if b"SCRAM-SHA-256" not in mechs:
+                    raise PgError(f"no supported SASL mechanism in {mechs}")
+                if params.password is None:
+                    raise PgError("server demands a password; none provided")
+                _scram_sha256(sock, params.user, params.password)
+            else:
+                raise PgError(f"unsupported authentication request {code}")
+        elif typ == b"Z":  # ReadyForQuery
+            return sock
+        # S (ParameterStatus), K (BackendKeyData), N (Notice) — ignore
+
+
+def describe_query(params: ConnParams, query: str) -> list[tuple[str, int, int]]:
+    """Result columns of ``query`` as (name, type_oid, typmod) WITHOUT
+    executing it: Parse the unnamed statement, Describe, Sync — the
+    reference's server-side prepare (pg_arrow_source.rs:220-236)."""
+    sock = connect(params)
+    try:
+        sock.sendall(
+            _msg(b"P", b"\x00" + query.encode() + b"\x00" + struct.pack(">h", 0))
+            + _msg(b"D", b"S\x00")
+            + _msg(b"S", b"")
+        )
+        fields: list[tuple[str, int, int]] | None = None
+        err = None
+        while True:
+            typ, payload = _read_msg(sock)
+            if typ == b"E":
+                err = _error_text(payload)
+            elif typ == b"T":  # RowDescription
+                (n,) = struct.unpack_from(">h", payload, 0)
+                p, out = 2, []
+                for _ in range(n):
+                    z = payload.index(b"\x00", p)
+                    name = payload[p:z].decode()
+                    # layout: tableOID i32, attnum i16, typeOID i32,
+                    # typlen i16, typmod i32, format i16 = 18 bytes
+                    _tab, _col, oid, _sz, typmod, _fmt = struct.unpack_from(
+                        ">ihihih", payload, z + 1
+                    )
+                    out.append((name, oid, typmod))
+                    p = z + 1 + 18
+                fields = out
+            elif typ == b"n":  # NoData — statement returns no rows
+                fields = []
+            elif typ == b"Z":
+                break
+        if err:
+            raise PgError(err)
+        if fields is None:
+            raise PgError("server sent no RowDescription")
+        return fields
+    finally:
+        sock.close()
+
+
+def copy_binary_chunks(sock: socket.socket, query: str):
+    """Send ``COPY (query) TO STDOUT (FORMAT binary)`` and yield raw
+    CopyData payloads until CopyDone; raises on server error."""
+    sql = f"COPY ({query}) TO STDOUT (FORMAT binary)"
+    sock.sendall(_msg(b"Q", sql.encode() + b"\x00"))
+    err = None
+    while True:
+        typ, payload = _read_msg(sock)
+        if typ == b"d":
+            yield payload
+        elif typ == b"E":
+            err = _error_text(payload)
+        elif typ == b"Z":
+            break
+        # H (CopyOutResponse), c (CopyDone), C (CommandComplete), N — skip
+    if err:
+        raise PgError(err)
+
+
+# -- binary COPY decoding ----------------------------------------------------
+
+_PG_EPOCH_DAYS = 10957  # 2000-01-01 relative to unix epoch
+_PG_EPOCH_US = 946_684_800_000_000
+
+
+def _decode_numeric(b: bytes) -> Decimal:
+    nd, weight, sign, dscale = struct.unpack_from(">hhHH", b, 0)
+    if sign == 0xC000:
+        return Decimal("NaN")
+    digits = struct.unpack_from(f">{nd}H", b, 8)
+    unscaled = 0
+    for d in digits:
+        unscaled = unscaled * 10000 + d
+    val = Decimal(unscaled).scaleb(4 * (weight + 1 - nd))
+    if sign == 0x4000:
+        val = -val
+    return val.quantize(Decimal(1).scaleb(-dscale)) if dscale or val == val.to_integral() else val
+
+
+def _field_decoder(oid: int):
+    """Binary-format decoder for one type OID → python value (pandas-ready)."""
+    if oid == 16:  # bool
+        return lambda b: b[0] == 1
+    if oid == 18:  # "char" — signed byte per the reference's mapping
+        return lambda b: b[0] - 256 if b[0] > 127 else b[0]
+    if oid == 21:
+        return lambda b: struct.unpack(">h", b)[0]
+    if oid == 23:
+        return lambda b: struct.unpack(">i", b)[0]
+    if oid == 20:
+        return lambda b: struct.unpack(">q", b)[0]
+    if oid == 700:
+        return lambda b: struct.unpack(">f", b)[0]
+    if oid == 701:
+        return lambda b: struct.unpack(">d", b)[0]
+    if oid in (1114, 1184):  # timestamp / timestamptz: µs since 2000-01-01
+
+        def ts(b):
+            (us,) = struct.unpack(">q", b)
+            if us in (0x7FFFFFFFFFFFFFFF, -0x8000000000000000):
+                raise PgError("infinity timestamp has no Spark representation")
+            return us + _PG_EPOCH_US  # unix µs; vectorized below
+
+        return ts
+    if oid == 1082:  # date: days since 2000-01-01
+
+        def date(b):
+            (d,) = struct.unpack(">i", b)
+            if d in (0x7FFFFFFF, -0x80000000):
+                raise PgError("infinity date has no Spark representation")
+            return d + _PG_EPOCH_DAYS
+
+        return date
+    if oid == 1700:
+        return _decode_numeric
+    if oid == 17:  # bytea
+        return bytes
+    if oid == 2950:  # uuid → canonical text
+        import uuid as _uuid
+
+        return lambda b: str(_uuid.UUID(bytes=bytes(b)))
+    if oid == 3802:  # jsonb: version byte + utf8
+        return lambda b: b[1:].decode()
+    # text, varchar, bpchar, name, json, xml, unknown-as-text
+    return lambda b: b.decode()
+
+
+def _spark_type(oid: int, typmod: int):
+    from pyspark.sql import types as T
+
+    if oid == 16:
+        return T.BooleanType()
+    if oid == 18:
+        return T.ByteType()
+    if oid == 21:
+        return T.ShortType()
+    if oid == 23:
+        return T.IntegerType()
+    if oid == 20:
+        return T.LongType()
+    if oid == 700:
+        return T.FloatType()
+    if oid == 701:
+        return T.DoubleType()
+    if oid == 1114:
+        return T.TimestampNTZType()
+    if oid == 1184:
+        return T.TimestampType()
+    if oid == 1082:
+        return T.DateType()
+    if oid == 1700:
+        if typmod >= 4:
+            m = typmod - 4
+            return T.DecimalType((m >> 16) & 0xFFFF, m & 0xFFFF)
+        return T.DecimalType(38, 18)  # unconstrained NUMERIC
+    if oid == 17:
+        return T.BinaryType()
+    return T.StringType()
+
+
+def schema_of(fields: list[tuple[str, int, int]]):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(n, _spark_type(oid, tm), True) for n, oid, tm in fields]
+    )
+
+
+def iter_copy_batches(
+    params: ConnParams,
+    query: str,
+    fields: list[tuple[str, int, int]],
+    batch_size: int,
+):
+    """Stream ``query`` via binary COPY, yielding pandas DataFrames of at
+    most ``batch_size`` rows — the executor-side row pump.  Memory is
+    bounded by one batch regardless of result size."""
+    import pandas as pd
+
+    decoders = [_field_decoder(oid) for _, oid, _ in fields]
+    names = [n for n, _, _ in fields]
+    oids = [oid for _, oid, _ in fields]
+    ncols = len(fields)
+
+    def finish(cols):
+        data = {}
+        for name, oid, vals in zip(names, oids, cols):
+            if oid == 1114:
+                data[name] = pd.to_datetime(
+                    pd.array(vals, dtype="Int64"), unit="us"
+                )
+            elif oid == 1184:
+                data[name] = pd.to_datetime(
+                    pd.array(vals, dtype="Int64"), unit="us", utc=True
+                )
+            elif oid == 1082:
+                data[name] = pd.to_datetime(
+                    pd.array(vals, dtype="Int64"), unit="D"
+                ).date
+            else:
+                data[name] = vals
+        return pd.DataFrame(data, columns=names)
+
+    sock = connect(params)
+    try:
+        buf = bytearray()
+        started = False
+        cols: list[list] = [[] for _ in range(ncols)]
+        n_rows = 0
+        done = False
+        chunks = copy_binary_chunks(sock, query)
+        while not done:
+            try:
+                buf += next(chunks)
+            except StopIteration:
+                done = True
+            if not started and len(buf) >= 19:
+                if bytes(buf[:11]) != b"PGCOPY\n\xff\r\n\x00":
+                    raise PgError("bad binary COPY signature")
+                del buf[:19]  # signature + flags + header-extension length
+                started = True
+            while started:
+                if len(buf) < 2:
+                    break
+                (nf,) = struct.unpack_from(">h", buf, 0)
+                if nf == -1:  # trailer
+                    del buf[:2]
+                    break
+                row_end = 2
+                ok = True
+                offs = []
+                for _ in range(nf):
+                    if len(buf) < row_end + 4:
+                        ok = False
+                        break
+                    (ln,) = struct.unpack_from(">i", buf, row_end)
+                    row_end += 4
+                    offs.append((row_end, ln))
+                    if ln > 0:
+                        row_end += ln
+                if not ok or len(buf) < row_end:
+                    break  # incomplete row — wait for more chunks
+                if nf != ncols:
+                    raise PgError(f"COPY row has {nf} fields, expected {ncols}")
+                for i, (off, ln) in enumerate(offs):
+                    cols[i].append(None if ln == -1 else decoders[i](bytes(buf[off:off + ln])))
+                del buf[:row_end]
+                n_rows += 1
+                if n_rows >= batch_size:
+                    yield finish(cols)
+                    cols = [[] for _ in range(ncols)]
+                    n_rows = 0
+        if n_rows:
+            yield finish(cols)
+    finally:
+        sock.close()
+
+
+# -- the Spark reader --------------------------------------------------------
+
+
+def partition_predicates(
+    params: ConnParams,
+    query: str,
+    partition_column: str,
+    num_partitions: int,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> list[str]:
+    """Range-stride predicates over an integral partition column (Spark's
+    JDBC partitioning shape): one server round-trip for min/max (skipped
+    when explicit bounds are given), then N half-open strides; NULLs ride
+    with the first.  The min/max query is index-only on a keyed column —
+    metadata-cost planning."""
+    if lower_bound is not None and upper_bound is not None:
+        lo, hi = int(lower_bound), int(upper_bound)
+    else:
+        fields = [("lo", 20, -1), ("hi", 20, -1)]
+        agg = (
+            f"SELECT min({partition_column})::int8, max({partition_column})::int8 "
+            f"FROM ({query}) __lhl_b"
+        )
+        batch = next(iter_copy_batches(params, agg, fields, 2), None)
+        if batch is None or batch["lo"].isna().all():
+            return ["TRUE"]  # empty result — one partition scans nothing
+        lo, hi = int(batch["lo"][0]), int(batch["hi"][0])
+    n = max(1, min(num_partitions, hi - lo + 1))
+    stride = (hi - lo + 1 + n - 1) // n
+    preds = []
+    for i in range(n):
+        a, b = lo + i * stride, lo + (i + 1) * stride
+        p = f"{partition_column} >= {a} AND {partition_column} < {b}"
+        if i == 0:
+            p = f"({p}) OR {partition_column} IS NULL"
+        if i == n - 1:
+            p = f"{partition_column} >= {a}"
+            if n == 1:
+                p = f"({p}) OR {partition_column} IS NULL"
+        preds.append(p)
+    return preds
+
+
+def read_postgres_wire(
+    spark,
+    conn_url: str,
+    query: str,
+    batch_size: int = 10_000,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """Postgres query → DataFrame over the wire protocol, no JDBC jar.
+
+    Driver work is metadata-only (Parse/Describe for the schema, plus one
+    min/max round-trip when partitioned); every data row is fetched
+    executor-side through mapInPandas in ``batch_size``-bounded pandas
+    batches.  With ``partition_column``/``num_partitions`` the read fans
+    out as N concurrent server cursors with range predicates — the same
+    contract as Spark's JDBC partitioning options."""
+    params = parse_libpq_url(conn_url, user=user, password=password)
+    fields = describe_query(params, query)
+    if not fields:
+        raise ValueError(f"query returns no columns: {query!r}")
+    schema = schema_of(fields)
+    if partition_column:
+        preds = partition_predicates(
+            params,
+            query,
+            partition_column,
+            num_partitions or spark.sparkContext.defaultParallelism,
+            lower_bound,
+            upper_bound,
+        )
+    else:
+        preds = ["TRUE"]
+    host, port, u, pw, db = params.as_tuple()
+    seed = spark.createDataFrame([(p,) for p in preds], "pred string").repartition(
+        len(preds)
+    )
+
+    def fetch(batches):
+        cp = ConnParams(host, port, u, pw, db)
+        for pdf in batches:
+            for pred in pdf["pred"]:
+                sub = f"SELECT * FROM ({query}) __lhl_q WHERE {pred}"
+                yield from iter_copy_batches(cp, sub, fields, batch_size)
+
+    return seed.mapInPandas(fetch, schema)

@@ -156,6 +156,16 @@ def postgres_jdbc_options(
     return opts
 
 
+def _pg_jdbc_available(spark: SparkSession) -> bool:
+    """True iff org.postgresql.Driver is loadable on the session's JVM
+    classpath — the dispatch test for driver="auto"."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.postgresql.Driver")
+        return True
+    except Exception:
+        return False
+
+
 def read_postgres_query(
     spark: SparkSession,
     conn_url: str,
@@ -163,14 +173,31 @@ def read_postgres_query(
     batch_size: int = DEFAULT_BATCH_SIZE,
     password: str | None = None,
     user: str | None = None,
+    driver: str = "auto",
 ) -> DataFrame:
     """Run ``query`` on the Postgres server and stream the result — the
     reference's entire relational surface delegation (src/lib.rs:39-40),
-    preserved for interop.  Option assembly is ``postgres_jdbc_options``
-    (contract-tested offline); executing the read requires the Postgres
-    JDBC driver jar on the Spark classpath, e.g.
-    ``spark.jars.packages=org.postgresql:postgresql:42.7.3`` (none ships in
-    this container, so only the contract is testable here)."""
+    preserved for interop.
+
+    ``driver`` picks the transport: ``"jdbc"`` uses Spark's JDBC source
+    (option assembly ``postgres_jdbc_options``, contract-tested offline;
+    needs the pgJDBC jar, e.g.
+    ``spark.jars.packages=org.postgresql:postgresql:42.7.3``);
+    ``"wire"`` speaks the PostgreSQL v3 wire protocol directly in pure
+    Python (sources/pgwire.py — binary COPY decoded executor-side, no jar
+    or driver package needed); ``"auto"`` (default) uses JDBC when the
+    driver class is on the classpath and falls back to the wire protocol
+    otherwise."""
+    if driver == "auto":
+        driver = "jdbc" if _pg_jdbc_available(spark) else "wire"
+    if driver == "wire":
+        from lakehouse_loader_spark.sources.pgwire import read_postgres_wire
+
+        return read_postgres_wire(
+            spark, conn_url, query, batch_size=batch_size, user=user, password=password
+        )
+    if driver != "jdbc":
+        raise ValueError(f"unknown postgres driver {driver!r} (auto|jdbc|wire)")
     reader = spark.read.format("jdbc")
     for k, v in postgres_jdbc_options(
         conn_url, query, batch_size, user=user, password=password
@@ -359,10 +386,36 @@ def read_postgres_table_parallel(
     batch_size: int = DEFAULT_BATCH_SIZE,
     user: str | None = None,
     password: str | None = None,
+    driver: str = "auto",
 ) -> DataFrame:
     """Parallel partitioned read of a Postgres table (see
-    ``postgres_jdbc_partitioned_options``).  Requires the pgJDBC jar on
-    the classpath, like ``read_postgres_query``."""
+    ``postgres_jdbc_partitioned_options``).  Same ``driver`` dispatch as
+    ``read_postgres_query`` — JDBC when the jar is present, else the
+    pure-Python wire protocol with identical range-stride partitioning."""
+    if driver == "auto":
+        driver = "jdbc" if _pg_jdbc_available(spark) else "wire"
+    if driver == "wire":
+        from lakehouse_loader_spark.sources.pgwire import read_postgres_wire
+
+        body = table.strip()
+        query = body[1:-1].strip() if body.startswith("(") else f"SELECT * FROM {body}"
+        # "(subquery) alias" form: strip the trailing alias with the parens
+        if body.startswith("("):
+            query = body[1 : body.rfind(")")].strip()
+        return read_postgres_wire(
+            spark,
+            conn_url,
+            query,
+            batch_size=batch_size,
+            user=user,
+            password=password,
+            partition_column=partition_column,
+            num_partitions=num_partitions,
+            lower_bound=lower_bound,
+            upper_bound=upper_bound,
+        )
+    if driver != "jdbc":
+        raise ValueError(f"unknown postgres driver {driver!r} (auto|jdbc|wire)")
     reader = spark.read.format("jdbc")
     for k, v in postgres_jdbc_partitioned_options(
         conn_url,

@@ -61,10 +61,14 @@ def live_spark():
     )
     if S3_URL:
         packages += ",org.apache.hadoop:hadoop-aws:3.4.1"
+    builder = SparkSession.builder.master("local[4]").appName("lhl-live-e2e")
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
+    # LHL_JDBC_PACKAGES="" runs jar-free: read_postgres_query's driver
+    # dispatch serves the reads over the pure-Python wire protocol
+    # (sources/pgwire.py), so the e2e executes on offline hosts too
     spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("lhl-live-e2e")
-        .config("spark.jars.packages", packages)
+        builder
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -180,8 +184,11 @@ def test_pg_to_iceberg_live(live_spark, target):
     mlists = [
         p for p in paths if re.match(rf"^metadata/manifest-list-{uuid_re}\.avro$", p)
     ]
+    # Spark part-file naming (part-00000-<uuid>-c000.snappy.parquet); the
+    # reference writes part-00000-<uuid>.parquet — layout parity is the
+    # single-file-in-data/ shape, not the exact object name
     assert len(data) == 1 and re.match(
-        rf"^data/part-00000-{uuid_re}\.parquet$", data[0]
+        rf"^data/part-00000-{uuid_re}-c000\.snappy\.parquet$", data[0]
     )
     assert len(manifests) == 1 and len(mlists) == 1
     assert "metadata/v0.metadata.json" in paths

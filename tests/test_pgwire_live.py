@@ -1,0 +1,299 @@
+"""EXECUTED Postgres-source proof (SURVEY §2 R1) — no docker, no JDBC jar:
+the suite provisions its own PostgreSQL server (initdb + pg_ctl, trust
+auth on a loopback port) and reads the t1 fixture (tests/pg-init/init.sql,
+mirroring the reference's tests/postgres-init-scripts/init-pg-data.sql and
+the value assertions of basic_integration.rs:220-427) through the
+pure-stdlib wire-protocol source (sources/pgwire.py).
+
+Skips only when no PostgreSQL server binaries exist on the host or the
+server cannot start (e.g. no non-root user available — postgres refuses
+to run as root by design)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sources import pgwire as W
+
+INIT_SQL = os.path.join(os.path.dirname(__file__), "pg-init", "init.sql")
+PG_USER = "pguser"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_as(user: str, cmd: str) -> subprocess.CompletedProcess:
+    if os.geteuid() == 0:
+        return subprocess.run(
+            ["su", user, "-s", "/bin/sh", "-c", cmd],
+            capture_output=True,
+            text=True,
+            cwd="/tmp",
+        )
+    return subprocess.run(
+        ["/bin/sh", "-c", cmd], capture_output=True, text=True, cwd="/tmp"
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_url():
+    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+        pytest.skip("no PostgreSQL server binaries on this host")
+    run_user = PG_USER
+    if os.geteuid() == 0:
+        import pwd
+
+        try:
+            pwd.getpwnam(PG_USER)
+        except KeyError:
+            if subprocess.run(["useradd", "-m", PG_USER], capture_output=True).returncode:
+                pytest.skip("cannot create a non-root user to run postgres")
+    else:
+        import getpass
+
+        run_user = getpass.getuser()
+    base = tempfile.mkdtemp(prefix="lhl_pgwire_")
+    os.chmod(base, 0o777)
+    data = os.path.join(base, "data")
+    port = _free_port()
+    r = _run_as(run_user, f"initdb -D {data} -A trust -U {run_user}")
+    if r.returncode:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    # demand SCRAM for one role so the auth exchange is actually exercised
+    hba = os.path.join(data, "pg_hba.conf")
+    with open(hba) as fh:
+        rules = fh.read()
+    with open(hba, "w") as fh:
+        fh.write("host all scramuser 127.0.0.1/32 scram-sha-256\n" + rules)
+    log = os.path.join(base, "pg.log")
+    r = _run_as(
+        run_user,
+        f"pg_ctl -D {data} -l {log} -o '-p {port} -k {base} "
+        f"-c listen_addresses=127.0.0.1' start",
+    )
+    if r.returncode:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    try:
+        url = f"postgresql://{run_user}@127.0.0.1:{port}/postgres"
+        params = W.parse_libpq_url(url)
+        sock = W.connect(params)
+        try:
+            with open(INIT_SQL) as fh:
+                sql = fh.read()
+            sock.sendall(W._msg(b"Q", sql.encode() + b"\x00"))
+            err = None
+            while True:
+                typ, payload = W._read_msg(sock)
+                if typ == b"E":
+                    err = W._error_text(payload)
+                if typ == b"Z":
+                    break
+            assert err is None, err
+            sock.sendall(
+                W._msg(
+                    b"Q",
+                    b"CREATE ROLE scramuser LOGIN PASSWORD 'wire-secret';\x00",
+                )
+            )
+            while W._read_msg(sock)[0] != b"Z":
+                pass
+        finally:
+            sock.close()
+        yield url
+    finally:
+        _run_as(run_user, f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+T1 = "select * from t1 order by id"
+
+
+def test_t1_schema_matches_reference_mapping(pg_url):
+    """The SURVEY §1 type contract, via a real server round-trip: the same
+    14-column mapping the offline golden test pins
+    (tests/test_types_roundtrip.py::T1_SCHEMA)."""
+    params = W.parse_libpq_url(pg_url)
+    schema = W.schema_of(W.describe_query(params, T1))
+    assert schema.simpleString() == (
+        "struct<id:bigint,cbool:boolean,cchar:tinyint,cint2:smallint,"
+        "cint4:int,cint8:bigint,cfloat4:float,cfloat8:double,"
+        "ctimestamp:timestamp_ntz,ctimestamptz:timestamp,cdate:date,"
+        "cnumeric:decimal(8,3),ctext:string,cbytea:binary"
+        ">"
+    )
+
+
+def test_t1_values_roundtrip_through_spark(spark, pg_url):
+    """Full read: 25,001 rows (all-NULL seed + 25k generated), value-level
+    checks of every type family against the generating formulas
+    (pg-init/init.sql), incl. the NUMERIC(8,3) edge cycle."""
+    df = W.read_postgres_wire(spark, pg_url, T1).cache()
+    try:
+        assert df.count() == 25_001
+        nulls = df.filter("ctext IS NULL").collect()
+        assert len(nulls) == 1 and nulls[0].id == 1
+        assert all(v is None for k, v in nulls[0].asDict().items() if k != "id")
+        r = df.filter("id = 2").collect()[0]  # g=1
+        assert r.cbool is False and r.cchar == 66  # chr(65+1)='B'
+        assert r.cint2 == -32767 and r.cint4 == 7919 - 100_000_000
+        assert r.cint8 == 1_000_003 - 4_000_000_000
+        assert abs(r.cfloat4 - (-1 / 3)) < 1e-6
+        assert abs(r.cfloat8 - (-1 / 7)) < 1e-12
+        assert r.ctimestamp == dt.datetime(2000, 1, 1, 0, 1)
+        assert r.cdate == dt.date(2000, 1, 2)
+        assert r.cnumeric == Decimal("0.001")
+        assert r.ctext == "row-1" and r.cbytea == (1).to_bytes(4, "big")
+        # numeric edge cycle: g%5 -> {0, .001, -.001, 99999.999, -99999.999}
+        got = {
+            x.id: x.cnumeric
+            for x in df.filter("id between 2 and 6").collect()
+        }
+        assert got == {
+            2: Decimal("0.001"),
+            3: Decimal("-0.001"),
+            4: Decimal("99999.999"),
+            5: Decimal("-99999.999"),
+            6: Decimal("0.000"),
+        }
+        # aggregate cross-check against the closed forms
+        agg = df.agg(
+            F.sum("cint8").alias("s8"),
+            F.max("cdate").alias("maxd"),
+            F.min("ctimestamp").alias("mints"),
+        ).collect()[0]
+        n = 25_000
+        assert agg.s8 == 1_000_003 * n * (n + 1) // 2 - 4_000_000_000 * n
+        assert agg.mints == dt.datetime(2000, 1, 1, 0, 1)
+    finally:
+        df.unpersist()
+
+
+def test_partitioned_read_fans_out_and_loses_nothing(spark, pg_url):
+    """Range-stride partitioning (the Spark-JDBC shape): N independent
+    server cursors, union == the unpartitioned result, NULL keys kept."""
+    df = W.read_postgres_wire(
+        spark, pg_url, "select id, cint4 from t1", partition_column="id", num_partitions=8
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 25_001
+    assert df.select("id").distinct().count() == 25_001
+    # explicit bounds skip the min/max round-trip, rows still complete
+    df2 = W.read_postgres_wire(
+        spark,
+        pg_url,
+        "select id, cint4 from t1",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=1,
+        upper_bound=25_001,
+    )
+    assert df2.count() == 25_001
+
+
+def test_batch_size_bounds_executor_memory_not_results(spark, pg_url):
+    got = (
+        W.read_postgres_wire(spark, pg_url, "select id from t1", batch_size=997)
+        .agg(F.sum("id"))
+        .collect()[0][0]
+    )
+    assert got == 25_001 * 25_002 // 2
+
+
+def test_scram_sha256_auth_and_rejection(pg_url):
+    """The SASL SCRAM-SHA-256 exchange (RFC 5802/7677) against a role the
+    server demands it for — and the wrong password fails loudly."""
+    base = W.parse_libpq_url(pg_url)
+    ok = W.ConnParams(base.host, base.port, "scramuser", "wire-secret", base.database)
+    sock = W.connect(ok)
+    sock.close()
+    bad = W.ConnParams(base.host, base.port, "scramuser", "nope", base.database)
+    with pytest.raises(W.PgError):
+        W.connect(bad)
+
+
+def test_server_errors_fail_loudly(spark, pg_url):
+    params = W.parse_libpq_url(pg_url)
+    with pytest.raises(W.PgError, match="does not exist"):
+        W.describe_query(params, "select * from no_such_table")
+    # error mid-COPY (after the plan, during execution) also surfaces
+    with pytest.raises(Exception, match="division by zero"):
+        W.read_postgres_wire(spark, pg_url, "select 1/0 as boom from t1").collect()
+
+
+def test_read_postgres_query_auto_falls_back_to_wire(spark, pg_url):
+    """driver="auto" with no pgJDBC jar on the classpath (this container)
+    must transparently serve the query over the wire protocol — the
+    reference CLI's `-q` delegation path, executed."""
+    from lakehouse_loader_spark.sources.readers import read_postgres_query
+
+    df = read_postgres_query(spark, pg_url, "select count(*) as n from t1")
+    assert df.collect()[0].n == 25_001
+
+
+def test_pg_to_delta_e2e_wire(spark, pg_url, tmpdir):
+    """The reference's test_pg_to_delta_e2e (basic_integration.rs:19-61)
+    without docker: pg -> delta, two-commit log layout, read-back count."""
+    import glob
+    import re
+
+    from lakehouse_loader_spark.sinks.delta import read_delta, write_delta
+    from lakehouse_loader_spark.sources.readers import read_postgres_query
+
+    df = read_postgres_query(spark, pg_url, T1)
+    target = os.path.join(tmpdir, "t1_delta")
+    write_delta(df.coalesce(1), target)
+    logs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(target, "_delta_log", "*.json"))
+    )
+    assert logs == [
+        "00000000000000000000.json",
+        "00000000000000000001.json",
+    ]
+    parts = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(target, "*.parquet"))
+    ]
+    assert len(parts) == 1 and re.match(r"^part-00000-.*\.snappy\.parquet$", parts[0])
+    back = read_delta(spark, target)
+    assert back.count() == 25_001
+    assert back.schema == df.schema
+
+
+def test_pg_to_iceberg_e2e_wire(spark, pg_url, tmpdir):
+    """The reference's test_pg_to_iceberg (basic_integration.rs:67-121)
+    without docker: single snapshot, sequence 1, read-back parity."""
+    from lakehouse_loader_spark.sinks.iceberg import (
+        read_iceberg,
+        snapshot_sequence_numbers,
+        write_iceberg,
+    )
+    from lakehouse_loader_spark.sources.readers import read_postgres_query
+
+    df = read_postgres_query(
+        spark, pg_url, "select cint4, cint8, ctext, cbool from t1 order by id"
+    )
+    target = os.path.join(tmpdir, "t1_ice")
+    write_iceberg(df.coalesce(1), target)
+    assert snapshot_sequence_numbers(target) == [1]
+    back = read_iceberg(spark, target)
+    assert back.count() == 25_001
+    assert dict(back.dtypes) == {
+        "cint4": "int",
+        "cint8": "bigint",
+        "ctext": "string",
+        "cbool": "boolean",
+    }
