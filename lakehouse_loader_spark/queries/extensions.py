@@ -2032,6 +2032,83 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_stateful_v2_parity",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def streaming_stateful_v2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas operator (streaming/events.py:
+    stateful_type_histogram — Spark 4's arbitrary-state API: typed
+    MapState per key, per-entry batch IO) through the driver gate.  Where
+    its runtime dependencies are absent (the protobuf state-server
+    protocol isn't shipped in every container) the query runs the
+    applyInPandasWithState twin computing the IDENTICAL per-(user, type)
+    running histogram, so the SAME oracle checks whichever operator the
+    environment can execute — and flips to the v2 operator automatically
+    when the dependency appears.  Convergence contract as
+    streaming_stateful_parity: counts grow monotonically per batch, so
+    max n_events per key pair is the final state."""
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        stateful_type_histogram,
+        stateful_type_histogram_fallback,
+        transformwithstate_runtime_available,
+    )
+
+    staged = _staged_event_files(
+        spark, sf_dir, "stateful", lambda ev: ev.repartition(4)
+    )
+    stream = read_event_stream(spark, staged, max_files_per_trigger=2)
+    use_v2 = transformwithstate_runtime_available()
+    sink = f"sstate2_{_uuid.uuid4().hex[:8]}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(prov_key, None)
+    try:
+        if use_v2:
+            # transformWithState is only implemented on the RocksDB store
+            spark.conf.set(
+                prov_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            out = stateful_type_histogram(stream)
+        else:
+            out = stateful_type_histogram_fallback(stream)
+        q = (
+            out.writeStream.trigger(availableNow=True)
+            .outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prior is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prior)
+    updates = spark.table(sink)
+    return (
+        updates.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("tv"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            F.round("tv", 4).alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: semantic dedup within precomputed clusters (Abbas et al. 2023)
 # --------------------------------------------------------------------------

@@ -170,6 +170,59 @@ def stateful_type_histogram(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_type_histogram_fallback(stream: DataFrame) -> DataFrame:
+    """The applyInPandasWithState twin of ``stateful_type_histogram`` —
+    SAME computation (running per-(user, event_type) count/value totals,
+    update mode), expressed on the Spark 3-era arbitrary-state API so the
+    semantics are executable where transformWithStateInPandas's runtime
+    dependencies (protobuf state-server protocol + RocksDB provider) are
+    absent.  State is keyed per (user, type) PAIR here, so each batch
+    still only round-trips the entries it touches — the per-entry-IO
+    property the v2 MapState gives within a user key.  The driver query
+    streaming_stateful_v2_parity runs whichever of the two the
+    environment supports; both converge to the batch GROUP BY."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, event_type STRING, n_events BIGINT, total_value DOUBLE"
+        ),
+        stateStructType="n_events BIGINT, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transformwithstate_runtime_available() -> bool:
+    """True iff this environment can EXECUTE transformWithStateInPandas:
+    the operator's state-server protocol needs the protobuf package (not
+    shipped everywhere; the RocksDB provider rides with Spark 4)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def session_window_agg(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

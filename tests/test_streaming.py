@@ -619,3 +619,64 @@ def test_transformwithstate_type_histogram_converges(spark, tmpdir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_v2_fallback_twin_matches_batch_groupby(spark, tmpdir):
+    """stateful_type_histogram_fallback (the applyInPandasWithState twin
+    that streaming_stateful_v2_parity runs where transformWithState's
+    protobuf dependency is absent) converges to the batch GROUP BY on the
+    same per-(user, type) histogram — the same contract the v2 operator's
+    protobuf-gated parity test pins."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        stateful_type_histogram_fallback,
+        transformwithstate_runtime_available,
+    )
+
+    df = (
+        spark.range(0, 3000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            (F.col("id") % 7).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+                "event_type"
+            ),
+            (F.col("id") * 0.5).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .repartition(4)
+    )
+    staged = os.path.join(tmpdir, "ev")
+    df.write.parquet(staged)
+    sink = f"v2fb_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_type_histogram_fallback(
+            read_event_stream(spark, staged, max_files_per_trigger=1)
+        )
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table(sink)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"), F.max_by("total_value", "n_events").alias("total_value"))
+    )
+    want = df.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    got = got.select("user_id", "event_type", "n_events", "total_value")
+    want = want.select("user_id", "event_type", "n_events", "total_value")
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0
+    # document which path the driver query would take in THIS container
+    assert isinstance(transformwithstate_runtime_available(), bool)
