@@ -1,0 +1,611 @@
+"""Baseline JPEG (JFIF) codec in pure numpy — no codec library.
+
+Everything here derives from the public ITU-T T.81 spec (the JPEG
+standard) and the JFIF container note: marker layout, the Annex K
+example quantization/Huffman tables, zig-zag order, byte stuffing,
+restart markers, and the BT.601 YCbCr transform.  The reference treats
+image payloads as an opaque binary column and never decodes them; this
+codec is what promotes real-corpus JPEG payloads out of the byte-stats
+fallback tier (operators/media_codec.py, the r7 PNG precedent).
+
+Scope: sequential baseline DCT (SOF0), 8-bit samples, 1 or 3
+components, Huffman entropy coding, chroma subsampling factors 1 or 2
+(4:4:4 and 4:2:0), DRI/RSTn restart markers.  Progressive (SOF2),
+arithmetic coding and 12-bit precision raise loudly — callers fall
+back to byte statistics rather than misdecoding.
+
+Performance shape: the entropy scan is a sequential bit stream (that is
+inherent to Huffman), decoded symbol-at-a-time against O(1) lookup
+tables; everything block-shaped — FDCT/IDCT, quantization, level
+shift, color transform — is batched numpy linear algebra over all
+blocks at once.  At pipeline scale each payload decodes inside an
+Arrow-batched mapInPandas task (operators/multimodal.py), so the
+per-image Python cost parallelizes across executors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- constants from the public spec -----------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K example tables (T.81 Tables K.1/K.2 quant, K.3-K.6 Huffman)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal DCT-II matrix: FDCT = C @ B @ C.T, IDCT = C.T @ X @ C
+_k = np.arange(8)
+_DCT = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.sqrt(0.25)
+_DCT[0] /= np.sqrt(2)
+
+
+def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-convention quality scaling of the Annex K tables: 50 = as
+    published, 100 = all ones (near-lossless)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for t in (QUANT_LUMA, QUANT_CHROMA):
+        q = (t * scale + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    y, cb, cr = (px[..., i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) padded plane (multiples of 8) → (n_blocks, 8, 8) in raster
+    block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (
+        blocks.reshape(h8 // 8, w8 // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w8)
+    )
+
+
+def _pad_to_multiple(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = (-h) % mh, (-w) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+# -- Huffman machinery -------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by the canonical T.81 assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """v → (size, amplitude bits) per the T.81 DC/AC magnitude coding."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+class _BitReader:
+    """MSB-first reader over the de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def peek16(self) -> int:
+        while self.n < 16 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        return (self.acc << (16 - self.n)) & 0xFFFF
+
+
+class _HuffTable:
+    """16-bit peek lookup: sym[peek] / ln[peek] numpy arrays — O(1) per
+    symbol, the classic fast-JPEG decode structure."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.sym = np.zeros(1 << 16, dtype=np.int16)
+        self.ln = np.zeros(1 << 16, dtype=np.int8)
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                lo = code << (16 - ln)
+                hi = (code + 1) << (16 - ln)
+                self.sym[lo:hi] = vals[k]
+                self.ln[lo:hi] = ln
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        p = br.peek16()
+        ln = int(self.ln[p])
+        if ln == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        br.read(ln)
+        return int(self.sym[p])
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# -- encoder -----------------------------------------------------------------
+
+
+def _encode_plane_blocks(
+    blocks: np.ndarray, qtable: np.ndarray
+) -> np.ndarray:
+    """(N,8,8) spatial → (N,64) zig-zag quantized coefficients (all blocks
+    in one matmul)."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = _DCT @ shifted @ _DCT.T
+    q = np.round(coef.reshape(-1, 64) / qtable[_UNZIGZAG][None, :].astype(np.float64))
+    return q.reshape(-1, 64)[:, ZIGZAG].astype(np.int64)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 100, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) RGB or (H, W) grayscale uint8 → baseline JFIF bytes.
+    ``subsample`` emits 4:2:0 (2x2 chroma factors); default 4:4:4."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"unencodable dimensions {h}x{w}")
+    ql, qc = quant_tables(quality)
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        ycc = rgb_to_ycbcr(pixels)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            cb = _pad_to_multiple(cb, 2, 2).reshape(
+                (h + 1) // 2, 2, (w + 1) // 2, 2
+            ).mean(axis=(1, 3))
+            cr = _pad_to_multiple(cr, 2, 2).reshape(
+                (h + 1) // 2, 2, (w + 1) // 2, 2
+            ).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # per-plane zig-zag coefficient arrays, blocks in raster order; each
+    # plane pads (edge-replicate) to its MCU-grid coverage: the grid is
+    # ceil over 8*hmax x 8*vmax luma samples, a component covers
+    # (mcus_y*sv x mcus_x*sh) blocks
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs, bw_blocks = [], []
+    for p, (sh, sv) in zip(planes, samp):
+        ph = -(-h * sv // vmax)  # this plane's true sample dims (ceil)
+        pw = -(-w * sh // hmax)
+        need_h, need_w = mcus_y * sv * 8, mcus_x * sh * 8
+        full = np.pad(
+            p[:ph, :pw],
+            ((0, need_h - ph), (0, need_w - pw)),
+            mode="edge",
+        )
+        q = ql if (qsel[len(coefs)] == 0) else qc
+        coefs.append(_encode_plane_blocks(_to_blocks(full), q))
+        bw_blocks.append((need_h // 8, need_w // 8))
+    # entropy-code the interleaved MCU scan
+    dc_tabs = [
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_tabs = [
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    bwr = _BitWriter()
+    pred = [0] * len(planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                tsel = 0 if ci == 0 else 1
+                dct, act = dc_tabs[tsel], ac_tabs[tsel]
+                _, bwidth = bw_blocks[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coefs[ci][(my * sv + by) * bwidth + (mx * sh + bx)]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        size, bits = _magnitude(diff)
+                        code, ln = dct[size]
+                        bwr.write(code, ln)
+                        if size:
+                            bwr.write(bits, size)
+                        run = 0
+                        nz = np.flatnonzero(blk[1:])
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = act[0xF0]  # ZRL
+                                bwr.write(code, ln)
+                                run -= 16
+                            size, bits = _magnitude(v)
+                            code, ln = act[(run << 4) | size]
+                            bwr.write(code, ln)
+                            bwr.write(bits, size)
+                            run = 0
+                        if last < 63:
+                            code, ln = act[0x00]  # EOB
+                            bwr.write(code, ln)
+    scan = bwr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, ql), (1, qc)) if not gray else ((0, ql),):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in q
+        )
+    nc = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + sof
+    huffs = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if not gray:
+        huffs += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in huffs:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + sos + scan + b"\xff\xd9"
+    return bytes(out)
+
+
+# -- decoder -----------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JFIF bytes → {'pixels': (H,W,3)|(H,W) uint8, 'width',
+    'height', 'n_channels'}.  Raises ValueError on anything outside the
+    baseline subset (progressive, arithmetic, 12-bit) — callers treat
+    that as the byte-stats tier, never a wrong image."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    p = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while p < n:
+        if payload[p] != 0xFF:
+            raise ValueError(f"expected marker at byte {p}")
+        marker = payload[p + 1]
+        p += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", payload, p)
+        seg = payload[p + 2 : p + seglen]
+        p += seglen
+        if marker == 0xDB:  # DQT
+            q = 0
+            while q < len(seg):
+                prec, tid = seg[q] >> 4, seg[q] & 0x0F
+                q += 1
+                if prec == 0:
+                    qtables[tid] = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=q
+                    ).astype(np.int64)
+                    q += 64
+                else:
+                    qtables[tid] = np.frombuffer(
+                        seg, dtype=">u2", count=64, offset=q
+                    ).astype(np.int64)
+                    q += 128
+        elif marker == 0xC4:  # DHT
+            q = 0
+            while q < len(seg):
+                tc, th = seg[q] >> 4, seg[q] & 0x0F
+                q += 1
+                bits = list(seg[q : q + 16])
+                q += 16
+                nv = sum(bits)
+                vals = list(seg[q : q + nv])
+                q += nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, fh, fw, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02x}); "
+                "only sequential baseline Huffman is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scomps.append((comp, tt >> 4, tt & 0x0F))
+            # find the entropy segment end: next non-RST marker
+            q = p
+            while q < n - 1:
+                if payload[q] == 0xFF and payload[q + 1] not in (0x00,) and not (
+                    0xD0 <= payload[q + 1] <= 0xD7
+                ):
+                    break
+                q += 1
+            entropy = payload[p:q]
+            p = q
+            return _decode_scan(
+                frame, scomps, qtables, huff_dc, huff_ac, entropy, restart_interval
+            )
+        # APPn/COM and others: skip
+    raise ValueError("no SOS scan in JPEG stream")
+
+
+def _decode_scan(
+    frame, scomps, qtables, huff_dc, huff_ac, entropy: bytes, restart_interval: int
+) -> dict:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # coefficient store per component
+    store = []
+    for comp, _, _ in scomps:
+        bw = mcus_x * comp["h"]
+        bh = mcus_y * comp["v"]
+        store.append(np.zeros((bh * bw, 64), dtype=np.int64))
+    # split entropy data on restart markers, de-stuff each segment
+    segments = []
+    if restart_interval:
+        seg = bytearray()
+        i = 0
+        while i < len(entropy):
+            b = entropy[i]
+            if b == 0xFF and i + 1 < len(entropy):
+                nxt = entropy[i + 1]
+                if nxt == 0x00:
+                    seg.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(seg))
+                    seg = bytearray()
+                    i += 2
+                    continue
+            seg.append(b)
+            i += 1
+        segments.append(bytes(seg))
+    else:
+        segments = [entropy.replace(b"\xff\x00", b"\xff")]
+    mcu_index = 0
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    pred = [0] * len(scomps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                br = _BitReader(next(seg_iter))
+                pred = [0] * len(scomps)
+            for ci, (comp, td, ta) in enumerate(scomps):
+                dct, act = huff_dc[td], huff_ac[ta]
+                bw = mcus_x * comp["h"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = store[ci][
+                            (my * comp["v"] + by) * bw + (mx * comp["h"] + bx)
+                        ]
+                        size = dct.decode(br)
+                        diff = _extend(br.read(size), size) if size else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.read(s), s)
+                            k += 1
+            mcu_index += 1
+    # dequantize + IDCT, all blocks per component at once
+    planes = []
+    for ci, (comp, _, _) in enumerate(scomps):
+        q = qtables[comp["tq"]]
+        coef = (store[ci] * q[None, :]).astype(np.float64)
+        spatial = coef[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = _DCT.T @ spatial @ _DCT + 128.0
+        bw = mcus_x * comp["h"]
+        bh = mcus_y * comp["v"]
+        plane = _from_blocks(blocks, bh * 8, bw * 8)
+        # upsample to full resolution by sample-factor replication
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        px = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return {"format": "jpeg", "pixels": px, "width": w, "height": h, "n_channels": 1}
+    px = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return {"format": "jpeg", "pixels": px, "width": w, "height": h, "n_channels": 3}

@@ -384,13 +384,15 @@ def sniff_format(payload: bytes | None) -> str:
         return "bmp"
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "opaque"
 
 
 # single-sourced dispatch contract (r7 review): every decoder stage keys on
 # these — a new image format or decoder exception type is added HERE once,
 # not per consumer
-IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png")
+IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png", "jpeg")
 DECODE_ERRORS = (ValueError, struct.error, zlib.error)
 
 
@@ -404,6 +406,10 @@ def decode_image(payload: bytes, kind: str | None = None) -> dict:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        from lakehouse_loader_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"not a decodable image format: {kind}")
 
 

@@ -9,14 +9,16 @@ typed metadata struct, with decode/feature-extraction as Arrow-batched
 
 Two decode tiers:
 
-* REAL codecs (operators/media_codec.py): WAV (RIFF/PCM), PPM/PGM, and
-  uncompressed 24-bit BMP decode genuinely with numpy — no media
-  libraries needed.  ``decode_media_features`` / ``resize_media_features``
-  run these end-to-end (and are oracle-checked via deterministic
-  synthesized media whose decoded fields SQL can recompute).
+* REAL codecs (operators/media_codec.py + operators/jpeg.py): WAV
+  (RIFF/PCM), PPM/PGM, uncompressed 24-bit BMP, PNG (r7) and baseline
+  JPEG (r8) decode genuinely with numpy — no media libraries needed.
+  ``decode_media_features`` / ``resize_media_features`` run these
+  end-to-end (oracle-checked via deterministic synthesized media whose
+  decoded fields SQL can recompute — exactly for the lossless formats,
+  within measured tolerance for JPEG).
 * The byte-statistics path (``_decode_stub`` / ``_resize_stub``) remains
-  for OPAQUE payloads — compressed formats (JPEG/MP3/H.264) need codec
-  libraries the container doesn't ship; production swaps in PIL/ffmpeg
+  for OPAQUE payloads — formats still out of scope (MP3/H.264,
+  progressive JPEG) degrade there; production swaps in PIL/ffmpeg
   behind the same mapInPandas signatures.
 """
 
@@ -232,10 +234,49 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=schema)
 
 
+def synthesize_media_jpeg(
+    df: DataFrame, id_col: str = "doc_id", quality: int = 100
+) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per row — the SAME modular
+    pixel ramp as ``synth_payload``'s image rows (width 8+id%9, height
+    6+id%5), encoded through the pure-numpy codec (operators/jpeg.py) at
+    near-lossless q100.  JPEG is lossy, so its driver oracle checks exact
+    header fields plus WITHIN-TOLERANCE stat flags (the r7 bounded-oracle
+    pattern) instead of exact pixel statistics."""
+    import numpy as np
+
+    from lakehouse_loader_spark.operators.jpeg import encode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def one(doc_id: int) -> bytes:
+        w, h = 8 + doc_id % 9, 6 + doc_id % 5
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        px = ((x * 7 + y * 11 + c * 5 + doc_id * 3) % 251).astype(np.uint8)
+        return encode_jpeg(px, quality=quality)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids.values, "payload": [one(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=schema)
+
+
 def decode_media_features(df: DataFrame) -> DataFrame:
-    """REAL decode stage: sniff + parse WAV/PPM/PGM/BMP per payload
-    (numpy, executor-side); opaque/compressed payloads degrade to byte
-    statistics with media_format='opaque' instead of failing the task."""
+    """REAL decode stage: sniff + parse WAV/PPM/PGM/BMP/PNG/baseline-JPEG
+    per payload (numpy, executor-side); opaque/undecodable payloads
+    degrade to byte statistics with media_format='opaque' instead of
+    failing the task."""
     from lakehouse_loader_spark.operators import media_codec as MC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -563,13 +563,76 @@ def multimodal_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     zlib framing precisely so the SQL side can — a PNG's byte_len is the
     closed form 68 + h·(1+3w)), which makes the decoders driver-hash-
     checked: a mis-parsed header, sample buffer or unfilter pass shows up
-    as a red row.  Formats needing external codec libraries (JPEG/MP3)
-    remain out of scope — they degrade to media_format='opaque' rather
-    than failing (decode_media never raises)."""
+    as a red row.  Baseline JPEG decodes for real too (r8,
+    operators/jpeg.py — lossy, so its oracle is the separate bounded
+    multimodal_decode_jpeg); MP3 and progressive JPEG degrade to
+    media_format='opaque' rather than failing (decode_media never
+    raises)."""
     from lakehouse_loader_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_media_features(M.synthesize_media(docs))
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS media_format,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(6 + doc_id % 5 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           TRUE AS mean_within_tol,
+           TRUE AS peak_within_tol
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG through the driver gate: every document gets a REAL
+    JFIF payload (operators/jpeg.py encoder, q100) carrying the standard
+    modular pixel ramp, then the pure-numpy decoder (marker parse,
+    Huffman entropy decode, dequant, IDCT, YCbCr→RGB) recovers header
+    fields EXACTLY and pixel statistics within the codec's measured
+    round-trip bound.  Lossy format ⇒ bounded oracle (the r7 pattern the
+    ANN/kmeans queries use): width/height/channels hash-compare exactly;
+    mean/peak compare as within-tolerance flags against the closed-form
+    ramp statistics recomputed IN-PLAN from sequence()/aggregate() —
+    tolerances (0.5 mean / 4 peak) are 4x the worst error measured over
+    a 2,250-draw parameter scan (tests/test_media_codec.py pins the
+    per-pixel bound).  A header mis-parse, wrong Huffman table, IDCT
+    error or channel swap flips a flag or a header column and the row
+    goes red."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = M.decode_media_features(M.synthesize_media_jpeg(docs))
+    exp = (
+        "aggregate(flatten(transform(sequence(0, int(width) - 1), x -> "
+        "flatten(transform(sequence(0, int(height) - 1), y -> "
+        "transform(sequence(0, 2), c -> "
+        "CAST((x * 7 + y * 11 + c * 5 + doc_id * 3) % 251 AS DOUBLE)))))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v, acc -> acc)"
+    )
+    peak = (
+        "array_max(flatten(transform(sequence(0, int(width) - 1), x -> "
+        "flatten(transform(sequence(0, int(height) - 1), y -> "
+        "transform(sequence(0, 2), c -> "
+        "CAST((x * 7 + y * 11 + c * 5 + doc_id * 3) % 251 AS DOUBLE)))))))"
+    )
+    return decoded.select(
+        "doc_id",
+        "media_format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        (
+            F.abs(F.col("mean_value") - F.expr(exp) / (F.col("width") * F.col("height") * 3))
+            <= F.lit(0.5)
+        ).alias("mean_within_tol"),
+        (F.abs(F.col("peak_value") - F.expr(peak)) <= F.lit(4.0)).alias(
+            "peak_within_tol"
+        ),
+    )
 
 
 @query(
