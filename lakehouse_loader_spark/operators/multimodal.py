@@ -269,7 +269,11 @@ def synthesize_media_jpeg(
                 {"doc_id": ids.values, "payload": [one(int(i)) for i in ids]}
             )
 
-    return df.select(id_col).mapInPandas(run, schema=schema)
+    # the id column usually scans from one parquet file = one partition;
+    # fan the per-row encode work across the cluster before mapInPandas
+    seed = df.select(id_col)
+    width = seed.sparkSession.sparkContext.defaultParallelism
+    return seed.repartition(width).mapInPandas(run, schema=schema)
 
 
 def decode_media_features(df: DataFrame) -> DataFrame:
