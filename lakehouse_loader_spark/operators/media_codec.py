@@ -386,6 +386,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"fLaC":
+        return "flac"
     return "opaque"
 
 
@@ -393,7 +395,21 @@ def sniff_format(payload: bytes | None) -> str:
 # these — a new image format or decoder exception type is added HERE once,
 # not per consumer
 IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png", "jpeg")
+AUDIO_FORMATS = ("wav", "flac")
 DECODE_ERRORS = (ValueError, struct.error, zlib.error)
+
+
+def decode_audio(payload: bytes, kind: str | None = None) -> dict:
+    """Decode any supported audio container to its samples dict (same
+    contract as decode_wav: samples shaped (n_frames, n_channels))."""
+    kind = kind or sniff_format(payload)
+    if kind == "wav":
+        return decode_wav(payload)
+    if kind == "flac":
+        from lakehouse_loader_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
+    raise ValueError(f"not a decodable audio format: {kind}")
 
 
 def decode_image(payload: bytes, kind: str | None = None) -> dict:
@@ -431,11 +447,11 @@ def decode_media(payload: bytes | None) -> dict:
     }
     kind = sniff_format(payload)
     try:
-        if kind == "wav":
-            d = decode_wav(payload)
+        if kind in AUDIO_FORMATS:
+            d = decode_audio(payload, kind)
             s = d["samples"].astype(np.int64)
             base.update(
-                format="wav",
+                format=d["format"],
                 n_channels=d["n_channels"],
                 sample_rate=d["sample_rate"],
                 n_samples=d["n_samples"],

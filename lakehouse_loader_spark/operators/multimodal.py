@@ -276,6 +276,46 @@ def synthesize_media_jpeg(
     return seed.repartition(width).mapInPandas(run, schema=schema)
 
 
+def synthesize_media_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL FLAC payload per row — the SAME modular sample ramp
+    as ``synth_payload``'s WAV rows (channels 1+(id//2)%2, rate by id%3,
+    frames 400+(id%7)*50), compressed through the pure-numpy encoder
+    (operators/flac.py: fixed predictors + Rice residuals).  FLAC is
+    lossless, so its driver oracle recomputes the decoded statistics
+    EXACTLY from the same closed forms as the WAV rows."""
+    import numpy as np
+
+    from lakehouse_loader_spark.operators.flac import encode_flac
+    from lakehouse_loader_spark.operators.media_codec import WAV_RATES
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def one(doc_id: int) -> bytes:
+        nch = 1 + (doc_id // 2) % 2
+        rate = WAV_RATES[doc_id % 3]
+        nf = 400 + (doc_id % 7) * 50
+        i = np.arange(nf)[:, None]
+        c = np.arange(nch)[None, :]
+        samples = ((i * 7 + c * 3 + doc_id * 13) % 201 - 100).astype(np.int16)
+        return encode_flac(samples, rate)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids.values, "payload": [one(int(i)) for i in ids]}
+            )
+
+    seed = df.select(id_col)
+    width = seed.sparkSession.sparkContext.defaultParallelism
+    return seed.repartition(width).mapInPandas(run, schema=schema)
+
+
 def decode_media_features(df: DataFrame) -> DataFrame:
     """REAL decode stage: sniff + parse WAV/PPM/PGM/BMP/PNG/baseline-JPEG
     per payload (numpy, executor-side); opaque/undecodable payloads
@@ -314,9 +354,9 @@ def resize_media_features(df: DataFrame, out_dim: int = RESIZE_DIM) -> DataFrame
     def one(payload: bytes) -> tuple[str, list[float]]:
         kind = MC.sniff_format(payload)
         try:
-            if kind == "wav":
-                d = MC.decode_wav(payload)
-                return "wav", MC.audio_window_rms(d["samples"], n_out).tolist()
+            if kind in MC.AUDIO_FORMATS:
+                d = MC.decode_audio(payload, kind)
+                return d["format"], MC.audio_window_rms(d["samples"], n_out).tolist()
             if kind in MC.IMAGE_FORMATS:
                 d = MC.decode_image(payload, kind)
                 px = d["pixels"].astype(np.float64)

@@ -636,6 +636,69 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_flac",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + (doc_id // 2) % 2 AS nch,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 22050 END AS rate,
+             400 + (doc_id % 7) * 50 AS n_frames
+      FROM documents),
+    vals AS (
+      SELECT p.doc_id, ((t.i * 7 + ch.c * 3 + p.doc_id * 13) % 201 - 100) AS v
+      FROM p
+      JOIN range(0, 700) t(i) ON t.i < p.n_frames
+      JOIN range(0, 2) ch(c) ON ch.c < p.nch),
+    stats AS (
+      SELECT doc_id, AVG(v) AS mean_value,
+             CAST(MAX(ABS(v)) AS DOUBLE) AS peak_value
+      FROM vals GROUP BY doc_id)
+    SELECT p.doc_id, 'flac' AS media_format,
+           CAST(p.nch AS BIGINT) AS n_channels,
+           CAST(p.rate AS BIGINT) AS sample_rate,
+           CAST(p.n_frames * p.nch AS BIGINT) AS n_samples,
+           CAST(p.n_frames AS DOUBLE) / p.rate AS duration_s,
+           s.mean_value, s.peak_value,
+           TRUE AS smaller_than_pcm
+    FROM p JOIN stats s USING (doc_id)
+    """,
+)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed audio through the driver gate: every document gets a
+    REAL FLAC payload (operators/flac.py — fixed predictors, Rice
+    residuals, CRC-8-verified frame headers) carrying the standard WAV
+    sample ramp, decoded back by the pure-numpy decoder.  FLAC is
+    LOSSLESS, so unlike multimodal_decode_jpeg this oracle is EXACT: the
+    decoded header fields, duration and sample statistics equal the
+    closed forms the WAV oracle uses (bit-identical samples), and the
+    payload must genuinely compress (byte_len < 44 + PCM bytes, i.e.
+    smaller than the WAV twin — pinning that the encoder actually
+    predicts + Rice-codes rather than storing verbatim)."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = M.decode_media_features(M.synthesize_media_flac(docs))
+    pcm_bytes = (
+        F.lit(44)
+        + (F.lit(400) + (F.col("doc_id") % 7) * 50)
+        * (F.lit(1) + (F.col("doc_id") / 2).cast("long") % 2)
+        * 2
+    )
+    return decoded.select(
+        "doc_id",
+        "media_format",
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "duration_s",
+        "mean_value",
+        "peak_value",
+        (F.col("byte_len") < pcm_bytes).alias("smaller_than_pcm"),
+    )
+
+
+@query(
     "multimodal_resize_media",
     oracle="""
     WITH d AS (SELECT doc_id FROM documents),

@@ -465,3 +465,181 @@ def test_jpeg_sniffed_and_dispatched_by_media_codec():
     # corrupt body degrades to opaque byte stats, never raises
     broken = enc[:3] + b"\x00" * 10
     assert MC.decode_media(broken)["format"] == "opaque"
+
+
+# -- round-8: FLAC (pure-numpy, public RFC 9639 subset) ----------------------
+
+
+def test_flac_roundtrip_exact_on_synth_ramps():
+    from lakehouse_loader_spark.operators.flac import decode_flac, encode_flac
+
+    for doc_id in (0, 2, 4, 6, 8, 10, 12):
+        nch = 1 + (doc_id // 2) % 2
+        rate = (8000, 16000, 22050)[doc_id % 3]
+        nf = 400 + (doc_id % 7) * 50
+        i = np.arange(nf)[:, None]
+        c = np.arange(nch)[None, :]
+        s = ((i * 7 + c * 3 + doc_id * 13) % 201 - 100).astype(np.int16)
+        enc = encode_flac(s, rate)
+        d = decode_flac(enc)
+        assert d["sample_rate"] == rate and d["n_channels"] == nch
+        assert np.array_equal(d["samples"], s.astype(np.int32))
+        assert len(enc) < 44 + s.size * 2  # genuinely compresses the ramp
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9000),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_flac_property_roundtrip_bit_exact(n, ch, seed):
+    from lakehouse_loader_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    d = decode_flac(encode_flac(s, 44100))
+    assert np.array_equal(d["samples"], s.astype(np.int32))
+
+
+def _hand_frame(subframe_writers, ch_code, block_size, frame_no=0):
+    """Build one FLAC frame via the module's own primitives so decoder
+    paths the small encoder never emits (LPC, stereo decorrelation,
+    VERBATIM/CONSTANT, escape partitions) are still exercised."""
+    from lakehouse_loader_spark.operators import flac as FL
+
+    hdr = FL._BitWriter()
+    hdr.write(0b11111111111110, 14)
+    hdr.write(0, 2)
+    hdr.write(0b0111, 4)  # 16-bit block size at end
+    hdr.write(0b0000, 4)  # rate from STREAMINFO
+    hdr.write(ch_code, 4)
+    hdr.write(0b100, 3)  # 16 bps
+    hdr.write(0, 1)
+    head = hdr.bytes() + FL._utf8_number(frame_no) + struct.pack(">H", block_size - 1)
+    head += bytes([FL.crc8(head)])
+    body = FL._BitWriter()
+    for write_sub in subframe_writers:
+        write_sub(body)
+    frame = head + body.bytes()
+    return frame + struct.pack(">H", FL.crc16(frame))
+
+
+def _hand_stream(frames, n_ch, n_samples, rate=8000):
+    from lakehouse_loader_spark.operators import flac as FL
+
+    si = bytearray()
+    si += struct.pack(">HH", 4096, 4096) + b"\x00\x00\x00" * 2
+    packed = (rate << 44) | ((n_ch - 1) << 41) | (15 << 36) | n_samples
+    si += packed.to_bytes(8, "big") + b"\x00" * 16
+    out = bytearray(FL.FLAC_MAGIC) + bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
+def test_flac_decodes_constant_verbatim_and_lpc_subframes():
+    from lakehouse_loader_spark.operators import flac as FL
+
+    bs = 16
+    const_val = -123
+    verb = np.arange(-8, 8, dtype=np.int64)
+    # LPC order 1, coef 1, shift 0 => s[i] = s[i-1] + res[i-1]
+    warm, res = 100, [1, -2, 3, -4, 5, -6, 7, -8, 9, -10, 11, -12, 13, -14, 15]
+
+    def w_const(b):
+        b.write(0, 1); b.write(0b000000, 6); b.write(0, 1)
+        b.write(const_val & 0xFFFF, 16)
+
+    def w_verb(b):
+        b.write(0, 1); b.write(0b000001, 6); b.write(0, 1)
+        for v in verb:
+            b.write(int(v) & 0xFFFF, 16)
+
+    def w_lpc(b):
+        b.write(0, 1); b.write(0b100000, 6); b.write(0, 1)  # LPC order 1
+        b.write(warm & 0xFFFF, 16)
+        b.write(14, 4)  # precision-1 = 14 -> 15-bit coefs
+        b.write(0, 5)  # shift 0
+        b.write(1, 15)  # coef = 1
+        b.write(0b00, 2); b.write(0, 4)  # rice method 0, 1 partition
+        b.write(14, 4)  # escape-free param big enough
+        FL._rice_encode(b, np.array(res, dtype=np.int64), 14)
+
+    frame = _hand_frame([w_const, w_verb, w_lpc], ch_code=2, block_size=bs)
+    d = FL.decode_flac(_hand_stream([frame], n_ch=3, n_samples=bs))
+    assert np.all(d["samples"][:, 0] == const_val)
+    assert np.array_equal(d["samples"][:, 1], verb)
+    expect = np.cumsum([warm] + res)
+    assert np.array_equal(d["samples"][:, 2], expect)
+
+
+def test_flac_stereo_decorrelation_modes():
+    from lakehouse_loader_spark.operators import flac as FL
+
+    bs = 8
+    left = np.array([100, -50, 30, 7, -7, 0, 32000, -32000], dtype=np.int64)
+    right = np.array([90, -55, 31, 0, 7, -1, 31995, -31999], dtype=np.int64)
+    side = left - right
+    mid = (left + right) >> 1
+
+    def verb(vals, bits):
+        def w(b):
+            b.write(0, 1); b.write(0b000001, 6); b.write(0, 1)
+            for v in vals:
+                b.write(int(v) & ((1 << bits) - 1), bits)
+        return w
+
+    # left-side (ch_code 8): left @16, side @17
+    f = _hand_frame([verb(left, 16), verb(side, 17)], ch_code=8, block_size=bs)
+    d = FL.decode_flac(_hand_stream([f], n_ch=2, n_samples=bs))
+    assert np.array_equal(d["samples"][:, 0], left)
+    assert np.array_equal(d["samples"][:, 1], right)
+    # right-side (9): side @17, right @16
+    f = _hand_frame([verb(side, 17), verb(right, 16)], ch_code=9, block_size=bs)
+    d = FL.decode_flac(_hand_stream([f], n_ch=2, n_samples=bs))
+    assert np.array_equal(d["samples"][:, 0], left)
+    assert np.array_equal(d["samples"][:, 1], right)
+    # mid-side (10): mid @16, side @17
+    f = _hand_frame([verb(mid, 16), verb(side, 17)], ch_code=10, block_size=bs)
+    d = FL.decode_flac(_hand_stream([f], n_ch=2, n_samples=bs))
+    assert np.array_equal(d["samples"][:, 0], left)
+    assert np.array_equal(d["samples"][:, 1], right)
+
+
+def test_flac_escape_partition_and_crc_rejection():
+    from lakehouse_loader_spark.operators import flac as FL
+
+    bs = 8
+    vals = np.array([5, -3, 2, -1, 0, 1, -2, 4], dtype=np.int64)
+
+    def w_fixed0_escape(b):
+        b.write(0, 1); b.write(0b001000, 6); b.write(0, 1)  # FIXED order 0
+        b.write(0b00, 2); b.write(0, 4)
+        b.write(0b1111, 4)  # escape code
+        b.write(4, 5)  # raw 4-bit residuals
+        for v in vals:
+            b.write(int(v) & 0xF, 4)
+
+    f = _hand_frame([w_fixed0_escape], ch_code=0, block_size=bs)
+    d = FL.decode_flac(_hand_stream([f], n_ch=1, n_samples=bs))
+    assert np.array_equal(d["samples"][:, 0], vals)
+    # corrupt a frame-header byte -> CRC-8 catches it loudly
+    stream = _hand_stream([f], n_ch=1, n_samples=bs)
+    fstart = len(stream) - len(f)
+    bad = bytearray(stream)
+    bad[fstart + 4] ^= 0x01  # frame number byte -> CRC-8 mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        FL.decode_flac(bytes(bad))
+
+
+def test_flac_sniffed_and_dispatched_by_media_codec():
+    from lakehouse_loader_spark.operators.flac import encode_flac
+
+    s = ((np.arange(500)[:, None] * 7) % 201 - 100).astype(np.int16)
+    enc = encode_flac(s, 16000)
+    assert MC.sniff_format(enc) == "flac"
+    d = MC.decode_media(enc)
+    assert d["format"] == "flac" and d["sample_rate"] == 16000
+    assert d["n_samples"] == 500 and abs(d["mean_value"] - s.mean()) < 1e-9
+    assert MC.decode_media(b"fLaC" + b"\x00" * 8)["format"] == "opaque"
