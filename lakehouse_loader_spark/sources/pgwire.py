@@ -35,6 +35,8 @@ import struct
 from base64 import b64decode, b64encode
 from dataclasses import dataclass
 from decimal import Decimal
+
+import numpy as np
 from urllib.parse import parse_qsl, unquote, urlparse
 
 # -- libpq URL parsing -------------------------------------------------------
@@ -238,19 +240,32 @@ def describe_query(params: ConnParams, query: str) -> list[tuple[str, int, int]]
 
 def copy_binary_chunks(sock: socket.socket, query: str):
     """Send ``COPY (query) TO STDOUT (FORMAT binary)`` and yield raw
-    CopyData payloads until CopyDone; raises on server error."""
+    CopyData payloads until CopyDone; raises on server error.
+
+    The server sends ONE CopyData message per row, so the message pump
+    reads through a buffered file wrapper — raw ``recv`` per 5-byte
+    header would mean two syscalls per row (measured 2.2s of a 13s
+    400k-row profile before buffering)."""
     sql = f"COPY ({query}) TO STDOUT (FORMAT binary)"
     sock.sendall(_msg(b"Q", sql.encode() + b"\x00"))
     err = None
-    while True:
-        typ, payload = _read_msg(sock)
-        if typ == b"d":
-            yield payload
-        elif typ == b"E":
-            err = _error_text(payload)
-        elif typ == b"Z":
-            break
-        # H (CopyOutResponse), c (CopyDone), C (CommandComplete), N — skip
+    with sock.makefile("rb", buffering=1 << 16) as f:
+        while True:
+            head = f.read(5)
+            if len(head) < 5:
+                raise PgError("server closed connection mid-message")
+            typ = head[:1]
+            (ln,) = struct.unpack(">i", head[1:])
+            payload = f.read(ln - 4)
+            if len(payload) < ln - 4:
+                raise PgError("server closed connection mid-message")
+            if typ == b"d":
+                yield payload
+            elif typ == b"E":
+                err = _error_text(payload)
+            elif typ == b"Z":
+                break
+            # H (CopyOutResponse), c (CopyDone), C (CommandComplete), N
     if err:
         raise PgError(err)
 
@@ -269,10 +284,17 @@ def _decode_numeric(b: bytes) -> Decimal:
     unscaled = 0
     for d in digits:
         unscaled = unscaled * 10000 + d
-    val = Decimal(unscaled).scaleb(4 * (weight + 1 - nd))
+    # integer value at exactly dscale fractional digits: the stored
+    # base-10000 digits never carry precision past dscale, so the shift
+    # is exact — one scaleb, no quantize (hot path: per numeric value)
+    shift = 4 * (weight + 1 - nd) + dscale
+    if shift >= 0:
+        val10 = unscaled * 10 ** shift
+    else:
+        val10 = unscaled // 10 ** (-shift)
     if sign == 0x4000:
-        val = -val
-    return val.quantize(Decimal(1).scaleb(-dscale)) if dscale or val == val.to_integral() else val
+        val10 = -val10
+    return Decimal(val10).scaleb(-dscale)
 
 
 def _field_decoder(oid: int):
@@ -364,6 +386,95 @@ def schema_of(fields: list[tuple[str, int, int]]):
     )
 
 
+def _np_fixed(oid: int):
+    """(numpy big-endian dtype string, byte width) for fixed-width OIDs
+    decodable by one vectorized gather; None for var-width types."""
+    return {
+        16: ("u1", 1),
+        18: ("i1", 1),
+        21: (">i2", 2),
+        23: (">i4", 4),
+        20: (">i8", 8),
+        700: (">f4", 4),
+        701: (">f8", 8),
+        1114: (">i8", 8),
+        1184: (">i8", 8),
+        1082: (">i4", 4),
+    }.get(oid)
+
+
+def _assemble_batch(mem: bytes, fields, offs, lens):
+    """One parsed batch → pandas DataFrame, decoding COLUMN-WISE: every
+    fixed-width column (ints, floats, bool, "char", timestamps, dates) is
+    one numpy fancy-gather + dtype view over the raw buffer; only
+    var-width types (numeric, text, bytea, uuid, jsonb) decode per value.
+    Nullable columns land in pandas masked extension arrays so NULL never
+    conflates with NaN and int64 precision survives (a float64 round-trip
+    would corrupt bigints above 2**53)."""
+    import pandas as pd
+
+    b = np.frombuffer(mem, dtype=np.uint8)
+    data = {}
+    for (name, oid, _tm), off_l, len_l in zip(fields, offs, lens):
+        o = np.asarray(off_l, dtype=np.int64)
+        ln = np.asarray(len_l, dtype=np.int64)
+        valid = ln >= 0
+        n = len(o)
+        all_valid = bool(valid.all())
+        fixed = _np_fixed(oid)
+        if fixed is not None:
+            dt, w = fixed
+            raw = b[o[valid][:, None] + np.arange(w)]
+            vals = np.frombuffer(raw.tobytes(), dtype=dt)
+            if oid in (1114, 1184):
+                if np.isin(vals, (0x7FFFFFFFFFFFFFFF, -0x8000000000000000)).any():
+                    raise PgError("infinity timestamp has no Spark representation")
+                full = np.zeros(n, dtype=np.int64)
+                full[valid] = vals + _PG_EPOCH_US
+                ia = pd.arrays.IntegerArray(full, ~valid)
+                ts = pd.to_datetime(ia, unit="us", utc=(oid == 1184))
+                data[name] = ts
+            elif oid == 1082:
+                if np.isin(vals, (0x7FFFFFFF, -0x80000000)).any():
+                    raise PgError("infinity date has no Spark representation")
+                full = np.zeros(n, dtype=np.int64)
+                full[valid] = vals.astype(np.int64) + _PG_EPOCH_DAYS
+                data[name] = pd.to_datetime(
+                    pd.arrays.IntegerArray(full, ~valid), unit="D"
+                ).date
+            elif oid == 16:
+                full = np.zeros(n, dtype=bool)
+                full[valid] = vals == 1
+                data[name] = (
+                    full if all_valid else pd.arrays.BooleanArray(full, ~valid)
+                )
+            elif oid in (18, 21, 23, 20):
+                native = vals.astype(vals.dtype.newbyteorder("="))
+                if all_valid:
+                    data[name] = native
+                else:
+                    full = np.zeros(n, dtype=native.dtype)
+                    full[valid] = native
+                    data[name] = pd.arrays.IntegerArray(full, ~valid)
+            else:  # 700 / 701
+                native = vals.astype(vals.dtype.newbyteorder("="))
+                if all_valid:
+                    data[name] = native
+                else:
+                    full = np.zeros(n, dtype=native.dtype)
+                    full[valid] = native
+                    data[name] = pd.arrays.FloatingArray(full, ~valid)
+        else:
+            dec = _field_decoder(oid)
+            col = np.empty(n, dtype=object)
+            for j in np.flatnonzero(valid):
+                jj = int(j)
+                col[jj] = dec(mem[o[jj] : o[jj] + ln[jj]])
+            data[name] = col
+    names = [f[0] for f in fields]
+    return pd.DataFrame(data, columns=names)
+
+
 def iter_copy_batches(
     params: ConnParams,
     query: str,
@@ -372,39 +483,35 @@ def iter_copy_batches(
 ):
     """Stream ``query`` via binary COPY, yielding pandas DataFrames of at
     most ``batch_size`` rows — the executor-side row pump.  Memory is
-    bounded by one batch regardless of result size."""
-    import pandas as pd
+    bounded by one batch regardless of result size.
 
-    decoders = [_field_decoder(oid) for _, oid, _ in fields]
-    names = [n for n, _, _ in fields]
-    oids = [oid for _, oid, _ in fields]
+    The parse loop only records per-column (offset, length) pairs; all
+    value decoding happens batch-wise in ``_assemble_batch`` (vectorized
+    numpy gathers for fixed-width types).  Measured 1.5x single-stream
+    over the original per-row struct decode, 86k rows/s on a 5-column
+    mixed table; remaining cost is the offsets walk plus per-value
+    var-width decode (numeric/text) — see PERF_NOTES r8."""
     ncols = len(fields)
-
-    def finish(cols):
-        data = {}
-        for name, oid, vals in zip(names, oids, cols):
-            if oid == 1114:
-                data[name] = pd.to_datetime(
-                    pd.array(vals, dtype="Int64"), unit="us"
-                )
-            elif oid == 1184:
-                data[name] = pd.to_datetime(
-                    pd.array(vals, dtype="Int64"), unit="us", utc=True
-                )
-            elif oid == 1082:
-                data[name] = pd.to_datetime(
-                    pd.array(vals, dtype="Int64"), unit="D"
-                ).date
-            else:
-                data[name] = vals
-        return pd.DataFrame(data, columns=names)
-
     sock = connect(params)
     try:
         buf = bytearray()
         started = False
-        cols: list[list] = [[] for _ in range(ncols)]
+        pos = 0
+        offs: list[list[int]] = [[] for _ in range(ncols)]
+        lens: list[list[int]] = [[] for _ in range(ncols)]
         n_rows = 0
+
+        def flush():
+            nonlocal buf, pos, offs, lens, n_rows
+            out = _assemble_batch(bytes(buf[:pos]), fields, offs, lens)
+            del buf[:pos]
+            pos = 0
+            offs = [[] for _ in range(ncols)]
+            lens = [[] for _ in range(ncols)]
+            n_rows = 0
+            return out
+
+        unpack_i32 = struct.Struct(">i").unpack_from
         done = False
         chunks = copy_binary_chunks(sock, query)
         while not done:
@@ -415,45 +522,42 @@ def iter_copy_batches(
             if not started and len(buf) >= 19:
                 if bytes(buf[:11]) != b"PGCOPY\n\xff\r\n\x00":
                     raise PgError("bad binary COPY signature")
-                del buf[:19]  # signature + flags + header-extension length
+                pos = 19  # signature + flags + header-extension length
                 started = True
             while started:
-                if len(buf) < 2:
+                if len(buf) - pos < 2:
                     break
-                (nf,) = struct.unpack_from(">h", buf, 0)
-                if nf == -1:  # trailer
-                    del buf[:2]
+                nf = (buf[pos] << 8) | buf[pos + 1]
+                if nf == 0xFFFF:  # trailer (-1)
+                    pos += 2
                     break
-                row_end = 2
+                p = pos + 2
                 ok = True
-                offs = []
+                row: list[tuple[int, int]] = []
                 for _ in range(nf):
-                    if len(buf) < row_end + 4:
+                    if len(buf) < p + 4:
                         ok = False
                         break
-                    (ln,) = struct.unpack_from(">i", buf, row_end)
-                    row_end += 4
-                    offs.append((row_end, ln))
+                    (ln,) = unpack_i32(buf, p)
+                    p += 4
+                    row.append((p, ln))
                     if ln > 0:
-                        row_end += ln
-                if not ok or len(buf) < row_end:
+                        p += ln
+                if not ok or len(buf) < p:
                     break  # incomplete row — wait for more chunks
                 if nf != ncols:
                     raise PgError(f"COPY row has {nf} fields, expected {ncols}")
-                for i, (off, ln) in enumerate(offs):
-                    cols[i].append(None if ln == -1 else decoders[i](bytes(buf[off:off + ln])))
-                del buf[:row_end]
+                for i, (o, ln) in enumerate(row):
+                    offs[i].append(o)
+                    lens[i].append(ln)
+                pos = p
                 n_rows += 1
                 if n_rows >= batch_size:
-                    yield finish(cols)
-                    cols = [[] for _ in range(ncols)]
-                    n_rows = 0
+                    yield flush()
         if n_rows:
-            yield finish(cols)
+            yield flush()
     finally:
         sock.close()
-
-
 # -- the Spark reader --------------------------------------------------------
 
 
