@@ -2159,6 +2159,65 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_join_parity",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join through the driver gate: the events table
+    streams twice from the same staged directory — the click substream
+    joined to the purchase substream per user within a 30-minute
+    event-time window (streaming/events.py:stream_stream_interval_join,
+    watermarked on BOTH sides so join state evicts at the horizon).  The
+    converged append-mode output must hash-match the batch self-join the
+    DuckDB oracle runs — the batch/stream parity contract, now covering
+    Spark's stateful two-stream operator alongside window/dedup/upsert/
+    session/arbitrary-state."""
+    import uuid as _uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    staged = _staged_event_files(
+        spark, sf_dir, "stateful", lambda ev: ev.repartition(4)
+    )
+    clicks = read_event_stream(spark, staged, max_files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, staged, max_files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_interval_join(clicks, purchases)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+@query(
     "streaming_stateful_v2_parity",
     oracle="""
     SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

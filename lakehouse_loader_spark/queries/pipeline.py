@@ -1081,6 +1081,51 @@ def agg_sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_sketch_freq_items",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    f AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY event_type)
+    SELECT f.event_type, f.exact_count, TRUE AS found_by_sketch
+    FROM f CROSS JOIN t
+    WHERE f.exact_count > 0.15 * t.n
+    ORDER BY f.event_type
+    """,
+)
+def agg_sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters — the fourth sketch family next to HLL (counts),
+    theta (set algebra) and KLL (quantiles): single-pass frequent-items
+    detection via Spark's built-in ``freqItems`` (the Karp/Shenker/
+    Papadimitriou counter algorithm).  Its published guarantee is
+    INCLUSION: every item with true frequency > the support threshold is
+    in the returned set (false positives allowed, misses not).  The
+    driver-checked output is exactly that guarantee: one row per TRUE
+    heavy hitter (exact count > 15% of rows, computed in-plan) with a
+    found_by_sketch flag that the sketch's item set must confirm — a
+    missed heavy hitter flips the flag and the row goes red.  At 100 TB
+    this is the one-pass, fixed-memory answer to "which values dominate
+    this column" — no shuffle of the full distribution, state is
+    O(1/support) counters per partition merged map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.select("event_type").stat.freqItems(["event_type"], support=0.15)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") > 0.15 * F.col("n"))
+        .crossJoin(F.broadcast(sketch))
+    )
+    return heavy.select(
+        "event_type",
+        F.col("exact_count").cast("bigint"),
+        F.array_contains(F.col("event_type_freqItems"), F.col("event_type")).alias(
+            "found_by_sketch"
+        ),
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # Change-data-feed parity, driver-checked: a Delta table staged from orders
 # goes through append + row-level DELETE, and the log-derived change feed

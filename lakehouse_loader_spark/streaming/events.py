@@ -170,6 +170,52 @@ def stateful_type_histogram(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition: each
+    purchase matches the same user's clicks in [click_ts, click_ts+gap] —
+    the attribution-join shape (ad click → conversion).
+
+    Both sides carry watermarks and the join condition bounds event time,
+    which is exactly what lets Spark EVICT join state: a buffered click
+    older than (watermark horizon − gap) can never match a future
+    purchase and is dropped from the state store, so state is bounded by
+    the horizon × input rate, not the stream length — the 100 TB
+    requirement for an unbounded join.  ``watermark`` trades state size
+    against tolerated disorder; the parity query passes a horizon wider
+    than the bounded test stream's total span so eviction never races
+    file-arrival order and the result equals the batch join exactly."""
+    l = clicks.select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    r = purchases.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (l["l_user"] == r["r_user"])
+        & (r["purchase_ts"] >= l["click_ts"])
+        & (r["purchase_ts"] <= l["click_ts"] + F.expr(f"INTERVAL {gap}"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select(
+            F.col("l_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "purchase_value",
+        )
+    )
+
+
 def stateful_type_histogram_fallback(stream: DataFrame) -> DataFrame:
     """The applyInPandasWithState twin of ``stateful_type_histogram`` —
     SAME computation (running per-(user, event_type) count/value totals,

@@ -680,3 +680,94 @@ def test_stateful_v2_fallback_twin_matches_batch_groupby(spark, tmpdir):
     assert diff == 0
     # document which path the driver query would take in THIS container
     assert isinstance(transformwithstate_runtime_available(), bool)
+
+
+def test_stream_stream_interval_join_matches_batch_and_evicts(spark, tmpdir):
+    """The attribution join (clicks x purchases per user within a gap):
+    converged append output equals the batch join, the physical plan is
+    the symmetric-hash stream-stream join with watermarks on both sides
+    (the state-eviction contract), and a narrow horizon on an in-order
+    stream still converges — state is bounded by horizon x rate."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    df = (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias("ts"),
+            (F.col("id") % 11).alias("user_id"),
+            F.when(F.col("id") % 3 == 0, "click").otherwise("purchase").alias(
+                "event_type"
+            ),
+            (F.col("id") * 0.25).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    staged = os.path.join(tmpdir, "ev")
+    # in-order staging: sortWithinPartitions on one range partitioning so
+    # each micro-batch file covers a contiguous time span
+    df.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(staged)
+
+    def run(watermark):
+        sink = f"ssj_{uuid.uuid4().hex[:8]}"
+        clicks = read_event_stream(spark, staged, max_files_per_trigger=1).filter(
+            F.col("event_type") == "click"
+        )
+        purchases = read_event_stream(spark, staged, max_files_per_trigger=1).filter(
+            F.col("event_type") == "purchase"
+        )
+        joined = stream_stream_interval_join(
+            clicks, purchases, gap="30 minutes", watermark=watermark
+        )
+        q = (
+            joined.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(sink)
+
+    got = run("30 days")
+    want = (
+        df.filter("event_type = 'click'")
+        .alias("c")
+        .join(
+            df.filter("event_type = 'purchase'").alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("p.value").alias("purchase_value"),
+        )
+    )
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().analyzed().toString()
+    # the memory sink holds materialized rows; assert on the streaming
+    # plan instead via a fresh unstarted frame
+    clicks = read_event_stream(spark, staged).filter("event_type = 'click'")
+    purchases = read_event_stream(spark, staged).filter("event_type = 'purchase'")
+    frame = stream_stream_interval_join(clicks, purchases)
+    lp = frame._jdf.queryExecution().analyzed().toString()
+    assert lp.count("EventTimeWatermark") == 2  # BOTH sides evict state
+    # a tight horizon trades completeness for bounded state: matches whose
+    # click was evicted before the cross-batch purchase arrived are
+    # dropped (the documented watermark semantics), but NO wrong rows are
+    # ever emitted — the output is a strict subset of the batch join
+    got2 = run("2 hours")
+    assert got2.exceptAll(want).count() == 0
+    assert got2.count() > 0
