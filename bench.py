@@ -156,6 +156,25 @@ def main() -> None:
         loader["delta_dv_read_rows_per_sec"] = round(
             n_dv / loader["delta_dv_read_sec"]
         )
+
+        # Iceberg v3 deletion vectors: same predicate as the Delta DV
+        # block on a fresh copy, so both formats' DV paths benchmark
+        # against identical work (write one puffin DV per target file,
+        # then a merged read resolving targets from metadata alone)
+        ice_dv_path = os.path.join(tmp, "iceberg_dv")
+        write_iceberg(li, ice_dv_path)
+        t0 = time.perf_counter()
+        delete_from_iceberg(
+            spark, ice_dv_path, "l_quantity < 2", strategy="merge-on-read-dv"
+        )
+        loader["iceberg_dv_dml_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        n_icedv = read_iceberg(spark, ice_dv_path).count()
+        loader["iceberg_dv_read_sec"] = round(time.perf_counter() - t0, 4)
+        loader["iceberg_dv_read_rows"] = n_icedv
+        loader["iceberg_dv_read_rows_per_sec"] = round(
+            n_icedv / loader["iceberg_dv_read_sec"]
+        )
     except Exception as exc:  # loader failure must not kill the query numbers
         errors["__loader__"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# loader ERROR: {errors['__loader__'][:200]}", file=sys.stderr)

@@ -228,10 +228,12 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "delete-iceberg":
             dd.add_argument(
                 "--strategy",
-                choices=("copy-on-write", "merge-on-read"),
+                choices=("copy-on-write", "merge-on-read", "merge-on-read-dv"),
                 default="copy-on-write",
                 help="copy-on-write rewrites matched files; merge-on-read "
-                "commits position-delete files (spec v2) applied at read time",
+                "commits position-delete files (spec v2) applied at read "
+                "time; merge-on-read-dv commits Puffin deletion vectors "
+                "(spec v3, one superseding bitmap per target file)",
             )
         else:
             dd.add_argument(

@@ -1304,6 +1304,55 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IC.read_iceberg(spark, table)
 
 
+@query(
+    "iceberg_dv_delete_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 < 8
+      AND NOT (o_totalprice < 50000.0 AND o_orderstatus = 'F')
+      AND NOT (o_totalprice < 20000.0)
+    """,
+)
+def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-v3 DELETION VECTORS under the correctness gate: stage orders
+    as an Iceberg table, run TWO merge-on-read-dv DELETEs (the second
+    supersedes the first's bitmaps on shared target files — the spec's
+    one-DV-per-data-file invariant, union built executor-side), then read
+    the table back: the DV blobs resolve their targets from metadata
+    alone, expand executor-side and anti-join the scan — surviving rows
+    must equal the oracle's double-predicate filter exactly."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_dv_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_dv_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qdvice_"), "orders_dv")
+        IC.write_iceberg(
+            orders.filter(F.col("o_orderkey") % 10 < 8).repartition(2), table
+        )
+        IC.delete_from_iceberg(
+            spark,
+            table,
+            "o_totalprice < 50000.0 AND o_orderstatus = 'F'",
+            strategy="merge-on-read-dv",
+        )
+        IC.delete_from_iceberg(
+            spark, table, "o_totalprice < 20000.0", strategy="merge-on-read-dv"
+        )
+        cache[sf_dir] = table
+    return IC.read_iceberg(spark, table)
+
+
 # --------------------------------------------------------------------------
 # Token-budget corpus selection: highest-quality documents first until a
 # global token budget is spent (the "best N billion tokens" curation step)

@@ -185,12 +185,25 @@ def _read_metadata(path: str) -> tuple[int, dict]:
     with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version", 2)
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise RuntimeError(
-            f"iceberg format-version {fv} at {path} is not supported (spec "
-            "v3 features like deletion vectors / row lineage would be "
-            "silently ignored); refusing per the spec's forward-compat rule"
+            f"iceberg format-version {fv} at {path} is not supported; "
+            "refusing per the spec's forward-compat rule"
         )
+    if fv == 3:
+        # v3 is supported for deletion vectors (sinks/puffin.py); other v3
+        # features this engine does NOT implement must refuse, not be
+        # silently ignored — a column default would misread every row
+        # missing the field
+        for sch in meta.get("schemas", []):
+            for f in sch.get("fields", []):
+                if f.get("initial-default") is not None:
+                    raise RuntimeError(
+                        f"{path} uses v3 column default values "
+                        f"(field {f.get('name')!r}); not implemented — "
+                        "reading would fabricate NULLs where the spec "
+                        "demands the default"
+                    )
     return v, meta
 
 
@@ -524,6 +537,26 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                                 {"type": "array", "items": "int", "element-id": 136},
                             ],
                         },
+                        # v3 deletion-vector addressing (spec field ids
+                        # 143-145): present only on Puffin DV entries
+                        {
+                            "name": "referenced_data_file",
+                            "field-id": 143,
+                            "default": None,
+                            "type": ["null", "string"],
+                        },
+                        {
+                            "name": "content_offset",
+                            "field-id": 144,
+                            "default": None,
+                            "type": ["null", "long"],
+                        },
+                        {
+                            "name": "content_size_in_bytes",
+                            "field-id": 145,
+                            "default": None,
+                            "type": ["null", "long"],
+                        },
                     ],
                 },
             },
@@ -592,13 +625,16 @@ def _write_manifest(
         data_file = {
             "content": e.get("content", 0),
             "file_path": file_abs,
-            "file_format": "PARQUET",
+            "file_format": e.get("file_format", "PARQUET"),
             "partition": partition,
             "record_count": n_rows,
             "file_size_in_bytes": e["file_size_in_bytes"],
             "lower_bounds": lowers,
             "upper_bounds": uppers,
             "equality_ids": e.get("equality_ids"),
+            "referenced_data_file": e.get("referenced_data_file"),
+            "content_offset": e.get("content_offset"),
+            "content_size_in_bytes": e.get("content_size_in_bytes"),
         }
         records.append(
             {
@@ -837,16 +873,26 @@ def _scan_with_deletes(
     return _apply_pos_deletes(spark, scan, path, delete_entries)
 
 
+def _is_dv_entry(d: dict) -> bool:
+    """True for a v3 deletion-vector entry (Puffin blob addressed by
+    referenced_data_file/content_offset) vs a v2 position-delete parquet."""
+    return d.get("content", 0) == 1 and d.get("referenced_data_file") is not None
+
+
 def _delete_target_files(
     spark: SparkSession, path: str, delete_entries: list[dict]
 ) -> set[str]:
     """Data files addressed by the given POSITION-delete files — bounded
-    by the table's file count (metadata-sized driver state).  Equality
-    deletes carry key values, not paths, and are filtered out here."""
+    by the table's file count (metadata-sized driver state).  DV entries
+    name their target in the manifest (referenced_data_file), so they
+    cost nothing to resolve; v2 parquet deletes need a file_path scan.
+    Equality deletes carry key values, not paths, and are filtered out."""
     delete_entries = [d for d in delete_entries if d.get("content", 0) == 1]
-    if not delete_entries:
-        return set()
-    del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
+    targets = {d["referenced_data_file"] for d in delete_entries if _is_dv_entry(d)}
+    parquet_dels = [d for d in delete_entries if not _is_dv_entry(d)]
+    if not parquet_dels:
+        return targets
+    del_files = [_abs_file(path, d["file_path"]) for d in parquet_dels]
     rows = (
         spark.read.schema(_POS_DELETE_SCHEMA)
         .parquet(*del_files)
@@ -854,7 +900,7 @@ def _delete_target_files(
         .distinct()
         .collect()
     )
-    return {r["file_path"] for r in rows}
+    return targets | {r["file_path"] for r in rows}
 
 
 # Delete frames up to this many rows broadcast for the MOR anti-joins;
@@ -879,19 +925,65 @@ def _gated_broadcast(dels: DataFrame, entries: list[dict]) -> DataFrame:
     return dels
 
 
+def _dv_positions_frame(
+    spark: SparkSession, path: str, dv_entries: list[dict]
+) -> DataFrame:
+    """Deletion-vector entries → a (file_path, pos) DataFrame.  The driver
+    reads ONLY the compressed CRC-checked blobs (bytes ~ compressed delete
+    size); position expansion — O(deleted rows) — happens executor-side in
+    mapInPandas, the exact mirror of the Delta DV read path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lakehouse_loader_spark.sinks import puffin as PF
+
+    rows = []
+    for d in dv_entries:
+        ser = PF.read_blob(
+            _abs_file(path, d["file_path"]),
+            int(d["content_offset"]),
+            int(d["content_size_in_bytes"]),
+        )
+        rows.append((d["referenced_data_file"], bytearray(ser)))
+    blobs = spark.createDataFrame(
+        rows, "file_path string, __blob binary"
+    ).repartition(min(len(rows), spark.sparkContext.defaultParallelism))
+
+    def expand(batches):
+        import pandas as pd
+
+        from lakehouse_loader_spark.sinks import dv as _dv
+
+        for pdf in batches:
+            for fp, blob in zip(pdf["file_path"], pdf["__blob"]):
+                pos = _dv.deserialize_positions(bytes(blob))
+                yield pd.DataFrame({"file_path": fp, "pos": pos.astype("int64")})
+
+    return blobs.mapInPandas(expand, "file_path string, pos long")
+
+
 def _apply_pos_deletes(spark: SparkSession, scan: DataFrame, path: str, delete_entries: list[dict]) -> DataFrame:
-    """Drop rows addressed by position-delete files: one anti-join on
-    (file path, row position).  The delete set is metadata-sized (rows
-    deleted since the last compaction) and broadcasts below
-    DELETE_BROADCAST_MAX, so at cluster scale this stays a map-side hash
-    probe against the full scan — the read half of merge-on-read; an
-    over-threshold accumulated set degrades to a shuffled anti-join
-    instead of blowing the broadcast ceiling."""
+    """Drop rows addressed by position-delete files — v2 parquet deletes
+    AND v3 Puffin deletion vectors — with one anti-join on (file path,
+    row position).  The delete set is metadata-sized (rows deleted since
+    the last compaction) and broadcasts below DELETE_BROADCAST_MAX, so at
+    cluster scale this stays a map-side hash probe against the full scan
+    — the read half of merge-on-read; an over-threshold accumulated set
+    degrades to a shuffled anti-join instead of blowing the broadcast
+    ceiling."""
     delete_entries = [d for d in delete_entries if d.get("content", 0) == 1]
     if not delete_entries:
         return scan
-    del_files = [_abs_file(path, d["file_path"]) for d in delete_entries]
-    dels = spark.read.schema(_POS_DELETE_SCHEMA).parquet(*del_files)
+    dv_entries = [d for d in delete_entries if _is_dv_entry(d)]
+    parquet_entries = [d for d in delete_entries if not _is_dv_entry(d)]
+    frames = []
+    if parquet_entries:
+        del_files = [_abs_file(path, d["file_path"]) for d in parquet_entries]
+        frames.append(spark.read.schema(_POS_DELETE_SCHEMA).parquet(*del_files))
+    if dv_entries:
+        frames.append(_dv_positions_frame(spark, path, dv_entries))
+    dels = frames[0]
+    for f in frames[1:]:
+        dels = dels.unionByName(f)
     return scan.join(
         _gated_broadcast(dels, delete_entries),
         (scan["__path"] == dels["file_path"]) & (scan["__pos"] == dels["pos"]),
@@ -2700,6 +2792,238 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
+def _write_existing_delete_manifest(
+    path: str, meta: dict, rows: list[tuple[dict, int, int | None]], snapshot_id: int
+) -> dict:
+    """One delete manifest of status-EXISTING entries with their ORIGINAL
+    sequence numbers explicit (the rewrite_manifests consolidation shape)
+    — used when a new deletion vector SUPERSEDES older delete entries and
+    the remaining ones must be re-emitted without them."""
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    part_fields = _partition_avro_fields(spec, schema_ice)
+    entry_schema = _manifest_entry_schema(part_fields)
+    records = [
+        {
+            "status": 0,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": fseq,
+            "data_file": df,
+        }
+        for df, seq, fseq in rows
+    ]
+    name = f"manifest-{uuid.uuid4()}.avro"
+    full = os.path.join(_meta_dir(os.path.abspath(path)), name)
+    avro_ocf.write_ocf(
+        full,
+        entry_schema,
+        records,
+        metadata={
+            "schema": json.dumps(schema_ice),
+            "schema-id": str(meta["current-schema-id"]),
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    seqs = [seq for _, seq, _ in rows]
+    return {
+        "manifest_path": full,
+        "manifest_length": os.path.getsize(full),
+        "partition_spec_id": spec["spec-id"],
+        "content": 1,
+        "sequence_number": -1,
+        "min_sequence_number": min(seqs),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 0,
+        "existing_files_count": len(records),
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": sum(int(df.get("record_count", 0)) for df, _, _ in rows),
+        "deleted_rows_count": 0,
+    }
+
+
+def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE via v3 DELETION VECTORS: matched row positions
+    land in per-data-file roaring bitmaps inside ONE Puffin file
+    (sinks/puffin.py — the Delta-harmonized serialization), referenced
+    from manifest entries by (referenced_data_file, content_offset).
+
+    vs v2 position-delete parquet (``strategy="merge-on-read"``): the
+    reader resolves each DV's TARGET from metadata alone (no delete-file
+    scan to plan), and the spec's one-DV-per-file invariant holds — a
+    second DV delete on the same file writes a superseding bitmap
+    containing the union, and the old entry is dropped from the rewritten
+    delete manifest, so delete state per file never accumulates as a
+    chain.  Bitmaps are BUILT executor-side (applyInPandas per target
+    file); only compressed blobs transit the driver — the same bound as
+    the Delta DV write path.  First DV commit bumps the table to
+    format-version 3."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks import puffin as PF
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    if not data_entries:
+        return {"deleted_rows": 0, "delete_files": 0, "data_files": 0}
+
+    files = [_abs_file(path, d["file_path"]) for d in data_entries]
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    scan = _with_row_positions(reader, files, schema)
+    scan = _apply_deletes(
+        spark, scan, path, delete_entries, data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    )
+    matches = scan.filter(F.coalesce(F.expr(predicate), F.lit(False))).select(
+        F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+    )
+
+    # existing DVs: compressed blobs only on the driver, keyed by target;
+    # the superseding bitmap must CONTAIN the old one (spec invariant)
+    old_dvs = {
+        d["referenced_data_file"]: PF.read_blob(
+            _abs_file(path, d["file_path"]),
+            int(d["content_offset"]),
+            int(d["content_size_in_bytes"]),
+        )
+        for d in delete_entries
+        if _is_dv_entry(d)
+    }
+    bc_old = spark.sparkContext.broadcast(old_dvs)
+
+    def build(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        from lakehouse_loader_spark.sinks import dv as _dv
+
+        (fp,) = key
+        pos = _np.unique(pdf["pos"].to_numpy(dtype="int64"))
+        n_new = len(pos)
+        old = bc_old.value.get(fp)
+        if old is not None:
+            pos = _np.union1d(pos, _dv.deserialize_positions(old).astype("int64"))
+        ser = _dv.serialize_positions(pos)
+        return _pd.DataFrame(
+            {
+                "file_path": [fp],
+                "blob": [bytearray(ser)],
+                "card": [len(pos)],
+                "new_rows": [n_new],
+            }
+        )
+
+    blob_rows = (
+        matches.groupBy("file_path")
+        .applyInPandas(build, "file_path string, blob binary, card long, new_rows long")
+        .collect()
+    )
+    if not blob_rows:
+        return {"deleted_rows": 0, "delete_files": 0, "data_files": len(data_entries)}
+    n_deleted = sum(r.new_rows for r in blob_rows)
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    rel, blob_metas = PF.write_dv_puffin(
+        path,
+        [(r.file_path, bytes(r.blob), int(r.card)) for r in blob_rows],
+        snapshot_id,
+        sequence_number,
+    )
+    puffin_size = os.path.getsize(os.path.join(path, rel))
+    new_delete_entries = [
+        {
+            "content": 1,
+            "file_path": rel,
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": int(r.card),
+            "file_size_in_bytes": puffin_size,
+            "referenced_data_file": r.file_path,
+            "content_offset": int(m["offset"]),
+            "content_size_in_bytes": int(m["length"]),
+        }
+        for r, m in zip(blob_rows, blob_metas)
+    ]
+    manifest = _write_manifest(path, snapshot_id, new_delete_entries, meta, content=1)
+
+    superseded = set(old_dvs) & {r.file_path for r in blob_rows}
+    if superseded:
+        # re-emit surviving delete entries without the superseded DVs;
+        # data manifests carry over untouched
+        keep_rows = [
+            (d, d["__seq"], d["__seq"])
+            for d in delete_entries
+            if not (_is_dv_entry(d) and d["referenced_data_file"] in superseded)
+        ]
+        keep_rows = [
+            ({k: v for k, v in df.items() if k != "__seq"}, seq, fseq)
+            for df, seq, fseq in keep_rows
+        ]
+        manifests = [
+            mf for mf in _snapshot_manifests(path, meta) if mf["content"] == 0
+        ]
+        if keep_rows:
+            manifests.append(
+                _write_existing_delete_manifest(path, meta, keep_rows, snapshot_id)
+            )
+        manifests.append(manifest)
+    else:
+        manifests = _snapshot_manifests(path, meta) + [manifest]
+    manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {
+            "operation": "delete",
+            "predicate": predicate,
+            "delete-mode": "merge-on-read-dv",
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3  # deletion vectors are a v3 feature
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        _cleanup_lost_commit(path, new_delete_entries, manifest, manifest_list)
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the DELETE's "
+            "snapshot is stale — re-run against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "deleted_rows": int(n_deleted),
+        "delete_files": len(new_delete_entries),
+        "data_files": len(data_entries),
+    }
+
+
 def equality_delete_iceberg(
     spark: SparkSession, path: str, keys: DataFrame, key_cols: list[str] | None = None
 ) -> dict:
@@ -2803,19 +3127,24 @@ def delete_from_iceberg(
     ``delta.delete_from_delta``.  SQL DELETE semantics: TRUE predicate rows
     removed, false/NULL kept.
 
-    ``strategy`` picks the spec-v2 delete mode: ``"copy-on-write"`` rewrites
+    ``strategy`` picks the delete mode: ``"copy-on-write"`` rewrites
     matched files (read-optimized; probe/commit shape in _cow_iceberg),
-    ``"merge-on-read"`` commits position-delete files instead
-    (write-optimized; see _mor_delete_iceberg).
+    ``"merge-on-read"`` commits spec-v2 position-delete parquet files
+    (write-optimized; see _mor_delete_iceberg), ``"merge-on-read-dv"``
+    commits spec-v3 DELETION VECTORS — Puffin-stored roaring bitmaps,
+    one per target data file, superseding any previous DV for the same
+    file (see _mor_delete_dv_iceberg; first use bumps format-version 3).
 
     Returns {"deleted_rows": n, "rewritten_files": n, "kept_files": n} for
     copy-on-write; {"deleted_rows": n, "delete_files": n, "data_files": n}
-    for merge-on-read.
+    for the merge-on-read modes.
     """
     from pyspark.sql import functions as F
 
     if strategy == "merge-on-read":
         return _mor_delete_iceberg(spark, path, predicate)
+    if strategy == "merge-on-read-dv":
+        return _mor_delete_dv_iceberg(spark, path, predicate)
     if strategy != "copy-on-write":
         raise ValueError(f"unknown delete strategy {strategy!r}")
 
