@@ -2200,15 +2200,27 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream_stream_interval_join(clicks, purchases)
-        .writeStream.trigger(availableNow=True)
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    q.awaitTermination(300)
+    # a stateful streaming query pins ONE state store per shuffle
+    # partition per stateful operator, committed every micro-batch — the
+    # width must track STATE volume, not cluster width (A/B at sf0.1:
+    # 32 stores 11.3s vs 8 stores 3.3s steady, identical results;
+    # PERF_NOTES r8).  Spark freezes the width at the first checkpoint,
+    # so real deployments size it per query exactly like this.
+    part_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        q = (
+            stream_stream_interval_join(clicks, purchases)
+            .writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(part_key, prior)
     return spark.table(sink).select(
         "user_id",
         "click_id",
