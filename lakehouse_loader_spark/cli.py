@@ -243,6 +243,19 @@ def build_parser() -> argparse.ArgumentParser:
                 help="copy-on-write rewrites matched files; merge-on-read "
                 "commits roaring-bitmap deletion vectors applied at read time",
             )
+    for src in ("parquet", "delta", "iceberg"):
+        ep = sub.add_parser(f"{src}-to-pg")
+        ep.add_argument("source")
+        ep.add_argument("target", help="libpq URL of the destination server")
+        ep.add_argument("--table", required=True, help="destination table name")
+        ep.add_argument(
+            "--mode",
+            choices=("error", "overwrite", "append"),
+            default="error",
+            help="error: create, fail if the table exists; overwrite: "
+            "replace contents; append — all publish atomically via a "
+            "job-scoped staging table",
+        )
     for name in ("scan-delta", "scan-iceberg"):
         sc = sub.add_parser(name)
         sc.add_argument("source", help="table to scan")
@@ -314,7 +327,9 @@ def do_main(argv: list[str]) -> None:
     from lakehouse_loader_spark.sinks.object_store import apply_object_store_conf
 
     try:
-        apply_object_store_conf(spark, args.target)
+        # pg targets are server URLs, not object-store paths
+        if not args.command.endswith("-to-pg"):
+            apply_object_store_conf(spark, args.target)
     except ValueError as exc:
         print(str(exc), file=sys.stderr)
         sys.exit(2)
@@ -578,6 +593,29 @@ def do_main(argv: list[str]) -> None:
             f"{sum(m.n_entries for m in manifest)} samples to {args.target}",
             file=sys.stderr,
         )
+        return
+    if args.command.endswith("-to-pg"):
+        from lakehouse_loader_spark.sources.pgwire import write_postgres_wire
+
+        src_fmt = args.command.split("-to-")[0]
+        if src_fmt == "delta":
+            from lakehouse_loader_spark.sinks.delta import read_delta
+
+            src_df = read_delta(spark, args.source)
+        elif src_fmt == "iceberg":
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg
+
+            src_df = read_iceberg(spark, args.source)
+        else:
+            src_df = read_parquet_source(spark, args.source)
+        n = write_postgres_wire(
+            src_df,
+            args.target,
+            args.table,
+            mode=args.mode,
+            password=os.environ.get("PGPASSWORD"),
+        )
+        print(f"wrote {n} rows to {args.table}", file=sys.stderr)
         return
     fmt = args.command.split("-to-")[0]
     if fmt == "pg":

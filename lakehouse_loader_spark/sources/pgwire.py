@@ -651,3 +651,252 @@ def read_postgres_wire(
                 yield from iter_copy_batches(cp, sub, fields, batch_size)
 
     return seed.mapInPandas(fetch, schema)
+
+
+# -- the Postgres SINK (COPY FROM STDIN, binary) -----------------------------
+
+
+def simple_command(params: ConnParams, sql: str) -> None:
+    """Run one or more SQL commands over a fresh session; raises PgError
+    on any server error (used for DDL / transactional swaps)."""
+    sock = connect(params)
+    try:
+        sock.sendall(_msg(b"Q", sql.encode() + b"\x00"))
+        err = None
+        while True:
+            typ, payload = _read_msg(sock)
+            if typ == b"E":
+                err = _error_text(payload)
+            elif typ == b"Z":
+                break
+        if err:
+            raise PgError(err)
+    finally:
+        sock.close()
+
+
+def _pg_type_of(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        return "smallint"
+    if isinstance(dt, T.IntegerType):
+        return "integer"
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, T.FloatType):
+        return "real"
+    if isinstance(dt, T.DoubleType):
+        return "double precision"
+    if isinstance(dt, T.DecimalType):
+        return f"numeric({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "text"
+    if isinstance(dt, T.BinaryType):
+        return "bytea"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    raise ValueError(f"no PostgreSQL mapping for Spark type {dt.simpleString()}")
+
+
+def _encode_numeric(d: Decimal) -> bytes:
+    """Decimal → the NUMERIC binary format (base-10000 digit groups) —
+    the exact inverse of _decode_numeric."""
+    if d.is_nan():
+        return struct.pack(">hhHH", 0, 0, 0xC000, 0)
+    sign = 0x4000 if d < 0 else 0x0000
+    t = abs(d).as_tuple()
+    dscale = max(0, -t.exponent)
+    unscaled = 0
+    for dig in t.digits:
+        unscaled = unscaled * 10 + dig
+    e = t.exponent
+    pad = e % 4  # align the exponent to a base-10000 boundary
+    unscaled *= 10 ** pad
+    e -= pad
+    groups: list[int] = []
+    while unscaled:
+        groups.append(unscaled % 10000)
+        unscaled //= 10000
+    groups.reverse()
+    if not groups:
+        return struct.pack(">hhHH", 0, 0, sign, dscale)
+    weight = len(groups) - 1 + e // 4
+    # the spec omits trailing zero groups
+    while groups and groups[-1] == 0:
+        groups.pop()
+    return struct.pack(f">hhHH{len(groups)}H", len(groups), weight, sign, dscale, *groups)
+
+
+def _field_encoder(dt):
+    """Spark type → (python value → COPY-binary payload bytes)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return lambda v: b"\x01" if v else b"\x00"
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        return lambda v: struct.pack(">h", int(v))
+    if isinstance(dt, T.IntegerType):
+        return lambda v: struct.pack(">i", int(v))
+    if isinstance(dt, T.LongType):
+        return lambda v: struct.pack(">q", int(v))
+    if isinstance(dt, T.FloatType):
+        return lambda v: struct.pack(">f", float(v))
+    if isinstance(dt, T.DoubleType):
+        return lambda v: struct.pack(">d", float(v))
+    if isinstance(dt, T.DecimalType):
+        return lambda v: _encode_numeric(v if isinstance(v, Decimal) else Decimal(str(v)))
+    if isinstance(dt, T.StringType):
+        return lambda v: str(v).encode()
+    if isinstance(dt, T.BinaryType):
+        return bytes
+    if isinstance(dt, T.DateType):
+        return lambda v: struct.pack(
+            ">i", (v.date() if isinstance(v, _dt.datetime) else v).toordinal()
+            - _dt.date(2000, 1, 1).toordinal()
+        )
+    if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+
+        def ts(v):
+            # pandas Timestamp / datetime, tz-aware or naive → µs since
+            # 2000-01-01 (UTC when aware)
+            if getattr(v, "tzinfo", None) is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            epoch = _dt.datetime(1970, 1, 1)
+            # exact integer µs from components (float seconds lose µs)
+            delta = v - epoch
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return struct.pack(">q", us - _PG_EPOCH_US)
+
+        return ts
+    raise ValueError(f"no COPY encoder for Spark type {dt.simpleString()}")
+
+
+def copy_into(params: ConnParams, table: str, pdf, encoders) -> int:
+    """COPY one pandas batch into ``table`` (FORMAT binary), one
+    transaction per call; returns rows written."""
+    sock = connect(params)
+    try:
+        sql = f'COPY {table} FROM STDIN (FORMAT binary)'
+        sock.sendall(_msg(b"Q", sql.encode() + b"\x00"))
+        # expect CopyInResponse (G); errors surface as E
+        while True:
+            typ, payload = _read_msg(sock)
+            if typ == b"E":
+                raise PgError(_error_text(payload))
+            if typ == b"G":
+                break
+        import pandas as pd
+
+        out = bytearray(b"PGCOPY\n\xff\r\n\x00" + b"\x00" * 8)
+        ncols = len(pdf.columns)
+        # isna() handles None / NaN / NaT / pd.NA uniformly (a bare
+        # `v != v` would raise on pd.NA from masked extension arrays)
+        cols = [pdf[c].tolist() for c in pdf.columns]
+        nulls = [pd.isna(pdf[c]).tolist() for c in pdf.columns]
+        for i in range(len(pdf)):
+            out += struct.pack(">h", ncols)
+            for col, isnull, enc in zip(cols, nulls, encoders):
+                if isnull[i]:
+                    out += struct.pack(">i", -1)
+                else:
+                    payload = enc(col[i])
+                    out += struct.pack(">i", len(payload)) + payload
+        out += struct.pack(">h", -1)  # trailer
+        sock.sendall(_msg(b"d", bytes(out)) + _msg(b"c", b""))
+        err = None
+        while True:
+            typ, payload = _read_msg(sock)
+            if typ == b"E":
+                err = _error_text(payload)
+            elif typ == b"Z":
+                break
+        if err:
+            raise PgError(err)
+        return len(pdf)
+    finally:
+        sock.close()
+
+
+def write_postgres_wire(
+    df,
+    conn_url: str,
+    table: str,
+    mode: str = "error",
+    user: str | None = None,
+    password: str | None = None,
+) -> int:
+    """DataFrame → PostgreSQL table over binary COPY, no JDBC jar — the
+    WRITE half of the wire connector (the reference only loads FROM
+    Postgres; a pipeline also needs the reverse for serving/export).
+
+    Each partition COPYs into a job-scoped STAGING table from its own
+    executor-side connection (parallel server ingest); the driver then
+    publishes atomically in ONE transaction — create/rename for
+    ``overwrite``/``error``, INSERT..SELECT for ``append`` — so readers
+    never observe a partial job and a failed job leaves the target
+    untouched (the staging table is dropped).  Returns rows written.
+
+    ``mode``: ``error`` (create; fail if the table exists),
+    ``overwrite`` (replace contents), ``append``."""
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not all(part.isidentifier() for part in table.split(".")):
+        raise ValueError(f"unsafe table name {table!r}")
+    params = parse_libpq_url(conn_url, user=user, password=password)
+    schema = df.schema
+    col_ddl = ", ".join(
+        f'{f.name} {_pg_type_of(f.dataType)}' for f in schema.fields
+    )
+    staging = f"{table.split('.')[-1]}__lhl_stage_{os.urandom(4).hex()}"
+    simple_command(params, f"CREATE TABLE {staging} ({col_ddl})")
+    host, port, u, pw, db = params.as_tuple()
+    dtypes = [f.dataType for f in schema.fields]
+
+    def sink(batches):
+        import pandas as pd
+
+        cp = ConnParams(host, port, u, pw, db)
+        encs = [_field_encoder(dt) for dt in dtypes]
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                n += copy_into(cp, staging, pdf, encs)
+        yield pd.DataFrame({"n": [n]})
+
+    try:
+        written = int(
+            df.mapInPandas(sink, "n long").agg({"n": "sum"}).collect()[0][0] or 0
+        )
+        if mode == "append":
+            simple_command(
+                params,
+                f"BEGIN; INSERT INTO {table} SELECT * FROM {staging}; "
+                f"DROP TABLE {staging}; COMMIT;",
+            )
+        elif mode == "overwrite":
+            simple_command(
+                params,
+                f"BEGIN; DROP TABLE IF EXISTS {table}; "
+                f"ALTER TABLE {staging} RENAME TO {table.split('.')[-1]}; COMMIT;",
+            )
+        else:  # error: publish only if the target does not exist
+            simple_command(
+                params,
+                f"BEGIN; ALTER TABLE {staging} RENAME TO {table.split('.')[-1]}; COMMIT;",
+            )
+        return written
+    except Exception:
+        try:
+            simple_command(params, f"DROP TABLE IF EXISTS {staging}")
+        except PgError:
+            pass
+        raise

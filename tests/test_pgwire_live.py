@@ -297,3 +297,73 @@ def test_pg_to_iceberg_e2e_wire(spark, pg_url, tmpdir):
         "ctext": "string",
         "cbool": "boolean",
     }
+
+
+def test_sink_roundtrip_all_types_bit_exact(spark, pg_url):
+    """t1 → write_postgres_wire → read back: every one of the 14 types
+    (incl. the all-NULL row and the NUMERIC edge cycle) survives the
+    binary COPY encode/decode round-trip bit-exactly."""
+    t1 = W.read_postgres_wire(spark, pg_url, T1)
+    n = W.write_postgres_wire(t1, pg_url, "t1_sinkrt", mode="overwrite")
+    assert n == 25_001
+    back = W.read_postgres_wire(spark, pg_url, "select * from t1_sinkrt")
+    assert back.count() == 25_001
+    # ByteType widens to smallint (PostgreSQL has no 1-byte int); every
+    # other type maps onto itself
+    want = t1.withColumn("cchar", F.col("cchar").cast("smallint"))
+    assert back.schema == want.schema
+    assert back.exceptAll(want).count() == 0 and want.exceptAll(back).count() == 0
+
+
+def test_sink_modes_and_atomic_staging(spark, pg_url):
+    df = W.read_postgres_wire(spark, pg_url, "select id, cint4 from t1 where id <= 100")
+    assert W.write_postgres_wire(df, pg_url, "t_modes", mode="error") == 100
+    with pytest.raises(W.PgError, match="already exists"):
+        W.write_postgres_wire(df, pg_url, "t_modes", mode="error")
+    assert W.write_postgres_wire(df, pg_url, "t_modes", mode="append") == 100
+    params = W.parse_libpq_url(pg_url)
+    n = W.iter_copy_batches(
+        params, "select count(*)::int8 as n from t_modes", [("n", 20, -1)], 2
+    )
+    assert int(next(n)["n"][0]) == 200
+    W.write_postgres_wire(df, pg_url, "t_modes", mode="overwrite")
+    n = W.iter_copy_batches(
+        params, "select count(*)::int8 as n from t_modes", [("n", 20, -1)], 2
+    )
+    assert int(next(n)["n"][0]) == 100
+    # a failed publish leaves no staging litter and the target untouched
+    leftovers = W.iter_copy_batches(
+        params,
+        "select count(*)::int8 as n from information_schema.tables "
+        "where table_name like '%lhl_stage%'",
+        [("n", 20, -1)],
+        2,
+    )
+    assert int(next(leftovers)["n"][0]) == 0
+
+
+def test_sink_rejects_unsafe_table_names(spark, pg_url):
+    df = W.read_postgres_wire(spark, pg_url, "select id from t1 limit 1")
+    with pytest.raises(ValueError, match="unsafe"):
+        W.write_postgres_wire(df, pg_url, "t; DROP TABLE t1", mode="overwrite")
+
+
+def test_cli_parquet_to_pg(spark, pg_url, tmpdir):
+    import subprocess
+    import sys as _sys
+
+    src = os.path.join(tmpdir, "src")
+    spark.range(0, 500).selectExpr("id", "id * 3 as v").write.parquet(src)
+    r = subprocess.run(
+        [
+            _sys.executable, "-m", "lakehouse_loader_spark.cli",
+            "parquet-to-pg", src, pg_url, "--table", "cli_rt", "--mode", "overwrite",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    got = W.read_postgres_wire(spark, pg_url, "select * from cli_rt")
+    assert got.count() == 500
+    assert got.agg(F.sum("v")).first()[0] == 3 * 499 * 500 // 2
