@@ -256,6 +256,14 @@ def build_parser() -> argparse.ArgumentParser:
             "replace contents; append — all publish atomically via a "
             "job-scoped staging table",
         )
+    for name in ("sync-iceberg-metadata", "sync-delta-metadata"):
+        sy = sub.add_parser(
+            name,
+            help="generate the other format's metadata over this table's "
+            "current snapshot (UniForm/XTable-style mirror; refuses live "
+            "deletes and partitioned tables)",
+        )
+        sy.add_argument("target")
     for name in ("scan-delta", "scan-iceberg"):
         sc = sub.add_parser(name)
         sc.add_argument("source", help="table to scan")
@@ -593,6 +601,19 @@ def do_main(argv: list[str]) -> None:
             f"{sum(m.n_entries for m in manifest)} samples to {args.target}",
             file=sys.stderr,
         )
+        return
+    if args.command.startswith("sync-"):
+        from lakehouse_loader_spark.sinks.interop import (
+            sync_delta_from_iceberg,
+            sync_iceberg_from_delta,
+        )
+
+        fn = (
+            sync_iceberg_from_delta
+            if args.command == "sync-iceberg-metadata"
+            else sync_delta_from_iceberg
+        )
+        print(fn(args.target), file=sys.stderr)
         return
     if args.command.endswith("-to-pg"):
         from lakehouse_loader_spark.sources.pgwire import write_postgres_wire
