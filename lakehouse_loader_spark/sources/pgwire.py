@@ -49,6 +49,7 @@ class ConnParams:
     user: str
     password: str | None
     database: str
+    sslmode: str = "prefer"
 
     def as_tuple(self):
         return (self.host, self.port, self.user, self.password, self.database)
@@ -73,7 +74,12 @@ def parse_libpq_url(
         or q.get("password")
     )
     db = (parsed.path or "/").lstrip("/") or u
-    return ConnParams(parsed.hostname or "localhost", parsed.port or 5432, u, pw, db)
+    sslmode = q.get("sslmode", "prefer")
+    if sslmode not in ("disable", "allow", "prefer", "require", "verify-ca", "verify-full"):
+        raise ValueError(f"unknown sslmode {sslmode!r}")
+    return ConnParams(
+        parsed.hostname or "localhost", parsed.port or 5432, u, pw, db, sslmode
+    )
 
 
 # -- protocol plumbing -------------------------------------------------------
@@ -147,11 +153,47 @@ def _scram_sha256(sock: socket.socket, user: str, password: str) -> None:
         raise PgError("SCRAM server signature mismatch (server does not know the password)")
 
 
+def _maybe_tls(sock: socket.socket, params: ConnParams) -> socket.socket:
+    """libpq sslmode semantics over the SSLRequest handshake (protocol
+    docs "SSL Session Encryption"): 8-byte request, server answers 'S'
+    (proceed with TLS) or 'N'.  ``require``/``verify-*`` fail closed when
+    the server refuses; ``prefer`` falls back to cleartext; ``disable``
+    never asks.  verify-ca/full check the chain (stdlib ssl default
+    context); require encrypts without verification, matching libpq."""
+    import ssl
+
+    if params.sslmode == "disable":
+        return sock
+    sock.sendall(struct.pack(">ii", 8, 80877103))
+    answer = _recv_exact(sock, 1)
+    if answer == b"N":
+        if params.sslmode in ("require", "verify-ca", "verify-full"):
+            sock.close()
+            raise PgError(
+                f"server refused TLS but sslmode={params.sslmode} demands it"
+            )
+        return sock  # prefer/allow: continue in cleartext
+    if answer != b"S":
+        sock.close()
+        raise PgError(f"unexpected SSLRequest response {answer!r}")
+    if params.sslmode in ("verify-ca", "verify-full"):
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = params.sslmode == "verify-full"
+    else:
+        ctx = ssl._create_unverified_context()  # encrypt-only, like libpq
+    return ctx.wrap_socket(
+        sock,
+        server_hostname=params.host if params.sslmode == "verify-full" else None,
+    )
+
+
 def connect(params: ConnParams, timeout: float = 30.0) -> socket.socket:
     """Open + authenticate a session (trust, cleartext, md5, or
-    SCRAM-SHA-256), then drain parameter status through ReadyForQuery."""
+    SCRAM-SHA-256; TLS per sslmode), then drain parameter status through
+    ReadyForQuery."""
     sock = socket.create_connection((params.host, params.port), timeout=timeout)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    sock = _maybe_tls(sock, params)
     kv = (
         f"user\x00{params.user}\x00database\x00{params.database}\x00"
         "client_encoding\x00UTF8\x00".encode()

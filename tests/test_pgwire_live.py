@@ -72,6 +72,32 @@ def pg_url():
     if r.returncode:
         shutil.rmtree(base, ignore_errors=True)
         pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    # self-signed cert -> the server offers TLS and the 'S' handshake path
+    # is exercised for real (sslmode=require then encrypts the session)
+    tls = False
+    if shutil.which("openssl"):
+        crt, key = os.path.join(data, "server.crt"), os.path.join(data, "server.key")
+        r = subprocess.run(
+            [
+                "openssl", "req", "-new", "-x509", "-days", "2", "-nodes",
+                "-text", "-subj", "/CN=localhost",
+                "-out", crt, "-keyout", key,
+            ],
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            os.chmod(key, 0o600)
+            import pwd as _pwd
+
+            try:
+                u = _pwd.getpwnam(run_user)
+                os.chown(key, u.pw_uid, u.pw_gid)
+                os.chown(crt, u.pw_uid, u.pw_gid)
+            except (KeyError, PermissionError):
+                pass
+            with open(os.path.join(data, "postgresql.conf"), "a") as fh:
+                fh.write("\nssl = on\nssl_cert_file = 'server.crt'\nssl_key_file = 'server.key'\n")
+            tls = True
     # demand SCRAM for one role so the auth exchange is actually exercised
     hba = os.path.join(data, "pg_hba.conf")
     with open(hba) as fh:
@@ -367,3 +393,39 @@ def test_cli_parquet_to_pg(spark, pg_url, tmpdir):
     got = W.read_postgres_wire(spark, pg_url, "select * from cli_rt")
     assert got.count() == 500
     assert got.agg(F.sum("v")).first()[0] == 3 * 499 * 500 // 2
+
+
+def test_sslmode_semantics(spark, pg_url):
+    """With the self-signed server cert: require/prefer run the SSLRequest
+    handshake and ENCRYPT (reads work over TLS); verify-ca fails against
+    the untrusted chain (fail closed, like libpq); disable stays clear.
+    Without openssl on the host the server refuses TLS and require must
+    fail closed instead of silently downgrading."""
+    import socket as _socket
+    import ssl as _ssl
+    import struct as _struct
+
+    W.connect(W.parse_libpq_url(pg_url + "?sslmode=disable")).close()
+    W.connect(W.parse_libpq_url(pg_url + "?sslmode=prefer")).close()
+    # ground truth: ask the server itself whether it offers TLS
+    p = W.parse_libpq_url(pg_url)
+    probe = _socket.create_connection((p.host, p.port))
+    probe.sendall(_struct.pack(">ii", 8, 80877103))
+    offers_tls = probe.recv(1) == b"S"
+    probe.close()
+    if offers_tls:
+        sock = W.connect(W.parse_libpq_url(pg_url + "?sslmode=require"))
+        assert isinstance(sock, _ssl.SSLSocket)
+        sock.close()
+        # a full read over TLS
+        df = W.read_postgres_wire(
+            spark, pg_url + "?sslmode=require", "select count(*) as n from t1"
+        )
+        assert df.collect()[0].n == 25_001
+        with pytest.raises((W.PgError, _ssl.SSLError, OSError)):
+            W.connect(W.parse_libpq_url(pg_url + "?sslmode=verify-ca"))
+    else:
+        with pytest.raises(W.PgError, match="refused TLS"):
+            W.connect(W.parse_libpq_url(pg_url + "?sslmode=require"))
+    with pytest.raises(ValueError, match="sslmode"):
+        W.parse_libpq_url(pg_url + "?sslmode=bogus")
