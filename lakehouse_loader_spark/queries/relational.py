@@ -976,6 +976,44 @@ def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q20c VARIANT: Spark 4's open semi-structured type
+# --------------------------------------------------------------------------
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT) AS missing_path,
+           'BIGINT' AS k_type,
+           FALSE AS k_is_null
+    FROM events
+    WHERE event_id % 31 = 0
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT — Spark 4's binary semi-structured type (the open-format
+    answer to schemaless JSON columns): parse_json builds the variant
+    once, then typed path extraction (variant_get), lenient extraction of
+    a missing path (try_variant_get → NULL, never an error),
+    schema_of_variant type introspection and is_variant_null.  Unlike
+    from_json, the variant keeps the full value tree in a typed binary
+    encoding, so repeated path reads skip re-parsing — the hot-path shape
+    for JSON-heavy event tables at scale.  The oracle recomputes every
+    extraction from the raw JSON text (DuckDB has no variant type — the
+    ENCODING is engine-internal, the extraction SEMANTICS are not)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    v = F.parse_json("props")
+    parsed = e.select("event_id", v.alias("v"))
+    return parsed.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("v", "$.does_not_exist", "bigint").alias("missing_path"),
+        F.schema_of_variant(F.variant_get("v", "$.k", "variant")).alias("k_type"),
+        F.is_variant_null(F.variant_get("v", "$.k", "variant")).alias("k_is_null"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q23b flagship: TPC-H Q6-like forecasting revenue change (pure scan-agg)
 # --------------------------------------------------------------------------
 @query(
