@@ -2266,6 +2266,10 @@ def streaming_stateful_v2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sstate2_{_uuid.uuid4().hex[:8]}"
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prior = spark.conf.get(prov_key, None)
+    # NOT width-narrowed like streaming_join_parity: this operator's cost
+    # is the Python stateful UDF itself, so fewer partitions cut real
+    # parallelism (A/B at sf0.1: 8 stores 7.1s vs 32 stores 4.6s steady —
+    # the state-width knob is query-dependent; PERF_NOTES r8)
     try:
         if use_v2:
             # transformWithState is only implemented on the RocksDB store

@@ -46,7 +46,7 @@ def main():
         "id", (F.col("id") % 997).alias("k"), (F.col("id") * 2).alias("v")
     )
     results = []
-    for fmt in ("delta", "iceberg"):
+    for fmt in ("delta", "iceberg", "iceberg-dv"):
         for label, pred, frac in (("1x", "id % 50 = 0", 0.02), ("25x", "id % 2 = 0", 0.5)):
             d = tempfile.mkdtemp()
             t = os.path.join(d, "t")
@@ -54,6 +54,10 @@ def main():
                 D.write_delta(base.repartition(8), t)
                 D.delete_from_delta(spark, t, pred, mode="merge-on-read")
                 reader = lambda: D.read_delta(spark, t)  # noqa: E731
+            elif fmt == "iceberg-dv":
+                IC.write_iceberg(base.repartition(8), t)
+                IC.delete_from_iceberg(spark, t, pred, strategy="merge-on-read-dv")
+                reader = lambda: IC.read_iceberg(spark, t)  # noqa: E731
             else:
                 IC.write_iceberg(base.repartition(8), t)
                 IC.delete_from_iceberg(spark, t, pred, strategy="merge-on-read")
