@@ -334,9 +334,11 @@ def _decode_numeric(b: bytes) -> Decimal:
         val10 = unscaled * 10 ** shift
     else:
         val10 = unscaled // 10 ** (-shift)
-    if sign == 0x4000:
-        val10 = -val10
-    return Decimal(val10).scaleb(-dscale)
+    # exact tuple construction: arithmetic like scaleb() ROUNDS at the
+    # context precision (28 digits by default), silently corrupting wide
+    # NUMERICs — construction never does
+    digits = tuple(int(c) for c in str(val10)) if val10 else (0,)
+    return Decimal((1 if sign == 0x4000 else 0, digits, -dscale))
 
 
 def _field_decoder(oid: int):
@@ -752,8 +754,10 @@ def _encode_numeric(d: Decimal) -> bytes:
     the exact inverse of _decode_numeric."""
     if d.is_nan():
         return struct.pack(">hhHH", 0, 0, 0xC000, 0)
-    sign = 0x4000 if d < 0 else 0x0000
-    t = abs(d).as_tuple()
+    # as_tuple only — abs()/comparison are context ops that ROUND wide
+    # decimals at the default 28-digit precision
+    t = d.as_tuple()
+    sign = 0x4000 if t.sign else 0x0000
     dscale = max(0, -t.exponent)
     unscaled = 0
     for dig in t.digits:

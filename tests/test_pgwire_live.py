@@ -429,3 +429,72 @@ def test_sslmode_semantics(spark, pg_url):
             W.connect(W.parse_libpq_url(pg_url + "?sslmode=require"))
     with pytest.raises(ValueError, match="sslmode"):
         W.parse_libpq_url(pg_url + "?sslmode=bogus")
+
+
+# -- codec properties (no server needed; run under the same live module) -----
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.decimals(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=Decimal("-1e30"),
+        max_value=Decimal("1e30"),
+        places=8,
+    )
+)
+def test_numeric_binary_roundtrip_property(d):
+    """NUMERIC encode (sink) and decode (source) are exact inverses over
+    the base-10000 wire format — value AND scale preserved."""
+    got = W._decode_numeric(W._encode_numeric(d))
+    assert got == d
+    assert -got.as_tuple().exponent == max(0, -d.as_tuple().exponent)
+
+
+def test_numeric_binary_edges():
+    for text in ("0", "0.000", "99999.999", "-99999.999", "1E+10", "0.00001",
+                 "10000", "-0.0001", "123456789.123456789", "9" * 30):
+        d = Decimal(text)
+        assert W._decode_numeric(W._encode_numeric(d)) == d
+    assert W._decode_numeric(W._encode_numeric(Decimal("NaN"))).is_nan()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=50))
+def test_copy_row_framing_roundtrip_property(vals):
+    """A COPY-binary tuple stream built by the sink's framing parses back
+    through the source's offset walk — for every row shape incl. NULLs."""
+    import struct as _struct
+
+    import pandas as pd
+
+    payload = bytearray(b"PGCOPY\n\xff\r\n\x00" + b"\x00" * 8)
+    rows = [(v if i % 3 else None) for i, v in enumerate(vals)]
+    for v in rows:
+        payload += _struct.pack(">h", 1)
+        if v is None:
+            payload += _struct.pack(">i", -1)
+        else:
+            payload += _struct.pack(">i", 8) + _struct.pack(">q", v)
+    payload += _struct.pack(">h", -1)
+    fields = [("x", 20, -1)]
+    # feed through the batch assembler by faking one parsed batch
+    mem = bytes(payload)
+    offs, lens, pos = [[]], [[]], 19
+    while True:
+        nf = (mem[pos] << 8) | mem[pos + 1]
+        if nf == 0xFFFF:
+            break
+        (ln,) = _struct.unpack_from(">i", mem, pos + 2)
+        offs[0].append(pos + 6)
+        lens[0].append(ln)
+        pos = pos + 6 + max(ln, 0)
+    out = W._assemble_batch(mem, fields, offs, lens)
+    assert len(out) == len(rows)
+    got = [None if pd.isna(x) else int(x) for x in out["x"]]
+    assert got == rows
