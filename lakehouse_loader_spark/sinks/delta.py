@@ -453,12 +453,62 @@ def _write_parts(
 
 def _commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic exclusive commit of one log version (O_EXCL ≈ conditional PUT,
-    src/delta_destination.rs:398-402)."""
+    src/delta_destination.rs:398-402).  A version-checksum sidecar
+    (``<version>.crc``, the protocol's VERSION_CHECKSUM file) follows
+    best-effort: it is a read-side integrity aid over an already-durable
+    commit, so its failure must never fail the write."""
     os.makedirs(_log_dir(path), exist_ok=True)
     fd = os.open(_version_file(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         for action in actions:
             fh.write(json.dumps(action) + "\n")
+    try:
+        _write_version_checksum(path, version)
+    except Exception:  # noqa: BLE001 — deliberately broad, see docstring
+        pass
+
+
+def _write_version_checksum(path: str, version: int) -> None:
+    """``<version>.crc``: post-commit table state counters (tableSizeBytes,
+    numFiles, numMetadata, numProtocol — the Delta protocol's version
+    checksum), derived from a checkpoint-seeded replay so the cost is
+    bounded by CHECKPOINT_INTERVAL, not table age.  Readers can cross-check
+    replayed state against it (``validate_table_checksum``)."""
+    _, _, adds = _read_log(path, as_of_version=version)
+    crc = {
+        "tableSizeBytes": sum(int(a.get("size", 0)) for a in adds.values()),
+        "numFiles": len(adds),
+        "numMetadata": 1,
+        "numProtocol": 1,
+    }
+    tmp = os.path.join(_log_dir(path), f".{version:020d}.crc.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(crc, fh)
+    os.replace(tmp, os.path.join(_log_dir(path), f"{version:020d}.crc"))
+
+
+@accepts_file_uris
+def validate_table_checksum(path: str) -> dict:
+    """Cross-check the latest version's replayed state against its ``.crc``
+    sidecar; raises on mismatch (a divergent replay means a torn log or a
+    non-atomic outside mutation), returns the checksum record.  No-op
+    result {"validated": False} when the version has no sidecar (older
+    writers)."""
+    latest, _, adds = _read_log(path)
+    crc_file = os.path.join(_log_dir(path), f"{latest:020d}.crc")
+    if not os.path.exists(crc_file):
+        return {"validated": False, "version": latest}
+    with open(crc_file) as fh:
+        crc = json.load(fh)
+    got_files = len(adds)
+    got_bytes = sum(int(a.get("size", 0)) for a in adds.values())
+    if got_files != crc["numFiles"] or got_bytes != crc["tableSizeBytes"]:
+        raise RuntimeError(
+            f"version checksum mismatch at {path} v{latest}: replay sees "
+            f"{got_files} files / {got_bytes} bytes, checksum recorded "
+            f"{crc['numFiles']} / {crc['tableSizeBytes']}"
+        )
+    return {"validated": True, "version": latest, **crc}
 
 
 # Write a consolidated checkpoint every N commits (delta-spark's default

@@ -879,6 +879,7 @@ def write_postgres_wire(
     mode: str = "error",
     user: str | None = None,
     password: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """DataFrame → PostgreSQL table over binary COPY, no JDBC jar — the
     WRITE half of the wire connector (the reference only loads FROM
@@ -892,16 +893,49 @@ def write_postgres_wire(
     untouched (the staging table is dropped).  Returns rows written.
 
     ``mode``: ``error`` (create; fail if the table exists),
-    ``overwrite`` (replace contents), ``append``."""
+    ``overwrite`` (replace contents), ``append``.
+
+    ``txn=(app_id, version)`` makes the publish EXACTLY-ONCE under
+    retries — the pg twin of the Delta sink's ``txn`` action: the ledger
+    row (``__lhl_txn``) inserts in the SAME transaction as the data
+    publish, so a retried job whose predecessor already committed
+    returns 0 without re-appending, and a crash before publish left
+    nothing visible to re-deduplicate against."""
     if mode not in ("error", "overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     if not all(part.isidentifier() for part in table.split(".")):
         raise ValueError(f"unsafe table name {table!r}")
+    if txn is not None:
+        app_id, txn_version = str(txn[0]), int(txn[1])
+        if not app_id.replace("-", "_").replace(".", "_").isidentifier():
+            raise ValueError(f"unsafe txn app id {app_id!r}")
     params = parse_libpq_url(conn_url, user=user, password=password)
     schema = df.schema
     col_ddl = ", ".join(
         f'{f.name} {_pg_type_of(f.dataType)}' for f in schema.fields
     )
+    if txn is not None:
+        simple_command(
+            params,
+            "CREATE TABLE IF NOT EXISTS __lhl_txn "
+            "(app_id text, version bigint, tbl text, committed_at timestamptz "
+            "DEFAULT now(), PRIMARY KEY (app_id, version, tbl))",
+        )
+        try:
+            batch = next(
+                iter_copy_batches(
+                    params,
+                    f"SELECT count(*)::int8 AS n FROM __lhl_txn WHERE "
+                    f"app_id = '{app_id}' AND version = {txn_version} "
+                    f"AND tbl = '{table}'",
+                    [("n", 20, -1)],
+                    2,
+                )
+            )
+            if int(batch["n"][0]) > 0:
+                return 0  # this (app_id, version) already published
+        except PgError:
+            raise
     staging = f"{table.split('.')[-1]}__lhl_stage_{os.urandom(4).hex()}"
     simple_command(params, f"CREATE TABLE {staging} ({col_ddl})")
     host, port, u, pw, db = params.as_tuple()
@@ -922,22 +956,30 @@ def write_postgres_wire(
         written = int(
             df.mapInPandas(sink, "n long").agg({"n": "sum"}).collect()[0][0] or 0
         )
+        ledger = (
+            f" INSERT INTO __lhl_txn (app_id, version, tbl) VALUES "
+            f"('{app_id}', {txn_version}, '{table}');"
+            if txn is not None
+            else ""
+        )
         if mode == "append":
             simple_command(
                 params,
                 f"BEGIN; INSERT INTO {table} SELECT * FROM {staging}; "
-                f"DROP TABLE {staging}; COMMIT;",
+                f"DROP TABLE {staging};{ledger} COMMIT;",
             )
         elif mode == "overwrite":
             simple_command(
                 params,
                 f"BEGIN; DROP TABLE IF EXISTS {table}; "
-                f"ALTER TABLE {staging} RENAME TO {table.split('.')[-1]}; COMMIT;",
+                f"ALTER TABLE {staging} RENAME TO {table.split('.')[-1]};"
+                f"{ledger} COMMIT;",
             )
         else:  # error: publish only if the target does not exist
             simple_command(
                 params,
-                f"BEGIN; ALTER TABLE {staging} RENAME TO {table.split('.')[-1]}; COMMIT;",
+                f"BEGIN; ALTER TABLE {staging} RENAME TO {table.split('.')[-1]};"
+                f"{ledger} COMMIT;",
             )
         return written
     except Exception:

@@ -163,10 +163,20 @@ def test_iceberg_format_version_guard(spark, tmpdir):
     t = os.path.join(tmpdir, "it")
     IC.write_iceberg(_df(spark, 0, 10), t)
     v, meta = IC._read_metadata(t)
+    # v3 is SUPPORTED since the deletion-vector work (r8) — a plain v3
+    # table reads fine; v4 (unknown) still refuses per the forward-compat
+    # rule, and v3 feature subsets this engine lacks refuse specifically
+    # (tests/test_iceberg_dv.py::test_v3_tables_with_unimplemented_defaults_refused)
     meta["format-version"] = 3
     with open(os.path.join(t, "metadata", f"v{v + 1}.metadata.json"), "w") as fh:
         json.dump(meta, fh)
     with open(os.path.join(t, "metadata", "version-hint.text"), "w") as fh:
         fh.write(str(v + 1))
-    with pytest.raises(RuntimeError, match="format-version 3"):
+    assert IC.read_iceberg(spark, t).count() == 10
+    meta["format-version"] = 4
+    with open(os.path.join(t, "metadata", f"v{v + 2}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(v + 2))
+    with pytest.raises(RuntimeError, match="format-version 4"):
         IC.read_iceberg(spark, t)

@@ -657,3 +657,25 @@ def test_dv_read_expands_positions_executor_side(spark, tmpdir):
     assert "mapinpandas" in got._jdf.queryExecution().analyzed().toString().lower()
     assert got.count() == n // 2
     assert got.agg(F.min("id")).first()[0] == 1
+
+
+def test_version_checksum_written_and_validates(spark, tmpdir):
+    """Every commit leaves a <version>.crc sidecar (the protocol's version
+    checksum); validation passes on an intact log and fails loudly when
+    the recorded state diverges from replay."""
+    path = os.path.join(tmpdir, "t")
+    _table(spark, path, n=100, files=2)
+    D.delete_from_delta(spark, path, "id < 10", mode="merge-on-read")
+    latest, _, adds = D._read_log(path)
+    crc_file = os.path.join(path, "_delta_log", f"{latest:020d}.crc")
+    assert os.path.exists(crc_file)
+    rec = D.validate_table_checksum(path)
+    assert rec["validated"] and rec["numFiles"] == len(adds)
+    # tamper: claim a different file count -> loud mismatch
+    with open(crc_file) as fh:
+        crc = json.load(fh)
+    crc["numFiles"] += 1
+    with open(crc_file, "w") as fh:
+        json.dump(crc, fh)
+    with pytest.raises(RuntimeError, match="checksum mismatch"):
+        D.validate_table_checksum(path)

@@ -498,3 +498,34 @@ def test_copy_row_framing_roundtrip_property(vals):
     assert len(out) == len(rows)
     got = [None if pd.isna(x) else int(x) for x in out["x"]]
     assert got == rows
+
+
+def test_sink_txn_makes_publish_exactly_once(spark, pg_url):
+    """txn=(app_id, version): the ledger row commits IN the publish
+    transaction, so a retried job with the same version appends nothing;
+    a new version appends once — the pg twin of the Delta txn action."""
+    df = W.read_postgres_wire(spark, pg_url, "select id from t1 where id <= 50")
+    assert W.write_postgres_wire(df, pg_url, "t_txn", mode="overwrite") == 50
+    assert (
+        W.write_postgres_wire(df, pg_url, "t_txn", mode="append", txn=("job_a", 1))
+        == 50
+    )
+    # retry of the SAME version: no-op
+    assert (
+        W.write_postgres_wire(df, pg_url, "t_txn", mode="append", txn=("job_a", 1))
+        == 0
+    )
+    # next version: appends
+    assert (
+        W.write_postgres_wire(df, pg_url, "t_txn", mode="append", txn=("job_a", 2))
+        == 50
+    )
+    params = W.parse_libpq_url(pg_url)
+    n = next(
+        W.iter_copy_batches(
+            params, "select count(*)::int8 as n from t_txn", [("n", 20, -1)], 2
+        )
+    )
+    assert int(n["n"][0]) == 150
+    with pytest.raises(ValueError, match="unsafe txn"):
+        W.write_postgres_wire(df, pg_url, "t_txn", txn=("x'; DROP", 1))

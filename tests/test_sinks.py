@@ -114,7 +114,15 @@ def test_delta_layout_and_roundtrip(spark, small_df, tmpdir):
     path = os.path.join(tmpdir, "t")
     DL.write_delta(small_df, path)
     log = sorted(os.listdir(os.path.join(path, "_delta_log")))
-    assert log == [f"{0:020d}.json", f"{1:020d}.json"]
+    # the two-commit layout plus the r8 version-checksum sidecars
+    assert [f for f in log if f.endswith(".json")] == [
+        f"{0:020d}.json",
+        f"{1:020d}.json",
+    ]
+    assert [f for f in log if f.endswith(".crc")] == [
+        f"{0:020d}.crc",
+        f"{1:020d}.crc",
+    ]
     parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert parts and all(".snappy." in p or p.endswith(".parquet") for p in parts)
     back = DL.read_delta(spark, path)
