@@ -139,10 +139,10 @@ def test_pg_to_delta_live(live_spark, target):
     write_delta(df, target)
 
     paths = _list_recursive(live_spark, target)
-    logs = [p for p in paths if p.startswith("_delta_log/")]
+    logs = [p for p in paths if p.startswith("_delta_log/") and p.endswith(".json")]
     parts = [p for p in paths if not p.startswith("_delta_log/")]
     # two-commit layout: protocol/metadata then add actions
-    # (basic_integration.rs:48-57)
+    # (basic_integration.rs:48-57); version-checksum sidecars (r8) ride along
     assert logs == [
         "_delta_log/00000000000000000000.json",
         "_delta_log/00000000000000000001.json",
