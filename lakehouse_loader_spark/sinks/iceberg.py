@@ -870,6 +870,17 @@ def _scan_with_deletes(
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     scan = _with_row_positions(reader, files, schema)
+    # DV entries name their target in the manifest, so deletes aimed at
+    # files a planner already pruned away drop here for FREE — the
+    # metadata-only advantage v2 parquet deletes (whose targets live
+    # inside the delete file) cannot offer; their anti-join rows simply
+    # never match instead
+    file_set = set(files)
+    delete_entries = [
+        d
+        for d in delete_entries
+        if not (_is_dv_entry(d) and d["referenced_data_file"] not in file_set)
+    ]
     return _apply_pos_deletes(spark, scan, path, delete_entries)
 
 

@@ -263,3 +263,35 @@ def test_dv_blob_bytes_are_delta_compatible():
     (ln,) = struct.unpack_from(">i", blob, 0)
     assert blob[4 : 4 + ln] == ser
     assert struct.unpack_from("<i", ser, 0)[0] == DV.DV_MAGIC
+
+
+def test_pruned_scans_skip_unrelated_dv_blobs(spark, tmpdir):
+    """A planner-pruned scan must not load DV blobs aimed at pruned-away
+    files: targets resolve from the manifest, so the filter is
+    metadata-only (the v3 advantage over v2 parquet deletes)."""
+    path = os.path.join(tmpdir, "ice")
+    _table(spark, path, n=4000, files=4)
+    IC.delete_from_iceberg(spark, path, "id % 2 = 0", strategy="merge-on-read-dv")
+    _, meta = IC._read_metadata(path)
+    data_entries, dels, partitioned = IC._split_live_entries(path, meta)
+    one_file = [IC._abs_file(path, data_entries[0]["file_path"])]
+    schema = IC.iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    loaded = []
+    orig = IC._dv_positions_frame
+
+    def spy(spark_, path_, dv_entries):
+        loaded.extend(dv_entries)
+        return orig(spark_, path_, dv_entries)
+
+    IC._dv_positions_frame, saved = spy, orig
+    try:
+        got = IC._scan_with_deletes(spark, path, schema, partitioned, one_file, dels)
+        n = got.count()
+    finally:
+        IC._dv_positions_frame = saved
+    assert len(loaded) == 1  # only the scanned file's DV, not all 4
+    assert loaded[0]["referenced_data_file"] == one_file[0]
+    import pyarrow.parquet as pq
+
+    file_rows = pq.ParquetFile(one_file[0]).metadata.num_rows
+    assert n == file_rows - loaded[0]["record_count"]
