@@ -295,3 +295,19 @@ def test_pruned_scans_skip_unrelated_dv_blobs(spark, tmpdir):
 
     file_rows = pq.ParquetFile(one_file[0]).metadata.num_rows
     assert n == file_rows - loaded[0]["record_count"]
+
+
+def test_scoped_optimize_materializes_dvs(spark, tmpdir):
+    """OPTIMIZE WHERE on a DV table: DV target files are forced into the
+    rewrite (targets resolve from metadata) so dropping the delete
+    manifests never resurrects rows."""
+    path = os.path.join(tmpdir, "ice")
+    _table(spark, path, n=10_000, files=4)
+    IC.delete_from_iceberg(spark, path, "id % 3 = 0", strategy="merge-on-read-dv")
+    r = IC.optimize_iceberg(spark, path, where=[("id", "<", 100_000)])
+    assert r["purged_delete_files"] == 4
+    got = IC.read_iceberg(spark, path)
+    assert got.count() == 10_000 - 3_334
+    assert got.filter("id % 3 = 0").count() == 0
+    _, dels, _ = IC._split_live_entries(path, IC._read_metadata(path)[1])
+    assert not dels
