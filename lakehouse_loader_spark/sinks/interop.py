@@ -127,9 +127,14 @@ def sync_iceberg_from_delta(delta_path: str) -> dict:
     new_meta["snapshots"] = ice_meta.get("snapshots", []) + [snapshot]
     new_meta["current-snapshot-id"] = snapshot_id
     new_version = ice_version + 1
-    with open(
-        os.path.join(IC._meta_dir(path), f"v{new_version}.metadata.json"), "w"
-    ) as fh:
+    # exclusive create = the commit point, like every other metadata
+    # writer; a concurrent mirror-side commit surfaces loudly instead of
+    # silently overwriting it
+    fd = os.open(
+        os.path.join(IC._meta_dir(path), f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
     with open(IC._hint_file(path), "w") as fh:
         fh.write(str(new_version))
