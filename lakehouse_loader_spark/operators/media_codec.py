@@ -396,7 +396,11 @@ def sniff_format(payload: bytes | None) -> str:
 # not per consumer
 IMAGE_FORMATS = ("ppm", "pgm", "bmp", "png", "jpeg")
 AUDIO_FORMATS = ("wav", "flac")
-DECODE_ERRORS = (ValueError, struct.error, zlib.error)
+# every exception class a malformed stream can surface from ANY decoder:
+# truncated buffers index past the end (IndexError), corrupt table/code
+# selectors miss their lookup maps (KeyError) — the never-raise contract
+# of decode_media catches exactly this set, nothing broader
+DECODE_ERRORS = (ValueError, struct.error, zlib.error, IndexError, KeyError)
 
 
 def decode_audio(payload: bytes, kind: str | None = None) -> dict:

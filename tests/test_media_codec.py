@@ -643,3 +643,43 @@ def test_flac_sniffed_and_dispatched_by_media_codec():
     assert d["format"] == "flac" and d["sample_rate"] == 16000
     assert d["n_samples"] == 500 and abs(d["mean_value"] - s.mean()) < 1e-9
     assert MC.decode_media(b"fLaC" + b"\x00" * 8)["format"] == "opaque"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600), st.integers(min_value=0, max_value=6))
+def test_decode_media_never_raises_fuzz(blob, fmt_hint):
+    """The never-raise contract under adversarial bytes: random payloads
+    wearing each format's magic (so the real decoders run and fail at
+    arbitrary depths) must degrade to byte stats, never kill the task."""
+    magics = [
+        b"",
+        b"RIFF" + blob[:4] + b"WAVE",
+        b"P6\n",
+        b"BM",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff\xe0",
+        b"fLaC",
+    ]
+    payload = magics[fmt_hint] + blob
+    out = MC.decode_media(payload)
+    assert out["byte_len"] == len(payload)
+    assert isinstance(out["format"], str)
+
+
+def test_decode_media_survives_truncations_of_valid_streams():
+    """Every prefix-truncation of a VALID stream of each format degrades
+    cleanly (torn downloads are the common real-corpus corruption)."""
+    from lakehouse_loader_spark.operators.flac import encode_flac
+    from lakehouse_loader_spark.operators.jpeg import encode_jpeg
+
+    streams = [
+        MC.encode_wav(np.arange(100, dtype="<i2"), 8000),
+        MC.encode_ppm(_ramp(9, 7, 1)),
+        MC.encode_png(_ramp(9, 7, 1)),
+        encode_jpeg(_ramp(9, 7, 1)),
+        encode_flac(np.arange(200, dtype=np.int16), 8000),
+    ]
+    for full in streams:
+        for cut in range(0, len(full), max(1, len(full) // 40)):
+            out = MC.decode_media(full[:cut])
+            assert out["byte_len"] == cut
