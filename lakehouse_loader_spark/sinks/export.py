@@ -139,3 +139,106 @@ def export_webdataset(
         yield pd.DataFrame(manifest, columns=["shard", "n_entries", "n_bytes"])
 
     return sel.mapInPandas(write_shards, schema=out_schema)
+
+
+def export_avro(
+    df: DataFrame, target: str, rows_per_file: int = 100_000
+) -> DataFrame:
+    """Avro OCF export — the write-side twin of
+    ``sources.readers.read_avro_source`` (training/interchange pipelines
+    that speak Avro instead of JSONL get a typed, splittable hand-off).
+
+    Executor-side: each task encodes its partition into
+    ``rows_per_file``-bounded OCF parts with the pure-python encoder the
+    Iceberg manifests already use (sinks/avro_ocf.py — no JVM avro
+    package), so memory per task is one file's rows and the write scales
+    with partition count.  Nullable unions mirror Spark nullability;
+    date/timestamp land as the logical types the reader maps back, so
+    ``read_avro_source(export_avro(df)) == df``.  Returns a manifest
+    DataFrame of (file, rows)."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    def avro_type(dt):
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        raise ValueError(f"no Avro mapping for Spark type {dt.simpleString()}")
+
+    schema = df.schema
+    avro_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": f.name, "type": ["null", avro_type(f.dataType)], "default": None}
+            for f in schema.fields
+        ],
+    }
+    os.makedirs(target, exist_ok=True)
+    names = [f.name for f in schema.fields]
+    dtypes = [f.dataType for f in schema.fields]
+    epoch = _dt.date(1970, 1, 1)
+
+    def to_datum(v, dt):
+        import pandas as pd
+
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+            return None
+        if isinstance(dt, T.DateType):
+            d = v.date() if isinstance(v, _dt.datetime) else v
+            return (d - epoch).days
+        if isinstance(dt, T.TimestampNTZType):
+            return pd.Timestamp(v).value // 1_000
+        return v
+
+    def run(batches):
+        import pandas as pd
+
+        from lakehouse_loader_spark.sinks import avro_ocf
+
+        rows: list[dict] = []
+        out = []
+
+        def flush():
+            if not rows:
+                return
+            name = f"part-{_uuid.uuid4().hex}.avro"
+            avro_ocf.write_ocf(os.path.join(target, name), avro_schema, list(rows))
+            out.append((name, len(rows)))
+            rows.clear()
+
+        for pdf in batches:
+            cols = [pdf[n].tolist() for n in names]
+            nulls = [pd.isna(pdf[n]).tolist() for n in names]
+            for i in range(len(pdf)):
+                rows.append(
+                    {
+                        n: (None if isnull[i] else to_datum(col[i], dt))
+                        for n, col, isnull, dt in zip(names, cols, nulls, dtypes)
+                    }
+                )
+                if len(rows) >= rows_per_file:
+                    flush()
+        flush()
+        yield pd.DataFrame(out, columns=["file", "rows"]) if out else pd.DataFrame(
+            {"file": pd.Series(dtype="object"), "rows": pd.Series(dtype="int64")}
+        )
+
+    return df.mapInPandas(run, "file string, rows long")

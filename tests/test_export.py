@@ -116,3 +116,49 @@ def test_cli_export_subcommands(spark, tmpdir):
         with tarfile.open(s) as tf:
             total += sum(1 for n in tf.getnames() if n.endswith(".bin"))
     assert total == 50
+
+
+def test_avro_export_roundtrips_through_the_reader(spark, tmpdir):
+    """export_avro -> read_avro_source is lossless over the full supported
+    type set (incl. NULLs, date/timestamp logical types, binary), written
+    executor-side in rows_per_file-bounded OCF parts."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.export import export_avro
+    from lakehouse_loader_spark.sources.readers import read_avro_source
+
+    df = (
+        spark.range(0, 3000)
+        .select(
+            "id",
+            (F.col("id") % 2 == 0).alias("flag"),
+            (F.col("id") * 0.5).alias("v"),
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+            F.to_date(F.lit("2024-01-01")).alias("d"),
+            F.lit("2024-06-01 12:00:00").cast("timestamp_ntz").alias("ts"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id").cast("string"))
+            .cast("binary")
+            .alias("b"),
+        )
+        .repartition(3)
+    )
+    target = os.path.join(tmpdir, "avro_out")
+    manifest = export_avro(df, target, rows_per_file=500).collect()
+    assert sum(r.rows for r in manifest) == 3000
+    assert len(manifest) >= 6  # 3 partitions x 1000 rows / 500-row files
+    back = read_avro_source(spark, target)
+    # nullable unions on every field -> compare types, not nullability
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_avro_export_refuses_unmappable_types(spark, tmpdir):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.export import export_avro
+
+    df = spark.range(1).select(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
+    with _pytest.raises(ValueError, match="no Avro mapping"):
+        export_avro(df, os.path.join(tmpdir, "x"))
