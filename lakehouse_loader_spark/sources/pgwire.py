@@ -826,10 +826,13 @@ def _field_encoder(dt):
     raise ValueError(f"no COPY encoder for Spark type {dt.simpleString()}")
 
 
-def copy_into(params: ConnParams, table: str, pdf, encoders) -> int:
+def copy_into(params_or_sock, table: str, pdf, encoders) -> int:
     """COPY one pandas batch into ``table`` (FORMAT binary), one
-    transaction per call; returns rows written."""
-    sock = connect(params)
+    transaction per call; returns rows written.  Accepts an open socket
+    (reused across a partition's batches — no per-batch reconnect) or
+    ConnParams (one-shot)."""
+    own = isinstance(params_or_sock, ConnParams)
+    sock = connect(params_or_sock) if own else params_or_sock
     try:
         sql = f'COPY {table} FROM STDIN (FORMAT binary)'
         sock.sendall(_msg(b"Q", sql.encode() + b"\x00"))
@@ -869,7 +872,8 @@ def copy_into(params: ConnParams, table: str, pdf, encoders) -> int:
             raise PgError(err)
         return len(pdf)
     finally:
-        sock.close()
+        if own:
+            sock.close()
 
 
 def write_postgres_wire(
@@ -947,9 +951,16 @@ def write_postgres_wire(
         cp = ConnParams(host, port, u, pw, db)
         encs = [_field_encoder(dt) for dt in dtypes]
         n = 0
-        for pdf in batches:
-            if len(pdf):
-                n += copy_into(cp, staging, pdf, encs)
+        sock = None
+        try:
+            for pdf in batches:
+                if len(pdf):
+                    if sock is None:  # one connection per partition
+                        sock = connect(cp)
+                    n += copy_into(sock, staging, pdf, encs)
+        finally:
+            if sock is not None:
+                sock.close()
         yield pd.DataFrame({"n": [n]})
 
     try:
