@@ -10,6 +10,12 @@ files), so any Iceberg reader — including this repo's ``read_iceberg`` —
 scans it without copying a byte.  ``sync_delta_from_iceberg`` is the
 reverse (a ``_delta_log`` over an Iceberg table's current snapshot).
 
+Relationship to ``convert_delta_to_iceberg`` / ``convert_iceberg_to_delta``
+(the one-shot snapshot-migration procedures): those mint a NEW table at a
+DIFFERENT path referencing the source's files once; a sync keeps ONE
+path serving both formats and refreshes incrementally — UniForm's
+continuous-mirror semantics vs Iceberg's ``snapshot`` migration shape.
+
 Both are one-way CURRENT-SNAPSHOT projections, re-runnable after new
 commits (each sync appends a fresh metadata version on the mirror side;
 stale mirrors simply lag, they never corrupt).  Refused loudly:
