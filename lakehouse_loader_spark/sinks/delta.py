@@ -163,7 +163,7 @@ class UnsupportedProtocolError(RuntimeError):
     to refuse."""
 
 
-SUPPORTED_READER_VERSION = 1
+SUPPORTED_READER_VERSION = 2  # through column mapping (name mode, read path)
 SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
 
 # Table-features protocol (reader v3 / writer v7): only features this
@@ -173,7 +173,7 @@ SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
 # not a capability advertisement.  "invariants" is claimed because
 # _enforce_constraints also evaluates column invariants
 # (delta.invariants field metadata) on every write path.
-SUPPORTED_READER_FEATURES = {"deletionVectors"}
+SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "checkConstraints",
@@ -247,6 +247,10 @@ def table_protocol(path: str) -> dict:
     return proto
 
 
+def _column_mapping_mode(meta: dict) -> str:
+    return (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+
+
 def _check_protocol(path: str, for_write: bool) -> None:
     proto = table_protocol(path)
     reader = proto.get("minReaderVersion", 1)
@@ -277,6 +281,19 @@ def _check_protocol(path: str, for_write: bool) -> None:
                 f"(supported: {sorted(SUPPORTED_WRITER_FEATURES)}); writing "
                 "blind would break invariants this engine does not implement"
             )
+
+
+def _forbid_if_column_mapped(meta: dict, op: str) -> None:
+    """Column mapping is READ-supported (name mode): this writer emits
+    LOGICAL parquet column names, so writing into a mapped table would
+    produce files its mapping-aware readers cannot resolve — refuse."""
+    mode = _column_mapping_mode(meta)
+    if mode != "none":
+        raise UnsupportedProtocolError(
+            f"{op} into a column-mapped table (delta.columnMapping.mode="
+            f"{mode}) is not supported: this writer emits logical parquet "
+            "column names"
+        )
 
 
 def _forbid_if_append_only(meta: dict, op: str) -> None:
@@ -958,6 +975,7 @@ def write_delta(
     if mode is WriteMode.APPEND and exists:
         _check_protocol(path, for_write=True)
         _, meta, _ = _read_log(path)
+        _forbid_if_column_mapped(meta, "append")
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
         _enforce_constraints(df, _write_rules(meta))
@@ -1013,6 +1031,38 @@ def write_delta(
     )
 
 
+def _physical_read_plan(meta: dict, schema: T.StructType):
+    """Column mapping (reader feature): for mode ``name`` return the
+    PHYSICAL StructType to scan parquet with (each field's
+    ``delta.columnMapping.physicalName`` metadata), or None when the
+    table is unmapped.  Mode ``id`` (parquet field-id resolution) and
+    nested/partitioned mapped tables refuse loudly — reading them with
+    name resolution would silently misbind columns."""
+    mode = _column_mapping_mode(meta)
+    if mode == "none":
+        return None
+    if mode != "name":
+        raise UnsupportedProtocolError(
+            f"delta.columnMapping.mode={mode!r} is not supported (only "
+            "'name'); id mode needs parquet field-id resolution"
+        )
+    if meta.get("partitionColumns"):
+        raise UnsupportedProtocolError(
+            "column-mapped PARTITIONED tables are not supported: partition "
+            "values are keyed by physical name in the log"
+        )
+    fields = []
+    for f in schema.fields:
+        nested_json = json.dumps(f.dataType.jsonValue())
+        if "delta.columnMapping.physicalName" in nested_json:
+            raise UnsupportedProtocolError(
+                f"nested column mapping on field {f.name!r} is not supported"
+            )
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        fields.append(T.StructField(phys, f.dataType, f.nullable))
+    return T.StructType(fields)
+
+
 def _file_reader(spark: SparkSession, path: str, meta: dict, schema: T.StructType):
     """Reader for a subset of a table's data files; partitioned tables need
     basePath so directory-encoded partition values are re-derived."""
@@ -1053,13 +1103,20 @@ def _scan_adds(
     if not files:
         raise ValueError("_scan_adds needs a non-empty add set")
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
-    reader = _file_reader(spark, path, meta, schema)
+    phys = _physical_read_plan(meta, schema)
+    read_schema = phys or schema
+    reader = _file_reader(spark, path, meta, read_schema)
+    rename = [
+        F.col(p).alias(l)
+        for p, l in zip(read_schema.fieldNames(), schema.fieldNames())
+    ]
     if not dv_adds and not with_path:
-        return reader.parquet(*files)
+        out = reader.parquet(*files)
+        return out.select(*rename) if phys is not None else out
     from lakehouse_loader_spark.sinks.iceberg import _decode_scan_path
 
     scan = reader.parquet(*files).select(
-        *schema.fieldNames(),
+        *rename,
         _decode_scan_path(F.col("_metadata.file_path")).alias("__path"),
         F.col("_metadata.row_index").alias("__pos"),
     )
@@ -1951,6 +2008,7 @@ def merge_delta(
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "MERGE")
+    _forbid_if_column_mapped(meta, "MERGE")
     schema = table_schema(path)
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -2143,6 +2201,7 @@ def _cow_probe_and_commit(
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, op)
+    _forbid_if_column_mapped(meta, op)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         return 0, 0, 0, meta
@@ -2398,6 +2457,7 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "DELETE")
+    _forbid_if_column_mapped(meta, "DELETE")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         return {"deleted_rows": 0, "dv_files": 0, "removed_files": 0}
@@ -2497,6 +2557,7 @@ def _update_mor(
 
     _check_protocol(path, for_write=True)
     _forbid_if_append_only(meta, "UPDATE")
+    _forbid_if_column_mapped(meta, "UPDATE")
     empty = {"updated_rows": 0, "dv_files": 0, "removed_files": 0, "new_files": 0}
     if not adds:
         return empty

@@ -116,20 +116,20 @@ def _bump_protocol(t, reader, writer, reader_features=None, writer_features=None
 
 
 def test_reader_version_guard(spark, tmpdir):
-    """Reader v2 (column mapping) and v3 tables demanding features this
-    engine lacks are refused; v3 tables demanding only deletionVectors are
-    NOT (that feature is implemented — test_delta_dv.py)."""
+    """Reader v2 (column mapping, r8-implemented for name mode) now READS;
+    v3 tables demanding features this engine lacks are refused; v3 tables
+    demanding only deletionVectors/columnMapping are not."""
     t = os.path.join(tmpdir, "t")
     DL.write_delta(_df(spark, 0, 10), t)
-    _bump_protocol(t, reader=2, writer=5)  # column mapping: unsupported
-    with pytest.raises(DL.UnsupportedProtocolError, match="minReaderVersion=2"):
-        DL.read_delta(spark, t)
+    _bump_protocol(t, reader=2, writer=5)
+    # mapping mode 'none': the reader-2 bump alone no longer blocks reads
+    assert DL.read_delta(spark, t).count() == 10
     _bump_protocol(
         t, reader=3, writer=7,
-        reader_features=["deletionVectors", "columnMapping"],
-        writer_features=["deletionVectors", "columnMapping"],
+        reader_features=["deletionVectors", "v2Checkpoint"],
+        writer_features=["deletionVectors", "v2Checkpoint"],
     )
-    with pytest.raises(DL.UnsupportedProtocolError, match="columnMapping"):
+    with pytest.raises(DL.UnsupportedProtocolError, match="v2Checkpoint"):
         DL.read_delta(spark, t)
     with pytest.raises(DL.UnsupportedProtocolError):
         DL.read_delta_changes(spark, t, 0)
