@@ -621,3 +621,39 @@ def enrich_stream_with_dimension(
     dimension row pass through with nulls rather than silently dropping
     (an inner join would make dimension lag look like data loss)."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_to_postgres(
+    stream: DataFrame, conn_url: str, table: str, checkpoint_dir: str
+):
+    """Continuous ingestion into PostgreSQL over the wire-protocol sink —
+    the serving-database twin of stream_to_delta/stream_to_iceberg.
+
+    Exactly-once: each micro-batch publishes through
+    ``write_postgres_wire``'s transactional staged append with
+    ``txn=(app_id, batch_id)`` — the ledger row commits IN the publish
+    transaction, so a batch replayed after a failure between
+    table-commit and checkpoint-advance publishes zero rows the second
+    time (the same guarantee the lakehouse sinks get from their txn
+    actions, enforced server-side here)."""
+    from lakehouse_loader_spark.sources.pgwire import write_postgres_wire
+
+    app_id = resolve_stream_app_id(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_postgres_wire(
+            batch_df,
+            conn_url,
+            table,
+            mode="append" if batch_id > 0 else "overwrite",
+            txn=(app_id, batch_id),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -529,3 +529,63 @@ def test_sink_txn_makes_publish_exactly_once(spark, pg_url):
     assert int(n["n"][0]) == 150
     with pytest.raises(ValueError, match="unsafe txn"):
         W.write_postgres_wire(df, pg_url, "t_txn", txn=("x'; DROP", 1))
+
+
+def test_stream_to_postgres_exactly_once(spark, pg_url, tmpdir):
+    """Structured Streaming -> PostgreSQL through the wire sink: each
+    micro-batch publishes transactionally with txn=(app_id, batch_id);
+    re-running the stream from the same checkpoint (or a crash-replayed
+    batch) publishes nothing twice."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.streaming.events import stream_to_postgres
+
+    src = os.path.join(tmpdir, "src")
+    df = spark.range(0, 900).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") * 0.5).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.repartition(3).write.parquet(src)
+    from lakehouse_loader_spark.streaming.events import read_event_stream
+
+    ckpt = os.path.join(tmpdir, "ckpt")
+    q = stream_to_postgres(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        pg_url,
+        "t_stream",
+        ckpt,
+    )
+    q.awaitTermination(300)
+    got = W.read_postgres_wire(spark, pg_url, "select * from t_stream")
+    assert got.count() == 900
+    # a second availableNow run over the same checkpoint: nothing new to
+    # process, nothing re-published
+    q2 = stream_to_postgres(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        pg_url,
+        "t_stream",
+        ckpt,
+    )
+    q2.awaitTermination(300)
+    assert (
+        W.read_postgres_wire(spark, pg_url, "select count(*) as n from t_stream")
+        .collect()[0]
+        .n
+        == 900
+    )
+    # crash-replay simulation: re-publishing an already-ledgered batch id
+    # directly through the sink is a no-op
+    from lakehouse_loader_spark.sources.pgwire import write_postgres_wire
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    app_id = resolve_stream_app_id(ckpt)
+    assert (
+        write_postgres_wire(
+            df.limit(10), pg_url, "t_stream", mode="append", txn=(app_id, 0)
+        )
+        == 0
+    )
