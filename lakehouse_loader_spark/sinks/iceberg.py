@@ -2973,6 +2973,7 @@ def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> di
     manifest = _write_manifest(path, snapshot_id, new_delete_entries, meta, content=1)
 
     superseded = set(old_dvs) & {r.file_path for r in blob_rows}
+    consolidated = None
     if superseded:
         # re-emit surviving delete entries without the superseded DVs;
         # data manifests carry over untouched
@@ -2989,9 +2990,10 @@ def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> di
             mf for mf in _snapshot_manifests(path, meta) if mf["content"] == 0
         ]
         if keep_rows:
-            manifests.append(
-                _write_existing_delete_manifest(path, meta, keep_rows, snapshot_id)
+            consolidated = _write_existing_delete_manifest(
+                path, meta, keep_rows, snapshot_id
             )
+            manifests.append(consolidated)
         manifests.append(manifest)
     else:
         manifests = _snapshot_manifests(path, meta) + [manifest]
@@ -3020,6 +3022,10 @@ def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> di
         )
     except FileExistsError:
         _cleanup_lost_commit(path, new_delete_entries, manifest, manifest_list)
+        if consolidated is not None:
+            # the superseding rewrite also minted a consolidated delete
+            # manifest for the never-committed snapshot — same litter rule
+            _cleanup_lost_commit(path, [], consolidated, None)
         raise ConcurrentModificationError(
             f"concurrent commit won v{version + 1} at {path}; the DELETE's "
             "snapshot is stale — re-run against the new snapshot"

@@ -311,3 +311,38 @@ def test_scoped_optimize_materializes_dvs(spark, tmpdir):
     assert got.filter("id % 3 = 0").count() == 0
     _, dels, _ = IC._split_live_entries(path, IC._read_metadata(path)[1])
     assert not dels
+
+
+def test_lost_dv_commit_cleans_all_staged_metadata(spark, tmpdir, monkeypatch):
+    """A DV commit losing the optimistic race must remove EVERYTHING it
+    staged: the puffin file, its delete manifest, the manifest list, AND
+    (when superseding) the consolidated surviving-deletes manifest."""
+    import glob as _glob
+
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+
+    path = os.path.join(tmpdir, "ice")
+    _table(spark, path, n=1000, files=1)
+    IC.delete_from_iceberg(spark, path, "id < 10", strategy="merge-on-read-dv")
+    meta_before = sorted(_glob.glob(os.path.join(path, "metadata", "*")))
+    puffins_before = set(_puffins(path))
+
+    real_write_list = IC._write_manifest_list
+
+    def steal_and_write(path_, snapshot_id, manifests, seq):
+        # simulate a concurrent winner landing v(N+1) just before our commit
+        v = IC._read_version(path)
+        target = os.path.join(IC._meta_dir(path), f"v{v + 1}.metadata.json")
+        if not os.path.exists(target):
+            with open(target, "w") as fh:
+                fh.write("{}")
+        return real_write_list(path_, snapshot_id, manifests, seq)
+
+    monkeypatch.setattr(IC, "_write_manifest_list", steal_and_write)
+    with pytest.raises(ConcurrentModificationError):
+        IC.delete_from_iceberg(spark, path, "id < 20", strategy="merge-on-read-dv")
+    monkeypatch.undo()
+    os.remove(sorted(_glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))[-1])
+    # no staged litter beyond the pre-race state
+    assert set(_puffins(path)) == puffins_before
+    assert sorted(_glob.glob(os.path.join(path, "metadata", "*"))) == meta_before
