@@ -181,6 +181,13 @@ def build_parser() -> argparse.ArgumentParser:
         ej.add_argument("source")
         ej.add_argument("target")
         ej.add_argument("--max-records-per-file", type=int, default=100_000)
+    for name in ("delta-to-avro", "iceberg-to-avro", "parquet-to-avro"):
+        ea = sub.add_parser(
+            name, help="typed Avro OCF export (round-trips avro-to-*)"
+        )
+        ea.add_argument("source")
+        ea.add_argument("target")
+        ea.add_argument("--rows-per-file", type=int, default=100_000)
     wds = sub.add_parser("export-webdataset")
     wds.add_argument("source", help="parquet path, or delta:/iceberg: prefixed table")
     wds.add_argument("target")
@@ -519,6 +526,29 @@ def do_main(argv: list[str]) -> None:
         res = convert_iceberg_to_delta(args.source, args.target)
         print(
             f"converted {res['files']} files / {res['rows']} rows",
+            file=sys.stderr,
+        )
+        return
+    if args.command in ("delta-to-avro", "iceberg-to-avro", "parquet-to-avro"):
+        from lakehouse_loader_spark.sinks.export import export_avro
+
+        fmt = args.command.split("-to-")[0]
+        if fmt == "delta":
+            from lakehouse_loader_spark.sinks.delta import read_delta as _ra
+
+            src_df = _ra(spark, args.source)
+        elif fmt == "iceberg":
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg as _ra
+
+            src_df = _ra(spark, args.source)
+        else:
+            src_df = read_parquet_source(spark, args.source)
+        manifest = export_avro(
+            src_df, args.target, rows_per_file=args.rows_per_file
+        ).collect()
+        print(
+            f"exported {sum(m.rows for m in manifest)} rows in "
+            f"{len(manifest)} avro parts to {args.target}",
             file=sys.stderr,
         )
         return
