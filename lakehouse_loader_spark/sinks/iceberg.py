@@ -1292,6 +1292,35 @@ def write_iceberg(
     manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
 
     summary = {"operation": "append" if mode is WriteMode.APPEND else "overwrite"}
+    # the spec's standard summary metrics, derived from manifest_file
+    # counters already in hand (metadata-only; what external tooling and
+    # table_history read for per-commit accounting)
+    data_manifests = [m for m in manifests if m["content"] == 0]
+    summary.update(
+        {
+            "added-data-files": str(len(entries)),
+            "added-records": str(manifest["added_rows_count"]),
+            "total-data-files": str(
+                sum(
+                    m["added_files_count"] + m["existing_files_count"]
+                    for m in data_manifests
+                )
+            ),
+            "total-records": str(
+                sum(
+                    m["added_rows_count"] + m["existing_rows_count"]
+                    for m in data_manifests
+                )
+            ),
+            "total-delete-files": str(
+                sum(
+                    m["added_files_count"] + m["existing_files_count"]
+                    for m in manifests
+                    if m["content"] == 1
+                )
+            ),
+        }
+    )
     if snapshot_props:
         # Iceberg-style snapshot summary properties (all string-valued) —
         # the commit-metadata channel streaming sinks use for exactly-once
