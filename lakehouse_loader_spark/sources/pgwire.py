@@ -341,8 +341,54 @@ def _decode_numeric(b: bytes) -> Decimal:
     return Decimal((1 if sign == 0x4000 else 0, digits, -dscale))
 
 
+# 1-D array OIDs → element OID (the common training-data shapes: an
+# embedding column is float4[]/float8[])
+_ARRAY_ELEM_OID = {
+    1000: 16,    # bool[]
+    1005: 21,    # int2[]
+    1007: 23,    # int4[]
+    1016: 20,    # int8[]
+    1021: 700,   # float4[]
+    1022: 701,   # float8[]
+    1009: 25,    # text[]
+    1015: 1043,  # varchar[]
+    1231: 1700,  # numeric[]
+}
+_ELEM_TO_ARRAY_OID = {v: k for k, v in _ARRAY_ELEM_OID.items()}
+
+
+def _array_decoder(elem_oid: int):
+    """Binary array format: ndim, has-null flag, element oid, per-dim
+    (length, lower bound), then length-prefixed elements like top-level
+    fields.  Multi-dimensional arrays refuse (no Spark analog chosen)."""
+    elem_dec = _field_decoder(elem_oid)
+
+    def dec(b: bytes):
+        ndim, _flags, _eoid = struct.unpack_from(">iii", b, 0)
+        if ndim == 0:
+            return []
+        if ndim != 1:
+            raise PgError(f"{ndim}-dimensional arrays are not supported")
+        (n, _lb) = struct.unpack_from(">ii", b, 12)
+        p = 20
+        out = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from(">i", b, p)
+            p += 4
+            if ln == -1:
+                out.append(None)
+            else:
+                out.append(elem_dec(b[p : p + ln]))
+                p += ln
+        return out
+
+    return dec
+
+
 def _field_decoder(oid: int):
     """Binary-format decoder for one type OID → python value (pandas-ready)."""
+    if oid in _ARRAY_ELEM_OID:
+        return _array_decoder(_ARRAY_ELEM_OID[oid])
     if oid == 16:  # bool
         return lambda b: b[0] == 1
     if oid == 18:  # "char" — signed byte per the reference's mapping
@@ -392,6 +438,8 @@ def _field_decoder(oid: int):
 def _spark_type(oid: int, typmod: int):
     from pyspark.sql import types as T
 
+    if oid in _ARRAY_ELEM_OID:
+        return T.ArrayType(_spark_type(_ARRAY_ELEM_OID[oid], -1))
     if oid == 16:
         return T.BooleanType()
     if oid == 18:
@@ -746,6 +794,8 @@ def _pg_type_of(dt) -> str:
         return "timestamp"
     if isinstance(dt, T.TimestampType):
         return "timestamptz"
+    if isinstance(dt, T.ArrayType):
+        return f"{_pg_type_of(dt.elementType)}[]"
     raise ValueError(f"no PostgreSQL mapping for Spark type {dt.simpleString()}")
 
 
@@ -780,6 +830,25 @@ def _encode_numeric(d: Decimal) -> bytes:
     return struct.pack(f">hhHH{len(groups)}H", len(groups), weight, sign, dscale, *groups)
 
 
+def _oid_of(dt) -> int:
+    from pyspark.sql import types as T
+
+    m = {
+        T.BooleanType: 16,
+        T.ShortType: 21,
+        T.IntegerType: 23,
+        T.LongType: 20,
+        T.FloatType: 700,
+        T.DoubleType: 701,
+        T.StringType: 25,
+        T.DecimalType: 1700,
+    }
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return v
+    raise ValueError(f"no array element OID for {dt.simpleString()}")
+
+
 def _field_encoder(dt):
     """Spark type → (python value → COPY-binary payload bytes)."""
     import datetime as _dt
@@ -809,6 +878,23 @@ def _field_encoder(dt):
             ">i", (v.date() if isinstance(v, _dt.datetime) else v).toordinal()
             - _dt.date(2000, 1, 1).toordinal()
         )
+    if isinstance(dt, T.ArrayType):
+        elem_enc = _field_encoder(dt.elementType)
+        elem_oid = _oid_of(dt.elementType)
+
+        def arr(v):
+            items = list(v)
+            out = bytearray(struct.pack(">iii", 1, 0, elem_oid))
+            out += struct.pack(">ii", len(items), 1)
+            for it in items:
+                if it is None:
+                    out += struct.pack(">i", -1)
+                else:
+                    payload = elem_enc(it)
+                    out += struct.pack(">i", len(payload)) + payload
+            return bytes(out)
+
+        return arr
     if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
 
         def ts(v):

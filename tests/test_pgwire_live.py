@@ -589,3 +589,35 @@ def test_stream_to_postgres_exactly_once(spark, pg_url, tmpdir):
         )
         == 0
     )
+
+
+def test_array_columns_roundtrip_and_feed_similarity(spark, pg_url):
+    """1-D pg arrays decode to Spark arrays (incl. NULL elements and empty
+    arrays) and round-trip through the sink — and a float4[] embedding
+    column read from the server feeds the similarity operators directly,
+    the pg-to-vector-pipeline hand-off a training stack wants."""
+    from lakehouse_loader_spark.operators import similarity as S
+
+    df = W.read_postgres_wire(
+        spark,
+        pg_url,
+        "select g as vec_id, array[(g % 7 + 1)::float4, ((g * 3) % 5)::float4, "
+        "(g % 2)::float4] as embedding, array['t', null] as tags, "
+        "array[]::int8[] as empty from generate_series(0, 199) g",
+    )
+    assert dict(df.dtypes)["embedding"] == "array<float>"
+    r = df.filter("vec_id = 10").first()
+    assert r.embedding == [4.0, 0.0, 0.0] and r.tags == ["t", None] and r.empty == []
+    # sink round-trip
+    assert W.write_postgres_wire(df, pg_url, "t_arr_rt", mode="overwrite") == 200
+    back = W.read_postgres_wire(spark, pg_url, "select * from t_arr_rt")
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    # straight into the vector pipeline: brute-force top-k over the pg rows
+    emb = df.select("vec_id", "embedding")
+    top = S.brute_force_topk(emb, emb.filter("vec_id < 2"), k=5)
+    assert top.count() == 10  # 2 queries x top-5 neighbors
+    # multi-dimensional arrays refuse loudly
+    with pytest.raises(Exception, match="dimensional"):
+        W.read_postgres_wire(
+            spark, pg_url, "select array[[1,2],[3,4]] as m"
+        ).collect()
