@@ -242,3 +242,22 @@ def export_avro(
         )
 
     return df.mapInPandas(run, "file string, rows long")
+
+
+def export_csv(
+    df: DataFrame, target: str, delimiter: str = ",", compression: str = "gzip"
+) -> int:
+    """CSV export — the write-side twin of ``read_csv_source`` (the last
+    interchange format with a reader but no writer).  Header row per part,
+    gzip by default; timestamps land ISO-formatted so the reader's
+    inferred-then-frozen schema contract round-trips.  Returns part
+    count."""
+    (
+        df.write.option("header", True)
+        .option("delimiter", delimiter)
+        .option("compression", compression)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .mode("error")
+        .csv(target)
+    )
+    return len([f for f in os.listdir(target) if f.startswith("part-")])

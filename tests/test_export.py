@@ -162,3 +162,22 @@ def test_avro_export_refuses_unmappable_types(spark, tmpdir):
     df = spark.range(1).select(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
     with _pytest.raises(ValueError, match="no Avro mapping"):
         export_avro(df, os.path.join(tmpdir, "x"))
+
+
+def test_csv_export_roundtrips_through_the_reader(spark, tmpdir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.export import export_csv
+    from lakehouse_loader_spark.sources.readers import read_csv_source
+
+    df = spark.range(0, 500).select(
+        "id",
+        (F.col("id") * 0.5).alias("v"),
+        F.concat(F.lit("s,with,commas "), F.col("id").cast("string")).alias("s"),
+    )
+    target = os.path.join(tmpdir, "csv_out")
+    n_parts = export_csv(df, target)
+    assert n_parts >= 1
+    back = read_csv_source(spark, target, schema="id BIGINT, v DOUBLE, s STRING")
+    assert back.count() == 500
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
