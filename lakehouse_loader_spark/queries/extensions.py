@@ -2736,3 +2736,60 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("next_ts", fmt).alias("valid_to"),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# HTML main-content extraction (web-crawl ingest stage)
+# --------------------------------------------------------------------------
+def _html_overhead_sql() -> str:
+    """Oracle-side page length: escaped text + the fixed template + title.
+    Constants derive from the template itself so the SQL cannot drift."""
+    from lakehouse_loader_spark.operators.html_extract import _PAGE_PREFIX, _PAGE_SUFFIX
+
+    fixed = len(_PAGE_PREFIX) - len("{T}") + len(_PAGE_SUFFIX)
+    n_tags = _PAGE_PREFIX.count("<") + _PAGE_SUFFIX.count("<") - (
+        _PAGE_PREFIX.count("</") + _PAGE_SUFFIX.count("</")
+    )
+    return f"""
+    SELECT doc_id,
+           TRUE AS extract_ok,
+           TRUE AS title_ok,
+           CAST(2 AS BIGINT) AS n_links,
+           CAST({n_tags} AS BIGINT) AS n_tags,
+           CAST(length(text) AS DOUBLE) /
+             (length(replace(replace(replace(text, '&', '&amp;'),
+                                     '<', '&lt;'), '>', '&gt;'))
+              + {fixed} + 4 + length(CAST(doc_id AS VARCHAR))) AS content_ratio
+    FROM documents
+    """
+
+
+@query("text_html_extract", oracle=_html_overhead_sql())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl ingest: each document rendered into a deterministic HTML
+    page (nav/script/style/footer boilerplate + the text as escaped main
+    content, built JVM-side), then the tree-aware stdlib-parser extractor
+    (operators/html_extract.py) strips boilerplate back off.  Self-
+    certifying exact oracle: extraction must reproduce the original text
+    and title byte-for-byte (extract_ok/title_ok), the link/tag counts are
+    template constants, and content_ratio (text ÷ page length — the
+    text-to-markup boilerplate signal) is one IEEE division of exact
+    integer lengths recomputed independently in SQL.  The parser UDF is
+    map-side Arrow-batched — no shuffle at any corpus size."""
+    from lakehouse_loader_spark.operators.html_extract import extract_html, wrap_page_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    title = F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    pages = docs.select(
+        "doc_id", "text", title.alias("_title_in"),
+        wrap_page_col(F.col("text"), title).alias("html"),
+    )
+    ex = extract_html(pages)
+    return ex.select(
+        "doc_id",
+        (F.col("body") == F.col("text")).alias("extract_ok"),
+        (F.col("title") == F.col("_title_in")).alias("title_ok"),
+        F.col("n_links").cast("bigint").alias("n_links"),
+        F.col("n_tags").cast("bigint").alias("n_tags"),
+        (F.length("text").cast("double") / F.length("html")).alias("content_ratio"),
+    )
