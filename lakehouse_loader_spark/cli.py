@@ -10,6 +10,8 @@ plus the loader-surface extensions for training-data interchange formats:
     lhl csv-to-delta / csv-to-iceberg     SOURCE TARGET [-o] [-a] [--schema DDL] [--delimiter C]
     lhl jsonl-to-delta / jsonl-to-iceberg SOURCE TARGET [-o] [-a] [--schema DDL]
     lhl avro-to-delta / avro-to-iceberg   SOURCE TARGET [-o] [-a]
+    lhl orc-to-delta / orc-to-iceberg     SOURCE TARGET [-o] [-a]
+    lhl delta-to-orc / iceberg-to-orc / parquet-to-orc  SOURCE TARGET [--compression C]
 
 and table-maintenance subcommands (engine extensions; a production lake
 runs these on a schedule next to the loader):
@@ -54,7 +56,7 @@ from lakehouse_loader_spark.sources.readers import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lhl-spark")
     sub = p.add_subparsers(dest="command", required=True)
-    formats = ("parquet", "pg", "csv", "jsonl", "avro")
+    formats = ("parquet", "pg", "csv", "jsonl", "avro", "orc")
     for fmt in formats:
         for sink in ("delta", "iceberg"):
             name = f"{fmt}-to-{sink}"
@@ -188,6 +190,11 @@ def build_parser() -> argparse.ArgumentParser:
         ea.add_argument("source")
         ea.add_argument("target")
         ea.add_argument("--rows-per-file", type=int, default=100_000)
+    for name in ("delta-to-orc", "iceberg-to-orc", "parquet-to-orc"):
+        eo = sub.add_parser(name, help="ORC export (round-trips orc-to-*)")
+        eo.add_argument("source")
+        eo.add_argument("target")
+        eo.add_argument("--compression", default="zstd")
     wds = sub.add_parser("export-webdataset")
     wds.add_argument("source", help="parquet path, or delta:/iceberg: prefixed table")
     wds.add_argument("target")
@@ -552,6 +559,23 @@ def do_main(argv: list[str]) -> None:
             file=sys.stderr,
         )
         return
+    if args.command in ("delta-to-orc", "iceberg-to-orc", "parquet-to-orc"):
+        from lakehouse_loader_spark.sinks.export import export_orc
+
+        fmt = args.command.split("-to-")[0]
+        if fmt == "delta":
+            from lakehouse_loader_spark.sinks.delta import read_delta as _ro
+
+            src_df = _ro(spark, args.source)
+        elif fmt == "iceberg":
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg as _ro
+
+            src_df = _ro(spark, args.source)
+        else:
+            src_df = read_parquet_source(spark, args.source)
+        parts = export_orc(src_df, args.target, compression=args.compression)
+        print(f"exported {parts} orc parts to {args.target}", file=sys.stderr)
+        return
     if args.command in ("delta-to-jsonl", "iceberg-to-jsonl"):
         from lakehouse_loader_spark.sinks.export import export_jsonl
 
@@ -715,6 +739,10 @@ def do_main(argv: list[str]) -> None:
         from lakehouse_loader_spark.sources.readers import read_avro_source
 
         df = read_avro_source(spark, args.source)
+    elif fmt == "orc":
+        from lakehouse_loader_spark.sources.readers import read_orc_source
+
+        df = read_orc_source(spark, args.source)
     else:
         df = read_parquet_source(spark, args.source)
     append = getattr(args, "append", False)

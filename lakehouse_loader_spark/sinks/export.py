@@ -261,3 +261,12 @@ def export_csv(
         .csv(target)
     )
     return len([f for f in os.listdir(target) if f.startswith("part-")])
+
+
+def export_orc(df: DataFrame, target: str, compression: str = "zstd") -> int:
+    """ORC export — write-side twin of ``read_orc_source``.  Columnar with
+    footer stats (min/max per stripe), so downstream Hive/Trino/Spark scans
+    skip stripes the same way parquet row-groups skip; zstd by default.
+    Returns part count."""
+    df.write.option("compression", compression).mode("error").orc(target)
+    return len([f for f in os.listdir(target) if f.startswith("part-")])

