@@ -1,0 +1,86 @@
+"""Graph ranking: PageRank by power iteration, fully declarative.
+
+The companion to connected components (operators/clusters.py): components
+answer "which docs are one group", PageRank answers "which nodes matter" —
+the signal crawl pipelines use for URL/domain prioritization (the original
+use) and dedup pipelines use to pick cluster representatives.
+
+Spark shape: each iteration is one join (ranks ⋈ out-degree-normalized
+edges, shuffled on src) + one aggregate (shuffled on dst) — the classic
+Pregel superstep expressed as DataFrames, so Catalyst/AQE pick the
+join strategy (edges shuffle-join at scale, broadcast when tiny).  Driver
+state is a loop counter; rank state lives in the cluster.
+
+Determinism: double summation order differs across partitionings/engines,
+so each iteration's rank is rounded to ``scale`` decimals — both engines
+re-synchronize to identical inputs every superstep and the result is
+bit-stable at any parallelism (the float discipline of
+queries/__init__.py applied per-iteration instead of per-result).
+
+At 100 TB: iterations compose lineage; past ~15 supersteps a production
+run should cut it (localCheckpoint / scratch parquet, as dedup_clusters
+does above LOCAL_CC_MAX_EDGES).  The fixed budget here keeps the plan
+declarative; PageRank on power-law graphs is within ~1% after 8-10
+iterations (Page et al. 1999; Brin & Page 1998, §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (``src``/``dst``
+    string columns).  Every node must have out-degree ≥ 1 (undirect the
+    graph first if it has sinks — the callers here do); rank mass is then
+    conserved at Σ=N up to rounding.  Returns (node, rank)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution edges: src → dst carrying 1/deg, reused every superstep
+    norm = e.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            norm.join(ranks, norm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            F.round(F.lit(1 - DAMPING) + F.lit(DAMPING) * F.col("mass"), scale).alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_sql(edge_cte: str, iterations: int = 8, scale: int = 6) -> str:
+    """The DuckDB oracle twin: the same supersteps unrolled as chained CTEs
+    (recursive CTEs forbid aggregation in the recursive term).  ``edge_cte``
+    must define ``edges(src, dst)`` already distinct.  Generated from the
+    same constants as :func:`pagerank`, so the two cannot drift."""
+    parts = [
+        edge_cte,
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        # CASTs matter: DuckDB types bare decimal literals as DECIMAL and
+        # "1.0/deg" as decimal division — the doubles must match Spark's
+        "norm AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg AS w"
+        " FROM edges e JOIN deg USING (src))",
+        "p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg)",
+    ]
+    base, damp = repr(1 - DAMPING), repr(DAMPING)
+    for i in range(iterations):
+        parts.append(
+            f"p{i + 1} AS (SELECT n.dst AS node, "
+            f"ROUND(CAST({base} AS DOUBLE) + CAST({damp} AS DOUBLE)"
+            f" * SUM(p{i}.rank * n.w), {scale}) AS rank "
+            f"FROM norm n JOIN p{i} ON n.src = p{i}.node GROUP BY n.dst)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM p{iterations}"

@@ -2793,3 +2793,47 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tags").cast("bigint").alias("n_tags"),
         (F.length("text").cast("double") / F.length("html")).alias("content_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (iterative graph ranking)
+# --------------------------------------------------------------------------
+def _pagerank_oracle() -> str:
+    from lakehouse_loader_spark.operators.graph import pagerank_sql
+
+    edge_cte = """edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+                      'c' || CAST(o_custkey AS VARCHAR)
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+    return pagerank_sql(edge_cte, iterations=8, scale=6)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (orders⋈lineitem,
+    undirected so no node is a sink) — the iterative-algorithm class the
+    registry lacked: 8 declarative power-iteration supersteps, each one
+    shuffle-join + one keyed aggregate (operators/graph.py).  The oracle
+    runs the SAME supersteps unrolled as chained SQL CTEs, generated from
+    the same constants; per-iteration rounding re-synchronizes the two
+    engines' float state, so the match is exact, not approximate."""
+    from lakehouse_loader_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=8, scale=6)

@@ -1,0 +1,54 @@
+"""PageRank operator (operators/graph.py): hand-checkable graphs, rank-mass
+conservation, and bit-stability across parallelism (the per-iteration
+rounding contract that makes the oracle exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_regular_graph_is_fixed_point(spark):
+    # every node of a directed cycle has deg 1 and receives exactly one
+    # full rank: 0.15 + 0.85 * 1.0 = 1.0 is a fixed point
+    cyc = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    out = {r.node: r.rank for r in pagerank(cyc, iterations=5).collect()}
+    assert out == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
+def test_star_center_dominates_and_mass_conserved(spark):
+    leaves = [f"l{i}" for i in range(4)]
+    pairs = [("hub", leaf) for leaf in leaves] + [(leaf, "hub") for leaf in leaves]
+    out = {r.node: r.rank for r in pagerank(_edges(spark, pairs), iterations=10).collect()}
+    assert out["hub"] > max(out[leaf] for leaf in leaves)
+    assert len({out[leaf] for leaf in leaves}) == 1  # symmetry is exact
+    assert abs(sum(out.values()) - 5.0) < 1e-3  # undirected graph: Σrank = N
+
+
+def test_bit_stable_across_parallelism(spark):
+    # per-iteration rounding must erase partitioning-dependent float
+    # summation order — parallelism 1 and 16 agree EXACTLY
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    pairs = set()
+    for _ in range(200):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((a, b))
+        pairs.add((b, a))
+    e = _edges(spark, sorted(pairs))
+    r1 = {r.node: r.rank for r in pagerank(e.coalesce(1), iterations=8).collect()}
+    r16 = {r.node: r.rank for r in pagerank(e.repartition(16), iterations=8).collect()}
+    assert r1 == r16
+
+
+def test_no_cartesian_in_plan(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    plan = pagerank(e, iterations=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
