@@ -132,3 +132,42 @@ def importance_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     thresh = F.round(F.least(w, F.lit(1.0)) * BUCKET_SPACE, 0).cast("bigint")
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
+
+
+def weighted_priority(key: Column, weight: Column, salt: str = "wrs") -> Column:
+    """Efraimidis–Spirakis priority for weighted sampling WITHOUT
+    replacement: e = -ln(u)/w with u uniform in (0,1) — keeping the n
+    SMALLEST e is exactly sampling n items with probability ∝ weight
+    (A-Res, Efraimidis & Spirakis 2006).  u derives from the md5 bucket
+    (never RNG), so the sample is retry/backfill-stable like every other
+    decision in this module.  Rounded to 9 decimals so the ordering — and
+    the oracle comparison — is independent of libm ulp differences."""
+    u = (hash_bucket(key, salt) + F.lit(1)).cast("double") / F.lit(float(BUCKET_SPACE + 1))
+    return F.round(-F.log(u) / weight, 9)
+
+
+def weighted_priority_sql(key_sql: str, weight_sql: str, salt: str = "wrs") -> str:
+    """DuckDB twin of :func:`weighted_priority` (oracle helper)."""
+    return (
+        f"ROUND(-LN(CAST({hash_bucket_sql(key_sql, salt)} + 1 AS DOUBLE)"
+        f" / CAST({BUCKET_SPACE + 1} AS DOUBLE)) / ({weight_sql}), 9)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: Column | str, n: int, salt: str = "wrs"
+) -> DataFrame:
+    """n items sampled ∝ weight without replacement (quality-weighted
+    corpus curation: "take 100k docs, preferring high-quality ones").
+    Plan shape: the priority is map-side; orderBy(...).limit(n) compiles
+    to TakeOrderedAndProject, so each partition ships only its local
+    top-n — no global sort at any corpus size.  Rows with weight ≤ 0 are
+    unsampleable and dropped."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pri = weighted_priority(F.col(key_col), w, salt)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(n)
+    )

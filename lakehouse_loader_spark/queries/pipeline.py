@@ -1733,3 +1733,33 @@ def iceberg_equality_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         IC.write_iceberg(reinserts, table, append=True)
         cache[sf_dir] = table
     return IC.read_iceberg(spark, table)
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, source, CAST(length(text) AS BIGINT) AS wt,
+           {SA.weighted_priority_sql('doc_id', 'length(text)')} AS priority
+    FROM documents
+    WHERE length(text) > 0
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents sampled ∝ length WITHOUT replacement via deterministic
+    Efraimidis–Spirakis priorities (operators/sampling.py:weighted_sample)
+    — the quality-weighted curation draw.  The md5-derived uniform makes
+    the draw a pure function of the key (retry/backfill-stable), the
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition local
+    top-n, no global sort), and the oracle recomputes the identical
+    priorities in SQL — an exact match, not a distribution test."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SA.weighted_sample(
+        docs.withColumn("wt", F.length("text").cast("bigint")),
+        "doc_id", "wt", n=100,
+    )
+    return out.select("doc_id", "source", "wt", "priority")

@@ -462,3 +462,27 @@ def test_hll_sketch_union_matches_exact_within_bounds(spark):
         .first()["e"]
     )
     assert abs(union_est - exact_all) <= max(1, 0.05 * exact_all)
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_stable(spark):
+    """Efraimidis–Spirakis sampling: selection probability ∝ weight (a
+    1000:1 weight split must overwhelmingly select heavy rows), the draw
+    is deterministic across runs/parallelism, and rows with weight ≤ 0
+    never appear."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("k"),
+        # ids < 100 are "heavy" (weight 1000), the rest weight 1; two dead rows
+        F.when(F.col("id") < 100, 1000).when(F.col("id") >= 1998, 0).otherwise(1).alias("w"),
+    )
+    out = SA.weighted_sample(rows, "k", "w", n=100, salt="t")
+    got = [r.k for r in out.collect()]
+    assert len(got) == 100
+    heavy = sum(1 for k in got if int(k) < 100)
+    # E[heavy] ≈ 98 of 100 under ∝weight; even a loose bound separates it
+    # decisively from uniform (which would pick ~5)
+    assert heavy > 70
+    assert all(int(k) < 1998 for k in got)  # weight-0 rows excluded
+    again = [r.k for r in SA.weighted_sample(rows.repartition(16), "k", "w", n=100, salt="t").collect()]
+    assert got == again
