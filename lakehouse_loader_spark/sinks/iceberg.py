@@ -723,6 +723,24 @@ def _read_manifest_entries(path: str, manifest_path: str) -> list[dict]:
     return records
 
 
+def _append_snapshot(meta: dict, snapshot: dict) -> list[dict]:
+    """Append a snapshot with spec lineage: ``parent-snapshot-id`` is the
+    head this commit replaces — the branch head for branch (WAP) commits,
+    else the table head; absent on the first snapshot (spec §Snapshots).
+    Always recomputed from ``meta`` so a commit RETRY that re-read state
+    re-parents onto the winner, never onto the stale head it lost to."""
+    branch = (snapshot.get("summary") or {}).get("branch")
+    if branch and branch in (meta.get("refs") or {}):
+        parent = (meta["refs"][branch] or {}).get("snapshot-id")
+    else:
+        parent = meta.get("current-snapshot-id")
+    if parent in (None, -1):
+        snapshot.pop("parent-snapshot-id", None)
+    else:
+        snapshot["parent-snapshot-id"] = parent
+    return meta.get("snapshots", []) + [snapshot]
+
+
 def _snapshot_manifests(path: str, meta: dict) -> list[dict]:
     """``manifest_file`` records of the current snapshot (empty for a fresh
     table)."""
@@ -1336,7 +1354,7 @@ def write_iceberg(
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
 
     # conditional-put commit with optimistic retry (R14): the exclusive
@@ -1391,7 +1409,7 @@ def write_iceberg(
             new_meta = dict(meta)
             new_meta["last-sequence-number"] = sequence_number
             new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-            new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+            new_meta["snapshots"] = _append_snapshot(meta, snapshot)
             new_meta["current-snapshot-id"] = snapshot_id
 
     with open(_hint_file(path), "w") as fh:
@@ -2656,7 +2674,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     try:
         fd = os.open(
@@ -2808,7 +2826,7 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     try:
         fd = os.open(
@@ -3042,7 +3060,7 @@ def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> di
     new_meta["format-version"] = 3  # deletion vectors are a v3 feature
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     try:
         fd = os.open(
@@ -3146,7 +3164,7 @@ def equality_delete_iceberg(
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     try:
         fd = os.open(
@@ -3382,7 +3400,7 @@ def rewrite_manifests(path: str, min_count: int = 2) -> dict:
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = sequence_number
         new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-        new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        new_meta["snapshots"] = _append_snapshot(meta, snapshot)
         new_meta["current-snapshot-id"] = snapshot_id
         try:
             fd = os.open(
@@ -3600,7 +3618,7 @@ def optimize_iceberg(
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     try:
         fd = os.open(
@@ -3785,7 +3803,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     try:
         fd = os.open(
@@ -3848,7 +3866,7 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = new_id
     try:
         fd = os.open(
@@ -3941,7 +3959,7 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = sequence_number
         new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
-        new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        new_meta["snapshots"] = _append_snapshot(meta, snapshot)
         refs = dict(meta.get("refs") or {})
         prior = refs.get(branch)
         # Remember which main-line snapshot the branch forked from: a fresh
