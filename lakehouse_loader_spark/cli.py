@@ -293,6 +293,14 @@ def build_parser() -> argparse.ArgumentParser:
             "partition pruning + file stats before any data is read",
         )
         sc.add_argument("--columns", default=None, help="comma-separated projection")
+    dsc = sub.add_parser(
+        "describe", help="one-row table summary (either format, auto-detected)"
+    )
+    dsc.add_argument("target")
+    for name in ("snapshots-iceberg", "files-iceberg", "manifests-iceberg",
+                 "refs-iceberg", "files-delta", "history-delta"):
+        ins = sub.add_parser(name, help="metadata inspection table (prints rows)")
+        ins.add_argument("target")
     for name in ("update-delta", "update-iceberg"):
         ud = sub.add_parser(name)
         ud.add_argument("target")
@@ -558,6 +566,24 @@ def do_main(argv: list[str]) -> None:
             f"{len(manifest)} avro parts to {args.target}",
             file=sys.stderr,
         )
+        return
+    _inspect_cmds = {
+        "describe", "snapshots-iceberg", "files-iceberg", "manifests-iceberg",
+        "refs-iceberg", "files-delta", "history-delta",
+    }
+    if args.command in _inspect_cmds:
+        from lakehouse_loader_spark.sinks import inspect as INS
+
+        fn = {
+            "describe": INS.describe_detail,
+            "snapshots-iceberg": INS.iceberg_snapshots,
+            "files-iceberg": INS.iceberg_files,
+            "manifests-iceberg": INS.iceberg_manifests,
+            "refs-iceberg": INS.iceberg_refs,
+            "files-delta": INS.delta_files,
+            "history-delta": INS.delta_history,
+        }[args.command]
+        fn(spark, args.target).show(1000, truncate=False)
         return
     if args.command in ("delta-to-orc", "iceberg-to-orc", "parquet-to-orc"):
         from lakehouse_loader_spark.sinks.export import export_orc
