@@ -85,6 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
                 metavar="COLS",
                 help="comma-separated columns to cluster rows by before writing",
             )
+            if sink == "delta":
+                sp.add_argument(
+                    "--generated",
+                    action="append",
+                    default=None,
+                    metavar="COL=EXPR",
+                    help="generated column (table creation only, repeatable): "
+                    "omitted on later writes it is computed, provided it "
+                    "must equal EXPR",
+                )
             if fmt == "pg":
                 sp.add_argument("-q", "--query", required=True)
                 sp.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
@@ -782,9 +792,13 @@ def do_main(argv: list[str]) -> None:
         if args.command.endswith("delta"):
             from lakehouse_loader_spark.sinks.delta import write_delta
 
+            gen = None
+            if getattr(args, "generated", None):
+                gen = dict(g.split("=", 1) for g in args.generated)
             write_delta(
                 df, args.target, overwrite=args.overwrite, append=append,
                 merge_schema=evolve, bloom_filter_columns=bloom, sort_by=sort_by,
+                generated_columns=gen,
             )
         else:
             from lakehouse_loader_spark.sinks.iceberg import write_iceberg

@@ -43,11 +43,24 @@ def pagerank(
     string columns).  Every node must have out-degree ≥ 1 (undirect the
     graph first if it has sinks — the callers here do); rank mass is then
     conserved at Σ=N up to rounding.  Returns (node, rank)."""
+    from lakehouse_loader_spark.operators import materialize_shared
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution edges: src → dst carrying 1/deg, reused every superstep
-    norm = e.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    # contribution edges: src → dst carrying 1/deg.  EVERY superstep scans
+    # this — left lazy, the whole edge-derivation subplan (often a join +
+    # distinct upstream) re-executes per iteration, so it is materialized
+    # to scratch parquet once (measured 14.2s → per-superstep scan at
+    # sf0.1; same pattern as the dedup shingle sharing, PERF_NOTES r7)
+    norm = materialize_shared(
+        e.join(deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+        ),
+        label="pagerank-norm",
+    )
+    ranks = norm.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("rank")
+    )
     for _ in range(iterations):
         contribs = (
             norm.join(ranks, norm.src == ranks.node)

@@ -179,6 +179,10 @@ SUPPORTED_WRITER_FEATURES = {
     "checkConstraints",
     "appendOnly",
     "invariants",
+    # generation expressions are enforced on every write path: absent
+    # columns are computed, provided values must equal the expression
+    # (_generation_rules rides through _write_rules)
+    "generatedColumns",
 }
 
 # What each LEGACY protocol version implies once a table converts to the
@@ -269,6 +273,19 @@ def _check_protocol(path: str, for_write: bool) -> None:
                 f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); reading "
                 "would silently ignore features like column mapping"
             )
+    if for_write and writer == 4:
+        # legacy v4 implies generatedColumns (enforced here) and
+        # changeDataFeed.  CDF is only ACTIVE when the table enables it —
+        # then every writer must emit _change_data files, which this
+        # engine does not — so v4 is writable exactly when CDF is off.
+        _, meta4, _ = _read_log(path)
+        if (meta4.get("configuration") or {}).get("delta.enableChangeDataFeed") == "true":
+            raise UnsupportedProtocolError(
+                f"{path} is minWriterVersion=4 with delta.enableChangeDataFeed: "
+                "writers must produce _change_data files, which this engine "
+                "does not — writing would break the table's CDF contract"
+            )
+        return
     if for_write and writer > SUPPORTED_WRITER_VERSION:
         unknown = (
             set(proto.get("writerFeatures") or []) - SUPPORTED_WRITER_FEATURES
@@ -793,11 +810,101 @@ def _invariants_of(meta: dict) -> dict[str, str]:
     return out
 
 
+# Spark-SQL CAST target for each primitive Delta schema type name.
+_SQL_TYPE_NAMES = {
+    "string": "STRING", "long": "BIGINT", "integer": "INT", "short": "SMALLINT",
+    "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP_NTZ",
+    "binary": "BINARY",
+}
+
+
+def _sql_type_name(type_json) -> str:
+    if isinstance(type_json, str):
+        if type_json in _SQL_TYPE_NAMES:
+            return _SQL_TYPE_NAMES[type_json]
+        if type_json.startswith("decimal("):
+            return type_json.upper()
+    raise ValueError(
+        f"generated columns are supported on primitive types only, got {type_json!r}"
+    )
+
+
+def _generation_exprs(meta: dict) -> dict[str, tuple[str, str]]:
+    """Generated columns (writer feature ``generatedColumns`` / legacy v4):
+    top-level fields whose metadata carries ``delta.generationExpression``
+    → {column: (sql_expr, sql_type)}.  The protocol stores the expression
+    in the schemaString, so it survives checkpoints and foreign writers."""
+    out: dict[str, tuple[str, str]] = {}
+    schema_str = meta.get("schemaString")
+    if not schema_str:
+        return out
+    for f in json.loads(schema_str).get("fields") or []:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = (expr, _sql_type_name(f.get("type")))
+    return out
+
+
+def _generation_rules(meta: dict) -> dict[str, str]:
+    """Every generated column a writer PROVIDES must equal its expression
+    (Delta PROTOCOL.md, Writer Requirements for Generated Columns) —
+    enforced as null-safe equality in the same one-pass aggregate as CHECK
+    constraints.  Columns the writer omits are computed instead
+    (_apply_generated), so the rule never fires for them."""
+    return {
+        f"generated_{col}": f"`{col}` <=> CAST(({expr}) AS {sql_t})"
+        for col, (expr, sql_t) in _generation_exprs(meta).items()
+    }
+
+
+def _apply_generated(df: DataFrame, meta: dict) -> DataFrame:
+    """Compute any generated column the incoming frame omits (cast to the
+    declared type), appended in table-schema order — map-side expressions,
+    no shuffle."""
+    from pyspark.sql import functions as F
+
+    gens = _generation_exprs(meta)
+    missing = [c for c in gens if c not in df.columns]
+    for c in missing:
+        expr, sql_t = gens[c]
+        df = df.withColumn(c, F.expr(expr).cast(sql_t.lower()))
+    return df
+
+
+def _schema_with_generation(
+    schema: T.StructType, generated_columns: dict[str, str]
+) -> str:
+    """schemaString with ``delta.generationExpression`` field metadata
+    injected (the protocol's storage for generated columns).  Validates
+    every generated column exists and is primitive-typed."""
+    sch = json.loads(schema.json())
+    by_name = {f["name"]: f for f in sch.get("fields") or []}
+    for col, expr in generated_columns.items():
+        if col not in by_name:
+            raise ValueError(f"generated column {col!r} not in schema")
+        _sql_type_name(by_name[col].get("type"))  # primitive-only guard
+        md = dict(by_name[col].get("metadata") or {})
+        md["delta.generationExpression"] = expr
+        by_name[col]["metadata"] = md
+        # generated columns are declared nullable: later writers COMPUTE
+        # the column (F.expr output is nullable), and a required target
+        # would refuse that append on nullability alignment
+        by_name[col]["nullable"] = True
+    return json.dumps(sch)
+
+
+def table_generated_columns(path: str) -> dict[str, str]:
+    """Generated columns of the table: name -> generation expression."""
+    _, meta, _ = _read_log(path)
+    return {c: expr for c, (expr, _) in _generation_exprs(meta).items()}
+
+
 def _write_rules(meta: dict) -> dict[str, str]:
     """Everything a write must satisfy: CHECK constraints + column
-    invariants (both evaluate rows the same way — expression must be
-    true)."""
-    return {**_constraints_of(meta), **_invariants_of(meta)}
+    invariants + generated-column equality (all evaluate rows the same
+    way — expression must be true)."""
+    return {**_constraints_of(meta), **_invariants_of(meta), **_generation_rules(meta)}
 
 
 def table_constraints(path: str) -> dict[str, str]:
@@ -933,6 +1040,7 @@ def write_delta(
     merge_schema: bool = False,
     bloom_filter_columns: list[str] | None = None,
     sort_by: list[str] | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
     default create-exclusive, overwrite deletes existing state first
@@ -976,6 +1084,12 @@ def write_delta(
         _check_protocol(path, for_write=True)
         _, meta, _ = _read_log(path)
         _forbid_if_column_mapped(meta, "append")
+        if generated_columns:
+            raise ValueError(
+                "generated_columns is a table-creation option; appends "
+                "inherit the table's generation expressions"
+            )
+        df = _apply_generated(df, meta)
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
         _enforce_constraints(df, _write_rules(meta))
@@ -1012,15 +1126,39 @@ def write_delta(
         return
 
     # create (or post-overwrite create): v0 = protocol+metaData, v1 = adds
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 1}
+    if generated_columns:
+        from pyspark.sql import functions as F
+
+        for col, expr in generated_columns.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        meta_probe = {
+            "schemaString": _schema_with_generation(df.schema, generated_columns)
+        }
+        # provided values must already satisfy their expressions
+        _enforce_constraints(df, _generation_rules(meta_probe))
+        # the features form states exactly what is active — the legacy
+        # encoding (minWriter 4) would imply changeDataFeed too
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["generatedColumns"],
+        }
     adds = _write_parts(
         df, path, max_rows_per_file, partition_by, bloom_filter_columns, sort_by
     )
+    meta_action = _metadata_action(df.schema, partition_by)
+    if generated_columns:
+        meta_action["metaData"]["schemaString"] = _schema_with_generation(
+            df.schema, generated_columns
+        )
     _commit(
         path,
         0,
         [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
-            _metadata_action(df.schema, partition_by),
+            {"protocol": protocol},
+            meta_action,
             _commit_info("CreateTable", partition_by),
         ],
     )
