@@ -183,6 +183,9 @@ SUPPORTED_WRITER_FEATURES = {
     # columns are computed, provided values must equal the expression
     # (_generation_rules rides through _write_rules)
     "generatedColumns",
+    # identity assignment, high-water-mark tracking, and explicit-insert /
+    # UPDATE refusal are enforced (_apply_identity and friends)
+    "identityColumns",
 }
 
 # What each LEGACY protocol version implies once a table converts to the
@@ -894,6 +897,140 @@ def _schema_with_generation(
     return json.dumps(sch)
 
 
+def _identity_cols(meta: dict) -> dict[str, dict]:
+    """Identity columns (writer feature ``identityColumns`` / legacy v6):
+    top-level long fields whose metadata carries ``delta.identity.start`` /
+    ``.step`` (``.highWaterMark`` appears after the first assignment,
+    ``.allowExplicitInsert`` defaults false)."""
+    out: dict[str, dict] = {}
+    schema_str = meta.get("schemaString")
+    if not schema_str:
+        return out
+    for f in json.loads(schema_str).get("fields") or []:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            out[f["name"]] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "highWaterMark": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+                "allowExplicitInsert": bool(md.get("delta.identity.allowExplicitInsert", False)),
+            }
+    return out
+
+
+def _apply_identity(df: DataFrame, meta: dict) -> tuple[DataFrame, dict[str, int | None]]:
+    """Assign identity values for columns the incoming frame omits.
+
+    Values are ``start + k·step`` with ``k`` strictly beyond the high-water
+    mark's k — produced map-side from ``monotonically_increasing_id()``
+    (partition-id ⊕ offset), so assignment needs no shuffle and no
+    coordination; the spec allows the gaps this leaves.  Returns the frame
+    plus the {col: highWaterMark} snapshot the assignment was BASED on —
+    the commit loop uses it to detect a concurrent identity writer (two
+    writers assigning from the same mark would collide, so that conflict
+    must surface, not blind-retry)."""
+    from pyspark.sql import functions as F
+
+    ids = _identity_cols(meta)
+    based: dict[str, int | None] = {}
+    for col, spec in ids.items():
+        if col in df.columns:
+            if not spec["allowExplicitInsert"]:
+                raise ValueError(
+                    f"identity column {col!r} is GENERATED ALWAYS: explicit "
+                    "values are not allowed (allowExplicitInsert=false)"
+                )
+            based[col] = spec["highWaterMark"]
+            continue
+        based[col] = spec["highWaterMark"]
+        hw = spec["highWaterMark"]
+        next_k = 0 if hw is None else (hw - spec["start"]) // spec["step"] + 1
+        df = df.withColumn(
+            col,
+            (
+                F.lit(spec["start"])
+                + (F.lit(next_k) + F.monotonically_increasing_id()) * F.lit(spec["step"])
+            ).cast("long"),
+        )
+    return df, based
+
+
+def _identity_watermarks_from_adds(
+    meta: dict, adds: list[dict]
+) -> dict[str, int]:
+    """New high-water mark per identity column, read from the Add actions'
+    file stats (free — no second pass over the data).  step < 0 advances
+    the mark downward, so the extremum flips."""
+    ids = _identity_cols(meta)
+    out: dict[str, int] = {}
+    for col, spec in ids.items():
+        extremes: list[int] = []
+        for a in adds:
+            st = a.get("stats")
+            if not st:
+                continue
+            stats = json.loads(st)
+            side = "maxValues" if spec["step"] > 0 else "minValues"
+            v = (stats.get(side) or {}).get(col)
+            if v is not None:
+                extremes.append(int(v))
+        if not extremes:
+            continue
+        new = max(extremes) if spec["step"] > 0 else min(extremes)
+        hw = spec["highWaterMark"]
+        if hw is None or (spec["step"] > 0 and new > hw) or (spec["step"] < 0 and new < hw):
+            out[col] = new
+    return out
+
+
+def _schema_with_identity_hw(meta: dict, marks: dict[str, int]) -> str:
+    """schemaString with updated ``delta.identity.highWaterMark`` marks."""
+    sch = json.loads(meta["schemaString"])
+    for f in sch.get("fields") or []:
+        if f["name"] in marks:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = marks[f["name"]]
+            f["metadata"] = md
+    return json.dumps(sch)
+
+
+def _schema_with_identity_decl(
+    schema: T.StructType, identity_columns: dict[str, dict]
+) -> str:
+    """schemaString declaring identity columns: ``delta.identity.start`` /
+    ``.step`` / ``.allowExplicitInsert`` field metadata on long fields
+    (``.highWaterMark`` appears after the first assignment)."""
+    sch = json.loads(schema.json())
+    by_name = {f["name"]: f for f in sch.get("fields") or []}
+    for col, spec in identity_columns.items():
+        step = int(spec.get("step", 1))
+        if step == 0:
+            raise ValueError(f"identity column {col!r}: step must be nonzero")
+        f = by_name[col]
+        if f.get("type") != "long":
+            raise ValueError(f"identity column {col!r} must be BIGINT")
+        md = dict(f.get("metadata") or {})
+        md["delta.identity.start"] = int(spec.get("start", 1))
+        md["delta.identity.step"] = step
+        md["delta.identity.allowExplicitInsert"] = bool(
+            spec.get("allowExplicitInsert", False)
+        )
+        f["metadata"] = md
+        f["nullable"] = True
+    return json.dumps(sch)
+
+
+def table_identity_columns(path: str) -> dict[str, dict]:
+    """Identity columns of the table: name -> {start, step, highWaterMark,
+    allowExplicitInsert}."""
+    _, meta, _ = _read_log(path)
+    return _identity_cols(meta)
+
+
 def table_generated_columns(path: str) -> dict[str, str]:
     """Generated columns of the table: name -> generation expression."""
     _, meta, _ = _read_log(path)
@@ -1041,6 +1178,7 @@ def write_delta(
     bloom_filter_columns: list[str] | None = None,
     sort_by: list[str] | None = None,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
     default create-exclusive, overwrite deletes existing state first
@@ -1084,12 +1222,13 @@ def write_delta(
         _check_protocol(path, for_write=True)
         _, meta, _ = _read_log(path)
         _forbid_if_column_mapped(meta, "append")
-        if generated_columns:
+        if generated_columns or identity_columns:
             raise ValueError(
-                "generated_columns is a table-creation option; appends "
-                "inherit the table's generation expressions"
+                "generated_columns/identity_columns are table-creation "
+                "options; appends inherit the table's declarations"
             )
         df = _apply_generated(df, meta)
+        df, based_hw = _apply_identity(df, meta)
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
         _enforce_constraints(df, _write_rules(meta))
@@ -1097,11 +1236,28 @@ def write_delta(
         adds = _write_parts(
             df, path, max_rows_per_file, table_parts, bloom_filter_columns, sort_by
         )
+        new_marks = _identity_watermarks_from_adds(meta, adds)
         # append adds files only (no removes) — blind re-commit after a
         # conflicting concurrent commit is safe; the evolved metaData (if
         # any) is re-derived from each attempt's fresh snapshot
         for attempt in range(COMMIT_RETRIES):
             latest, meta, _ = _read_log(path)
+            if based_hw:
+                # identity assignment is only valid against the mark it was
+                # based on — a concurrent writer that advanced it may have
+                # taken the same value range, so this append must NOT blind
+                # re-commit (spec: two identity writers are a real conflict)
+                fresh = _identity_cols(meta)
+                stale = {
+                    c for c, hw in based_hw.items()
+                    if fresh.get(c, {}).get("highWaterMark") != hw
+                }
+                if stale:
+                    raise ConcurrentModificationError(
+                        f"identity high-water mark moved during append for "
+                        f"{sorted(stale)}: a concurrent writer assigned from "
+                        "the same range — retry the write"
+                    )
             meta_actions: list[dict] = []
             if merge_schema:
                 table_sch = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1110,6 +1266,14 @@ def write_delta(
                     new_meta = dict(meta)
                     new_meta["schemaString"] = merged.json()
                     meta_actions = [{"metaData": new_meta}]
+            if new_marks:
+                new_meta = dict(meta)
+                if meta_actions:  # merge-schema already staged a metaData
+                    new_meta = meta_actions[0]["metaData"]
+                new_meta["schemaString"] = _schema_with_identity_hw(
+                    new_meta, new_marks
+                )
+                meta_actions = [{"metaData": new_meta}]
             append_actions = [
                 _commit_info("Append", table_parts),
                 *meta_actions,
@@ -1127,6 +1291,7 @@ def write_delta(
 
     # create (or post-overwrite create): v0 = protocol+metaData, v1 = adds
     protocol = {"minReaderVersion": 1, "minWriterVersion": 1}
+    features: list[str] = []
     if generated_columns:
         from pyspark.sql import functions as F
 
@@ -1138,21 +1303,41 @@ def write_delta(
         }
         # provided values must already satisfy their expressions
         _enforce_constraints(df, _generation_rules(meta_probe))
+        features.append("generatedColumns")
+    schema_str: str | None = None
+    if identity_columns:
+        from pyspark.sql import functions as F
+
+        for col, spec in identity_columns.items():
+            if col in df.columns:
+                raise ValueError(
+                    f"identity column {col!r} is GENERATED ALWAYS: it must "
+                    "not be in the incoming frame at creation"
+                )
+            df = df.withColumn(col, F.lit(None).cast("long"))
+        schema_str = _schema_with_identity_decl(df.schema, identity_columns)
+        df = df.drop(*identity_columns.keys())
+        df, _ = _apply_identity(df, {"schemaString": schema_str})
+        features.append("identityColumns")
+    if features:
         # the features form states exactly what is active — the legacy
-        # encoding (minWriter 4) would imply changeDataFeed too
+        # encodings (minWriter 4/6) would imply changeDataFeed too
         protocol = {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["generatedColumns"],
+            "writerFeatures": sorted(features),
         }
     adds = _write_parts(
         df, path, max_rows_per_file, partition_by, bloom_filter_columns, sort_by
     )
     meta_action = _metadata_action(df.schema, partition_by)
     if generated_columns:
-        meta_action["metaData"]["schemaString"] = _schema_with_generation(
-            df.schema, generated_columns
+        schema_str = _schema_with_generation(
+            T.StructType.fromJson(json.loads(schema_str)) if schema_str else df.schema,
+            generated_columns,
         )
+    if schema_str:
+        meta_action["metaData"]["schemaString"] = schema_str
     _commit(
         path,
         0,
@@ -1162,10 +1347,22 @@ def write_delta(
             _commit_info("CreateTable", partition_by),
         ],
     )
+    v1_meta_actions: list[dict] = []
+    if identity_columns:
+        marks = _identity_watermarks_from_adds(meta_action["metaData"], adds)
+        if marks:
+            new_meta = dict(meta_action["metaData"])
+            new_meta["schemaString"] = _schema_with_identity_hw(new_meta, marks)
+            v1_meta_actions = [{"metaData": new_meta}]
     _commit(
         path,
         1,
-        [_commit_info("Append", partition_by), *txn_actions, *[{"add": a} for a in adds]],
+        [
+            _commit_info("Append", partition_by),
+            *v1_meta_actions,
+            *txn_actions,
+            *[{"add": a} for a in adds],
+        ],
     )
 
 
@@ -2648,6 +2845,12 @@ def update_delta(
     unknown = set(set_exprs) - set(schema.fieldNames())
     if unknown:
         raise ValueError(f"SET columns not in table schema: {sorted(unknown)}")
+    id_hit = set(set_exprs) & set(_identity_cols(meta))
+    if id_hit:
+        raise ValueError(
+            f"cannot UPDATE identity columns {sorted(id_hit)}: the protocol "
+            "forbids changing assigned identity values"
+        )
     part_cols = meta.get("partitionColumns") or []
     if set(set_exprs) & set(part_cols):
         raise ValueError(
