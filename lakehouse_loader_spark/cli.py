@@ -307,6 +307,12 @@ def build_parser() -> argparse.ArgumentParser:
         "describe", help="one-row table summary (either format, auto-detected)"
     )
     dsc.add_argument("target")
+    anz = sub.add_parser(
+        "analyze-iceberg",
+        help="ANALYZE TABLE: per-column NDV theta sketches -> Puffin statistics",
+    )
+    anz.add_argument("target")
+    anz.add_argument("--columns", default=None, help="comma-separated (default: all primitive)")
     for name in ("snapshots-iceberg", "files-iceberg", "manifests-iceberg",
                  "refs-iceberg", "files-delta", "history-delta"):
         ins = sub.add_parser(name, help="metadata inspection table (prints rows)")
@@ -576,6 +582,14 @@ def do_main(argv: list[str]) -> None:
             f"{len(manifest)} avro parts to {args.target}",
             file=sys.stderr,
         )
+        return
+    if args.command == "analyze-iceberg":
+        from lakehouse_loader_spark.sinks.iceberg import analyze_iceberg
+
+        cols = args.columns.split(",") if args.columns else None
+        ndvs = analyze_iceberg(spark, args.target, columns=cols)
+        for c, n in sorted(ndvs.items()):
+            print(f"{c}\tndv={n}", file=sys.stderr)
         return
     _inspect_cmds = {
         "describe", "snapshots-iceberg", "files-iceberg", "manifests-iceberg",

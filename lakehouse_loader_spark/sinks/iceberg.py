@@ -2054,6 +2054,89 @@ def last_committed_batch(path: str, app_id: str) -> int:
 
 
 @accepts_file_uris
+def analyze_iceberg(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> dict:
+    """ANALYZE TABLE: per-column NDV theta sketches written to a Puffin
+    statistics file and registered in the metadata's ``statistics`` list
+    (Iceberg spec, Table Statistics) — what CBO engines (Trino, Spark)
+    read for join ordering and what incremental ANALYZE merges later.
+
+    Scale shape: one distributed aggregate computes every column's sketch
+    in a single pass (map-side partial sketches, KB each, merged at the
+    driver — constant driver state); the exact-distinct pass this replaces
+    is a full shuffle per column.  Returns {column: ndv}.
+
+    Blob encoding: Spark's ``theta_sketch_agg`` emits the Apache
+    DataSketches compact serialized form, which is exactly what the spec's
+    ``apache-datasketches-theta-v1`` blob type carries."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks import puffin as PF
+
+    _, meta = _read_metadata(path)
+    snap_id = meta.get("current-snapshot-id", -1)
+    if snap_id == -1:
+        raise ValueError(f"no snapshot to analyze at {path}")
+    seq = next(
+        s.get("sequence-number", 0)
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == snap_id
+    )
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema_ice["fields"]}
+    if columns is None:
+        # every primitive top-level column (sketchable types)
+        columns = [
+            f["name"] for f in schema_ice["fields"] if isinstance(f["type"], str)
+        ]
+    unknown = [c for c in columns if c not in by_name]
+    if unknown:
+        raise ValueError(f"ANALYZE columns not in schema: {unknown}")
+    df = read_iceberg(spark, path)
+    aggs = []
+    for c in columns:
+        aggs.append(F.theta_sketch_agg(c).alias(f"sk_{c}"))
+        aggs.append(
+            F.theta_sketch_estimate(F.theta_sketch_agg(c)).cast("long").alias(f"ndv_{c}")
+        )
+    row = df.agg(*aggs).first()
+    sketches: list[tuple[int, bytes, int]] = []
+    ndvs: dict[str, int] = {}
+    for c in columns:
+        if row[f"sk_{c}"] is None:  # all-NULL column: nothing to sketch
+            continue
+        ndv = int(row[f"ndv_{c}"] or 0)
+        sketches.append((by_name[c]["id"], bytes(row[f"sk_{c}"]), ndv))
+        ndvs[c] = ndv
+    rel, size, footer, metas = PF.write_stats_puffin(path, sketches, snap_id, seq)
+    stats_entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": rel,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": footer,
+        "blob-metadata": metas,
+    }
+
+    def mutate(m: dict) -> dict:
+        # one statistics file per snapshot: re-ANALYZE replaces
+        stats = [
+            s for s in (m.get("statistics") or []) if s["snapshot-id"] != snap_id
+        ]
+        m["statistics"] = stats + [stats_entry]
+        return m
+
+    _commit_metadata_update(path, mutate)
+    return ndvs
+
+
+def table_statistics(path: str) -> list[dict]:
+    """The metadata's registered statistics files (spec ``statistics``)."""
+    _, meta = _read_metadata(path)
+    return list(meta.get("statistics") or [])
+
+
+@accepts_file_uris
 def expire_snapshots(
     path: str, keep_last: int = 1, older_than_ms: int | None = None
 ) -> list[str]:
@@ -2138,6 +2221,17 @@ def expire_snapshots(
     new_meta = dict(meta)
     new_meta["snapshots"] = retained
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    # statistics files of forgotten snapshots go with them (spec: a
+    # statistics entry is valid only while its snapshot exists)
+    dropped_stats = [
+        s for s in (meta.get("statistics") or [])
+        if s["snapshot-id"] not in retained_ids
+    ]
+    if meta.get("statistics") is not None:
+        new_meta["statistics"] = [
+            s for s in meta["statistics"] if s["snapshot-id"] in retained_ids
+        ]
+    drop |= {s["statistics-path"] for s in dropped_stats}
     for attempt in range(COMMIT_RETRIES):
         new_version = version + 1
         try:

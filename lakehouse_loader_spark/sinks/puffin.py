@@ -148,3 +148,48 @@ def read_footer(file_abs: str) -> list[dict]:
         raise ValueError(f"unsupported Puffin footer flags {flags!r}")
     payload = data[len(data) - 12 - size : len(data) - 12]
     return json.loads(payload.decode())["blobs"]
+
+
+STATS_BLOB_TYPE = "apache-datasketches-theta-v1"
+
+
+def write_stats_puffin(
+    table_path: str,
+    sketches: list[tuple[int, bytes, int]],
+    snapshot_id: int,
+    sequence_number: int,
+) -> tuple[str, int, int, list[dict]]:
+    """Write a table-statistics Puffin file: one
+    ``apache-datasketches-theta-v1`` blob per column.  ``sketches`` is
+    [(field_id, serialized compact theta sketch, ndv estimate)].  Unlike
+    deletion-vector-v1 blobs, theta blobs are the RAW sketch bytes — the
+    length/CRC framing is specific to the DV blob type.  Returns
+    (relative path, file size, footer size, blob metadata) for the
+    metadata's ``statistics`` entry."""
+    rel = os.path.join("metadata", f"stats-{_uuid.uuid4().hex}.puffin")
+    out = bytearray(PUFFIN_MAGIC)
+    metas = []
+    for field_id, ser, ndv in sketches:
+        metas.append(
+            {
+                "type": STATS_BLOB_TYPE,
+                "fields": [field_id],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": len(out),
+                "length": len(ser),
+                "properties": {"ndv": str(ndv)},
+            }
+        )
+        out += ser
+    footer_start = len(out)
+    payload = json.dumps({"blobs": metas, "properties": {}}).encode()
+    out += PUFFIN_MAGIC + payload + struct.pack("<i", len(payload))
+    out += b"\x00\x00\x00\x00" + PUFFIN_MAGIC  # flags: uncompressed footer
+    full = os.path.join(table_path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    tmp = f"{full}.{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(out))
+    os.replace(tmp, full)
+    return rel, len(out), len(out) - footer_start, metas

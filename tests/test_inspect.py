@@ -107,3 +107,72 @@ class TestDeltaInspection:
         assert (dd.format, dd.total_records) == ("delta", 150)
         assert (di.format, di.total_records) == ("iceberg", 150)
         assert dd.num_files >= 1 and di.total_bytes > 0
+
+
+class TestIcebergStatistics:
+    def test_analyze_writes_puffin_and_registers(self, spark, tmpdir):
+        """ANALYZE: theta NDV sketches land in a Puffin statistics file
+        referenced from metadata; estimates match exact distincts within
+        the sketch's error bound (<1% at these cardinalities)."""
+        from lakehouse_loader_spark.sinks.iceberg import (
+            analyze_iceberg,
+            table_statistics,
+        )
+        from lakehouse_loader_spark.sinks.puffin import STATS_BLOB_TYPE, read_footer
+
+        t = os.path.join(tmpdir, "t")
+        df = spark.range(0, 5000).select(
+            "id", (F.col("id") % 37).alias("k"), (F.col("id") % 2 == 0).alias("b")
+        )
+        IC.write_iceberg(df, t)
+        ndvs = analyze_iceberg(spark, t, columns=["id", "k"])
+        assert abs(ndvs["id"] - 5000) <= 100
+        assert ndvs["k"] == 37  # exact at tiny cardinality
+        stats = table_statistics(t)
+        assert len(stats) == 1
+        entry = stats[0]
+        snap = iceberg_snapshots(spark, t).filter("is_current").collect()[0]
+        assert entry["snapshot-id"] == snap.snapshot_id
+        blob_meta = read_footer(os.path.join(t, entry["statistics-path"]))
+        assert {b["type"] for b in blob_meta} == {STATS_BLOB_TYPE}
+        assert len(blob_meta) == 2
+        assert all(b["properties"]["ndv"].isdigit() for b in blob_meta)
+        assert os.path.getsize(os.path.join(t, entry["statistics-path"])) == entry[
+            "file-size-in-bytes"
+        ]
+
+    def test_reanalyze_replaces_and_append_keeps_old_stats(self, spark, tmpdir):
+        from lakehouse_loader_spark.sinks.iceberg import (
+            analyze_iceberg,
+            table_statistics,
+        )
+
+        t = os.path.join(tmpdir, "t")
+        IC.write_iceberg(_df(spark), t)
+        analyze_iceberg(spark, t, columns=["id"])
+        analyze_iceberg(spark, t, columns=["id", "v"])  # replaces same-snapshot stats
+        assert len(table_statistics(t)) == 1
+        assert len(table_statistics(t)[0]["blob-metadata"]) == 2
+        IC.write_iceberg(_df(spark, lo=100), t, append=True)
+        analyze_iceberg(spark, t, columns=["id"])
+        snaps = {s["snapshot-id"] for s in table_statistics(t)}
+        assert len(snaps) == 2  # one stats file per analyzed snapshot
+
+    def test_expire_drops_stats_of_forgotten_snapshots(self, spark, tmpdir):
+        from lakehouse_loader_spark.sinks.iceberg import (
+            analyze_iceberg,
+            expire_snapshots,
+            table_statistics,
+        )
+
+        t = os.path.join(tmpdir, "t")
+        IC.write_iceberg(_df(spark), t)
+        analyze_iceberg(spark, t, columns=["id"])
+        old_path = table_statistics(t)[0]["statistics-path"]
+        IC.write_iceberg(_df(spark, lo=100), t, append=True)
+        analyze_iceberg(spark, t, columns=["id"])
+        expire_snapshots(t, keep_last=1)
+        stats = table_statistics(t)
+        assert len(stats) == 1  # only the surviving snapshot's stats remain
+        assert not os.path.exists(os.path.join(t, old_path))
+        assert os.path.exists(os.path.join(t, stats[0]["statistics-path"]))
