@@ -1763,3 +1763,83 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "wt", n=100,
     )
     return out.select("doc_id", "source", "wt", "priority")
+
+
+# --------------------------------------------------------------------------
+# Iceberg table statistics (ANALYZE -> Puffin theta NDV)
+# --------------------------------------------------------------------------
+@query(
+    "iceberg_analyze_ndv",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+           TRUE AS within_bound
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), TRUE
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def iceberg_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE under the correctness gate: orders staged as Iceberg,
+    analyze_iceberg writes per-column theta-NDV Puffin statistics and
+    registers them in the metadata; the query re-reads the registered
+    blob properties and certifies each estimate against the exact
+    distinct count (±2%, far beyond the sketch's published bound at these
+    cardinalities) — same bounded-oracle contract as the sketch
+    aggregates.  ANALYZE itself is one distributed pass; the driver holds
+    KB of sketch state."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_analyze_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_analyze_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qanalyze_"), "orders_ndv")
+        IC.write_iceberg(orders.repartition(4), table)
+        IC.analyze_iceberg(spark, table, columns=["o_custkey", "o_orderstatus"])
+        cache[sf_dir] = table
+    # read the REGISTERED statistics back (metadata -> blob properties)
+    stats = IC.table_statistics(table)[-1]
+    field_names = {
+        f["id"]: f["name"]
+        for f in IC._read_metadata(table)[1]["schemas"][0]["fields"]
+    }
+    est_rows = [
+        (field_names[b["fields"][0]], int(b["properties"]["ndv"]))
+        for b in stats["blob-metadata"]
+    ]
+    est = spark.createDataFrame(est_rows, "column_name string, ndv long")
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.countDistinct("o_custkey").alias("o_custkey"),
+            F.countDistinct("o_orderstatus").alias("o_orderstatus"),
+        )
+        .selectExpr(
+            "stack(2, 'o_custkey', o_custkey, 'o_orderstatus', o_orderstatus) "
+            "AS (column_name, exact_ndv)"
+        )
+    )
+    return (
+        est.join(exact, "column_name")
+        .select(
+            "column_name",
+            F.col("exact_ndv").cast("bigint").alias("exact_ndv"),
+            (
+                F.abs(F.col("ndv") - F.col("exact_ndv"))
+                <= F.greatest(F.lit(1), (F.col("exact_ndv") * 0.02).cast("bigint"))
+            ).alias("within_bound"),
+        )
+        .orderBy("column_name")
+    )
