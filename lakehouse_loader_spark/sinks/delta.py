@@ -186,6 +186,9 @@ SUPPORTED_WRITER_FEATURES = {
     # identity assignment, high-water-mark tracking, and explicit-insert /
     # UPDATE refusal are enforced (_apply_identity and friends)
     "identityColumns",
+    # every commit to an enabled table carries a strictly-monotonic
+    # commitInfo.inCommitTimestamp as the FIRST action (_with_ict)
+    "inCommitTimestamps",
 }
 
 # What each LEGACY protocol version implies once a table converts to the
@@ -361,8 +364,14 @@ def _protocol_upgrade_actions(
         else _LEGACY_WRITER_FEATURES.get(cw, set())
     )
     on_features = cw >= 7 or cr >= 3
+    # under force_features a writer demand is satisfiable only by feature
+    # membership (incl. legacy-implied) — a plain legacy version can never
+    # satisfy a feature with no legacy encoding (found via ICT: legacy_writer
+    # defaulting to 1 made every legacy table look already-satisfied)
     writer_ok = writer_feature is None or (
-        writer_feature in cur_wf if on_features else cw >= legacy_writer
+        writer_feature in cur_wf
+        if (on_features or force_features)
+        else cw >= legacy_writer
     )
     reader_ok = reader_feature is None or (on_features and reader_feature in cur_rf)
     if writer_ok and reader_ok:
@@ -488,12 +497,62 @@ def _write_parts(
     ]
 
 
+def _prev_commit_instant(path: str, version: int) -> int | None:
+    """The preceding commit's instant for ICT monotonicity: its
+    inCommitTimestamp when present, else its commitInfo timestamp, else
+    the commit file's mtime."""
+    if version == 0:
+        return None
+    vf = _version_file(path, version - 1)
+    try:
+        with open(vf) as fh:
+            for line in fh:
+                if '"commitInfo"' not in line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    return ci.get("inCommitTimestamp") or ci.get("timestamp")
+        return int(os.path.getmtime(vf) * 1000)
+    except FileNotFoundError:
+        return None
+
+
+def _with_ict(path: str, version: int, actions: list[dict]) -> list[dict]:
+    """In-commit timestamps (writer feature): when the table enables them,
+    every commit's commitInfo must be the FIRST action and carry an
+    ``inCommitTimestamp`` strictly greater than the preceding commit's —
+    the clock readers trust for AS OF TIMESTAMP instead of file mtimes
+    (which object-store copies and vacuum rewrites do not preserve)."""
+    if version == 0:
+        proto = next((a["protocol"] for a in actions if "protocol" in a), {})
+        conf_src = next((a["metaData"] for a in actions if "metaData" in a), {})
+        conf = conf_src.get("configuration") or {}
+    else:
+        proto = table_protocol(path)
+        if "inCommitTimestamps" not in (proto.get("writerFeatures") or []):
+            return actions
+        _, meta, _ = _read_log(path)
+        conf = meta.get("configuration") or {}
+    if "inCommitTimestamps" not in (proto.get("writerFeatures") or []):
+        return actions
+    if conf.get("delta.enableInCommitTimestamps") != "true":
+        return actions
+    ict = max(int(time.time() * 1000), (_prev_commit_instant(path, version) or 0) + 1)
+    ci = next((a for a in actions if "commitInfo" in a), None)
+    if ci is None:
+        ci = {"commitInfo": {"timestamp": ict}}
+    ci["commitInfo"]["inCommitTimestamp"] = ict
+    return [ci] + [a for a in actions if "commitInfo" not in a]
+
+
 def _commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic exclusive commit of one log version (O_EXCL ≈ conditional PUT,
     src/delta_destination.rs:398-402).  A version-checksum sidecar
     (``<version>.crc``, the protocol's VERSION_CHECKSUM file) follows
     best-effort: it is a read-side integrity aid over an already-durable
     commit, so its failure must never fail the write."""
+    actions = _with_ict(path, version, actions)
     os.makedirs(_log_dir(path), exist_ok=True)
     fd = os.open(_version_file(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
@@ -1179,6 +1238,7 @@ def write_delta(
     sort_by: list[str] | None = None,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    in_commit_timestamps: bool = False,
 ) -> None:
     """Write ``df`` as a Delta table with the reference's mode semantics:
     default create-exclusive, overwrite deletes existing state first
@@ -1319,6 +1379,8 @@ def write_delta(
         df = df.drop(*identity_columns.keys())
         df, _ = _apply_identity(df, {"schemaString": schema_str})
         features.append("identityColumns")
+    if in_commit_timestamps:
+        features.append("inCommitTimestamps")
     if features:
         # the features form states exactly what is active — the legacy
         # encodings (minWriter 4/6) would imply changeDataFeed too
@@ -1338,6 +1400,12 @@ def write_delta(
         )
     if schema_str:
         meta_action["metaData"]["schemaString"] = schema_str
+    if in_commit_timestamps:
+        meta_action["metaData"]["configuration"] = {
+            **meta_action["metaData"].get("configuration", {}),
+            "delta.enableInCommitTimestamps": "true",
+            "delta.inCommitTimestampEnablementVersion": "0",
+        }
     _commit(
         path,
         0,
@@ -1523,16 +1591,51 @@ def _dv_unchanged_validator(snapshot_adds: dict[str, dict], remove_set: set[str]
 
 
 @accepts_file_uris
+def enable_in_commit_timestamps(path: str) -> None:
+    """Enable in-commit timestamps on an existing table: protocol feature
+    + ``delta.enableInCommitTimestamps`` + the spec's enablement
+    provenance (version/timestamp), all in ONE commit that itself carries
+    the first inCommitTimestamp."""
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, _ = _read_log(path)
+        proto_actions = _protocol_upgrade_actions(
+            path, writer_feature="inCommitTimestamps", force_features=True
+        )
+        ict = max(
+            int(time.time() * 1000), (_prev_commit_instant(path, latest + 1) or 0) + 1
+        )
+        new_meta = dict(meta)
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.enableInCommitTimestamps"] = "true"
+        conf["delta.inCommitTimestampEnablementVersion"] = str(latest + 1)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        new_meta["configuration"] = conf
+        actions = [
+            {"commitInfo": {"timestamp": ict, "inCommitTimestamp": ict,
+                            "operation": "UPGRADE"}},
+            *proto_actions,
+            {"metaData": new_meta},
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
 def version_as_of(path: str, timestamp_ms: int) -> int:
     """AS OF TIMESTAMP resolution for the Delta log: the latest version
-    whose commit timestamp (commitInfo.timestamp, falling back to the
-    commit file's mtime for logs written without one) is ≤ the instant —
-    Delta's time-travel-by-time rule.  Raises if no commit is that old."""
+    whose commit timestamp (commitInfo.inCommitTimestamp when the table
+    records them — the instant that survives object-store copies — else
+    commitInfo.timestamp, falling back to the commit file's mtime) is ≤
+    the instant — Delta's time-travel-by-time rule.  Raises if no commit
+    is that old."""
     if not table_exists(path):
         raise FileNotFoundError(f"no delta table at {path}")
     best = None
     for entry in table_history(path):
-        ts = entry["timestamp"]
+        ts = entry.get("inCommitTimestamp") or entry["timestamp"]
         if ts is None:
             ts = int(os.path.getmtime(_version_file(path, entry["version"])) * 1000)
         if ts <= timestamp_ms and (best is None or entry["version"] > best):
@@ -2247,6 +2350,7 @@ def table_history(path: str) -> list[dict]:
             {
                 "version": v,
                 "timestamp": info.get("timestamp"),
+                "inCommitTimestamp": info.get("inCommitTimestamp"),
                 "operation": info.get("operation"),
                 "operationParameters": info.get("operationParameters", {}),
             }
