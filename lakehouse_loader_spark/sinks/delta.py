@@ -173,7 +173,7 @@ SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
 # not a capability advertisement.  "invariants" is claimed because
 # _enforce_constraints also evaluates column invariants
 # (delta.invariants field metadata) on every write path.
-SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
 SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "checkConstraints",
@@ -189,6 +189,9 @@ SUPPORTED_WRITER_FEATURES = {
     # every commit to an enabled table carries a strictly-monotonic
     # commitInfo.inCommitTimestamp as the FIRST action (_with_ict)
     "inCommitTimestamps",
+    # TIMESTAMP_NTZ is a native Spark type here; the feature is declared
+    # automatically whenever the schema contains one (_ntz_in_schema)
+    "timestampNtz",
 }
 
 # What each LEGACY protocol version implies once a table converts to the
@@ -934,6 +937,11 @@ def _apply_generated(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
+def _ntz_in_schema(schema: T.StructType) -> bool:
+    """True if any (possibly nested) field is TIMESTAMP_NTZ."""
+    return "timestamp_ntz" in schema.json()
+
+
 def _schema_with_generation(
     schema: T.StructType, generated_columns: dict[str, str]
 ) -> str:
@@ -1334,8 +1342,19 @@ def write_delta(
                     new_meta, new_marks
                 )
                 meta_actions = [{"metaData": new_meta}]
+            ntz_proto: list[dict] = []
+            if _ntz_in_schema(df.schema):
+                # first NTZ column arriving via evolution: the feature
+                # demand rides in the same commit as the column
+                ntz_proto = _protocol_upgrade_actions(
+                    path,
+                    writer_feature="timestampNtz",
+                    reader_feature="timestampNtz",
+                    force_features=True,
+                )
             append_actions = [
                 _commit_info("Append", table_parts),
+                *ntz_proto,
                 *meta_actions,
                 *txn_actions,
                 *[{"add": a} for a in adds],
@@ -1381,14 +1400,23 @@ def write_delta(
         features.append("identityColumns")
     if in_commit_timestamps:
         features.append("inCommitTimestamps")
+    reader_features: list[str] = []
+    if _ntz_in_schema(df.schema):
+        # PROTOCOL.md: a schema containing TIMESTAMP_NTZ demands the
+        # timestampNtz reader+writer feature — without it, feature-aware
+        # external readers reject (or worse, misread) the column
+        features.append("timestampNtz")
+        reader_features.append("timestampNtz")
     if features:
         # the features form states exactly what is active — the legacy
         # encodings (minWriter 4/6) would imply changeDataFeed too
         protocol = {
-            "minReaderVersion": 1,
+            "minReaderVersion": 3 if reader_features else 1,
             "minWriterVersion": 7,
             "writerFeatures": sorted(features),
         }
+        if reader_features:
+            protocol["readerFeatures"] = sorted(reader_features)
     adds = _write_parts(
         df, path, max_rows_per_file, partition_by, bloom_filter_columns, sort_by
     )

@@ -103,3 +103,33 @@ def test_foreign_ict_table_writable(spark, tmpdir):
     DL.write_delta(_df(spark), t, in_commit_timestamps=True)
     DL.write_delta(_df(spark, lo=10), t, append=True)
     assert DL.read_delta(spark, t).count() == 20
+
+
+class TestTimestampNtzFeature:
+    def test_ntz_schema_declares_feature_at_creation(self, spark, tmpdir):
+        t = os.path.join(tmpdir, "t")
+        df = spark.range(5).select(
+            "id", F.timestamp_seconds(F.col("id")).cast("timestamp_ntz").alias("ts")
+        )
+        DL.write_delta(df, t)
+        proto = DL.table_protocol(t)
+        assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+        assert "timestampNtz" in proto["readerFeatures"]
+        assert "timestampNtz" in proto["writerFeatures"]
+        assert DL.read_delta(spark, t).count() == 5
+
+    def test_plain_schema_stays_legacy(self, spark, tmpdir):
+        t = os.path.join(tmpdir, "t")
+        DL.write_delta(spark.range(5).select("id"), t)
+        assert DL.table_protocol(t) == {"minReaderVersion": 1, "minWriterVersion": 1}
+
+    def test_evolving_in_ntz_upgrades_protocol(self, spark, tmpdir):
+        t = os.path.join(tmpdir, "t")
+        DL.write_delta(spark.range(5).select("id"), t)
+        evolved = spark.range(5, 10).select(
+            "id", F.timestamp_seconds(F.col("id")).cast("timestamp_ntz").alias("ts")
+        )
+        DL.write_delta(evolved, t, append=True, merge_schema=True)
+        proto = DL.table_protocol(t)
+        assert "timestampNtz" in (proto.get("readerFeatures") or [])
+        assert DL.read_delta(spark, t).count() == 10
