@@ -192,6 +192,10 @@ SUPPORTED_WRITER_FEATURES = {
     # TIMESTAMP_NTZ is a native Spark type here; the feature is declared
     # automatically whenever the schema contains one (_ntz_in_schema)
     "timestampNtz",
+    # DML on enabled tables writes _change_data files + cdc actions
+    # (_write_cdc); RESTORE refuses on enabled tables rather than emit a
+    # commit whose change set it cannot represent
+    "changeDataFeed",
 }
 
 # What each LEGACY protocol version implies once a table converts to the
@@ -283,17 +287,9 @@ def _check_protocol(path: str, for_write: bool) -> None:
                 "would silently ignore features like column mapping"
             )
     if for_write and writer == 4:
-        # legacy v4 implies generatedColumns (enforced here) and
-        # changeDataFeed.  CDF is only ACTIVE when the table enables it —
-        # then every writer must emit _change_data files, which this
-        # engine does not — so v4 is writable exactly when CDF is off.
-        _, meta4, _ = _read_log(path)
-        if (meta4.get("configuration") or {}).get("delta.enableChangeDataFeed") == "true":
-            raise UnsupportedProtocolError(
-                f"{path} is minWriterVersion=4 with delta.enableChangeDataFeed: "
-                "writers must produce _change_data files, which this engine "
-                "does not — writing would break the table's CDF contract"
-            )
+        # legacy v4 implies generatedColumns and changeDataFeed — both
+        # enforced here (generation rules on every write; DML writes
+        # _change_data files + cdc actions when the table enables CDF)
         return
     if for_write and writer > SUPPORTED_WRITER_VERSION:
         unknown = (
@@ -1813,6 +1809,7 @@ def read_delta_changes(
             continue
         adds_v: list[dict] = []
         removes_v: list[dict] = []
+        cdc_v: list[dict] = []
         with open(vf) as fh:
             for line in fh:
                 action = json.loads(line)
@@ -1822,6 +1819,8 @@ def read_delta_changes(
                     adds_v.append(action["add"])
                 elif "remove" in action:
                     removes_v.append(action["remove"])
+                elif "cdc" in action:
+                    cdc_v.append(action["cdc"])
         pre_state = {r["path"]: state[r["path"]] for r in removes_v if r["path"] in state}
         for r in removes_v:
             state.pop(r["path"], None)
@@ -1832,6 +1831,41 @@ def read_delta_changes(
         if removes_v and all(not r.get("dataChange", True) for r in removes_v):
             continue  # compaction: bytes moved, no rows changed
         schema_v = T.StructType.fromJson(json.loads(meta_cur["schemaString"]))
+
+        if cdc_v:
+            # protocol rule: a commit carrying cdc actions records its
+            # COMPLETE change set there (incl. update pre/post images the
+            # log diff cannot pair) — use only them, no derivation
+            frames: list[DataFrame] = []
+            for c in cdc_v:
+                full = os.path.join(path, c["path"])
+                if not os.path.exists(full):
+                    raise FileNotFoundError(
+                        f"change feed for {path} v{v} needs vacuumed cdc "
+                        f"file {c['path']}"
+                    )
+                fdf = spark.read.parquet(full)
+                for pcol, pval in (c.get("partitionValues") or {}).items():
+                    if pcol not in fdf.columns:
+                        fdf = fdf.withColumn(
+                            pcol, F.lit(pval).cast(schema_v[pcol].dataType)
+                        )
+                frames.append(fdf)
+            cdf = frames[0]
+            for fdf in frames[1:]:
+                cdf = cdf.unionByName(fdf, allowMissingColumns=True)
+            cols = [
+                F.col(c) if c in cdf.columns else F.lit(None).cast(f.dataType).alias(c)
+                for c, f in zip(out_cols, final_schema.fields)
+            ]
+            pieces.append(
+                cdf.select(
+                    *cols,
+                    F.col("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+            )
+            continue
 
         def _rows(add_dicts: list[dict]) -> DataFrame | None:
             if not add_dicts:
@@ -2300,6 +2334,15 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
     version are removed; files live at the target version but since
     removed are re-added.  Metadata-only: no data file is rewritten."""
     _check_protocol(path, for_write=True)
+    _, meta_now, _ = _read_log(path)
+    if _cdf_enabled(meta_now):
+        # a restore's change set (rows resurrected/dropped by the file
+        # swap) cannot be represented without reading data to build cdc
+        # files — refuse loudly rather than emit a CDF-violating commit
+        raise ValueError(
+            "RESTORE on a change-data-feed-enabled table is not supported: "
+            "disable delta.enableChangeDataFeed first"
+        )
     _, meta_then, adds_then = _read_log(path, as_of_version=version)
     now_ms = int(time.time() * 1000)
 
@@ -2410,6 +2453,20 @@ def vacuum_delta(path: str, retain_versions: int = 0) -> list[str]:
         _, _, old_adds = _read_log(path, as_of_version=v)
         live |= set(old_adds)
         live_dv |= {os.path.abspath(p) for p in descriptor_dv_files(path, old_adds)}
+    # cdc files serve change-feed reads of their own commit: keep those of
+    # versions inside the retention window, reap older/orphaned ones
+    live_cdc: set[str] = set()
+    for v in range(max(0, latest - retain_versions), latest + 1):
+        vf = _version_file(path, v)
+        if not os.path.exists(vf):
+            continue
+        with open(vf) as fh:
+            for line in fh:
+                if '"cdc"' not in line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    live_cdc.add(action["cdc"]["path"].replace(os.sep, "/"))
     deleted = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or ".staging-" in root:
@@ -2434,6 +2491,11 @@ def vacuum_delta(path: str, retain_versions: int = 0) -> list[str]:
                     deleted.append(rel)
                 continue
             if not name.endswith(".parquet"):
+                continue
+            if rel.startswith("_change_data/"):
+                if rel not in live_cdc:
+                    os.remove(full)
+                    deleted.append(rel)
                 continue
             if rel not in live:
                 os.remove(full)
@@ -2535,6 +2597,27 @@ def merge_delta(
         rewritten = source
     n_inserted = n_source_keys - n_updated
 
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        # exact row-level changes: matched table rows are pre-images, the
+        # matching source rows post-images, the rest of the source inserts
+        ct = "_change_type"
+        if cand_rel:
+            matched_keys = keys.join(cand_df.select(key), key, "left_semi")
+            pre = cand_df.join(F.broadcast(matched_keys), key, "left_semi").withColumn(
+                ct, F.lit("update_preimage")
+            )
+            post = source.join(F.broadcast(matched_keys), key, "left_semi").withColumn(
+                ct, F.lit("update_postimage")
+            )
+            ins = source.join(F.broadcast(matched_keys), key, "left_anti").withColumn(
+                ct, F.lit("insert")
+            )
+            changes = pre.unionByName(post).unionByName(ins)
+        else:
+            changes = source.withColumn(ct, F.lit("insert"))
+        cdc_actions = _write_cdc(spark, path, meta, changes)
+
     part_cols = meta.get("partitionColumns") or None
     now_ms = int(time.time() * 1000)
     txn_actions = (
@@ -2605,7 +2688,7 @@ def merge_delta(
                 "MERGE",
                 new_adds=new_adds,
                 validate=_validate,
-                extra_actions=txn_actions,
+                extra_actions=txn_actions + cdc_actions,
             )
         except (ConcurrentModificationError, FileExistsError):
             for a in new_adds:
@@ -2632,6 +2715,7 @@ def merge_delta(
         *txn_actions,
         *removes,
         *[{"add": a} for a in new_adds],
+        *cdc_actions,
     ]
     _commit_checked(path, lambda: actions, set(cand_rel), validate=_validate)
     return {
@@ -2641,12 +2725,87 @@ def merge_delta(
     }
 
 
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get("delta.enableChangeDataFeed") == "true"
+
+
+def enable_change_data_feed(path: str) -> None:
+    """Enable Change Data Feed: from this commit on, every DML writes its
+    exact row-level changes as ``_change_data`` files with cdc actions
+    (the connector-compatible CDF form, including update pre/post
+    images), and ``read_delta_changes`` prefers them over log-diff
+    derivation."""
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, _ = _read_log(path)
+        proto_actions = _protocol_upgrade_actions(
+            path, writer_feature="changeDataFeed", legacy_writer=4
+        )
+        new_meta = dict(meta)
+        new_meta["configuration"] = {
+            **(meta.get("configuration") or {}),
+            "delta.enableChangeDataFeed": "true",
+        }
+        actions = [
+            _commit_info("EnableCDF"),
+            *proto_actions,
+            {"metaData": new_meta},
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+def _write_cdc(
+    spark: SparkSession, path: str, meta: dict, changes: DataFrame
+) -> list[dict]:
+    """Persist change rows (table columns + ``_change_type``) under
+    ``_change_data/`` and return their cdc actions.  On a partitioned
+    table the cdc files are hive-partitioned like the data files, and each
+    action carries its partitionValues — the layout connector CDF readers
+    expect.  cdc files are dataChange=false metadata companions: VACUUM
+    and conflict detection ignore them."""
+    part_cols = meta.get("partitionColumns") or []
+    sub = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}")
+    target = os.path.join(path, sub)
+    writer = changes.coalesce(max(1, changes.sparkSession.sparkContext.defaultParallelism // 8)).write
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(target)
+    actions: list[dict] = []
+    for dirpath, _dirs, files in os.walk(target):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, path)
+            pv = {}
+            for seg in os.path.relpath(dirpath, target).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
+    return actions
+
+
 def _cow_probe_and_commit(
     spark: SparkSession,
     path: str,
     predicate: str,
     op: str,
     rewrite_fn,
+    cdc_fn=None,
 ):
     """Shared copy-on-write skeleton for DELETE and UPDATE: one predicate-
     pushed probe scan finds the files that actually contain matching rows
@@ -2695,6 +2854,9 @@ def _cow_probe_and_commit(
         _enforce_constraints(replacement, _write_rules(meta))
     part_cols = meta.get("partitionColumns") or None
     new_adds = _write_parts(replacement, path, MAX_ROWS_PER_FILE, part_cols)
+    cdc_actions: list[dict] = []
+    if cdc_fn is not None and _cdf_enabled(meta):
+        cdc_actions = _write_cdc(spark, path, meta, cdc_fn(rows, pred, schema))
     now_ms = int(time.time() * 1000)
     actions = [
         _commit_info(op, part_cols),
@@ -2703,6 +2865,7 @@ def _cow_probe_and_commit(
             for p in affected_rel
         ],
         *[{"add": a} for a in new_adds],
+        *cdc_actions,
     ]
     _commit_checked(
         path,
@@ -2755,8 +2918,13 @@ def delete_from_delta(
     def drop_matches(rows, pred, _schema):
         return rows.filter(F.coalesce(pred, F.lit(False)) == F.lit(False))
 
+    def deleted_rows_cdc(rows, pred, _schema):
+        return rows.filter(F.coalesce(pred, F.lit(False))).withColumn(
+            "_change_type", F.lit("delete")
+        )
+
     n, rewritten, total, _ = _cow_probe_and_commit(
-        spark, path, predicate, "DELETE", drop_matches
+        spark, path, predicate, "DELETE", drop_matches, cdc_fn=deleted_rows_cdc
     )
     return {
         "deleted_rows": n,
@@ -2930,8 +3098,17 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str) -> dict:
         return {"deleted_rows": 0, "dv_files": 0, "removed_files": 0}
     scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
     pred = F.expr(predicate)
-    masked = scan.filter(F.coalesce(pred, F.lit(False))).select("__path", "__pos")
-    res = _dv_mask_commit(spark, path, meta, adds, masked, "DELETE")
+    hit = scan.filter(F.coalesce(pred, F.lit(False)))
+    masked = hit.select("__path", "__pos")
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        cdc_actions = _write_cdc(
+            spark, path, meta,
+            hit.drop("__path", "__pos").withColumn("_change_type", F.lit("delete")),
+        )
+    res = _dv_mask_commit(
+        spark, path, meta, adds, masked, "DELETE", extra_actions=cdc_actions
+    )
     return {
         "deleted_rows": res["masked_rows"],
         "dv_files": res["dv_files"],
@@ -3006,8 +3183,19 @@ def update_delta(
             }
         )
 
+    def update_images_cdc(rows, pred, schema):
+        hit = rows.filter(F.coalesce(pred, F.lit(False)))
+        pre = hit.withColumn("_change_type", F.lit("update_preimage"))
+        post = hit.withColumns(
+            {
+                col: F.expr(expr).cast(schema[col].dataType)
+                for col, expr in set_exprs.items()
+            }
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        return pre.unionByName(post)
+
     n, rewritten, total, _ = _cow_probe_and_commit(
-        spark, path, predicate, "UPDATE", apply_set
+        spark, path, predicate, "UPDATE", apply_set, cdc_fn=update_images_cdc
     )
     return {
         "updated_rows": n,
@@ -3057,6 +3245,13 @@ def _update_mor(
             except OSError:
                 pass
         return empty
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        pre = matched.drop("__path", "__pos").select(*schema.fieldNames()).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updated.withColumn("_change_type", F.lit("update_postimage"))
+        cdc_actions = _write_cdc(spark, path, meta, pre.unionByName(post))
     try:
         res = _dv_mask_commit(
             spark,
@@ -3066,6 +3261,7 @@ def _update_mor(
             matched.select("__path", "__pos"),
             "UPDATE",
             new_adds=new_adds,
+            extra_actions=cdc_actions,
         )
     except (ConcurrentModificationError, FileExistsError):
         for a in new_adds:

@@ -99,7 +99,7 @@ def _force_legacy_v4(path: str) -> None:
         fh.write("\n".join(lines) + "\n")
 
 
-def test_foreign_legacy_v4_table_writable_unless_cdf(spark, tmpdir):
+def test_foreign_legacy_v4_table_writable(spark, tmpdir):
     t = os.path.join(tmpdir, "t")
     DL.write_delta(_src(spark), t, generated_columns=GEN)
     _force_legacy_v4(t)
@@ -107,8 +107,8 @@ def test_foreign_legacy_v4_table_writable_unless_cdf(spark, tmpdir):
     back = DL.read_delta(spark, t)
     assert back.count() == 20
     assert back.filter(F.col("d") != F.col("ts").cast("date")).count() == 0
-    # now enable CDF in the metaData: v4 writers must emit _change_data,
-    # which this engine does not — refuse
+    # with CDF enabled, v4 stays writable (since r8 this engine writes
+    # _change_data files on DML) — a DELETE must carry cdc actions
     v0 = DL._version_file(t, 0)
     lines = []
     with open(v0) as fh:
@@ -119,8 +119,12 @@ def test_foreign_legacy_v4_table_writable_unless_cdf(spark, tmpdir):
             lines.append(json.dumps(a))
     with open(v0, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    with pytest.raises(DL.UnsupportedProtocolError, match="ChangeDataFeed"):
-        DL.write_delta(_src(spark, lo=30), t, append=True)
+    DL.write_delta(_src(spark, lo=30), t, append=True)
+    res = DL.delete_from_delta(spark, t, "id = 30")
+    assert res["deleted_rows"] == 1
+    latest = DL._read_log(t)[0]
+    with open(DL._version_file(t, latest)) as fh:
+        assert any('"cdc"' in ln for ln in fh)
 
 
 def test_constraint_upgrade_keeps_generated_feature(spark, tmpdir):
