@@ -69,8 +69,11 @@ def _version_file(path: str, version: int) -> str:
 
 @accepts_file_uris
 def table_exists(path: str) -> bool:
+    # a checkpoint with every prior JSON cleaned away (delta-spark's
+    # metadata cleanup can leave a tip-checkpoint log) is still a table
     return os.path.isdir(_log_dir(path)) and any(
-        f.endswith(".json") for f in os.listdir(_log_dir(path))
+        f.endswith(".json") or (".checkpoint" in f and f.endswith(".parquet"))
+        for f in os.listdir(_log_dir(path))
     )
 
 
@@ -79,43 +82,75 @@ def _checkpoint_file(path: str, version: int) -> str:
 
 
 def _checkpoint_versions(path: str) -> list[int]:
+    # classic `<v>.checkpoint.parquet` AND v2/UUID `<v>.checkpoint.<uuid>.parquet`
+    out = set()
+    for f in os.listdir(_log_dir(path)):
+        parts = f.split(".")
+        if len(parts) >= 3 and parts[1] == "checkpoint" and parts[-1] == "parquet":
+            out.add(int(parts[0]))
+    return sorted(out)
+
+
+def _checkpoint_paths(path: str, version: int) -> list[str]:
+    """Every parquet of one checkpoint (classic = 1 file; multipart or a
+    v2/UUID manifest may be several names for the version)."""
+    prefix = f"{version:020d}.checkpoint"
     return sorted(
-        int(f.split(".")[0])
+        os.path.join(_log_dir(path), f)
         for f in os.listdir(_log_dir(path))
-        if f.endswith(".checkpoint.parquet")
+        if f.startswith(prefix) and f.endswith(".parquet")
     )
 
 
+def _norm_checkpoint_add(raw: dict) -> dict:
+    a = dict(raw)
+    a["partitionValues"] = dict(a.get("partitionValues") or [])
+    dv = a.get("deletionVector")
+    if dv is None:
+        a.pop("deletionVector", None)
+    else:
+        # strip null struct members (inline DVs have no offset) so
+        # checkpoint-loaded descriptors compare EQUAL to their
+        # JSON-commit twins in _dv_unchanged_validator
+        a["deletionVector"] = {k: v for k, v in dict(dv).items() if v is not None}
+    return a
+
+
 def _load_checkpoint(path: str, version: int) -> tuple[dict, dict[str, dict], dict[str, int]]:
-    """Read one checkpoint parquet back into (metaData, live adds, latest
-    txn version per appId) — the same dict shapes the JSON replay builds
-    (parquet maps come back as key/value tuple lists; re-dict them)."""
+    """Read one checkpoint back into (metaData, live adds, latest txn
+    version per appId) — the same dict shapes the JSON replay builds
+    (parquet maps come back as key/value tuple lists; re-dict them).
+    Handles the classic single-parquet form AND the v2 form (readerFeature
+    ``v2Checkpoint``): a manifest holding the non-file actions plus
+    ``sidecar`` references whose ``_sidecars/`` parquets hold the adds."""
     import pyarrow.parquet as pq
 
     meta: dict = {}
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
-    for row in pq.read_table(_checkpoint_file(path, version)).to_pylist():
-        if row.get("metaData"):
-            m = dict(row["metaData"])
-            m["format"] = {"provider": (m.get("format") or {}).get("provider", "parquet"), "options": {}}
-            m["configuration"] = dict(m.get("configuration") or [])
-            meta = m
-        elif row.get("add"):
-            a = dict(row["add"])
-            a["partitionValues"] = dict(a.get("partitionValues") or [])
-            dv = a.get("deletionVector")
-            if dv is None:
-                a.pop("deletionVector", None)
-            else:
-                # strip null struct members (inline DVs have no offset) so
-                # checkpoint-loaded descriptors compare EQUAL to their
-                # JSON-commit twins in _dv_unchanged_validator
-                a["deletionVector"] = {k: v for k, v in dict(dv).items() if v is not None}
-            adds[a["path"]] = a
-        elif row.get("txn"):
-            t = row["txn"]
-            txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+
+    def consume(rows) -> None:
+        for row in rows:
+            if row.get("metaData"):
+                m = dict(row["metaData"])
+                m["format"] = {"provider": (m.get("format") or {}).get("provider", "parquet"), "options": {}}
+                m["configuration"] = dict(m.get("configuration") or [])
+                meta.update(m)
+            elif row.get("add"):
+                a = _norm_checkpoint_add(row["add"])
+                adds[a["path"]] = a
+            elif row.get("txn"):
+                t = row["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+            elif row.get("sidecar"):
+                sc = row["sidecar"]
+                scp = sc["path"]
+                if not os.path.isabs(scp):
+                    scp = os.path.join(_log_dir(path), "_sidecars", scp)
+                consume(pq.read_table(scp).to_pylist())
+
+    for f in _checkpoint_paths(path, version):
+        consume(pq.read_table(f).to_pylist())
     return meta, adds, txns
 
 
@@ -137,7 +172,11 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
         versions = [v for v in versions if v <= as_of_version]
     meta: dict = {}
     adds: dict[str, dict] = {}
-    usable_ckpts = [v for v in _checkpoint_versions(path) if v <= versions[-1]]
+    ckpts = _checkpoint_versions(path)
+    if not versions and not ckpts:
+        raise FileNotFoundError(f"empty delta log at {path}")
+    tip = versions[-1] if versions else ckpts[-1]
+    usable_ckpts = [v for v in ckpts if v <= tip]
     if usable_ckpts:
         ckpt_v = usable_ckpts[-1]
         meta, adds, _ = _load_checkpoint(path, ckpt_v)
@@ -173,7 +212,16 @@ SUPPORTED_WRITER_VERSION = 3  # through CHECK constraints (enforced here)
 # not a capability advertisement.  "invariants" is claimed because
 # _enforce_constraints also evaluates column invariants
 # (delta.invariants field metadata) on every write path.
-SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
+SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    # v2 checkpoints are READ-supported (_load_checkpoint follows sidecar
+    # references); writes to v2Checkpoint tables stay refused — this
+    # writer emits classic checkpoints, which would violate the feature's
+    # writer requirement
+    "v2Checkpoint",
+}
 SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "checkConstraints",
@@ -245,10 +293,13 @@ def table_protocol(path: str) -> dict:
         import pyarrow.parquet as pq
 
         floor = ckpts[-1]
-        for row in pq.read_table(_checkpoint_file(path, floor)).to_pylist():
-            pr = row.get("protocol")
-            if pr and pr.get("minReaderVersion") is not None:
-                proto = {k: v for k, v in pr.items() if v is not None}
+        # the protocol action lives in the manifest itself for v2
+        # checkpoints (non-file actions never move to sidecars)
+        for f in _checkpoint_paths(path, floor):
+            for row in pq.read_table(f).to_pylist():
+                pr = row.get("protocol")
+                if pr and pr.get("minReaderVersion") is not None:
+                    proto = {k: v for k, v in pr.items() if v is not None}
     for v in sorted(
         int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
     ):

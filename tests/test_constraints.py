@@ -126,10 +126,10 @@ def test_reader_version_guard(spark, tmpdir):
     assert DL.read_delta(spark, t).count() == 10
     _bump_protocol(
         t, reader=3, writer=7,
-        reader_features=["deletionVectors", "v2Checkpoint"],
-        writer_features=["deletionVectors", "v2Checkpoint"],
+        reader_features=["deletionVectors", "typeWidening"],
+        writer_features=["deletionVectors", "typeWidening"],
     )
-    with pytest.raises(DL.UnsupportedProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DL.UnsupportedProtocolError, match="typeWidening"):
         DL.read_delta(spark, t)
     with pytest.raises(DL.UnsupportedProtocolError):
         DL.read_delta_changes(spark, t, 0)

@@ -340,13 +340,13 @@ def test_foreign_reader_features_refused(spark, tmpdir):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    "readerFeatures": ["deletionVectors", "typeWidening"],
                     "writerFeatures": ["deletionVectors"],
                 }
             }
         ],
     )
-    with pytest.raises(D.UnsupportedProtocolError, match="v2Checkpoint"):
+    with pytest.raises(D.UnsupportedProtocolError, match="typeWidening"):
         D.read_delta(spark, path)
 
 
