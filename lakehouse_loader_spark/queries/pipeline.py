@@ -1843,3 +1843,59 @@ def iceberg_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Change Data Feed with persisted cdc files (update pre/post images)
+# --------------------------------------------------------------------------
+@query(
+    "delta_cdf_update_images",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS price,
+           'update_preimage' AS _change_type
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4), 'update_postimage'
+    FROM orders WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey, _change_type
+    """,
+)
+def delta_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF write side under the correctness gate: orders staged as a
+    CDF-ENABLED Delta table, one UPDATE (+10% price on o_orderkey%100=0),
+    then the change feed read back.  Because the table persists cdc files
+    (sinks/delta.py:_write_cdc), the feed yields PAIRED update pre/post
+    images — the thing the log-diff derivation cannot reconstruct — and
+    the oracle recomputes both images straight from the source rows."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    cache = getattr(spark, "_lhl_cdc_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_cdc_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        table = os.path.join(tempfile.mkdtemp(prefix="qcdc_"), "orders_cdf")
+        DL.write_delta(orders, table)
+        DL.enable_change_data_feed(table)
+        DL.update_delta(
+            spark, table, "o_orderkey % 100 = 0",
+            {"o_totalprice": "o_totalprice * 1.1"},
+        )
+        cache[sf_dir] = table
+    since = DL._read_log(table)[0] - 1
+    return (
+        DL.read_delta_changes(spark, table, since_version=since)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            "_change_type",
+        )
+        .orderBy("o_orderkey", "_change_type")
+    )
