@@ -313,6 +313,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     anz.add_argument("target")
     anz.add_argument("--columns", default=None, help="comma-separated (default: all primitive)")
+    for name, h in (
+        ("enable-cdf", "enable Change Data Feed (DML persists _change_data + cdc)"),
+        ("enable-ict", "enable in-commit timestamps (mtime-proof time travel)"),
+    ):
+        en = sub.add_parser(name, help=h)
+        en.add_argument("target")
     for name in ("snapshots-iceberg", "files-iceberg", "manifests-iceberg",
                  "refs-iceberg", "files-delta", "history-delta"):
         ins = sub.add_parser(name, help="metadata inspection table (prints rows)")
@@ -582,6 +588,15 @@ def do_main(argv: list[str]) -> None:
             f"{len(manifest)} avro parts to {args.target}",
             file=sys.stderr,
         )
+        return
+    if args.command in ("enable-cdf", "enable-ict"):
+        from lakehouse_loader_spark.sinks import delta as _dl
+
+        if args.command == "enable-cdf":
+            _dl.enable_change_data_feed(args.target)
+        else:
+            _dl.enable_in_commit_timestamps(args.target)
+        print(f"{args.command} done on {args.target}", file=sys.stderr)
         return
     if args.command == "analyze-iceberg":
         from lakehouse_loader_spark.sinks.iceberg import analyze_iceberg
