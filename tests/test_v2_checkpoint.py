@@ -112,3 +112,36 @@ def test_v2_checkpoint_reader_feature_accepted_writer_refused(spark, tmpdir):
     assert DL.read_delta(spark, t).count() == 10  # read-supported now
     with pytest.raises(DL.UnsupportedProtocolError, match="v2Checkpoint"):
         DL.write_delta(spark.range(10, 12).select("id"), t, append=True)
+
+
+def test_multipart_classic_checkpoint_reads(spark, tmpdir):
+    """delta-spark splits large classic checkpoints into
+    `<v>.checkpoint.<part>.<parts>.parquet` files; the loader must consume
+    every part of the version."""
+    t = os.path.join(str(tmpdir), "t")
+    DL.write_delta(spark.range(0, 80).select("id"), t)
+    v = DL.write_checkpoint(t)
+    classic = os.path.join(DL._log_dir(t), f"{v:020d}.checkpoint.parquet")
+    rows = pq.read_table(classic).to_pylist()
+    half = len(rows) // 2
+    cols = ("protocol", "metaData", "txn", "add")
+    for i, chunk in enumerate((rows[:half], rows[half:]), start=1):
+        pq.write_table(
+            pa.Table.from_pylist([{c: r.get(c) for c in cols} for r in chunk]),
+            os.path.join(
+                DL._log_dir(t), f"{v:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+            ),
+        )
+    os.remove(classic)
+    _seal_pre_checkpoint_json(t, v)
+    assert DL.read_delta(spark, t).count() == 80
+
+
+def test_ict_hook_inert_on_plain_tables(spark, tmpdir):
+    """_with_ict runs inside EVERY commit: on tables without the feature it
+    must return the actions untouched (no reorder, no injected fields)."""
+    t = os.path.join(str(tmpdir), "t")
+    DL.write_delta(spark.range(0, 5).select("id"), t)
+    actions = [{"add": {"path": "x.parquet"}}, {"commitInfo": {"timestamp": 1}}]
+    out = DL._with_ict(t, DL._read_log(t)[0] + 1, actions)
+    assert out is actions  # identity, not a copy
