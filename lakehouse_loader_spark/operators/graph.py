@@ -38,11 +38,23 @@ def pagerank(
     scale: int = 6,
     src: str = "src",
     dst: str = "dst",
+    tol: float | None = None,
+    checkpoint_every: int | None = 5,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``/``dst``
     string columns).  Every node must have out-degree ≥ 1 (undirect the
     graph first if it has sinks — the callers here do); rank mass is then
-    conserved at Σ=N up to rounding.  Returns (node, rank)."""
+    conserved at Σ=N up to rounding.  The node set is the distinct ``src``
+    set; a node with in-degree 0 receives no contributions but keeps its
+    (1-d) base mass every superstep (left join, mass coalesced to 0) —
+    it does NOT vanish from the result.  Returns (node, rank).
+
+    ``tol``: optional L1-delta early exit — stop once
+    Σ|rank_i - rank_{i-1}| < tol (costs one extra action per superstep;
+    the fixed-budget default keeps the plan fully lazy and oracle-exact).
+    ``checkpoint_every``: localCheckpoint the rank frame every N
+    supersteps so lineage doesn't compose unboundedly across iterations
+    (:20-24 above); None disables."""
     from lakehouse_loader_spark.operators import materialize_shared
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -58,19 +70,40 @@ def pagerank(
         ),
         label="pagerank-norm",
     )
-    ranks = norm.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0).alias("rank")
-    )
-    for _ in range(iterations):
+    nodes = norm.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for it in range(iterations):
         contribs = (
             norm.join(ranks, norm.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
         )
-        ranks = contribs.select(
-            F.col("dst").alias("node"),
-            F.round(F.lit(1 - DAMPING) + F.lit(DAMPING) * F.col("mass"), scale).alias("rank"),
+        new_ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1 - DAMPING)
+                    + F.lit(DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    scale,
+                ).alias("rank"),
+            )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.withColumnRenamed("rank", "prev")
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 
@@ -86,14 +119,20 @@ def pagerank_sql(edge_cte: str, iterations: int = 8, scale: int = 6) -> str:
         # "1.0/deg" as decimal division — the doubles must match Spark's
         "norm AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg AS w"
         " FROM edges e JOIN deg USING (src))",
-        "p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg)",
+        "nodes AS (SELECT src AS node FROM deg)",
+        "p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
     ]
     base, damp = repr(1 - DAMPING), repr(DAMPING)
     for i in range(iterations):
+        # left join from the full node set: an in-degree-0 node keeps its
+        # (1-d) base mass instead of vanishing (mirrors pagerank())
         parts.append(
-            f"p{i + 1} AS (SELECT n.dst AS node, "
+            f"p{i + 1} AS (SELECT nn.node, "
             f"ROUND(CAST({base} AS DOUBLE) + CAST({damp} AS DOUBLE)"
-            f" * SUM(p{i}.rank * n.w), {scale}) AS rank "
-            f"FROM norm n JOIN p{i} ON n.src = p{i}.node GROUP BY n.dst)"
+            f" * COALESCE(m.mass, CAST(0.0 AS DOUBLE)), {scale}) AS rank "
+            f"FROM nodes nn LEFT JOIN ("
+            f"SELECT n.dst AS node, SUM(p{i}.rank * n.w) AS mass "
+            f"FROM norm n JOIN p{i} ON n.src = p{i}.node GROUP BY n.dst"
+            f") m ON nn.node = m.node)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM p{iterations}"

@@ -33,6 +33,7 @@ import os
 import shutil
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -2632,6 +2633,14 @@ def merge_delta(
         )
         cand_rel |= {r["__rel"] for r in hit}
     keys = source.select(key).distinct()
+    # key-frame cardinality is already known (n_source_keys): broadcast the
+    # probe/anti-join side only when it fits in an executor, mirroring the
+    # Iceberg twin's DELETE_BROADCAST_MAX gate (iceberg.py) — an over-ceiling
+    # batch upsert degrades to shuffled joins (AQE picks the strategy)
+    # instead of forcing an executor-memory-sized broadcast
+    _bcast = (
+        F.broadcast if n_source_keys <= DV_BROADCAST_MAX else (lambda df: df)
+    )
     if cand_rel:
         # DV-aware: rows already deleted merge-on-read must neither count
         # as matches nor be resurrected into the rewritten files
@@ -2641,7 +2650,7 @@ def merge_delta(
         # count matched KEYS, not matched rows: a key present in several
         # table rows updates them all but is still one update
         n_updated = keys.join(cand_df.select(key), key, "left_semi").count()
-        kept = cand_df.join(F.broadcast(keys), key, "left_anti")
+        kept = cand_df.join(_bcast(keys), key, "left_anti")
         rewritten = kept.unionByName(source)
     else:
         n_updated = 0
@@ -2654,14 +2663,15 @@ def merge_delta(
         # matching source rows post-images, the rest of the source inserts
         ct = "_change_type"
         if cand_rel:
+            # matched_keys <= n_source_keys rows, so the same gate applies
             matched_keys = keys.join(cand_df.select(key), key, "left_semi")
-            pre = cand_df.join(F.broadcast(matched_keys), key, "left_semi").withColumn(
+            pre = cand_df.join(_bcast(matched_keys), key, "left_semi").withColumn(
                 ct, F.lit("update_preimage")
             )
-            post = source.join(F.broadcast(matched_keys), key, "left_semi").withColumn(
+            post = source.join(_bcast(matched_keys), key, "left_semi").withColumn(
                 ct, F.lit("update_postimage")
             )
-            ins = source.join(F.broadcast(matched_keys), key, "left_anti").withColumn(
+            ins = source.join(_bcast(matched_keys), key, "left_anti").withColumn(
                 ct, F.lit("insert")
             )
             changes = pre.unionByName(post).unionByName(ins)
@@ -2722,7 +2732,7 @@ def merge_delta(
                 spark, path, meta, schema, {r: adds[r] for r in cand_rel},
                 with_path=True,
             )
-            masked = cand_scan.join(F.broadcast(keys), key, "left_semi").select(
+            masked = cand_scan.join(_bcast(keys), key, "left_semi").select(
                 "__path", "__pos"
             )
         else:
@@ -2836,7 +2846,12 @@ def _write_cdc(
             for seg in os.path.relpath(dirpath, target).split(os.sep):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    # Spark percent-escapes special characters (':'→'%3A')
+                    # in hive dir names; partitionValues must store the
+                    # TRUE values (mirrors promote_staged_files for adds)
+                    pv[unquote(k)] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
             actions.append(
                 {
                     "cdc": {

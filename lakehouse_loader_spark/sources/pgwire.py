@@ -322,6 +322,14 @@ def _decode_numeric(b: bytes) -> Decimal:
     nd, weight, sign, dscale = struct.unpack_from(">hhHH", b, 0)
     if sign == 0xC000:
         return Decimal("NaN")
+    if sign in (0xD000, 0xF000):
+        # PostgreSQL 14+ numeric ±Infinity (ndigits=0, special sign word):
+        # no Spark DecimalType representation — raise like the infinity
+        # timestamp/date decoders rather than silently decoding as 0
+        raise PgError(
+            "numeric Infinity/-Infinity has no Spark DecimalType "
+            "representation; cast or filter it server-side"
+        )
     digits = struct.unpack_from(f">{nd}H", b, 8)
     unscaled = 0
     for d in digits:
@@ -683,13 +691,18 @@ def partition_predicates(
     preds = []
     for i in range(n):
         a, b = lo + i * stride, lo + (i + 1) * stride
-        p = f"{partition_column} >= {a} AND {partition_column} < {b}"
-        if i == 0:
-            p = f"({p}) OR {partition_column} IS NULL"
-        if i == n - 1:
+        # Spark JDBC partitioning contract: bounds choose the STRIDE only,
+        # they never filter rows — the first partition is unbounded below
+        # (and carries NULLs), the last unbounded above, so explicit bounds
+        # narrower than the data's actual range still return every row
+        if n == 1:
+            p = "TRUE"
+        elif i == 0:
+            p = f"({partition_column} < {b}) OR {partition_column} IS NULL"
+        elif i == n - 1:
             p = f"{partition_column} >= {a}"
-            if n == 1:
-                p = f"({p}) OR {partition_column} IS NULL"
+        else:
+            p = f"{partition_column} >= {a} AND {partition_column} < {b}"
         preds.append(p)
     return preds
 
@@ -1026,7 +1039,15 @@ def write_postgres_wire(
                 return 0  # this (app_id, version) already published
         except PgError:
             raise
-    staging = f"{table.split('.')[-1]}__lhl_stage_{os.urandom(4).hex()}"
+    # stage INSIDE the target's schema: ALTER TABLE .. RENAME keeps a table
+    # in its own schema, so an unqualified staging table would publish
+    # 'analytics.foo' into public — and the error-mode rename collision
+    # must be checked against the target schema, not the default one
+    schema_prefix = table.rsplit(".", 1)[0] + "." if "." in table else ""
+    staging = (
+        f"{schema_prefix}{table.split('.')[-1]}"
+        f"__lhl_stage_{os.urandom(4).hex()}"
+    )
     simple_command(params, f"CREATE TABLE {staging} ({col_ddl})")
     host, port, u, pw, db = params.as_tuple()
     dtypes = [f.dataType for f in schema.fields]

@@ -104,6 +104,23 @@ class TestLifecycle:
         ch = _changes(spark, t, v0)
         assert sorted((r.id, r.p) for r in ch) == [(2, "0"), (3, "1")]
 
+    def test_partitioned_cdc_unescapes_special_values(self, spark, tmpdir):
+        # Spark percent-encodes ':' in hive dir names (ts=2024%3A01); the
+        # cdc action must record the TRUE value, and the change-feed read
+        # must cast the right literal back into the partition column
+        t = os.path.join(str(tmpdir), "t")
+        df = _src(spark, n=4).withColumn(
+            "p", F.concat(F.lit("v:"), (F.col("id") % 2).cast("string"))
+        )
+        DL.write_delta(df, t, partition_by=["p"])
+        DL.enable_change_data_feed(t)
+        v0 = DL._read_log(t)[0]
+        DL.delete_from_delta(spark, t, "id IN (0, 1)")
+        acts = _cdc_actions(t, DL._read_log(t)[0])
+        assert {a["partitionValues"]["p"] for a in acts} == {"v:0", "v:1"}
+        ch = _changes(spark, t, v0)
+        assert sorted((r.id, r.p) for r in ch) == [(0, "v:0"), (1, "v:1")]
+
     def test_vacuum_retention_and_loud_read_after(self, spark, tmpdir):
         t = _table(spark, tmpdir)
         v0 = DL._read_log(t)[0]

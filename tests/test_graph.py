@@ -52,3 +52,50 @@ def test_no_cartesian_in_plan(spark):
     e = _edges(spark, [("a", "b"), ("b", "a")])
     plan = pagerank(e, iterations=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_only_node_keeps_base_mass(spark):
+    # 's' points into a cycle but nothing points at it (in-degree 0):
+    # it must stay in the result with rank (1-d) + d*0 = 0.15 every
+    # superstep, not silently vanish from the aggregation keyed by dst
+    pairs = [("s", "a"), ("a", "b"), ("b", "a")]
+    out = {r.node: r.rank for r in pagerank(_edges(spark, pairs), iterations=6).collect()}
+    assert set(out) == {"s", "a", "b"}
+    assert out["s"] == 0.15
+
+
+def test_source_only_node_oracle_parity(spark):
+    # the SQL twin must share the left-join shape, so the two engines
+    # agree bit-for-bit on a graph WITH an in-degree-0 node
+    import duckdb
+
+    from lakehouse_loader_spark.operators.graph import pagerank_sql
+
+    pairs = [("s", "a"), ("s", "b"), ("a", "b"), ("b", "c"), ("c", "a")]
+    got = {r.node: r.rank for r in pagerank(_edges(spark, pairs), iterations=8).collect()}
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    sql = pagerank_sql(
+        f"edges(src, dst) AS (SELECT * FROM (VALUES {vals}) v(src, dst))",
+        iterations=8,
+    )
+    want = {n: r for n, r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_tol_early_exit_matches_fixed_point(spark):
+    # a cycle is at its fixed point after one superstep: with tol set the
+    # loop exits early and the result is still the fixed point
+    cyc = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    out = {r.node: r.rank
+           for r in pagerank(cyc, iterations=50, tol=1e-9).collect()}
+    assert out == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
+def test_checkpoint_every_preserves_result(spark):
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    e = _edges(spark, pairs)
+    base = {r.node: r.rank
+            for r in pagerank(e, iterations=9, checkpoint_every=None).collect()}
+    ck = {r.node: r.rank
+          for r in pagerank(e, iterations=9, checkpoint_every=2).collect()}
+    assert base == ck

@@ -621,3 +621,70 @@ def test_array_columns_roundtrip_and_feed_similarity(spark, pg_url):
         W.read_postgres_wire(
             spark, pg_url, "select array[[1,2],[3,4]] as m"
         ).collect()
+
+
+def test_explicit_bounds_set_stride_never_filter(spark, pg_url):
+    """Spark-JDBC partitioning contract: lower/upper bounds choose the
+    STRIDE only — bounds narrower than the data's actual range must still
+    return every row (first stride unbounded below, last unbounded
+    above), and the NULL-keyed row rides with the first."""
+    df = W.read_postgres_wire(
+        spark,
+        pg_url,
+        "select id, cint4 from t1",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=10_000,   # well above the data's min (1)
+        upper_bound=12_000,   # well below the data's max (25001)
+    )
+    assert df.count() == 25_001
+    assert df.select("id").distinct().count() == 25_001
+
+
+def test_sink_schema_qualified_target(spark, pg_url):
+    """A schema-qualified target must stage AND publish inside that
+    schema — ALTER TABLE .. RENAME keeps a table in its own schema, so an
+    unqualified staging table would land 'analytics.foo' in public."""
+    params = W.parse_libpq_url(pg_url)
+    W.simple_command(params, "CREATE SCHEMA IF NOT EXISTS analytics")
+    df = W.read_postgres_wire(spark, pg_url, "select id, cint4 from t1 where id <= 50")
+    assert W.write_postgres_wire(df, pg_url, "analytics.foo", mode="error") == 50
+    # lands in analytics, NOT public
+    n = W.iter_copy_batches(
+        params,
+        "select count(*)::int8 as n from information_schema.tables "
+        "where table_schema = 'analytics' and table_name = 'foo'",
+        [("n", 20, -1)],
+        2,
+    )
+    assert int(next(n)["n"][0]) == 1
+    got = W.read_postgres_wire(spark, pg_url, "select * from analytics.foo")
+    assert got.count() == 50
+    # error-mode collision is detected in the TARGET schema
+    with pytest.raises(W.PgError, match="already exists"):
+        W.write_postgres_wire(df, pg_url, "analytics.foo", mode="error")
+    # overwrite replaces analytics.foo in place (still one table, in schema)
+    assert W.write_postgres_wire(df, pg_url, "analytics.foo", mode="overwrite") == 50
+    got = W.read_postgres_wire(spark, pg_url, "select count(*)::int8 as n from analytics.foo")
+    assert got.first()["n"] == 50
+    # append targets the qualified table too
+    assert W.write_postgres_wire(df, pg_url, "analytics.foo", mode="append") == 50
+    got = W.read_postgres_wire(spark, pg_url, "select count(*)::int8 as n from analytics.foo")
+    assert got.first()["n"] == 100
+
+
+def test_numeric_infinity_raises_not_zero(pg_url):
+    """PostgreSQL 14+ numeric ±Infinity has no DecimalType representation:
+    the decoder must refuse loudly (like infinity timestamps), never
+    silently decode to 0."""
+    params = W.parse_libpq_url(pg_url)
+    for lit in ("'Infinity'", "'-Infinity'"):
+        with pytest.raises(W.PgError, match="Infinity"):
+            next(
+                W.iter_copy_batches(
+                    params,
+                    f"select {lit}::numeric as x",
+                    [("x", 1700, -1)],
+                    2,
+                )
+            )
