@@ -1,0 +1,81 @@
+"""Driver-materialization lint: the 100 TB scale contract.
+
+Every ``collect()``/``toPandas()``/``first()``/``head()``/``take()`` in
+the package must be driver-bounded — an aggregate result, a schema/dim
+probe, commit metadata (one row per file), or a gated small-graph path.
+This test freezes the audited budget per file; ANY new materialization
+site fails it until the author proves the new site is bounded and raises
+the budget here (with a line in the table's rationale).
+
+The audit (r9): cli.py prints query output (user-facing, explicitly
+bounded by --limit); sinks/* collect commit METADATA (one row per data
+file / manifest, never data rows); operators/clusters.py:48 is the gated
+LOCAL_CC_MAX_EDGES small-graph path, :315 a 2-long fingerprint aggregate;
+operators/graph.py:100 the optional tol early-exit's 1-row L1 aggregate;
+operators/similarity.py probes vector dim / k centroids (constant-size);
+sources/pgwire.py:~1075 a 1-row written-count aggregate;
+queries/pipeline.py collects min/max bounds and constant-size stats
+frames.  COVERAGE.md's scale-notes section points here.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "lakehouse_loader_spark")
+
+# file (relative to the package) -> max allowed materialization call sites
+BUDGET = {
+    "cli.py": 2,
+    "sinks/delta.py": 5,
+    "sinks/iceberg.py": 6,
+    "sinks/incremental.py": 3,
+    "sinks/inspect.py": 2,
+    "operators/clusters.py": 2,
+    "operators/graph.py": 1,
+    "operators/similarity.py": 5,
+    "sources/pgwire.py": 1,
+    "queries/pipeline.py": 4,
+}
+
+_PAT = re.compile(r"\.(collect|toPandas|first|head|take)\(")
+
+
+def _count(path: str) -> int:
+    n = 0
+    with open(path) as fh:
+        for line in fh:
+            code = line.split("#")[0]
+            if _PAT.search(code):
+                n += 1
+    return n
+
+
+def test_no_new_driver_materialization_sites():
+    over = []
+    for root, _dirs, files in os.walk(PKG):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, PKG)
+            got = _count(full)
+            allowed = BUDGET.get(rel, 0)
+            if got > allowed:
+                over.append((rel, got, allowed))
+    assert not over, (
+        "new driver-side materialization site(s) — prove each is bounded "
+        f"(aggregate/metadata/constant-size) then raise its budget: {over}"
+    )
+
+
+def test_budget_is_not_stale():
+    # a removed site should shrink the budget too, so the lint stays tight
+    slack = []
+    for rel, allowed in BUDGET.items():
+        got = _count(os.path.join(PKG, rel))
+        if got < allowed:
+            slack.append((rel, got, allowed))
+    assert not slack, f"budget exceeds actual sites, tighten it: {slack}"
