@@ -8,11 +8,12 @@ image payloads as an opaque binary column and never decodes them; this
 codec is what promotes real-corpus JPEG payloads out of the byte-stats
 fallback tier (operators/media_codec.py, the r7 PNG precedent).
 
-Scope: sequential baseline DCT (SOF0), 8-bit samples, 1 or 3
-components, Huffman entropy coding, chroma subsampling factors 1 or 2
-(4:4:4 and 4:2:0), DRI/RSTn restart markers.  Progressive (SOF2),
-arithmetic coding and 12-bit precision raise loudly — callers fall
-back to byte statistics rather than misdecoding.
+Scope: sequential baseline DCT (SOF0) AND progressive DCT (SOF2,
+spectral selection + successive approximation per T.81 Annex G), 8-bit
+samples, 1 or 3 components, Huffman entropy coding, chroma subsampling
+factors 1 or 2 (4:4:4 and 4:2:0), DRI/RSTn restart markers.  Arithmetic
+coding, hierarchical (SOF5+) and 12-bit precision raise loudly — callers
+fall back to byte statistics rather than misdecoding.
 
 Performance shape: the entropy scan is a sequential bit stream (that is
 inherent to Huffman), decoded symbol-at-a-time against O(1) lookup
@@ -285,11 +286,11 @@ def _encode_plane_blocks(
     return q.reshape(-1, 64)[:, ZIGZAG].astype(np.int64)
 
 
-def encode_jpeg(
-    pixels: np.ndarray, quality: int = 100, subsample: bool = False
-) -> bytes:
-    """(H, W, 3) RGB or (H, W) grayscale uint8 → baseline JFIF bytes.
-    ``subsample`` emits 4:2:0 (2x2 chroma factors); default 4:4:4."""
+def _plan_frame(pixels: np.ndarray, quality: int, subsample: bool) -> dict:
+    """Shared encode planning: color transform, subsampling, MCU-grid
+    padding, and per-component zig-zag quantized coefficients — everything
+    before entropy coding (identical for baseline and progressive, which
+    is what makes the two encoders coefficient-exact twins)."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -324,18 +325,36 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     coefs, bw_blocks = [], []
-    for p, (sh, sv) in zip(planes, samp):
+    for pl, (sh, sv) in zip(planes, samp):
         ph = -(-h * sv // vmax)  # this plane's true sample dims (ceil)
         pw = -(-w * sh // hmax)
         need_h, need_w = mcus_y * sv * 8, mcus_x * sh * 8
         full = np.pad(
-            p[:ph, :pw],
+            pl[:ph, :pw],
             ((0, need_h - ph), (0, need_w - pw)),
             mode="edge",
         )
         q = ql if (qsel[len(coefs)] == 0) else qc
         coefs.append(_encode_plane_blocks(_to_blocks(full), q))
         bw_blocks.append((need_h // 8, need_w // 8))
+    return {
+        "gray": gray, "h": h, "w": w, "ql": ql, "qc": qc, "samp": samp,
+        "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+        "coefs": coefs, "bw_blocks": bw_blocks,
+    }
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 100, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) RGB or (H, W) grayscale uint8 → baseline JFIF bytes.
+    ``subsample`` emits 4:2:0 (2x2 chroma factors); default 4:4:4."""
+    plan = _plan_frame(pixels, quality, subsample)
+    gray, h, w = plan["gray"], plan["h"], plan["w"]
+    ql, qc, samp = plan["ql"], plan["qc"], plan["samp"]
+    hmax, vmax = plan["hmax"], plan["vmax"]
+    coefs, bw_blocks = plan["coefs"], plan["bw_blocks"]
+    planes = coefs  # len only (per-component loop bounds below)
     # entropy-code the interleaved MCU scan
     dc_tabs = [
         _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -434,6 +453,7 @@ def decode_jpeg(payload: bytes) -> dict:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    prog_stores = None  # progressive: coefficient accumulators across scans
     restart_interval = 0
     n = len(payload)
     while p < n:
@@ -474,7 +494,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 vals = list(seg[q : q + nv])
                 q += nv
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -482,11 +502,11 @@ def decode_jpeg(payload: bytes) -> dict:
             for ci in range(nc):
                 cid, sf, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02x}); "
-                "only sequential baseline Huffman is implemented"
+                "only sequential and progressive Huffman are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -499,6 +519,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scomps.append((comp, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             # find the entropy segment end: next non-RST marker
             q = p
             while q < n - 1:
@@ -509,10 +531,21 @@ def decode_jpeg(payload: bytes) -> dict:
                 q += 1
             entropy = payload[p:q]
             p = q
-            return _decode_scan(
-                frame, scomps, qtables, huff_dc, huff_ac, entropy, restart_interval
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    frame, scomps, qtables, huff_dc, huff_ac, entropy, restart_interval
+                )
+            if prog_stores is None:
+                prog_stores = _init_coef_stores(frame)
+            _decode_progressive_scan(
+                frame, scomps, huff_dc, huff_ac, entropy, restart_interval,
+                prog_stores, ss, se, ah, al,
             )
         # APPn/COM and others: skip
+    if frame is not None and frame.get("progressive") and prog_stores is not None:
+        return _reconstruct(
+            frame, [(c, prog_stores[c["id"]]) for c in frame["comps"]], qtables
+        )
     raise ValueError("no SOS scan in JPEG stream")
 
 
@@ -530,29 +563,7 @@ def _decode_scan(
         bw = mcus_x * comp["h"]
         bh = mcus_y * comp["v"]
         store.append(np.zeros((bh * bw, 64), dtype=np.int64))
-    # split entropy data on restart markers, de-stuff each segment
-    segments = []
-    if restart_interval:
-        seg = bytearray()
-        i = 0
-        while i < len(entropy):
-            b = entropy[i]
-            if b == 0xFF and i + 1 < len(entropy):
-                nxt = entropy[i + 1]
-                if nxt == 0x00:
-                    seg.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(seg))
-                    seg = bytearray()
-                    i += 2
-                    continue
-            seg.append(b)
-            i += 1
-        segments.append(bytes(seg))
-    else:
-        segments = [entropy.replace(b"\xff\x00", b"\xff")]
+    segments = _split_entropy(entropy, restart_interval)
     mcu_index = 0
     seg_iter = iter(segments)
     br = _BitReader(next(seg_iter))
@@ -589,11 +600,66 @@ def _decode_scan(
                             blk[k] = _extend(br.read(s), s)
                             k += 1
             mcu_index += 1
-    # dequantize + IDCT, all blocks per component at once
+    return _reconstruct(
+        frame, [(comp, store[ci]) for ci, (comp, _, _) in enumerate(scomps)], qtables
+    )
+
+
+def _split_entropy(entropy: bytes, restart_interval: int) -> list[bytes]:
+    """De-stuff the entropy bytes; with restarts, split on RSTn markers
+    (one de-stuffed segment per restart interval)."""
+    if not restart_interval:
+        return [entropy.replace(b"\xff\x00", b"\xff")]
+    segments = []
+    seg = bytearray()
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                seg.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(seg))
+                seg = bytearray()
+                i += 2
+                continue
+        seg.append(b)
+        i += 1
+    segments.append(bytes(seg))
+    return segments
+
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _init_coef_stores(frame) -> dict:
+    """Per-component zig-zag coefficient accumulators over the padded MCU
+    grid, keyed by component id — progressive scans fill them in pieces."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    }
+
+
+def _reconstruct(frame, comp_arrays, qtables) -> dict:
+    """(comp, zig-zag coefficient array) pairs → decoded pixel dict:
+    dequantize + IDCT all blocks per component at once, upsample, crop,
+    color-transform."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
     planes = []
-    for ci, (comp, _, _) in enumerate(scomps):
+    for comp, arr in comp_arrays:
         q = qtables[comp["tq"]]
-        coef = (store[ci] * q[None, :]).astype(np.float64)
+        coef = (arr * q[None, :]).astype(np.float64)
         spatial = coef[:, _UNZIGZAG].reshape(-1, 8, 8)
         blocks = _DCT.T @ spatial @ _DCT + 128.0
         bw = mcus_x * comp["h"]
@@ -609,3 +675,513 @@ def _decode_scan(
         return {"format": "jpeg", "pixels": px, "width": w, "height": h, "n_channels": 1}
     px = ycbcr_to_rgb(np.stack(planes, axis=-1))
     return {"format": "jpeg", "pixels": px, "width": w, "height": h, "n_channels": 3}
+
+
+def _decode_progressive_scan(
+    frame, scomps, huff_dc, huff_ac, entropy: bytes, restart_interval: int,
+    stores: dict, ss: int, se: int, ah: int, al: int,
+) -> None:
+    """One progressive scan (T.81 Annex G decode procedures) accumulated
+    into ``stores``: DC first/refine (Ss=0), AC first/refine (Ss>0,
+    single-component non-interleaved traversal per G.1.1).  Restart
+    markers reset the DC predictors and the EOB run."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    seg_iter = iter(_split_entropy(entropy, restart_interval))
+    br = _BitReader(next(seg_iter))
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        pred = [0] * len(scomps)
+        if len(scomps) > 1:  # interleaved MCU traversal
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br = _BitReader(next(seg_iter))
+                        pred = [0] * len(scomps)
+                    for ci, (comp, td, _ta) in enumerate(scomps):
+                        bw = mcus_x * comp["h"]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = stores[comp["id"]][
+                                    (my * comp["v"] + by) * bw
+                                    + (mx * comp["h"] + bx)
+                                ]
+                                _dc_progressive(blk, br, huff_dc, td, pred, ci, ah, al)
+                    unit += 1
+            return
+        comp, td, _ta = scomps[0]
+        for i, blk in _noninterleaved_blocks(frame, comp, stores, mcus_x):
+            if restart_interval and i and i % restart_interval == 0:
+                br = _BitReader(next(seg_iter))
+                pred = [0]
+            _dc_progressive(blk, br, huff_dc, td, pred, 0, ah, al)
+        return
+
+    # AC scan: always single-component, non-interleaved (G.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must contain one component")
+    comp, _td, ta = scomps[0]
+    act = huff_ac[ta]
+    eobrun = 0
+    for i, blk in _noninterleaved_blocks(frame, comp, stores, mcus_x):
+        if restart_interval and i and i % restart_interval == 0:
+            br = _BitReader(next(seg_iter))
+            eobrun = 0
+        if ah == 0:
+            eobrun = _ac_first(blk, br, act, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(blk, br, act, ss, se, al, eobrun)
+
+
+def _noninterleaved_blocks(frame, comp, stores, mcus_x):
+    """Single-component scan traversal (G.1.1): row-major over the
+    component's OWN block grid (ceil of its true sample dims), indexed
+    into the padded MCU-grid store."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-(frame["w"] * comp["h"]) // hmax)
+    ch = -(-(frame["h"] * comp["v"]) // vmax)
+    wb, hb = -(-cw // 8), -(-ch // 8)
+    bw = mcus_x * comp["h"]
+    arr = stores[comp["id"]]
+    i = 0
+    for by in range(hb):
+        for bx in range(wb):
+            yield i, arr[by * bw + bx]
+            i += 1
+
+
+def _dc_progressive(blk, br, huff_dc, td, pred, ci, ah, al) -> None:
+    if ah == 0:  # first scan: diff-coded point-transformed DC
+        size = huff_dc[td].decode(br)
+        diff = _extend(br.read(size), size) if size else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+    else:  # refinement: one raw bit per block
+        if br.read(1):
+            blk[0] |= 1 << al
+
+
+def _ac_first(blk, br, act, ss, se, al, eobrun) -> int:
+    """AC first scan for one block (G.1.2.2): returns the updated EOB run
+    (counts whole blocks with no nonzero in the band, current included)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(blk, br, act, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3): newly-significant
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    passed on the way consumes one correction bit.  Runs count
+    ZERO-HISTORY positions only.  Returns the updated EOB run."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if br.read(1) and (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan coefficient must be ±1")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if s:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # EOB region: remaining nonzero-history coefficients of THIS block
+        # still consume correction bits
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# -- progressive encoder -----------------------------------------------------
+#
+# Two-pass per scan (symbol-frequency count, then emit), because the Annex K
+# example AC tables carry no EOBn symbols — progressive scans need custom
+# Huffman tables, built by the T.81 Annex K.2 frequency-pairing procedure
+# with the K.3 16-bit length limit.
+
+
+def _huff_spec_from_freq(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """symbol→count → (BITS[16], HUFFVAL) per T.81 Annex K.2/K.3: pair the
+    two least-frequent symbols repeatedly (ties broken toward the larger
+    symbol value), limit code lengths to 16, reserve one code point so no
+    code is all 1-bits."""
+    f = [0] * 257
+    for sym, c in freq.items():
+        f[sym] = c
+    f[256] = 1  # reserved symbol: guarantees no all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+
+    def least(exclude: int) -> int:
+        best = -1
+        for v in range(257):
+            if v == exclude or f[v] == 0:
+                continue
+            if best == -1 or f[v] < f[best] or (f[v] == f[best] and v > best):
+                best = v
+        return best
+
+    while True:
+        v1 = least(-1)
+        v2 = least(v1)
+        if v2 == -1:
+            break
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = 32
+    while i > 16:  # K.3: push over-long codes up the tree
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved symbol's (longest) code point
+    vals = [v for _, v in sorted((codesize[v], v) for v in range(256) if codesize[v])]
+    return bits[1:17], vals
+
+
+class _FreqSink:
+    """Pass 1: count Huffman symbols per (class, table-id); ignore raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict[tuple, dict[int, int]] = {}
+
+    def symbol(self, tbl: tuple, sym: int) -> None:
+        d = self.freq.setdefault(tbl, {})
+        d[sym] = d.get(sym, 0) + 1
+
+    def bits(self, val: int, n: int) -> None:
+        pass
+
+
+class _CodeWriter:
+    """Pass 2: emit codes through a stuffing _BitWriter."""
+
+    def __init__(self, codes: dict[tuple, dict[int, tuple[int, int]]]) -> None:
+        self.codes = codes
+        self.bw = _BitWriter()
+
+    def symbol(self, tbl: tuple, sym: int) -> None:
+        code, ln = self.codes[tbl][sym]
+        self.bw.write(code, ln)
+
+    def bits(self, val: int, n: int) -> None:
+        if n:
+            self.bw.write(val, n)
+
+
+def _enc_noninterleaved(plan: dict, ci: int):
+    """Encoder twin of _noninterleaved_blocks: the component's own block
+    grid, row-major, indexed into the padded coefficient store."""
+    sh, sv = plan["samp"][ci]
+    cw = -(-plan["w"] * sh // plan["hmax"])
+    ch = -(-plan["h"] * sv // plan["vmax"])
+    wb, hb = -(-cw // 8), -(-ch // 8)
+    bwdt = plan["mcus_x"] * sh
+    arr = plan["coefs"][ci]
+    for by in range(hb):
+        for bx in range(wb):
+            yield arr[by * bwdt + bx]
+
+
+def _scan_dc(plan: dict, comp_idxs: list[int], ah: int, al: int, sink) -> None:
+    pred = {ci: 0 for ci in comp_idxs}
+
+    def emit(blk, ci: int) -> None:
+        v = int(blk[0]) >> al  # DC point transform: arithmetic shift
+        if ah == 0:
+            diff = v - pred[ci]
+            pred[ci] = v
+            size, bits = _magnitude(diff)
+            sink.symbol(("dc", 0 if ci == 0 else 1), size)
+            sink.bits(bits, size)
+        else:
+            sink.bits(v & 1, 1)
+
+    if len(comp_idxs) > 1:  # interleaved MCU order
+        mcus_x, mcus_y = plan["mcus_x"], plan["mcus_y"]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comp_idxs:
+                    sh, sv = plan["samp"][ci]
+                    bwdt = mcus_x * sh
+                    for by in range(sv):
+                        for bx in range(sh):
+                            emit(
+                                plan["coefs"][ci][
+                                    (my * sv + by) * bwdt + (mx * sh + bx)
+                                ],
+                                ci,
+                            )
+    else:
+        for blk in _enc_noninterleaved(plan, comp_idxs[0]):
+            emit(blk, comp_idxs[0])
+
+
+def _scan_ac_first(plan: dict, ci: int, ss: int, se: int, al: int, sink) -> None:
+    tbl = ("ac", 0 if ci == 0 else 1)
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(tbl, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in _enc_noninterleaved(plan, ci):
+        tv = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            tv.append(-(-v >> al) if v < 0 else v >> al)  # |v|>>al, signed
+        nz = [i for i, t in enumerate(tv) if t]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            t = tv[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.symbol(tbl, 0xF0)
+                run -= 16
+            size, bits = _magnitude(t)
+            sink.symbol(tbl, (run << 4) | size)
+            sink.bits(bits, size)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _scan_ac_refine(plan: dict, ci: int, ss: int, se: int, al: int, sink) -> None:
+    """Encoder twin of _ac_refine: runs count zero-history positions;
+    correction bits for already-significant coefficients buffer until the
+    next emitted symbol (or the EOB run that absorbs the block tail)."""
+    tbl = ("ac", 0 if ci == 0 else 1)
+    eobrun = 0
+    # two correction-bit buffers, mirroring the decoder's read order: ``be``
+    # holds bits from blocks already absorbed into the pending EOB run
+    # (read by the decoder right after the EOBn symbol), ``br`` the current
+    # block's bits (read after the next emitted symbol of THIS block)
+    be: list[int] = []
+    br: list[int] = []
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(tbl, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be:
+                sink.bits(b, 1)
+            be = []
+
+    def flush_br() -> None:
+        nonlocal br
+        for b in br:
+            sink.bits(b, 1)
+        br = []
+
+    for blk in _enc_noninterleaved(plan, ci):
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                emit_eobrun()
+                sink.symbol(tbl, 0xF0)
+                r -= 16
+                flush_br()
+            if t > 1:  # history coefficient: LSB is its correction bit
+                br.append(t & 1)
+                continue
+            emit_eobrun()
+            sink.symbol(tbl, (r << 4) | 1)
+            r = 0
+            sink.bits(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            flush_br()
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            br = []
+            if eobrun == 0x7FFF or len(be) > 900:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _run_progressive_scan(plan: dict, scan: tuple, sink) -> None:
+    if scan[0] == "dc":
+        _, comps, _ss, _se, ah, al = scan
+        _scan_dc(plan, comps, ah, al, sink)
+    else:
+        _, ci, ss, se, ah, al = scan
+        if ah == 0:
+            _scan_ac_first(plan, ci, ss, se, al, sink)
+        else:
+            _scan_ac_refine(plan, ci, ss, se, al, sink)
+
+
+def _emit_progressive_scan(plan: dict, scan: tuple) -> bytes:
+    sink = _FreqSink()
+    _run_progressive_scan(plan, scan, sink)
+    chunk = bytearray()
+    codes: dict[tuple, dict[int, tuple[int, int]]] = {}
+    for cls, tsel in sorted(sink.freq):
+        bits, vals = _huff_spec_from_freq(sink.freq[(cls, tsel)])
+        codes[(cls, tsel)] = _build_codes(bits, vals)
+        tc = (0x00 if cls == "dc" else 0x10) | tsel
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        chunk += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    writer = _CodeWriter(codes)
+    _run_progressive_scan(plan, scan, writer)
+    entropy = writer.bw.flush()
+    kind, target = scan[0], scan[1]
+    comps = target if kind == "dc" else [target]
+    ss, se, ah, al = scan[2], scan[3], scan[4], scan[5]
+    sos = struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for ci in comps:
+        tsel = 0 if ci == 0 else 1
+        td = tsel if (kind == "dc" and ah == 0) else 0
+        ta = tsel if kind == "ac" else 0
+        sos += bytes([ci + 1, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    chunk += b"\xff\xda" + sos + entropy
+    return bytes(chunk)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 100, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) RGB or (H, W) grayscale uint8 → PROGRESSIVE (SOF2) JFIF
+    bytes, using the cjpeg-shaped default scan script: approximated DC
+    first, spectral AC bands per component, then successive-approximation
+    refinement passes down to full precision.  The quantized coefficients
+    are identical to :func:`encode_jpeg`'s (shared ``_plan_frame``), so
+    decoding the progressive stream must reproduce the baseline stream's
+    pixels bit-for-bit — the round-trip oracle the tests pin."""
+    plan = _plan_frame(np.asarray(pixels), quality, subsample)
+    gray, h, w = plan["gray"], plan["h"], plan["w"]
+    ncomp = 1 if gray else 3
+    if gray:
+        script = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", 0, 1, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0], 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    qts = ((0, plan["ql"]),) if gray else ((0, plan["ql"]), (1, plan["qc"]))
+    for tid, q in qts:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in q
+        )
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = plan["samp"][ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + sof
+    for scan in script:
+        out += _emit_progressive_scan(plan, scan)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -18,7 +18,7 @@ Two decode tiers:
   within measured tolerance for JPEG).
 * The byte-statistics path (``_decode_stub`` / ``_resize_stub``) remains
   for OPAQUE payloads — formats still out of scope (MP3/H.264,
-  progressive JPEG) degrade there; production swaps in PIL/ffmpeg
+  arithmetic-coded JPEG) degrade there; production swaps in PIL/ffmpeg
   behind the same mapInPandas signatures.
 """
 
@@ -237,15 +237,21 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def synthesize_media_jpeg(
     df: DataFrame, id_col: str = "doc_id", quality: int = 100
 ) -> DataFrame:
-    """Attach a REAL baseline-JPEG payload per row — the SAME modular
-    pixel ramp as ``synth_payload``'s image rows (width 8+id%9, height
-    6+id%5), encoded through the pure-numpy codec (operators/jpeg.py) at
-    near-lossless q100.  JPEG is lossy, so its driver oracle checks exact
+    """Attach a REAL JPEG payload per row — the SAME modular pixel ramp
+    as ``synth_payload``'s image rows (width 8+id%9, height 6+id%5),
+    encoded through the pure-numpy codec (operators/jpeg.py) at
+    near-lossless q100.  Every third row encodes PROGRESSIVE (SOF2,
+    r9) — the two encoders share their coefficient plan, so the decoder
+    must produce identical pixels either way and the oracle needs no
+    per-row branching.  JPEG is lossy, so its driver oracle checks exact
     header fields plus WITHIN-TOLERANCE stat flags (the r7 bounded-oracle
     pattern) instead of exact pixel statistics."""
     import numpy as np
 
-    from lakehouse_loader_spark.operators.jpeg import encode_jpeg
+    from lakehouse_loader_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     schema = T.StructType(
         [
@@ -260,7 +266,8 @@ def synthesize_media_jpeg(
         y = np.arange(h)[:, None, None]
         c = np.arange(3)[None, None, :]
         px = ((x * 7 + y * 11 + c * 5 + doc_id * 3) % 251).astype(np.uint8)
-        return encode_jpeg(px, quality=quality)
+        enc = encode_jpeg_progressive if doc_id % 3 == 0 else encode_jpeg
+        return enc(px, quality=quality)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

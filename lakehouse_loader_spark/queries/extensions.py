@@ -563,11 +563,11 @@ def multimodal_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     zlib framing precisely so the SQL side can — a PNG's byte_len is the
     closed form 68 + h·(1+3w)), which makes the decoders driver-hash-
     checked: a mis-parsed header, sample buffer or unfilter pass shows up
-    as a red row.  Baseline JPEG decodes for real too (r8,
-    operators/jpeg.py — lossy, so its oracle is the separate bounded
-    multimodal_decode_jpeg); MP3 and progressive JPEG degrade to
-    media_format='opaque' rather than failing (decode_media never
-    raises)."""
+    as a red row.  Baseline AND progressive JPEG decode for real
+    too (r8/r9, operators/jpeg.py — lossy, so their oracle is the
+    separate bounded multimodal_decode_jpeg); MP3 and arithmetic-coded
+    JPEG degrade to media_format='opaque' rather than failing
+    (decode_media never raises)."""
     from lakehouse_loader_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")

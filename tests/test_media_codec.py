@@ -423,16 +423,60 @@ def test_jpeg_property_roundtrip(w, h, seed):
     assert np.abs(d["pixels"].astype(int) - px.astype(int)).max() <= 6
 
 
-def test_jpeg_rejects_progressive_and_truncation():
+def test_jpeg_rejects_arithmetic_and_truncation():
     from lakehouse_loader_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     enc = bytearray(encode_jpeg(_ramp(10, 8, 3)))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(ValueError, match="baseline"):
+    enc[sof + 1] = 0xC9  # pretend arithmetic sequential
+    with pytest.raises(ValueError, match="coding process"):
         decode_jpeg(bytes(enc))
     with pytest.raises((ValueError, Exception)):
         decode_jpeg(encode_jpeg(_ramp(10, 8, 3))[:40])
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive (T.81 Annex G): the progressive encoder shares
+    _plan_frame with the baseline one, so both streams carry IDENTICAL
+    quantized coefficients — decoded pixels must match bit-for-bit."""
+
+    def _cmp(self, px, q=90, sub=False):
+        from lakehouse_loader_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        base = decode_jpeg(encode_jpeg(px, quality=q, subsample=sub))
+        prog_bytes = encode_jpeg_progressive(px, quality=q, subsample=sub)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = decode_jpeg(prog_bytes)
+        assert np.array_equal(base["pixels"], prog["pixels"])
+        return prog
+
+    def test_color_exact_vs_baseline(self):
+        d = self._cmp(_ramp(33, 41, 3), q=85)
+        assert (d["width"], d["height"], d["n_channels"]) == (33, 41, 3)
+
+    def test_subsampled_and_odd_dims(self):
+        self._cmp(_ramp(17, 23, 3), q=60, sub=True)
+        self._cmp(_ramp(9, 130, 3), q=75, sub=True)
+
+    def test_grayscale(self):
+        self._cmp(_ramp(24, 24, 0)[..., 0], q=85)
+
+    def test_noise_exercises_zrl_and_eob_runs(self):
+        rng = np.random.default_rng(3)
+        self._cmp(rng.integers(0, 256, (48, 32, 3), dtype=np.uint8), q=35)
+        # flat image: maximal EOB runs across blocks
+        self._cmp(np.full((40, 40, 3), 77, dtype=np.uint8), q=90)
+
+    def test_media_codec_dispatches_progressive(self):
+        from lakehouse_loader_spark.operators.jpeg import encode_jpeg_progressive
+        from lakehouse_loader_spark.operators.media_codec import (
+            decode_image, sniff_format)
+
+        payload = encode_jpeg_progressive(_ramp(12, 14, 3))  # (h=14, w=12)
+        assert sniff_format(payload) == "jpeg"
+        d = decode_image(payload)
+        assert d["pixels"].shape == (14, 12, 3)
 
 
 def test_jpeg_restart_marker_decode():
