@@ -316,6 +316,7 @@ def build_parser() -> argparse.ArgumentParser:
     for name, h in (
         ("enable-cdf", "enable Change Data Feed (DML persists _change_data + cdc)"),
         ("enable-ict", "enable in-commit timestamps (mtime-proof time travel)"),
+        ("enable-v2-checkpoints", "checkpoints in the v2 manifest+sidecar layout"),
     ):
         en = sub.add_parser(name, help=h)
         en.add_argument("target")
@@ -589,13 +590,15 @@ def do_main(argv: list[str]) -> None:
             file=sys.stderr,
         )
         return
-    if args.command in ("enable-cdf", "enable-ict"):
+    if args.command in ("enable-cdf", "enable-ict", "enable-v2-checkpoints"):
         from lakehouse_loader_spark.sinks import delta as _dl
 
         if args.command == "enable-cdf":
             _dl.enable_change_data_feed(args.target)
-        else:
+        elif args.command == "enable-ict":
             _dl.enable_in_commit_timestamps(args.target)
+        else:
+            _dl.enable_v2_checkpoints(args.target)
         print(f"{args.command} done on {args.target}", file=sys.stderr)
         return
     if args.command == "analyze-iceberg":

@@ -217,10 +217,9 @@ SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "timestampNtz",
-    # v2 checkpoints are READ-supported (_load_checkpoint follows sidecar
-    # references); writes to v2Checkpoint tables stay refused — this
-    # writer emits classic checkpoints, which would violate the feature's
-    # writer requirement
+    # v2 checkpoints: _load_checkpoint follows sidecar references on read,
+    # and write_checkpoint emits the UUID-manifest + _sidecars layout when
+    # the table demands it (the feature's writer requirement)
     "v2Checkpoint",
 }
 SUPPORTED_WRITER_FEATURES = {
@@ -238,6 +237,9 @@ SUPPORTED_WRITER_FEATURES = {
     # every commit to an enabled table carries a strictly-monotonic
     # commitInfo.inCommitTimestamp as the FIRST action (_with_ict)
     "inCommitTimestamps",
+    # checkpoints on demanding tables are written in the v2 layout
+    # (write_checkpoint auto-detects; enable_v2_checkpoints upgrades)
+    "v2Checkpoint",
     # TIMESTAMP_NTZ is a native Spark type here; the feature is declared
     # automatically whenever the schema contains one (_ntz_in_schema)
     "timestampNtz",
@@ -661,14 +663,27 @@ def validate_table_checksum(path: str) -> dict:
 # Write a consolidated checkpoint every N commits (delta-spark's default
 # interval); log replay cost is then bounded by N regardless of table age.
 CHECKPOINT_INTERVAL = 10
+# adds per v2-checkpoint sidecar shard: bounds manifest fan-out while
+# keeping each sidecar an independently-readable planning unit
+V2_SIDECAR_MAX_ADDS = 50_000
 
 
 @accepts_file_uris
-def write_checkpoint(path: str) -> int:
-    """Write a protocol-shaped checkpoint parquet of the CURRENT state
-    (protocol + metaData + live adds + latest txn per appId, one action per
-    row with exactly one non-null struct column) plus the ``_last_checkpoint``
+def write_checkpoint(path: str, v2: bool | None = None) -> int:
+    """Write a protocol-shaped checkpoint of the CURRENT state (protocol
+    + metaData + live adds + latest txn per appId, one action per row with
+    exactly one non-null struct column) plus the ``_last_checkpoint``
     pointer file.  Returns the checkpointed version.
+
+    ``v2=None`` auto-selects the layout: the CLASSIC single
+    ``<v>.checkpoint.parquet`` unless the table's protocol demands the
+    ``v2Checkpoint`` writer feature, in which case the V2 layout is
+    written — a UUID-named ``<v>.checkpoint.<uuid>.parquet`` manifest
+    holding the non-file actions plus ``sidecar`` references, with the
+    add actions sharded into ``_sidecars/<uuid>.parquet`` files
+    (``V2_SIDECAR_MAX_ADDS`` per shard, so one manifest scan plans a
+    multi-million-file table without reading any add until its sidecar
+    is needed).  ``v2=True``/``False`` forces a layout.
 
     Simplification vs delta-spark: remove tombstones are not carried
     (they exist to guard readers against truncated JSON logs; this writer
@@ -787,16 +802,81 @@ def write_checkpoint(path: str) -> int:
             for app, v in sorted(txns.items())
         ],
     ]
-    table = pa.Table.from_pylist(rows, schema=schema)
-    # uuid-suffixed tmp names: two writers checkpointing the same version
-    # concurrently must never interleave into one tmp file — each writes
-    # its own and the os.replace loser just overwrites with identical state
-    tmp = _checkpoint_file(path, latest) + f".{uuid.uuid4().hex}.tmp"
-    pq.write_table(table, tmp, compression="snappy")
-    os.replace(tmp, _checkpoint_file(path, latest))  # atomic publish
+    if v2 is None:
+        proto = table_protocol(path)
+        v2 = proto.get("minWriterVersion", 1) >= 7 and "v2Checkpoint" in (
+            proto.get("writerFeatures") or []
+        )
+    if v2:
+        add_rows = [r for r in rows if "add" in r]
+        other = [r for r in rows if "add" not in r]
+        sidecar_dir = os.path.join(_log_dir(path), "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        add_schema = pa.schema([schema.field("add")])
+        manifest_rows = list(other)
+        for lo in range(0, max(len(add_rows), 1), V2_SIDECAR_MAX_ADDS):
+            shard = add_rows[lo : lo + V2_SIDECAR_MAX_ADDS]
+            sc_name = f"{uuid.uuid4().hex}.parquet"
+            sc_full = os.path.join(sidecar_dir, sc_name)
+            sc_tmp = sc_full + ".tmp"
+            pq.write_table(
+                pa.Table.from_pylist(shard, schema=add_schema),
+                sc_tmp,
+                compression="snappy",
+            )
+            os.replace(sc_tmp, sc_full)
+            manifest_rows.append(
+                {"sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": os.path.getsize(sc_full),
+                    "modificationTime": int(time.time() * 1000),
+                }}
+            )
+        manifest_rows.append({"checkpointMetadata": {"version": latest}})
+        man_schema = pa.schema(
+            [
+                schema.field("protocol"),
+                schema.field("metaData"),
+                schema.field("txn"),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ]
+        )
+        manifest = os.path.join(
+            _log_dir(path),
+            f"{latest:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+        )
+        # UUID manifest names never collide — write via tmp for atomicity
+        # on the same filesystem, then publish
+        man_tmp = manifest + ".tmp"
+        pq.write_table(
+            pa.Table.from_pylist(manifest_rows, schema=man_schema),
+            man_tmp,
+            compression="snappy",
+        )
+        os.replace(man_tmp, manifest)
+        n_rows = len(manifest_rows)
+    else:
+        table = pa.Table.from_pylist(rows, schema=schema)
+        # uuid-suffixed tmp names: two writers checkpointing the same version
+        # concurrently must never interleave into one tmp file — each writes
+        # its own and the os.replace loser just overwrites with identical state
+        tmp = _checkpoint_file(path, latest) + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, _checkpoint_file(path, latest))  # atomic publish
+        n_rows = len(rows)
     hint_tmp = os.path.join(_log_dir(path), f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
     with open(hint_tmp, "w") as fh:
-        json.dump({"version": latest, "size": len(rows)}, fh)
+        json.dump({"version": latest, "size": n_rows}, fh)
     os.replace(hint_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
     return latest
 
@@ -2811,6 +2891,31 @@ def enable_change_data_feed(path: str) -> None:
             *proto_actions,
             {"metaData": new_meta},
         ]
+        try:
+            _commit(path, latest + 1, actions)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+def enable_v2_checkpoints(path: str) -> None:
+    """Upgrade the table to demand the ``v2Checkpoint`` feature (reader
+    and writer): subsequent checkpoints are written in the UUID-manifest +
+    ``_sidecars/`` layout, interoperable with engines that default to v2.
+    Existing classic checkpoints stay readable (log replay accepts
+    both)."""
+    for attempt in range(COMMIT_RETRIES):
+        latest, _meta, _ = _read_log(path)
+        proto_actions = _protocol_upgrade_actions(
+            path,
+            writer_feature="v2Checkpoint",
+            reader_feature="v2Checkpoint",
+            force_features=True,
+        )
+        if not proto_actions:
+            return  # already demanded
+        actions = [_commit_info("EnableV2Checkpoints"), *proto_actions]
         try:
             _commit(path, latest + 1, actions)
             return

@@ -96,7 +96,11 @@ def test_v2_checkpoint_with_dv_descriptors(spark, tmpdir):
     assert got.filter("id < 7").count() == 0
 
 
-def test_v2_checkpoint_reader_feature_accepted_writer_refused(spark, tmpdir):
+def test_v2_checkpoint_demanding_table_writable_and_checkpoints_v2(spark, tmpdir):
+    """r9: the v2Checkpoint writer feature is implemented — writes to a
+    demanding table proceed, and write_checkpoint auto-emits the
+    UUID-manifest + _sidecars layout (never a classic file, which would
+    violate the feature's writer requirement)."""
     t = os.path.join(str(tmpdir), "t")
     DL.write_delta(spark.range(0, 10).select("id"), t)
     latest = DL._read_log(t)[0]
@@ -109,9 +113,99 @@ def test_v2_checkpoint_reader_feature_accepted_writer_refused(spark, tmpdir):
     with open(DL._version_file(t, latest + 1), "w") as fh:
         fh.write(json.dumps({"protocol": proto}) + "\n")
         fh.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}) + "\n")
-    assert DL.read_delta(spark, t).count() == 10  # read-supported now
-    with pytest.raises(DL.UnsupportedProtocolError, match="v2Checkpoint"):
-        DL.write_delta(spark.range(10, 12).select("id"), t, append=True)
+    assert DL.read_delta(spark, t).count() == 10
+    DL.write_delta(spark.range(10, 12).select("id"), t, append=True)
+    v = DL.write_checkpoint(t)
+    classic = os.path.join(DL._log_dir(t), f"{v:020d}.checkpoint.parquet")
+    assert not os.path.exists(classic)
+    manifests = [
+        f
+        for f in os.listdir(DL._log_dir(t))
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+    ]
+    assert len(manifests) == 1
+    assert os.path.isdir(os.path.join(DL._log_dir(t), "_sidecars"))
+    _seal_pre_checkpoint_json(t, v)
+    assert DL.read_delta(spark, t).count() == 12
+
+
+class TestV2CheckpointWrite:
+    """r9 write side: this writer's own v2 checkpoints read back through
+    the existing v2 reader and replay-match classic checkpoints."""
+
+    def _fixture(self, spark, tmpdir):
+        t = os.path.join(str(tmpdir), "t")
+        DL.write_delta(
+            spark.range(0, 90).select("id", (F.col("id") * 2).alias("v")), t
+        )
+        DL.write_delta(
+            spark.range(90, 120).select("id", (F.col("id") * 2).alias("v")),
+            t, append=True,
+        )
+        DL.add_check_constraint(t, "pos", "id >= 0")
+        DL.delete_from_delta(spark, t, "id < 5", mode="merge-on-read")
+        return t
+
+    def test_roundtrip_own_writer_own_reader(self, spark, tmpdir):
+        t = self._fixture(spark, tmpdir)
+        v = DL.write_checkpoint(t, v2=True)
+        _seal_pre_checkpoint_json(t, v)
+        got = DL.read_delta(spark, t)
+        assert got.count() == 115
+        assert got.filter("id < 5").count() == 0  # DV descriptor survived
+        assert DL.table_constraints(t) == {"pos": "id >= 0"}
+        assert DL.table_protocol(t)["minWriterVersion"] >= 3
+
+    def test_replay_equivalence_with_classic(self, spark, tmpdir):
+        t = self._fixture(spark, tmpdir)
+        meta_c, adds_c, txns_c = None, None, None
+        v = DL.write_checkpoint(t, v2=False)
+        meta_c, adds_c, txns_c = DL._load_checkpoint(t, v)
+        # replace with a v2 checkpoint of the same version
+        classic = os.path.join(DL._log_dir(t), f"{v:020d}.checkpoint.parquet")
+        os.remove(classic)
+        v2v = DL.write_checkpoint(t, v2=True)
+        assert v2v == v
+        meta_v, adds_v, txns_v = DL._load_checkpoint(t, v)
+        assert meta_v == meta_c
+        assert adds_v == adds_c
+        assert txns_v == txns_c
+
+    def test_sidecar_sharding(self, spark, tmpdir, monkeypatch):
+        t = os.path.join(str(tmpdir), "t")
+        # 6 files via repartition
+        DL.write_delta(spark.range(0, 600).select("id").repartition(6), t)
+        monkeypatch.setattr(DL, "V2_SIDECAR_MAX_ADDS", 2)
+        v = DL.write_checkpoint(t, v2=True)
+        import pyarrow.parquet as _pq
+
+        man = DL._checkpoint_paths(t, v)
+        assert len(man) == 1
+        rows = _pq.read_table(man[0]).to_pylist()
+        sidecars = [r for r in rows if r.get("sidecar")]
+        assert len(sidecars) == 3  # 6 adds / 2 per shard
+        assert any(r.get("checkpointMetadata") for r in rows)
+        assert not any(r.get("add") for r in rows)  # adds never in manifest
+        _seal_pre_checkpoint_json(t, v)
+        assert DL.read_delta(spark, t).count() == 600
+
+    def test_enable_v2_checkpoints_upgrade(self, spark, tmpdir):
+        t = os.path.join(str(tmpdir), "t")
+        DL.write_delta(spark.range(0, 20).select("id"), t)
+        DL.enable_v2_checkpoints(t)
+        proto = DL.table_protocol(t)
+        assert "v2Checkpoint" in proto["readerFeatures"]
+        assert "v2Checkpoint" in proto["writerFeatures"]
+        # auto-detection: plain write_checkpoint now emits v2
+        DL.write_delta(spark.range(20, 25).select("id"), t, append=True)
+        v = DL.write_checkpoint(t)
+        assert not os.path.exists(
+            os.path.join(DL._log_dir(t), f"{v:020d}.checkpoint.parquet")
+        )
+        _seal_pre_checkpoint_json(t, v)
+        assert DL.read_delta(spark, t).count() == 25
+        # idempotent
+        DL.enable_v2_checkpoints(t)
 
 
 def test_multipart_classic_checkpoint_reads(spark, tmpdir):
