@@ -17,11 +17,15 @@ re-synchronize to identical inputs every superstep and the result is
 bit-stable at any parallelism (the float discipline of
 queries/__init__.py applied per-iteration instead of per-result).
 
-At 100 TB: iterations compose lineage; past ~15 supersteps a production
-run should cut it (localCheckpoint / scratch parquet, as dedup_clusters
-does above LOCAL_CC_MAX_EDGES).  The fixed budget here keeps the plan
-declarative; PageRank on power-law graphs is within ~1% after 8-10
-iterations (Page et al. 1999; Brin & Page 1998, §2.1).
+At 100 TB: iterations compose lineage, but MEASURED (r9,
+tools/probe_pagerank_iters.py) the un-checkpointed chain stays ~40ms per
+marginal superstep 50 deep — whole-stage codegen plus the
+scratch-materialized edge table keep deep lineage cheap, and
+localCheckpoint-every-5 costs 6x in materialization.  ``checkpoint_every``
+therefore defaults off; it exists for recompute-on-executor-loss or
+plan-compile regimes past hundreds of supersteps.  PageRank on power-law
+graphs is within ~1% after 8-10 iterations (Page et al. 1999; Brin &
+Page 1998, §2.1), and ``tol`` gives a measured L1 early exit.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     tol: float | None = None,
-    checkpoint_every: int | None = 5,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``/``dst``
     string columns).  Every node must have out-degree ≥ 1 (undirect the
@@ -53,8 +57,14 @@ def pagerank(
     Σ|rank_i - rank_{i-1}| < tol (costs one extra action per superstep;
     the fixed-budget default keeps the plan fully lazy and oracle-exact).
     ``checkpoint_every``: localCheckpoint the rank frame every N
-    supersteps so lineage doesn't compose unboundedly across iterations
-    (:20-24 above); None disables."""
+    supersteps, truncating the composed lineage.  Default OFF — measured
+    (tools/probe_pagerank_iters.py, 800k-edge graph, local[32]): the
+    un-checkpointed 50-superstep chain runs at ~0.1s/superstep while
+    checkpoint_every=5 costs 6x (materialization dominates; whole-stage
+    codegen handles the deep plan fine).  Turn it on only where lineage
+    depth genuinely bites: recompute-on-executor-loss cost on very large
+    clusters, or driver plan-compile blowup past hundreds of
+    supersteps."""
     from lakehouse_loader_spark.operators import materialize_shared
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
