@@ -317,9 +317,16 @@ def build_parser() -> argparse.ArgumentParser:
         ("enable-cdf", "enable Change Data Feed (DML persists _change_data + cdc)"),
         ("enable-ict", "enable in-commit timestamps (mtime-proof time travel)"),
         ("enable-v2-checkpoints", "checkpoints in the v2 manifest+sidecar layout"),
+        ("enable-column-mapping", "name-mode column mapping (metadata-only ALTERs)"),
     ):
         en = sub.add_parser(name, help=h)
         en.add_argument("target")
+    rn = sub.add_parser("rename-column", help="ALTER ... RENAME COLUMN (mapped tables)")
+    rn.add_argument("target"); rn.add_argument("old"); rn.add_argument("new")
+    dc = sub.add_parser("drop-column", help="ALTER ... DROP COLUMN (mapped tables)")
+    dc.add_argument("target"); dc.add_argument("column")
+    ac = sub.add_parser("add-column", help="ALTER ... ADD COLUMN (mapped tables)")
+    ac.add_argument("target"); ac.add_argument("column"); ac.add_argument("dtype")
     for name in ("snapshots-iceberg", "files-iceberg", "manifests-iceberg",
                  "refs-iceberg", "files-delta", "history-delta"):
         ins = sub.add_parser(name, help="metadata inspection table (prints rows)")
@@ -590,15 +597,26 @@ def do_main(argv: list[str]) -> None:
             file=sys.stderr,
         )
         return
-    if args.command in ("enable-cdf", "enable-ict", "enable-v2-checkpoints"):
+    if args.command in (
+        "enable-cdf", "enable-ict", "enable-v2-checkpoints",
+        "enable-column-mapping", "rename-column", "drop-column", "add-column",
+    ):
         from lakehouse_loader_spark.sinks import delta as _dl
 
         if args.command == "enable-cdf":
             _dl.enable_change_data_feed(args.target)
         elif args.command == "enable-ict":
             _dl.enable_in_commit_timestamps(args.target)
-        else:
+        elif args.command == "enable-v2-checkpoints":
             _dl.enable_v2_checkpoints(args.target)
+        elif args.command == "enable-column-mapping":
+            _dl.enable_column_mapping(args.target)
+        elif args.command == "rename-column":
+            _dl.rename_column(args.target, args.old, args.new)
+        elif args.command == "drop-column":
+            _dl.drop_column(args.target, args.column)
+        else:
+            _dl.add_column(args.target, args.column, args.dtype)
         print(f"{args.command} done on {args.target}", file=sys.stderr)
         return
     if args.command == "analyze-iceberg":

@@ -50,8 +50,9 @@ def pagerank(
     graph first if it has sinks — the callers here do); rank mass is then
     conserved at Σ=N up to rounding.  The node set is the distinct ``src``
     set; a node with in-degree 0 receives no contributions but keeps its
-    (1-d) base mass every superstep (left join, mass coalesced to 0) —
-    it does NOT vanish from the result.  Returns (node, rank).
+    (1-d) base mass every superstep (a zero-weight self-edge keeps it in
+    the aggregate) — it does NOT vanish from the result.  Returns
+    (node, rank).
 
     ``tol``: optional L1-delta early exit — stop once
     Σ|rank_i - rank_{i-1}| < tol (costs one extra action per superstep;
@@ -74,28 +75,34 @@ def pagerank(
     # distinct upstream) re-executes per iteration, so it is materialized
     # to scratch parquet once (measured 14.2s → per-superstep scan at
     # sf0.1; same pattern as the dedup shingle sharing, PERF_NOTES r7)
+    # zero-weight SELF-edges keep every node present in each superstep's
+    # dst-keyed aggregate with exactly its true mass (x + 0.0 == x in IEEE
+    # doubles, so results are bit-identical to a left-join-from-the-node-
+    # set formulation) — an in-degree-0 node keeps its (1-d) base mass
+    # WITHOUT a second shuffle per superstep for the left join
+    nodes = e.select(F.col("src").alias("node")).distinct()
     norm = materialize_shared(
         e.join(deg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+        ).unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0.0).alias("w"),
+            )
         ),
         label="pagerank-norm",
     )
-    nodes = norm.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):
-        contribs = (
+        new_ranks = (
             norm.join(ranks, norm.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
-        )
-        new_ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 F.round(
-                    F.lit(1 - DAMPING)
-                    + F.lit(DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0)),
-                    scale,
+                    F.lit(1 - DAMPING) + F.lit(DAMPING) * F.col("mass"), scale
                 ).alias("rank"),
             )
         )
@@ -127,22 +134,20 @@ def pagerank_sql(edge_cte: str, iterations: int = 8, scale: int = 6) -> str:
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
         # CASTs matter: DuckDB types bare decimal literals as DECIMAL and
         # "1.0/deg" as decimal division — the doubles must match Spark's
+        # zero-weight self-edges mirror pagerank(): every node stays in
+        # the dst aggregate with exact mass (x + 0.0 == x), so an
+        # in-degree-0 node never vanishes and no left join is needed
         "norm AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg AS w"
-        " FROM edges e JOIN deg USING (src))",
-        "nodes AS (SELECT src AS node FROM deg)",
-        "p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+        " FROM edges e JOIN deg USING (src)"
+        " UNION ALL SELECT src, src, CAST(0.0 AS DOUBLE) FROM deg)",
+        "p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg)",
     ]
     base, damp = repr(1 - DAMPING), repr(DAMPING)
     for i in range(iterations):
-        # left join from the full node set: an in-degree-0 node keeps its
-        # (1-d) base mass instead of vanishing (mirrors pagerank())
         parts.append(
-            f"p{i + 1} AS (SELECT nn.node, "
+            f"p{i + 1} AS (SELECT n.dst AS node, "
             f"ROUND(CAST({base} AS DOUBLE) + CAST({damp} AS DOUBLE)"
-            f" * COALESCE(m.mass, CAST(0.0 AS DOUBLE)), {scale}) AS rank "
-            f"FROM nodes nn LEFT JOIN ("
-            f"SELECT n.dst AS node, SUM(p{i}.rank * n.w) AS mass "
-            f"FROM norm n JOIN p{i} ON n.src = p{i}.node GROUP BY n.dst"
-            f") m ON nn.node = m.node)"
+            f" * SUM(p{i}.rank * n.w), {scale}) AS rank "
+            f"FROM norm n JOIN p{i} ON n.src = p{i}.node GROUP BY n.dst)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM p{iterations}"

@@ -240,6 +240,10 @@ SUPPORTED_WRITER_FEATURES = {
     # checkpoints on demanding tables are written in the v2 layout
     # (write_checkpoint auto-detects; enable_v2_checkpoints upgrades)
     "v2Checkpoint",
+    # appends translate logical->physical names; schema evolution via
+    # rename_column/drop_column/add_column; DML stays refused (the
+    # rewrite paths would need physical-name stats plumbing)
+    "columnMapping",
     # TIMESTAMP_NTZ is a native Spark type here; the feature is declared
     # automatically whenever the schema contains one (_ntz_in_schema)
     "timestampNtz",
@@ -340,10 +344,12 @@ def _check_protocol(path: str, for_write: bool) -> None:
                 f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); reading "
                 "would silently ignore features like column mapping"
             )
-    if for_write and writer == 4:
-        # legacy v4 implies generatedColumns and changeDataFeed — both
-        # enforced here (generation rules on every write; DML writes
-        # _change_data files + cdc actions when the table enables CDF)
+    if for_write and writer in (4, 5, 6):
+        # legacy v4 implies generatedColumns+changeDataFeed, v5 adds
+        # columnMapping, v6 adds identityColumns — every implied feature
+        # is enforced here (generation rules and identity assignment on
+        # every write; cdc actions under CDF; physical-name translation
+        # on mapped appends), so these legacy versions are writable
         return
     if for_write and writer > SUPPORTED_WRITER_VERSION:
         unknown = (
@@ -360,15 +366,17 @@ def _check_protocol(path: str, for_write: bool) -> None:
 
 
 def _forbid_if_column_mapped(meta: dict, op: str) -> None:
-    """Column mapping is READ-supported (name mode): this writer emits
-    LOGICAL parquet column names, so writing into a mapped table would
-    produce files its mapping-aware readers cannot resolve — refuse."""
+    """DML rewrite paths on mapped tables refuse: they probe file stats
+    and rewrite rows by LOGICAL name, which under mapping would misbind
+    against physically-named files.  Appends translate logical→physical
+    and proceed (write_delta); schema evolution goes through
+    rename_column/drop_column/add_column (metadata-only)."""
     mode = _column_mapping_mode(meta)
     if mode != "none":
         raise UnsupportedProtocolError(
             f"{op} into a column-mapped table (delta.columnMapping.mode="
-            f"{mode}) is not supported: this writer emits logical parquet "
-            "column names"
+            f"{mode}) is not supported: the rewrite path resolves stats "
+            "and rows by logical name (append and ALTER are supported)"
         )
 
 
@@ -1417,7 +1425,12 @@ def write_delta(
     if mode is WriteMode.APPEND and exists:
         _check_protocol(path, for_write=True)
         _, meta, _ = _read_log(path)
-        _forbid_if_column_mapped(meta, "append")
+        mapped = _column_mapping_mode(meta) != "none"
+        if mapped and merge_schema:
+            raise UnsupportedProtocolError(
+                "mergeSchema appends into a column-mapped table are not "
+                "supported: evolve the schema via add_column/rename_column"
+            )
         if generated_columns or identity_columns:
             raise ValueError(
                 "generated_columns/identity_columns are table-creation "
@@ -1428,6 +1441,27 @@ def write_delta(
         if not merge_schema:
             check_schema_aligned(df.schema, table_schema(path))
         _enforce_constraints(df, _write_rules(meta))
+        if mapped:
+            if _identity_cols(meta):
+                raise UnsupportedProtocolError(
+                    "appends into a column-mapped table with identity "
+                    "columns are not supported: watermark recovery reads "
+                    "file stats by logical name"
+                )
+            # constraints/generation evaluated on LOGICAL names above; the
+            # parquet files must carry PHYSICAL names (delta.columnMapping
+            # writer requirement) so mapping-aware readers resolve them —
+            # stats keys follow automatically (computed from written files)
+            from pyspark.sql import functions as F
+
+            logical = table_schema(path)
+            phys = _physical_read_plan(meta, logical)
+            df = df.select(
+                *[
+                    F.col(l).alias(pf.name)
+                    for l, pf in zip(logical.fieldNames(), phys.fields)
+                ]
+            )
         table_parts = meta.get("partitionColumns") or None
         adds = _write_parts(
             df, path, max_rows_per_file, table_parts, bloom_filter_columns, sort_by
@@ -2922,6 +2956,225 @@ def enable_v2_checkpoints(path: str) -> None:
         except FileExistsError:
             if attempt == COMMIT_RETRIES - 1:
                 raise
+
+
+def _schema_of(meta: dict) -> T.StructType:
+    return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _commit_meta_change(path: str, op: str, derive) -> None:
+    """Retry loop for metadata-only commits: ``derive(latest, meta)`` →
+    new metaData dict (or None for no-op)."""
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, _ = _read_log(path)
+        new_meta = derive(latest, meta)
+        if new_meta is None:
+            return
+        try:
+            _commit(path, latest + 1, [_commit_info(op), {"metaData": new_meta}])
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+def _require_name_mapping(meta: dict, op: str) -> None:
+    if _column_mapping_mode(meta) != "name":
+        raise UnsupportedProtocolError(
+            f"{op} needs delta.columnMapping.mode=name (run "
+            "enable_column_mapping first): without mapping the parquet "
+            "files are keyed by the logical column name"
+        )
+
+
+def _refuse_if_column_referenced(meta: dict, col: str, op: str) -> None:
+    """CHECK constraints, invariants and generation expressions store SQL
+    text referencing LOGICAL names — renaming/dropping a referenced column
+    would silently break them, so refuse (drop the rule first)."""
+    import re
+
+    pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+    for name, expr in _write_rules(meta).items():
+        if pat.search(expr):
+            raise ValueError(
+                f"{op} {col!r} refused: rule {name!r} references it "
+                f"({expr!r}); drop the constraint first"
+            )
+
+
+@accepts_file_uris
+def enable_column_mapping(path: str) -> None:
+    """Upgrade the table to ``delta.columnMapping.mode=name``: every field
+    gets a ``delta.columnMapping.id`` and a ``physicalName`` EQUAL to its
+    current name (existing parquet files already carry those names, so
+    they stay resolvable — the standard upgrade semantics), the protocol
+    gains the columnMapping reader+writer features, and
+    ``rename_column`` / ``drop_column`` / ``add_column`` become
+    metadata-only operations.  Appends keep working (logical→physical
+    translation); DML rewrites stay refused on mapped tables.
+
+    Refused on partitioned tables (partitionValues are keyed by physical
+    name in the log), nested-struct schemas (nested mapping untested in
+    the read path), and identity-column tables (watermark recovery reads
+    stats by logical name)."""
+    _check_protocol(path, for_write=True)
+
+    def derive(latest, meta):
+        mode = _column_mapping_mode(meta)
+        if mode == "name":
+            return None  # already enabled
+        if mode != "none":
+            raise UnsupportedProtocolError(
+                f"cannot convert from delta.columnMapping.mode={mode!r}"
+            )
+        if meta.get("partitionColumns"):
+            raise UnsupportedProtocolError(
+                "column mapping on a partitioned table is not supported: "
+                "partitionValues are keyed by physical name in the log"
+            )
+        if _identity_cols(meta):
+            raise UnsupportedProtocolError(
+                "column mapping with identity columns is not supported: "
+                "watermark recovery reads file stats by logical name"
+            )
+        schema = _schema_of(meta)
+        fields = []
+        for i, f in enumerate(schema.fields, start=1):
+            if "struct" in json.dumps(f.dataType.jsonValue()):
+                raise UnsupportedProtocolError(
+                    f"column mapping over nested struct field {f.name!r} "
+                    "is not supported (nested ids unimplemented)"
+                )
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f.name
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(T.StructType(fields).jsonValue())
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+        new_meta["configuration"] = conf
+        return new_meta
+
+    # protocol upgrade must ride the SAME commit as the metadata flip:
+    # a reader seeing mode=name without the reader feature gate could be
+    # an old engine resolving logical names against physical files
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, _ = _read_log(path)
+        new_meta = derive(latest, meta)
+        if new_meta is None:
+            return
+        proto_actions = _protocol_upgrade_actions(
+            path,
+            reader_feature="columnMapping",
+            writer_feature="columnMapping",
+            force_features=True,
+        )
+        actions = [
+            _commit_info("UpgradeColumnMapping"),
+            *proto_actions,
+            {"metaData": new_meta},
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+@accepts_file_uris
+def rename_column(path: str, old: str, new: str) -> None:
+    """ALTER TABLE ... RENAME COLUMN: metadata-only under name mapping —
+    the field keeps its id and physicalName, so every existing parquet
+    file resolves unchanged and no data is rewritten."""
+    _check_protocol(path, for_write=True)
+
+    def derive(latest, meta):
+        _require_name_mapping(meta, "RENAME COLUMN")
+        schema = _schema_of(meta)
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        _refuse_if_column_referenced(meta, old, "RENAME COLUMN")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType,
+                          f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(T.StructType(fields).jsonValue())
+        return new_meta
+
+    _commit_meta_change(path, "RENAME COLUMN", derive)
+
+
+@accepts_file_uris
+def drop_column(path: str, name: str) -> None:
+    """ALTER TABLE ... DROP COLUMN: metadata-only under name mapping —
+    files keep the physical column, readers prune it.  A later
+    ``add_column`` with the SAME logical name gets a FRESH physical name,
+    so dropped values can never resurrect."""
+    _check_protocol(path, for_write=True)
+
+    def derive(latest, meta):
+        _require_name_mapping(meta, "DROP COLUMN")
+        schema = _schema_of(meta)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        _refuse_if_column_referenced(meta, name, "DROP COLUMN")
+        fields = [f for f in schema.fields if f.name != name]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(T.StructType(fields).jsonValue())
+        return new_meta
+
+    _commit_meta_change(path, "DROP COLUMN", derive)
+
+
+@accepts_file_uris
+def add_column(path: str, name: str, dtype: T.DataType | str) -> None:
+    """ALTER TABLE ... ADD COLUMN (nullable) under name mapping: the new
+    field gets id = maxColumnId+1 and a UUID physical name — pre-existing
+    files null-fill it on read.  ``dtype`` is a DataType or one of the
+    atomic type names ('long', 'string', 'double', ...)."""
+    _check_protocol(path, for_write=True)
+    if isinstance(dtype, str):
+        atomic = {
+            "byte": T.ByteType(), "short": T.ShortType(), "int": T.IntegerType(),
+            "integer": T.IntegerType(), "long": T.LongType(), "bigint": T.LongType(),
+            "float": T.FloatType(), "double": T.DoubleType(),
+            "string": T.StringType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "timestamp": T.TimestampType(),
+            "binary": T.BinaryType(),
+        }
+        if dtype not in atomic:
+            raise ValueError(f"unknown type {dtype!r} (have {sorted(atomic)})")
+        dtype = atomic[dtype]
+
+    def derive(latest, meta):
+        _require_name_mapping(meta, "ADD COLUMN")
+        schema = _schema_of(meta)
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        conf = dict(meta.get("configuration") or {})
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", len(schema.fields)))
+        md = {
+            "delta.columnMapping.id": max_id + 1,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:16]}",
+        }
+        fields = [*schema.fields, T.StructField(name, dtype, True, md)]
+        conf["delta.columnMapping.maxColumnId"] = str(max_id + 1)
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(T.StructType(fields).jsonValue())
+        new_meta["configuration"] = conf
+        return new_meta
+
+    _commit_meta_change(path, "ADD COLUMN", derive)
 
 
 def _write_cdc(
