@@ -325,6 +325,10 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("target"); rn.add_argument("old"); rn.add_argument("new")
     dc = sub.add_parser("drop-column", help="ALTER ... DROP COLUMN (mapped tables)")
     dc.add_argument("target"); dc.add_argument("column")
+    rni = sub.add_parser("rename-column-iceberg", help="Iceberg metadata-only RENAME")
+    rni.add_argument("target"); rni.add_argument("old"); rni.add_argument("new")
+    dci = sub.add_parser("drop-column-iceberg", help="Iceberg metadata-only DROP")
+    dci.add_argument("target"); dci.add_argument("column")
     ac = sub.add_parser("add-column", help="ALTER ... ADD COLUMN (mapped tables)")
     ac.add_argument("target"); ac.add_argument("column"); ac.add_argument("dtype")
     for name in ("snapshots-iceberg", "files-iceberg", "manifests-iceberg",
@@ -617,6 +621,15 @@ def do_main(argv: list[str]) -> None:
             _dl.drop_column(args.target, args.column)
         else:
             _dl.add_column(args.target, args.column, args.dtype)
+        print(f"{args.command} done on {args.target}", file=sys.stderr)
+        return
+    if args.command in ("rename-column-iceberg", "drop-column-iceberg"):
+        from lakehouse_loader_spark.sinks import iceberg as _ic
+
+        if args.command == "rename-column-iceberg":
+            _ic.rename_column_iceberg(args.target, args.old, args.new)
+        else:
+            _ic.drop_column_iceberg(args.target, args.column)
         print(f"{args.command} done on {args.target}", file=sys.stderr)
         return
     if args.command == "analyze-iceberg":

@@ -1201,6 +1201,7 @@ def _evolve_schema(meta: dict, incoming: T.StructType) -> dict:
     if merged.json() == target.json():
         return meta
     by_name = {f["name"]: f for f in cur["fields"]}
+    bindings = _all_historical_bindings(meta)
     next_id = [_max_field_id(meta) + 1]
     fields: list[dict] = []
     for f in merged.fields:
@@ -1208,6 +1209,15 @@ def _evolve_schema(meta: dict, incoming: T.StructType) -> dict:
         if old is not None:
             fields.append({**old, "required": not f.nullable})
         else:
+            # a RETIRED name (dropped or renamed-away field) must not be
+            # re-bound: name-based file resolution would resurrect the old
+            # field's values from pre-evolution files
+            if bindings.get(f.name):
+                raise ValueError(
+                    f"cannot add column {f.name!r}: the name historically "
+                    f"belonged to field id(s) {sorted(bindings[f.name])} "
+                    "and name-based resolution would resurrect old values"
+                )
             fields.extend(_iceberg_fields(T.StructType([f]), next_id))
     new_schema_id = len(meta["schemas"])
     out = dict(meta)
@@ -1476,14 +1486,19 @@ def read_iceberg(
     if not data_entries:
         return spark.createDataFrame([], schema)
     files = [_abs_file(path, d["file_path"]) for d in data_entries]
-    reader = spark.read.schema(schema)
+    # historical renames: scan under current + historical names, coalesce
+    # back to current (pre-rename files surface their column either way)
+    read_schema = _extended_read_schema(meta, schema)
+    reader = spark.read.schema(read_schema)
     if partitioned:
         # hive-style dirs carry the partition values; basePath re-derives
         # the partition columns the data files themselves omit
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     if not delete_entries:
-        return reader.parquet(*files).select(*schema.fieldNames())
-    scan = _with_row_positions(reader, files, schema)
+        scan = _resolve_historical(reader.parquet(*files), meta, schema)
+        return scan.select(*schema.fieldNames())
+    scan = _with_row_positions(reader, files, read_schema)
+    scan = _resolve_historical(scan, meta, schema)
     return _apply_deletes(
         spark,
         scan,
@@ -1563,12 +1578,16 @@ def read_iceberg_pruned(
     kept, _ = _prune_files_by_partition(path, meta, column, value)
     if not kept:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
+    read_schema = _extended_read_schema(meta, schema)
+    reader = spark.read.schema(read_schema).option("basePath", os.path.join(os.path.abspath(path), "data"))
     files = [_abs_file(path, p) for p in kept]
     data_entries, delete_entries, _ = _split_live_entries(path, meta)
     if not delete_entries:
-        return reader.parquet(*files).select(*schema.fieldNames())
-    scan = _with_row_positions(reader, files, schema)
+        scan = _resolve_historical(reader.parquet(*files), meta, schema)
+        return scan.select(*schema.fieldNames())
+    scan = _resolve_historical(
+        _with_row_positions(reader, files, read_schema), meta, schema
+    )
     return _apply_deletes(
         spark,
         scan,
@@ -1640,13 +1659,17 @@ def read_iceberg_stats_pruned(
     kept = _prune_entries_by_stats(path, meta, data_entries, column, lower, upper)
     if not kept:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
+    read_schema = _extended_read_schema(meta, schema)
+    reader = spark.read.schema(read_schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     files = [_abs_file(path, p) for p in kept]
     if not delete_entries:
-        return reader.parquet(*files).select(*schema.fieldNames())
-    scan = _with_row_positions(reader, files, schema)
+        scan = _resolve_historical(reader.parquet(*files), meta, schema)
+        return scan.select(*schema.fieldNames())
+    scan = _resolve_historical(
+        _with_row_positions(reader, files, read_schema), meta, schema
+    )
     return _apply_deletes(
         spark,
         scan,
@@ -1893,18 +1916,21 @@ def scan_iceberg_with_plan(
     plan = plan_iceberg_scan(path, preds, _snapshot=(meta, data_entries))
     if not plan["files"]:
         return spark.createDataFrame([], schema).select(*out_cols), plan
-    reader = spark.read.schema(schema)
+    read_schema = _extended_read_schema(meta, schema)
+    reader = spark.read.schema(read_schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
     files = [_abs_file(path, p) for p in plan["files"]]
     if delete_entries:
-        scan = _with_row_positions(reader, files, schema)
+        scan = _resolve_historical(
+            _with_row_positions(reader, files, read_schema), meta, schema
+        )
         scan = _apply_deletes(
             spark, scan, path, delete_entries, data_entries,
             meta["schemas"][meta["current-schema-id"]],
         )
     else:
-        scan = reader.parquet(*files)
+        scan = _resolve_historical(reader.parquet(*files), meta, schema)
     residual = _residual_filter(preds)
     if residual is not None:
         scan = scan.filter(residual)
@@ -1947,6 +1973,198 @@ def _commit_metadata_update(path: str, mutate) -> None:
             if attempt == COMMIT_RETRIES - 1:
                 raise
             version, meta = _latest_version_on_disk(path)
+
+
+def _historical_names(meta: dict) -> dict[str, list[str]]:
+    """current field name → names the SAME field id carried in OLDER
+    schema versions (recency-agnostic, deduped).  Iceberg resolution is
+    by field id; our data files carry logical names (no embedded parquet
+    field ids), so after a RENAME the old files' columns are found under
+    these historical names."""
+    cur = meta["schemas"][meta["current-schema-id"]]["fields"]
+    hist: dict[str, list[str]] = {}
+    for f in cur:
+        names = []
+        for i, sch in enumerate(meta["schemas"]):
+            if i == meta["current-schema-id"]:
+                continue
+            for g in sch["fields"]:
+                if (
+                    g["id"] == f["id"]
+                    and g["name"] != f["name"]
+                    and g["name"] not in names
+                ):
+                    names.append(g["name"])
+        if names:
+            hist[f["name"]] = names
+    return hist
+
+
+def _all_historical_bindings(meta: dict) -> dict[str, set[int]]:
+    """name → every field id that has EVER carried it (across all schema
+    versions) — the collision oracle for rename/add."""
+    out: dict[str, set[int]] = {}
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            out.setdefault(f["name"], set()).add(f["id"])
+    return out
+
+
+def _forbid_if_renamed(meta: dict, op: str) -> None:
+    """DML rewrite/compaction paths resolve data-file columns by the
+    CURRENT name only; on a table with renamed columns they would read
+    old files as null and write the nulls back.  The plain read paths
+    (read_iceberg and the pruned variants) resolve historical names via
+    per-field coalesce; the rewrite paths refuse instead — the same
+    containment as the Delta twin's column-mapping DML refusal."""
+    hist = _historical_names(meta)
+    if hist:
+        raise ValueError(
+            f"{op} on a table with renamed columns ({hist}) is not "
+            "supported: the rewrite path resolves data files by current "
+            "name only"
+        )
+
+
+def _resolve_historical(scan, meta: dict, schema: T.StructType):
+    """(extended-read-schema, projector) for historical renames: the scan
+    reads BOTH the current and every historical name (files carry exactly
+    one; the rest null-fill) and the projector coalesces them into the
+    current name.  No-op when the table never renamed."""
+    from pyspark.sql import functions as F
+
+    hist = _historical_names(meta)
+    if not hist:
+        return scan
+    consumed = {h for names in hist.values() for h in names}
+    cols = []
+    for f in schema.fields:
+        if f.name in hist:
+            cols.append(
+                F.coalesce(F.col(f.name), *[F.col(h) for h in hist[f.name]])
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    extra = [
+        c
+        for c in scan.columns
+        if c not in schema.fieldNames() and c not in consumed
+    ]
+    return scan.select(*cols, *extra)
+
+
+def _extended_read_schema(meta: dict, schema: T.StructType) -> T.StructType:
+    """The scan schema including historical-name alias fields (same type,
+    nullable) so pre-rename files surface their columns."""
+    hist = _historical_names(meta)
+    if not hist:
+        return schema
+    fields = list(schema.fields)
+    for f in schema.fields:
+        for h in hist.get(f.name, []):
+            fields.append(T.StructField(h, f.dataType, True))
+    return T.StructType(fields)
+
+
+def _spec_source_names(meta: dict) -> set[str]:
+    """Names of every column referenced as a partition-spec source in ANY
+    spec version — their hive dirs and manifests are keyed by these."""
+    by_id = {}
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            by_id.setdefault(f["id"], set()).add(f["name"])
+    out: set[str] = set()
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            out |= by_id.get(pf["source-id"], set())
+    return out
+
+
+@accepts_file_uris
+def rename_column_iceberg(path: str, old: str, new: str) -> None:
+    """ALTER TABLE ... RENAME COLUMN — Iceberg's signature metadata-only
+    evolution: a new schema version with the SAME field id under the new
+    name becomes current; no data file is touched.  Reads resolve
+    pre-rename files via historical-name coalesce
+    (:func:`_resolve_historical`); DML rewrites refuse on renamed tables.
+
+    Refused when ``new`` ever named a DIFFERENT field id (resolution by
+    name would bind old files' columns to the wrong field — the exact
+    ambiguity real engines avoid with embedded parquet field ids), or
+    when ``old`` feeds a partition spec (hive dirs are keyed by it)."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+
+    def mutate(m: dict) -> dict:
+        cur = m["schemas"][m["current-schema-id"]]
+        names = [f["name"] for f in cur["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fid = next(f["id"] for f in cur["fields"] if f["name"] == old)
+        bound = _all_historical_bindings(m).get(new, set())
+        if bound - {fid}:
+            raise ValueError(
+                f"RENAME to {new!r} refused: that name historically "
+                f"belonged to field id(s) {sorted(bound - {fid})} — "
+                "name-based file resolution would misbind old files"
+            )
+        if old in _spec_source_names(m):
+            raise ValueError(
+                f"RENAME of partition-source column {old!r} refused: "
+                "hive directories and manifests are keyed by it"
+            )
+        new_fields = [
+            {**f, "name": new} if f["name"] == old else f for f in cur["fields"]
+        ]
+        new_id = len(m["schemas"])
+        m["schemas"] = [
+            *m["schemas"],
+            {"type": "struct", "schema-id": new_id, "fields": new_fields},
+        ]
+        m["current-schema-id"] = new_id
+        return m
+
+    _commit_metadata_update(path, mutate)
+
+
+@accepts_file_uris
+def drop_column_iceberg(path: str, name: str) -> None:
+    """ALTER TABLE ... DROP COLUMN: metadata-only — a new schema version
+    without the field; old files keep the physical column and readers
+    ignore it.  The name stays bound to its retired field id in schema
+    history, so a later add of the SAME name refuses (old values must
+    never resurrect through name-based resolution)."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+
+    def mutate(m: dict) -> dict:
+        cur = m["schemas"][m["current-schema-id"]]
+        names = [f["name"] for f in cur["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(cur["fields"]) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in _spec_source_names(m):
+            raise ValueError(
+                f"DROP of partition-source column {name!r} refused: the "
+                "spec (and its hive dirs) still reference it"
+            )
+        new_id = len(m["schemas"])
+        m["schemas"] = [
+            *m["schemas"],
+            {
+                "type": "struct",
+                "schema-id": new_id,
+                "fields": [f for f in cur["fields"] if f["name"] != name],
+            },
+        ]
+        m["current-schema-id"] = new_id
+        return m
+
+    _commit_metadata_update(path, mutate)
 
 
 @accepts_file_uris
@@ -2075,6 +2293,7 @@ def analyze_iceberg(
     from lakehouse_loader_spark.sinks import puffin as PF
 
     _, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "ANALYZE")
     snap_id = meta.get("current-snapshot-id", -1)
     if snap_id == -1:
         raise ValueError(f"no snapshot to analyze at {path}")
@@ -2709,6 +2928,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "COW DML")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_cols = _default_spec_cols(meta)
@@ -2870,6 +3090,7 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "merge-on-read DELETE")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
     if not data_entries:
@@ -3026,6 +3247,7 @@ def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> di
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "DV DELETE")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
     if not data_entries:
@@ -3206,6 +3428,7 @@ def equality_delete_iceberg(
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "equality DELETE")
     schema_ice = meta["schemas"][meta["current-schema-id"]]
     by_name = {f["name"]: f for f in schema_ice["fields"]}
     cols = list(key_cols) if key_cols is not None else list(keys.columns)
@@ -3594,6 +3817,7 @@ def optimize_iceberg(
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "OPTIMIZE")
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_exprs = _default_spec_cols(meta)
     spec_srcs = [TR.parse_partition_expr(e)[1] for e in spec_exprs]
@@ -3760,6 +3984,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "MERGE")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
