@@ -228,6 +228,7 @@ def _write_data_files(
     partition_by: list[str] | None = None,
     bloom_filter_columns: list[str] | None = None,
     sort_by: list[str] | None = None,
+    ice_schema: dict | None = None,
 ) -> list[dict]:
     """Executors write the parquet parts under data/ (hive-style
     ``field=value`` directories when partitioned); returns manifest entries
@@ -240,6 +241,23 @@ def _write_data_files(
     (the data files keep only the source column, per the Iceberg spec)."""
     from lakehouse_loader_spark.sinks.staging import promote_staged_files
 
+    if ice_schema is not None:
+        # embed REAL parquet field ids (r9): Spark writes each column's
+        # PARQUET:field_id from this alias metadata
+        # (spark.sql.parquet.fieldId.write.enabled, default on) — the
+        # spec-conformant resolution handle external engines use, making
+        # our files rename-proof for id-resolving readers
+        from pyspark.sql import functions as F
+
+        ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        df = df.select(
+            *[
+                F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+                if c in ids
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -1309,7 +1327,10 @@ def write_iceberg(
                 meta = _evolve_spec(meta, partition_by)
         break
 
-    entries = _write_data_files(df, path, partition_by, bloom_filter_columns, sort_by)
+    entries = _write_data_files(
+        df, path, partition_by, bloom_filter_columns, sort_by,
+        ice_schema=meta["schemas"][meta["current-schema-id"]],
+    )
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
     manifest = _write_manifest(path, snapshot_id, entries, meta)
@@ -1978,9 +1999,10 @@ def _commit_metadata_update(path: str, mutate) -> None:
 def _historical_names(meta: dict) -> dict[str, list[str]]:
     """current field name → names the SAME field id carried in OLDER
     schema versions (recency-agnostic, deduped).  Iceberg resolution is
-    by field id; our data files carry logical names (no embedded parquet
-    field ids), so after a RENAME the old files' columns are found under
-    these historical names."""
+    by field id; this reader resolves by NAME (new files embed parquet
+    field ids for external id-resolving engines, but files written before
+    r9 don't carry them), so after a RENAME the old files' columns are
+    found under these historical names."""
     cur = meta["schemas"][meta["current-schema-id"]]["fields"]
     hist: dict[str, list[str]] = {}
     for f in cur:
@@ -2067,6 +2089,22 @@ def _extended_read_schema(meta: dict, schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+def _name_mapping_json(meta: dict) -> str:
+    """The Iceberg ``schema.name-mapping.default`` property value: for
+    every current field id, ALL names it has ever carried (current name
+    first) — the spec's fallback resolution for data files without
+    embedded parquet field ids (iceberg.apache.org/spec/#name-mapping-
+    serialization).  Kept up to date by the ALTERs so external id-aware
+    engines can read this writer's pre-field-id files across renames."""
+    cur = meta["schemas"][meta["current-schema-id"]]["fields"]
+    hist = _historical_names(meta)
+    mapping = [
+        {"field-id": f["id"], "names": [f["name"], *hist.get(f["name"], [])]}
+        for f in cur
+    ]
+    return json.dumps(mapping)
+
+
 def _spec_source_names(meta: dict) -> set[str]:
     """Names of every column referenced as a partition-spec source in ANY
     spec version — their hive dirs and manifests are keyed by these."""
@@ -2125,6 +2163,9 @@ def rename_column_iceberg(path: str, old: str, new: str) -> None:
             {"type": "struct", "schema-id": new_id, "fields": new_fields},
         ]
         m["current-schema-id"] = new_id
+        m.setdefault("properties", {})[
+            "schema.name-mapping.default"
+        ] = _name_mapping_json(m)
         return m
 
     _commit_metadata_update(path, mutate)
@@ -2162,6 +2203,9 @@ def drop_column_iceberg(path: str, name: str) -> None:
             },
         ]
         m["current-schema-id"] = new_id
+        m.setdefault("properties", {})[
+            "schema.name-mapping.default"
+        ] = _name_mapping_json(m)
         return m
 
     _commit_metadata_update(path, mutate)
@@ -2966,7 +3010,10 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     replacement = rewrite_fn(
         scan(sorted(affected)).select(*schema.fieldNames()), pred, schema
     )
-    new_file_entries = _write_data_files(replacement, path, spec_cols or None)
+    new_file_entries = _write_data_files(
+        replacement, path, spec_cols or None,
+        ice_schema=meta["schemas"][meta["current-schema-id"]],
+    )
     # untouched files carry over with their stats (no footer re-opened)
     new_entries = new_file_entries + [
         _carried_entry(path, d, spec, by_id)
@@ -3920,7 +3967,10 @@ def optimize_iceberg(
         df = df.repartition(target_partitions, *spec_srcs)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
-    entries = _write_data_files(df, path, spec_exprs or None) + carried
+    entries = _write_data_files(
+        df, path, spec_exprs or None,
+        ice_schema=meta["schemas"][meta["current-schema-id"]],
+    ) + carried
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
@@ -4100,7 +4150,10 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         rewritten = source
     n_inserted = n_source_keys - n_updated
 
-    new_entries = _write_data_files(rewritten, path, spec_cols or None)
+    new_entries = _write_data_files(
+        rewritten, path, spec_cols or None,
+        ice_schema=meta["schemas"][meta["current-schema-id"]],
+    )
     # untouched files carry over with their stats (no footer re-opened)
     new_entries += [
         _carried_entry(path, d, spec, by_id)
@@ -4252,7 +4305,10 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
     check_schema_aligned(df.schema, target_schema)
     spec_cols = _default_spec_cols(meta)
 
-    entries = _write_data_files(df, path, spec_cols or None)
+    entries = _write_data_files(
+        df, path, spec_cols or None,
+        ice_schema=meta["schemas"][meta["current-schema-id"]],
+    )
     snapshot_id = uuid.uuid4().int % (1 << 62)
 
     def base_manifests(m: dict) -> list[dict]:

@@ -1,10 +1,13 @@
 """Iceberg RENAME/DROP COLUMN (r9) — the format's signature metadata-only
 evolution, field-id preserved across schema versions.
 
-Resolution model: this writer emits LOGICAL parquet column names (no
-embedded field ids), so pre-rename files surface their column under the
-OLD name; the read paths extend the scan schema with every historical
-name of a renamed field and coalesce back (``_resolve_historical``).
+Resolution model: new data files embed real PARQUET:field_id metadata
+(spec-conformant; id-resolving engines never depend on names), and the
+``schema.name-mapping.default`` property tracks historical names for
+files that predate ids.  Our own reader resolves by name: pre-rename
+files surface their column under the OLD name, so the read paths extend
+the scan schema with every historical name of a renamed field and
+coalesce back (``_resolve_historical``).
 Ambiguous states are refused at ALTER time: a rename target that ever
 named a different field id, re-adding a retired name, renaming/dropping
 partition-source columns.  DML rewrite paths refuse on renamed tables
@@ -155,3 +158,50 @@ def test_dml_refused_on_renamed_tables(spark, tmpdir):
         spark.createDataFrame([(100, 7)], "id long, value long"), t, append=True
     )
     assert IC.read_iceberg(spark, t).count() == 101
+
+
+def test_new_files_carry_parquet_field_ids(spark, tmpdir):
+    """r9: data files embed real PARQUET:field_id metadata (the
+    spec-conformant resolution handle) matching the table schema's ids —
+    id-resolving external engines never depend on names at all."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = _table(spark, tmpdir)
+    _, meta = IC._read_metadata(t)
+    ids = {f["name"]: f["id"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    for f in glob.glob(os.path.join(t, "data", "**", "*.parquet"), recursive=True):
+        sch = pq.read_schema(f)
+        for name, fid in ids.items():
+            md = sch.field(name).metadata or {}
+            assert md.get(b"PARQUET:field_id") == str(fid).encode(), (f, name)
+    # post-rename appends keep the SAME id under the new name
+    IC.rename_column_iceberg(t, "v", "value")
+    IC.write_iceberg(
+        spark.createDataFrame([(100, 1)], "id long, value long"), t, append=True
+    )
+    newest = max(
+        glob.glob(os.path.join(t, "data", "**", "*.parquet"), recursive=True),
+        key=os.path.getmtime,
+    )
+    sch = pq.read_schema(newest)
+    assert sch.field("value").metadata[b"PARQUET:field_id"] == str(ids["v"]).encode()
+
+
+def test_name_mapping_property_tracks_history(spark, tmpdir):
+    import json as _json
+
+    t = _table(spark, tmpdir)
+    IC.rename_column_iceberg(t, "v", "value")
+    IC.rename_column_iceberg(t, "value", "val2")
+    _, meta = IC._read_metadata(t)
+    mapping = {m["field-id"]: m["names"] for m in _json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )}
+    fid = next(
+        f["id"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "val2"
+    )
+    assert mapping[fid][0] == "val2"
+    assert set(mapping[fid]) == {"val2", "value", "v"}
