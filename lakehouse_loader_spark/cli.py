@@ -321,6 +321,20 @@ def build_parser() -> argparse.ArgumentParser:
     ):
         en = sub.add_parser(name, help=h)
         en.add_argument("target")
+    ert = sub.add_parser(
+        "enable-row-tracking",
+        help="row ids + commit versions per row (backfills live files)",
+    )
+    ert.add_argument("target")
+    cby = sub.add_parser(
+        "cluster-by", help="declare liquid-clustering columns (OPTIMIZE re-clusters)"
+    )
+    cby.add_argument("target")
+    cby.add_argument("columns", help="comma-separated")
+    sdm = sub.add_parser("set-domain", help="set user domain metadata (atomic, replayed)")
+    sdm.add_argument("target"); sdm.add_argument("domain"); sdm.add_argument("config")
+    rdm = sub.add_parser("remove-domain", help="tombstone a user metadata domain")
+    rdm.add_argument("target"); rdm.add_argument("domain")
     rn = sub.add_parser("rename-column", help="ALTER ... RENAME COLUMN (mapped tables)")
     rn.add_argument("target"); rn.add_argument("old"); rn.add_argument("new")
     dc = sub.add_parser("drop-column", help="ALTER ... DROP COLUMN (mapped tables)")
@@ -604,10 +618,19 @@ def do_main(argv: list[str]) -> None:
     if args.command in (
         "enable-cdf", "enable-ict", "enable-v2-checkpoints",
         "enable-column-mapping", "rename-column", "drop-column", "add-column",
+        "enable-row-tracking", "cluster-by", "set-domain", "remove-domain",
     ):
         from lakehouse_loader_spark.sinks import delta as _dl
 
-        if args.command == "enable-cdf":
+        if args.command == "enable-row-tracking":
+            _dl.enable_row_tracking(args.target)
+        elif args.command == "cluster-by":
+            _dl.enable_clustering(args.target, args.columns.split(","))
+        elif args.command == "set-domain":
+            _dl.set_domain_metadata(args.target, args.domain, args.config)
+        elif args.command == "remove-domain":
+            _dl.remove_domain_metadata(args.target, args.domain)
+        elif args.command == "enable-cdf":
             _dl.enable_change_data_feed(args.target)
         elif args.command == "enable-ict":
             _dl.enable_in_commit_timestamps(args.target)

@@ -114,21 +114,30 @@ def _norm_checkpoint_add(raw: dict) -> dict:
         # checkpoint-loaded descriptors compare EQUAL to their
         # JSON-commit twins in _dv_unchanged_validator
         a["deletionVector"] = {k: v for k, v in dict(dv).items() if v is not None}
+    # scalar optionals absent from JSON adds come back null from the
+    # checkpoint struct — drop them so both sources compare equal
+    for opt in ("baseRowId", "defaultRowCommitVersion", "clusteringProvider"):
+        if a.get(opt) is None:
+            a.pop(opt, None)
     return a
 
 
-def _load_checkpoint(path: str, version: int) -> tuple[dict, dict[str, dict], dict[str, int]]:
+def _load_checkpoint(
+    path: str, version: int
+) -> tuple[dict, dict[str, dict], dict[str, int], dict[str, str]]:
     """Read one checkpoint back into (metaData, live adds, latest txn
-    version per appId) — the same dict shapes the JSON replay builds
-    (parquet maps come back as key/value tuple lists; re-dict them).
-    Handles the classic single-parquet form AND the v2 form (readerFeature
-    ``v2Checkpoint``): a manifest holding the non-file actions plus
-    ``sidecar`` references whose ``_sidecars/`` parquets hold the adds."""
+    version per appId, live domain configurations) — the same dict shapes
+    the JSON replay builds (parquet maps come back as key/value tuple
+    lists; re-dict them).  Handles the classic single-parquet form AND the
+    v2 form (readerFeature ``v2Checkpoint``): a manifest holding the
+    non-file actions plus ``sidecar`` references whose ``_sidecars/``
+    parquets hold the adds."""
     import pyarrow.parquet as pq
 
     meta: dict = {}
     adds: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    domains: dict[str, str] = {}
 
     def consume(rows) -> None:
         for row in rows:
@@ -143,6 +152,12 @@ def _load_checkpoint(path: str, version: int) -> tuple[dict, dict[str, dict], di
             elif row.get("txn"):
                 t = row["txn"]
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+            elif row.get("domainMetadata"):
+                d = row["domainMetadata"]
+                # checkpoints carry only live domains (removed tombstones
+                # exist solely to win replay over older JSON commits)
+                if not d.get("removed"):
+                    domains[d["domain"]] = d.get("configuration") or ""
             elif row.get("sidecar"):
                 sc = row["sidecar"]
                 scp = sc["path"]
@@ -152,7 +167,7 @@ def _load_checkpoint(path: str, version: int) -> tuple[dict, dict[str, dict], di
 
     for f in _checkpoint_paths(path, version):
         consume(pq.read_table(f).to_pylist())
-    return meta, adds, txns
+    return meta, adds, txns, domains
 
 
 def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, dict[str, dict]]:
@@ -180,7 +195,7 @@ def _read_log(path: str, as_of_version: int | None = None) -> tuple[int, dict, d
     usable_ckpts = [v for v in ckpts if v <= tip]
     if usable_ckpts:
         ckpt_v = usable_ckpts[-1]
-        meta, adds, _ = _load_checkpoint(path, ckpt_v)
+        meta, adds, _, _ = _load_checkpoint(path, ckpt_v)
         versions = [v for v in versions if v > ckpt_v]
     for v in versions:
         with open(_version_file(path, v)) as fh:
@@ -251,6 +266,20 @@ SUPPORTED_WRITER_FEATURES = {
     # (_write_cdc); RESTORE refuses on enabled tables rather than emit a
     # commit whose change set it cannot represent
     "changeDataFeed",
+    # domainMetadata actions are replayed last-wins per domain, persisted
+    # through checkpoints, and exposed via table_domain_metadata /
+    # set_domain_metadata (system `delta.*` domains stay writer-internal)
+    "domainMetadata",
+    # every new add carries baseRowId + defaultRowCommitVersion, the
+    # high-water mark lives in the `delta.rowTracking` domain, and
+    # read_delta_with_row_ids surfaces _row_id/_row_commit_version;
+    # rewriting DML (OPTIMIZE/UPDATE/MERGE/CoW DELETE) refuses — MOR
+    # deletes (deletion vectors) preserve row ids natively
+    "rowTracking",
+    # clustering columns live in the `delta.clustering` domain; OPTIMIZE
+    # picks them up automatically (z-order interleave) and stamps
+    # clusteringProvider on the rewritten adds
+    "clustering",
 }
 
 # What each LEGACY protocol version implies once a table converts to the
@@ -494,7 +523,7 @@ def last_txn_version(path: str, app_id: str) -> int:
     ckpts = _checkpoint_versions(path)
     if ckpts:
         ckpt_floor = ckpts[-1]
-        _, _, txns = _load_checkpoint(path, ckpt_floor)
+        _, _, txns, _ = _load_checkpoint(path, ckpt_floor)
         best = txns.get(app_id, -1)
     for f in os.listdir(_log_dir(path)):
         if not f.endswith(".json"):
@@ -708,7 +737,7 @@ def write_checkpoint(path: str, v2: bool | None = None) -> int:
     prior = _checkpoint_versions(path)
     since = -1
     if prior:
-        _, _, txns = _load_checkpoint(path, prior[-1])
+        _, _, txns, _ = _load_checkpoint(path, prior[-1])
         since = prior[-1]
     for f in os.listdir(_log_dir(path)):
         if not f.endswith(".json") or int(f.split(".")[0]) <= since:
@@ -770,12 +799,25 @@ def write_checkpoint(path: str, v2: bool | None = None) -> int:
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
+                        ("clusteringProvider", pa.string()),
                     ]
                 ),
             ),
             (
                 "txn",
                 pa.struct([("appId", pa.string()), ("version", pa.int64()), ("lastUpdated", pa.int64())]),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
             ),
         ]
     )
@@ -801,6 +843,9 @@ def write_checkpoint(path: str, v2: bool | None = None) -> int:
                     "dataChange": bool(a.get("dataChange", True)),
                     "stats": a.get("stats"),
                     "deletionVector": a.get("deletionVector"),
+                    "baseRowId": a.get("baseRowId"),
+                    "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+                    "clusteringProvider": a.get("clusteringProvider"),
                 }
             }
             for a in adds.values()
@@ -808,6 +853,12 @@ def write_checkpoint(path: str, v2: bool | None = None) -> int:
         *[
             {"txn": {"appId": app, "version": v, "lastUpdated": None}}
             for app, v in sorted(txns.items())
+        ],
+        *[
+            # only live domains: a checkpoint IS the replay floor, so
+            # removed-domain tombstones have nothing older to win against
+            {"domainMetadata": {"domain": d, "configuration": c, "removed": False}}
+            for d, c in sorted(table_domain_metadata(path).items())
         ],
     ]
     if v2 is None:
@@ -846,6 +897,7 @@ def write_checkpoint(path: str, v2: bool | None = None) -> int:
                 schema.field("protocol"),
                 schema.field("metaData"),
                 schema.field("txn"),
+                schema.field("domainMetadata"),
                 (
                     "sidecar",
                     pa.struct(
@@ -907,6 +959,343 @@ def _maybe_checkpoint(path: str, version: int) -> None:
                 "log replay falls back to JSON commits",
                 file=sys.stderr,
             )
+
+
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def _domain_action(domain: str, configuration: str, removed: bool = False) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": domain,
+            "configuration": configuration,
+            "removed": removed,
+        }
+    }
+
+
+@accepts_file_uris
+def table_domain_metadata(path: str, as_of_version: int | None = None) -> dict[str, str]:
+    """Live domain-metadata configurations (domain → configuration string),
+    replayed last-wins per domain (Delta PROTOCOL.md "Domain Metadata"):
+    seeded from the newest usable checkpoint, then overlaid with every
+    newer JSON commit's ``domainMetadata`` actions; ``removed: true``
+    deletes the domain.  Replay cost is bounded by CHECKPOINT_INTERVAL
+    commits, same as ``_read_log``."""
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
+    )
+    if as_of_version is not None:
+        versions = [v for v in versions if v <= as_of_version]
+    ckpts = _checkpoint_versions(path)
+    if not versions and not ckpts:
+        return {}
+    tip = versions[-1] if versions else ckpts[-1]
+    usable = [v for v in ckpts if v <= tip]
+    domains: dict[str, str] = {}
+    if usable:
+        _, _, _, domains = _load_checkpoint(path, usable[-1])
+        versions = [v for v in versions if v > usable[-1]]
+    for v in versions:
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                if '"domainMetadata"' not in line:
+                    continue
+                dm = json.loads(line).get("domainMetadata")
+                if not dm:
+                    continue
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration") or ""
+    return domains
+
+
+def _multi_feature_upgrade(path: str, writer_features: set[str]) -> list[dict]:
+    """One non-downgrading protocol action adding several writer features
+    at once (``_protocol_upgrade_actions`` handles one feature per call and
+    would compute the second action against a stale current protocol), or
+    [] when the current features-form protocol already carries them all."""
+    cur = table_protocol(path)
+    cr = cur.get("minReaderVersion", 1)
+    cw = cur.get("minWriterVersion", 1)
+    cur_wf = (
+        set(cur.get("writerFeatures") or [])
+        if cw >= 7
+        else _LEGACY_WRITER_FEATURES.get(cw, set())
+    )
+    cur_rf = (
+        set(cur.get("readerFeatures") or [])
+        if cr >= 3
+        else _LEGACY_READER_FEATURES.get(cr, set())
+    )
+    if cw >= 7 and writer_features <= cur_wf:
+        return []
+    proto: dict = {
+        "minReaderVersion": cr,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(cur_wf | writer_features),
+    }
+    if cr >= 3:
+        proto["readerFeatures"] = sorted(cur_rf)
+    return [{"protocol": proto}]
+
+
+@accepts_file_uris
+def set_domain_metadata(path: str, domain: str, configuration: str) -> None:
+    """Commit a user domain-metadata action (writer feature
+    ``domainMetadata``) — an atomic, log-replayed key/value channel for
+    coordinating external tooling state with table commits.  System
+    ``delta.*`` domains are refused here: the spec reserves them for the
+    writer feature that owns them (row tracking, clustering)."""
+    if domain.startswith("delta."):
+        raise ValueError(
+            f"domain {domain!r} is system-controlled; delta.* domains are "
+            "maintained by their owning feature, not the public setter"
+        )
+    _check_protocol(path, for_write=True)
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, _ = _read_log(path)
+        actions = [
+            _commit_info("SetDomainMetadata"),
+            *_multi_feature_upgrade(path, {"domainMetadata"}),
+            _domain_action(domain, configuration),
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            _maybe_checkpoint(path, latest + 1)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+@accepts_file_uris
+def remove_domain_metadata(path: str, domain: str) -> None:
+    """Commit a ``removed: true`` tombstone for a user domain (no-op commit
+    is still written if the domain was absent — the tombstone must win
+    replay over any concurrent setter)."""
+    if domain.startswith("delta."):
+        raise ValueError(f"domain {domain!r} is system-controlled")
+    _check_protocol(path, for_write=True)
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, _ = _read_log(path)
+        actions = [
+            _commit_info("RemoveDomainMetadata"),
+            *_multi_feature_upgrade(path, {"domainMetadata"}),
+            _domain_action(domain, "", removed=True),
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            _maybe_checkpoint(path, latest + 1)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+def _row_tracking_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get("delta.enableRowTracking") == "true"
+
+
+def _forbid_if_row_tracked(meta: dict, op: str) -> None:
+    """Containment for the row-tracking feature: operations that REWRITE
+    rows into new files would hand surviving rows fresh row ids, breaking
+    the stable-id contract without materialized id columns (which this
+    writer does not produce).  Appends and merge-on-read deletes stay
+    allowed — appends mint fresh ids by design and DV deletes never touch
+    surviving rows' files."""
+    if _row_tracking_enabled(meta):
+        raise UnsupportedProtocolError(
+            f"{op} on a row-tracking table is not supported: rewritten rows "
+            "would change row ids (stable ids across rewrites need "
+            "materialized row-id columns); use merge-on-read deletes, which "
+            "preserve ids, or disable row tracking"
+        )
+
+
+def _row_id_high_water_mark(path: str) -> int:
+    cfg = table_domain_metadata(path).get(ROW_TRACKING_DOMAIN)
+    return int(json.loads(cfg)["rowIdHighWaterMark"]) if cfg else -1
+
+
+def _add_num_records(path: str, add: dict) -> int:
+    stats = json.loads(add.get("stats") or "{}")
+    n = stats.get("numRecords")
+    if n is None:  # foreign writer without stats: one footer read
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(os.path.join(path, add["path"])).metadata.num_rows
+    return int(n)
+
+
+def _assign_row_ids(path: str, adds: list[dict], commit_version: int) -> list[dict]:
+    """Assign each new add action its fresh ``baseRowId`` range (from the
+    domain's high-water mark) and ``defaultRowCommitVersion``; returns the
+    domainMetadata action advancing the mark.  Called INSIDE the commit
+    retry loop: a lost optimistic race re-reads the mark, so two appends
+    can never mint overlapping ranges (the O_EXCL version file is the
+    arbiter)."""
+    hw = _row_id_high_water_mark(path)
+    for a in adds:
+        n = _add_num_records(path, a)
+        a["baseRowId"] = hw + 1
+        a["defaultRowCommitVersion"] = commit_version
+        hw += n
+    return [_domain_action(ROW_TRACKING_DOMAIN, json.dumps({"rowIdHighWaterMark": hw}))]
+
+
+@accepts_file_uris
+def enable_row_tracking(path: str) -> None:
+    """Writer feature ``rowTracking`` (Delta PROTOCOL.md "Row Tracking"):
+    every add action carries a fresh ``baseRowId`` range plus
+    ``defaultRowCommitVersion``, and the row-id high-water mark lives in
+    the ``delta.rowTracking`` domain.  Enablement backfills the live files
+    in ONE commit — dataChange=false re-adds assigning each file its range
+    from the files' recorded numRecords (metadata-only; no data read).
+    The two materialized-column names the spec reserves at enablement are
+    recorded even though this writer never rewrites rows (rewriting DML
+    refuses, see ``_forbid_if_row_tracked``).
+    ``read_delta_with_row_ids`` surfaces ``_row_id`` /
+    ``_row_commit_version``."""
+    _check_protocol(path, for_write=True)
+    for attempt in range(COMMIT_RETRIES):
+        latest, meta, adds = _read_log(path)
+        if _row_tracking_enabled(meta):
+            return
+        version = latest + 1
+        hw = -1
+        readds = []
+        for p in sorted(adds):
+            a = dict(adds[p])
+            n = _add_num_records(path, a)
+            a["baseRowId"] = hw + 1
+            a["defaultRowCommitVersion"] = version
+            a["dataChange"] = False
+            hw += n
+            readds.append({"add": a})
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.enableRowTracking"] = "true"
+        # spec: reserve the physical column names at enablement so no later
+        # schema change can collide with a future materializing writer
+        conf.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{uuid.uuid4()}",
+        )
+        conf.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{uuid.uuid4()}",
+        )
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions = [
+            _commit_info("EnableRowTracking"),
+            *_multi_feature_upgrade(path, {"rowTracking", "domainMetadata"}),
+            {"metaData": new_meta},
+            _domain_action(
+                ROW_TRACKING_DOMAIN, json.dumps({"rowIdHighWaterMark": hw})
+            ),
+            *readds,
+        ]
+        try:
+            _commit(path, version, actions)
+            _maybe_checkpoint(path, version)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+@accepts_file_uris
+def read_delta_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Read a row-tracking table with ``_row_id`` and
+    ``_row_commit_version`` appended: row id = the file's ``baseRowId`` +
+    the row's physical position (``_metadata.row_index``), commit version
+    = the file's ``defaultRowCommitVersion``.  The id map is one row per
+    live FILE (metadata-sized — broadcast onto the scan, a map-side hash
+    probe at any table size); deletion vectors are applied first and never
+    shift surviving rows' positions, so ids are stable under MOR
+    deletes."""
+    from pyspark.sql import functions as F
+
+    _check_protocol(path, for_write=False)
+    _, meta, adds = _read_log(path)
+    if not _row_tracking_enabled(meta):
+        raise ValueError(f"row tracking is not enabled on {path}")
+    missing = sorted(p for p, a in adds.items() if a.get("baseRowId") is None)
+    if missing:
+        raise UnsupportedProtocolError(
+            f"files without baseRowId in a row-tracking table (foreign "
+            f"writer?): {missing[:3]}"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
+    fmap = spark.createDataFrame(
+        [
+            (
+                os.path.abspath(os.path.join(path, p)),
+                int(a["baseRowId"]),
+                int(a["defaultRowCommitVersion"]),
+            )
+            for p, a in sorted(adds.items())
+        ],
+        "__rt_path string, __rt_base long, __rt_dcv long",
+    )
+    joined = scan.join(F.broadcast(fmap), scan["__path"] == fmap["__rt_path"])
+    return joined.select(
+        *schema.fieldNames(),
+        (F.col("__rt_base") + F.col("__pos")).alias("_row_id"),
+        F.col("__rt_dcv").alias("_row_commit_version"),
+    )
+
+
+@accepts_file_uris
+def enable_clustering(path: str, columns: list[str]) -> None:
+    """Liquid-clustering declaration (writer feature ``clustering``): the
+    clustering columns live in the ``delta.clustering`` domain in the
+    spec's nested-path form, and OPTIMIZE picks them up automatically —
+    z-order interleave across 2+ columns, plain sort for one — stamping
+    ``clusteringProvider: "liquid"`` on the rewritten adds.  Re-calling
+    with different columns re-clusters lazily (the next OPTIMIZE uses the
+    new set; existing files are not rewritten here).  Partition columns
+    are refused: a column cannot drive both the directory layout and the
+    within-file clustering."""
+    if not columns:
+        raise ValueError("clustering needs at least one column")
+    _check_protocol(path, for_write=True)
+    _, meta, _ = _read_log(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    missing = [c for c in columns if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"clustering columns not in schema: {missing}")
+    overlap = set(columns) & set(meta.get("partitionColumns") or [])
+    if overlap:
+        raise ValueError(f"clustering columns are partition columns: {sorted(overlap)}")
+    config = json.dumps({"clusteringColumns": [[c] for c in columns]})
+    for attempt in range(COMMIT_RETRIES):
+        latest, _, _ = _read_log(path)
+        actions = [
+            _commit_info("ClusterBy"),
+            *_multi_feature_upgrade(path, {"clustering", "domainMetadata"}),
+            _domain_action(CLUSTERING_DOMAIN, config),
+        ]
+        try:
+            _commit(path, latest + 1, actions)
+            _maybe_checkpoint(path, latest + 1)
+            return
+        except FileExistsError:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+
+
+@accepts_file_uris
+def table_cluster_by(path: str) -> list[str]:
+    """The table's declared clustering columns ([] when not clustered)."""
+    cfg = table_domain_metadata(path).get(CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    return [c[0] for c in json.loads(cfg)["clusteringColumns"]]
 
 
 def _metadata_action(schema: T.StructType, partition_by: list[str] | None = None) -> dict:
@@ -1514,11 +1903,17 @@ def write_delta(
                     reader_feature="timestampNtz",
                     force_features=True,
                 )
+            rt_actions: list[dict] = []
+            if _row_tracking_enabled(meta):
+                # inside the retry loop: a lost race re-reads the mark, so
+                # concurrent appends never mint overlapping id ranges
+                rt_actions = _assign_row_ids(path, adds, latest + 1)
             append_actions = [
                 _commit_info("Append", table_parts),
                 *ntz_proto,
                 *meta_actions,
                 *txn_actions,
+                *rt_actions,
                 *[{"add": a} for a in adds],
             ]
             try:
@@ -2129,6 +2524,16 @@ def optimize_delta(
         )
     _check_protocol(path, for_write=True)
     latest, meta, adds = _read_log(path)
+    _forbid_if_row_tracked(meta, "OPTIMIZE")
+    cluster_cols: list[str] = []
+    if not sort_by and not zorder_by and where is None and small_file_threshold is None:
+        # liquid clustering: a plain full OPTIMIZE on a clustered table
+        # re-clusters on the declared columns automatically
+        cluster_cols = table_cluster_by(path)
+        if len(cluster_cols) > 1:
+            zorder_by = cluster_cols
+        elif cluster_cols:
+            sort_by = cluster_cols
     part_cols = meta.get("partitionColumns") or None
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if where is not None:
@@ -2195,6 +2600,8 @@ def optimize_delta(
         # sides of an OPTIMIZE carry dataChange=false, which is also what
         # lets read_delta_changes skip it as a no-op
         a["dataChange"] = False
+        if cluster_cols:
+            a["clusteringProvider"] = "liquid"
     now_ms = int(time.time() * 1000)
     removes = [
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
@@ -2509,6 +2916,10 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
             "RESTORE on a change-data-feed-enabled table is not supported: "
             "disable delta.enableChangeDataFeed first"
         )
+    # restoring past the enablement commit would resurrect adds without
+    # baseRowId; restoring forward would leave the high-water domain
+    # inconsistent with the re-added files — refuse, same as CDF
+    _forbid_if_row_tracked(meta_now, "RESTORE")
     _, meta_then, adds_then = _read_log(path, as_of_version=version)
     now_ms = int(time.time() * 1000)
 
@@ -2704,6 +3115,7 @@ def merge_delta(
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "MERGE")
     _forbid_if_column_mapped(meta, "MERGE")
+    _forbid_if_row_tracked(meta, "MERGE")
     schema = table_schema(path)
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -3252,6 +3664,7 @@ def _cow_probe_and_commit(
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, op)
     _forbid_if_column_mapped(meta, op)
+    _forbid_if_row_tracked(meta, op)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         return 0, 0, 0, meta
@@ -3574,6 +3987,7 @@ def update_delta(
     from pyspark.sql import functions as F
 
     _, meta, adds = _read_log(path)
+    _forbid_if_row_tracked(meta, "UPDATE")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     unknown = set(set_exprs) - set(schema.fieldNames())
     if unknown:

@@ -318,7 +318,7 @@ def test_checkpoint_roundtrips_dv_and_features(spark, tmpdir):
     # force replay THROUGH the checkpoint: JSON state and checkpoint state
     # must agree on descriptor and protocol
     _, _, adds_json = D._read_log(path)
-    _, adds_ckpt, _ = D._load_checkpoint(path, v)
+    _, adds_ckpt, _, _ = D._load_checkpoint(path, v)
     (aj,) = adds_json.values()
     ac = adds_ckpt[aj["path"]]
     assert ac["deletionVector"] == aj["deletionVector"]

@@ -1,0 +1,230 @@
+"""Delta domain metadata + row tracking + liquid clustering (r9).
+
+Domain metadata (PROTOCOL.md "Domain Metadata"): domainMetadata actions
+replay last-wins per domain, persist through classic AND v2 checkpoints,
+and back the two features that store per-table state outside metaData:
+
+- rowTracking: every add carries a fresh baseRowId range +
+  defaultRowCommitVersion; the high-water mark lives in the
+  `delta.rowTracking` domain; read_delta_with_row_ids surfaces
+  _row_id/_row_commit_version.  Containment: rewriting DML refuses
+  (stable ids across a rewrite need materialized id columns); MOR
+  deletes preserve ids natively because surviving rows' files and
+  positions never change.
+- clustering: clustering columns live in the `delta.clustering` domain;
+  a plain OPTIMIZE re-clusters on them (z-order interleave) and stamps
+  clusteringProvider="liquid" on the rewritten adds.
+
+Reference scope note: the reference writes Delta tables without either
+feature (src/delta_destination.rs); both are engine extensions over the
+public Delta protocol spec.
+"""
+
+import json
+import os
+
+import pytest
+
+import lakehouse_loader_spark.sinks.delta as D
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _table(spark, tmpdir, name="t", n=100):
+    t = os.path.join(str(tmpdir), name)
+    df = spark.range(n).selectExpr(
+        "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+    )
+    D.write_delta(df, t)
+    return t
+
+
+class TestDomainMetadata:
+    def test_set_get_remove(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.set_domain_metadata(t, "user.pipeline", json.dumps({"run": 1}))
+        assert json.loads(D.table_domain_metadata(t)["user.pipeline"]) == {"run": 1}
+        # last-wins overwrite
+        D.set_domain_metadata(t, "user.pipeline", json.dumps({"run": 2}))
+        assert json.loads(D.table_domain_metadata(t)["user.pipeline"]) == {"run": 2}
+        D.remove_domain_metadata(t, "user.pipeline")
+        assert "user.pipeline" not in D.table_domain_metadata(t)
+
+    def test_feature_declared(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.set_domain_metadata(t, "user.x", "cfg")
+        proto = D.table_protocol(t)
+        assert proto["minWriterVersion"] == 7
+        assert "domainMetadata" in proto["writerFeatures"]
+
+    def test_system_domains_refused(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        with pytest.raises(ValueError, match="system-controlled"):
+            D.set_domain_metadata(t, "delta.rowTracking", "{}")
+        with pytest.raises(ValueError, match="system-controlled"):
+            D.remove_domain_metadata(t, "delta.clustering")
+
+    def test_as_of_version_replay(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.set_domain_metadata(t, "user.x", "a")
+        v_a, _, _ = D._read_log(t)
+        D.set_domain_metadata(t, "user.x", "b")
+        assert D.table_domain_metadata(t)["user.x"] == "b"
+        assert D.table_domain_metadata(t, as_of_version=v_a)["user.x"] == "a"
+
+    def test_checkpoint_round_trip_classic_and_v2(self, spark, tmpdir):
+        for v2 in (False, True):
+            t = _table(spark, tmpdir, name=f"ck{v2}")
+            D.set_domain_metadata(t, "user.keep", "yes")
+            D.set_domain_metadata(t, "user.gone", "no")
+            D.remove_domain_metadata(t, "user.gone")
+            v = D.write_checkpoint(t, v2=v2)
+            _, _, _, doms = D._load_checkpoint(t, v)
+            assert doms == {"user.keep": "yes"}
+            # replay seeded from this checkpoint sees the same state
+            assert D.table_domain_metadata(t)["user.keep"] == "yes"
+            assert "user.gone" not in D.table_domain_metadata(t)
+
+
+class TestRowTracking:
+    def test_backfill_and_read(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        proto = D.table_protocol(t)
+        assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+        assert D._row_id_high_water_mark(t) == 99
+        conf = D._read_log(t)[1]["configuration"]
+        assert conf["delta.enableRowTracking"] == "true"
+        # spec reserves the materialized column names at enablement
+        assert conf["delta.rowTracking.materializedRowIdColumnName"].startswith(
+            "_row-id-col-"
+        )
+        out = D.read_delta_with_row_ids(spark, t)
+        assert sorted(r["_row_id"] for r in out.collect()) == list(range(100))
+        # enablement is idempotent
+        v_before = D._read_log(t)[0]
+        D.enable_row_tracking(t)
+        assert D._read_log(t)[0] == v_before
+
+    def test_append_mints_fresh_ranges(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        more = spark.range(100, 150).selectExpr(
+            "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+        )
+        D.write_delta(more, t, append=True)
+        assert D._row_id_high_water_mark(t) == 149
+        out = D.read_delta_with_row_ids(spark, t)
+        rows = {r["id"]: (r["_row_id"], r["_row_commit_version"]) for r in out.collect()}
+        assert sorted(rid for rid, _ in rows.values()) == list(range(150))
+        # appended rows carry the append commit's version, backfilled rows
+        # the enablement commit's
+        enable_v = next(
+            v for v in range(D._read_log(t)[0] + 1)
+            if "EnableRowTracking" in open(D._version_file(t, v)).read()
+        )
+        assert rows[0][1] == enable_v
+        assert rows[149][1] == D._read_log(t)[0]
+
+    def test_mor_delete_preserves_ids(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        pre = {
+            r["id"]: r["_row_id"]
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        res = D.delete_from_delta(spark, t, "id % 10 = 3", mode="merge-on-read")
+        assert res["deleted_rows"] == 10
+        post = {
+            r["id"]: r["_row_id"]
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert len(post) == 90
+        assert all(pre[k] == v for k, v in post.items())
+
+    def test_rewriting_dml_refuses(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        src = spark.range(5).selectExpr(
+            "id", "id % 7 as k", "cast(0.0 as double) as v"
+        )
+        for op in [
+            lambda: D.optimize_delta(spark, t),
+            lambda: D.update_delta(spark, t, "id = 1", {"v": "v + 1"}),
+            lambda: D.update_delta(spark, t, "id = 1", {"v": "v + 1"}, mode="merge-on-read"),
+            lambda: D.delete_from_delta(spark, t, "id = 1"),
+            lambda: D.merge_delta(spark, t, src, "id"),
+            lambda: D.restore_delta(spark, t, 1),
+        ]:
+            with pytest.raises(D.UnsupportedProtocolError, match="row-tracking"):
+                op()
+
+    def test_checkpoint_preserves_row_ids(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        v = D.write_checkpoint(t)
+        _, adds, _, doms = D._load_checkpoint(t, v)
+        a = next(iter(adds.values()))
+        assert a["baseRowId"] == 0
+        assert "delta.rowTracking" in doms
+        # a post-checkpoint append replays THROUGH the checkpoint
+        D.write_delta(
+            spark.range(100, 110).selectExpr(
+                "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+            ),
+            t,
+            append=True,
+        )
+        out = D.read_delta_with_row_ids(spark, t)
+        assert sorted(r["_row_id"] for r in out.collect()) == list(range(110))
+
+    def test_read_refuses_without_feature(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        with pytest.raises(ValueError, match="not enabled"):
+            D.read_delta_with_row_ids(spark, t)
+
+
+class TestClustering:
+    def test_declare_and_optimize(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_clustering(t, ["k", "v"])
+        assert D.table_cluster_by(t) == ["k", "v"]
+        assert "clustering" in D.table_protocol(t)["writerFeatures"]
+        for _ in range(2):
+            D.write_delta(
+                spark.range(100).selectExpr(
+                    "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+                ),
+                t,
+                append=True,
+            )
+        D.optimize_delta(spark, t, target_partitions=2)
+        _, _, adds = D._read_log(t)
+        assert {a.get("clusteringProvider") for a in adds.values()} == {"liquid"}
+        assert D.read_delta(spark, t).count() == 300
+
+    def test_explicit_layout_overrides(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_clustering(t, ["k"])
+        D.write_delta(
+            spark.range(100).selectExpr(
+                "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+            ),
+            t,
+            append=True,
+        )
+        # a caller-chosen sort wins over the declaration; no liquid stamp
+        D.optimize_delta(spark, t, sort_by=["id"])
+        _, _, adds = D._read_log(t)
+        assert {a.get("clusteringProvider") for a in adds.values()} == {None}
+
+    def test_refusals(self, spark, tmpdir):
+        t = os.path.join(str(tmpdir), "p")
+        df = spark.range(50).selectExpr("id", "id % 3 as k")
+        D.write_delta(df, t, partition_by=["k"])
+        with pytest.raises(ValueError, match="partition columns"):
+            D.enable_clustering(t, ["k"])
+        with pytest.raises(ValueError, match="not in schema"):
+            D.enable_clustering(t, ["nope"])
+        with pytest.raises(ValueError, match="at least one"):
+            D.enable_clustering(t, [])

@@ -160,13 +160,13 @@ class TestV2CheckpointWrite:
         t = self._fixture(spark, tmpdir)
         meta_c, adds_c, txns_c = None, None, None
         v = DL.write_checkpoint(t, v2=False)
-        meta_c, adds_c, txns_c = DL._load_checkpoint(t, v)
+        meta_c, adds_c, txns_c, _ = DL._load_checkpoint(t, v)
         # replace with a v2 checkpoint of the same version
         classic = os.path.join(DL._log_dir(t), f"{v:020d}.checkpoint.parquet")
         os.remove(classic)
         v2v = DL.write_checkpoint(t, v2=True)
         assert v2v == v
-        meta_v, adds_v, txns_v = DL._load_checkpoint(t, v)
+        meta_v, adds_v, txns_v, _ = DL._load_checkpoint(t, v)
         assert meta_v == meta_c
         assert adds_v == adds_c
         assert txns_v == txns_c
