@@ -339,6 +339,11 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("target"); rn.add_argument("old"); rn.add_argument("new")
     dc = sub.add_parser("drop-column", help="ALTER ... DROP COLUMN (mapped tables)")
     dc.add_argument("target"); dc.add_argument("column")
+    erl = sub.add_parser(
+        "enable-row-lineage-iceberg",
+        help="spec-v3 row lineage (backfills first_row_id ranges)",
+    )
+    erl.add_argument("target")
     rni = sub.add_parser("rename-column-iceberg", help="Iceberg metadata-only RENAME")
     rni.add_argument("target"); rni.add_argument("old"); rni.add_argument("new")
     dci = sub.add_parser("drop-column-iceberg", help="Iceberg metadata-only DROP")
@@ -646,11 +651,15 @@ def do_main(argv: list[str]) -> None:
             _dl.add_column(args.target, args.column, args.dtype)
         print(f"{args.command} done on {args.target}", file=sys.stderr)
         return
-    if args.command in ("rename-column-iceberg", "drop-column-iceberg"):
+    if args.command in (
+        "rename-column-iceberg", "drop-column-iceberg", "enable-row-lineage-iceberg"
+    ):
         from lakehouse_loader_spark.sinks import iceberg as _ic
 
         if args.command == "rename-column-iceberg":
             _ic.rename_column_iceberg(args.target, args.old, args.new)
+        elif args.command == "enable-row-lineage-iceberg":
+            _ic.enable_row_lineage_iceberg(args.target)
         else:
             _ic.drop_column_iceberg(args.target, args.column)
         print(f"{args.command} done on {args.target}", file=sys.stderr)

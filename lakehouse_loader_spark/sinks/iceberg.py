@@ -575,6 +575,15 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "default": None,
                             "type": ["null", "long"],
                         },
+                        # v3 row lineage (spec field id 142): the id of the
+                        # file's FIRST row; this writer always stamps it
+                        # explicitly (never the manifest-inheritance form)
+                        {
+                            "name": "first_row_id",
+                            "field-id": 142,
+                            "default": None,
+                            "type": ["null", "long"],
+                        },
                     ],
                 },
             },
@@ -583,7 +592,12 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
 
 
 def _write_manifest(
-    path: str, snapshot_id: int, entries: list[dict], meta: dict, content: int = 0
+    path: str,
+    snapshot_id: int,
+    entries: list[dict],
+    meta: dict,
+    content: int = 0,
+    first_row_id: int | None = None,
 ) -> dict:
     """Write one Avro manifest for this commit's added files; returns its
     ``manifest_file`` record with sequence numbers unset (the manifest-list
@@ -592,6 +606,12 @@ def _write_manifest(
 
     ``content=1`` writes a DELETE manifest (spec v2): its entries describe
     position-delete files (``data_file.content = 1``) rather than data.
+
+    ``first_row_id`` (row lineage, spec v3): data entries without an id of
+    their own are stamped consecutive explicit ``first_row_id`` ranges
+    starting there (record_count-sized); the returned record carries the
+    exhausted cursor under ``__next_row_id`` (pop it before the record
+    reaches the manifest-list writer).
 
     Per-file record counts come from the parquet footers (a driver-side
     metadata read; on a cluster the task commit messages would carry them)."""
@@ -615,6 +635,7 @@ def _write_manifest(
 
     abs_path = os.path.abspath(path)
     records, total_rows = [], 0
+    row_id_cursor = first_row_id
     for e in entries:
         file_abs = os.path.join(abs_path, e["file_path"])
         if "record_count" in e:
@@ -640,6 +661,10 @@ def _write_manifest(
             )
             for name, pf_spec in spec_fields.items()
         }
+        fri = e.get("first_row_id")
+        if fri is None and row_id_cursor is not None and e.get("content", 0) == 0:
+            fri = row_id_cursor
+            row_id_cursor += n_rows
         data_file = {
             "content": e.get("content", 0),
             "file_path": file_abs,
@@ -653,6 +678,7 @@ def _write_manifest(
             "referenced_data_file": e.get("referenced_data_file"),
             "content_offset": e.get("content_offset"),
             "content_size_in_bytes": e.get("content_size_in_bytes"),
+            "first_row_id": fri,
         }
         records.append(
             {
@@ -695,6 +721,7 @@ def _write_manifest(
         "added_rows_count": total_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "__next_row_id": row_id_cursor,
     }
 
 
@@ -875,6 +902,7 @@ def _carried_entry(path: str, d: dict, spec: dict, by_id: dict) -> dict:
         "record_count": d.get("record_count", 0),
         "lower_bounds": d.get("lower_bounds"),
         "upper_bounds": d.get("upper_bounds"),
+        "first_row_id": d.get("first_row_id"),
     }
 
 
@@ -1333,7 +1361,13 @@ def write_iceberg(
     )
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
-    manifest = _write_manifest(path, snapshot_id, entries, meta)
+    # row lineage (v3): presence of next-row-id in the table metadata turns
+    # on per-file first_row_id assignment; the cursor advances monotonically
+    # across overwrites too (row ids are never reused)
+    row_id_start = meta.get("next-row-id")
+    manifest = _write_manifest(
+        path, snapshot_id, entries, meta, first_row_id=row_id_start
+    )
     if mode is WriteMode.APPEND:
         manifests = _snapshot_manifests(path, meta) + [manifest]
     else:  # create or overwrite: new lineage
@@ -1382,11 +1416,15 @@ def write_iceberg(
         "manifest-list": manifest_list,
         "summary": summary,
     }
+    if row_id_start is not None:
+        snapshot["first-row-id"] = row_id_start
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if row_id_start is not None:
+        new_meta["next-row-id"] = manifest["__next_row_id"]
 
     # conditional-put commit with optimistic retry (R14): the exclusive
     # create of vN+1 is the commit point; a concurrent writer winning the
@@ -1424,6 +1462,20 @@ def write_iceberg(
                     f"{_default_spec_cols(meta)}, wrote {partition_by or []}); "
                     "re-run the append"
                 )
+            if meta.get("next-row-id") is not None and meta["next-row-id"] != row_id_start:
+                # the winner advanced the row-id cursor (or enabled lineage
+                # under us): our stamped first_row_id ranges would overlap
+                # its — re-stamp the manifest from the fresh cursor
+                row_id_start = meta["next-row-id"]
+                stale_mf = manifest["manifest_path"]
+                manifest = _write_manifest(
+                    path, snapshot_id, entries, meta, first_row_id=row_id_start
+                )
+                if os.path.exists(stale_mf):
+                    os.remove(stale_mf)  # never referenced by any commit
+                snapshot["first-row-id"] = row_id_start
+                if mode is not WriteMode.APPEND:
+                    manifests = [manifest]
             sequence_number = meta["last-sequence-number"] + 1
             if mode is WriteMode.APPEND:
                 # re-merge against the winner's manifest list (R16)
@@ -1442,6 +1494,8 @@ def write_iceberg(
             new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
             new_meta["snapshots"] = _append_snapshot(meta, snapshot)
             new_meta["current-snapshot-id"] = snapshot_id
+            if row_id_start is not None:
+                new_meta["next-row-id"] = manifest["__next_row_id"]
 
     with open(_hint_file(path), "w") as fh:
         fh.write(str(new_version))
@@ -2973,6 +3027,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "COW DML")
+    _forbid_if_row_lineage(meta, "copy-on-write DML")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_cols = _default_spec_cols(meta)
@@ -3229,7 +3284,7 @@ def _write_existing_delete_manifest(
             "snapshot_id": snapshot_id,
             "sequence_number": seq,
             "file_sequence_number": fseq,
-            "data_file": df,
+            "data_file": {"first_row_id": None, **df},
         }
         for df, seq, fseq in rows
     ]
@@ -3697,7 +3752,9 @@ def rewrite_manifests(path: str, min_count: int = 2) -> dict:
                 "snapshot_id": snapshot_id,
                 "sequence_number": seq,  # explicit — no inheritance
                 "file_sequence_number": fseq,
-                "data_file": df,
+                # pre-lineage entries default a null first_row_id; entries
+                # that HAVE one keep it — consolidation never moves row ids
+                "data_file": {"first_row_id": None, **df},
             }
             for df, seq, fseq in rows
         ]
@@ -3814,6 +3871,258 @@ def rewrite_manifests(path: str, min_count: int = 2) -> dict:
     }
 
 
+def _row_lineage_enabled(meta: dict) -> bool:
+    return meta.get("next-row-id") is not None
+
+
+def _forbid_if_row_lineage(meta: dict, op: str) -> None:
+    """Containment for row lineage (the format twin of the Delta sink's
+    ``_forbid_if_row_tracked``): operations that rewrite surviving rows
+    into new files would hand them fresh row ids.  Appends mint fresh ids
+    by design; merge-on-read deletes (position deletes and deletion
+    vectors) never move surviving rows, so both stay allowed."""
+    if _row_lineage_enabled(meta):
+        raise ValueError(
+            f"{op} on a row-lineage table is not supported: rewritten rows "
+            "would change row ids; use merge-on-read deletes, which "
+            "preserve them"
+        )
+
+
+@accepts_file_uris
+def enable_row_lineage_iceberg(path: str) -> None:
+    """Row lineage (Iceberg spec v3 "Row Lineage"): the table metadata
+    carries ``next-row-id``, each snapshot records its ``first-row-id``,
+    and every data file carries an explicit ``first_row_id`` (manifest
+    field id 142) so a row's id is ``first_row_id + position``.  This
+    writer always stamps explicit per-file ids — the spec's
+    manifest-inheritance assignment form is never produced.
+
+    Enablement is ONE metadata-only commit (the rewrite_manifests shape):
+    live data entries are re-listed as status-EXISTING records keeping
+    their original sequence numbers (equality-delete ordering survives)
+    with consecutive ``first_row_id`` ranges assigned from their recorded
+    record counts; delete manifests carry over untouched; ``next-row-id``
+    starts past the last assigned id.  Subsequent appends assign fresh
+    ranges inside the commit retry loop (a lost race re-reads the cursor
+    and re-stamps, so concurrent writers never mint overlapping ranges —
+    see write_iceberg).  ``read_iceberg_with_row_ids`` surfaces
+    ``_row_id`` / ``_last_updated_sequence_number``.  Rewriting ops
+    (OPTIMIZE / copy-on-write DML / MERGE / branch appends) refuse, the
+    same containment as the Delta twin."""
+    from lakehouse_loader_spark.sinks.staging import local_path
+
+    path = local_path(path)
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    version, meta = _read_metadata(path)
+    if _row_lineage_enabled(meta):
+        return
+    manifests = _snapshot_manifests(path, meta)
+    spec_ids = {mf["partition_spec_id"] for mf in manifests}
+    if len(spec_ids) > 1:
+        raise ValueError(
+            f"snapshot spans partition specs {sorted(spec_ids)}; compact "
+            "the old-spec files before enabling row lineage"
+        )
+
+    # raw entries with effective sequence numbers (rewrite_manifests shape)
+    data_rows: list[tuple[dict, int, int | None]] = []
+    delete_manifests: list[dict] = []
+    for mf in manifests:
+        if mf["content"] == 1:
+            delete_manifests.append(mf)  # carried untouched
+            continue
+        for e in _read_manifest_entries(path, mf["manifest_path"]):
+            seq = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else mf["sequence_number"]
+            )
+            fseq = (
+                e.get("file_sequence_number")
+                if e.get("file_sequence_number") is not None
+                else mf["sequence_number"]
+            )
+            data_rows.append((e["data_file"], seq, fseq))
+    data_rows.sort(key=lambda r: r[0]["file_path"])  # deterministic ranges
+
+    if not data_rows:
+        # empty table: a metadata-only property flip
+        def mutate(m: dict) -> dict:
+            m["next-row-id"] = 0
+            return m
+
+        _commit_metadata_update(path, mutate)
+        return
+
+    cursor = 0
+    stamped_rows = []
+    for df, seq, fseq in data_rows:
+        df = dict(df)
+        df["first_row_id"] = cursor
+        cursor += int(df.get("record_count", 0))
+        stamped_rows.append((df, seq, fseq))
+    next_row_id = cursor
+
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    spec = _spec_by_id(meta, meta["default-spec-id"])
+    part_fields = _partition_avro_fields(spec, schema_ice)
+    entry_schema = _manifest_entry_schema(part_fields)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+
+    def write_backfill() -> dict:
+        records = [
+            {
+                "status": 0,  # EXISTING: re-listed, not added
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,  # explicit — ordering survives
+                "file_sequence_number": fseq,
+                "data_file": df,
+            }
+            for df, seq, fseq in stamped_rows
+        ]
+        name = f"manifest-{uuid.uuid4()}.avro"
+        full = os.path.join(_meta_dir(os.path.abspath(path)), name)
+        avro_ocf.write_ocf(
+            full,
+            entry_schema,
+            records,
+            metadata={
+                "schema": json.dumps(schema_ice),
+                "schema-id": str(meta["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        seqs = [seq for _, seq, _ in stamped_rows]
+        return {
+            "manifest_path": full,
+            "manifest_length": os.path.getsize(full),
+            "partition_spec_id": spec["spec-id"],
+            "content": 0,
+            "sequence_number": -1,
+            "min_sequence_number": min(seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(records),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": next_row_id,
+            "deleted_rows_count": 0,
+        }
+
+    for attempt in range(COMMIT_RETRIES):
+        sequence_number = meta["last-sequence-number"] + 1
+        data_manifest = write_backfill()
+        stamped = [dict(data_manifest, sequence_number=sequence_number)]
+        stamped += delete_manifests
+        manifest_list = _write_manifest_list(path, snapshot_id, stamped, sequence_number)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": sequence_number,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": manifest_list,
+            "first-row-id": 0,
+            "summary": {"operation": "replace", "rewrite": "row-lineage-backfill"},
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = sequence_number
+        new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+        new_meta["snapshots"] = _append_snapshot(meta, snapshot)
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["next-row-id"] = next_row_id
+        try:
+            fd = os.open(
+                os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh, indent=2)
+            break
+        except FileExistsError:
+            for fp in (data_manifest["manifest_path"], manifest_list):
+                if os.path.exists(fp):
+                    os.remove(fp)
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            # concurrent commit won: restart the whole derivation against
+            # the fresh snapshot (it may have added files needing ids);
+            # the idempotence check exits early if the winner enabled it
+            return enable_row_lineage_iceberg(path)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+
+
+@accepts_file_uris
+def read_iceberg_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Read a row-lineage table with ``_row_id`` and
+    ``_last_updated_sequence_number`` appended: row id = the file's
+    ``first_row_id`` + the row's physical position, last-updated = the
+    file's effective data sequence number (this writer never rewrites rows
+    in place, so the file's sequence number IS each row's).  The id map is
+    one row per live file — metadata-sized, broadcast onto the scan —
+    and both MOR delete encodings apply first without shifting surviving
+    rows' positions, so ids are stable under deletes.  The format twin of
+    ``delta.read_delta_with_row_ids``."""
+    from pyspark.sql import functions as F
+
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    if not _row_lineage_enabled(meta):
+        raise ValueError(f"row lineage is not enabled on {path}")
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    if not data_entries:
+        out_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_row_id", T.LongType()),
+                T.StructField("_last_updated_sequence_number", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    missing = sorted(
+        d["file_path"] for d in data_entries if d.get("first_row_id") is None
+    )
+    if missing:
+        raise ValueError(
+            f"files without first_row_id in a row-lineage table (foreign "
+            f"writer?): {missing[:3]}"
+        )
+    files = [_abs_file(path, d["file_path"]) for d in data_entries]
+    read_schema = _extended_read_schema(meta, schema)
+    reader = spark.read.schema(read_schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    scan = _with_row_positions(reader, files, read_schema)
+    scan = _resolve_historical(scan, meta, schema)
+    scan = _apply_deletes(
+        spark, scan, path, delete_entries, data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    )
+    fmap = spark.createDataFrame(
+        [
+            (
+                _abs_file(path, d["file_path"]),
+                int(d["first_row_id"]),
+                int(d["__seq"]),
+            )
+            for d in data_entries
+        ],
+        "__rl_path string, __rl_first long, __rl_seq long",
+    )
+    joined = scan.join(F.broadcast(fmap), scan["__path"] == fmap["__rl_path"])
+    return joined.select(
+        *schema.fieldNames(),
+        (F.col("__rl_first") + F.col("__pos")).alias("_row_id"),
+        F.col("__rl_seq").alias("_last_updated_sequence_number"),
+    )
+
+
 def optimize_iceberg(
     spark: SparkSession,
     path: str,
@@ -3865,6 +4174,7 @@ def optimize_iceberg(
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "OPTIMIZE")
+    _forbid_if_row_lineage(meta, "OPTIMIZE")
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_exprs = _default_spec_cols(meta)
     spec_srcs = [TR.parse_partition_expr(e)[1] for e in spec_exprs]
@@ -4035,6 +4345,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "MERGE")
+    _forbid_if_row_lineage(meta, "MERGE")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -4298,6 +4609,10 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    # branch snapshots would need their own row-id ranges reconciled at
+    # publish time (fast-forward keeps them; cherry-pick re-stamps) —
+    # refuse rather than publish overlapping or unassigned ranges
+    _forbid_if_row_lineage(meta, "branch append")
     existing = (meta.get("refs") or {}).get(branch)
     if existing is not None and existing.get("type") != "branch":
         raise ValueError(f"ref {branch!r} is a tag, not a branch")
