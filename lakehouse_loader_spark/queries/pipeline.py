@@ -1353,6 +1353,137 @@ def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IC.read_iceberg(spark, table)
 
 
+@query(
+    "delta_row_tracking_scan",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS _row_id
+      FROM orders WHERE o_orderkey % 8 = 0),
+    b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             (SELECT count(*) FROM orders WHERE o_orderkey % 8 = 0)
+               + row_number() OVER (ORDER BY o_orderkey) - 1 AS _row_id
+      FROM orders WHERE o_orderkey % 8 = 4)
+    SELECT o_orderkey, o_totalprice, _row_id
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 80000.0)
+    """,
+)
+def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row tracking under the correctness gate, exercising BOTH
+    assignment paths: part A's sorted file gets baseRowId 0 from the
+    ``enable_row_tracking`` backfill, part B's append file starts at the
+    domain's high-water mark + 1 (stamped inside the commit retry loop).
+    Each part is one sorted file (repartition(1) + sortWithinPartitions)
+    so physical row position matches the oracle's ORDER BY; a
+    merge-on-read DELETE then must leave surviving ids untouched
+    (deletion vectors never move rows).  At scale the id map is one row
+    per FILE (broadcast) and the DV anti-join is map-side — the same plan
+    shape the dv/MOR queries pin."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    cache = getattr(spark, "_lhl_rowtrack_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_rowtrack_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def part(rem: int):
+            return (
+                orders.filter(F.col("o_orderkey") % 8 == rem)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey")
+            )
+
+        table = os.path.join(tempfile.mkdtemp(prefix="qrowtrack_"), "orders_rt")
+        DL.write_delta(part(0), table)
+        DL.enable_row_tracking(table)
+        DL.write_delta(part(4), table, append=True)
+        DL.delete_from_delta(
+            spark,
+            table,
+            "o_orderstatus = 'F' AND o_totalprice < 80000.0",
+            mode="merge-on-read",
+        )
+        cache[sf_dir] = table
+    return DL.read_delta_with_row_ids(spark, table).select(
+        "o_orderkey", "o_totalprice", "_row_id"
+    )
+
+
+@query(
+    "iceberg_row_lineage_scan",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS _row_id
+      FROM orders WHERE o_orderkey % 4 = 1),
+    b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1 AS _row_id
+      FROM orders WHERE o_orderkey % 4 = 2)
+    SELECT o_orderkey, o_totalprice, _row_id
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+    """,
+)
+def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg spec-v3 row lineage under the correctness gate — the format
+    twin of delta_row_tracking_scan, exercising BOTH assignment paths:
+    the enablement backfill (part A's file gets first_row_id 0) and the
+    write-path stamping (part B's append file starts at next-row-id =
+    count(A)).  Each part is one sorted file so physical position matches
+    the oracle's ORDER BY; a deletion-vector DELETE then must leave
+    surviving ids untouched (``first_row_id + position``; DVs never move
+    rows).  Ranges are provably non-overlapping — the append stamps
+    inside the commit retry loop from the fresh cursor."""
+    import os
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    cache = getattr(spark, "_lhl_rowlineage_staging", None)
+    if cache is None:
+        cache = {}
+        spark._lhl_rowlineage_staging = cache
+    table = cache.get(sf_dir)
+    if table is None or not os.path.isdir(table):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def part(rem: int):
+            return (
+                orders.filter(F.col("o_orderkey") % 4 == rem)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey")
+            )
+
+        table = os.path.join(tempfile.mkdtemp(prefix="qrowlin_"), "orders_rl")
+        IC.write_iceberg(part(1), table)
+        IC.enable_row_lineage_iceberg(table)
+        IC.write_iceberg(part(2), table, append=True)
+        IC.delete_from_iceberg(
+            spark,
+            table,
+            "o_orderstatus = 'O' AND o_totalprice > 150000.0",
+            strategy="merge-on-read-dv",
+        )
+        cache[sf_dir] = table
+    return IC.read_iceberg_with_row_ids(spark, table).select(
+        "o_orderkey", "o_totalprice", "_row_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Token-budget corpus selection: highest-quality documents first until a
 # global token budget is spent (the "best N billion tokens" curation step)
