@@ -1100,18 +1100,18 @@ def _row_tracking_enabled(meta: dict) -> bool:
 
 
 def _forbid_if_row_tracked(meta: dict, op: str) -> None:
-    """Containment for the row-tracking feature: operations that REWRITE
-    rows into new files would hand surviving rows fresh row ids, breaking
-    the stable-id contract without materialized id columns (which this
-    writer does not produce).  Appends and merge-on-read deletes stay
-    allowed — appends mint fresh ids by design and DV deletes never touch
-    surviving rows' files."""
+    """Containment for the row-tracking feature: row-CHANGING DML
+    (UPDATE/MERGE/CoW DELETE) and RESTORE refuse — an update must keep the
+    row's id while bumping its commit version, which needs the
+    materialized-column write threaded through every DML shape.  Appends
+    mint fresh ids by design, merge-on-read DELETEs never touch surviving
+    rows' files, and OPTIMIZE preserves ids by materializing them into the
+    rewritten files (see optimize_delta) — those all stay allowed."""
     if _row_tracking_enabled(meta):
         raise UnsupportedProtocolError(
-            f"{op} on a row-tracking table is not supported: rewritten rows "
-            "would change row ids (stable ids across rewrites need "
-            "materialized row-id columns); use merge-on-read deletes, which "
-            "preserve ids, or disable row tracking"
+            f"{op} on a row-tracking table is not supported: use appends, "
+            "merge-on-read deletes and OPTIMIZE (all preserve row ids), or "
+            "disable row tracking"
         )
 
 
@@ -1155,11 +1155,17 @@ def enable_row_tracking(path: str) -> None:
     in ONE commit — dataChange=false re-adds assigning each file its range
     from the files' recorded numRecords (metadata-only; no data read).
     The two materialized-column names the spec reserves at enablement are
-    recorded even though this writer never rewrites rows (rewriting DML
-    refuses, see ``_forbid_if_row_tracked``).
-    ``read_delta_with_row_ids`` surfaces ``_row_id`` /
-    ``_row_commit_version``."""
+    real here: OPTIMIZE preserves stable ids by writing them into the
+    rewritten files under those names (row-changing DML still refuses,
+    see ``_forbid_if_row_tracked``).  ``read_delta_with_row_ids``
+    surfaces ``_row_id`` / ``_row_commit_version``."""
     _check_protocol(path, for_write=True)
+    _, _meta_probe, _ = _read_log(path)
+    if _column_mapping_mode(_meta_probe) != "none":
+        raise UnsupportedProtocolError(
+            "row tracking on a column-mapped table is not supported: the "
+            "materialized id columns would need physical-name plumbing"
+        )
     for attempt in range(COMMIT_RETRIES):
         latest, meta, adds = _read_log(path)
         if _row_tracking_enabled(meta):
@@ -1207,30 +1213,45 @@ def enable_row_tracking(path: str) -> None:
                 raise
 
 
-@accepts_file_uris
-def read_delta_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
-    """Read a row-tracking table with ``_row_id`` and
-    ``_row_commit_version`` appended: row id = the file's ``baseRowId`` +
-    the row's physical position (``_metadata.row_index``), commit version
-    = the file's ``defaultRowCommitVersion``.  The id map is one row per
-    live FILE (metadata-sized — broadcast onto the scan, a map-side hash
-    probe at any table size); deletion vectors are applied first and never
-    shift surviving rows' positions, so ids are stable under MOR
-    deletes."""
+def _materialized_col_names(meta: dict) -> tuple[str, str]:
+    conf = meta.get("configuration") or {}
+    return (
+        conf["delta.rowTracking.materializedRowIdColumnName"],
+        conf["delta.rowTracking.materializedRowCommitVersionColumnName"],
+    )
+
+
+def _scan_adds_materialized(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    schema: T.StructType,
+    adds: dict[str, dict],
+    with_path: bool = False,
+) -> DataFrame:
+    """Scan ``adds`` with each row's STABLE row id and commit version
+    appended under the table's reserved materialized column names —
+    ``coalesce(materialized value, baseRowId + position)``, the spec's
+    resolution order (a rewritten file physically carries the preserved
+    ids of rows it inherited; a fresh append's file has neither column and
+    falls back to its baseRowId range).  Scanning a column absent from a
+    parquet file yields null, so the coalesce needs no per-file
+    branching.  One broadcast of the per-file id map; DVs apply first and
+    never shift surviving positions."""
     from pyspark.sql import functions as F
 
-    _check_protocol(path, for_write=False)
-    _, meta, adds = _read_log(path)
-    if not _row_tracking_enabled(meta):
-        raise ValueError(f"row tracking is not enabled on {path}")
     missing = sorted(p for p, a in adds.items() if a.get("baseRowId") is None)
     if missing:
         raise UnsupportedProtocolError(
             f"files without baseRowId in a row-tracking table (foreign "
             f"writer?): {missing[:3]}"
         )
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
+    mat_id, mat_rcv = _materialized_col_names(meta)
+    ext = T.StructType(
+        schema.fields
+        + [T.StructField(mat_id, T.LongType()), T.StructField(mat_rcv, T.LongType())]
+    )
+    scan = _scan_adds(spark, path, meta, ext, adds, with_path=True)
     fmap = spark.createDataFrame(
         [
             (
@@ -1243,10 +1264,48 @@ def read_delta_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
         "__rt_path string, __rt_base long, __rt_dcv long",
     )
     joined = scan.join(F.broadcast(fmap), scan["__path"] == fmap["__rt_path"])
+    extra = [scan["__path"], scan["__pos"]] if with_path else []
     return joined.select(
         *schema.fieldNames(),
-        (F.col("__rt_base") + F.col("__pos")).alias("_row_id"),
-        F.col("__rt_dcv").alias("_row_commit_version"),
+        F.coalesce(F.col(mat_id), F.col("__rt_base") + F.col("__pos")).alias(mat_id),
+        F.coalesce(F.col(mat_rcv), F.col("__rt_dcv")).alias(mat_rcv),
+        *extra,
+    )
+
+
+@accepts_file_uris
+def read_delta_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Read a row-tracking table with ``_row_id`` and
+    ``_row_commit_version`` appended: the MATERIALIZED value when the
+    file physically carries one (files rewritten by OPTIMIZE preserve
+    inherited ids that way), else the file's ``baseRowId`` + the row's
+    physical position (``_metadata.row_index``) and
+    ``defaultRowCommitVersion``.  The id map is one row per live FILE
+    (metadata-sized — broadcast onto the scan, a map-side hash probe at
+    any table size); deletion vectors are applied first and never shift
+    surviving rows' positions, so ids are stable under MOR deletes AND
+    across compaction."""
+    from pyspark.sql import functions as F
+
+    _check_protocol(path, for_write=False)
+    _, meta, adds = _read_log(path)
+    if not _row_tracking_enabled(meta):
+        raise ValueError(f"row tracking is not enabled on {path}")
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if not adds:
+        out_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_row_id", T.LongType()),
+                T.StructField("_row_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    mat_id, mat_rcv = _materialized_col_names(meta)
+    return _scan_adds_materialized(spark, path, meta, schema, adds).select(
+        *schema.fieldNames(),
+        F.col(mat_id).alias("_row_id"),
+        F.col(mat_rcv).alias("_row_commit_version"),
     )
 
 
@@ -1349,7 +1408,15 @@ def _commit_checked(
         if validate is not None:
             validate(live)
         try:
-            _commit(path, latest + 1, actions_fn())
+            # actions builders that need the final commit version (row
+            # tracking stamps defaultRowCommitVersion) declare a parameter
+            import inspect
+
+            if inspect.signature(actions_fn).parameters:
+                acts = actions_fn(latest + 1)
+            else:
+                acts = actions_fn()
+            _commit(path, latest + 1, acts)
             _maybe_checkpoint(path, latest + 1)
             return
         except FileExistsError:
@@ -2524,7 +2591,12 @@ def optimize_delta(
         )
     _check_protocol(path, for_write=True)
     latest, meta, adds = _read_log(path)
-    _forbid_if_row_tracked(meta, "OPTIMIZE")
+    # row tracking survives OPTIMIZE: the rewrite scans with stable ids
+    # resolved (coalesce of materialized/computed) and writes them INTO
+    # the new files under the reserved materialized column names — the
+    # spec's preservation mechanism; fresh baseRowId ranges still stamp
+    # the new adds (readers prefer the materialized values)
+    rt = _row_tracking_enabled(meta)
     cluster_cols: list[str] = []
     if not sort_by and not zorder_by and where is None and small_file_threshold is None:
         # liquid clustering: a plain full OPTIMIZE on a clustered table
@@ -2544,8 +2616,12 @@ def optimize_delta(
         if not adds or (len(adds) < 2 and small_file_threshold is None and not has_dv):
             return  # nothing in scope worth rewriting
         if small_file_threshold is None:
-            df = _scan_adds(spark, path, meta, schema, adds).select(
-                *schema.fieldNames()
+            df = (
+                _scan_adds_materialized(spark, path, meta, schema, adds)
+                if rt
+                else _scan_adds(spark, path, meta, schema, adds).select(
+                    *schema.fieldNames()
+                )
             )
     if small_file_threshold is not None:
         if small_file_threshold < 1:
@@ -2577,12 +2653,20 @@ def optimize_delta(
             return  # nothing worth packing
         small_bytes = sum(a.get("size", 0) for a in small.values())
         target_partitions = max(1, small_bytes // small_file_threshold)
-        df = _scan_adds(spark, path, meta, schema, small).select(
-            *schema.fieldNames()
+        df = (
+            _scan_adds_materialized(spark, path, meta, schema, small)
+            if rt
+            else _scan_adds(spark, path, meta, schema, small).select(
+                *schema.fieldNames()
+            )
         )
         adds = small  # only these are removed below
     elif where is None:
-        df = read_delta(spark, path)
+        df = (
+            _scan_adds_materialized(spark, path, meta, schema, adds)
+            if rt
+            else read_delta(spark, path)
+        )
     # (where-scoped full rewrite already built df from the scoped adds)
     if zorder_by:
         from lakehouse_loader_spark.operators.zorder import zorder_layout
@@ -2607,18 +2691,24 @@ def optimize_delta(
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": False}}
         for p in sorted(adds)
     ]
-    actions = [
-        _commit_info("OPTIMIZE", part_cols),
-        *removes,
-        *[{"add": a} for a in new_adds],
-    ]
+    def actions(version: int) -> list[dict]:
+        # row tracking: fresh baseRowId ranges stamp per attempt from the
+        # fresh high-water mark (a lost race re-reads it)
+        rt_actions = _assign_row_ids(path, new_adds, version) if rt else []
+        return [
+            _commit_info("OPTIMIZE", part_cols),
+            *rt_actions,
+            *removes,
+            *[{"add": a} for a in new_adds],
+        ]
+
     # concurrent appends are compatible with OPTIMIZE (their files aren't in
     # our remove set); a concurrent remove of one of OUR inputs is not, and
     # neither is a concurrent merge-on-read delete changing an input's DV
     # (our rewritten copies would resurrect its freshly-deleted rows)
     _commit_checked(
         path,
-        lambda: actions,
+        actions,
         set(adds),
         validate=_dv_unchanged_validator(adds, set(adds)),
     )
@@ -3432,6 +3522,12 @@ def enable_column_mapping(path: str) -> None:
     _check_protocol(path, for_write=True)
 
     def derive(latest, meta):
+        if _row_tracking_enabled(meta):
+            raise UnsupportedProtocolError(
+                "column mapping on a row-tracking table is not supported "
+                "(the materialized id columns would need physical-name "
+                "plumbing)"
+            )
         mode = _column_mapping_mode(meta)
         if mode == "name":
             return None  # already enabled
@@ -3864,13 +3960,24 @@ def _dv_mask_commit(
     affected = sorted(per_file) + sorted(removed_fully)
     now_ms = int(time.time() * 1000)
 
-    def actions() -> list[dict]:
+    def actions(version: int) -> list[dict]:
         proto = _dv_protocol_actions(path) if descs else []
         info = _commit_info(op, part_cols)
         info["commitInfo"]["operationParameters"]["mode"] = "merge-on-read"
+        # row tracking: the appended files (UPDATE's rewritten copies)
+        # still need fresh baseRowId ranges + defaultRowCommitVersion —
+        # their rows' STABLE ids ride in the materialized columns, but the
+        # spec requires every add to carry the fields, and unmaterialized
+        # values (null mat_rcv) resolve through defaultRowCommitVersion
+        rt_actions = (
+            _assign_row_ids(path, new_adds, version)
+            if new_adds and _row_tracking_enabled(meta)
+            else []
+        )
         return [
             *proto,
             info,
+            *rt_actions,
             *(extra_actions or []),
             *[
                 {
@@ -3987,7 +4094,9 @@ def update_delta(
     from pyspark.sql import functions as F
 
     _, meta, adds = _read_log(path)
-    _forbid_if_row_tracked(meta, "UPDATE")
+    # copy-on-write UPDATE stays refused on row-tracking tables (the
+    # rewrite guard in _cow_probe_and_commit); merge-on-read UPDATE is
+    # supported — it materializes each updated row's stable id
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     unknown = set(set_exprs) - set(schema.fieldNames())
     if unknown:
@@ -4051,7 +4160,13 @@ def _update_mor(
     adds: dict[str, dict],
     schema: T.StructType,
 ) -> dict:
-    """Merge-on-read UPDATE: DV the matched rows, append updated copies."""
+    """Merge-on-read UPDATE: DV the matched rows, append updated copies.
+
+    Row-tracking aware: on an enabled table the updated copies carry each
+    row's STABLE id in the materialized row-id column (spec: UPDATE keeps
+    the row id) with a NULL materialized commit version — readers resolve
+    that through the new add's ``defaultRowCommitVersion``, i.e. THIS
+    update's commit, which is exactly "last updated"."""
     from pyspark.sql import functions as F
 
     _check_protocol(path, for_write=True)
@@ -4061,14 +4176,22 @@ def _update_mor(
     if not adds:
         return empty
     part_cols = meta.get("partitionColumns") or None
-    scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
+    rt = _row_tracking_enabled(meta)
+    if rt:
+        mat_id, mat_rcv = _materialized_col_names(meta)
+        scan = _scan_adds_materialized(spark, path, meta, schema, adds, with_path=True)
+    else:
+        scan = _scan_adds(spark, path, meta, schema, adds, with_path=True)
     matched = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    mat_cols = (
+        [F.col(mat_id), F.lit(None).cast("long").alias(mat_rcv)] if rt else []
+    )
     updated = matched.withColumns(
         {
             col: F.expr(expr).cast(schema[col].dataType)
             for col, expr in set_exprs.items()
         }
-    ).select(*schema.fieldNames())
+    ).select(*schema.fieldNames(), *mat_cols)
     _enforce_constraints(updated, _write_rules(meta))
     new_adds = _write_parts(updated, path, MAX_ROWS_PER_FILE, part_cols)
     n_new = sum(
@@ -4088,7 +4211,9 @@ def _update_mor(
         pre = matched.drop("__path", "__pos").select(*schema.fieldNames()).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = updated.withColumn("_change_type", F.lit("update_postimage"))
+        post = updated.select(*schema.fieldNames()).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
         cdc_actions = _write_cdc(spark, path, meta, pre.unionByName(post))
     try:
         res = _dv_mask_commit(

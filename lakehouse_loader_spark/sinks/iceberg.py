@@ -3643,14 +3643,27 @@ def delete_from_iceberg(
 
 
 def update_iceberg(
-    spark: SparkSession, path: str, predicate: str, set_exprs: dict[str, str]
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    strategy: str = "copy-on-write",
 ) -> dict:
-    """Row-level UPDATE for the Iceberg table, copy-on-write — the format
-    twin of ``delta.update_delta``.  SET columns must exist and cannot be
+    """Row-level UPDATE for the Iceberg table — the format twin of
+    ``delta.update_delta``.  SET columns must exist and cannot be
     partition columns (directory-encoded) — validated from metadata before
     any data is scanned.
 
-    Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n}.
+    ``strategy="copy-on-write"`` (default) rewrites only the files
+    containing matches; ``"merge-on-read"`` commits position-delete files
+    masking the matched rows PLUS their updated copies as new data files
+    in ONE snapshot — write cost ∝ matched rows, never ∝ the size of the
+    files they live in (position deletes address (path, pos), so the new
+    copies in the same snapshot are untouched by them).
+
+    Returns {"updated_rows": n, "rewritten_files": n, "kept_files": n} for
+    copy-on-write; {"updated_rows", "delete_files", "new_files"} for
+    merge-on-read.
     """
     from pyspark.sql import functions as F
 
@@ -3671,6 +3684,10 @@ def update_iceberg(
             f"cannot UPDATE partition columns {sorted(set(set_exprs) & spec_cols)}; "
             "partition values are directory-encoded"
         )
+    if strategy == "merge-on-read":
+        return _mor_update_iceberg(spark, norm, predicate, set_exprs)
+    if strategy != "copy-on-write":
+        raise ValueError(f"unknown update strategy {strategy!r}")
 
     def apply_set(rows, pred, schema):
         hit = F.coalesce(pred, F.lit(False))
@@ -3688,6 +3705,113 @@ def update_iceberg(
         "updated_rows": n,
         "rewritten_files": rewritten,
         "kept_files": total - rewritten,
+    }
+
+
+def _mor_update_iceberg(
+    spark: SparkSession, path: str, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """Merge-on-read UPDATE: position-delete the matched rows AND append
+    their updated copies, in ONE snapshot — the format twin of the Delta
+    sink's ``_update_mor``.  Position deletes address (path, pos) of the
+    OLD files, so the same-snapshot copies are untouched by them; write
+    cost ∝ matched rows.  A later ``optimize_iceberg`` folds the deletes
+    away.  Refused on row-lineage tables (updated copies would mint fresh
+    row ids; the Delta twin preserves ids via its materialized columns —
+    that mechanism has no spec'd file-level twin here yet)."""
+    import pyarrow.parquet as pq  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+
+    version, meta = _read_metadata(path)
+    _forbid_if_renamed(meta, "merge-on-read UPDATE")
+    _forbid_if_row_lineage(meta, "merge-on-read UPDATE")
+    schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    empty = {"updated_rows": 0, "delete_files": 0, "new_files": 0}
+    if not data_entries:
+        return empty
+
+    files = [_abs_file(path, d["file_path"]) for d in data_entries]
+    reader = spark.read.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
+    scan = _with_row_positions(reader, files, schema)
+    # rows already deleted (either encoding) must not be updated back to life
+    scan = _apply_deletes(
+        spark, scan, path, delete_entries, data_entries,
+        meta["schemas"][meta["current-schema-id"]],
+    )
+    matched = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    matches = matched.select(
+        F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    updated = matched.withColumns(
+        {
+            col: F.expr(expr).cast(schema[col].dataType)
+            for col, expr in set_exprs.items()
+        }
+    ).select(*schema.fieldNames())
+
+    new_delete_entries = _write_pos_delete_files(matches, path)
+    if not new_delete_entries:
+        return dict(empty, delete_files=0)
+    n_updated = sum(
+        pq.ParquetFile(_abs_file(path, e["file_path"])).metadata.num_rows
+        for e in new_delete_entries
+    )
+    spec_exprs = _default_spec_cols(meta)
+    updated_entries = _write_data_files(
+        updated, path, spec_exprs or None,
+        ice_schema=meta["schemas"][meta["current-schema-id"]],
+    )
+
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    sequence_number = meta["last-sequence-number"] + 1
+    delete_manifest = _write_manifest(
+        path, snapshot_id, new_delete_entries, meta, content=1
+    )
+    data_manifest = _write_manifest(path, snapshot_id, updated_entries, meta)
+    manifests = _snapshot_manifests(path, meta) + [delete_manifest, data_manifest]
+    manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_list,
+        "summary": {
+            "operation": "overwrite",
+            "predicate": predicate,
+            "update-mode": "merge-on-read",
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = sequence_number
+    new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+    new_meta["snapshots"] = _append_snapshot(meta, snapshot)
+    new_meta["current-snapshot-id"] = snapshot_id
+    try:
+        fd = os.open(
+            os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        _cleanup_lost_commit(path, new_delete_entries, delete_manifest, None)
+        _cleanup_lost_commit(path, updated_entries, data_manifest, manifest_list)
+        raise ConcurrentModificationError(
+            f"concurrent commit won v{version + 1} at {path}; the UPDATE's "
+            "snapshot is stale — re-run against the new snapshot"
+        )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    with open(_hint_file(path), "w") as fh:
+        fh.write(str(version + 1))
+    return {
+        "updated_rows": int(n_updated),
+        "delete_files": len(new_delete_entries),
+        "new_files": len(updated_entries),
     }
 
 

@@ -142,22 +142,119 @@ class TestRowTracking:
         assert len(post) == 90
         assert all(pre[k] == v for k, v in post.items())
 
-    def test_rewriting_dml_refuses(self, spark, tmpdir):
+    def test_row_changing_dml_refuses(self, spark, tmpdir):
         t = _table(spark, tmpdir)
         D.enable_row_tracking(t)
         src = spark.range(5).selectExpr(
             "id", "id % 7 as k", "cast(0.0 as double) as v"
         )
         for op in [
-            lambda: D.optimize_delta(spark, t),
             lambda: D.update_delta(spark, t, "id = 1", {"v": "v + 1"}),
-            lambda: D.update_delta(spark, t, "id = 1", {"v": "v + 1"}, mode="merge-on-read"),
             lambda: D.delete_from_delta(spark, t, "id = 1"),
             lambda: D.merge_delta(spark, t, src, "id"),
             lambda: D.restore_delta(spark, t, 1),
         ]:
             with pytest.raises(D.UnsupportedProtocolError, match="row-tracking"):
                 op()
+        # the feature matrix is closed both ways with column mapping
+        with pytest.raises(D.UnsupportedProtocolError, match="column-mapped|column mapping"):
+            D.enable_column_mapping(t)
+
+    def test_optimize_preserves_ids_via_materialization(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        for lo in (100, 200, 300):
+            D.write_delta(
+                spark.range(lo, lo + 100).selectExpr(
+                    "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+                ),
+                t,
+                append=True,
+            )
+        pre = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        D.optimize_delta(spark, t, target_partitions=2)
+        post = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert post == pre  # ids AND commit versions stable across rewrite
+        # the rewritten files physically carry the materialized columns
+        _, meta, adds = D._read_log(t)
+        mat_id, _ = D._materialized_col_names(meta)
+        import pyarrow.parquet as pq
+
+        assert all(
+            mat_id in pq.read_schema(os.path.join(t, p)).names for p in adds
+        )
+        # and fresh baseRowId ranges were still stamped on the new adds
+        assert all(a.get("baseRowId") is not None for a in adds.values())
+        # plain read is unaffected by the extra physical columns
+        out = D.read_delta(spark, t)
+        assert out.count() == 400 and "_row_id" not in out.columns
+
+    def test_mor_update_keeps_ids_bumps_commit_version(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        pre = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        res = D.update_delta(
+            spark, t, "id % 10 = 2", {"v": "v + 1000"}, mode="merge-on-read"
+        )
+        assert res["updated_rows"] == 10 and res["new_files"] >= 1
+        latest = D._read_log(t)[0]
+        rows = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"], r["v"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert len(rows) == 100
+        for i, (rid, rcv, v) in rows.items():
+            assert rid == pre[i][0]  # spec: UPDATE keeps the row id
+            if i % 10 == 2:
+                assert rcv == latest  # ...and bumps its commit version
+                assert v == i * 1.5 + 1000
+            else:
+                assert rcv == pre[i][1]
+        # a second update over already-updated rows still resolves
+        D.update_delta(
+            spark, t, "id = 2", {"v": "v + 1"}, mode="merge-on-read"
+        )
+        again = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert again[2][0] == pre[2][0]
+        assert again[2][1] == D._read_log(t)[0]
+
+    def test_optimize_purges_dvs_keeping_ids(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        D.write_delta(
+            spark.range(100, 200).selectExpr(
+                "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+            ),
+            t,
+            append=True,
+        )
+        D.delete_from_delta(spark, t, "id % 10 = 7", mode="merge-on-read")
+        pre = {
+            r["id"]: r["_row_id"]
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        # bin-packing is the DV purge path; ids must survive the fold
+        D.optimize_delta(spark, t, small_file_threshold=10 * 1024 * 1024,
+                         target_partitions=1)
+        _, _, adds = D._read_log(t)
+        assert not any(a.get("deletionVector") for a in adds.values())
+        post = {
+            r["id"]: r["_row_id"]
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert post == pre and len(post) == 180
 
     def test_checkpoint_preserves_row_ids(self, spark, tmpdir):
         t = _table(spark, tmpdir)

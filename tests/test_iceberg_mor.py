@@ -805,3 +805,70 @@ def test_pos_delete_broadcast_gated_by_record_count(spark, tmpdir, monkeypatch):
     p = over._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p  # equi keys keep it hash/merge
     assert over.count() == 80  # same rows either way
+
+
+class TestMorUpdate:
+    """Merge-on-read UPDATE (r9): position-delete the matched rows AND
+    append their updated copies in ONE snapshot — the format twin of the
+    Delta sink's _update_mor.  Position deletes address the OLD files'
+    (path, pos), so the same-snapshot copies survive them."""
+
+    def _table(self, spark, tmpdir, name="u", partition_by=None):
+        t = os.path.join(str(tmpdir), name)
+        df = spark.range(200).selectExpr(
+            "id", "id % 7 as k", "cast(id * 1.5 as double) as v"
+        )
+        IC.write_iceberg(df, t, overwrite=True, partition_by=partition_by)
+        return t
+
+    def test_update_masks_and_appends_one_snapshot(self, spark, tmpdir):
+        t = self._table(spark, tmpdir)
+        n_data_before = len(_data_files(t))
+        res = IC.update_iceberg(
+            spark, t, "id % 10 = 2", {"v": "v + 1000"}, strategy="merge-on-read"
+        )
+        assert res["updated_rows"] == 20 and res["new_files"] >= 1
+        assert len(_delete_files(t)) == res["delete_files"]
+        # old data files untouched (no rewrite)
+        assert all(os.path.exists(f) for f in _data_files(t)[:n_data_before])
+        got = {r["id"]: r["v"] for r in IC.read_iceberg(spark, t).collect()}
+        assert len(got) == 200
+        for i in range(200):
+            assert got[i] == (i * 1.5 + 1000 if i % 10 == 2 else i * 1.5)
+
+    def test_update_does_not_resurrect_deleted_rows(self, spark, tmpdir):
+        t = self._table(spark, tmpdir)
+        IC.delete_from_iceberg(spark, t, "id % 10 = 5", strategy="merge-on-read")
+        IC.update_iceberg(
+            spark, t, "id % 10 = 5", {"v": "0.0"}, strategy="merge-on-read"
+        )
+        assert IC.read_iceberg(spark, t).count() == 180
+
+    def test_chained_updates_and_optimize_fold(self, spark, tmpdir):
+        t = self._table(spark, tmpdir)
+        IC.update_iceberg(spark, t, "id = 2", {"v": "v + 1"}, strategy="merge-on-read")
+        IC.update_iceberg(spark, t, "id = 2", {"v": "v + 1"}, strategy="merge-on-read")
+        got = {r["id"]: r["v"] for r in IC.read_iceberg(spark, t).collect()}
+        assert got[2] == 2 * 1.5 + 2 and len(got) == 200
+        IC.optimize_iceberg(spark, t)
+        assert not _delete_files(t) or not IC._split_live_entries(
+            t, IC._read_metadata(t)[1]
+        )[1]
+        got2 = {r["id"]: r["v"] for r in IC.read_iceberg(spark, t).collect()}
+        assert got2 == got
+
+    def test_partitioned_update(self, spark, tmpdir):
+        t = self._table(spark, tmpdir, name="up", partition_by=["k"])
+        IC.update_iceberg(spark, t, "id < 50", {"v": "-1.0"}, strategy="merge-on-read")
+        out = IC.read_iceberg(spark, t)
+        assert out.count() == 200 and out.where("v = -1.0").count() == 50
+
+    def test_refusals(self, spark, tmpdir):
+        t = self._table(spark, tmpdir, name="ur")
+        with pytest.raises(ValueError, match="unknown update strategy"):
+            IC.update_iceberg(spark, t, "id=1", {"v": "0.0"}, strategy="nope")
+        IC.enable_row_lineage_iceberg(t)
+        with pytest.raises(ValueError, match="row-lineage"):
+            IC.update_iceberg(
+                spark, t, "id=1", {"v": "0.0"}, strategy="merge-on-read"
+            )
