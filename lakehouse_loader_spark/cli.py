@@ -367,6 +367,13 @@ def build_parser() -> argparse.ArgumentParser:
             metavar="COL=EXPR",
             help="column assignment, repeatable; EXPR is SQL over the row",
         )
+        ud.add_argument(
+            "--mode",
+            choices=("copy-on-write", "merge-on-read"),
+            default="copy-on-write",
+            help="copy-on-write rewrites matched files; merge-on-read masks "
+            "them and appends updated copies (write cost ∝ matched rows)",
+        )
     return p
 
 
@@ -525,12 +532,19 @@ def do_main(argv: list[str]) -> None:
                 sys.exit(2)
             col, expr = spec.split("=", 1)
             set_exprs[col.strip()] = expr
-        res = _update(spark, args.target, args.where, set_exprs)
-        print(
-            f"updated {res['updated_rows']} rows "
-            f"(rewrote {res['rewritten_files']} files, kept {res['kept_files']})",
-            file=sys.stderr,
+        if args.command == "update-delta":
+            res = _update(spark, args.target, args.where, set_exprs, mode=args.mode)
+        else:
+            res = _update(
+                spark, args.target, args.where, set_exprs, strategy=args.mode
+            )
+        detail = (
+            f"rewrote {res['rewritten_files']} files, kept {res['kept_files']}"
+            if "rewritten_files" in res
+            else f"masked into {res.get('dv_files', res.get('delete_files', 0))} "
+            f"delete structures, {res['new_files']} new files"
         )
+        print(f"updated {res['updated_rows']} rows ({detail})", file=sys.stderr)
         return
     if args.command == "add-constraint":
         from lakehouse_loader_spark.sinks.delta import (
