@@ -141,10 +141,10 @@ def test_writer_version_guard_read_still_works(spark, tmpdir):
     t = os.path.join(tmpdir, "t")
     DL.write_delta(_df(spark, 0, 10), t)
     _bump_protocol(
-        t, reader=1, writer=7, writer_features=["rowTracking"]
-    )  # a writer feature we lack (identityColumns is implemented since r8)
+        t, reader=1, writer=7, writer_features=["clustering-ta"]
+    )  # a writer feature we lack (rowTracking/clustering implemented r9)
     assert DL.read_delta(spark, t).count() == 10  # reading is fine
-    with pytest.raises(DL.UnsupportedProtocolError, match="rowTracking"):
+    with pytest.raises(DL.UnsupportedProtocolError, match="clustering-ta"):
         DL.write_delta(_df(spark, 10, 12), t, append=True)
     with pytest.raises(DL.UnsupportedProtocolError):
         DL.optimize_delta(spark, t)
