@@ -344,6 +344,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="spec-v3 row lineage (backfills first_row_id ranges)",
     )
     erl.add_argument("target")
+    soi = sub.add_parser(
+        "sort-order-iceberg",
+        help="declare the default sort order (writes + OPTIMIZE cluster by it)",
+    )
+    soi.add_argument("target")
+    soi.add_argument(
+        "fields",
+        help="comma-separated 'col [asc|desc] [nulls first|last]' specs; "
+        "empty string resets to unsorted",
+    )
     rni = sub.add_parser("rename-column-iceberg", help="Iceberg metadata-only RENAME")
     rni.add_argument("target"); rni.add_argument("old"); rni.add_argument("new")
     dci = sub.add_parser("drop-column-iceberg", help="Iceberg metadata-only DROP")
@@ -666,7 +676,8 @@ def do_main(argv: list[str]) -> None:
         print(f"{args.command} done on {args.target}", file=sys.stderr)
         return
     if args.command in (
-        "rename-column-iceberg", "drop-column-iceberg", "enable-row-lineage-iceberg"
+        "rename-column-iceberg", "drop-column-iceberg",
+        "enable-row-lineage-iceberg", "sort-order-iceberg",
     ):
         from lakehouse_loader_spark.sinks import iceberg as _ic
 
@@ -674,6 +685,9 @@ def do_main(argv: list[str]) -> None:
             _ic.rename_column_iceberg(args.target, args.old, args.new)
         elif args.command == "enable-row-lineage-iceberg":
             _ic.enable_row_lineage_iceberg(args.target)
+        elif args.command == "sort-order-iceberg":
+            specs = [s.strip() for s in args.fields.split(",") if s.strip()]
+            _ic.set_sort_order_iceberg(args.target, specs)
         else:
             _ic.drop_column_iceberg(args.target, args.column)
         print(f"{args.command} done on {args.target}", file=sys.stderr)

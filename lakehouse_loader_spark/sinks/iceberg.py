@@ -584,6 +584,14 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "default": None,
                             "type": ["null", "long"],
                         },
+                        # spec field id 140: the sort order the file's rows
+                        # were written under (null/0 = unsorted)
+                        {
+                            "name": "sort_order_id",
+                            "field-id": 140,
+                            "default": None,
+                            "type": ["null", "int"],
+                        },
                     ],
                 },
             },
@@ -598,6 +606,7 @@ def _write_manifest(
     meta: dict,
     content: int = 0,
     first_row_id: int | None = None,
+    sort_order_id: int | None = None,
 ) -> dict:
     """Write one Avro manifest for this commit's added files; returns its
     ``manifest_file`` record with sequence numbers unset (the manifest-list
@@ -645,7 +654,10 @@ def _write_manifest(
             n_rows = e["record_count"]
             lowers = e.get("lower_bounds")
             uppers = e.get("upper_bounds")
+            soid = e.get("sort_order_id")  # never re-stamped: carried rows
+            # keep whatever order they were actually written under
         else:
+            soid = sort_order_id if e.get("content", 0) == 0 else None
             pf = pq.ParquetFile(file_abs)
             n_rows = pf.metadata.num_rows
             lowers = uppers = None
@@ -679,6 +691,7 @@ def _write_manifest(
             "content_offset": e.get("content_offset"),
             "content_size_in_bytes": e.get("content_size_in_bytes"),
             "first_row_id": fri,
+            "sort_order_id": soid,
         }
         records.append(
             {
@@ -903,6 +916,7 @@ def _carried_entry(path: str, d: dict, spec: dict, by_id: dict) -> dict:
         "lower_bounds": d.get("lower_bounds"),
         "upper_bounds": d.get("upper_bounds"),
         "first_row_id": d.get("first_row_id"),
+        "sort_order_id": d.get("sort_order_id"),
     }
 
 
@@ -1355,6 +1369,14 @@ def write_iceberg(
                 meta = _evolve_spec(meta, partition_by)
         break
 
+    # declared default sort order: cluster the new files' rows by it
+    # (caller-given sort_by wins) and stamp their sort_order_id
+    write_sort_oid: int | None = None
+    if sort_by is None:
+        sort_fields = _default_sort_fields(meta)
+        if sort_fields:
+            df = _apply_sort_order(df, sort_fields)
+            write_sort_oid = meta.get("default-sort-order-id")
     entries = _write_data_files(
         df, path, partition_by, bloom_filter_columns, sort_by,
         ice_schema=meta["schemas"][meta["current-schema-id"]],
@@ -1366,7 +1388,8 @@ def write_iceberg(
     # across overwrites too (row ids are never reused)
     row_id_start = meta.get("next-row-id")
     manifest = _write_manifest(
-        path, snapshot_id, entries, meta, first_row_id=row_id_start
+        path, snapshot_id, entries, meta, first_row_id=row_id_start,
+        sort_order_id=write_sort_oid,
     )
     if mode is WriteMode.APPEND:
         manifests = _snapshot_manifests(path, meta) + [manifest]
@@ -1469,7 +1492,8 @@ def write_iceberg(
                 row_id_start = meta["next-row-id"]
                 stale_mf = manifest["manifest_path"]
                 manifest = _write_manifest(
-                    path, snapshot_id, entries, meta, first_row_id=row_id_start
+                    path, snapshot_id, entries, meta, first_row_id=row_id_start,
+                    sort_order_id=write_sort_oid,
                 )
                 if os.path.exists(stale_mf):
                     os.remove(stale_mf)  # never referenced by any commit
@@ -3284,7 +3308,7 @@ def _write_existing_delete_manifest(
             "snapshot_id": snapshot_id,
             "sequence_number": seq,
             "file_sequence_number": fseq,
-            "data_file": {"first_row_id": None, **df},
+            "data_file": {"first_row_id": None, "sort_order_id": None, **df},
         }
         for df, seq, fseq in rows
     ]
@@ -3878,7 +3902,7 @@ def rewrite_manifests(path: str, min_count: int = 2) -> dict:
                 "file_sequence_number": fseq,
                 # pre-lineage entries default a null first_row_id; entries
                 # that HAVE one keep it — consolidation never moves row ids
-                "data_file": {"first_row_id": None, **df},
+                "data_file": {"first_row_id": None, "sort_order_id": None, **df},
             }
             for df, seq, fseq in rows
         ]
@@ -3995,6 +4019,121 @@ def rewrite_manifests(path: str, min_count: int = 2) -> dict:
     }
 
 
+def _parse_sort_field(s: str) -> tuple[str, str, str]:
+    """'col [ASC|DESC] [NULLS FIRST|LAST]' → (col, direction, null-order);
+    defaults follow the Iceberg spec: ASC defaults nulls-first, DESC
+    defaults nulls-last."""
+    toks = s.split()
+    col = toks[0]
+    rest = [t.lower() for t in toks[1:]]
+    direction = "asc"
+    if rest[:1] == ["desc"]:
+        direction, rest = "desc", rest[1:]
+    elif rest[:1] == ["asc"]:
+        rest = rest[1:]
+    if rest == ["nulls", "first"]:
+        nulls = "nulls-first"
+    elif rest == ["nulls", "last"]:
+        nulls = "nulls-last"
+    elif not rest:
+        nulls = "nulls-first" if direction == "asc" else "nulls-last"
+    else:
+        raise ValueError(f"bad sort field spec {s!r}")
+    return col, direction, nulls
+
+
+@accepts_file_uris
+def set_sort_order_iceberg(path: str, fields: list[str]) -> None:
+    """Declare the table's default SORT ORDER (Iceberg spec "Sort
+    Orders"): a metadata-only commit appending a ``sort-orders`` entry
+    (identity transforms; 'col [ASC|DESC] [NULLS FIRST|LAST]' specs) and
+    pointing ``default-sort-order-id`` at it — the format twin of the
+    Delta sink's liquid-clustering declaration.  Writers then cluster new
+    files' rows by the order (``sortWithinPartitions`` — tighter per-file
+    min/max stats, harder data skipping) and stamp ``sort_order_id``
+    (manifest field id 140) on the files they write sorted; OPTIMIZE
+    re-sorts automatically.  ``fields=[]`` resets to the unsorted order 0.
+    An identical existing order is reused, not re-appended."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    schema_ice = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f["id"] for f in schema_ice["fields"]}
+    new_fields = []
+    for s in fields:
+        col, direction, nulls = _parse_sort_field(s)
+        if col not in by_name:
+            raise ValueError(f"sort column {col!r} not in schema")
+        new_fields.append(
+            {
+                "transform": "identity",
+                "source-id": by_name[col],
+                "direction": direction,
+                "null-order": nulls,
+            }
+        )
+
+    def mutate(m: dict) -> dict:
+        orders = m.get("sort-orders") or [{"order-id": 0, "fields": []}]
+        for o in orders:
+            if o["fields"] == new_fields:
+                m["default-sort-order-id"] = o["order-id"]
+                m["sort-orders"] = orders
+                return m
+        oid = max(o["order-id"] for o in orders) + 1
+        m["sort-orders"] = orders + [{"order-id": oid, "fields": new_fields}]
+        m["default-sort-order-id"] = oid
+        return m
+
+    _commit_metadata_update(path, mutate)
+
+
+@accepts_file_uris
+def table_sort_order(path: str) -> list[str]:
+    """The default sort order as 'col ASC|DESC NULLS FIRST|LAST' specs
+    ([] when order 0 / unsorted)."""
+    _, meta = _read_metadata(path)
+    return [
+        f"{name} {d.upper()} {n.replace('nulls-', 'NULLS ').upper()}"
+        for name, d, n in _default_sort_fields(meta)
+    ]
+
+
+def _default_sort_fields(meta: dict) -> list[tuple[str, str, str]]:
+    """(column, direction, null-order) triples of the table's default
+    sort order, [] when unsorted (order 0)."""
+    oid = meta.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in meta.get("sort-orders", []) if o["order-id"] == oid), None
+    )
+    if not order or not order.get("fields"):
+        return []
+    by_id = {
+        f["id"]: f["name"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    return [
+        (by_id[f["source-id"]], f["direction"], f["null-order"])
+        for f in order["fields"]
+    ]
+
+
+def _apply_sort_order(df: DataFrame, sort_fields: list[tuple[str, str, str]]) -> DataFrame:
+    """Cluster rows WITHIN each write task by the declared order — no
+    global sort (a table-wide total order would be an all-data shuffle;
+    per-file clustering is what tightens the stats)."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for name, direction, nulls in sort_fields:
+        c = F.col(name)
+        if direction == "desc":
+            c = c.desc_nulls_last() if nulls == "nulls-last" else c.desc_nulls_first()
+        else:
+            c = c.asc_nulls_last() if nulls == "nulls-last" else c.asc_nulls_first()
+        exprs.append(c)
+    return df.sortWithinPartitions(*exprs)
+
+
 def _row_lineage_enabled(meta: dict) -> bool:
     return meta.get("next-row-id") is not None
 
@@ -4083,7 +4222,7 @@ def enable_row_lineage_iceberg(path: str) -> None:
     cursor = 0
     stamped_rows = []
     for df, seq, fseq in data_rows:
-        df = dict(df)
+        df = {"sort_order_id": None, **df}
         df["first_row_id"] = cursor
         cursor += int(df.get("record_count", 0))
         stamped_rows.append((df, seq, fseq))
@@ -4391,10 +4530,28 @@ def optimize_iceberg(
         # as the merge-on-read deletes purge: the new snapshot's manifest
         # lists clean data files only and carries no delete manifest
         df = read_iceberg(spark, path)
+    opt_sort_oid: int | None = None
+    sort_fields = (
+        _default_sort_fields(meta) if not sort_by and not zorder_by else []
+    )
     if zorder_by:
         from lakehouse_loader_spark.operators.zorder import zorder_layout
 
         df = zorder_layout(df, zorder_by, target_partitions)
+    elif sort_fields:
+        # declared default sort order: a plain OPTIMIZE re-clusters on it
+        # (the format twin of the Delta sink's liquid-clustering pickup).
+        # Range-partition on the leading sort columns BEFORE the
+        # within-file sort — per-file clustering alone cannot tighten the
+        # files' global [min,max] ranges, and disjoint ranges are what
+        # make stats pruning skip whole files
+        from pyspark.sql import functions as F
+
+        df = df.repartitionByRange(
+            target_partitions, *[F.col(n) for n, _, _ in sort_fields]
+        )
+        df = _apply_sort_order(df, sort_fields)
+        opt_sort_oid = meta.get("default-sort-order-id")
     elif not spec_exprs:
         df = df.coalesce(target_partitions)
     else:
@@ -4408,7 +4565,9 @@ def optimize_iceberg(
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
-    manifest = _write_manifest(path, snapshot_id, entries, meta)
+    manifest = _write_manifest(
+        path, snapshot_id, entries, meta, sort_order_id=opt_sort_oid
+    )
     manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
     snapshot = {
         "snapshot-id": snapshot_id,
