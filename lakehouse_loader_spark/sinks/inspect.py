@@ -213,15 +213,25 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
 
 def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     """One-row table summary for either format (DESCRIBE DETAIL): format,
-    file/row/byte totals of the current state."""
+    file/row/byte totals of the current state, plus the r9 layout/identity
+    declarations — clustering or sort-order columns and whether row
+    ids are tracked (Delta rowTracking / Iceberg row lineage)."""
     fmt = "iceberg" if os.path.isdir(os.path.join(path, "metadata")) else "delta"
     if fmt == "iceberg":
+        from lakehouse_loader_spark.sinks import iceberg as IC
+
         files = iceberg_files(spark, path).collect()
         data = [f for f in files if f.content == 0]
         n_deletes = len(files) - len(data)
+        clustering = ", ".join(IC.table_sort_order(path)) or None
+        row_ids = IC._row_lineage_enabled(IC._read_metadata(path)[1])
     else:
+        from lakehouse_loader_spark.sinks import delta as DL
+
         data = delta_files(spark, path).collect()
         n_deletes = sum(1 for f in data if f.has_deletion_vector)
+        clustering = ", ".join(DL.table_cluster_by(path)) or None
+        row_ids = DL._row_tracking_enabled(DL._read_log(path)[1])
     schema = T.StructType(
         [
             T.StructField("format", T.StringType()),
@@ -230,10 +240,13 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
             T.StructField("total_records", T.LongType()),
             T.StructField("total_bytes", T.LongType()),
             T.StructField("num_delete_files_or_dvs", T.LongType()),
+            T.StructField("clustering", T.StringType()),
+            T.StructField("row_ids_tracked", T.BooleanType()),
         ]
     )
     total_records = sum((f.record_count if fmt == "iceberg" else f.num_records) or 0 for f in data)
     total_bytes = sum((f.file_size_in_bytes if fmt == "iceberg" else f.size_bytes) or 0 for f in data)
     return spark.createDataFrame(
-        [(fmt, path, len(data), total_records, total_bytes, n_deletes)], schema
+        [(fmt, path, len(data), total_records, total_bytes, n_deletes, clustering, row_ids)],
+        schema,
     )
