@@ -2598,13 +2598,19 @@ def optimize_delta(
     # the new adds (readers prefer the materialized values)
     rt = _row_tracking_enabled(meta)
     cluster_cols: list[str] = []
+    range_cluster: list[str] = []
     if not sort_by and not zorder_by and where is None and small_file_threshold is None:
         # liquid clustering: a plain full OPTIMIZE on a clustered table
-        # re-clusters on the declared columns automatically
+        # re-clusters on the declared columns automatically — multi-column
+        # via z-order interleave, single-column via RANGE partition + sort
+        # (per-file sorting alone cannot tighten the files' global
+        # [min,max] ranges; disjoint ranges are what let stats pruning
+        # skip whole files)
         cluster_cols = table_cluster_by(path)
         if len(cluster_cols) > 1:
             zorder_by = cluster_cols
         elif cluster_cols:
+            range_cluster = cluster_cols
             sort_by = cluster_cols
     part_cols = meta.get("partitionColumns") or None
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2672,6 +2678,12 @@ def optimize_delta(
         from lakehouse_loader_spark.operators.zorder import zorder_layout
 
         df = zorder_layout(df, zorder_by, target_partitions)
+    elif range_cluster and not part_cols:
+        from pyspark.sql import functions as F
+
+        df = df.repartitionByRange(
+            target_partitions, *[F.col(c) for c in range_cluster]
+        )
     elif not part_cols:
         df = df.coalesce(target_partitions)
     else:

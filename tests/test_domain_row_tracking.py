@@ -315,6 +315,19 @@ class TestClustering:
         _, _, adds = D._read_log(t)
         assert {a.get("clusteringProvider") for a in adds.values()} == {None}
 
+    def test_single_column_clustering_prunes(self, spark, tmpdir):
+        """Single-column liquid clustering must yield DISJOINT per-file
+        ranges after OPTIMIZE (range partition + sort), so stats pruning
+        skips whole files for a point predicate."""
+        t = os.path.join(str(tmpdir), "rc")
+        df = spark.range(1000).selectExpr("id", "(997 - id) % 31 as k")
+        D.write_delta(df, t)
+        D.enable_clustering(t, ["k"])
+        D.optimize_delta(spark, t, target_partitions=4)
+        kept, total = D.prune_files_by_stats(t, "k", 3, 3)
+        assert total >= 2 and len(kept) < total
+        assert D.read_delta(spark, t).count() == 1000
+
     def test_refusals(self, spark, tmpdir):
         t = os.path.join(str(tmpdir), "p")
         df = spark.range(50).selectExpr("id", "id % 3 as k")
