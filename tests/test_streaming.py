@@ -771,3 +771,36 @@ def test_stream_stream_interval_join_matches_batch_and_evicts(spark, tmpdir):
     got2 = run("2 hours")
     assert got2.exceptAll(want).count() == 0
     assert got2.count() > 0
+
+
+def test_stream_to_delta_into_row_tracked_table(spark, staged_events):
+    """Streaming appends on a ROW-TRACKING table mint fresh, non-overlapping
+    baseRowId ranges per micro-batch commit (the assignment runs inside the
+    same write_delta retry loop as batch appends), the high-water mark ends
+    at total_rows - 1, and every row id is unique."""
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    path, src = staged_events
+    out = tempfile.mkdtemp(prefix="evdeltart_")
+    ckpt = tempfile.mkdtemp(prefix="evckptrt_")
+    t = os.path.join(out, "t")
+    try:
+        # seed the table with one batch row so row tracking can be enabled
+        # before the stream appends (enablement backfills the seed file);
+        # the file stream reads plain TIMESTAMP, so the seed must match
+        DL.write_delta(src.limit(7).withColumn("ts", F.col("ts").cast("timestamp")), t)
+        DL.enable_row_tracking(t)
+        q = SE.stream_to_delta(SE.read_event_stream(spark, path), t, ckpt)
+        q.awaitTermination(120)
+        total = src.count() + 7
+        assert DL._row_id_high_water_mark(t) == total - 1
+        ids = [r["_row_id"] for r in DL.read_delta_with_row_ids(spark, t).collect()]
+        assert sorted(ids) == list(range(total))
+        # every streamed add carries its assigned range
+        _, _, adds = DL._read_log(t)
+        assert all(a.get("baseRowId") is not None for a in adds.values())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
