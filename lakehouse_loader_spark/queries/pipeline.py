@@ -1365,22 +1365,30 @@ def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT count(*) FROM orders WHERE o_orderkey % 8 = 0)
                + row_number() OVER (ORDER BY o_orderkey) - 1 AS _row_id
       FROM orders WHERE o_orderkey % 8 = 4)
-    SELECT o_orderkey, o_totalprice, _row_id
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 16 = 8 THEN o_totalprice + 100000.0
+                WHEN o_orderkey % 16 = 12 THEN o_totalprice * 2.0
+                ELSE o_totalprice END AS o_totalprice,
+           _row_id
     FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
     WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 80000.0)
     """,
 )
 def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta row tracking under the correctness gate, exercising BOTH
-    assignment paths: part A's sorted file gets baseRowId 0 from the
-    ``enable_row_tracking`` backfill, part B's append file starts at the
-    domain's high-water mark + 1 (stamped inside the commit retry loop).
-    Each part is one sorted file (repartition(1) + sortWithinPartitions)
-    so physical row position matches the oracle's ORDER BY; a
-    merge-on-read DELETE then must leave surviving ids untouched
-    (deletion vectors never move rows).  At scale the id map is one row
-    per FILE (broadcast) and the DV anti-join is map-side — the same plan
-    shape the dv/MOR queries pin."""
+    assignment paths AND the full id-preserving DML matrix (r10): part
+    A's sorted file gets baseRowId 0 from the ``enable_row_tracking``
+    backfill, part B's append file starts at the domain's high-water mark
+    + 1 (stamped inside the commit retry loop).  Each part is one sorted
+    file (repartition(1) + sortWithinPartitions) so physical row position
+    matches the oracle's ORDER BY.  Then three id-preserving rewrites run
+    in sequence — a merge-on-read DELETE (deletion vectors never move
+    rows), a copy-on-write UPDATE (+100000 on the %16=8 keys) and a
+    copy-on-write MERGE (doubling the %16=12 keys' totalprice) — and
+    every surviving row must still carry its ORIGINAL id: the rewrites
+    materialize the stable ids into the replacement files.  At scale the
+    id map is one row per FILE (broadcast) and the DV anti-join is
+    map-side — the same plan shape the dv/MOR queries pin."""
     import os
     import tempfile
 
@@ -1413,6 +1421,20 @@ def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus = 'F' AND o_totalprice < 80000.0",
             mode="merge-on-read",
         )
+        # copy-on-write UPDATE: matched rows keep their stable id (the
+        # rewrite materializes it), carried-over rows keep id AND version
+        DL.update_delta(
+            spark,
+            table,
+            "o_orderkey % 16 = 8",
+            {"o_totalprice": "o_totalprice + 100000.0"},
+        )
+        # copy-on-write MERGE over surviving keys only (no inserts, so the
+        # oracle stays exact): matched rows keep their stable ids
+        src = DL.read_delta(spark, table).filter(
+            F.col("o_orderkey") % 16 == 12
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        DL.merge_delta(spark, table, src, "o_orderkey")
         cache[sf_dir] = table
     return DL.read_delta_with_row_ids(spark, table).select(
         "o_orderkey", "o_totalprice", "_row_id"

@@ -1099,22 +1099,6 @@ def _row_tracking_enabled(meta: dict) -> bool:
     return (meta.get("configuration") or {}).get("delta.enableRowTracking") == "true"
 
 
-def _forbid_if_row_tracked(meta: dict, op: str) -> None:
-    """Containment for the row-tracking feature: row-CHANGING DML
-    (UPDATE/MERGE/CoW DELETE) and RESTORE refuse — an update must keep the
-    row's id while bumping its commit version, which needs the
-    materialized-column write threaded through every DML shape.  Appends
-    mint fresh ids by design, merge-on-read DELETEs never touch surviving
-    rows' files, and OPTIMIZE preserves ids by materializing them into the
-    rewritten files (see optimize_delta) — those all stay allowed."""
-    if _row_tracking_enabled(meta):
-        raise UnsupportedProtocolError(
-            f"{op} on a row-tracking table is not supported: use appends, "
-            "merge-on-read deletes and OPTIMIZE (all preserve row ids), or "
-            "disable row tracking"
-        )
-
-
 def _row_id_high_water_mark(path: str) -> int:
     cfg = table_domain_metadata(path).get(ROW_TRACKING_DOMAIN)
     return int(json.loads(cfg)["rowIdHighWaterMark"]) if cfg else -1
@@ -1155,9 +1139,10 @@ def enable_row_tracking(path: str) -> None:
     in ONE commit — dataChange=false re-adds assigning each file its range
     from the files' recorded numRecords (metadata-only; no data read).
     The two materialized-column names the spec reserves at enablement are
-    real here: OPTIMIZE preserves stable ids by writing them into the
-    rewritten files under those names (row-changing DML still refuses,
-    see ``_forbid_if_row_tracked``).  ``read_delta_with_row_ids``
+    real here: OPTIMIZE and every row-changing DML shape (CoW/MOR UPDATE,
+    CoW DELETE, MERGE) preserve stable ids by writing them into the
+    rewritten files under those names; RESTORE within the row-tracked
+    history reverts ids with the rows.  ``read_delta_with_row_ids``
     surfaces ``_row_id`` / ``_row_commit_version``."""
     _check_protocol(path, for_write=True)
     _, _meta_probe, _ = _read_log(path)
@@ -3018,11 +3003,28 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> None:
             "RESTORE on a change-data-feed-enabled table is not supported: "
             "disable delta.enableChangeDataFeed first"
         )
-    # restoring past the enablement commit would resurrect adds without
-    # baseRowId; restoring forward would leave the high-water domain
-    # inconsistent with the re-added files — refuse, same as CDF
-    _forbid_if_row_tracked(meta_now, "RESTORE")
     _, meta_then, adds_then = _read_log(path, as_of_version=version)
+    if _row_tracking_enabled(meta_now):
+        # RESTORE within the row-tracked history is safe: the re-added add
+        # actions carry their ORIGINAL baseRowId/defaultRowCommitVersion
+        # (ids revert with the rows, which is what restore means), and the
+        # high-water domain is never lowered, so later appends still mint
+        # disjoint ranges.  Restoring PAST the enablement commit would
+        # resurrect adds without baseRowId — refuse that boundary only.
+        if not _row_tracking_enabled(meta_then):
+            raise UnsupportedProtocolError(
+                "RESTORE to a version before row tracking was enabled is "
+                "not supported: the restored files carry no baseRowId "
+                "ranges; restore to a row-tracked version instead"
+            )
+        no_range = sorted(
+            p for p, a in adds_then.items() if a.get("baseRowId") is None
+        )
+        if no_range:
+            raise UnsupportedProtocolError(
+                f"cannot RESTORE: files without baseRowId at v{version} "
+                f"(foreign writer?): {no_range[:3]}"
+            )
     now_ms = int(time.time() * 1000)
 
     def actions() -> list[dict]:
@@ -3208,6 +3210,13 @@ def merge_delta(
     ``txn`` stamps the commit with a Delta transaction identifier
     (appId, version) — the idempotency handshake streaming upserts use
     (streaming/events.py:stream_upsert_to_delta).
+
+    Row-tracking aware: on an enabled table each matched target row's
+    STABLE id rides into its replacement row (materialized row-id column,
+    NULL materialized commit version — readers resolve "last updated"
+    through the new add's ``defaultRowCommitVersion``); carried-over rows
+    in rewritten files keep both values physically; inserted rows fall
+    through to the new adds' fresh ``baseRowId`` ranges.
     """
     from pyspark.sql import functions as F
 
@@ -3217,7 +3226,7 @@ def merge_delta(
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "MERGE")
     _forbid_if_column_mapped(meta, "MERGE")
-    _forbid_if_row_tracked(meta, "MERGE")
+    rt = _row_tracking_enabled(meta)
     schema = table_schema(path)
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -3226,8 +3235,16 @@ def merge_delta(
         )
     source = source.select(*schema.fieldNames())
     _enforce_constraints(source, _write_rules(meta))
-    n_source_keys = source.select(key).distinct().count()
-    if source.count() != n_source_keys:
+    # one pass over the source answers both "how many distinct keys" and
+    # "are there duplicates" (count_distinct skips NULL keys; a NULL key
+    # row is still one distinct probe value, so add it back)
+    _kc = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("k"),
+        F.max(F.col(key).isNull()).alias("has_null"),
+    ).first()
+    n_source_keys = int(_kc["k"]) + (1 if _kc["has_null"] else 0)
+    if _kc["n"] != n_source_keys:
         raise ValueError(
             f"merge source has duplicate values in key column {key!r}; "
             "deduplicate before merging (same contract as Delta MERGE)"
@@ -3269,20 +3286,50 @@ def merge_delta(
     _bcast = (
         F.broadcast if n_source_keys <= DV_BROADCAST_MAX else (lambda df: df)
     )
+    if rt:
+        mat_id, mat_rcv = _materialized_col_names(meta)
     if cand_rel:
         # DV-aware: rows already deleted merge-on-read must neither count
-        # as matches nor be resurrected into the rewritten files
-        cand_df = _scan_adds(
-            spark, path, meta, schema, {r: adds[r] for r in cand_rel}
-        )
+        # as matches nor be resurrected into the rewritten files; on a
+        # row-tracking table the scan resolves each row's stable id so the
+        # rewrite can carry it
+        if rt:
+            cand_df = _scan_adds_materialized(
+                spark, path, meta, schema, {r: adds[r] for r in cand_rel}
+            )
+        else:
+            cand_df = _scan_adds(
+                spark, path, meta, schema, {r: adds[r] for r in cand_rel}
+            )
         # count matched KEYS, not matched rows: a key present in several
         # table rows updates them all but is still one update
         n_updated = keys.join(cand_df.select(key), key, "left_semi").count()
         kept = cand_df.join(_bcast(keys), key, "left_anti")
-        rewritten = kept.unionByName(source)
+        if rt:
+            # each matched key inherits its target row's stable id (min id
+            # when the key matched several rows — the survivors' ids retire
+            # with their rows, same as a delete); unmatched source rows get
+            # NULL and fall through to the fresh baseRowId range
+            id_map = (
+                cand_df.join(_bcast(keys), key, "left_semi")
+                .groupBy(key)
+                .agg(F.min(mat_id).alias("__rt_mid"))
+            )
+            source_rt = source.join(_bcast(id_map), key, "left").select(
+                *schema.fieldNames(),
+                F.col("__rt_mid").alias(mat_id),
+                F.lit(None).cast("long").alias(mat_rcv),
+            )
+            rewritten = kept.unionByName(source_rt)
+        else:
+            rewritten = kept.unionByName(source)
     else:
         n_updated = 0
+        # no candidate files: every source row is an insert; fresh appends
+        # need no materialized columns (readers use baseRowId + position)
         rewritten = source
+        if rt:
+            source_rt = source
     n_inserted = n_source_keys - n_updated
 
     cdc_actions: list[dict] = []
@@ -3293,7 +3340,9 @@ def merge_delta(
         if cand_rel:
             # matched_keys <= n_source_keys rows, so the same gate applies
             matched_keys = keys.join(cand_df.select(key), key, "left_semi")
-            pre = cand_df.join(_bcast(matched_keys), key, "left_semi").withColumn(
+            # change files carry logical columns only (no materialized ids)
+            cdc_cand = cand_df.select(*schema.fieldNames())
+            pre = cdc_cand.join(_bcast(matched_keys), key, "left_semi").withColumn(
                 ct, F.lit("update_preimage")
             )
             post = source.join(_bcast(matched_keys), key, "left_semi").withColumn(
@@ -3365,7 +3414,9 @@ def merge_delta(
             )
         else:
             masked = spark.createDataFrame([], "__path string, __pos bigint")
-        new_adds = _write_parts(source, path, MAX_ROWS_PER_FILE, part_cols)
+        new_adds = _write_parts(
+            source_rt if rt else source, path, MAX_ROWS_PER_FILE, part_cols
+        )
         new_rel |= {a["path"] for a in new_adds}
         try:
             res = _dv_mask_commit(
@@ -3399,14 +3450,21 @@ def merge_delta(
         {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
         for p in sorted(cand_rel)
     ]
-    actions = [
-        _commit_info("MERGE", part_cols),
-        *txn_actions,
-        *removes,
-        *[{"add": a} for a in new_adds],
-        *cdc_actions,
-    ]
-    _commit_checked(path, lambda: actions, set(cand_rel), validate=_validate)
+
+    def _cow_actions(version: int) -> list[dict]:
+        # row tracking: fresh baseRowId ranges stamp per attempt from the
+        # fresh high-water mark (a lost race re-reads it)
+        rt_actions = _assign_row_ids(path, new_adds, version) if rt else []
+        return [
+            _commit_info("MERGE", part_cols),
+            *rt_actions,
+            *txn_actions,
+            *removes,
+            *[{"add": a} for a in new_adds],
+            *cdc_actions,
+        ]
+
+    _commit_checked(path, _cow_actions, set(cand_rel), validate=_validate)
     return {
         "rewritten_files": len(cand_rel),
         "updated": n_updated,
@@ -3765,14 +3823,24 @@ def _cow_probe_and_commit(
     apply each file's DV (already-deleted rows can neither match the
     predicate nor be resurrected by the rewrite), and the commit validates
     that no concurrent merge-on-read delete changed a rewritten file's DV
-    under us (_dv_unchanged_validator)."""
+    under us (_dv_unchanged_validator).
+
+    Row-tracking aware (Delta PROTOCOL.md "Row Tracking"): on an enabled
+    table the rewrite scan resolves each row's STABLE id/commit version
+    (materialized-or-computed coalesce) and the replacement files carry
+    them under the reserved materialized column names.  Rows the predicate
+    MATCHED get a NULL materialized commit version — readers resolve that
+    through the new add's ``defaultRowCommitVersion``, i.e. THIS commit,
+    which is exactly "last updated"; carried-over rows keep both values
+    physically.  Fresh baseRowId ranges still stamp the new adds inside
+    the commit retry loop (readers prefer the materialized values)."""
     from pyspark.sql import functions as F
 
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, op)
     _forbid_if_column_mapped(meta, op)
-    _forbid_if_row_tracked(meta, op)
+    rt = _row_tracking_enabled(meta)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         return 0, 0, 0, meta
@@ -3789,9 +3857,21 @@ def _cow_probe_and_commit(
     if not affected_rel:
         return 0, 0, len(adds), meta
 
-    rows = _scan_adds(
-        spark, path, meta, schema, {p: adds[p] for p in affected_rel}
-    )
+    affected = {p: adds[p] for p in affected_rel}
+    if rt:
+        _, mat_rcv = _materialized_col_names(meta)
+        rows = _scan_adds_materialized(spark, path, meta, schema, affected)
+        # matched rows are about to change: their materialized commit
+        # version goes NULL so readers fall through to this commit's
+        # defaultRowCommitVersion (DELETE drops them anyway — harmless)
+        rows = rows.withColumn(
+            mat_rcv,
+            F.when(
+                F.coalesce(pred, F.lit(False)), F.lit(None).cast("long")
+            ).otherwise(F.col(mat_rcv)),
+        )
+    else:
+        rows = _scan_adds(spark, path, meta, schema, affected)
     replacement = rewrite_fn(rows, pred, schema)
     if op == "UPDATE":
         # a SET can break a CHECK constraint; enforcement covers the whole
@@ -3801,20 +3881,36 @@ def _cow_probe_and_commit(
     new_adds = _write_parts(replacement, path, MAX_ROWS_PER_FILE, part_cols)
     cdc_actions: list[dict] = []
     if cdc_fn is not None and _cdf_enabled(meta):
-        cdc_actions = _write_cdc(spark, path, meta, cdc_fn(rows, pred, schema))
+        # change files carry logical columns only, never the physical
+        # materialized id columns
+        cdc_rows = rows.select(*schema.fieldNames()) if rt else rows
+        cdc_actions = _write_cdc(spark, path, meta, cdc_fn(cdc_rows, pred, schema))
     now_ms = int(time.time() * 1000)
-    actions = [
-        _commit_info(op, part_cols),
-        *[
-            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
-            for p in affected_rel
-        ],
-        *[{"add": a} for a in new_adds],
-        *cdc_actions,
-    ]
+
+    def actions(version: int) -> list[dict]:
+        # row tracking: fresh baseRowId ranges stamp per attempt from the
+        # fresh high-water mark (a lost race re-reads it)
+        rt_actions = _assign_row_ids(path, new_adds, version) if rt else []
+        return [
+            _commit_info(op, part_cols),
+            *rt_actions,
+            *[
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for p in affected_rel
+            ],
+            *[{"add": a} for a in new_adds],
+            *cdc_actions,
+        ]
+
     _commit_checked(
         path,
-        lambda: actions,
+        actions,
         set(affected_rel),
         validate=_dv_unchanged_validator(adds, set(affected_rel)),
     )
@@ -4106,9 +4202,9 @@ def update_delta(
     from pyspark.sql import functions as F
 
     _, meta, adds = _read_log(path)
-    # copy-on-write UPDATE stays refused on row-tracking tables (the
-    # rewrite guard in _cow_probe_and_commit); merge-on-read UPDATE is
-    # supported — it materializes each updated row's stable id
+    # both modes preserve row-tracking ids: merge-on-read materializes the
+    # stable id into the appended copies, copy-on-write into the rewritten
+    # files (_cow_probe_and_commit)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     unknown = set(set_exprs) - set(schema.fieldNames())
     if unknown:

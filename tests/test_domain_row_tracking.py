@@ -7,10 +7,11 @@ and back the two features that store per-table state outside metaData:
 - rowTracking: every add carries a fresh baseRowId range +
   defaultRowCommitVersion; the high-water mark lives in the
   `delta.rowTracking` domain; read_delta_with_row_ids surfaces
-  _row_id/_row_commit_version.  Containment: rewriting DML refuses
-  (stable ids across a rewrite need materialized id columns); MOR
-  deletes preserve ids natively because surviving rows' files and
-  positions never change.
+  _row_id/_row_commit_version.  The FULL DML matrix preserves ids (r10):
+  MOR deletes natively (surviving rows' files and positions never
+  change), CoW UPDATE/DELETE, MERGE (both modes) and OPTIMIZE by
+  materializing the stable ids into the rewritten files, RESTORE by
+  re-adding the original add actions with their original ranges.
 - clustering: clustering columns live in the `delta.clustering` domain;
   a plain OPTIMIZE re-clusters on them (z-order interleave) and stamps
   clusteringProvider="liquid" on the rewritten adds.
@@ -142,23 +143,115 @@ class TestRowTracking:
         assert len(post) == 90
         assert all(pre[k] == v for k, v in post.items())
 
-    def test_row_changing_dml_refuses(self, spark, tmpdir):
+    def test_column_mapping_matrix_closed(self, spark, tmpdir):
         t = _table(spark, tmpdir)
         D.enable_row_tracking(t)
-        src = spark.range(5).selectExpr(
-            "id", "id % 7 as k", "cast(0.0 as double) as v"
-        )
-        for op in [
-            lambda: D.update_delta(spark, t, "id = 1", {"v": "v + 1"}),
-            lambda: D.delete_from_delta(spark, t, "id = 1"),
-            lambda: D.merge_delta(spark, t, src, "id"),
-            lambda: D.restore_delta(spark, t, 1),
-        ]:
-            with pytest.raises(D.UnsupportedProtocolError, match="row-tracking"):
-                op()
         # the feature matrix is closed both ways with column mapping
         with pytest.raises(D.UnsupportedProtocolError, match="column-mapped|column mapping"):
             D.enable_column_mapping(t)
+
+    def test_cow_update_keeps_ids_bumps_commit_version(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        pre = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        res = D.update_delta(spark, t, "id % 10 = 2", {"v": "v + 1000"})
+        assert res["updated_rows"] == 10 and res["rewritten_files"] >= 1
+        latest = D._read_log(t)[0]
+        rows = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"], r["v"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert len(rows) == 100
+        for i, (rid, rcv, v) in rows.items():
+            assert rid == pre[i][0]  # spec: UPDATE keeps the row id
+            if i % 10 == 2:
+                assert rcv == latest and v == i * 1.5 + 1000
+            else:
+                # carried-over rows in the rewritten file keep their
+                # original commit version (physically materialized)
+                assert rcv == pre[i][1]
+        # the replacement files physically carry the materialized columns
+        # (untouched files never rewritten don't need to)
+        _, meta, adds = D._read_log(t)
+        mat_id, _ = D._materialized_col_names(meta)
+        import pyarrow.parquet as pq
+
+        new_files = [
+            p for p, a in adds.items()
+            if a.get("defaultRowCommitVersion") == latest
+        ]
+        assert new_files and all(
+            mat_id in pq.read_schema(os.path.join(t, p)).names for p in new_files
+        )
+
+    def test_cow_delete_preserves_surviving_ids(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        pre = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        res = D.delete_from_delta(spark, t, "id % 10 = 3")
+        assert res["deleted_rows"] == 10 and res["rewritten_files"] >= 1
+        post = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert len(post) == 90
+        # survivors keep BOTH id and commit version across the rewrite
+        assert all(pre[k] == v for k, v in post.items())
+
+    @pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+    def test_merge_preserves_matched_ids_mints_insert_ids(
+        self, spark, tmpdir, mode
+    ):
+        t = _table(spark, tmpdir, name=f"m_{mode[:3]}")
+        D.enable_row_tracking(t)
+        pre = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        src = spark.range(95, 105).selectExpr(
+            "id", "id % 7 as k", "cast(-1.0 as double) as v"
+        )
+        res = D.merge_delta(spark, t, src, "id", mode=mode)
+        assert res["updated"] == 5 and res["inserted"] == 5
+        latest = D._read_log(t)[0]
+        rows = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"], r["v"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert len(rows) == 105
+        assert len({rid for rid, _, _ in rows.values()}) == 105  # all unique
+        for i in range(95):  # untouched rows: id AND version stable
+            assert rows[i][:2] == pre[i]
+        for i in range(95, 100):  # updated: id kept, version bumped
+            assert rows[i][0] == pre[i][0]
+            assert rows[i][1] == latest and rows[i][2] == -1.0
+        for i in range(100, 105):  # inserted: fresh ids past the old mark
+            assert rows[i][0] > 99 and rows[i][1] == latest
+
+    def test_restore_reverts_ids_with_rows(self, spark, tmpdir):
+        t = _table(spark, tmpdir)
+        D.enable_row_tracking(t)
+        v_enabled = D._read_log(t)[0]
+        D.delete_from_delta(spark, t, "id % 10 = 3", mode="merge-on-read")
+        D.update_delta(spark, t, "id = 4", {"v": "0.0"})
+        D.restore_delta(spark, t, v_enabled)
+        out = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"], r["v"])
+            for r in D.read_delta_with_row_ids(spark, t).collect()
+        }
+        assert sorted(rid for rid, _, _ in out.values()) == list(range(100))
+        assert out[4][2] == 6.0  # the update is undone with its file
+        assert all(rcv == v_enabled for _, rcv, _ in out.values())
+        # restoring past the enablement commit stays refused: those adds
+        # carry no baseRowId ranges
+        with pytest.raises(D.UnsupportedProtocolError, match="before row tracking"):
+            D.restore_delta(spark, t, 0)
 
     def test_optimize_preserves_ids_via_materialization(self, spark, tmpdir):
         t = _table(spark, tmpdir)
