@@ -250,6 +250,11 @@ def _write_data_files(
         from pyspark.sql import functions as F
 
         ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        # spec-v3 materialized lineage columns ride with their RESERVED
+        # field ids so id-resolving readers recognize them
+        ids.update(
+            {c: fid for c, fid in ROW_LINEAGE_FIELD_IDS.items() if c in df.columns}
+        )
         df = df.select(
             *[
                 F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
@@ -3051,7 +3056,12 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "COW DML")
-    _forbid_if_row_lineage(meta, "copy-on-write DML")
+    # row lineage survives CoW DML: the rewrite scan resolves each row's
+    # stable id (materialized-or-computed) and the replacement files
+    # carry the reserved columns; matched rows get a NULL materialized
+    # last-updated so readers fall through to the new file's sequence
+    # number — exactly "updated at this commit"
+    rl = _row_lineage_enabled(meta)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_cols = _default_spec_cols(meta)
@@ -3086,9 +3096,20 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     if not affected:
         return 0, 0, len(entries_live)
 
-    replacement = rewrite_fn(
-        scan(sorted(affected)).select(*schema.fieldNames()), pred, schema
-    )
+    if rl:
+        rows = _lineage_rewrite_scan(
+            spark, path, schema, partitioned, entries_live, delete_entries,
+            files=sorted(affected),
+        )
+        rows = rows.withColumn(
+            LAST_UPDATED_COL,
+            F.when(
+                F.coalesce(pred, F.lit(False)), F.lit(None).cast("long")
+            ).otherwise(F.col(LAST_UPDATED_COL)),
+        )
+    else:
+        rows = scan(sorted(affected)).select(*schema.fieldNames())
+    replacement = rewrite_fn(rows, pred, schema)
     new_file_entries = _write_data_files(
         replacement, path, spec_cols or None,
         ice_schema=meta["schemas"][meta["current-schema-id"]],
@@ -3102,7 +3123,10 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
-    manifest = _write_manifest(path, snapshot_id, new_entries, meta)
+    manifest = _write_manifest(
+        path, snapshot_id, new_entries, meta,
+        first_row_id=meta["next-row-id"] if rl else None,
+    )
     manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -3116,6 +3140,9 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if rl:
+        snapshot["first-row-id"] = meta["next-row-id"]
+        new_meta["next-row-id"] = manifest["__next_row_id"]
     try:
         fd = os.open(
             os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
@@ -3740,9 +3767,12 @@ def _mor_update_iceberg(
     sink's ``_update_mor``.  Position deletes address (path, pos) of the
     OLD files, so the same-snapshot copies are untouched by them; write
     cost ∝ matched rows.  A later ``optimize_iceberg`` folds the deletes
-    away.  Refused on row-lineage tables (updated copies would mint fresh
-    row ids; the Delta twin preserves ids via its materialized columns —
-    that mechanism has no spec'd file-level twin here yet)."""
+    away.
+
+    Row-lineage aware (spec v3): on an enabled table the updated copies
+    carry each row's STABLE id in the materialized ``_row_id`` column
+    with a NULL materialized last-updated — readers resolve that through
+    the new file's data sequence number, i.e. THIS update's commit."""
     import pyarrow.parquet as pq  # noqa: F401
 
     from pyspark.sql import functions as F
@@ -3751,7 +3781,7 @@ def _mor_update_iceberg(
 
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "merge-on-read UPDATE")
-    _forbid_if_row_lineage(meta, "merge-on-read UPDATE")
+    rl = _row_lineage_enabled(meta)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
     empty = {"updated_rows": 0, "delete_files": 0, "new_files": 0}
@@ -3759,25 +3789,63 @@ def _mor_update_iceberg(
         return empty
 
     files = [_abs_file(path, d["file_path"]) for d in data_entries]
-    reader = spark.read.schema(schema)
+    read_schema = schema
+    if rl:
+        read_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField(ROW_ID_COL, T.LongType(), True),
+                T.StructField(LAST_UPDATED_COL, T.LongType(), True),
+            ]
+        )
+    reader = spark.read.schema(read_schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
-    scan = _with_row_positions(reader, files, schema)
+    scan = _with_row_positions(reader, files, read_schema)
     # rows already deleted (either encoding) must not be updated back to life
     scan = _apply_deletes(
         spark, scan, path, delete_entries, data_entries,
         meta["schemas"][meta["current-schema-id"]],
     )
+    if rl:
+        missing = sorted(
+            d["file_path"] for d in data_entries if d.get("first_row_id") is None
+        )
+        if missing:
+            raise ValueError(
+                f"files without first_row_id in a row-lineage table "
+                f"(foreign writer?): {missing[:3]}"
+            )
+        fmap = spark.createDataFrame(
+            [
+                (_abs_file(path, d["file_path"]), int(d["first_row_id"]))
+                for d in data_entries
+            ],
+            "__rl_path string, __rl_first long",
+        )
+        scan = scan.join(F.broadcast(fmap), scan["__path"] == fmap["__rl_path"]).select(
+            *schema.fieldNames(),
+            F.coalesce(
+                F.col(ROW_ID_COL), F.col("__rl_first") + F.col("__pos")
+            ).alias(ROW_ID_COL),
+            scan["__path"],
+            scan["__pos"],
+        )
     matched = scan.filter(F.coalesce(F.expr(predicate), F.lit(False)))
     matches = matched.select(
         F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    rl_cols = (
+        [F.col(ROW_ID_COL), F.lit(None).cast("long").alias(LAST_UPDATED_COL)]
+        if rl
+        else []
     )
     updated = matched.withColumns(
         {
             col: F.expr(expr).cast(schema[col].dataType)
             for col, expr in set_exprs.items()
         }
-    ).select(*schema.fieldNames())
+    ).select(*schema.fieldNames(), *rl_cols)
 
     new_delete_entries = _write_pos_delete_files(matches, path)
     if not new_delete_entries:
@@ -3797,7 +3865,10 @@ def _mor_update_iceberg(
     delete_manifest = _write_manifest(
         path, snapshot_id, new_delete_entries, meta, content=1
     )
-    data_manifest = _write_manifest(path, snapshot_id, updated_entries, meta)
+    data_manifest = _write_manifest(
+        path, snapshot_id, updated_entries, meta,
+        first_row_id=meta["next-row-id"] if rl else None,
+    )
     manifests = _snapshot_manifests(path, meta) + [delete_manifest, data_manifest]
     manifest_list = _write_manifest_list(path, snapshot_id, manifests, sequence_number)
     snapshot = {
@@ -3816,6 +3887,9 @@ def _mor_update_iceberg(
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if rl:
+        snapshot["first-row-id"] = meta["next-row-id"]
+        new_meta["next-row-id"] = data_manifest["__next_row_id"]
     try:
         fd = os.open(
             os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
@@ -4138,18 +4212,93 @@ def _row_lineage_enabled(meta: dict) -> bool:
     return meta.get("next-row-id") is not None
 
 
+# spec v3 reserved lineage columns (iceberg spec "Reserved Field IDs"):
+# rewriting ops materialize each surviving row's resolved values into the
+# replacement files under these names/ids; readers prefer the materialized
+# value and fall back to first_row_id + position / the file's data
+# sequence number
+ROW_ID_COL = "_row_id"
+LAST_UPDATED_COL = "_last_updated_sequence_number"
+ROW_LINEAGE_FIELD_IDS = {ROW_ID_COL: 2147483540, LAST_UPDATED_COL: 2147483539}
+
+
 def _forbid_if_row_lineage(meta: dict, op: str) -> None:
-    """Containment for row lineage (the format twin of the Delta sink's
-    ``_forbid_if_row_tracked``): operations that rewrite surviving rows
-    into new files would hand them fresh row ids.  Appends mint fresh ids
-    by design; merge-on-read deletes (position deletes and deletion
-    vectors) never move surviving rows, so both stay allowed."""
+    """Containment for row lineage, now only for BRANCH appends: a branch
+    commit would advance the table-wide ``next-row-id`` cursor from an
+    unpublished lineage, and a later cherry-pick/fast-forward would have
+    to reconcile ranges minted outside main.  Every main-lineage op
+    (appends, MOR deletes, OPTIMIZE, CoW DML, MERGE, MOR UPDATE)
+    preserves or mints ids correctly and stays allowed."""
     if _row_lineage_enabled(meta):
         raise ValueError(
-            f"{op} on a row-lineage table is not supported: rewritten rows "
-            "would change row ids; use merge-on-read deletes, which "
-            "preserve them"
+            f"{op} on a row-lineage table is not supported: row-id ranges "
+            "minted outside the main lineage cannot be reconciled at "
+            "publish time; write to main, or disable row lineage"
         )
+
+
+def _lineage_rewrite_scan(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    partitioned: bool,
+    data_entries: list[dict],
+    delete_entries: list[dict],
+    files: list[str] | None = None,
+    with_path: bool = False,
+) -> DataFrame:
+    """Rewrite-input scan for row-lineage tables: every row comes back
+    with its stable ``_row_id`` / ``_last_updated_sequence_number``
+    RESOLVED per spec v3 — the materialized value when the file
+    physically carries the reserved columns (files written by an earlier
+    rewrite do), else ``first_row_id`` + position and the file's data
+    sequence number.  Scanning a column absent from a parquet file yields
+    null, so the coalesce needs no per-file branching; the id map is one
+    broadcast row per FILE.  ``files`` restricts the scan to those
+    absolute paths (default: all of ``data_entries``)."""
+    from pyspark.sql import functions as F
+
+    sel = (
+        set(files)
+        if files is not None
+        else {_abs_file(path, d["file_path"]) for d in data_entries}
+    )
+    entries = [d for d in data_entries if _abs_file(path, d["file_path"]) in sel]
+    missing = sorted(
+        d["file_path"] for d in entries if d.get("first_row_id") is None
+    )
+    if missing:
+        raise ValueError(
+            f"files without first_row_id in a row-lineage table (foreign "
+            f"writer?): {missing[:3]}"
+        )
+    ext = T.StructType(
+        schema.fields
+        + [
+            T.StructField(ROW_ID_COL, T.LongType(), True),
+            T.StructField(LAST_UPDATED_COL, T.LongType(), True),
+        ]
+    )
+    scan = _scan_with_deletes(spark, path, ext, partitioned, sorted(sel), delete_entries)
+    fmap = spark.createDataFrame(
+        [
+            (_abs_file(path, d["file_path"]), int(d["first_row_id"]), int(d["__seq"]))
+            for d in entries
+        ],
+        "__rl_path string, __rl_first long, __rl_seq long",
+    )
+    joined = scan.join(F.broadcast(fmap), scan["__path"] == fmap["__rl_path"])
+    extra = [scan["__path"], scan["__pos"]] if with_path else []
+    return joined.select(
+        *schema.fieldNames(),
+        F.coalesce(F.col(ROW_ID_COL), F.col("__rl_first") + F.col("__pos")).alias(
+            ROW_ID_COL
+        ),
+        F.coalesce(F.col(LAST_UPDATED_COL), F.col("__rl_seq")).alias(
+            LAST_UPDATED_COL
+        ),
+        *extra,
+    )
 
 
 @accepts_file_uris
@@ -4322,13 +4471,15 @@ def enable_row_lineage_iceberg(path: str) -> None:
 @accepts_file_uris
 def read_iceberg_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
     """Read a row-lineage table with ``_row_id`` and
-    ``_last_updated_sequence_number`` appended: row id = the file's
-    ``first_row_id`` + the row's physical position, last-updated = the
-    file's effective data sequence number (this writer never rewrites rows
-    in place, so the file's sequence number IS each row's).  The id map is
-    one row per live file — metadata-sized, broadcast onto the scan —
-    and both MOR delete encodings apply first without shifting surviving
-    rows' positions, so ids are stable under deletes.  The format twin of
+    ``_last_updated_sequence_number`` appended: the MATERIALIZED value
+    when the file physically carries the spec's reserved columns (files
+    written by OPTIMIZE/CoW DML/MERGE preserve inherited ids that way),
+    else the file's ``first_row_id`` + the row's physical position and
+    its effective data sequence number — the spec v3 resolution order.
+    The id map is one row per live file — metadata-sized, broadcast onto
+    the scan — and both MOR delete encodings apply first without
+    shifting surviving rows' positions, so ids are stable under deletes
+    AND across compaction.  The format twin of
     ``delta.read_delta_with_row_ids``."""
     from pyspark.sql import functions as F
 
@@ -4357,7 +4508,13 @@ def read_iceberg_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
             f"writer?): {missing[:3]}"
         )
     files = [_abs_file(path, d["file_path"]) for d in data_entries]
-    read_schema = _extended_read_schema(meta, schema)
+    read_schema = T.StructType(
+        _extended_read_schema(meta, schema).fields
+        + [
+            T.StructField(ROW_ID_COL, T.LongType(), True),
+            T.StructField(LAST_UPDATED_COL, T.LongType(), True),
+        ]
+    )
     reader = spark.read.schema(read_schema)
     if partitioned:
         reader = reader.option("basePath", os.path.join(os.path.abspath(path), "data"))
@@ -4381,8 +4538,12 @@ def read_iceberg_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
     joined = scan.join(F.broadcast(fmap), scan["__path"] == fmap["__rl_path"])
     return joined.select(
         *schema.fieldNames(),
-        (F.col("__rl_first") + F.col("__pos")).alias("_row_id"),
-        F.col("__rl_seq").alias("_last_updated_sequence_number"),
+        F.coalesce(F.col(ROW_ID_COL), F.col("__rl_first") + F.col("__pos")).alias(
+            ROW_ID_COL
+        ),
+        F.coalesce(F.col(LAST_UPDATED_COL), F.col("__rl_seq")).alias(
+            LAST_UPDATED_COL
+        ),
     )
 
 
@@ -4437,7 +4598,11 @@ def optimize_iceberg(
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "OPTIMIZE")
-    _forbid_if_row_lineage(meta, "OPTIMIZE")
+    # row lineage survives compaction: the rewrite scans resolve each
+    # row's stable id/last-updated (materialized-or-computed coalesce)
+    # and write them INTO the new files under the spec's reserved
+    # columns; fresh first_row_id ranges still stamp the new entries
+    rl = _row_lineage_enabled(meta)
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_exprs = _default_spec_cols(meta)
     spec_srcs = [TR.parse_partition_expr(e)[1] for e in spec_exprs]
@@ -4504,9 +4669,16 @@ def optimize_iceberg(
         )
         target_partitions = max(1, small_bytes // small_file_threshold)
         n_before = len(small)
-        df = _scan_with_deletes(
-            spark, path, schema, partitioned, sorted(small), deletes_before
-        ).select(*schema.fieldNames())
+        df = (
+            _lineage_rewrite_scan(
+                spark, path, schema, partitioned, data_before, deletes_before,
+                files=sorted(small),
+            )
+            if rl
+            else _scan_with_deletes(
+                spark, path, schema, partitioned, sorted(small), deletes_before
+            ).select(*schema.fieldNames())
+        )
     elif selected_abs is not None:
         # OPTIMIZE WHERE without bin-packing: rewrite exactly the scoped
         # files (plus delete targets), carry the rest untouched
@@ -4522,14 +4694,22 @@ def optimize_iceberg(
             if _abs_file(path, d["file_path"]) not in rewrite
         ]
         n_before = len(rewrite)
-        df = _scan_with_deletes(
-            spark, path, schema, partitioned, sorted(rewrite), deletes_before
-        ).select(*schema.fieldNames())
+        df = (
+            _lineage_rewrite_scan(
+                spark, path, schema, partitioned, data_before, deletes_before,
+                files=sorted(rewrite),
+            )
+            if rl
+            else _scan_with_deletes(
+                spark, path, schema, partitioned, sorted(rewrite), deletes_before
+            ).select(*schema.fieldNames())
+        )
     else:
         # read_iceberg applies position-delete files, so compaction doubles
         # as the merge-on-read deletes purge: the new snapshot's manifest
         # lists clean data files only and carries no delete manifest
-        df = read_iceberg(spark, path)
+        # (the lineage read resolves stable ids for the rewrite to carry)
+        df = read_iceberg_with_row_ids(spark, path) if rl else read_iceberg(spark, path)
     opt_sort_oid: int | None = None
     sort_fields = (
         _default_sort_fields(meta) if not sort_by and not zorder_by else []
@@ -4566,7 +4746,8 @@ def optimize_iceberg(
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
     manifest = _write_manifest(
-        path, snapshot_id, entries, meta, sort_order_id=opt_sort_oid
+        path, snapshot_id, entries, meta, sort_order_id=opt_sort_oid,
+        first_row_id=meta["next-row-id"] if rl else None,
     )
     manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
     snapshot = {
@@ -4581,6 +4762,11 @@ def optimize_iceberg(
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if rl:
+        # new entries took fresh ranges (readers prefer the materialized
+        # ids the rewrite carried into the files); advance the cursor
+        snapshot["first-row-id"] = meta["next-row-id"]
+        new_meta["next-row-id"] = manifest["__next_row_id"]
     try:
         fd = os.open(
             os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
@@ -4628,7 +4814,11 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
     _forbid_if_renamed(meta, "MERGE")
-    _forbid_if_row_lineage(meta, "MERGE")
+    # row lineage survives MERGE: matched target rows carry their stable
+    # id into the replacement rows (materialized _row_id, NULL
+    # last-updated → resolves to the new file's sequence number);
+    # carried-over rows keep both; inserts take fresh first_row_id ranges
+    rl = _row_lineage_enabled(meta)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -4636,8 +4826,16 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             f"{sorted(schema.fieldNames())}"
         )
     source = source.select(*schema.fieldNames())
-    n_source_keys = source.select(key).distinct().count()
-    if source.count() != n_source_keys:
+    # one pass over the source answers both "how many distinct keys" and
+    # "are there duplicates" (count_distinct skips NULL keys; a NULL key
+    # row is still one distinct probe value, so add it back)
+    _kc = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("k"),
+        F.max(F.col(key).isNull()).alias("has_null"),
+    ).first()
+    n_source_keys = int(_kc["k"]) + (1 if _kc["has_null"] else 0)
+    if _kc["n"] != n_source_keys:
         raise ValueError(
             f"merge source has duplicate values in key column {key!r}; "
             "deduplicate before merging (same contract as Delta MERGE)"
@@ -4736,11 +4934,39 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             n_updated = keys.join(cand.select(key), key, "left_semi").count()
 
     if affected:
-        kept = scan(sorted(affected)).select(*schema.fieldNames()).join(
-            keys, key, "left_anti"
-        )
-        rewritten = kept.unionByName(source)
+        if rl:
+            cand_rl = _lineage_rewrite_scan(
+                spark, path, schema, partitioned, entries_live, delete_entries,
+                files=sorted(affected),
+            )
+            kept = cand_rl.join(keys, key, "left_anti")
+            # each matched key inherits its target row's stable id (min id
+            # when the key matched several rows — the survivors' ids
+            # retire with their rows, same as a delete); unmatched source
+            # rows get NULL and fall through to the fresh first_row_id
+            # range.  NULL last-updated resolves to the new file's
+            # sequence number — "updated at this commit".
+            id_map = (
+                cand_rl.join(keys, key, "left_semi")
+                .groupBy(key)
+                .agg(F.min(ROW_ID_COL).alias("__rl_mid"))
+            )
+            if n_source_keys <= DELETE_BROADCAST_MAX:
+                id_map = F.broadcast(id_map)
+            source_out = source.join(id_map, key, "left").select(
+                *schema.fieldNames(),
+                F.col("__rl_mid").alias(ROW_ID_COL),
+                F.lit(None).cast("long").alias(LAST_UPDATED_COL),
+            )
+        else:
+            kept = scan(sorted(affected)).select(*schema.fieldNames()).join(
+                keys, key, "left_anti"
+            )
+            source_out = source
+        rewritten = kept.unionByName(source_out)
     else:
+        # no candidate files: every source row is an insert; fresh appends
+        # need no materialized columns (readers use first_row_id + pos)
         rewritten = source
     n_inserted = n_source_keys - n_updated
 
@@ -4757,7 +4983,10 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
 
     snapshot_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
-    manifest = _write_manifest(path, snapshot_id, new_entries, meta)
+    manifest = _write_manifest(
+        path, snapshot_id, new_entries, meta,
+        first_row_id=meta["next-row-id"] if rl else None,
+    )
     manifest_list = _write_manifest_list(path, snapshot_id, [manifest], sequence_number)
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -4771,6 +5000,9 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if rl:
+        snapshot["first-row-id"] = meta["next-row-id"]
+        new_meta["next-row-id"] = manifest["__next_row_id"]
     try:
         fd = os.open(
             os.path.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
