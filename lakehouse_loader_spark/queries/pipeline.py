@@ -1453,21 +1453,31 @@ def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 1)
                + row_number() OVER (ORDER BY o_orderkey) - 1 AS _row_id
       FROM orders WHERE o_orderkey % 4 = 2)
-    SELECT o_orderkey, o_totalprice, _row_id
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 8 = 5 THEN o_totalprice + 100000.0
+                WHEN o_orderkey % 8 = 6 THEN o_totalprice * 2.0
+                ELSE o_totalprice END AS o_totalprice,
+           _row_id
     FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
     WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 150000.0)
     """,
 )
 def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg spec-v3 row lineage under the correctness gate — the format
-    twin of delta_row_tracking_scan, exercising BOTH assignment paths:
-    the enablement backfill (part A's file gets first_row_id 0) and the
-    write-path stamping (part B's append file starts at next-row-id =
-    count(A)).  Each part is one sorted file so physical position matches
-    the oracle's ORDER BY; a deletion-vector DELETE then must leave
-    surviving ids untouched (``first_row_id + position``; DVs never move
-    rows).  Ranges are provably non-overlapping — the append stamps
-    inside the commit retry loop from the fresh cursor."""
+    twin of delta_row_tracking_scan, exercising BOTH assignment paths AND
+    the id-preserving DML matrix (r11): the enablement backfill (part A's
+    file gets first_row_id 0) and the write-path stamping (part B's append
+    file starts at next-row-id = count(A)).  Each part is one sorted file
+    so physical position matches the oracle's ORDER BY.  Then three
+    id-preserving rewrites run in sequence — a deletion-vector DELETE
+    (DVs never move rows), a copy-on-write UPDATE (+100000 on the %8=5
+    keys) and a copy-on-write MERGE (doubling the %8=6 keys' totalprice;
+    matched-only source, so the oracle stays exact) — and every surviving
+    row must still carry its ORIGINAL id: the rewrites materialize the
+    resolved ids into the replacement files, and carried-over files keep
+    their original data sequence numbers (status-EXISTING entries).  At
+    scale the id map is one broadcast row per FILE and the manifest-bounds
+    probe prunes non-intersecting files before any data is read."""
     import os
     import tempfile
 
@@ -1500,6 +1510,21 @@ def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus = 'O' AND o_totalprice > 150000.0",
             strategy="merge-on-read-dv",
         )
+        # copy-on-write UPDATE: matched rows keep their stable id (the
+        # rewrite materializes it); the forced DV-target rewrite doubles
+        # as the deletes compaction
+        IC.update_iceberg(
+            spark,
+            table,
+            "o_orderkey % 8 = 5",
+            {"o_totalprice": "o_totalprice + 100000.0"},
+        )
+        # copy-on-write MERGE over surviving keys only (no inserts, so the
+        # oracle stays exact): matched rows keep their stable ids
+        src = IC.read_iceberg(spark, table).filter(
+            F.col("o_orderkey") % 8 == 6
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        IC.merge_iceberg(spark, table, src, "o_orderkey")
         cache[sf_dir] = table
     return IC.read_iceberg_with_row_ids(spark, table).select(
         "o_orderkey", "o_totalprice", "_row_id"

@@ -698,12 +698,19 @@ def _write_manifest(
             "first_row_id": fri,
             "sort_order_id": soid,
         }
+        carried_seq = e.get("__carried_seq")
         records.append(
             {
-                "status": 1,  # ADDED
+                # carried files are EXISTING with their ORIGINAL data
+                # sequence number made explicit (the rewrite_manifests
+                # shape) — inheritance would age them forward to this
+                # commit's seq, breaking equality-delete ordering and the
+                # lineage last-updated resolution for non-materialized
+                # files; fresh files stay ADDED and inherit
+                "status": 1 if carried_seq is None else 0,
                 "snapshot_id": snapshot_id,
-                "sequence_number": None,  # inherit from manifest_file
-                "file_sequence_number": None,
+                "sequence_number": carried_seq,
+                "file_sequence_number": carried_seq,
                 "data_file": data_file,
             }
         )
@@ -725,19 +732,28 @@ def _write_manifest(
             "content": "deletes" if content == 1 else "data",
         },
     )
+    n_existing = sum(1 for r in records if r["status"] == 0)
+    existing_rows = sum(
+        r["data_file"]["record_count"] for r in records if r["status"] == 0
+    )
+    carried_seqs = [
+        r["sequence_number"] for r in records if r["sequence_number"] is not None
+    ]
     return {
         "manifest_path": full,
         "manifest_length": os.path.getsize(full),
         "partition_spec_id": spec["spec-id"],
         "content": content,  # 0 data / 1 deletes
         "sequence_number": -1,  # stamped by _write_manifest_list
-        "min_sequence_number": -1,
+        # with carried EXISTING entries the manifest's min is theirs (the
+        # list writer raises -1 to the commit seq, never lowers a real min)
+        "min_sequence_number": min(carried_seqs) if carried_seqs else -1,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(records),
-        "existing_files_count": 0,
+        "added_files_count": len(records) - n_existing,
+        "existing_files_count": n_existing,
         "deleted_files_count": 0,
-        "added_rows_count": total_rows,
-        "existing_rows_count": 0,
+        "added_rows_count": total_rows - existing_rows,
+        "existing_rows_count": existing_rows,
         "deleted_rows_count": 0,
         "__next_row_id": row_id_cursor,
     }
@@ -755,7 +771,8 @@ def _write_manifest_list(
         m = dict(m)
         if m["sequence_number"] == -1:
             m["sequence_number"] = sequence_number
-            m["min_sequence_number"] = sequence_number
+            if m.get("min_sequence_number", -1) == -1:
+                m["min_sequence_number"] = sequence_number
         records.append(m)
     # reference file-name pattern: manifest-list-<uuid>.avro
     # (tests/basic_integration.rs:65)
@@ -922,6 +939,13 @@ def _carried_entry(path: str, d: dict, spec: dict, by_id: dict) -> dict:
         "upper_bounds": d.get("upper_bounds"),
         "first_row_id": d.get("first_row_id"),
         "sort_order_id": d.get("sort_order_id"),
+        # spec inheritance: a carried file keeps the DATA SEQUENCE NUMBER
+        # of the commit that wrote it (status EXISTING, explicit seq in the
+        # new manifest).  Letting it inherit the rewriting commit's seq
+        # would silently "age" the file forward — breaking equality-delete
+        # ordering and the row-lineage _last_updated_sequence_number
+        # resolution for files without materialized lineage columns
+        "__carried_seq": d.get("__seq"),
     }
 
 
@@ -3134,6 +3158,9 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_list,
         "summary": {"operation": op, "predicate": predicate},
+        # first-row-id set at construction: _append_snapshot must see the
+        # complete snapshot dict, never rely on mutating it by reference
+        **({"first-row-id": meta["next-row-id"]} if rl else {}),
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
@@ -3141,7 +3168,6 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     if rl:
-        snapshot["first-row-id"] = meta["next-row-id"]
         new_meta["next-row-id"] = manifest["__next_row_id"]
     try:
         fd = os.open(
@@ -3881,6 +3907,9 @@ def _mor_update_iceberg(
             "predicate": predicate,
             "update-mode": "merge-on-read",
         },
+        # first-row-id set at construction: _append_snapshot must see the
+        # complete snapshot dict, never rely on mutating it by reference
+        **({"first-row-id": meta["next-row-id"]} if rl else {}),
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
@@ -3888,7 +3917,6 @@ def _mor_update_iceberg(
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     if rl:
-        snapshot["first-row-id"] = meta["next-row-id"]
         new_meta["next-row-id"] = data_manifest["__next_row_id"]
     try:
         fd = os.open(
@@ -4222,21 +4250,6 @@ LAST_UPDATED_COL = "_last_updated_sequence_number"
 ROW_LINEAGE_FIELD_IDS = {ROW_ID_COL: 2147483540, LAST_UPDATED_COL: 2147483539}
 
 
-def _forbid_if_row_lineage(meta: dict, op: str) -> None:
-    """Containment for row lineage, now only for BRANCH appends: a branch
-    commit would advance the table-wide ``next-row-id`` cursor from an
-    unpublished lineage, and a later cherry-pick/fast-forward would have
-    to reconcile ranges minted outside main.  Every main-lineage op
-    (appends, MOR deletes, OPTIMIZE, CoW DML, MERGE, MOR UPDATE)
-    preserves or mints ids correctly and stays allowed."""
-    if _row_lineage_enabled(meta):
-        raise ValueError(
-            f"{op} on a row-lineage table is not supported: row-id ranges "
-            "minted outside the main lineage cannot be reconciled at "
-            "publish time; write to main, or disable row lineage"
-        )
-
-
 def _lineage_rewrite_scan(
     spark: SparkSession,
     path: str,
@@ -4469,7 +4482,9 @@ def enable_row_lineage_iceberg(path: str) -> None:
 
 
 @accepts_file_uris
-def read_iceberg_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
+def read_iceberg_with_row_ids(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
     """Read a row-lineage table with ``_row_id`` and
     ``_last_updated_sequence_number`` appended: the MATERIALIZED value
     when the file physically carries the spec's reserved columns (files
@@ -4489,7 +4504,11 @@ def read_iceberg_with_row_ids(spark: SparkSession, path: str) -> DataFrame:
     if not _row_lineage_enabled(meta):
         raise ValueError(f"row lineage is not enabled on {path}")
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
-    data_entries, delete_entries, partitioned = _split_live_entries(path, meta)
+    # snapshot_id reads a specific snapshot's lineage — e.g. a WAP branch
+    # head (branch commits mint ranges from the same table-wide cursor)
+    data_entries, delete_entries, partitioned = _split_live_entries(
+        path, meta, snapshot_id
+    )
     if not data_entries:
         out_schema = T.StructType(
             schema.fields
@@ -4756,6 +4775,9 @@ def optimize_iceberg(
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_list,
         "summary": {"operation": "replace"},
+        # first-row-id set at construction: _append_snapshot must see the
+        # complete snapshot dict, never rely on mutating it by reference
+        **({"first-row-id": meta["next-row-id"]} if rl else {}),
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
@@ -4765,7 +4787,6 @@ def optimize_iceberg(
     if rl:
         # new entries took fresh ranges (readers prefer the materialized
         # ids the rewrite carried into the files); advance the cursor
-        snapshot["first-row-id"] = meta["next-row-id"]
         new_meta["next-row-id"] = manifest["__next_row_id"]
     try:
         fd = os.open(
@@ -4994,6 +5015,9 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_list,
         "summary": {"operation": "overwrite", "merge-key": key},
+        # first-row-id set at construction: _append_snapshot must see the
+        # complete snapshot dict, never rely on mutating it by reference
+        **({"first-row-id": meta["next-row-id"]} if rl else {}),
     }
     new_meta = dict(meta)
     new_meta["last-sequence-number"] = sequence_number
@@ -5001,7 +5025,6 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
     if rl:
-        snapshot["first-row-id"] = meta["next-row-id"]
         new_meta["next-row-id"] = manifest["__next_row_id"]
     try:
         fd = os.open(
@@ -5124,10 +5147,15 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
-    # branch snapshots would need their own row-id ranges reconciled at
-    # publish time (fast-forward keeps them; cherry-pick re-stamps) —
-    # refuse rather than publish overlapping or unassigned ranges
-    _forbid_if_row_lineage(meta, "branch append")
+    # row lineage on a branch append (spec v3): branch commits draw their
+    # first-row-id ranges from the SAME table-wide next-row-id cursor as
+    # main-line commits — the cursor lives in table metadata, which every
+    # branch commit updates, so ranges never overlap across branches.
+    # Publication here is strictly fast-forward (publish_branch refuses a
+    # diverged main), so the minted ids are final at publish time; an
+    # abandoned branch merely burns its range (ids need not be dense)
+    rl = _row_lineage_enabled(meta)
+    row_id_start = meta["next-row-id"] if rl else None
     existing = (meta.get("refs") or {}).get(branch)
     if existing is not None and existing.get("type") != "branch":
         raise ValueError(f"ref {branch!r} is a tag, not a branch")
@@ -5149,7 +5177,9 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
                 return _read_manifest_list(path, snap["manifest-list"])
         return []
 
-    manifest = _write_manifest(path, snapshot_id, entries, meta)
+    manifest = _write_manifest(
+        path, snapshot_id, entries, meta, first_row_id=row_id_start
+    )
     for attempt in range(COMMIT_RETRIES):
         sequence_number = meta["last-sequence-number"] + 1
         manifests = base_manifests(meta) + [manifest]
@@ -5160,10 +5190,13 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": manifest_list,
             "summary": {"operation": "append", "branch": branch},
+            **({"first-row-id": row_id_start} if rl else {}),
         }
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = sequence_number
         new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
+        if rl:
+            new_meta["next-row-id"] = manifest["__next_row_id"]
         new_meta["snapshots"] = _append_snapshot(meta, snapshot)
         refs = dict(meta.get("refs") or {})
         prior = refs.get(branch)
@@ -5214,6 +5247,21 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
                 df.schema,
                 iceberg_to_schema(meta["schemas"][meta["current-schema-id"]]),
             )
+            if (
+                meta.get("next-row-id") is not None
+                and meta["next-row-id"] != row_id_start
+            ):
+                # the winner advanced the row-id cursor (or enabled lineage
+                # under us): re-stamp this manifest's first_row_id ranges
+                # from the fresh cursor so branch ranges never overlap
+                rl = True
+                row_id_start = meta["next-row-id"]
+                stale_mf = manifest["manifest_path"]
+                manifest = _write_manifest(
+                    path, snapshot_id, entries, meta, first_row_id=row_id_start
+                )
+                if os.path.exists(stale_mf):
+                    os.remove(stale_mf)  # never referenced by any commit
     with open(_hint_file(path), "w") as fh:
         fh.write(str(version + 1))
     return snapshot_id

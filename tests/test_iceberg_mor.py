@@ -867,8 +867,17 @@ class TestMorUpdate:
         t = self._table(spark, tmpdir, name="ur")
         with pytest.raises(ValueError, match="unknown update strategy"):
             IC.update_iceberg(spark, t, "id=1", {"v": "0.0"}, strategy="nope")
+        # MOR UPDATE on a row-lineage table is now a preservation op, not a
+        # refusal: the matched row keeps its id in the same-snapshot copy
+        # (full matrix in test_iceberg_row_lineage.TestLineageDml)
         IC.enable_row_lineage_iceberg(t)
-        with pytest.raises(ValueError, match="row-lineage"):
-            IC.update_iceberg(
-                spark, t, "id=1", {"v": "0.0"}, strategy="merge-on-read"
-            )
+        pre = {
+            r["id"]: r["_row_id"]
+            for r in IC.read_iceberg_with_row_ids(spark, t).collect()
+        }
+        IC.update_iceberg(spark, t, "id=1", {"v": "0.0"}, strategy="merge-on-read")
+        post = {
+            r["id"]: r["_row_id"]
+            for r in IC.read_iceberg_with_row_ids(spark, t).collect()
+        }
+        assert post == pre
