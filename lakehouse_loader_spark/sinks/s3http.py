@@ -59,13 +59,23 @@ def _hmac(key: bytes, msg: str) -> bytes:
     return hmac.new(key, msg.encode(), hashlib.sha256).digest()
 
 
-def sigv4_signing_key(secret: str, date: str, region: str, service: str = "s3") -> bytes:
+def sigv4_signing_key(
+    secret: str,
+    date: str,
+    region: str,
+    service: str = "s3",
+    key_prefix: str = "AWS4",
+    terminator: str = "aws4_request",
+) -> bytes:
     """The published HMAC derivation chain (shared with the test server,
-    which re-derives the signature from the RAW request independently)."""
-    k = _hmac(("AWS4" + secret).encode(), date)
+    which re-derives the signature from the RAW request independently).
+    GCS's XML-API V4 signing uses the IDENTICAL chain with the GOOG4
+    prefix / goog4_request terminator (cloud.google.com/storage/docs/
+    authentication/signatures)."""
+    k = _hmac((key_prefix + secret).encode(), date)
     k = _hmac(k, region)
     k = _hmac(k, service)
-    return _hmac(k, "aws4_request")
+    return _hmac(k, terminator)
 
 
 def _uri_encode(s: str, encode_slash: bool) -> str:
@@ -98,7 +108,18 @@ class S3Client:
     """Minimal synchronous S3 client over http.client.  One connection per
     concurrent request (parts upload from a bounded thread pool, so the
     pool size caps both threads and sockets — the reference's
-    upload-concurrency policy)."""
+    upload-concurrency policy).
+
+    The signing profile is a class attribute so :class:`GcsXmlClient` can
+    reuse every request/upload path with GCS's V4 variant."""
+
+    # (algorithm, key prefix, service, terminator, date header, sha header)
+    SIG_ALGORITHM = "AWS4-HMAC-SHA256"
+    SIG_KEY_PREFIX = "AWS4"
+    SIG_SERVICE = "s3"
+    SIG_TERMINATOR = "aws4_request"
+    DATE_HEADER = "x-amz-date"
+    SHA_HEADER = "x-amz-content-sha256"
 
     def __init__(
         self,
@@ -133,22 +154,25 @@ class S3Client:
         payload_sha = hashlib.sha256(body).hexdigest()
         headers = {
             "host": f"{self.host}:{self.port}",
-            "x-amz-date": amz_date,
-            "x-amz-content-sha256": payload_sha,
+            self.DATE_HEADER: amz_date,
+            self.SHA_HEADER: payload_sha,
             **{k.lower(): v for k, v in (extra_headers or {}).items()},
         }
         cr, signed = canonical_request(method, path, query, headers, payload_sha)
-        scope = f"{date}/{self.region}/s3/aws4_request"
+        scope = f"{date}/{self.region}/{self.SIG_SERVICE}/{self.SIG_TERMINATOR}"
         sts = "\n".join(
-            ["AWS4-HMAC-SHA256", amz_date, scope, hashlib.sha256(cr.encode()).hexdigest()]
+            [self.SIG_ALGORITHM, amz_date, scope, hashlib.sha256(cr.encode()).hexdigest()]
         )
         sig = hmac.new(
-            sigv4_signing_key(self.secret_key, date, self.region),
+            sigv4_signing_key(
+                self.secret_key, date, self.region, self.SIG_SERVICE,
+                self.SIG_KEY_PREFIX, self.SIG_TERMINATOR,
+            ),
             sts.encode(),
             hashlib.sha256,
         ).hexdigest()
         headers["authorization"] = (
-            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"{self.SIG_ALGORITHM} Credential={self.access_key}/{scope}, "
             f"SignedHeaders={signed}, Signature={sig}"
         )
         qs = "&".join(
@@ -318,3 +342,53 @@ class S3CommitLock:
         return self.client.get_object(
             self.bucket, f"{self.prefix}/{version:020d}.json"
         )
+
+
+class GcsXmlClient(S3Client):
+    """GCS XML-API client: the S3Client request/upload machinery signed
+    with GCS's V4 variant — ``GOOG4-HMAC-SHA256``, scope
+    ``<date>/<region>/storage/goog4_request``, ``x-goog-date`` /
+    ``x-goog-content-sha256`` headers, HMAC interop keys.  The XML API is
+    S3-wire-compatible for path-style object CRUD and multipart uploads
+    (cloud.google.com/storage/docs/xml-api, .../authentication/signatures,
+    .../multipart-uploads), so every S3Client method works unchanged —
+    only the signature profile differs.  Turns the reference's native GCS
+    support (object_store crate; delta_destination.rs:232-390) from a
+    conf mapping into an executed wire path.
+
+    ``region`` defaults to ``"auto"`` — the value GCS's V4 scope expects
+    regardless of bucket location.
+
+    Credentials come from the GOOGLE_* environment the same way the
+    reference picks them up (object_store.object_store_env("gs")):
+    ``GOOGLE_HMAC_KEY_ID`` / ``GOOGLE_HMAC_SECRET``."""
+
+    SIG_ALGORITHM = "GOOG4-HMAC-SHA256"
+    SIG_KEY_PREFIX = "GOOG4"
+    SIG_SERVICE = "storage"
+    SIG_TERMINATOR = "goog4_request"
+    DATE_HEADER = "x-goog-date"
+    SHA_HEADER = "x-goog-content-sha256"
+
+    def __init__(
+        self,
+        endpoint: str,
+        access_key: str,
+        secret_key: str,
+        region: str = "auto",
+    ):
+        super().__init__(endpoint, access_key, secret_key, region)
+
+    @classmethod
+    def from_env(cls, endpoint: str) -> "GcsXmlClient":
+        """Construct from the scheme-keyed GOOGLE_* environment pickup —
+        the executed continuation of object_store_env("gs")."""
+        from lakehouse_loader_spark.sinks.object_store import object_store_env
+
+        env = object_store_env("gs")
+        try:
+            return cls(endpoint, env["google_hmac_key_id"], env["google_hmac_secret"])
+        except KeyError as e:
+            raise ValueError(
+                f"GCS HMAC credentials missing from environment: {e}"
+            ) from None

@@ -49,6 +49,18 @@ class S3State:
         self.active_parts = 0
         self.max_active_parts = 0
         self.part_puts = 0
+        # signature algorithms seen on ACCEPTED requests, so GCS-mode tests
+        # can prove the GOOG4 wire path executed (not silently AWS4)
+        self.algorithms_seen: set[str] = set()
+
+
+# (algorithm prefix, key prefix, expected terminator, sha header) — the
+# server re-derives both AWS SigV4 and GCS's XML-API V4 variant, like
+# storage.googleapis.com's interop endpoint accepts both
+_SIG_PROFILES = {
+    "AWS4-HMAC-SHA256": ("AWS4", "aws4_request", "x-amz-content-sha256", "x-amz-date"),
+    "GOOG4-HMAC-SHA256": ("GOOG4", "goog4_request", "x-goog-content-sha256", "x-goog-date"),
+}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -83,22 +95,28 @@ class _Handler(BaseHTTPRequestHandler):
         return self.rfile.read(n) if n else b""
 
     def _verify_sig(self, body: bytes) -> bool:
-        """Re-derive the SigV4 signature from the RAW request."""
+        """Re-derive the V4 signature from the RAW request — AWS SigV4 or
+        GCS's GOOG4 variant, selected by the Authorization algorithm."""
         auth = self.headers.get("Authorization") or ""
-        if not auth.startswith("AWS4-HMAC-SHA256 "):
+        algorithm = auth.split(" ", 1)[0]
+        profile = _SIG_PROFILES.get(algorithm)
+        if profile is None:
             return False
+        key_prefix, terminator, sha_header, date_header = profile
         fields = dict(
-            kv.strip().split("=", 1) for kv in auth[len("AWS4-HMAC-SHA256 "):].split(",")
+            kv.strip().split("=", 1) for kv in auth[len(algorithm) + 1:].split(",")
         )
         cred = fields.get("Credential", "").split("/")
         if len(cred) != 5 or cred[0] != self.state.access_key:
             return False
-        _ak, date, region, service, _term = cred
+        _ak, date, region, service, term = cred
+        if term != terminator:
+            return False
         signed = fields.get("SignedHeaders", "").split(";")
         u = urlparse(self.path)
         query = parse_qsl(u.query, keep_blank_values=True)
         headers = {h: self.headers.get(h, "") for h in signed}
-        payload_sha = self.headers.get("x-amz-content-sha256", "")
+        payload_sha = self.headers.get(sha_header, "")
         if payload_sha != hashlib.sha256(body).hexdigest():
             return False
         cr, _ = canonical_request(
@@ -106,18 +124,23 @@ class _Handler(BaseHTTPRequestHandler):
         )
         sts = "\n".join(
             [
-                "AWS4-HMAC-SHA256",
-                self.headers.get("x-amz-date", ""),
-                f"{date}/{region}/{service}/aws4_request",
+                algorithm,
+                self.headers.get(date_header, ""),
+                f"{date}/{region}/{service}/{terminator}",
                 hashlib.sha256(cr.encode()).hexdigest(),
             ]
         )
         want = hmac.new(
-            sigv4_signing_key(self.state.secret_key, date, region, service),
+            sigv4_signing_key(
+                self.state.secret_key, date, region, service, key_prefix, terminator
+            ),
             sts.encode(),
             hashlib.sha256,
         ).hexdigest()
-        return hmac.compare_digest(want, fields.get("Signature", ""))
+        ok = hmac.compare_digest(want, fields.get("Signature", ""))
+        if ok:
+            self.state.algorithms_seen.add(algorithm)
+        return ok
 
     def _route(self):
         u = urlparse(self.path)
