@@ -15,6 +15,12 @@ from pyspark.sql import SparkSession
 # (src/delta_destination.rs:434-440).
 MAX_RECORDS_PER_FILE = 2 * 1024 * 1024
 
+# Reference physical layout (src/delta_destination.rs:43, 58-61): 122,880-row
+# parquet row groups with page-level statistics.  parquet-mr caps row-group
+# rows via parquet.block.row.count.limit; page stats are the column/offset
+# indexes parquet-mr writes by default (sink tests assert both from footers).
+MAX_ROW_GROUP_SIZE = 122_880
+
 
 def get_spark(app_name: str = "lakehouse_loader_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.

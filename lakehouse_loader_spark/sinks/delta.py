@@ -565,8 +565,15 @@ def _write_parts(
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.option("maxRecordsPerFile", str(max_rows_per_file)).option(
-        "compression", "snappy"
+    from lakehouse_loader_spark.session import MAX_ROW_GROUP_SIZE
+
+    writer = (
+        df.write.option("maxRecordsPerFile", str(max_rows_per_file))
+        .option("compression", "snappy")
+        # reference row-group sizing (delta_destination.rs:43): exact
+        # 122,880-row groups; page statistics (column/offset indexes,
+        # :58-61) are parquet-mr defaults and asserted by the sink tests
+        .option("parquet.block.row.count.limit", str(MAX_ROW_GROUP_SIZE))
     )
     for col in bloom_filter_columns or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")

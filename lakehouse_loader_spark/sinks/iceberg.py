@@ -222,6 +222,17 @@ def _latest_version_on_disk(path: str) -> tuple[int, dict]:
         return v, json.load(fh)
 
 
+def _parquet_writer(df: DataFrame):
+    """Reference physical layout (delta_destination.rs:43, 58-61): snappy,
+    exact 122,880-row row groups, page statistics (parquet-mr's column and
+    offset indexes, on by default, asserted by the sink tests)."""
+    from lakehouse_loader_spark.session import MAX_ROW_GROUP_SIZE
+
+    return df.write.option("compression", "snappy").option(
+        "parquet.block.row.count.limit", str(MAX_ROW_GROUP_SIZE)
+    )
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
@@ -275,9 +286,9 @@ def _write_data_files(
             if transform != "identity":
                 df = df.withColumn(name, TR.transform_column(transform, src, src_types[src]))
             names.append(name)
-        writer = df.write.option("compression", "snappy").partitionBy(*names)
+        writer = _parquet_writer(df).partitionBy(*names)
     else:
-        writer = df.write.option("compression", "snappy")
+        writer = _parquet_writer(df)
     for col in bloom_filter_columns or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     writer.parquet(staging)

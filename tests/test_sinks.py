@@ -1393,3 +1393,39 @@ def test_vacuum_retain_versions_window(spark, tmpdir):
     assert read_delta(spark, path).count() == 30
     with pytest.raises(Exception):
         read_delta(spark, path, version=pre_optimize).collect()
+
+
+def test_parquet_physical_layout_parity(spark, tmpdir):
+    """Reference physical layout (delta_destination.rs:43, 58-61): both
+    sinks write exact 122,880-row parquet row groups with page statistics
+    (column + offset indexes) — asserted from the written footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_loader_spark.session import MAX_ROW_GROUP_SIZE
+
+    df = spark.range(0, 300_000).selectExpr(
+        "id", "cast(id % 97 as double) as v"
+    ).coalesce(1)
+
+    def check(files):
+        assert files
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            groups = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            # every group but the last is exactly the reference size
+            assert all(g == MAX_ROW_GROUP_SIZE for g in groups[:-1]), groups
+            assert 0 < groups[-1] <= MAX_ROW_GROUP_SIZE
+            col = md.row_group(0).column(0)
+            assert col.statistics is not None
+            # page statistics: parquet-mr's column/offset indexes
+            assert col.has_column_index and col.has_offset_index
+
+    d = os.path.join(str(tmpdir), "rg_delta")
+    DL.write_delta(df, d)
+    check(glob.glob(os.path.join(d, "*.parquet")))
+
+    i = os.path.join(str(tmpdir), "rg_ice")
+    IC.write_iceberg(df, i)
+    check(glob.glob(os.path.join(i, "data", "*.parquet")))
