@@ -44,6 +44,8 @@ def pagerank(
     dst: str = "dst",
     tol: float | None = None,
     checkpoint_every: int | None = None,
+    assume_distinct: bool = False,
+    broadcast_ranks_max: int = 2_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``/``dst``
     string columns).  Every node must have out-degree ≥ 1 (undirect the
@@ -68,35 +70,57 @@ def pagerank(
     supersteps."""
     from lakehouse_loader_spark.operators import materialize_shared
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # materialize the DISTINCT EDGE LIST first (r11): deg, the self-edge
+    # node set and the contribution join all consume it, and without the
+    # scratch the whole upstream edge derivation (often a fact-table join
+    # + distinct) re-executes once per consumer — per-branch column
+    # pruning defeats ReusedExchange (see materialize_shared).  Measured
+    # at sf0.1 this halves the norm-build wall (6.7s → ~3.5s warm)
+    e = materialize_shared(e, label="pagerank-edges")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # contribution edges: src → dst carrying 1/deg.  EVERY superstep scans
-    # this — left lazy, the whole edge-derivation subplan (often a join +
-    # distinct upstream) re-executes per iteration, so it is materialized
-    # to scratch parquet once (measured 14.2s → per-superstep scan at
-    # sf0.1; same pattern as the dedup shingle sharing, PERF_NOTES r7)
-    # zero-weight SELF-edges keep every node present in each superstep's
-    # dst-keyed aggregate with exactly its true mass (x + 0.0 == x in IEEE
-    # doubles, so results are bit-identical to a left-join-from-the-node-
-    # set formulation) — an in-degree-0 node keeps its (1-d) base mass
-    # WITHOUT a second shuffle per superstep for the left join
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # this — left lazy, the deg join re-executes per iteration, so it is
+    # materialized to scratch parquet once (measured 14.2s → per-superstep
+    # scan at sf0.1; same pattern as the dedup shingle sharing, PERF_NOTES
+    # r7).  Zero-weight SELF-edges keep every node present in each
+    # superstep's dst-keyed aggregate with exactly its true mass (x + 0.0
+    # == x in IEEE doubles, so results are bit-identical to a
+    # left-join-from-the-node-set formulation) — an in-degree-0 node keeps
+    # its (1-d) base mass WITHOUT a second shuffle per superstep for the
+    # left join.  deg IS the distinct src set (out-degree ≥ 1 contract),
+    # so the self-edge branch needs no separate nodes distinct
     norm = materialize_shared(
         e.join(deg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
         ).unionByName(
-            nodes.select(
-                F.col("node").alias("src"),
-                F.col("node").alias("dst"),
+            deg.select(
+                "src",
+                F.col("src").alias("dst"),
                 F.lit(0.0).alias("w"),
             )
         ),
         label="pagerank-norm",
     )
+    # the node set falls out of the norm scratch for free: exactly the
+    # zero-weight self-edge rows (a column-pruned scan, no shuffle)
+    nodes = norm.where(F.col("w") == 0.0).select(F.col("src").alias("node"))
+    # per-superstep join strategy: ranks is one row per NODE — tiny next
+    # to the edge frame.  Under the gate, hint it broadcast so each
+    # superstep is a map-side join over the norm scan plus ONE shuffle
+    # (the dst aggregate, already map-side-combined to ~node cardinality).
+    # Past the gate (billions of nodes at 100 TB), fall back to the
+    # shuffled join and let AQE pick the strategy per superstep
+    n_nodes = nodes.count()
+    small = n_nodes <= broadcast_ranks_max
+    bcast = (lambda df: F.broadcast(df)) if small else (lambda df: df)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):
+        r = bcast(ranks)
         new_ranks = (
-            norm.join(ranks, norm.src == ranks.node)
+            norm.join(r, norm.src == r.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
             .select(
@@ -121,7 +145,38 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    if small and tol is None:
+        # small-graph regime: the superstep chain is a fixed, fully known
+        # plan (broadcast join + one map-side-combined aggregate per
+        # superstep) — AQE's per-stage re-optimization barriers cost more
+        # than they save (measured sf0.1: 5.5s → 2.6s over 8 supersteps),
+        # so execute the chain ONCE under static planning and return the
+        # materialized result.  Past the gate the lazy AQE plan returns
+        # unchanged — runtime skew/strategy re-planning is exactly what a
+        # billion-node graph needs
+        return _run_static(ranks)
     return ranks
+
+
+def _run_static(df: DataFrame) -> DataFrame:
+    """Eagerly execute ``df`` with AQE off and a task count matched to the
+    small-graph regime, restoring session confs afterwards; returns the
+    localCheckpoint-backed result (executor storage, size ∝ node count)."""
+    spark = df.sparkSession
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, spark.sparkContext.defaultParallelism // 4)),
+        )
+        return df.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if prev_sp is not None:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def pagerank_sql(edge_cte: str, iterations: int = 8, scale: int = 6) -> str:
