@@ -1,0 +1,306 @@
+"""Pure-stdlib Azure Blob Storage REST client — the third executed
+object-store wire path (SURVEY §2 R8/R10; S3: s3http.S3Client, GCS:
+s3http.GcsXmlClient).
+
+Everything here derives from public specifications: Shared Key
+authorization (StringToSign = VERB + standard headers + canonicalized
+x-ms-* headers + canonicalized resource, HMAC-SHA256 with the
+base64-decoded account key;
+learn.microsoft.com/rest/api/storageservices/authorize-with-shared-key)
+and the Blob service REST API (Put Blob, Get Blob, Put Block / Put Block
+List — the multipart analog — List Blobs, Delete Blob;
+learn.microsoft.com/rest/api/storageservices/blob-service-rest-api).
+
+The reference's object_store crate speaks Azure natively
+(delta_destination.rs:232-390, env pickup :244-250); this client turns
+the repo's AZURE_* conf mapping (object_store.py) into an executed path
+with the same two policies the S3/GCS clients carry:
+
+* :meth:`AzureBlobClient.upload` stages ≥5 MiB blocks (Put Block) with
+  at most PARTITION_FILE_UPLOAD_MAX_CONCURRENCY in flight and commits
+  them in order with Put Block List — uncommitted blocks of an
+  abandoned upload are garbage-collected by the service (no explicit
+  abort call exists or is needed, unlike S3).
+* :meth:`AzureBlobClient.put_blob` with ``if_none_match=True`` sends
+  ``If-None-Match: *``; the service answers 409 BlobAlreadyExists to
+  the loser — mapped to :class:`BlobAlreadyExists` (the conditional-PUT
+  commit primitive, same contract as s3http.S3PreconditionFailed).
+
+Tests provision a loopback server (tests/azure_server.py) that
+re-derives the Shared Key signature from the raw request independently.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import hashlib
+import hmac
+import http.client
+from concurrent.futures import ThreadPoolExecutor
+from urllib.parse import quote, urlparse
+from xml.etree import ElementTree
+
+from lakehouse_loader_spark.sinks.object_store import (
+    PARTITION_FILE_MIN_PART_SIZE,
+    PARTITION_FILE_UPLOAD_MAX_CONCURRENCY,
+)
+
+
+class AzureError(Exception):
+    def __init__(self, status: int, code: str, message: str = ""):
+        super().__init__(f"Azure error {status} {code}: {message}")
+        self.status = status
+        self.code = code
+
+
+class BlobAlreadyExists(AzureError):
+    """Conditional create lost the race: the blob already exists."""
+
+
+# the standard headers of the Shared Key StringToSign, in spec order
+# (Content-Length is "" when zero, per the 2015-02-21+ service versions)
+_STD_HEADERS = [
+    "content-encoding",
+    "content-language",
+    "content-length",
+    "content-md5",
+    "content-type",
+    "date",
+    "if-modified-since",
+    "if-match",
+    "if-none-match",
+    "if-unmodified-since",
+    "range",
+]
+
+
+def shared_key_string_to_sign(
+    method: str,
+    account: str,
+    path: str,
+    query: list[tuple[str, str]],
+    headers: dict[str, str],
+) -> str:
+    """The published Shared Key canonicalization (shared with the test
+    server, which re-derives the signature from the RAW request)."""
+    lower = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
+    std = []
+    for h in _STD_HEADERS:
+        v = lower.get(h, "")
+        if h == "content-length" and v == "0":
+            v = ""
+        std.append(v)
+    xms = "".join(
+        f"{k}:{lower[k]}\n" for k in sorted(lower) if k.startswith("x-ms-")
+    )
+    # CanonicalizedResource: /account/path + sorted query as name:value
+    res = f"/{account}{path}"
+    for k, v in sorted(query):
+        res += f"\n{k.lower()}:{v}"
+    return "\n".join([method] + std) + "\n" + xms + res
+
+
+def sign_shared_key(key_b64: str, string_to_sign: str) -> str:
+    return base64.b64encode(
+        hmac.new(
+            base64.b64decode(key_b64), string_to_sign.encode(), hashlib.sha256
+        ).digest()
+    ).decode()
+
+
+class AzureBlobClient:
+    """Minimal synchronous Blob service client over http.client — the
+    Azure twin of s3http.S3Client (one connection per concurrent request;
+    the bounded block-upload pool caps both threads and sockets)."""
+
+    def __init__(self, endpoint: str, account: str, account_key_b64: str):
+        u = urlparse(endpoint)
+        if u.scheme != "http":
+            raise ValueError("only http endpoints (loopback test servers) supported")
+        self.host = u.hostname or "127.0.0.1"
+        self.port = u.port or 80
+        self.account = account
+        self.key = account_key_b64
+
+    @classmethod
+    def from_env(cls, endpoint: str) -> "AzureBlobClient":
+        """Construct from the scheme-keyed AZURE_* environment pickup —
+        the executed continuation of object_store_env("az")."""
+        from lakehouse_loader_spark.sinks.object_store import object_store_env
+
+        env = object_store_env("az")
+        try:
+            return cls(
+                endpoint,
+                env["azure_storage_account"],
+                env["azure_storage_account_key"],
+            )
+        except KeyError as e:
+            raise ValueError(
+                f"Azure credentials missing from environment: {e}"
+            ) from None
+
+    # -- signing + transport --------------------------------------------------
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        query: list[tuple[str, str]] | None = None,
+        body: bytes = b"",
+        extra_headers: dict[str, str] | None = None,
+    ) -> tuple[int, dict, bytes]:
+        query = query or []
+        now = _dt.datetime.now(_dt.timezone.utc)
+        headers = {
+            "x-ms-date": now.strftime("%a, %d %b %Y %H:%M:%S GMT"),
+            "x-ms-version": "2021-08-06",
+            "content-length": str(len(body)),
+            **{k.lower(): v for k, v in (extra_headers or {}).items()},
+        }
+        sts = shared_key_string_to_sign(method, self.account, path, query, headers)
+        headers["authorization"] = (
+            f"SharedKey {self.account}:{sign_shared_key(self.key, sts)}"
+        )
+        headers["host"] = f"{self.host}:{self.port}"
+        qs = "&".join(
+            f"{quote(k, safe='')}={quote(v, safe='')}" for k, v in sorted(query)
+        )
+        conn = http.client.HTTPConnection(self.host, self.port, timeout=30)
+        try:
+            conn.request(
+                method, path + (f"?{qs}" if qs else ""), body=body, headers=headers
+            )
+            resp = conn.getresponse()
+            data = resp.read()
+            return resp.status, dict(resp.getheaders()), data
+        finally:
+            conn.close()
+
+    def _check(self, status: int, data: bytes) -> None:
+        if status < 300:
+            return
+        code, msg = "Unknown", ""
+        try:
+            root = ElementTree.fromstring(data)
+            code = root.findtext("Code") or code
+            msg = root.findtext("Message") or ""
+        except ElementTree.ParseError:
+            pass
+        if status == 409 and code in ("BlobAlreadyExists", "Unknown"):
+            raise BlobAlreadyExists(status, code, msg)
+        raise AzureError(status, code, msg)
+
+    # -- blob ops ---------------------------------------------------------------
+
+    def put_blob(
+        self, container: str, blob: str, data: bytes, if_none_match: bool = False
+    ) -> None:
+        extra = {"x-ms-blob-type": "BlockBlob"}
+        if if_none_match:
+            extra["if-none-match"] = "*"
+        status, _h, body = self._request(
+            "PUT", f"/{container}/{quote(blob)}", body=data, extra_headers=extra
+        )
+        self._check(status, body)
+
+    def get_blob(self, container: str, blob: str) -> bytes:
+        status, _h, body = self._request("GET", f"/{container}/{quote(blob)}")
+        self._check(status, body)
+        return body
+
+    def delete_blob(self, container: str, blob: str) -> None:
+        status, _h, body = self._request("DELETE", f"/{container}/{quote(blob)}")
+        self._check(status, body)
+
+    def list_blobs(self, container: str, prefix: str = "") -> list[str]:
+        status, _h, body = self._request(
+            "GET",
+            f"/{container}",
+            query=[("restype", "container"), ("comp", "list"), ("prefix", prefix)],
+        )
+        self._check(status, body)
+        root = ElementTree.fromstring(body)
+        return sorted(
+            e.findtext("Name") for e in root.iter("Blob") if e.findtext("Name")
+        )
+
+    # -- block upload (the multipart analog) ------------------------------------
+
+    def put_block(self, container: str, blob: str, block_id: str, data: bytes) -> None:
+        status, _h, body = self._request(
+            "PUT",
+            f"/{container}/{quote(blob)}",
+            query=[("comp", "block"), ("blockid", block_id)],
+            body=data,
+        )
+        self._check(status, body)
+
+    def put_block_list(self, container: str, blob: str, block_ids: list[str]) -> None:
+        xml = (
+            "<?xml version='1.0' encoding='utf-8'?><BlockList>"
+            + "".join(f"<Latest>{bid}</Latest>" for bid in block_ids)
+            + "</BlockList>"
+        )
+        status, _h, body = self._request(
+            "PUT",
+            f"/{container}/{quote(blob)}",
+            query=[("comp", "blocklist")],
+            body=xml.encode(),
+        )
+        self._check(status, body)
+
+    def upload(self, container: str, blob: str, data: bytes) -> dict:
+        """The reference's partition-file upload policy over Blob blocks:
+        single Put Blob under the part size, else ≥5 MiB Put Blocks with
+        at most PARTITION_FILE_UPLOAD_MAX_CONCURRENCY in flight, committed
+        in order by Put Block List.  Uncommitted blocks of a failed upload
+        are service-side garbage (no abort call exists on Azure)."""
+        if len(data) <= PARTITION_FILE_MIN_PART_SIZE:
+            self.put_blob(container, blob, data)
+            return {"parts": 1, "multipart": False}
+        chunks = [
+            data[off : off + PARTITION_FILE_MIN_PART_SIZE]
+            for off in range(0, len(data), PARTITION_FILE_MIN_PART_SIZE)
+        ]
+        # Azure requires equal-length base64 block ids within a blob
+        ids = [
+            base64.b64encode(f"block-{i:010d}".encode()).decode()
+            for i in range(len(chunks))
+        ]
+        with ThreadPoolExecutor(
+            max_workers=PARTITION_FILE_UPLOAD_MAX_CONCURRENCY
+        ) as pool:
+            futs = [
+                pool.submit(self.put_block, container, blob, bid, chunk)
+                for bid, chunk in zip(ids, chunks)
+            ]
+            for f in futs:
+                f.result()
+        self.put_block_list(container, blob, ids)
+        return {"parts": len(chunks), "multipart": True}
+
+
+class AzureCommitLock:
+    """Conditional-create commit primitive over :class:`AzureBlobClient` —
+    the Azure twin of s3http.S3CommitLock: exactly ONE writer per log
+    version succeeds; the loser sees :class:`BlobAlreadyExists`."""
+
+    def __init__(self, client: AzureBlobClient, container: str, prefix: str = "_delta_log"):
+        self.client = client
+        self.container = container
+        self.prefix = prefix.rstrip("/")
+
+    def commit(self, version: int, payload: bytes) -> None:
+        self.client.put_blob(
+            self.container,
+            f"{self.prefix}/{version:020d}.json",
+            payload,
+            if_none_match=True,
+        )
+
+    def read(self, version: int) -> bytes:
+        return self.client.get_blob(
+            self.container, f"{self.prefix}/{version:020d}.json"
+        )

@@ -1,0 +1,131 @@
+"""EXECUTED Azure Blob object-store proof (SURVEY §2 R8/R10) — the third
+wire path beside S3 (test_s3_live.py) and GCS: a loopback stdlib Blob
+service (tests/azure_server.py) with independent Shared Key
+re-derivation, driven by the pure-stdlib client (sinks/azureblob.py).
+The reference's multipart policy (≥5 MiB parts, upload concurrency 2)
+maps onto Put Block / Put Block List, and the conditional-create commit
+maps onto If-None-Match: * → 409 BlobAlreadyExists."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from lakehouse_loader_spark.sinks import azureblob as AZ
+from lakehouse_loader_spark.sinks.object_store import (
+    PARTITION_FILE_UPLOAD_MAX_CONCURRENCY,
+)
+from tests.azure_server import make_server
+
+MIB = 1024 * 1024
+
+
+@pytest.fixture(scope="module")
+def azenv(monkeypatch_module):
+    srv, state, endpoint = make_server(account="devacct")
+    monkeypatch_module.setenv("AZURE_STORAGE_ACCOUNT", "devacct")
+    monkeypatch_module.setenv("AZURE_STORAGE_ACCOUNT_KEY", state.key)
+    client = AZ.AzureBlobClient.from_env(endpoint)
+    yield client, state
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def _payload(n: int) -> bytes:
+    return bytes((i * 31 + (i >> 8) * 7) % 256 for i in range(n))
+
+
+def test_env_pickup_roundtrip_sharedkey_enforced(azenv):
+    client, state = azenv
+    data = _payload(10_000)
+    client.put_blob("ctr", "dir/a.parquet", data)
+    assert client.get_blob("ctr", "dir/a.parquet") == data
+    assert client.list_blobs("ctr", prefix="dir/") == ["dir/a.parquet"]
+    # wrong account key → the server's independent re-derivation rejects
+    import base64
+    import hashlib
+
+    bad_key = base64.b64encode(hashlib.sha256(b"WRONG").digest()).decode()
+    bad = AZ.AzureBlobClient(
+        f"http://127.0.0.1:{client.port}", "devacct", bad_key
+    )
+    with pytest.raises(AZ.AzureError) as ei:
+        bad.put_blob("ctr", "x", b"payload")
+    assert ei.value.status == 403
+    assert ("ctr", "x") not in state.blobs
+
+
+def test_small_single_put_large_blocks(azenv):
+    client, state = azenv
+    small = _payload(3 * MIB)
+    assert client.upload("ctr", "small.bin", small) == {
+        "parts": 1,
+        "multipart": False,
+    }
+    assert client.get_blob("ctr", "small.bin") == small
+    big = _payload(11 * MIB)
+    assert client.upload("ctr", "big.bin", big) == {"parts": 3, "multipart": True}
+    assert client.get_blob("ctr", "big.bin") == big
+    # committed block lists leave no staged blocks behind
+    assert ("ctr", "big.bin") not in state.blocks
+
+
+def test_block_list_order_defines_content(azenv):
+    """Put Block List commits blocks IN LIST ORDER regardless of upload
+    order — the reassembly contract the multipart path relies on."""
+    client, _state = azenv
+    import base64
+
+    a, b = _payload(100), _payload(200)[::-1]
+    ida = base64.b64encode(b"blk-a").decode()
+    idb = base64.b64encode(b"blk-b").decode()
+    client.put_block("ctr", "ordered.bin", idb, b)
+    client.put_block("ctr", "ordered.bin", ida, a)
+    client.put_block_list("ctr", "ordered.bin", [ida, idb])
+    assert client.get_blob("ctr", "ordered.bin") == a + b
+
+
+def test_conditional_create_exactly_one_winner(azenv):
+    client, _state = azenv
+    lock = AZ.AzureCommitLock(client, "tbl", "_delta_log")
+    results: list[str] = []
+    barrier = threading.Barrier(4)
+
+    def racer(i: int) -> None:
+        barrier.wait()
+        try:
+            lock.commit(7, f"writer-{i}".encode())
+            results.append(f"win-{i}")
+        except AZ.BlobAlreadyExists:
+            results.append(f"lose-{i}")
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for r in results if r.startswith("win")]
+    assert len(wins) == 1 and len(results) == 4
+    winner = int(wins[0].split("-")[1])
+    assert lock.read(7) == f"writer-{winner}".encode()
+    lock.commit(8, b"next")
+    assert lock.read(8) == b"next"
+
+
+def test_delete_and_missing(azenv):
+    client, _state = azenv
+    client.put_blob("ctr", "gone.bin", b"x")
+    client.delete_blob("ctr", "gone.bin")
+    with pytest.raises(AZ.AzureError) as ei:
+        client.get_blob("ctr", "gone.bin")
+    assert ei.value.status == 404
+    assert PARTITION_FILE_UPLOAD_MAX_CONCURRENCY == 2  # reference constant pinned
