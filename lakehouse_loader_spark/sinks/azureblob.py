@@ -282,6 +282,53 @@ class AzureBlobClient:
         return {"parts": len(chunks), "multipart": True}
 
 
+    def upload_file(self, container: str, blob: str, path: str) -> dict:
+        """:meth:`upload` streaming from disk — memory bounded to
+        concurrency × part size; small files single Put Blob."""
+        import os as _os
+
+        size = _os.path.getsize(path)
+        if size <= PARTITION_FILE_MIN_PART_SIZE:
+            with open(path, "rb") as fh:
+                self.put_blob(container, blob, fh.read())
+            return {"parts": 1, "multipart": False}
+
+        def read_part(i: int) -> bytes:
+            with open(path, "rb") as fh:
+                fh.seek(i * PARTITION_FILE_MIN_PART_SIZE)
+                return fh.read(PARTITION_FILE_MIN_PART_SIZE)
+
+        n_parts = (size + PARTITION_FILE_MIN_PART_SIZE - 1) // PARTITION_FILE_MIN_PART_SIZE
+        ids = [
+            base64.b64encode(f"block-{i:010d}".encode()).decode()
+            for i in range(n_parts)
+        ]
+        with ThreadPoolExecutor(
+            max_workers=PARTITION_FILE_UPLOAD_MAX_CONCURRENCY
+        ) as pool:
+            futs = [
+                pool.submit(self.put_block, container, blob, bid, read_part(i))
+                for i, bid in enumerate(ids)
+            ]
+            for f in futs:
+                f.result()
+        self.put_block_list(container, blob, ids)
+        return {"parts": n_parts, "multipart": True}
+
+    # duck-type parity with s3http clients so the object_sync uploader is
+    # client-agnostic (bucket ≙ container, key ≙ blob)
+    def put_object(
+        self, bucket: str, key: str, data: bytes, if_none_match: bool = False
+    ) -> None:
+        self.put_blob(bucket, key, data, if_none_match=if_none_match)
+
+    def get_object(self, bucket: str, key: str) -> bytes:
+        return self.get_blob(bucket, key)
+
+    def list_keys(self, bucket: str, prefix: str = "") -> list[str]:
+        return self.list_blobs(bucket, prefix)
+
+
 class AzureCommitLock:
     """Conditional-create commit primitive over :class:`AzureBlobClient` —
     the Azure twin of s3http.S3CommitLock: exactly ONE writer per log

@@ -322,6 +322,56 @@ class S3Client:
         return {"parts": len(chunks), "multipart": True}
 
 
+    def upload_file(
+        self,
+        bucket: str,
+        key: str,
+        path: str,
+        part_size: int = PARTITION_FILE_MIN_PART_SIZE,
+        concurrency: int = PARTITION_FILE_UPLOAD_MAX_CONCURRENCY,
+    ) -> dict:
+        """:meth:`upload` streaming from disk — memory bounded to
+        ``concurrency`` × ``part_size`` (the reference reads its temp
+        partition files through a BufReader the same way,
+        delta_destination.rs:124-160); small files single-PUT."""
+        import os as _os
+
+        size = _os.path.getsize(path)
+        if size <= part_size:
+            with open(path, "rb") as fh:
+                self.put_object(bucket, key, fh.read())
+            return {"parts": 1, "multipart": False}
+        upload_id = self.create_multipart(bucket, key)
+
+        def read_part(i: int) -> bytes:
+            with open(path, "rb") as fh:
+                fh.seek(i * part_size)
+                return fh.read(part_size)
+
+        n_parts = (size + part_size - 1) // part_size
+        try:
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                etags = list(
+                    pool.map(
+                        lambda i: (
+                            i + 1,
+                            self.upload_part(
+                                bucket, key, upload_id, i + 1, read_part(i)
+                            ),
+                        ),
+                        range(n_parts),
+                    )
+                )
+            self.complete_multipart(bucket, key, upload_id, etags)
+        except BaseException:
+            try:
+                self.abort_multipart(bucket, key, upload_id)
+            except S3Error:
+                pass
+            raise
+        return {"parts": n_parts, "multipart": True}
+
+
 class S3CommitLock:
     """Conditional-PUT commit primitive over :class:`S3Client` — the
     object-store twin of the sinks' local ``O_EXCL`` version-file commit:
