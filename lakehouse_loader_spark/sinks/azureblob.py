@@ -169,8 +169,12 @@ class AzureBlobClient:
         )
         conn = http.client.HTTPConnection(self.host, self.port, timeout=30)
         try:
+            # sign over the DECODED path (the server unquotes before its
+            # re-derivation); percent-encode only on the wire so unicode
+            # blob names survive http's ASCII request line
+            wire = quote(path, safe="/")
             conn.request(
-                method, path + (f"?{qs}" if qs else ""), body=body, headers=headers
+                method, wire + (f"?{qs}" if qs else ""), body=body, headers=headers
             )
             resp = conn.getresponse()
             data = resp.read()
@@ -201,17 +205,17 @@ class AzureBlobClient:
         if if_none_match:
             extra["if-none-match"] = "*"
         status, _h, body = self._request(
-            "PUT", f"/{container}/{quote(blob)}", body=data, extra_headers=extra
+            "PUT", f"/{container}/{blob}", body=data, extra_headers=extra
         )
         self._check(status, body)
 
     def get_blob(self, container: str, blob: str) -> bytes:
-        status, _h, body = self._request("GET", f"/{container}/{quote(blob)}")
+        status, _h, body = self._request("GET", f"/{container}/{blob}")
         self._check(status, body)
         return body
 
     def delete_blob(self, container: str, blob: str) -> None:
-        status, _h, body = self._request("DELETE", f"/{container}/{quote(blob)}")
+        status, _h, body = self._request("DELETE", f"/{container}/{blob}")
         self._check(status, body)
 
     def list_blobs(self, container: str, prefix: str = "") -> list[str]:
@@ -231,7 +235,7 @@ class AzureBlobClient:
     def put_block(self, container: str, blob: str, block_id: str, data: bytes) -> None:
         status, _h, body = self._request(
             "PUT",
-            f"/{container}/{quote(blob)}",
+            f"/{container}/{blob}",
             query=[("comp", "block"), ("blockid", block_id)],
             body=data,
         )
@@ -245,7 +249,7 @@ class AzureBlobClient:
         )
         status, _h, body = self._request(
             "PUT",
-            f"/{container}/{quote(blob)}",
+            f"/{container}/{blob}",
             query=[("comp", "blocklist")],
             body=xml.encode(),
         )

@@ -180,8 +180,13 @@ class S3Client:
         )
         conn = http.client.HTTPConnection(self.host, self.port, timeout=30)
         try:
+            # the WIRE path is the percent-encoded form of the canonical
+            # path (http needs ASCII request lines; the server unquotes
+            # before re-deriving, so signing stays consistent for unicode
+            # and reserved characters in object keys)
+            wire = _uri_encode(path, False)
             conn.request(
-                method, path + (f"?{qs}" if qs else ""), body=body, headers=headers
+                method, wire + (f"?{qs}" if qs else ""), body=body, headers=headers
             )
             resp = conn.getresponse()
             data = resp.read()
