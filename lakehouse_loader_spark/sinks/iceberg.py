@@ -4344,8 +4344,9 @@ def enable_row_lineage_iceberg(path: str) -> None:
     and re-stamps, so concurrent writers never mint overlapping ranges —
     see write_iceberg).  ``read_iceberg_with_row_ids`` surfaces
     ``_row_id`` / ``_last_updated_sequence_number``.  Rewriting ops
-    (OPTIMIZE / copy-on-write DML / MERGE / branch appends) refuse, the
-    same containment as the Delta twin."""
+    (OPTIMIZE / copy-on-write DML / MERGE / MOR UPDATE) PRESERVE ids by
+    materializing the resolved values into replacement files; branch
+    appends mint fresh ranges from the same table-wide cursor."""
     from lakehouse_loader_spark.sinks.staging import local_path
 
     path = local_path(path)
@@ -4354,6 +4355,22 @@ def enable_row_lineage_iceberg(path: str) -> None:
     version, meta = _read_metadata(path)
     if _row_lineage_enabled(meta):
         return
+    # an UNPUBLISHED branch holds files the main-snapshot backfill below
+    # would never stamp — publishing it later would surface a lineage
+    # table with id-less files.  Refuse now with guidance instead of
+    # failing at first read after the publish
+    stale_branches = sorted(
+        name
+        for name, r in (meta.get("refs") or {}).items()
+        if (r or {}).get("type") == "branch"
+        and r.get("snapshot-id") != meta.get("current-snapshot-id")
+    )
+    if stale_branches:
+        raise ValueError(
+            f"unpublished branch(es) {stale_branches} hold files the "
+            "enablement backfill cannot stamp; publish_branch or drop_ref "
+            "them first, then enable row lineage"
+        )
     manifests = _snapshot_manifests(path, meta)
     spec_ids = {mf["partition_spec_id"] for mf in manifests}
     if len(spec_ids) > 1:

@@ -446,3 +446,17 @@ class TestLineageDml:
             assert first == cursor
             cursor += n
         assert cursor == 300
+
+
+def test_enable_refuses_with_unpublished_branch(spark, tmpdir):
+    """Enablement backfills only the MAIN snapshot; an unpublished branch
+    would surface id-less files at publish time, so it refuses up front
+    (publish or drop the ref first)."""
+    t = _table(spark, tmpdir)
+    IC.append_to_branch(_df(spark, 500), t, "audit")
+    with pytest.raises(ValueError, match="unpublished branch"):
+        IC.enable_row_lineage_iceberg(t)
+    IC.publish_branch(t, "audit")
+    IC.enable_row_lineage_iceberg(t)  # fine once published
+    out = IC.read_iceberg_with_row_ids(spark, t)
+    assert sorted(r["_row_id"] for r in out.collect()) == list(range(200))
