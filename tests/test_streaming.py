@@ -804,3 +804,44 @@ def test_stream_to_delta_into_row_tracked_table(spark, staged_events):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_to_iceberg_into_row_lineage_table(spark, staged_events):
+    """The Iceberg twin of the Delta row-tracking stream test: streaming
+    appends on a ROW-LINEAGE table mint fresh, non-overlapping
+    first_row_id ranges per micro-batch commit (assignment runs inside the
+    same write_iceberg retry loop as batch appends), next-row-id ends at
+    total_rows, and every row id is unique."""
+    import tempfile
+
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    path, src = staged_events
+    out = tempfile.mkdtemp(prefix="evicert_")
+    ckpt = tempfile.mkdtemp(prefix="evckpti_")
+    t = os.path.join(out, "t")
+    try:
+        IC.write_iceberg(
+            src.limit(7).withColumn("ts", F.col("ts").cast("timestamp")), t
+        )
+        IC.enable_row_lineage_iceberg(t)
+        q = SE.stream_to_iceberg(SE.read_event_stream(spark, path), t, ckpt)
+        q.awaitTermination(120)
+        total = src.count() + 7
+        _, meta = IC._read_metadata(t)
+        assert meta["next-row-id"] == total
+        ids = [
+            r["_row_id"] for r in IC.read_iceberg_with_row_ids(spark, t).collect()
+        ]
+        assert sorted(ids) == list(range(total))
+        # every live file carries its assigned range; spans tile exactly
+        data, _, _ = IC._split_live_entries(t, meta)
+        spans = sorted((d["first_row_id"], d["record_count"]) for d in data)
+        cursor = 0
+        for first, n in spans:
+            assert first == cursor
+            cursor += n
+        assert cursor == total
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
