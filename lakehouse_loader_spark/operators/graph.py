@@ -158,12 +158,23 @@ def pagerank(
     return ranks
 
 
+_STATIC_RUN_LOCK = None
+
+
 def _run_static(df: DataFrame) -> DataFrame:
     """Eagerly execute ``df`` with AQE off and a task count matched to the
     small-graph regime, restoring session confs afterwards; returns the
-    localCheckpoint-backed result (executor storage, size ∝ node count)."""
+    localCheckpoint-backed result (executor storage, size ∝ node count).
+    Serialized under a module lock: the conf window is session-global, so
+    two concurrent small-graph runs must not interleave set/restore."""
+    global _STATIC_RUN_LOCK
+    if _STATIC_RUN_LOCK is None:
+        import threading
+
+        _STATIC_RUN_LOCK = threading.Lock()
     spark = df.sparkSession
     conf = spark.conf
+    _STATIC_RUN_LOCK.acquire()
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = conf.get("spark.sql.shuffle.partitions", None)
     try:
@@ -177,6 +188,7 @@ def _run_static(df: DataFrame) -> DataFrame:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if prev_sp is not None:
             conf.set("spark.sql.shuffle.partitions", prev_sp)
+        _STATIC_RUN_LOCK.release()
 
 
 def pagerank_sql(edge_cte: str, iterations: int = 8, scale: int = 6) -> str:

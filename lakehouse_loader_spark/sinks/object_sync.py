@@ -31,6 +31,13 @@ from __future__ import annotations
 
 import os
 
+from lakehouse_loader_spark.sinks.azureblob import (
+    BlobAlreadyExists as _BlobAlreadyExists,
+)
+from lakehouse_loader_spark.sinks.s3http import (
+    S3PreconditionFailed as _S3PreconditionFailed,
+)
+
 
 class RemoteLogDiverged(Exception):
     """The remote table has a DIFFERENT commit at a version we hold —
@@ -121,9 +128,7 @@ def sync_table(table_path: str, store, bucket: str, prefix: str) -> dict:
         try:
             store.put_object(bucket, key, data, if_none_match=True)
             n_commits += 1
-        except Exception as e:  # the clients' precondition types differ
-            if type(e).__name__ not in ("S3PreconditionFailed", "BlobAlreadyExists"):
-                raise
+        except (_S3PreconditionFailed, _BlobAlreadyExists):
             remote = store.get_object(bucket, key)
             if remote != data:
                 raise RemoteLogDiverged(
