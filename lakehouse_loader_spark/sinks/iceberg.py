@@ -5103,6 +5103,28 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
             f"cannot roll back {path} to snapshot {snapshot_id}: data files "
             f"expired: {missing[:5]}"
         )
+    if _row_lineage_enabled(meta):
+        # rolling back PAST the lineage enablement would surface a lineage
+        # table whose manifests carry no first_row_id — refuse, the same
+        # containment as delta.restore_delta's "before row tracking".
+        # (Rollback to any post-enablement snapshot preserves ids exactly:
+        # the re-pointed manifests keep their explicit per-file ranges,
+        # and next-row-id never rewinds — the cursor is monotone.)
+        idless = [
+            d["file_path"]
+            for mf in _read_manifest_list(path, target["manifest-list"])
+            if mf["content"] == 0
+            for e in _read_manifest_entries(path, mf["manifest_path"])
+            for d in [e["data_file"]]
+            if d.get("content", 0) == 0 and d.get("first_row_id") is None
+        ]
+        if idless:
+            raise ValueError(
+                f"cannot roll back {path} to snapshot {snapshot_id}: it "
+                f"predates row-lineage enablement ({len(idless)} file(s) "
+                "without first_row_id); disable lineage or pick a "
+                "post-enablement snapshot"
+            )
     new_id = uuid.uuid4().int % (1 << 62)
     sequence_number = meta["last-sequence-number"] + 1
     snapshot = {

@@ -460,3 +460,27 @@ def test_enable_refuses_with_unpublished_branch(spark, tmpdir):
     IC.enable_row_lineage_iceberg(t)  # fine once published
     out = IC.read_iceberg_with_row_ids(spark, t)
     assert sorted(r["_row_id"] for r in out.collect()) == list(range(200))
+
+
+def test_rollback_restores_ids_with_rows(spark, tmpdir):
+    """The Iceberg twin of Delta's restore test: rollback re-points at
+    the target's manifest list, so deleted rows come back WITH their
+    original ids and last-updated values; the next-row-id cursor never
+    rewinds; rolling back past enablement is refused."""
+    t = _table(spark, tmpdir)
+    _, meta0 = IC._read_metadata(t)
+    snap_pre_enable = meta0["current-snapshot-id"]
+    IC.enable_row_lineage_iceberg(t)
+    pre = TestLineageDml._rows(spark, t)
+    _, meta = IC._read_metadata(t)
+    snap_enabled = meta["current-snapshot-id"]
+    IC.delete_from_iceberg(spark, t, "id % 10 = 3")
+    IC.update_iceberg(spark, t, "id = 4", {"v": "0.0"})
+    cursor_before = IC._read_metadata(t)[1]["next-row-id"]
+    IC.rollback_iceberg(t, snap_enabled)
+    post = TestLineageDml._rows(spark, t)
+    assert post == pre  # rows, ids AND last-updated all back
+    _, meta2 = IC._read_metadata(t)
+    assert meta2["next-row-id"] >= cursor_before  # cursor is monotone
+    with pytest.raises(ValueError, match="predates row-lineage"):
+        IC.rollback_iceberg(t, snap_pre_enable)
