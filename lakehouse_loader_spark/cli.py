@@ -354,6 +354,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated 'col [asc|desc] [nulls first|last]' specs; "
         "empty string resets to unsorted",
     )
+    for name, h in (
+        ("push-table", "sync a local Delta/Iceberg table to an object store "
+         "(data files multipart, commits conditional-created in version "
+         "order; incremental re-push skips existing objects)"),
+        ("pull-table", "materialize a pushed table back to a local directory"),
+    ):
+        ps = sub.add_parser(name, help=h)
+        ps.add_argument("target", help="local table dir (push) / dest dir (pull)")
+        ps.add_argument("bucket")
+        ps.add_argument("prefix")
+        ps.add_argument("--store", choices=("s3", "gcs", "azure"), required=True)
+        ps.add_argument(
+            "--endpoint", required=True,
+            help="http endpoint; credentials from the scheme-keyed "
+            "AWS_*/GOOGLE_*/AZURE_* environment",
+        )
     rni = sub.add_parser("rename-column-iceberg", help="Iceberg metadata-only RENAME")
     rni.add_argument("target"); rni.add_argument("old"); rni.add_argument("new")
     dci = sub.add_parser("drop-column-iceberg", help="Iceberg metadata-only DROP")
@@ -418,8 +434,38 @@ def _parse_preds(raws: list[str]) -> list:
     return preds
 
 
+def _object_store_client(kind: str, endpoint: str):
+    if kind == "s3":
+        from lakehouse_loader_spark.sinks.s3http import S3Client
+
+        return S3Client.from_env(endpoint)
+    if kind == "gcs":
+        from lakehouse_loader_spark.sinks.s3http import GcsXmlClient
+
+        return GcsXmlClient.from_env(endpoint)
+    from lakehouse_loader_spark.sinks.azureblob import AzureBlobClient
+
+    return AzureBlobClient.from_env(endpoint)
+
+
 def do_main(argv: list[str]) -> None:
     args = build_parser().parse_args(argv)
+    if args.command in ("push-table", "pull-table"):
+        # pure-IO table<->object-store sync: no SparkSession needed
+        from lakehouse_loader_spark.sinks import object_sync as SY
+
+        store = _object_store_client(args.store, args.endpoint)
+        if args.command == "push-table":
+            res = SY.sync_table(args.target, store, args.bucket, args.prefix)
+            print(
+                f"pushed {args.target} -> {args.bucket}/{args.prefix}: "
+                f"{res['uploaded']} uploaded, {res['commits']} commits, "
+                f"{res['skipped']} skipped"
+            )
+        else:
+            n = SY.fetch_table(store, args.bucket, args.prefix, args.target)
+            print(f"pulled {args.bucket}/{args.prefix} -> {args.target}: {n} objects")
+        return
     spark = get_spark("lhl-spark-cli")
     # cloud targets: apply scheme-keyed credentials + multipart policy to the
     # Hadoop conf, mirroring the reference's CompatObjectStore env pickup

@@ -137,6 +137,26 @@ class S3Client:
         self.secret_key = secret_key
         self.region = region
 
+    @classmethod
+    def from_env(cls, endpoint: str):
+        """Construct from the scheme-keyed AWS_* environment pickup
+        (object_store_env("s3") — the reference's credential resolution,
+        delta_destination.rs:244-250)."""
+        from lakehouse_loader_spark.sinks.object_store import object_store_env
+
+        env = object_store_env("s3")
+        try:
+            return cls(
+                endpoint,
+                env["aws_access_key_id"],
+                env["aws_secret_access_key"],
+                region=env.get("aws_region", "us-east-1"),
+            )
+        except KeyError as e:
+            raise ValueError(
+                f"S3 credentials missing from environment: {e}"
+            ) from None
+
     # -- signing + transport -------------------------------------------------
 
     def _request(

@@ -143,3 +143,22 @@ def test_version_order_and_multipart_policy(spark, tmpdir, s3c):
     # two-commit initial layout + the append
     assert versions == sorted(versions) == [0, 1, 2]
     assert state.part_puts > parts_before  # big file took the multipart path
+
+
+def test_cli_push_pull_table(spark, tmpdir, s3c, monkeypatch):
+    """The push-table / pull-table subcommands drive object_sync through
+    the env-credentialed client factory — no SparkSession is built for
+    these pure-IO commands."""
+    from lakehouse_loader_spark.cli import do_main
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    client, _state = s3c
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKTEST")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "sk-test")
+    t = os.path.join(str(tmpdir), "clidl")
+    DL.write_delta(_df(spark, 0, 120), t)
+    ep = f"http://127.0.0.1:{client.port}"
+    do_main(["push-table", t, "bkt", "tables/cli", "--store", "s3", "--endpoint", ep])
+    back = os.path.join(str(tmpdir), "clidl_back")
+    do_main(["pull-table", back, "bkt", "tables/cli", "--store", "s3", "--endpoint", ep])
+    assert DL.read_delta(spark, back).count() == 120
