@@ -48,7 +48,9 @@ def _reap_scratch(spark=None) -> None:
         _rm_scratch(_SCRATCH_DIRS.pop(), spark)
 
 
-def materialize_shared(df: DataFrame, label: str = "shared") -> DataFrame:
+def materialize_shared(
+    df: DataFrame, label: str = "shared", with_path: bool = False
+) -> DataFrame:
     """Materialize a multiply-consumed frame to session-scoped scratch
     parquet and return a frame that SCANS the materialized files.
 
@@ -93,7 +95,11 @@ def materialize_shared(df: DataFrame, label: str = "shared") -> DataFrame:
     # window now, while the session (and its Hadoop FS) is still alive
     while len(_SCRATCH_DIRS) > SCRATCH_KEEP_GENERATIONS:
         _rm_scratch(_SCRATCH_DIRS.pop(0), spark)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    # with_path lets a caller re-scan the same scratch from ANOTHER
+    # SparkSession (pagerank's isolated static-conf session) — the files
+    # are session-agnostic parquet either way
+    return (out, path) if with_path else out
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

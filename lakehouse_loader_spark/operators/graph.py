@@ -92,7 +92,7 @@ def pagerank(
     # its (1-d) base mass WITHOUT a second shuffle per superstep for the
     # left join.  deg IS the distinct src set (out-degree ≥ 1 contract),
     # so the self-edge branch needs no separate nodes distinct
-    norm = materialize_shared(
+    norm, norm_path = materialize_shared(
         e.join(deg, "src").select(
             "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
         ).unionByName(
@@ -103,6 +103,7 @@ def pagerank(
             )
         ),
         label="pagerank-norm",
+        with_path=True,
     )
     # the node set falls out of the norm scratch for free: exactly the
     # zero-weight self-edge rows (a column-pruned scan, no shuffle)
@@ -115,6 +116,21 @@ def pagerank(
     # shuffled join and let AQE pick the strategy per superstep
     n_nodes = nodes.count()
     small = n_nodes <= broadcast_ranks_max
+    static = small and tol is None
+    if static:
+        # small-graph regime: the superstep chain is a fixed, fully known
+        # plan (broadcast join + one map-side-combined aggregate per
+        # superstep) — AQE's per-stage re-optimization barriers cost more
+        # than they save (measured sf0.1: 5.5s → 2.6s over 8 supersteps).
+        # Build and execute the chain in an ISOLATED session (shared
+        # SparkContext, separate SQLConf — spark.newSession()) so the
+        # static-planning confs never leak to queries the caller plans
+        # concurrently on the shared session.  Past the gate the lazy AQE
+        # plan returns unchanged — runtime skew/strategy re-planning is
+        # exactly what a billion-node graph needs
+        run_spark = _static_session(edges.sparkSession)
+        norm = run_spark.read.parquet(norm_path)
+        nodes = norm.where(F.col("w") == 0.0).select(F.col("src").alias("node"))
     bcast = (lambda df: F.broadcast(df)) if small else (lambda df: df)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):
@@ -145,50 +161,48 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    if small and tol is None:
-        # small-graph regime: the superstep chain is a fixed, fully known
-        # plan (broadcast join + one map-side-combined aggregate per
-        # superstep) — AQE's per-stage re-optimization barriers cost more
-        # than they save (measured sf0.1: 5.5s → 2.6s over 8 supersteps),
-        # so execute the chain ONCE under static planning and return the
-        # materialized result.  Past the gate the lazy AQE plan returns
-        # unchanged — runtime skew/strategy re-planning is exactly what a
-        # billion-node graph needs
-        return _run_static(ranks)
+    if static:
+        # execute the chain ONCE in the isolated session, materialize the
+        # node-sized result to scratch parquet, and hand the CALLER's
+        # session a plain scan of it — the returned frame composes with
+        # frames of the parent session (joins, selects) which a
+        # foreign-session DataFrame would not
+        _, out_path = materialize_shared(
+            ranks, label="pagerank-result", with_path=True
+        )
+        return edges.sparkSession.read.parquet(out_path)
     return ranks
 
 
-_STATIC_RUN_LOCK = None
+_STATIC_SESSION = None
 
 
-def _run_static(df: DataFrame) -> DataFrame:
-    """Eagerly execute ``df`` with AQE off and a task count matched to the
-    small-graph regime, restoring session confs afterwards; returns the
-    localCheckpoint-backed result (executor storage, size ∝ node count).
-    Serialized under a module lock: the conf window is session-global, so
-    two concurrent small-graph runs must not interleave set/restore."""
-    global _STATIC_RUN_LOCK
-    if _STATIC_RUN_LOCK is None:
-        import threading
-
-        _STATIC_RUN_LOCK = threading.Lock()
-    spark = df.sparkSession
-    conf = spark.conf
-    _STATIC_RUN_LOCK.acquire()
-    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = conf.get("spark.sql.shuffle.partitions", None)
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set(
+def _static_session(spark):
+    """A cached ``spark.newSession()`` clone for the small-graph static
+    regime: SHARED SparkContext (same executors, same scratch files),
+    SEPARATE SQLConf — AQE off and a task count matched to node-sized
+    frames.  Confs set here are invisible to the parent session, so an
+    unrelated query planned concurrently keeps AQE (the r11 set/restore
+    window leaked both confs to any concurrent planner)."""
+    global _STATIC_SESSION
+    if (
+        _STATIC_SESSION is None
+        or _STATIC_SESSION.sparkContext is not spark.sparkContext
+    ):
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        iso.conf.set(
             "spark.sql.shuffle.partitions",
             str(max(4, spark.sparkContext.defaultParallelism // 4)),
         )
-        return df.localCheckpoint(eager=True)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        if prev_sp is not None:
-            conf.set("spark.sql.shuffle.partitions", prev_sp)
-        _STATIC_RUN_LOCK.release()
+        _STATIC_SESSION = iso
+    # newSession() does NOT inherit runtime-set confs: carry the scratch
+    # root over so the result materializes where the operator family's
+    # cluster-visible scratch lives
+    scratch = spark.conf.get("spark.lakehouse.scratch.dir", None)
+    if scratch:
+        _STATIC_SESSION.conf.set("spark.lakehouse.scratch.dir", scratch)
+    return _STATIC_SESSION
 
 
 def pagerank_sql(edge_cte: str, iterations: int = 8, scale: int = 6) -> str:

@@ -219,16 +219,30 @@ class AzureBlobClient:
         self._check(status, body)
 
     def list_blobs(self, container: str, prefix: str = "") -> list[str]:
-        status, _h, body = self._request(
-            "GET",
-            f"/{container}",
-            query=[("restype", "container"), ("comp", "list"), ("prefix", prefix)],
-        )
-        self._check(status, body)
-        root = ElementTree.fromstring(body)
-        return sorted(
-            e.findtext("Name") for e in root.iter("Blob") if e.findtext("Name")
-        )
+        return [name for name, _size in self.list_objects(container, prefix)]
+
+    def list_objects(self, container: str, prefix: str = "") -> list[tuple[str, int]]:
+        """COMPLETE listing as ``(name, size)`` pairs, following List
+        Blobs pagination (the service caps at 5000 blobs per page and
+        returns a non-empty ``NextMarker``; ignoring it would hand
+        object_sync a partial skip set)."""
+        out: list[tuple[str, int]] = []
+        marker = ""
+        while True:
+            query = [("restype", "container"), ("comp", "list"), ("prefix", prefix)]
+            if marker:
+                query.append(("marker", marker))
+            status, _h, body = self._request("GET", f"/{container}", query=query)
+            self._check(status, body)
+            root = ElementTree.fromstring(body)
+            for e in root.iter("Blob"):
+                name = e.findtext("Name")
+                if name:
+                    size = e.findtext("Properties/Content-Length")
+                    out.append((name, int(size or 0)))
+            marker = (root.findtext("NextMarker") or "").strip()
+            if not marker:
+                return sorted(out)
 
     # -- block upload (the multipart analog) ------------------------------------
 
@@ -310,8 +324,16 @@ class AzureBlobClient:
         with ThreadPoolExecutor(
             max_workers=PARTITION_FILE_UPLOAD_MAX_CONCURRENCY
         ) as pool:
+            # the disk read happens INSIDE the worker (like S3Client's
+            # pool.map): reading eagerly in the submit loop would buffer
+            # every queued part, scaling memory with FILE size instead of
+            # concurrency × part size
             futs = [
-                pool.submit(self.put_block, container, blob, bid, read_part(i))
+                pool.submit(
+                    lambda i=i, bid=bid: self.put_block(
+                        container, blob, bid, read_part(i)
+                    )
+                )
                 for i, bid in enumerate(ids)
             ]
             for f in futs:

@@ -29,8 +29,10 @@ convention requires (Iceberg tables are not relocatable).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import tempfile
 import time
 import uuid
 
@@ -170,6 +172,28 @@ def _hint_file(path: str) -> str:
     return os.path.join(_meta_dir(path), "version-hint.text")
 
 
+def _write_hint(path: str, version: int) -> None:
+    """Atomically update ``version-hint.text``.
+
+    The reference's pointer update is a single object-store PUT — readers
+    see either the old or the new hint, never a torn one
+    (iceberg_destination.rs: the hint object is written whole).  The
+    local-FS twin must match: truncate-then-write (``open(.., "w")``)
+    exposes an EMPTY file between truncate and write, which a concurrent
+    reader turns into ``int('')`` crashes.  tmp-file + ``os.replace`` is
+    atomic on POSIX."""
+    meta_dir = _meta_dir(path)
+    fd, tmp = tempfile.mkstemp(prefix=".version-hint.", dir=meta_dir)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, _hint_file(path))
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise
+
+
 @accepts_file_uris
 def table_exists(path: str) -> bool:
     return os.path.isfile(_hint_file(path))
@@ -177,7 +201,14 @@ def table_exists(path: str) -> bool:
 
 def _read_version(path: str) -> int:
     with open(_hint_file(path)) as fh:
-        return int(fh.read().strip())
+        content = fh.read().strip()
+    try:
+        return int(content)
+    except ValueError:
+        # empty/garbled hint: only possible on filesystems without atomic
+        # replace or from a foreign writer — the hint is only a hint, so
+        # recover exactly like hint-lag does (probe metadata/ for max vN)
+        return _latest_version_on_disk(path)[0]
 
 
 def _read_metadata(path: str) -> tuple[int, dict]:
@@ -1561,8 +1592,7 @@ def write_iceberg(
             if row_id_start is not None:
                 new_meta["next-row-id"] = manifest["__next_row_id"]
 
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(new_version))
+    _write_hint(path, new_version)
 
 
 @accepts_file_uris
@@ -2105,8 +2135,7 @@ def _commit_metadata_update(path: str, mutate) -> None:
             )
             with os.fdopen(fd, "w") as fh:
                 json.dump(new_meta, fh, indent=2)
-            with open(_hint_file(path), "w") as fh:
-                fh.write(str(version + 1))
+            _write_hint(path, version + 1)
             return
         except FileExistsError:
             if attempt == COMMIT_RETRIES - 1:
@@ -2629,8 +2658,7 @@ def expire_snapshots(
             # a concurrent commit landed: recompute retention over its state
             version, meta = _latest_version_on_disk(path)
             return expire_snapshots(path, keep_last=keep_last)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(new_version))
+    _write_hint(path, new_version)
 
     # physical deletion AFTER the metadata commit: a reader on the old
     # version may still be walking expired manifests during the swap, but
@@ -3053,8 +3081,7 @@ def convert_delta_to_iceberg(delta_path: str, iceberg_path: str) -> dict:
     )
     with os.fdopen(fd, "w") as fh:
         json.dump(meta, fh, indent=2)
-    with open(_hint_file(iceberg_path), "w") as fh:
-        fh.write("0")
+    _write_hint(iceberg_path, 0)
     return {
         "files": len(entries),
         "rows": manifest["added_rows_count"],
@@ -3197,8 +3224,7 @@ def _cow_iceberg(spark: SparkSession, path: str, predicate: str, op: str, rewrit
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return int(n_matched), len(affected), len(entries_live)
 
 
@@ -3346,8 +3372,7 @@ def _mor_delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {
         "deleted_rows": int(n_deleted),
         "delete_files": len(new_delete_entries),
@@ -3585,8 +3610,7 @@ def _mor_delete_dv_iceberg(spark: SparkSession, path: str, predicate: str) -> di
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {
         "deleted_rows": int(n_deleted),
         "delete_files": len(new_delete_entries),
@@ -3686,8 +3710,7 @@ def equality_delete_iceberg(
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {"delete_files": len(entries), "key_rows": int(n_keys)}
 
 
@@ -3943,8 +3966,7 @@ def _mor_update_iceberg(
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {
         "updated_rows": int(n_updated),
         "delete_files": len(new_delete_entries),
@@ -4124,8 +4146,7 @@ def rewrite_manifests(path: str, min_count: int = 2) -> dict:
                     )
                     bucket = 1 if e["data_file"].get("content", 0) in (1, 2) else 0
                     by_content[bucket].append((e["data_file"], seq, fseq))
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {
         "manifests_before": len(manifests),
         "manifests_after": len(new_manifests),
@@ -4505,8 +4526,7 @@ def enable_row_lineage_iceberg(path: str) -> None:
             # the fresh snapshot (it may have added files needing ids);
             # the idempotence check exits early if the winner enabled it
             return enable_row_lineage_iceberg(path)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
 
 
 @accepts_file_uris
@@ -4828,8 +4848,7 @@ def optimize_iceberg(
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {
         "rewritten_files": n_before,
         "new_files": len(entries) - len(carried),  # files actually written
@@ -5066,8 +5085,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return {
         "rewritten_files": len(affected),
         "updated": int(n_updated),
@@ -5150,8 +5168,7 @@ def rollback_iceberg(path: str, snapshot_id: int) -> None:
         )
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
 
 
 @accepts_file_uris
@@ -5312,8 +5329,7 @@ def append_to_branch(df: DataFrame, path: str, branch: str) -> int:
                 )
                 if os.path.exists(stale_mf):
                     os.remove(stale_mf)  # never referenced by any commit
-    with open(_hint_file(path), "w") as fh:
-        fh.write(str(version + 1))
+    _write_hint(path, version + 1)
     return snapshot_id
 
 

@@ -65,8 +65,13 @@ def _is_commit_file(rel: str) -> bool:
 def _is_hint_file(rel: str) -> bool:
     """Mutable pointer files, uploaded LAST as plain puts (they may move
     backward only if a concurrent pusher raced, and both race losers
-    already failed at the conditional commit step)."""
-    return rel in ("version-hint.text",) or rel.endswith("_last_checkpoint")
+    already failed at the conditional commit step).  Matched by BASENAME:
+    the Iceberg hint lives at ``metadata/version-hint.text`` — a
+    root-only match would classify it as immutable payload and an
+    incremental re-push would skip it, leaving the remote pointing at the
+    OLD snapshot."""
+    base = rel.split("/")[-1]
+    return base == "version-hint.text" or base == "_last_checkpoint"
 
 
 def _commit_version(rel: str) -> int:
@@ -80,13 +85,16 @@ def sync_table(table_path: str, store, bucket: str, prefix: str) -> dict:
 
     1. immutable payload (data parquet, Avro manifests/manifest lists,
        delete files, checkpoints, CRCs): ``upload_file`` with the
-       multipart policy, skipping keys already present remotely;
+       multipart policy, skipping keys already present remotely WITH a
+       matching size (size mismatch → repair re-upload);
     2. commit files in ascending version order via conditional create —
        an existing remote commit is verified byte-identical (idempotent
        re-push) or :class:`RemoteLogDiverged` is raised;
-    3. hint/pointer files as plain puts.
+    3. hint/pointer files as plain puts (always re-put: they are the
+       MUTABLE part of the table — version-hint.text / _last_checkpoint
+       move forward on every commit).
 
-    Returns {"uploaded": n, "skipped": n, "commits": n}.
+    Returns {"uploaded": n, "skipped": n, "commits": n, "repaired": n}.
     """
     table_path = os.path.abspath(table_path)
     if not os.path.isdir(table_path):
@@ -110,14 +118,21 @@ def sync_table(table_path: str, store, bucket: str, prefix: str) -> dict:
             else:
                 payload.append(rel)
 
-    existing = set(store.list_keys(bucket, prefix=f"{prefix}/"))
-    uploaded = skipped = 0
+    remote_sizes = dict(store.list_objects(bucket, prefix=f"{prefix}/"))
+    uploaded = skipped = repaired = 0
     for rel in sorted(payload):
         key = f"{prefix}/{rel}"
-        if key in existing:
-            skipped += 1
-            continue
-        store.upload_file(bucket, key, os.path.join(table_path, rel))
+        local = os.path.join(table_path, rel)
+        if key in remote_sizes:
+            # immutable keys are only skippable when the remote SIZE
+            # matches — a truncated earlier push must be repaired, not
+            # silently accepted forever (re-upload is safe: same content
+            # under the same immutable key)
+            if remote_sizes[key] == os.path.getsize(local):
+                skipped += 1
+                continue
+            repaired += 1
+        store.upload_file(bucket, key, local)
         uploaded += 1
 
     n_commits = 0
@@ -144,7 +159,12 @@ def sync_table(table_path: str, store, bucket: str, prefix: str) -> dict:
             store.put_object(bucket, key, fh.read())
         uploaded += 1
 
-    return {"uploaded": uploaded, "skipped": skipped, "commits": n_commits}
+    return {
+        "uploaded": uploaded,
+        "skipped": skipped,
+        "commits": n_commits,
+        "repaired": repaired,
+    }
 
 
 def fetch_table(store, bucket: str, prefix: str, dest: str) -> int:

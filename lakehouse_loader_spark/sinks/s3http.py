@@ -252,12 +252,44 @@ class S3Client:
         self._check(status, body)
 
     def list_keys(self, bucket: str, prefix: str = "") -> list[str]:
-        status, _h, body = self._request(
-            "GET", f"/{bucket}", query=[("list-type", "2"), ("prefix", prefix)]
-        )
-        self._check(status, body)
-        root = ElementTree.fromstring(body)
-        return [e.findtext("Key") for e in root.iter("Contents")]
+        return [k for k, _size in self.list_objects(bucket, prefix=prefix)]
+
+    def list_objects(self, bucket: str, prefix: str = "") -> list[tuple[str, int]]:
+        """COMPLETE listing as ``(key, size)`` pairs, following
+        ListObjectsV2 pagination.  Real S3/GCS truncate at 1000 keys per
+        page; a single-page read would make sync_table mis-skip and
+        fetch_table silently materialize a partial table, so truncation
+        without a continuation token is a hard error, not a best-effort."""
+        out: list[tuple[str, int]] = []
+        token, token_param = "", "continuation-token"
+        while True:
+            query = [("list-type", "2"), ("prefix", prefix)]
+            if token:
+                query.append((token_param, token))
+            status, _h, body = self._request("GET", f"/{bucket}", query=query)
+            self._check(status, body)
+            root = ElementTree.fromstring(body)
+            page: list[tuple[str, int]] = []
+            for e in root.iter("Contents"):
+                page.append((e.findtext("Key"), int(e.findtext("Size") or 0)))
+            out.extend(page)
+            if (root.findtext("IsTruncated") or "").strip().lower() != "true":
+                return out
+            if root.findtext("NextContinuationToken"):
+                token = root.findtext("NextContinuationToken")
+            elif root.findtext("NextMarker"):
+                # V1-style pagination (GCS XML API): marker, not token
+                token, token_param = root.findtext("NextMarker"), "marker"
+            elif page:
+                # V1 without delimiter omits NextMarker: last key is marker
+                token, token_param = page[-1][0], "marker"
+            else:
+                raise S3Error(
+                    200,
+                    "TruncatedListing",
+                    "IsTruncated=true with no continuation token, marker, "
+                    "or keys; refusing to return a partial listing",
+                )
 
     # -- multipart -----------------------------------------------------------
 

@@ -14,6 +14,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, unquote, urlparse
 from xml.etree import ElementTree
+from xml.sax.saxutils import escape as xml_escape
 
 from lakehouse_loader_spark.sinks.azureblob import (
     shared_key_string_to_sign,
@@ -29,6 +30,9 @@ class AzureState:
         # (container, blob) -> {block_id: bytes} staged, uncommitted
         self.blocks: dict[tuple[str, str], dict[str, bytes]] = {}
         self.lock = threading.Lock()
+        # page size List Blobs uses when the client sends no maxresults
+        # (real Azure caps at 5000); tests shrink it to exercise NextMarker
+        self.default_maxresults = 5000
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -137,10 +141,22 @@ class _Handler(BaseHTTPRequestHandler):
                 for (c, b) in self.state.blobs
                 if c == container and b.startswith(prefix)
             )
+            marker = q.get("marker", "")
+            if marker:
+                names = [n for n in names if n > marker]
+            maxresults = int(q.get("maxresults", str(self.state.default_maxresults)))
+            page, rest = names[:maxresults], names[maxresults:]
+            next_marker = xml_escape(page[-1]) if rest else ""
             xml = (
                 "<?xml version='1.0'?><EnumerationResults><Blobs>"
-                + "".join(f"<Blob><Name>{n}</Name></Blob>" for n in names)
-                + "</Blobs></EnumerationResults>"
+                + "".join(
+                    f"<Blob><Name>{xml_escape(n)}</Name><Properties>"
+                    f"<Content-Length>{len(self.state.blobs[(container, n)])}"
+                    "</Content-Length></Properties></Blob>"
+                    for n in page
+                )
+                + f"</Blobs><NextMarker>{next_marker}</NextMarker>"
+                + "</EnumerationResults>"
             ).encode()
             return self._ok(xml)
         data = self.state.blobs.get((container, blob))

@@ -28,6 +28,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, unquote, urlparse
 from xml.etree import ElementTree
+from xml.sax.saxutils import escape as xml_escape
 
 from lakehouse_loader_spark.sinks.s3http import (
     canonical_request,
@@ -49,6 +50,9 @@ class S3State:
         self.active_parts = 0
         self.max_active_parts = 0
         self.part_puts = 0
+        # page size ListObjectsV2 uses when the client sends no max-keys
+        # (real S3 caps at 1000); tests shrink it to exercise pagination
+        self.default_max_keys = 1000
         # signature algorithms seen on ACCEPTED requests, so GCS-mode tests
         # can prove the GOOG4 wire path executed (not silently AWS4)
         self.algorithms_seen: set[str] = set()
@@ -188,14 +192,30 @@ class _Handler(BaseHTTPRequestHandler):
             return self._xml_error(403, "SignatureDoesNotMatch")
         bucket, key, q = self._route()
         st = self.state
-        if not key:  # ListObjectsV2
+        if not key:  # ListObjectsV2 (paginated: max-keys + continuation-token)
             prefix = q.get("prefix", "")
             keys = sorted(
                 k for (b, k) in st.objects if b == bucket and k.startswith(prefix)
             )
-            xml = "<ListBucketResult>" + "".join(
-                f"<Contents><Key>{k}</Key></Contents>" for k in keys
-            ) + "</ListBucketResult>"
+            token = q.get("continuation-token", q.get("marker", ""))
+            if token:
+                keys = [k for k in keys if k > token]
+            max_keys = int(q.get("max-keys", str(st.default_max_keys)))
+            page, rest = keys[:max_keys], keys[max_keys:]
+            entries = "".join(
+                f"<Contents><Key>{xml_escape(k)}</Key>"
+                f"<Size>{len(st.objects[(bucket, k)])}</Size></Contents>"
+                for k in page
+            )
+            if rest:
+                tail = (
+                    "<IsTruncated>true</IsTruncated>"
+                    f"<NextContinuationToken>{xml_escape(page[-1])}"
+                    "</NextContinuationToken>"
+                )
+            else:
+                tail = "<IsTruncated>false</IsTruncated>"
+            xml = f"<ListBucketResult>{entries}{tail}</ListBucketResult>"
             return self._ok(xml.encode(), {"Content-Type": "application/xml"})
         data = st.objects.get((bucket, key))
         if data is None:

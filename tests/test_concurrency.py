@@ -21,16 +21,29 @@ from lakehouse_loader_spark.sinks.delta import (
 
 def _run_writers(n_threads, n_commits, fn):
     """Run fn(thread_idx, commit_idx) across threads; returns the set of
-    (thread, commit) pairs that committed successfully."""
+    (thread, commit) pairs that committed successfully.  A race loser must
+    surface as one of the CLASSIFIED concurrency errors (or retry-exhaustion
+    FileExistsError) — anything else is a protocol bug (r11's torn-hint
+    ValueError died silently in a worker thread here)."""
     ok: set[tuple[int, int]] = set()
+    errors: list[tuple[int, int, str]] = []
     lock = threading.Lock()
 
     def work(t):
         for c in range(n_commits):
             try:
                 fn(t, c)
-            except (ConcurrentModificationError, IC.ConcurrentSpecChangeError, RuntimeError):
+            except (
+                ConcurrentModificationError,
+                IC.ConcurrentSpecChangeError,
+                RuntimeError,
+                FileExistsError,  # COMMIT_RETRIES exhausted: lost every race
+            ):
                 continue  # lost too many races: acceptable, must not corrupt
+            except BaseException as e:  # noqa: BLE001 — the assert below reports it
+                with lock:
+                    errors.append((t, c, repr(e)))
+                continue
             with lock:
                 ok.add((t, c))
 
@@ -39,6 +52,7 @@ def _run_writers(n_threads, n_commits, fn):
         th.start()
     for th in threads:
         th.join()
+    assert not errors, f"unclassified crashes in writer threads: {errors}"
     return ok
 
 
@@ -102,3 +116,65 @@ def test_concurrent_delta_appends_serialize(spark, tmpdir):
     latest, _, _ = _read_log(path)
     sizes = [read_delta(spark, path, version=v).count() for v in range(1, latest + 1)]
     assert sizes == sorted(sizes)
+
+
+def test_hint_never_torn_under_writer_storm(tmpdir):
+    """version-hint.text updates are atomic (tmp-file + os.replace): a
+    reader polling the hint during a storm of hint writers must NEVER see
+    a torn/empty file.  r11's truncate-then-write exposed an empty-file
+    window that crashed readers with ``int('')`` (demonstrated live by
+    this module's iceberg append test)."""
+    path = os.path.join(tmpdir, "hint_storm")
+    os.makedirs(os.path.join(path, "metadata"))
+    IC._write_hint(path, 0)
+    with open(os.path.join(path, "metadata", "v0.metadata.json"), "w") as fh:
+        fh.write("{}")
+
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                v = IC._read_version(path)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(repr(e))
+                return
+            assert 0 <= v
+    readers = [threading.Thread(target=reader) for _ in range(4)]
+    for th in readers:
+        th.start()
+    writers = [
+        threading.Thread(
+            target=lambda: [IC._write_hint(path, v) for v in range(2500)]
+        )
+        for _ in range(2)
+    ]
+    for th in writers:
+        th.start()
+    for th in writers:
+        th.join()
+    stop.set()
+    for th in readers:
+        th.join()
+    assert not errors, f"reader observed a torn hint: {errors[:3]}"
+    # no tmp litter left behind
+    leftovers = [
+        f for f in os.listdir(os.path.join(path, "metadata"))
+        if f.startswith(".version-hint.")
+    ]
+    assert not leftovers
+
+
+def test_empty_hint_recovers_via_directory_probe(spark, tmpdir):
+    """A torn/garbled hint left by a foreign writer (or a non-POSIX fs) is
+    treated as hint-lag: _read_version probes metadata/ for max vN instead
+    of crashing, so reads keep working."""
+    path = os.path.join(tmpdir, "ice_empty_hint")
+    IC.write_iceberg(spark.range(0, 7).select(F.col("id").alias("tag")), path)
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    for content in ("", "  ", "garbage"):
+        with open(hint, "w") as fh:
+            fh.write(content)
+        assert IC._read_version(path) == 0
+        assert IC.read_iceberg(spark, path).count() == 7

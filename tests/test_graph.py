@@ -99,3 +99,60 @@ def test_checkpoint_every_preserves_result(spark):
     ck = {r.node: r.rank
           for r in pagerank(e, iterations=9, checkpoint_every=2).collect()}
     assert base == ck
+
+
+def test_static_regime_does_not_leak_confs_to_parent_session(spark):
+    """The small-graph static execution runs in an ISOLATED newSession()
+    clone: an unrelated query planned CONCURRENTLY on the shared session
+    must still plan adaptively with the session's shuffle partitioning
+    (the r11 set/restore window flipped AQE off session-globally)."""
+    import threading
+
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    observed: list[tuple[str, str, bool]] = []
+    stop = threading.Event()
+
+    def unrelated_planner():
+        while not stop.is_set():
+            plan = (
+                spark.range(100)
+                .groupBy((F.col("id") % 3).alias("k"))
+                .count()
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            observed.append(
+                (
+                    spark.conf.get("spark.sql.adaptive.enabled"),
+                    spark.conf.get("spark.sql.shuffle.partitions"),
+                    "AdaptiveSparkPlan" in plan,
+                )
+            )
+
+    poller = threading.Thread(target=unrelated_planner)
+    poller.start()
+    try:
+        import random
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(400)]
+        pairs = set()
+        for _ in range(3000):
+            a, b = rng.sample(nodes, 2)
+            pairs.add((a, b))
+            pairs.add((b, a))
+        ranks = pagerank(_edges(spark, sorted(pairs)), iterations=8)
+        assert ranks.count() == 400
+    finally:
+        stop.set()
+        poller.join()
+    assert observed, "planner thread never ran"
+    for aqe, sp, adaptive in observed:
+        assert aqe == before_aqe and sp == before_sp and adaptive
+    # the result frame is bound to the PARENT session and composes with it
+    joined = ranks.join(
+        spark.createDataFrame([("n0",)], "node string"), "node"
+    )
+    assert joined.count() == 1

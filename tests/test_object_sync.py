@@ -162,3 +162,84 @@ def test_cli_push_pull_table(spark, tmpdir, s3c, monkeypatch):
     back = os.path.join(str(tmpdir), "clidl_back")
     do_main(["pull-table", back, "bkt", "tables/cli", "--store", "s3", "--endpoint", ep])
     assert DL.read_delta(spark, back).count() == 120
+
+def test_incremental_iceberg_repush_updates_hint(spark, tmpdir, s3c):
+    """metadata/version-hint.text is MUTABLE: after new commits, an
+    incremental re-push must re-put it (basename-matched hint), or the
+    remote hint keeps pointing at the OLD snapshot and a restore silently
+    reads stale data."""
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    client, _state = s3c
+    t = os.path.join(str(tmpdir), "ice_inc")
+    IC.write_iceberg(_df(spark), t)
+    SY.sync_table(t, client, "bkt", "tables/ice_inc")
+
+    IC.write_iceberg(_df(spark, 500), t, append=True)
+    inc = SY.sync_table(t, client, "bkt", "tables/ice_inc")
+    assert inc["commits"] == 1
+
+    hint_key = "tables/ice_inc/metadata/version-hint.text"
+    with open(os.path.join(t, "metadata", "version-hint.text"), "rb") as fh:
+        assert client.get_object("bkt", hint_key) == fh.read()
+
+    back = os.path.join(str(tmpdir), "ice_inc_back")
+    SY.fetch_table(client, "bkt", "tables/ice_inc", back)
+    assert IC.read_iceberg(spark, back).count() == 1000
+
+
+def test_truncated_remote_payload_repaired(spark, tmpdir, s3c):
+    """A remote data file whose SIZE differs from local (truncated earlier
+    push) is re-uploaded, not skipped by key — immutable keys make the
+    repair safe."""
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    client, state = s3c
+    t = os.path.join(str(tmpdir), "trunc")
+    DL.write_delta(_df(spark), t)
+    SY.sync_table(t, client, "bkt", "tables/trunc")
+
+    victim = next(
+        (b, k) for (b, k) in state.objects
+        if b == "bkt" and k.startswith("tables/trunc/") and k.endswith(".parquet")
+    )
+    whole = state.objects[victim]
+    state.objects[victim] = whole[: len(whole) // 2]
+
+    res = SY.sync_table(t, client, "bkt", "tables/trunc")
+    assert res["repaired"] == 1 and res["commits"] == 0
+    assert state.objects[victim] == whole
+
+    back = os.path.join(str(tmpdir), "trunc_back")
+    SY.fetch_table(client, "bkt", "tables/trunc", back)
+    want = {r["id"]: r["v"] for r in DL.read_delta(spark, t).collect()}
+    got = {r["id"]: r["v"] for r in DL.read_delta(spark, back).collect()}
+    assert got == want
+
+
+def test_s3_list_pagination(s3c):
+    """list_objects follows IsTruncated/NextContinuationToken to a
+    COMPLETE listing (real S3 pages at 1000 keys) and returns sizes."""
+    client, state = s3c
+    for i in range(10):
+        client.put_object("bkt", f"pgn/k{i:02d}", b"x" * (i + 1))
+    state.default_max_keys = 3
+    try:
+        got = client.list_objects("bkt", prefix="pgn/")
+    finally:
+        state.default_max_keys = 1000
+    assert got == [(f"pgn/k{i:02d}", i + 1) for i in range(10)]
+
+
+def test_azure_list_pagination(azc):
+    """list_objects follows NextMarker to a COMPLETE listing (real Azure
+    pages at 5000 blobs) and returns Content-Length sizes."""
+    client, state = azc
+    for i in range(10):
+        client.put_object("ctr", f"pgn/b{i:02d}", b"y" * (i + 1))
+    state.default_maxresults = 4
+    try:
+        got = client.list_objects("ctr", prefix="pgn/")
+    finally:
+        state.default_maxresults = 5000
+    assert got == [(f"pgn/b{i:02d}", i + 1) for i in range(10)]
