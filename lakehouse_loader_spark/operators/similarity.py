@@ -90,12 +90,16 @@ def cosine_neardup_pairs(
     )
 
 
+EXACT_ALLPAIRS_MAX_ROWS = 1_000_000
+
+
 def cosine_neardup_pairs_blocked(
     emb: DataFrame,
     threshold: float,
     n_blocks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = EXACT_ALLPAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold as a blocked matrix product.
 
@@ -104,7 +108,24 @@ def cosine_neardup_pairs_blocked(
     executors, and each pair computes one numpy float64 matmul (BLAS) over
     its two blocks — O(n²·d) flops at memory bandwidth instead of
     interpreted per-element folds.  Work per task is (n/n_blocks)²·d; size
-    n_blocks so a block pair fits executor memory."""
+    n_blocks so a block pair fits executor memory.
+
+    BLAS or not, the flop count is still O(n²·d): this is the exact
+    VERIFICATION twin of the banded paths (lsh_ann_topk / semantic dedup),
+    not the production path.  Above ``max_rows`` it REFUSES (the same
+    guard-rail shape as clusters.LOCAL_CC_MAX_EDGES) so the one quadratic
+    operator in the registry can't be pointed at a 100 TB corpus by
+    accident; pass ``max_rows=None`` to force it on a cluster sized for
+    the n² work."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"exact all-pairs cosine over {n:,} vectors is O(n²·d) — "
+                f"refusing above {max_rows:,} rows; use lsh_ann_topk / "
+                "semantic_dedup (banded) or pass max_rows=None if the "
+                "cluster is sized for the quadratic work"
+            )
     norms = _norm(F.col(vec_col))
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norms)
     blocks = (

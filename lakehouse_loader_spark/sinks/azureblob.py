@@ -109,33 +109,129 @@ def sign_shared_key(key_b64: str, string_to_sign: str) -> str:
     ).decode()
 
 
+SAS_VERSION = "2021-08-06"
+
+
+def account_sas_string_to_sign(
+    account: str,
+    permissions: str,
+    start: str,
+    expiry: str,
+    version: str = SAS_VERSION,
+    services: str = "b",
+    resource_types: str = "sco",
+    ip: str = "",
+    protocol: str = "https,http",
+    encryption_scope: str = "",
+) -> str:
+    """Account SAS canonicalization (learn.microsoft.com/rest/api/
+    storageservices/create-account-sas, version 2020-12-06+): ten
+    newline-joined fields with a trailing newline, HMAC-SHA256 under the
+    base64-decoded account key.  Shared with the loopback server, which
+    re-derives the signature independently from the SAS query params."""
+    return (
+        "\n".join(
+            [
+                account,
+                permissions,
+                services,
+                resource_types,
+                start,
+                expiry,
+                ip,
+                protocol,
+                version,
+                encryption_scope,
+            ]
+        )
+        + "\n"
+    )
+
+
+def generate_account_sas(
+    account: str,
+    key_b64: str,
+    permissions: str = "rwdlc",
+    expiry: str | None = None,
+    start: str = "",
+    services: str = "b",
+    resource_types: str = "sco",
+    lifetime_s: int = 3600,
+) -> list[tuple[str, str]]:
+    """Mint an account-SAS query-parameter set: sv/ss/srt/sp/(st)/se/spr/
+    sig.  Real deployments often forbid account keys on clients; the key
+    holder mints a SAS out of band and hands only these params over —
+    the client then authenticates by QUERY STRING, never seeing the key."""
+    if expiry is None:
+        exp = _dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(seconds=lifetime_s)
+        expiry = exp.strftime("%Y-%m-%dT%H:%M:%SZ")
+    sts = account_sas_string_to_sign(
+        account, permissions, start, expiry,
+        services=services, resource_types=resource_types,
+    )
+    params = [
+        ("sv", SAS_VERSION),
+        ("ss", services),
+        ("srt", resource_types),
+        ("sp", permissions),
+        ("se", expiry),
+        ("spr", "https,http"),
+        ("sig", sign_shared_key(key_b64, sts)),
+    ]
+    if start:
+        params.insert(4, ("st", start))
+    return params
+
+
 class AzureBlobClient:
     """Minimal synchronous Blob service client over http.client — the
     Azure twin of s3http.S3Client (one connection per concurrent request;
     the bounded block-upload pool caps both threads and sockets)."""
 
-    def __init__(self, endpoint: str, account: str, account_key_b64: str):
+    def __init__(
+        self,
+        endpoint: str,
+        account: str,
+        account_key_b64: str | None = None,
+        sas_token: str | list[tuple[str, str]] | None = None,
+    ):
         u = urlparse(endpoint)
         if u.scheme != "http":
             raise ValueError("only http endpoints (loopback test servers) supported")
+        if (account_key_b64 is None) == (sas_token is None):
+            raise ValueError(
+                "exactly one credential mode: account_key_b64 (Shared Key) "
+                "or sas_token (query-param SAS)"
+            )
         self.host = u.hostname or "127.0.0.1"
         self.port = u.port or 80
         self.account = account
         self.key = account_key_b64
+        if isinstance(sas_token, str):
+            from urllib.parse import parse_qsl
+
+            sas_token = parse_qsl(sas_token.lstrip("?"), keep_blank_values=True)
+        self.sas: list[tuple[str, str]] | None = sas_token
 
     @classmethod
     def from_env(cls, endpoint: str) -> "AzureBlobClient":
         """Construct from the scheme-keyed AZURE_* environment pickup —
-        the executed continuation of object_store_env("az")."""
+        the executed continuation of object_store_env("az").  SAS mode
+        (AZURE_STORAGE_SAS_TOKEN) wins over the account key when both are
+        set: deployments that mint SAS usually forbid shipping the key."""
         from lakehouse_loader_spark.sinks.object_store import object_store_env
 
         env = object_store_env("az")
         try:
-            return cls(
-                endpoint,
-                env["azure_storage_account"],
-                env["azure_storage_account_key"],
-            )
+            account = env["azure_storage_account"]
+        except KeyError as e:
+            raise ValueError(
+                f"Azure credentials missing from environment: {e}"
+            ) from None
+        if "azure_storage_sas_token" in env:
+            return cls(endpoint, account, sas_token=env["azure_storage_sas_token"])
+        try:
+            return cls(endpoint, account, env["azure_storage_account_key"])
         except KeyError as e:
             raise ValueError(
                 f"Azure credentials missing from environment: {e}"
@@ -159,10 +255,17 @@ class AzureBlobClient:
             "content-length": str(len(body)),
             **{k.lower(): v for k, v in (extra_headers or {}).items()},
         }
-        sts = shared_key_string_to_sign(method, self.account, path, query, headers)
-        headers["authorization"] = (
-            f"SharedKey {self.account}:{sign_shared_key(self.key, sts)}"
-        )
+        if self.sas is not None:
+            # SAS mode: authorization travels as query parameters — no
+            # Authorization header, the key never touches this process
+            query = list(query) + self.sas
+        else:
+            sts = shared_key_string_to_sign(
+                method, self.account, path, query, headers
+            )
+            headers["authorization"] = (
+                f"SharedKey {self.account}:{sign_shared_key(self.key, sts)}"
+            )
         headers["host"] = f"{self.host}:{self.port}"
         qs = "&".join(
             f"{quote(k, safe='')}={quote(v, safe='')}" for k, v in sorted(query)

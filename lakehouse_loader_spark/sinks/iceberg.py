@@ -4379,12 +4379,23 @@ def enable_row_lineage_iceberg(path: str) -> None:
     # an UNPUBLISHED branch holds files the main-snapshot backfill below
     # would never stamp — publishing it later would surface a lineage
     # table with id-less files.  Refuse now with guidance instead of
-    # failing at first read after the publish
+    # failing at first read after the publish.  A branch whose head is an
+    # ANCESTOR of main is published history, not divergence: it holds no
+    # files outside main's lineage, publish is fast-forward-only so it can
+    # never move main backward, and a lineage read AT that stale head
+    # refuses on its own (unstamped first_row_id) — so only branches off
+    # the main ancestry block enablement
+    ancestors: set[int] = set()
+    _by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    _cur = meta.get("current-snapshot-id")
+    while _cur is not None and _cur in _by_id:
+        ancestors.add(_cur)
+        _cur = _by_id[_cur].get("parent-snapshot-id")
     stale_branches = sorted(
         name
         for name, r in (meta.get("refs") or {}).items()
         if (r or {}).get("type") == "branch"
-        and r.get("snapshot-id") != meta.get("current-snapshot-id")
+        and r.get("snapshot-id") not in ancestors
     )
     if stale_branches:
         raise ValueError(

@@ -17,6 +17,7 @@ from xml.etree import ElementTree
 from xml.sax.saxutils import escape as xml_escape
 
 from lakehouse_loader_spark.sinks.azureblob import (
+    account_sas_string_to_sign,
     shared_key_string_to_sign,
     sign_shared_key,
 )
@@ -66,6 +67,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _verify_sig(self) -> bool:
         auth = self.headers.get("Authorization") or ""
+        if not auth:
+            return self._verify_sas()
         if not auth.startswith("SharedKey "):
             return False
         try:
@@ -84,6 +87,48 @@ class _Handler(BaseHTTPRequestHandler):
         )
         want = sign_shared_key(self.state.key, sts)
         return hmac.compare_digest(want, sig)
+
+    # permission letter an account SAS must carry per verb/operation
+    _SAS_PERMS = {"GET": "r", "HEAD": "r", "PUT": "w", "DELETE": "d"}
+
+    def _verify_sas(self) -> bool:
+        """Account-SAS validation, re-derived INDEPENDENTLY from the SAS
+        query params + the account key (create-account-sas spec): check
+        the signature, the validity window, and the permission letter the
+        verb needs ('l' for List Blobs)."""
+        import datetime as _dt
+
+        u = urlparse(self.path)
+        q = dict(parse_qsl(u.query, keep_blank_values=True))
+        if "sig" not in q:
+            return False
+        sts = account_sas_string_to_sign(
+            self.state.account,
+            q.get("sp", ""),
+            q.get("st", ""),
+            q.get("se", ""),
+            version=q.get("sv", ""),
+            services=q.get("ss", ""),
+            resource_types=q.get("srt", ""),
+            protocol=q.get("spr", ""),
+        )
+        if not hmac.compare_digest(
+            sign_shared_key(self.state.key, sts), q["sig"]
+        ):
+            return False
+        now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        if q.get("se", "") <= now:  # expired (ISO-8601 Z strings sort)
+            return False
+        if q.get("st") and q["st"] > now:  # not yet valid
+            return False
+        if "b" not in q.get("ss", ""):
+            return False
+        needed = (
+            "l"
+            if q.get("comp") == "list"
+            else self._SAS_PERMS.get(self.command, "?")
+        )
+        return needed in q.get("sp", "")
 
     def _route(self):
         u = urlparse(self.path)

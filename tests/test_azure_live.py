@@ -129,3 +129,71 @@ def test_delete_and_missing(azenv):
         client.get_blob("ctr", "gone.bin")
     assert ei.value.status == 404
     assert PARTITION_FILE_UPLOAD_MAX_CONCURRENCY == 2  # reference constant pinned
+
+
+def test_sas_token_mode_roundtrip(azenv):
+    """Query-param account-SAS auth (no Authorization header, key never in
+    the client): mint with the key holder's generate_account_sas, drive
+    put/get/list/delete through the SAS-credentialed client, server
+    re-derives the SAS signature independently."""
+    keyed, state = azenv
+    ep = f"http://{keyed.host}:{keyed.port}"
+    sas = AZ.generate_account_sas("devacct", state.key, permissions="rwdlc")
+    client = AZ.AzureBlobClient(ep, "devacct", sas_token=sas)
+    assert client.key is None  # the account key never enters SAS mode
+
+    client.put_object("sasctr", "a/b.txt", b"hello-sas")
+    assert client.get_object("sasctr", "a/b.txt") == b"hello-sas"
+    assert client.list_objects("sasctr", prefix="a/") == [("a/b.txt", 9)]
+    client.delete_blob("sasctr", "a/b.txt")
+    with pytest.raises(AZ.AzureError):
+        client.get_object("sasctr", "a/b.txt")
+
+
+def test_sas_permissions_and_expiry_enforced(azenv):
+    """The loopback rejects: a read-only SAS attempting PUT, an expired
+    SAS, and a forged signature — all 403 AuthenticationFailed."""
+    keyed, state = azenv
+    ep = f"http://{keyed.host}:{keyed.port}"
+
+    read_only = AZ.AzureBlobClient(
+        ep, "devacct", sas_token=AZ.generate_account_sas(
+            "devacct", state.key, permissions="rl")
+    )
+    keyed.put_object("sasctr2", "x.txt", b"payload")
+    assert read_only.get_object("sasctr2", "x.txt") == b"payload"
+    with pytest.raises(AZ.AzureError) as ei:
+        read_only.put_object("sasctr2", "y.txt", b"nope")
+    assert ei.value.status == 403
+
+    expired = AZ.AzureBlobClient(
+        ep, "devacct", sas_token=AZ.generate_account_sas(
+            "devacct", state.key, expiry="2000-01-01T00:00:00Z")
+    )
+    with pytest.raises(AZ.AzureError) as ei:
+        expired.get_object("sasctr2", "x.txt")
+    assert ei.value.status == 403
+
+    forged = AZ.AzureBlobClient(
+        ep, "devacct", sas_token=AZ.generate_account_sas(
+            "devacct", state.key.swapcase(), permissions="rwdlc")
+    )
+    with pytest.raises(AZ.AzureError) as ei:
+        forged.get_object("sasctr2", "x.txt")
+    assert ei.value.status == 403
+
+
+def test_sas_from_env_wins_over_key(monkeypatch_module, azenv):
+    keyed, state = azenv
+    ep = f"http://{keyed.host}:{keyed.port}"
+    from urllib.parse import urlencode
+
+    token = urlencode(AZ.generate_account_sas("devacct", state.key))
+    monkeypatch_module.setenv("AZURE_STORAGE_SAS_TOKEN", token)
+    try:
+        client = AZ.AzureBlobClient.from_env(ep)
+        assert client.sas is not None and client.key is None
+        client.put_object("sasctr3", "env.txt", b"via-env-sas")
+        assert client.get_object("sasctr3", "env.txt") == b"via-env-sas"
+    finally:
+        monkeypatch_module.delenv("AZURE_STORAGE_SAS_TOKEN", raising=False)

@@ -459,3 +459,21 @@ def test_materialize_shared_generation_cap(spark):
         assert os.path.exists(recent)
     O._reap_scratch()
     assert all(not os.path.exists(p) for p in made)
+
+
+def test_exact_allpairs_gate_refuses_above_max_rows(spark):
+    """The exact O(n²·d) all-pairs path carries the clusters-style size
+    gate: above max_rows it refuses with a pointer at the banded paths;
+    max_rows=None forces it (a cluster deliberately sized for n²)."""
+    import pytest
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=int(i)) for i in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n²·d\\)"):
+        S.cosine_neardup_pairs_blocked(emb, threshold=0.9, max_rows=10)
+    forced = S.cosine_neardup_pairs_blocked(
+        emb, threshold=0.999999, max_rows=None
+    )
+    assert forced.count() == 0  # gate off → plan executes

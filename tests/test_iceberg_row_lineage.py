@@ -484,3 +484,27 @@ def test_rollback_restores_ids_with_rows(spark, tmpdir):
     assert meta2["next-row-id"] >= cursor_before  # cursor is monotone
     with pytest.raises(ValueError, match="predates row-lineage"):
         IC.rollback_iceberg(t, snap_pre_enable)
+
+
+def test_enable_allows_branch_at_published_ancestor(spark, tmpdir):
+    """A branch whose head is an ANCESTOR of main is published history,
+    not divergence — it holds no files outside main's lineage, so it must
+    not block enablement (over-conservative refusal, r11 advice).  A
+    lineage read AT the stale head still refuses on its own (the ancestor
+    snapshot's manifests carry no first_row_id)."""
+    t = _table(spark, tmpdir)
+    first_snap = IC.snapshot_ids(t)[0]
+    IC.write_iceberg(_df(spark, 100), t, append=True)
+    IC.create_ref(t, "old-head", snapshot_id=first_snap, ref_type="branch")
+
+    IC.enable_row_lineage_iceberg(t)  # must not refuse
+    out = IC.read_iceberg_with_row_ids(spark, t)
+    assert sorted(r["_row_id"] for r in out.collect()) == list(range(200))
+    # the stale branch head predates enablement: lineage read there refuses
+    with pytest.raises(ValueError, match="first_row_id|missing"):
+        IC.read_iceberg_with_row_ids(spark, t, snapshot_id=first_snap)
+    # a DIVERGED branch (head off the main ancestry) still blocks
+    t2 = _table(spark, tmpdir, name="t2")
+    IC.append_to_branch(_df(spark, 500), t2, "audit")
+    with pytest.raises(ValueError, match="unpublished branch"):
+        IC.enable_row_lineage_iceberg(t2)
