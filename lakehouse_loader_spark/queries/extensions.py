@@ -1870,7 +1870,6 @@ def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     width (A/B at sf0.1: 3.4s at 32 stores vs 1.9s at 8).  The returned
     frame belongs to the clone (shared SparkContext): collect/count/write
     all work; only composing it into a parent-session plan would not."""
-    import uuid as _uuid
 
     from lakehouse_loader_spark.streaming.events import (
         read_event_stream,
@@ -1881,7 +1880,7 @@ def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "parity", lambda ev: ev.repartition(4)
     )
     child = _parity_stream_session(spark, width=8)
-    sink = f"sw_parity_{_uuid.uuid4().hex[:8]}"
+    sink = _parity_sink(child, "sw_parity")
     q = (
         windowed_event_agg(read_event_stream(child, staged, max_files_per_trigger=2))
         .writeStream.trigger(availableNow=True)
@@ -1981,6 +1980,38 @@ def _parity_stream_session(spark: SparkSession, width: int) -> SparkSession:
     return _PARITY_SESSION
 
 
+_PARITY_SINKS: dict[str, str] = {}
+
+
+def _parity_sink(child: SparkSession, key: str) -> str:
+    """Mint a unique memory-sink name for a parity run and RELEASE the
+    previous run's sink for the same query: a memory sink holds its full
+    result in JVM memory behind a catalog temp view, so without cleanup
+    every bench sweep / driver round grows the clone's heap by one result
+    set per parity query (unbounded in a long-lived service).  Dropping at
+    the START of the next same-query run keeps the returned DataFrame
+    valid for the caller's entire consumption window — the contract is
+    that a parity result is consumed before the same query runs again
+    (bench and driver both do).  Terminated query handles are reset too
+    (the StreamingQueryManager retains them until told otherwise)."""
+    import uuid as _uuid
+    import uuid as _uuid
+
+    prev = _PARITY_SINKS.get(key)
+    if prev is not None:
+        try:
+            child.catalog.dropTempView(prev)
+        except Exception:
+            pass  # view already gone — nothing held
+        try:
+            child.streams.resetTerminated()
+        except Exception:
+            pass
+    name = f"{key}_{_uuid.uuid4().hex[:8]}"
+    _PARITY_SINKS[key] = name
+    return name
+
+
 @query(
     "streaming_dedup_parity",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
@@ -1994,7 +2025,6 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives depends on arrival order inside a micro-batch, but the key
     set is exact — the guarantee the operator makes on an at-least-once
     source."""
-    import uuid as _uuid
 
     from lakehouse_loader_spark.streaming.events import (
         read_event_stream,
@@ -2005,7 +2035,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "dedup", lambda ev: ev.repartition(4)
     )
     child = _parity_stream_session(spark, width=8)
-    sink = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    sink = _parity_sink(child, "sdedup")
     q = (
         streaming_dedup(
             read_event_stream(child, staged, max_files_per_trigger=2),
@@ -2042,6 +2072,7 @@ def streaming_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic too, not just key presence."""
     import os
     import tempfile
+    import uuid as _uuid
     import uuid as _uuid
 
     from lakehouse_loader_spark.sinks.delta import read_delta
@@ -2153,7 +2184,6 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow), and the converged memory-sink result must hash-match
     the batch recursive-gap oracle — proving streaming sessions merge
     exactly like batch ones, fragments across micro-batches included."""
-    import uuid as _uuid
 
     from lakehouse_loader_spark.streaming.events import (
         read_event_stream,
@@ -2164,7 +2194,7 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "session", lambda ev: ev.repartition(4)
     )
     child = _parity_stream_session(spark, width=8)
-    sink = f"ssess_{_uuid.uuid4().hex[:8]}"
+    sink = _parity_sink(child, "ssess")
     q = (
         session_window_agg(read_event_stream(child, staged, max_files_per_trigger=2))
         .writeStream.trigger(availableNow=True)
@@ -2195,7 +2225,6 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it must hash-match the batch GROUP BY.  Rounding at 4dp follows
     the streaming_window_parity precedent for cross-batch float
     accumulation order."""
-    import uuid as _uuid
 
     from lakehouse_loader_spark.streaming.events import (
         read_event_stream,
@@ -2209,7 +2238,7 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but 32 state stores pay more commit overhead than the extra lanes
     # return (A/B at sf0.1: 2.6s/2.1s/2.9s at 8/16/32)
     child = _parity_stream_session(spark, width=16)
-    sink = f"sstate_{_uuid.uuid4().hex[:8]}"
+    sink = _parity_sink(child, "sstate")
     q = (
         stateful_user_totals(read_event_stream(child, staged, max_files_per_trigger=2))
         .writeStream.trigger(availableNow=True)
@@ -2255,7 +2284,6 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs — the batch/stream parity contract, now covering
     Spark's stateful two-stream operator alongside window/dedup/upsert/
     session/arbitrary-state."""
-    import uuid as _uuid
 
     from lakehouse_loader_spark.streaming.events import (
         read_event_stream,
@@ -2283,7 +2311,7 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = read_event_stream(child, staged, max_files_per_trigger=2).filter(
         F.col("event_type") == "purchase"
     )
-    sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
+    sink = _parity_sink(child, "ssjoin")
     q = (
         stream_stream_interval_join(clicks, purchases)
         .writeStream.trigger(availableNow=True)
@@ -2321,7 +2349,6 @@ def streaming_stateful_v2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the dependency appears.  Convergence contract as
     streaming_stateful_parity: counts grow monotonically per batch, so
     max n_events per key pair is the final state."""
-    import uuid as _uuid
 
     from lakehouse_loader_spark.streaming.events import (
         read_event_stream,
@@ -2342,7 +2369,7 @@ def streaming_stateful_v2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     child = _parity_stream_session(spark, width=16)
     stream = read_event_stream(child, staged, max_files_per_trigger=2)
     use_v2 = transformwithstate_runtime_available()
-    sink = f"sstate2_{_uuid.uuid4().hex[:8]}"
+    sink = _parity_sink(child, "sstate2")
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prior = child.conf.get(prov_key, None)
     try:

@@ -845,3 +845,26 @@ def test_stream_to_iceberg_into_row_lineage_table(spark, staged_events):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_parity_clone_releases_previous_memory_sink(spark):
+    """The shared parity clone must not accumulate memory-sink tables
+    across runs: each result set lives in JVM memory behind a catalog
+    temp view, so a long-lived service re-running parities would grow
+    the heap without bound.  Contract: the PREVIOUS same-query sink is
+    dropped when the next run starts; the fresh sink stays queryable."""
+    import lakehouse_loader_spark.queries.extensions as ext
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY["streaming_window_parity"].fn
+    n1 = fn(spark, SF_SMOKE).count()
+    first = ext._PARITY_SINKS["sw_parity"]
+    n2 = fn(spark, SF_SMOKE).count()
+    second = ext._PARITY_SINKS["sw_parity"]
+    assert n1 == n2 > 0
+    assert first != second
+    child = ext._PARITY_SESSION
+    names = {t.name for t in child.catalog.listTables()}
+    assert first not in names, "previous parity sink must be dropped"
+    assert second in names, "current parity sink must remain readable"
