@@ -50,7 +50,7 @@ def _reap_scratch(spark=None) -> None:
 
 def materialize_shared(
     df: DataFrame, label: str = "shared", with_path: bool = False
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, str]:
     """Materialize a multiply-consumed frame to session-scoped scratch
     parquet and return a frame that SCANS the materialized files.
 

@@ -166,11 +166,19 @@ def pagerank(
         # node-sized result to scratch parquet, and hand the CALLER's
         # session a plain scan of it — the returned frame composes with
         # frames of the parent session (joins, selects) which a
-        # foreign-session DataFrame would not
+        # foreign-session DataFrame would not.  The scan is then eagerly
+        # localCheckpointed: scratch generations are reclaimed after
+        # SCRATCH_KEEP_GENERATIONS later materialize_shared calls, and a
+        # caller is entitled to hold the result across other operators —
+        # the checkpoint pins the node-sized rows in executor storage,
+        # independent of the scratch dir's lifetime (cost ∝ nodes, which
+        # the ≤broadcast_ranks_max gate bounds on this path)
         _, out_path = materialize_shared(
             ranks, label="pagerank-result", with_path=True
         )
-        return edges.sparkSession.read.parquet(out_path)
+        return edges.sparkSession.read.parquet(out_path).localCheckpoint(
+            eager=True
+        )
     return ranks
 
 

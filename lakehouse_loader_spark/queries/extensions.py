@@ -1971,16 +1971,28 @@ def _parity_stream_session(spark: SparkSession, width: int) -> SparkSession:
             "spark.sql.streaming.forceDeleteTempCheckpointLocation", "true"
         )
         ckroot = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-        iso.conf.set(
-            "spark.sql.streaming.checkpointLocation",
-            tempfile.mkdtemp(prefix="lhl_parity_ckpt_", dir=ckroot),
-        )
+        root = tempfile.mkdtemp(prefix="lhl_parity_ckpt_", dir=ckroot)
+        iso.conf.set("spark.sql.streaming.checkpointLocation", root)
+        global _PARITY_CKPT_ROOT
+        _PARITY_CKPT_ROOT = root
+        import atexit
+        import shutil
+
+        # a session-conf checkpoint root makes every query's checkpoint
+        # "user-specified" to Spark (never auto-deleted on stop), so the
+        # root must be reaped here: per-run dirs go in _parity_sink when
+        # the NEXT same-query run starts, the remainder at exit —
+        # otherwise every parity run would leak offsets/state dirs into
+        # RAM-backed /dev/shm for the life of the host
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         _PARITY_SESSION = iso
     _PARITY_SESSION.conf.set("spark.sql.shuffle.partitions", str(width))
     return _PARITY_SESSION
 
 
 _PARITY_SINKS: dict[str, str] = {}
+_PARITY_CKPT_ROOT: str | None = None
+_UPSERT_PREV_RUN_DIR: str | None = None
 
 
 def _parity_sink(child: SparkSession, key: str) -> str:
@@ -1995,7 +2007,6 @@ def _parity_sink(child: SparkSession, key: str) -> str:
     (bench and driver both do).  Terminated query handles are reset too
     (the StreamingQueryManager retains them until told otherwise)."""
     import uuid as _uuid
-    import uuid as _uuid
 
     prev = _PARITY_SINKS.get(key)
     if prev is not None:
@@ -2007,6 +2018,17 @@ def _parity_sink(child: SparkSession, key: str) -> str:
             child.streams.resetTerminated()
         except Exception:
             pass
+        # the session-conf checkpoint root means Spark treats each run's
+        # checkpoint (<root>/<queryName>) as user-specified and never
+        # deletes it — reap the previous run's dir with its view, else
+        # every run leaks an offsets/state dir into tmpfs
+        if _PARITY_CKPT_ROOT is not None:
+            import os
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(_PARITY_CKPT_ROOT, prev), ignore_errors=True
+            )
     name = f"{key}_{_uuid.uuid4().hex[:8]}"
     _PARITY_SINKS[key] = name
     return name
@@ -2073,7 +2095,6 @@ def streaming_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
     import uuid as _uuid
-    import uuid as _uuid
 
     from lakehouse_loader_spark.sinks.delta import read_delta
     from lakehouse_loader_spark.streaming.events import read_event_stream
@@ -2084,8 +2105,18 @@ def streaming_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_event_files(
         spark, sf_dir, "upsert", lambda ev: ev.repartition(4)
     )
-    # per-invocation state: counts accumulate across batches inside ONE run
+    # per-invocation state: counts accumulate across batches inside ONE
+    # run.  The PREVIOUS run's dir (its Delta table backs the previously
+    # returned frame) is reaped here under the same consumed-before-rerun
+    # contract _parity_sink applies to memory sinks — without this every
+    # invocation leaked a table+checkpoint dir into /tmp
+    global _UPSERT_PREV_RUN_DIR
+    if _UPSERT_PREV_RUN_DIR is not None:
+        import shutil
+
+        shutil.rmtree(_UPSERT_PREV_RUN_DIR, ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix=f"qupsert_{_uuid.uuid4().hex[:8]}_")
+    _UPSERT_PREV_RUN_DIR = run_dir
     table = os.path.join(run_dir, "t")
     ckpt = os.path.join(run_dir, "ckpt")
 

@@ -10,7 +10,9 @@ concurrent pushes of the same version resolve to exactly one winner.
 Client-agnostic: any of the three executed clients (s3http.S3Client,
 s3http.GcsXmlClient, azureblob.AzureBlobClient) satisfies the duck type
 (``upload_file`` / ``put_object(if_none_match=)`` / ``get_object`` /
-``list_keys``).
+``list_keys`` / ``list_objects`` — the last returning complete paginated
+``(key, size)`` pairs; sizes drive the payload-repair check in
+``sync_table``).
 
 Scale posture: this is the reference-parity SINGLE-NODE path (the
 reference is a single-process loader; it buffers temp partition files
