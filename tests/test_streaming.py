@@ -868,3 +868,41 @@ def test_parity_clone_releases_previous_memory_sink(spark):
     names = {t.name for t in child.catalog.listTables()}
     assert first not in names, "previous parity sink must be dropped"
     assert second in names, "current parity sink must remain readable"
+
+
+def test_parity_clone_isolates_confs_from_parent(spark):
+    """The parity clone's bounded-run confs (narrow state width, retain=1,
+    tmpfs checkpoint root, no-data batches off) must never leak to the
+    caller's session: an unrelated query planned concurrently with a
+    parity run keeps the parent's AQE/shuffle settings (the r11 verdict
+    flagged exactly this leak for the set/restore pattern)."""
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    import lakehouse_loader_spark.queries.extensions as ext
+
+    _ensure_loaded()
+    before = {
+        "parts": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "nodata": spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        ),
+        "retain": spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100"),
+    }
+    REGISTRY["streaming_window_parity"].fn(spark, SF_SMOKE).count()
+    child = ext._PARITY_SESSION
+    assert child is not spark
+    assert child.sparkContext is spark.sparkContext
+    # clone carries the bounded-run confs...
+    assert child.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "false"
+    assert child.conf.get("spark.sql.streaming.minBatchesToRetain") == "1"
+    # ...and the parent kept every one of its own
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before["parts"]
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before["aqe"]
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        == before["nodata"]
+    )
+    assert (
+        spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
+        == before["retain"]
+    )
