@@ -1877,7 +1877,7 @@ def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _staged_event_files(
-        spark, sf_dir, "parity", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     child = _parity_stream_session(spark, width=8)
     sink = _parity_sink(child, "sw_parity")
@@ -1898,7 +1898,11 @@ def streaming_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _staged_event_files(spark: SparkSession, sf_dir: str, key: str, prep) -> str:
     """Session-cached staging of the events table as a multi-file parquet
     directory for file-source streaming queries; ``prep`` shapes the frame
-    (partitioning decides micro-batch arrival order)."""
+    (partitioning decides micro-batch arrival order).  All seven parities
+    share the ``events4`` key (identical repartition(4) prep), so a
+    session stages the table ONCE instead of once per query family —
+    distinct keys exist for any future query needing a different arrival
+    shape."""
     import os
     import tempfile
 
@@ -2054,7 +2058,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _staged_event_files(
-        spark, sf_dir, "dedup", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     child = _parity_stream_session(spark, width=8)
     sink = _parity_sink(child, "sdedup")
@@ -2103,7 +2107,7 @@ def streaming_upsert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test) without paying for 4 merge commits; arrival order is irrelevant
     # to the order-aware merge
     staged = _staged_event_files(
-        spark, sf_dir, "upsert", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     # per-invocation state: counts accumulate across batches inside ONE
     # run.  The PREVIOUS run's dir (its Delta table backs the previously
@@ -2222,7 +2226,7 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _staged_event_files(
-        spark, sf_dir, "session", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     child = _parity_stream_session(spark, width=8)
     sink = _parity_sink(child, "ssess")
@@ -2263,7 +2267,7 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _staged_event_files(
-        spark, sf_dir, "stateful", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     # width 16: the per-user Python stateful UDF wants task parallelism
     # but 32 state stores pay more commit overhead than the extra lanes
@@ -2322,7 +2326,7 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _staged_event_files(
-        spark, sf_dir, "stateful", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     # a stateful streaming query pins ONE state store per shuffle
     # partition per stateful operator, committed every micro-batch — the
@@ -2389,7 +2393,7 @@ def streaming_stateful_v2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _staged_event_files(
-        spark, sf_dir, "stateful", lambda ev: ev.repartition(4)
+        spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
     # width 16: with the fallback's user-keyed histogram state the Python
     # group count is |users|, and 16 stores balance UDF parallelism
