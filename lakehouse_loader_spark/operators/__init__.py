@@ -17,6 +17,8 @@ import uuid
 from pyspark.sql import DataFrame
 
 _SCRATCH_DIRS: list[str] = []
+# pinned scratch (pin=True results): reclaimed at interpreter exit only
+_PINNED_DIRS: list[str] = []
 
 # how many materialized generations stay on disk: older ones are reclaimed
 # eagerly on the next materialize_shared call (their consumers have long
@@ -46,10 +48,15 @@ def _rm_scratch(path: str, spark=None) -> None:
 def _reap_scratch(spark=None) -> None:
     while _SCRATCH_DIRS:
         _rm_scratch(_SCRATCH_DIRS.pop(), spark)
+    while _PINNED_DIRS:
+        _rm_scratch(_PINNED_DIRS.pop(), spark)
 
 
 def materialize_shared(
-    df: DataFrame, label: str = "shared", with_path: bool = False
+    df: DataFrame,
+    label: str = "shared",
+    with_path: bool = False,
+    pin: bool = False,
 ) -> DataFrame | tuple[DataFrame, str]:
     """Materialize a multiply-consumed frame to session-scoped scratch
     parquet and return a frame that SCANS the materialized files.
@@ -74,6 +81,13 @@ def materialize_shared(
     is bounded.  On a multi-node cluster set ``spark.lakehouse.scratch.dir``
     to a cluster-visible path (HDFS/S3 scratch) — executors write the
     files, and reclamation goes through the Hadoop FileSystem API.
+
+    ``pin=True`` excludes the dir from generation reclamation (exit-time
+    cleanup only) — for RESULT frames a caller may hold across arbitrarily
+    many later operators (pagerank's static path), where the generational
+    window would delete the files out from under the held frame.  Cheaper
+    than an extra localCheckpoint pass over the result: the already-written
+    scratch IS the pinned copy.
     """
     spark = df.sparkSession
     root = spark.conf.get("spark.lakehouse.scratch.dir", None) or tempfile.gettempdir()
@@ -88,13 +102,16 @@ def materialize_shared(
     if df.rdd.getNumPartitions() > n_out:
         df = df.coalesce(n_out)
     df.write.mode("overwrite").parquet(path)
-    if not _SCRATCH_DIRS:
+    if not (_SCRATCH_DIRS or _PINNED_DIRS):
         atexit.register(_reap_scratch)
-    _SCRATCH_DIRS.append(path)
-    # generation reclamation: retire the oldest scratch beyond the keep
-    # window now, while the session (and its Hadoop FS) is still alive
-    while len(_SCRATCH_DIRS) > SCRATCH_KEEP_GENERATIONS:
-        _rm_scratch(_SCRATCH_DIRS.pop(0), spark)
+    if pin:
+        _PINNED_DIRS.append(path)
+    else:
+        _SCRATCH_DIRS.append(path)
+        # generation reclamation: retire the oldest scratch beyond the keep
+        # window now, while the session (and its Hadoop FS) is still alive
+        while len(_SCRATCH_DIRS) > SCRATCH_KEEP_GENERATIONS:
+            _rm_scratch(_SCRATCH_DIRS.pop(0), spark)
     out = spark.read.parquet(path)
     # with_path lets a caller re-scan the same scratch from ANOTHER
     # SparkSession (pagerank's isolated static-conf session) — the files
