@@ -156,3 +156,20 @@ def test_static_regime_does_not_leak_confs_to_parent_session(spark):
         spark.createDataFrame([("n0",)], "node string"), "node"
     )
     assert joined.count() == 1
+
+
+def test_static_result_survives_scratch_generation_churn(spark):
+    """The static-path result is a scan of PINNED scratch: holding the
+    frame across more than SCRATCH_KEEP_GENERATIONS later
+    materialize_shared calls must still collect (the unpinned scan
+    crashed on the reclaimed dir once the generation window rolled)."""
+    from lakehouse_loader_spark.operators import (
+        SCRATCH_KEEP_GENERATIONS,
+        materialize_shared,
+    )
+
+    ranks = pagerank(_edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]))
+    churn = spark.range(10)
+    for i in range(SCRATCH_KEEP_GENERATIONS + 2):
+        materialize_shared(churn, label=f"churn{i}")
+    assert ranks.count() == 3
