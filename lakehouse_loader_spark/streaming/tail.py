@@ -1,0 +1,211 @@
+"""Checkpointed incremental table tailing: "give me everything new since
+last run, exactly once" over a Delta or Iceberg table — the batch-CDC
+consumption driver that turns the incremental read surfaces
+(``delta.read_delta_appends`` / ``iceberg.read_iceberg_appends``) into a
+restart-safe pipeline stage.
+
+The reference loads INTO lakehouse tables (src/lib.rs:26-80); a pipeline
+built on those tables also needs the reverse flow — downstream consumers
+(feature jobs, serving databases) processing each appended window once,
+across process restarts and crashes.  Structured Streaming cannot express
+this (a lakehouse commit log is not a file-listing source: compaction
+rewrites files without changing rows), so the driver here is a small
+two-phase cursor protocol over an atomic marker file:
+
+1. read marker {cursor, runs, pending}
+2. if no pending window: resolve end = current version/snapshot, write
+   {pending: end} ATOMICALLY (tmp + os.replace — the torn-hint lesson,
+   sinks/iceberg.py:_write_hint), else resume the recorded window
+3. apply(window_df, run_idx) — run_idx is monotonic, so a transactional
+   sink (``write_postgres_wire(txn=...)``) makes the whole flow
+   exactly-once: a crash between the sink commit and step 4 replays the
+   SAME window with the SAME run_idx and the sink's ledger suppresses it
+4. write {cursor: end, runs: run_idx} atomically
+
+Without a transactional apply the contract is at-least-once with replay
+of at most one window — never a skipped window, never a torn cursor.
+
+Scale: planning each window touches metadata only (log segment / two
+manifest lists); the window DataFrame scans just the fresh files.  State
+is one tiny JSON marker per consumer — no Spark state store, no
+checkpoint directory trees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "tail_appends",
+    "replicate_appends_to_postgres",
+]
+
+_MARKER = "_lhl_tail_cursor.json"
+
+
+def _detect_format(table_path: str) -> str:
+    from lakehouse_loader_spark.sinks import delta as DL
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    if DL.table_exists(table_path):
+        return "delta"
+    if IC.table_exists(table_path):
+        return "iceberg"
+    raise FileNotFoundError(f"no delta or iceberg table at {table_path}")
+
+
+def _read_marker(path: str) -> dict:
+    try:
+        with open(path) as fh:
+            content = fh.read().strip()
+        if not content:
+            return {}
+        return json.loads(content)
+    except FileNotFoundError:
+        return {}
+    except ValueError:
+        # a torn/garbled marker is unrecoverable silently — refusing beats
+        # re-applying from table creation under a transactional sink whose
+        # ledger would suppress the replay anyway, but NON-transactional
+        # applies would double-process everything
+        raise ValueError(
+            f"corrupt tail cursor at {path}; repair or remove it explicitly"
+        )
+
+
+def _write_marker(path: str, state: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(state))
+    os.replace(tmp, path)  # atomic on POSIX — readers never see a torn file
+
+
+def tail_appends(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    apply: Callable[[DataFrame, int], None],
+    fmt: str = "auto",
+) -> dict:
+    """Process every row appended to ``table_path`` since the last call
+    with this ``checkpoint_dir``, exactly one window per call.
+
+    First call applies the FULL snapshot pinned at the resolved cursor
+    (version / snapshot id), so a consumer attached to an existing table
+    starts complete, not empty.  Later calls apply only the appended rows
+    (file-level feed — raises ``ConcurrentModificationError`` through the
+    underlying readers if the history stopped being append-only:
+    compaction/DML between cursors cannot be attributed row-level by a
+    file diff; resync by removing the marker, under a transactional sink
+    whose ledger survives the reset app-id — see the marker docstring).
+
+    ``apply(df, run_idx)``: ``run_idx`` increments by exactly 1 per
+    applied window (0 = initial snapshot), including across crash-replays
+    of the same window — pass it as the version of a transactional sink's
+    ``txn`` handshake for end-to-end exactly-once.
+
+    Returns {"run": idx, "cursor": end, "rows": n, "empty": bool};
+    ``empty=True`` means no new commits (apply was not called).
+    """
+    from lakehouse_loader_spark.sinks import delta as DL
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    if fmt == "auto":
+        fmt = _detect_format(table_path)
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"fmt must be auto|delta|iceberg, got {fmt!r}")
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker_path = os.path.join(checkpoint_dir, _MARKER)
+    state = _read_marker(marker_path)
+    cursor = state.get("cursor")
+    runs = int(state.get("runs", 0))
+    pending = state.get("pending")
+
+    if pending is None:
+        if fmt == "delta":
+            end = DL._read_log(table_path)[0]
+        else:
+            end = IC._read_metadata(table_path)[1]["current-snapshot-id"]
+        if cursor is not None and end == cursor:
+            return {"run": runs - 1, "cursor": cursor, "rows": 0, "empty": True}
+        # phase 1: record the intended window BEFORE applying, so a crash
+        # mid-apply replays exactly this window (same end, same run_idx)
+        # instead of silently widening it past the sink's ledger entry
+        _write_marker(
+            marker_path, {"cursor": cursor, "runs": runs, "pending": end}
+        )
+        pending = end
+
+    if cursor is None:
+        # initial attach: full snapshot pinned at the recorded cursor
+        if fmt == "delta":
+            df = DL.read_delta(spark, table_path, version=pending)
+        else:
+            df = IC.read_iceberg(spark, table_path, snapshot_id=pending)
+    else:
+        if fmt == "delta":
+            df = DL.read_delta_appends(
+                spark, table_path, since_version=cursor, end_version=pending
+            )
+        else:
+            df = IC.read_iceberg_appends(
+                spark,
+                table_path,
+                since_snapshot_id=cursor,
+                end_snapshot_id=pending,
+            )
+
+    apply(df, runs)
+    n = getattr(apply, "rows_applied", None)
+    # phase 2: advance the cursor only after apply returned
+    _write_marker(marker_path, {"cursor": pending, "runs": runs + 1})
+    return {
+        "run": runs,
+        "cursor": pending,
+        "rows": n if n is not None else -1,
+        "empty": False,
+    }
+
+
+def replicate_appends_to_postgres(
+    spark: SparkSession,
+    table_path: str,
+    conn_url: str,
+    pg_table: str,
+    checkpoint_dir: str,
+    fmt: str = "auto",
+) -> dict:
+    """Lakehouse → PostgreSQL replication of an append-only table, one
+    incremental window per call, END-TO-END EXACTLY-ONCE: the windowing
+    comes from :func:`tail_appends`, and each window publishes through
+    ``write_postgres_wire``'s staged transactional append with
+    ``txn=(app_id, run_idx)`` — the ledger row commits IN the publish
+    transaction, so a window replayed after a crash between the Postgres
+    commit and the cursor advance publishes zero rows the second time.
+
+    Run 0 (initial attach) OVERWRITES ``pg_table`` with the full snapshot;
+    later runs append.  The app-id follows the checkpoint CONTENTS
+    (``resolve_stream_app_id``), so relocating the checkpoint dir keeps
+    the dedup identity.  This is the serving-database tail of the loader
+    pipeline: the reference moves Postgres → lakehouse; this closes the
+    loop lakehouse → Postgres for the tables the lake derives."""
+    from lakehouse_loader_spark.sources.pgwire import write_postgres_wire
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    app_id = "tail-replicate-" + resolve_stream_app_id(checkpoint_dir)
+
+    def apply(df: DataFrame, run_idx: int) -> None:
+        apply.rows_applied = write_postgres_wire(
+            df,
+            conn_url,
+            pg_table,
+            mode="overwrite" if run_idx == 0 else "append",
+            txn=(app_id, run_idx),
+        )
+
+    return tail_appends(spark, table_path, checkpoint_dir, apply, fmt=fmt)

@@ -688,3 +688,50 @@ def test_numeric_infinity_raises_not_zero(pg_url):
                     2,
                 )
             )
+
+
+def test_replicate_delta_appends_to_postgres_exactly_once(spark, pg_url, tmpdir):
+    """Lakehouse → Postgres replication via the checkpointed tail driver:
+    run 0 snapshots the Delta table into Postgres, later runs append only
+    the fresh window, and a window replayed after a crash between the
+    Postgres commit and the cursor advance publishes ZERO rows the second
+    time (the txn ledger commits in the publish transaction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import write_delta
+    from lakehouse_loader_spark.streaming import tail as TL
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    df = spark.range(0, 100).select("id", (F.col("id") * 3).alias("v"))
+    write_delta(df, table)
+
+    r0 = TL.replicate_appends_to_postgres(spark, table, pg_url, "t_repl", ckpt)
+    assert r0["run"] == 0 and r0["rows"] == 100
+    got = W.read_postgres_wire(spark, pg_url, "select id, v from t_repl")
+    assert got.count() == 100
+
+    write_delta(
+        spark.range(100, 130).select("id", (F.col("id") * 3).alias("v")),
+        table,
+        append=True,
+    )
+    r1 = TL.replicate_appends_to_postgres(spark, table, pg_url, "t_repl", ckpt)
+    assert r1["run"] == 1 and r1["rows"] == 30
+
+    # crash simulation: drop the advanced cursor back to the pending
+    # window (as if the process died between pg commit and marker write)
+    marker = os.path.join(ckpt, TL._MARKER)
+    import json as _json
+
+    state = _json.load(open(marker))
+    TL._write_marker(
+        marker,
+        {"cursor": 1, "runs": 1, "pending": state["cursor"]},
+    )
+    r1b = TL.replicate_appends_to_postgres(spark, table, pg_url, "t_repl", ckpt)
+    assert r1b["run"] == 1 and r1b["rows"] == 0  # ledger suppressed the replay
+    got = W.read_postgres_wire(spark, pg_url, "select count(*) n from t_repl")
+    assert got.collect()[0]["n"] == 130  # no double-publish
