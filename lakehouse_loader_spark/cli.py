@@ -280,6 +280,21 @@ def build_parser() -> argparse.ArgumentParser:
             "replace contents; append — all publish atomically via a "
             "job-scoped staging table",
         )
+    rp = sub.add_parser(
+        "replicate-to-pg",
+        help="incremental lakehouse→Postgres replication: each invocation "
+        "publishes everything appended since the checkpointed cursor, "
+        "exactly-once via the txn ledger (streaming/tail.py)",
+    )
+    rp.add_argument("source", help="delta or iceberg table (auto-detected)")
+    rp.add_argument("target", help="libpq URL of the destination server")
+    rp.add_argument("--table", required=True, help="destination table name")
+    rp.add_argument(
+        "--checkpoint",
+        required=True,
+        help="cursor directory; run 0 snapshots the table, later runs "
+        "append only the fresh window",
+    )
     for name in ("sync-iceberg-metadata", "sync-delta-metadata"):
         sy = sub.add_parser(
             name,
@@ -873,6 +888,23 @@ def do_main(argv: list[str]) -> None:
             else sync_delta_from_iceberg
         )
         print(fn(args.target), file=sys.stderr)
+        return
+    if args.command == "replicate-to-pg":
+        from lakehouse_loader_spark.streaming.tail import (
+            replicate_appends_to_postgres,
+        )
+
+        res = replicate_appends_to_postgres(
+            spark, args.source, args.target, args.table, args.checkpoint
+        )
+        if res["empty"]:
+            print("no new commits since the cursor", file=sys.stderr)
+        else:
+            print(
+                f"run {res['run']}: published {res['rows']} rows to "
+                f"{args.table} (cursor -> {res['cursor']})",
+                file=sys.stderr,
+            )
         return
     if args.command.endswith("-to-pg"):
         from lakehouse_loader_spark.sources.pgwire import write_postgres_wire

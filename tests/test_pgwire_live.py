@@ -735,3 +735,51 @@ def test_replicate_delta_appends_to_postgres_exactly_once(spark, pg_url, tmpdir)
     assert r1b["run"] == 1 and r1b["rows"] == 0  # ledger suppressed the replay
     got = W.read_postgres_wire(spark, pg_url, "select count(*) n from t_repl")
     assert got.collect()[0]["n"] == 130  # no double-publish
+
+
+def test_cli_replicate_to_pg_incremental(spark, pg_url, tmpdir):
+    """CLI replicate-to-pg: run 0 snapshots, run 1 ships only the fresh
+    window, a cursor-only rerun publishes nothing — each invocation its
+    own process, so the cursor genuinely lives on disk."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import write_delta
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(spark.range(0, 40).select("id", (F.col("id") + 1).alias("v")), table)
+
+    def run():
+        return subprocess.run(
+            [
+                _sys.executable, "-m", "lakehouse_loader_spark.cli",
+                "replicate-to-pg", table, pg_url,
+                "--table", "cli_repl", "--checkpoint", ckpt,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+
+    r0 = run()
+    assert r0.returncode == 0, r0.stderr[-400:]
+    assert "run 0: published 40 rows" in r0.stderr
+
+    write_delta(
+        spark.range(40, 55).select("id", (F.col("id") + 1).alias("v")),
+        table,
+        append=True,
+    )
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-400:]
+    assert "run 1: published 15 rows" in r1.stderr
+
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-400:]
+    assert "no new commits" in r2.stderr
+
+    got = W.read_postgres_wire(spark, pg_url, "select count(*) n from cli_repl")
+    assert got.collect()[0]["n"] == 55
