@@ -295,6 +295,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="cursor directory; run 0 snapshots the table, later runs "
         "append only the fresh window",
     )
+    rp.add_argument(
+        "--key",
+        action="append",
+        default=None,
+        help="repeatable key column: switches to the row-level change "
+        "feed, replicating source DML as keyed upserts/deletes instead "
+        "of refusing non-append history",
+    )
     for name in ("sync-iceberg-metadata", "sync-delta-metadata"):
         sy = sub.add_parser(
             name,
@@ -892,11 +900,22 @@ def do_main(argv: list[str]) -> None:
     if args.command == "replicate-to-pg":
         from lakehouse_loader_spark.streaming.tail import (
             replicate_appends_to_postgres,
+            replicate_changes_to_postgres,
         )
 
-        res = replicate_appends_to_postgres(
-            spark, args.source, args.target, args.table, args.checkpoint
-        )
+        if args.key:
+            res = replicate_changes_to_postgres(
+                spark,
+                args.source,
+                args.target,
+                args.table,
+                args.checkpoint,
+                key_cols=args.key,
+            )
+        else:
+            res = replicate_appends_to_postgres(
+                spark, args.source, args.target, args.table, args.checkpoint
+            )
         if res["empty"]:
             print("no new commits since the cursor", file=sys.stderr)
         else:

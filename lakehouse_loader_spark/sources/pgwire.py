@@ -1106,3 +1106,154 @@ def write_postgres_wire(
         except PgError:
             pass
         raise
+
+
+def merge_postgres_wire(
+    df,
+    conn_url: str,
+    table: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> tuple[int, int]:
+    """Keyed MERGE into a PostgreSQL table over the wire sink: per key in
+    ``df`` the target's row is REPLACED by the frame's row — or REMOVED
+    where ``delete_col`` (an optional boolean column) is true.  The CDC
+    apply primitive: a change-feed window reduced to final-state-per-key
+    publishes through this in one server-side transaction
+    (DELETE USING staging, then INSERT the non-tombstone rows), so readers
+    never observe a half-applied window and a failed publish leaves the
+    target untouched.  Returns (rows_upserted, keys_deleted).
+
+    ``df`` must be UNIQUE per key (a window reduced per-key already is);
+    the publish transaction verifies this against the staged rows and
+    ROLLS BACK with an error otherwise — last-writer-wins on a duplicate
+    key inside one batch would be arrival-order-dependent, exactly the
+    nondeterminism merge_delta refuses too.  Missing target table:
+    created from the frame's schema (minus ``delete_col``), tombstones
+    simply no-op.  ``txn=(app_id, version)``: same exactly-once ledger
+    handshake as ``write_postgres_wire`` — the ledger row commits IN the
+    publish transaction."""
+    from pyspark.sql import functions as F
+
+    if not all(part.isidentifier() for part in table.split(".")):
+        raise ValueError(f"unsafe table name {table!r}")
+    data_fields = [
+        f for f in df.schema.fields if delete_col is None or f.name != delete_col
+    ]
+    names = [f.name for f in data_fields]
+    for k in key_cols:
+        if k not in names:
+            raise ValueError(f"key column {k!r} not in frame columns {names}")
+    if not all(c.isidentifier() for c in names):
+        raise ValueError(f"unsafe column names {names}")
+    if txn is not None:
+        app_id, txn_version = str(txn[0]), int(txn[1])
+        if not app_id.replace("-", "_").replace(".", "_").isidentifier():
+            raise ValueError(f"unsafe txn app id {app_id!r}")
+    params = parse_libpq_url(conn_url, user=user, password=password)
+    if txn is not None:
+        simple_command(
+            params,
+            "CREATE TABLE IF NOT EXISTS __lhl_txn "
+            "(app_id text, version bigint, tbl text, committed_at timestamptz "
+            "DEFAULT now(), PRIMARY KEY (app_id, version, tbl))",
+        )
+        batch = next(
+            iter_copy_batches(
+                params,
+                f"SELECT count(*)::int8 AS n FROM __lhl_txn WHERE "
+                f"app_id = '{app_id}' AND version = {txn_version} "
+                f"AND tbl = '{table}'",
+                [("n", 20, -1)],
+                2,
+            )
+        )
+        if int(batch["n"][0]) > 0:
+            return (0, 0)  # this (app_id, version) already published
+    staged = df if delete_col is not None else df.withColumn(
+        "__lhl_del", F.lit(False)
+    )
+    del_name = delete_col if delete_col is not None else "__lhl_del"
+    # stage via the plain writer into a scratch table (no txn there — the
+    # ledger belongs to the PUBLISH transaction below)
+    schema_prefix = table.rsplit(".", 1)[0] + "." if "." in table else ""
+    staging = (
+        f"{schema_prefix}{table.split('.')[-1]}"
+        f"__lhl_merge_{os.urandom(4).hex()}"
+    )
+    write_postgres_wire(
+        staged, conn_url, staging, mode="error", user=user, password=password
+    )
+    key_eq = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    key_tuple = ", ".join(key_cols)
+    cols = ", ".join(names)
+    ledger = (
+        f" INSERT INTO __lhl_txn (app_id, version, tbl) VALUES "
+        f"('{app_id}', {txn_version}, '{table}');"
+        if txn is not None
+        else ""
+    )
+    try:
+        dup = next(
+            iter_copy_batches(
+                params,
+                f"SELECT (count(*) - count(DISTINCT ({key_tuple})))::int8 AS d "
+                f"FROM {staging}",
+                [("d", 20, -1)],
+                2,
+            )
+        )
+        if int(dup["d"][0]) > 0:
+            raise ValueError(
+                f"merge batch not unique per key ({key_tuple}): reduce the "
+                "window per key first (last-writer-wins inside one batch "
+                "would be arrival-order-dependent)"
+            )
+        counts = next(
+            iter_copy_batches(
+                params,
+                f"SELECT sum((NOT {del_name})::int)::int8 AS u, "
+                f"sum(({del_name})::int)::int8 AS d FROM {staging}",
+                [("u", 20, -1), ("d", 20, -1)],
+                2,
+            )
+        )
+        n_upsert = int(counts["u"][0] or 0)
+        n_delete = int(counts["d"][0] or 0)
+        schema_pred = (
+            f"schemaname = '{table.rsplit('.', 1)[0]}'"
+            if "." in table
+            else "schemaname = current_schema()"
+        )
+        exists = next(
+            iter_copy_batches(
+                params,
+                f"SELECT count(*)::int8 AS n FROM pg_tables WHERE "
+                f"{schema_pred} AND tablename = '{table.split('.')[-1]}'",
+                [("n", 20, -1)],
+                2,
+            )
+        )
+        if int(exists["n"][0]) == 0:
+            simple_command(
+                params,
+                f"BEGIN; CREATE TABLE {table} AS SELECT {cols} FROM {staging} "
+                f"WHERE NOT {del_name}; DROP TABLE {staging};{ledger} COMMIT;",
+            )
+        else:
+            simple_command(
+                params,
+                f"BEGIN; DELETE FROM {table} t USING {staging} s WHERE {key_eq}; "
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+                f"WHERE NOT {del_name}; DROP TABLE {staging};{ledger} COMMIT;",
+            )
+        return (n_upsert, n_delete)
+    except Exception:
+        try:
+            simple_command(params, f"DROP TABLE IF EXISTS {staging}")
+        except PgError:
+            pass
+        raise

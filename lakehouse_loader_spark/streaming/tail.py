@@ -41,7 +41,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "tail_appends",
+    "tail_changes",
     "replicate_appends_to_postgres",
+    "replicate_changes_to_postgres",
 ]
 
 _MARKER = "_lhl_tail_cursor.json"
@@ -84,33 +86,19 @@ def _write_marker(path: str, state: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX — readers never see a torn file
 
 
-def tail_appends(
+def _tail(
     spark: SparkSession,
     table_path: str,
     checkpoint_dir: str,
-    apply: Callable[[DataFrame, int], None],
-    fmt: str = "auto",
+    run_window: Callable[[DataFrame, int, bool], int | None],
+    fmt: str,
+    feed: str,
 ) -> dict:
-    """Process every row appended to ``table_path`` since the last call
-    with this ``checkpoint_dir``, exactly one window per call.
-
-    First call applies the FULL snapshot pinned at the resolved cursor
-    (version / snapshot id), so a consumer attached to an existing table
-    starts complete, not empty.  Later calls apply only the appended rows
-    (file-level feed — raises ``ConcurrentModificationError`` through the
-    underlying readers if the history stopped being append-only:
-    compaction/DML between cursors cannot be attributed row-level by a
-    file diff; resync by removing the marker, under a transactional sink
-    whose ledger survives the reset app-id — see the marker docstring).
-
-    ``apply(df, run_idx)``: ``run_idx`` increments by exactly 1 per
-    applied window (0 = initial snapshot), including across crash-replays
-    of the same window — pass it as the version of a transactional sink's
-    ``txn`` handshake for end-to-end exactly-once.
-
-    Returns {"run": idx, "cursor": end, "rows": n, "empty": bool};
-    ``empty=True`` means no new commits (apply was not called).
-    """
+    """The cursor engine behind :func:`tail_appends` / :func:`tail_changes`
+    — identical two-phase marker protocol, only the window reader differs
+    (file-level append diff vs row-level change feed).
+    ``run_window(df, run_idx, is_snapshot)`` returns the applied row count
+    (or None if unknown)."""
     from lakehouse_loader_spark.sinks import delta as DL
     from lakehouse_loader_spark.sinks import iceberg as IC
 
@@ -141,13 +129,14 @@ def tail_appends(
         )
         pending = end
 
-    if cursor is None:
+    is_snapshot = cursor is None
+    if is_snapshot:
         # initial attach: full snapshot pinned at the recorded cursor
         if fmt == "delta":
             df = DL.read_delta(spark, table_path, version=pending)
         else:
             df = IC.read_iceberg(spark, table_path, snapshot_id=pending)
-    else:
+    elif feed == "appends":
         if fmt == "delta":
             df = DL.read_delta_appends(
                 spark, table_path, since_version=cursor, end_version=pending
@@ -159,9 +148,20 @@ def tail_appends(
                 since_snapshot_id=cursor,
                 end_snapshot_id=pending,
             )
+    else:
+        if fmt == "delta":
+            df = DL.read_delta_changes(
+                spark, table_path, since_version=cursor, end_version=pending
+            )
+        else:
+            df = IC.read_iceberg_changes(
+                spark,
+                table_path,
+                since_snapshot_id=cursor,
+                end_snapshot_id=pending,
+            )
 
-    apply(df, runs)
-    n = getattr(apply, "rows_applied", None)
+    n = run_window(df, runs, is_snapshot)
     # phase 2: advance the cursor only after apply returned
     _write_marker(marker_path, {"cursor": pending, "runs": runs + 1})
     return {
@@ -170,6 +170,64 @@ def tail_appends(
         "rows": n if n is not None else -1,
         "empty": False,
     }
+
+
+def tail_appends(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    apply: Callable[[DataFrame, int], None],
+    fmt: str = "auto",
+) -> dict:
+    """Process every row appended to ``table_path`` since the last call
+    with this ``checkpoint_dir``, exactly one window per call.
+
+    First call applies the FULL snapshot pinned at the resolved cursor
+    (version / snapshot id), so a consumer attached to an existing table
+    starts complete, not empty.  Later calls apply only the appended rows
+    (file-level feed — raises ``ConcurrentModificationError`` through the
+    underlying readers if the history stopped being append-only:
+    compaction/DML between cursors cannot be attributed row-level by a
+    file diff; use :func:`tail_changes` for tables that see DML, or
+    resync by removing the marker — under a transactional sink the
+    ledger suppresses any overlap).
+
+    ``apply(df, run_idx)``: ``run_idx`` increments by exactly 1 per
+    applied window (0 = initial snapshot), including across crash-replays
+    of the same window — pass it as the version of a transactional sink's
+    ``txn`` handshake for end-to-end exactly-once.  A row count set on
+    ``apply.rows_applied`` is surfaced in the result.
+
+    Returns {"run": idx, "cursor": end, "rows": n, "empty": bool};
+    ``empty=True`` means no new commits (apply was not called).
+    """
+
+    def run_window(df: DataFrame, run_idx: int, _is_snapshot: bool):
+        apply(df, run_idx)
+        return getattr(apply, "rows_applied", None)
+
+    return _tail(spark, table_path, checkpoint_dir, run_window, fmt, "appends")
+
+
+def tail_changes(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    apply: Callable[[DataFrame, int, bool], int | None],
+    fmt: str = "auto",
+) -> dict:
+    """The row-level twin of :func:`tail_appends`: each window is the
+    CHANGE FEED between the cursors (table columns plus ``_change_type``
+    'insert'|'delete' and the per-format commit ordinal —
+    ``_commit_version`` for Delta, ``_snapshot_ordinal`` for Iceberg), so
+    DML and compaction between runs are consumed as row-level deltas
+    instead of failing the append-only contract.
+
+    ``apply(df, run_idx, is_snapshot)``: ``is_snapshot=True`` on run 0,
+    where ``df`` is the plain full snapshot (no change columns); the
+    return value is surfaced as the applied row count.  Same two-phase
+    cursor protocol and crash-replay identity as :func:`tail_appends`."""
+    return _tail(spark, table_path, checkpoint_dir, apply, fmt, "changes")
 
 
 def replicate_appends_to_postgres(
@@ -209,3 +267,91 @@ def replicate_appends_to_postgres(
         )
 
     return tail_appends(spark, table_path, checkpoint_dir, apply, fmt=fmt)
+
+
+def replicate_changes_to_postgres(
+    spark: SparkSession,
+    table_path: str,
+    conn_url: str,
+    pg_table: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    fmt: str = "auto",
+) -> dict:
+    """Keyed CDC replication lakehouse → PostgreSQL: unlike
+    :func:`replicate_appends_to_postgres` this follows the row-level
+    change feed, so UPDATE/DELETE/MERGE/compaction on the source table
+    replicate as keyed upserts and deletes instead of failing the
+    append-only contract.  END-TO-END EXACTLY-ONCE via
+    ``merge_postgres_wire``'s ledger (txn commits in the publish
+    transaction; a crash-replayed window publishes zero rows).
+
+    Window reduction (Spark-side, before anything reaches Postgres): per
+    key, only the change at the window's MAX commit ordinal counts — an
+    insert there is the key's final image (upsert), no insert there means
+    the key ended deleted (tombstone).  A key with more than one insert
+    at its final ordinal means the source is not unique per key and the
+    window REFUSES (keyed replication of a non-keyed table would silently
+    drop rows).  Run 0 snapshots the table (overwrite)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sources.pgwire import (
+        merge_postgres_wire,
+        write_postgres_wire,
+    )
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    app_id = "tail-cdc-" + resolve_stream_app_id(checkpoint_dir)
+
+    def apply(df: DataFrame, run_idx: int, is_snapshot: bool):
+        if is_snapshot:
+            return write_postgres_wire(
+                df, conn_url, pg_table, mode="overwrite", txn=(app_id, run_idx)
+            )
+        ord_col = (
+            "_commit_version" if "_commit_version" in df.columns
+            else "_snapshot_ordinal"
+        )
+        data_cols = [
+            c for c in df.columns if c not in ("_change_type", ord_col)
+        ]
+        mx = df.groupBy(*key_cols).agg(F.max(ord_col).alias("__mv"))
+        last = df.join(mx, key_cols).filter(F.col(ord_col) == F.col("__mv"))
+        finals = last.filter(F.col("_change_type") == "insert").select(*data_cols)
+        dup = (
+            finals.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                f"source table is not unique per key {key_cols}: keyed CDC "
+                "replication would drop rows; replicate append-only or widen "
+                "the key"
+            )
+        tombstones = (
+            mx.join(finals.select(*key_cols), key_cols, "left_anti")
+            .select(
+                *(
+                    [F.col(k) for k in key_cols]
+                    + [
+                        F.lit(None).cast(df.schema[c].dataType).alias(c)
+                        for c in data_cols
+                        if c not in key_cols
+                    ]
+                )
+            )
+            .select(*data_cols)  # align column order with finals
+        )
+        window = finals.withColumn("__lhl_del", F.lit(False)).unionByName(
+            tombstones.withColumn("__lhl_del", F.lit(True))
+        )
+        up, n_del = merge_postgres_wire(
+            window,
+            conn_url,
+            pg_table,
+            key_cols=key_cols,
+            delete_col="__lhl_del",
+            txn=(app_id, run_idx),
+        )
+        return up + n_del
+
+    return tail_changes(spark, table_path, checkpoint_dir, apply, fmt=fmt)

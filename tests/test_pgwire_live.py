@@ -783,3 +783,132 @@ def test_cli_replicate_to_pg_incremental(spark, pg_url, tmpdir):
 
     got = W.read_postgres_wire(spark, pg_url, "select count(*) n from cli_repl")
     assert got.collect()[0]["n"] == 55
+
+
+def test_merge_postgres_wire_keyed_upsert_and_delete(spark, pg_url):
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sources.pgwire import merge_postgres_wire
+
+    base = spark.range(0, 10).select("id", (F.col("id") * 10).alias("v"))
+    # missing target: created from the batch (tombstones no-op)
+    up, dl = merge_postgres_wire(base, pg_url, "t_merge", key_cols=["id"])
+    assert (up, dl) == (10, 0)
+
+    batch = spark.createDataFrame(
+        [(3, 999, False), (4, 444, False), (20, 200, False), (7, None, True)],
+        "id long, v long, dead boolean",
+    )
+    up, dl = merge_postgres_wire(
+        batch, pg_url, "t_merge", key_cols=["id"], delete_col="dead"
+    )
+    assert (up, dl) == (3, 1)
+    got = {
+        r["id"]: r["v"]
+        for r in W.read_postgres_wire(spark, pg_url, "select * from t_merge").collect()
+    }
+    assert got[3] == 999 and got[4] == 444 and got[20] == 200
+    assert 7 not in got and len(got) == 10  # 10 initial - 1 deleted + 1 new
+
+    # duplicate key in one batch refuses (arrival-order nondeterminism)
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="not unique per key"):
+        merge_postgres_wire(dup, pg_url, "t_merge", key_cols=["id"])
+
+    # exactly-once: same (app, version) publishes zero the second time
+    b2 = spark.createDataFrame([(5, 555)], "id long, v long")
+    assert merge_postgres_wire(
+        b2, pg_url, "t_merge", key_cols=["id"], txn=("m_app", 1)
+    ) == (1, 0)
+    assert merge_postgres_wire(
+        b2, pg_url, "t_merge", key_cols=["id"], txn=("m_app", 1)
+    ) == (0, 0)
+
+
+def test_replicate_changes_to_postgres_cdc(spark, pg_url, tmpdir):
+    """Keyed CDC replication: source DML (append + delete + update +
+    within-window insert-then-delete) replicates as upserts/deletes; the
+    Postgres table converges to the source's current snapshot."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import (
+        delete_from_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+    from lakehouse_loader_spark.streaming.tail import replicate_changes_to_postgres
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(
+        spark.range(0, 20).select("id", (F.col("id") * 10).alias("v")), table
+    )
+    r0 = replicate_changes_to_postgres(
+        spark, table, pg_url, "t_cdc", ckpt, key_cols=["id"]
+    )
+    assert r0["run"] == 0 and r0["rows"] == 20
+
+    # window 1: append, delete, update, and an insert-then-delete key
+    write_delta(
+        spark.range(20, 25).select("id", (F.col("id") * 10).alias("v")),
+        table,
+        append=True,
+    )
+    delete_from_delta(spark, table, "id < 3")
+    update_delta(spark, table, "id = 10", {"v": "v + 5"})
+    delete_from_delta(spark, table, "id = 21")  # inserted THIS window
+    r1 = replicate_changes_to_postgres(
+        spark, table, pg_url, "t_cdc", ckpt, key_cols=["id"]
+    )
+    assert r1["run"] == 1 and not r1["empty"]
+
+    want = sorted(
+        (r["id"], r["v"]) for r in read_delta(spark, table).collect()
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in W.read_postgres_wire(spark, pg_url, "select * from t_cdc").collect()
+    )
+    assert got == want
+    assert (2, 20) not in dict(got).items() and 21 not in dict(got)
+
+    # cursor-only rerun: nothing new
+    assert replicate_changes_to_postgres(
+        spark, table, pg_url, "t_cdc", ckpt, key_cols=["id"]
+    )["empty"]
+
+
+def test_cli_replicate_to_pg_keyed_cdc(spark, pg_url, tmpdir):
+    """CLI replicate-to-pg --key id follows the change feed: a delete on
+    the source between runs replicates instead of refusing."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import delete_from_delta, write_delta
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(spark.range(0, 30).select("id", (F.col("id") + 7).alias("v")), table)
+
+    def run():
+        return subprocess.run(
+            [
+                _sys.executable, "-m", "lakehouse_loader_spark.cli",
+                "replicate-to-pg", table, pg_url,
+                "--table", "cli_cdc", "--checkpoint", ckpt, "--key", "id",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+
+    r0 = run()
+    assert r0.returncode == 0, r0.stderr[-400:]
+    delete_from_delta(spark, table, "id >= 25")
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-400:]
+    got = W.read_postgres_wire(spark, pg_url, "select count(*) n from cli_cdc")
+    assert got.collect()[0]["n"] == 25

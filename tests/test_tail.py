@@ -129,3 +129,50 @@ def test_marker_is_atomic_json(spark, tmpdir):
     # Add actions at v1) puts the fresh table's cursor at version 1
     assert state == {"cursor": 1, "runs": 1}
     assert not os.path.exists(os.path.join(ckpt, _MARKER) + ".tmp")
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_tail_changes_windows_carry_row_level_dml(spark, tmpdir, fmt):
+    """tail_changes consumes DML as row-level deltas where tail_appends
+    refuses: a delete plus an append between cursors arrives as one
+    window of ('delete', old rows) + ('insert', new rows)."""
+    from lakehouse_loader_spark.sinks.delta import delete_from_delta
+    from lakehouse_loader_spark.sinks.iceberg import delete_from_iceberg
+    from lakehouse_loader_spark.streaming.tail import tail_changes
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write = write_delta if fmt == "delta" else write_iceberg
+    delete = delete_from_delta if fmt == "delta" else delete_from_iceberg
+    write(_df(spark, 0, 10), table)
+
+    windows = []
+
+    def apply(df, run_idx, is_snapshot):
+        if is_snapshot:
+            windows.append((run_idx, "snapshot", sorted(r["id"] for r in df.collect())))
+        else:
+            rows = df.collect()
+            windows.append(
+                (
+                    run_idx,
+                    sorted((r["_change_type"], r["id"]) for r in rows),
+                )
+            )
+        return len(windows[-1][-1])
+
+    r0 = tail_changes(spark, table, ckpt, apply)
+    assert r0["run"] == 0 and windows[0][1] == "snapshot"
+    assert windows[0][2] == list(range(10))
+
+    delete(spark, table, "id < 2")
+    write(_df(spark, 10, 12), table, append=True)
+    r1 = tail_changes(spark, table, ckpt, apply)
+    assert r1["run"] == 1 and r1["rows"] == 4
+    assert windows[1][1] == [
+        ("delete", 0),
+        ("delete", 1),
+        ("insert", 10),
+        ("insert", 11),
+    ]
+    assert tail_changes(spark, table, ckpt, apply)["empty"]
