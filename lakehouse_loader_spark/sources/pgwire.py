@@ -1149,6 +1149,8 @@ def merge_postgres_wire(
             raise ValueError(f"key column {k!r} not in frame columns {names}")
     if not all(c.isidentifier() for c in names):
         raise ValueError(f"unsafe column names {names}")
+    if delete_col is not None and not delete_col.isidentifier():
+        raise ValueError(f"unsafe delete column name {delete_col!r}")
     if txn is not None:
         app_id, txn_version = str(txn[0]), int(txn[1])
         if not app_id.replace("-", "_").replace(".", "_").isidentifier():
@@ -1173,10 +1175,17 @@ def merge_postgres_wire(
         )
         if int(batch["n"][0]) > 0:
             return (0, 0)  # this (app_id, version) already published
-    staged = df if delete_col is not None else df.withColumn(
-        "__lhl_del", F.lit(False)
-    )
-    del_name = delete_col if delete_col is not None else "__lhl_del"
+    if delete_col is not None:
+        # a NULL flag must mean "not a tombstone": raw NULLs would join
+        # the keyed DELETE but fail the NOT-flag re-insert filter,
+        # silently deleting the key while counting as neither op
+        staged = df.withColumn(
+            delete_col, F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        )
+        del_name = delete_col
+    else:
+        staged = df.withColumn("__lhl_del", F.lit(False))
+        del_name = "__lhl_del"
     # stage via the plain writer into a scratch table (no txn there — the
     # ledger belongs to the PUBLISH transaction below)
     schema_prefix = table.rsplit(".", 1)[0] + "." if "." in table else ""
@@ -1223,8 +1232,10 @@ def merge_postgres_wire(
         )
         n_upsert = int(counts["u"][0] or 0)
         n_delete = int(counts["d"][0] or 0)
+        # unquoted identifiers fold to lowercase server-side, so the
+        # catalog stores the folded name — compare folded on both sides
         schema_pred = (
-            f"schemaname = '{table.rsplit('.', 1)[0]}'"
+            f"schemaname = '{table.rsplit('.', 1)[0].lower()}'"
             if "." in table
             else "schemaname = current_schema()"
         )
@@ -1232,7 +1243,7 @@ def merge_postgres_wire(
             iter_copy_batches(
                 params,
                 f"SELECT count(*)::int8 AS n FROM pg_tables WHERE "
-                f"{schema_pred} AND tablename = '{table.split('.')[-1]}'",
+                f"{schema_pred} AND tablename = '{table.split('.')[-1].lower()}'",
                 [("n", 20, -1)],
                 2,
             )

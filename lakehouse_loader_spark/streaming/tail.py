@@ -110,6 +110,16 @@ def _tail(
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker_path = os.path.join(checkpoint_dir, _MARKER)
     state = _read_marker(marker_path)
+    stored_feed = state.get("feed")
+    if stored_feed is not None and stored_feed != feed:
+        # switching feeds mid-checkpoint silently changes semantics AND
+        # the transactional app-id, so a crash-replayed window would slip
+        # past the other feed's ledger entry — double-applying it
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} was created by the "
+            f"{stored_feed!r} feed; refusing to continue it as {feed!r} "
+            "(use a fresh checkpoint dir to switch)"
+        )
     cursor = state.get("cursor")
     runs = int(state.get("runs", 0))
     pending = state.get("pending")
@@ -125,7 +135,8 @@ def _tail(
         # mid-apply replays exactly this window (same end, same run_idx)
         # instead of silently widening it past the sink's ledger entry
         _write_marker(
-            marker_path, {"cursor": cursor, "runs": runs, "pending": end}
+            marker_path,
+            {"cursor": cursor, "runs": runs, "pending": end, "feed": feed},
         )
         pending = end
 
@@ -163,7 +174,9 @@ def _tail(
 
     n = run_window(df, runs, is_snapshot)
     # phase 2: advance the cursor only after apply returned
-    _write_marker(marker_path, {"cursor": pending, "runs": runs + 1})
+    _write_marker(
+        marker_path, {"cursor": pending, "runs": runs + 1, "feed": feed}
+    )
     return {
         "run": runs,
         "cursor": pending,
@@ -287,14 +300,19 @@ def replicate_changes_to_postgres(
     transaction; a crash-replayed window publishes zero rows).
 
     Window reduction (Spark-side, before anything reaches Postgres): per
-    key, only the change at the window's MAX commit ordinal counts — an
-    insert there is the key's final image (upsert), no insert there means
-    the key ended deleted (tombstone).  A key with more than one insert
-    at its final ordinal means the source is not unique per key and the
-    window REFUSES (keyed replication of a non-keyed table would silently
-    drop rows).  Run 0 snapshots the table (overwrite)."""
+    key, only the changes at the window's MAX commit ordinal count — a
+    final image there (``insert`` or, on CDF-enabled Delta sources whose
+    persisted cdc files distinguish update images, ``update_postimage``)
+    is the key's upsert; no final image means the key ended deleted
+    (tombstone).  Refusals, both loud: a key with more than one final
+    image at its last ordinal (source not unique per key — keyed
+    replication would silently drop rows; checked for the run-0 snapshot
+    too), and NULL in any key column (a keyed feed cannot address such
+    rows — the standard CDC constraint).  Run 0 snapshots the table
+    (overwrite)."""
     from pyspark.sql import functions as F
 
+    from lakehouse_loader_spark.operators import materialize_shared
     from lakehouse_loader_spark.sources.pgwire import (
         merge_postgres_wire,
         write_postgres_wire,
@@ -302,11 +320,39 @@ def replicate_changes_to_postgres(
     from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
 
     app_id = "tail-cdc-" + resolve_stream_app_id(checkpoint_dir)
+    null_key = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+
+    def check_no_null_keys(frame: DataFrame) -> None:
+        if frame.filter(null_key).limit(1).count() > 0:
+            raise ValueError(
+                f"NULL in key column(s) {key_cols}: a keyed CDC feed "
+                "cannot address such rows"
+            )
+
+    def check_unique(frame: DataFrame) -> None:
+        dup = (
+            frame.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                f"source table is not unique per key {key_cols}: keyed CDC "
+                "replication would drop rows; replicate append-only or widen "
+                "the key"
+            )
 
     def apply(df: DataFrame, run_idx: int, is_snapshot: bool):
         if is_snapshot:
+            # the uniqueness contract must hold from the start: a
+            # duplicate key admitted at run 0 would be half-deleted by
+            # the first keyed window that touches it
+            snap = materialize_shared(df, label="cdc-snapshot")
+            check_no_null_keys(snap)
+            check_unique(snap)
             return write_postgres_wire(
-                df, conn_url, pg_table, mode="overwrite", txn=(app_id, run_idx)
+                snap, conn_url, pg_table, mode="overwrite", txn=(app_id, run_idx)
             )
         ord_col = (
             "_commit_version" if "_commit_version" in df.columns
@@ -315,18 +361,24 @@ def replicate_changes_to_postgres(
         data_cols = [
             c for c in df.columns if c not in ("_change_type", ord_col)
         ]
+        # one scratch materialization: the change feed is exceptAll-diff
+        # work per commit — without it the dup-check action and the
+        # staging COPY would recompute the whole feed (house pattern:
+        # materialize-don't-cache, operators/__init__.py)
+        df = materialize_shared(df, label="cdc-window")
+        # NULL keys anywhere in the window (even delete-only changes)
+        # cannot be addressed by a keyed merge — refuse before staging
+        check_no_null_keys(df)
         mx = df.groupBy(*key_cols).agg(F.max(ord_col).alias("__mv"))
         last = df.join(mx, key_cols).filter(F.col(ord_col) == F.col("__mv"))
-        finals = last.filter(F.col("_change_type") == "insert").select(*data_cols)
-        dup = (
-            finals.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
-        )
-        if dup.count() > 0:
-            raise ValueError(
-                f"source table is not unique per key {key_cols}: keyed CDC "
-                "replication would drop rows; replicate append-only or widen "
-                "the key"
-            )
+        # 'insert' covers the log-derived feed and CDF inserts;
+        # 'update_postimage' is the final image persisted cdc files give
+        # an UPDATE/MERGE-matched row (preimages are the pre-state — not
+        # a final image, never a tombstone marker by themselves)
+        finals = last.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*data_cols)
+        check_unique(finals)
         tombstones = (
             mx.join(finals.select(*key_cols), key_cols, "left_anti")
             .select(

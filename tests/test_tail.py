@@ -127,7 +127,7 @@ def test_marker_is_atomic_json(spark, tmpdir):
     state = json.load(open(os.path.join(ckpt, _MARKER)))
     # the Delta sink's two-commit create layout (protocol/metaData at v0,
     # Add actions at v1) puts the fresh table's cursor at version 1
-    assert state == {"cursor": 1, "runs": 1}
+    assert state == {"cursor": 1, "runs": 1, "feed": "appends"}
     assert not os.path.exists(os.path.join(ckpt, _MARKER) + ".tmp")
 
 
@@ -176,3 +176,95 @@ def test_tail_changes_windows_carry_row_level_dml(spark, tmpdir, fmt):
         ("insert", 11),
     ]
     assert tail_changes(spark, table, ckpt, apply)["empty"]
+
+
+def test_feed_switch_on_same_checkpoint_refuses(spark, tmpdir):
+    """A checkpoint created by one feed refuses the other: switching
+    silently would change semantics AND the transactional app-id, letting
+    a crash-replayed window slip past the other feed's ledger entry."""
+    from lakehouse_loader_spark.streaming.tail import tail_changes
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(_df(spark, 0, 5), table)
+    tail_appends(spark, table, ckpt, Recorder())
+    with pytest.raises(ValueError, match="created by the 'appends' feed"):
+        tail_changes(spark, table, ckpt, lambda df, i, s: None)
+
+
+def test_cdf_enabled_update_replicates_as_upsert_not_delete(spark, tmpdir, monkeypatch):
+    """A CDF-enabled Delta source persists UPDATE images as
+    update_preimage/update_postimage cdc rows; the keyed reduction must
+    treat the postimage as the key's final image (upsert), never a
+    tombstone.  Verified through the reduction itself with a recording
+    merge stub (no Postgres needed)."""
+    import lakehouse_loader_spark.sources.pgwire as PW
+    from lakehouse_loader_spark.sinks.delta import (
+        enable_change_data_feed,
+        update_delta,
+    )
+    from lakehouse_loader_spark.streaming import tail as TL
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(_df(spark, 0, 6), table)
+    enable_change_data_feed(table)
+
+    published = []
+
+    def fake_overwrite(df, conn_url, pg_table, mode, txn):
+        published.append(("snapshot", sorted(r["id"] for r in df.collect())))
+        return df.count()
+
+    def fake_merge(df, conn_url, pg_table, key_cols, delete_col, txn):
+        rows = df.collect()
+        ups = sorted((r["id"], r["v"]) for r in rows if not r[delete_col])
+        dels = sorted(r["id"] for r in rows if r[delete_col])
+        published.append(("merge", ups, dels))
+        return (len(ups), len(dels))
+
+    monkeypatch.setattr(PW, "write_postgres_wire", fake_overwrite)
+    monkeypatch.setattr(PW, "merge_postgres_wire", fake_merge)
+
+    TL.replicate_changes_to_postgres(
+        spark, table, "postgresql://x@localhost/db", "t", ckpt, key_cols=["id"]
+    )
+    update_delta(spark, table, "id = 2", {"v": "v + 100"})
+    TL.replicate_changes_to_postgres(
+        spark, table, "postgresql://x@localhost/db", "t", ckpt, key_cols=["id"]
+    )
+    assert published[0][0] == "snapshot"
+    kind, ups, dels = published[1]
+    assert kind == "merge"
+    assert ups == [(2, 104)], f"postimage must upsert, got {ups}"
+    assert dels == [], f"update must not tombstone the key, got deletes {dels}"
+
+
+def test_cdc_null_key_and_duplicate_key_refuse(spark, tmpdir, monkeypatch):
+    import lakehouse_loader_spark.sources.pgwire as PW
+    from lakehouse_loader_spark.streaming import tail as TL
+
+    monkeypatch.setattr(PW, "write_postgres_wire", lambda *a, **k: 0)
+    monkeypatch.setattr(PW, "merge_postgres_wire", lambda *a, **k: (0, 0))
+
+    # duplicate key in the initial snapshot
+    t1 = os.path.join(str(tmpdir), "t1")
+    write_delta(
+        spark.createDataFrame([(1, 10), (1, 11)], "id long, v long"), t1
+    )
+    with pytest.raises(ValueError, match="not unique per key"):
+        TL.replicate_changes_to_postgres(
+            spark, t1, "postgresql://x@localhost/db", "t",
+            os.path.join(str(tmpdir), "c1"), key_cols=["id"],
+        )
+
+    # NULL key in the initial snapshot
+    t2 = os.path.join(str(tmpdir), "t2")
+    write_delta(
+        spark.createDataFrame([(None, 10), (2, 11)], "id long, v long"), t2
+    )
+    with pytest.raises(ValueError, match="NULL in key column"):
+        TL.replicate_changes_to_postgres(
+            spark, t2, "postgresql://x@localhost/db", "t",
+            os.path.join(str(tmpdir), "c2"), key_cols=["id"],
+        )
