@@ -912,3 +912,43 @@ def test_cli_replicate_to_pg_keyed_cdc(spark, pg_url, tmpdir):
     assert r1.returncode == 0, r1.stderr[-400:]
     got = W.read_postgres_wire(spark, pg_url, "select count(*) n from cli_cdc")
     assert got.collect()[0]["n"] == 25
+
+
+def test_replicate_changes_iceberg_to_postgres(spark, pg_url, tmpdir):
+    """Iceberg twin of the keyed CDC replication e2e: DML via equality
+    deletes and appends replicates through the _snapshot_ordinal feed."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.iceberg import (
+        delete_from_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+    from lakehouse_loader_spark.streaming.tail import replicate_changes_to_postgres
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_iceberg(
+        spark.range(0, 15).select("id", (F.col("id") * 2).alias("v")), table
+    )
+    r0 = replicate_changes_to_postgres(
+        spark, table, pg_url, "t_icdc", ckpt, key_cols=["id"]
+    )
+    assert r0["run"] == 0 and r0["rows"] == 15
+
+    delete_from_iceberg(spark, table, "id < 4")
+    write_iceberg(
+        spark.range(15, 18).select("id", (F.col("id") * 2).alias("v")),
+        table,
+        append=True,
+    )
+    r1 = replicate_changes_to_postgres(
+        spark, table, pg_url, "t_icdc", ckpt, key_cols=["id"]
+    )
+    assert not r1["empty"]
+    want = sorted((r["id"], r["v"]) for r in read_iceberg(spark, table).collect())
+    got = sorted(
+        (r["id"], r["v"])
+        for r in W.read_postgres_wire(spark, pg_url, "select * from t_icdc").collect()
+    )
+    assert got == want and len(got) == 14
