@@ -40,6 +40,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "reset_cursor",
     "tail_appends",
     "tail_changes",
     "replicate_appends_to_postgres",
@@ -407,3 +408,31 @@ def replicate_changes_to_postgres(
         return up + n_del
 
     return tail_changes(spark, table_path, checkpoint_dir, apply, fmt=fmt)
+
+
+def reset_cursor(checkpoint_dir: str) -> None:
+    """Full-resync reset: remove the cursor marker AND the checkpoint's
+    app-id marker together.  Removing only the cursor is a trap under the
+    transactional sinks: the replication app-id lives in the checkpoint's
+    ``_lhl_app_id`` marker, so a re-attached run 0 would publish its
+    overwrite with txn version 0 — which the target's ledger already
+    holds from the ORIGINAL run 0 — and the sink would suppress the whole
+    snapshot, silently leaving the target stale while the cursor advances
+    as if synced.  A fresh app-id puts the resync in a fresh ledger
+    namespace (the old ledger rows are inert).  Merely REMOVING the
+    app-id marker is not enough: ``resolve_stream_app_id`` mints ids as a
+    deterministic hash of the checkpoint path, so a removed marker
+    re-mints the SAME id — the reset writes a random-salted id instead
+    (same ``stream_to_delta-`` namespace the resolver validates).  Use
+    after non-append history on an appends feed, or to switch feeds on
+    the same target."""
+    try:
+        os.remove(os.path.join(checkpoint_dir, _MARKER))
+    except FileNotFoundError:
+        pass
+    app_marker = os.path.join(checkpoint_dir, "_lhl_app_id")
+    if os.path.isdir(checkpoint_dir):
+        tmp = app_marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("stream_to_delta-resync" + os.urandom(8).hex())
+        os.replace(tmp, app_marker)

@@ -952,3 +952,44 @@ def test_replicate_changes_iceberg_to_postgres(spark, pg_url, tmpdir):
         for r in W.read_postgres_wire(spark, pg_url, "select * from t_icdc").collect()
     )
     assert got == want and len(got) == 14
+
+
+def test_reset_cursor_resync_republishes_snapshot(spark, pg_url, tmpdir):
+    """After non-append history breaks an appends-feed replication, a
+    reset_cursor resync must actually republish: removing only the cursor
+    marker would leave run 0's overwrite suppressed by the ORIGINAL run
+    0's ledger entry (same app-id, same version 0), silently keeping the
+    target stale."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import (
+        ConcurrentModificationError,
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+    from lakehouse_loader_spark.streaming.tail import (
+        replicate_appends_to_postgres,
+        reset_cursor,
+    )
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(spark.range(0, 50).select("id", (F.col("id") * 9).alias("v")), table)
+    replicate_appends_to_postgres(spark, table, pg_url, "t_resync", ckpt)
+
+    delete_from_delta(spark, table, "id >= 40")  # history no longer append-only
+    with pytest.raises(ConcurrentModificationError):
+        replicate_appends_to_postgres(spark, table, pg_url, "t_resync", ckpt)
+
+    reset_cursor(ckpt)
+    r = replicate_appends_to_postgres(spark, table, pg_url, "t_resync", ckpt)
+    assert r["run"] == 0 and r["rows"] == 40, "resync must republish, not no-op"
+    got = W.read_postgres_wire(spark, pg_url, "select count(*) n from t_resync")
+    assert got.collect()[0]["n"] == 40
+    want = sorted(r["id"] for r in read_delta(spark, table).collect())
+    have = sorted(
+        r["id"]
+        for r in W.read_postgres_wire(spark, pg_url, "select id from t_resync").collect()
+    )
+    assert have == want
