@@ -1138,8 +1138,17 @@ def merge_postgres_wire(
     publish transaction."""
     from pyspark.sql import functions as F
 
-    if not all(part.isidentifier() for part in table.split(".")):
-        raise ValueError(f"unsafe table name {table!r}")
+    # ASCII-only on top of isidentifier(): the pg_tables existence check
+    # below compares lowercase-FOLDED names, and PostgreSQL folds only
+    # ASCII letters of an unquoted identifier while str.lower() folds
+    # everything — a non-ASCII mixed-case name would wedge on the second
+    # merge exactly like the unfolded compare this guards against
+    if not all(
+        part.isidentifier() and part.isascii() for part in table.split(".")
+    ):
+        raise ValueError(f"unsafe table name {table!r} (ASCII identifiers only)")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty for a keyed merge")
     data_fields = [
         f for f in df.schema.fields if delete_col is None or f.name != delete_col
     ]

@@ -50,6 +50,27 @@ __all__ = [
 _MARKER = "_lhl_tail_cursor.json"
 
 
+def _local_ckpt(checkpoint_dir: str) -> str:
+    """Normalize the checkpoint dir to a real local path — the SAME
+    resolution ``resolve_stream_app_id`` applies, or the cursor marker
+    and the app-id marker would land in different directories for a
+    ``file://`` URI (cursor in the literal ``./file:/…`` dir, app-id in
+    the resolved one) and a resync would rewrite the wrong marker.  The
+    cursor is a local JSON file, so non-local schemes refuse."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", checkpoint_dir):
+        if checkpoint_dir.startswith("file:"):
+            from lakehouse_loader_spark.sinks.staging import local_path
+
+            return local_path(checkpoint_dir)
+        raise ValueError(
+            f"tail checkpoints must be local or file:// paths, got "
+            f"{checkpoint_dir!r}"
+        )
+    return checkpoint_dir
+
+
 def _detect_format(table_path: str) -> str:
     from lakehouse_loader_spark.sinks import delta as DL
     from lakehouse_loader_spark.sinks import iceberg as IC
@@ -108,10 +129,14 @@ def _tail(
     if fmt not in ("delta", "iceberg"):
         raise ValueError(f"fmt must be auto|delta|iceberg, got {fmt!r}")
 
+    checkpoint_dir = _local_ckpt(checkpoint_dir)
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker_path = os.path.join(checkpoint_dir, _MARKER)
     state = _read_marker(marker_path)
     stored_feed = state.get("feed")
+    # a cursor-bearing marker without a feed record predates feed
+    # pinning (one in-repo revision); it is adopted by the current call
+    # and stamped below — from then on switches refuse
     if stored_feed is not None and stored_feed != feed:
         # switching feeds mid-checkpoint silently changes semantics AND
         # the transactional app-id, so a crash-replayed window would slip
@@ -320,6 +345,8 @@ def replicate_changes_to_postgres(
     )
     from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
 
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty for keyed CDC replication")
     app_id = "tail-cdc-" + resolve_stream_app_id(checkpoint_dir)
     null_key = None
     for k in key_cols:
@@ -425,14 +452,21 @@ def reset_cursor(checkpoint_dir: str) -> None:
     re-mints the SAME id — the reset writes a random-salted id instead
     (same ``stream_to_delta-`` namespace the resolver validates).  Use
     after non-append history on an appends feed, or to switch feeds on
-    the same target."""
-    try:
-        os.remove(os.path.join(checkpoint_dir, _MARKER))
-    except FileNotFoundError:
-        pass
+    the same target.
+
+    Order matters for crash safety: the fresh app-id is written FIRST,
+    the cursor removed SECOND — a crash between the steps fails toward a
+    harmless re-publish (new ledger namespace, old cursor), never toward
+    the silent-stale no-op (old ledger namespace, no cursor) this
+    function exists to prevent."""
+    checkpoint_dir = _local_ckpt(checkpoint_dir)
     app_marker = os.path.join(checkpoint_dir, "_lhl_app_id")
     if os.path.isdir(checkpoint_dir):
         tmp = app_marker + ".tmp"
         with open(tmp, "w") as fh:
             fh.write("stream_to_delta-resync" + os.urandom(8).hex())
         os.replace(tmp, app_marker)
+    try:
+        os.remove(os.path.join(checkpoint_dir, _MARKER))
+    except FileNotFoundError:
+        pass
