@@ -17,7 +17,9 @@ import uuid
 from pyspark.sql import DataFrame
 
 _SCRATCH_DIRS: list[str] = []
-# pinned scratch (pin=True results): reclaimed at interpreter exit only
+# pinned scratch (pin=True results): reclaimed at interpreter exit, with a
+# wide generational backstop so a long-lived service calling pagerank-style
+# static operators in a loop does not leak one result dir per call forever
 _PINNED_DIRS: list[str] = []
 
 # how many materialized generations stay on disk: older ones are reclaimed
@@ -27,6 +29,15 @@ _PINNED_DIRS: list[str] = []
 # interpreter exit.  A frame re-collected after its scratch was reclaimed
 # fails loudly (missing files), never silently wrong.
 SCRATCH_KEEP_GENERATIONS = 8
+
+# pinned results get a much wider window: a caller may hold a pin=True
+# frame across arbitrarily many later operators, so eager reclamation is
+# wrong — but a service looping pagerank(static=True) forever must not
+# leak one node-sized dir per call for the process lifetime (ADVICE r12).
+# Holding MORE than this many pinned results alive simultaneously is
+# unsupported (the oldest's files vanish; the stale frame fails loudly on
+# re-collect, never silently wrong — same contract as the unpinned window).
+PINNED_KEEP_GENERATIONS = 64
 
 
 def _rm_scratch(path: str, spark=None) -> None:
@@ -106,6 +117,8 @@ def materialize_shared(
         atexit.register(_reap_scratch)
     if pin:
         _PINNED_DIRS.append(path)
+        while len(_PINNED_DIRS) > PINNED_KEEP_GENERATIONS:
+            _rm_scratch(_PINNED_DIRS.pop(0), spark)
     else:
         _SCRATCH_DIRS.append(path)
         # generation reclamation: retire the oldest scratch beyond the keep

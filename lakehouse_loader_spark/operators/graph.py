@@ -167,9 +167,11 @@ def pagerank(
         # CALLER's session a plain scan of it — the returned frame
         # composes with frames of the parent session (joins, selects)
         # which a foreign-session DataFrame would not.  pin=True takes
-        # the result dir out of the generational reclamation window, so a
-        # caller may hold the frame across arbitrarily many later
-        # operators (exit-time cleanup only) — the lifetime guarantee an
+        # the result dir out of the tight generational reclamation window,
+        # so a caller may hold the frame across arbitrarily many later
+        # operators (reclaimed at exit, with a wide
+        # PINNED_KEEP_GENERATIONS backstop so looping services don't leak
+        # one dir per call forever) — the lifetime guarantee an
         # eager localCheckpoint would give, without paying a second pass
         # over the result (~0.35s/call measured at sf0.1)
         _, out_path = materialize_shared(

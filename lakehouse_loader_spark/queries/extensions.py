@@ -1919,7 +1919,7 @@ def _staged_event_files(spark: SparkSession, sf_dir: str, key: str, prep) -> str
     return staged
 
 
-_PARITY_SESSION = None
+_PARITY_SESSIONS: dict[int, "SparkSession"] = {}
 
 
 def _parity_stream_session(spark: SparkSession, width: int) -> SparkSession:
@@ -1953,32 +1953,37 @@ def _parity_stream_session(spark: SparkSession, width: int) -> SparkSession:
     — JVM-state operators (window/dedup/session/join) want it narrow (A/B
     at sf0.1: join 12.2s at 32 stores vs 4.0s at 8), while the
     Python-stateful pair wants it wide for UDF parallelism (v2 histogram:
-    6.8s at 8 vs 3.4s at 32).  Confs are read at query START, and the
-    driver/bench run parities sequentially, so setting the width on the
-    shared clone per call is race-free there; concurrent streaming starts
-    from other threads should pass their own width consistently."""
+    6.8s at 8 vs 3.4s at 32).  The clone cache is KEYED PER WIDTH
+    (ADVICE r12): two parities started from different threads each get a
+    clone whose width never mutates after creation, so neither can freeze
+    the other's width into its first checkpoint — no lock, no
+    sequential-only caveat."""
     import os
     import tempfile
 
-    global _PARITY_SESSION
-    if (
-        _PARITY_SESSION is None
-        or _PARITY_SESSION.sparkContext is not spark.sparkContext
-    ):
-        iso = spark.newSession()
-        iso.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        iso.conf.set(
-            "spark.sql.streaming.stateStore.maintenanceInterval", "10s"
-        )
-        iso.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        iso.conf.set(
-            "spark.sql.streaming.forceDeleteTempCheckpointLocation", "true"
-        )
+    cached = _PARITY_SESSIONS.get(width)
+    if cached is not None and cached.sparkContext is spark.sparkContext:
+        return cached
+    if cached is not None:
+        # stale clone from a stopped SparkContext: drop the whole cache
+        # (every entry shares that context) and rebuild below
+        _PARITY_SESSIONS.clear()
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    iso.conf.set(
+        "spark.sql.streaming.stateStore.maintenanceInterval", "10s"
+    )
+    iso.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    iso.conf.set(
+        "spark.sql.streaming.forceDeleteTempCheckpointLocation", "true"
+    )
+    global _PARITY_CKPT_ROOT
+    if _PARITY_CKPT_ROOT is None:
+        # ONE checkpoint root shared by every width-keyed clone — per-run
+        # dirs inside it are named per query, so clones never collide, and
+        # _parity_sink's prev-run cleanup keeps a single root to look in
         ckroot = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
         root = tempfile.mkdtemp(prefix="lhl_parity_ckpt_", dir=ckroot)
-        iso.conf.set("spark.sql.streaming.checkpointLocation", root)
-        global _PARITY_CKPT_ROOT
-        _PARITY_CKPT_ROOT = root
         import atexit
         import shutil
 
@@ -1989,9 +1994,13 @@ def _parity_stream_session(spark: SparkSession, width: int) -> SparkSession:
         # otherwise every parity run would leak offsets/state dirs into
         # RAM-backed /dev/shm for the life of the host
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _PARITY_SESSION = iso
-    _PARITY_SESSION.conf.set("spark.sql.shuffle.partitions", str(width))
-    return _PARITY_SESSION
+        _PARITY_CKPT_ROOT = root
+    iso.conf.set("spark.sql.streaming.checkpointLocation", _PARITY_CKPT_ROOT)
+    # width set ONCE at creation and never mutated — the per-width cache
+    # key is the race-freedom guarantee
+    iso.conf.set("spark.sql.shuffle.partitions", str(width))
+    _PARITY_SESSIONS[width] = iso
+    return iso
 
 
 _PARITY_SINKS: dict[str, str] = {}

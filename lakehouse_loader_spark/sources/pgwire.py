@@ -1215,15 +1215,25 @@ def merge_postgres_wire(
         else ""
     )
     try:
+        any_null = " OR ".join(f"{k} IS NULL" for k in key_cols)
         dup = next(
             iter_copy_batches(
                 params,
-                f"SELECT (count(*) - count(DISTINCT ({key_tuple})))::int8 AS d "
+                f"SELECT (count(*) - count(DISTINCT ({key_tuple})))::int8 AS d, "
+                f"sum(({any_null})::int)::int8 AS nk "
                 f"FROM {staging}",
-                [("d", 20, -1)],
+                [("d", 20, -1), ("nk", 20, -1)],
                 2,
             )
         )
+        if int(dup["nk"][0] or 0) > 0:
+            # DELETE USING t.k = s.k never matches a NULL key, so a NULL-keyed
+            # row would pass count(DISTINCT) yet re-insert on every merge —
+            # duplicating instead of replacing. Same contract as tail.py.
+            raise ValueError(
+                f"keyed feed cannot address NULL keys ({key_tuple}): "
+                f"{int(dup['nk'][0])} staged row(s) carry a NULL key column"
+            )
         if int(dup["d"][0]) > 0:
             raise ValueError(
                 f"merge batch not unique per key ({key_tuple}): reduce the "

@@ -87,11 +87,18 @@ def _read_marker(path: str) -> dict:
         with open(path) as fh:
             content = fh.read().strip()
         if not content:
-            return {}
+            # _write_marker never writes an empty file, so a zero-length
+            # marker is a torn write (e.g. power loss between truncate and
+            # flush). Treating it as a fresh attach would silently skip
+            # every window since the old cursor — same refusal as garbled.
+            raise ValueError(
+                f"corrupt tail cursor at {path}; repair or remove it "
+                "explicitly"
+            )
         return json.loads(content)
     except FileNotFoundError:
         return {}
-    except ValueError:
+    except json.JSONDecodeError:
         # a torn/garbled marker is unrecoverable silently — refusing beats
         # re-applying from table creation under a transactional sink whose
         # ledger would suppress the replay anyway, but NON-transactional
@@ -105,6 +112,9 @@ def _write_marker(path: str, state: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(json.dumps(state))
+        fh.flush()
+        os.fsync(fh.fileno())  # durable before rename — a power loss must
+        # never surface a zero-length marker under the final name
     os.replace(tmp, path)  # atomic on POSIX — readers never see a torn file
 
 

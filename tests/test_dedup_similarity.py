@@ -461,6 +461,32 @@ def test_materialize_shared_generation_cap(spark):
     assert all(not os.path.exists(p) for p in made)
 
 
+def test_materialize_shared_pinned_window_is_bounded(spark, monkeypatch):
+    """pin=True dirs get a WIDE generational backstop, not unbounded
+    growth: a service looping pagerank(static=True) forever must not leak
+    one node-sized dir per call for the process lifetime (ADVICE r12).
+    Holding more than PINNED_KEEP_GENERATIONS pinned frames alive at once
+    is the documented unsupported case — the oldest's files vanish and a
+    stale re-collect fails loudly."""
+    import os
+
+    from lakehouse_loader_spark import operators as O
+
+    O._reap_scratch()
+    monkeypatch.setattr(O, "PINNED_KEEP_GENERATIONS", 4)
+    made = []
+    for i in range(6):
+        O.materialize_shared(spark.range(0, 5), f"pin{i}", pin=True)
+        made.append(O._PINNED_DIRS[-1])
+    assert len(O._PINNED_DIRS) == 4
+    for old in made[:2]:
+        assert not os.path.exists(old), "oldest pinned dir should be reclaimed"
+    for recent in made[2:]:
+        assert os.path.exists(recent)
+    O._reap_scratch()
+    assert all(not os.path.exists(p) for p in made)
+
+
 def test_exact_allpairs_gate_refuses_above_max_rows(spark):
     """The exact O(n²·d) all-pairs path carries the clusters-style size
     gate: above max_rows it refuses with a pointer at the banded paths;

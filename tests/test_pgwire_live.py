@@ -815,6 +815,20 @@ def test_merge_postgres_wire_keyed_upsert_and_delete(spark, pg_url):
     with pytest.raises(ValueError, match="not unique per key"):
         merge_postgres_wire(dup, pg_url, "t_merge", key_cols=["id"])
 
+    # NULL key refuses for DIRECT callers too (tail guards upstream):
+    # DELETE USING t.k = s.k never matches NULL, so a NULL-keyed row would
+    # pass count(DISTINCT) yet re-insert on every merge — duplicating
+    # instead of replacing (ADVICE r12)
+    nullkey = spark.createDataFrame([(None, 1), (30, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="cannot address NULL keys"):
+        merge_postgres_wire(nullkey, pg_url, "t_merge", key_cols=["id"])
+    # ...and a NULL in ONE column of a composite key is equally rejected
+    comp = spark.createDataFrame(
+        [(1, None, 5)], "k1 long, k2 long, v long"
+    )
+    with pytest.raises(ValueError, match="cannot address NULL keys"):
+        merge_postgres_wire(comp, pg_url, "t_merge_c", key_cols=["k1", "k2"])
+
     # exactly-once: same (app, version) publishes zero the second time
     b2 = spark.createDataFrame([(5, 555)], "id long, v long")
     assert merge_postgres_wire(

@@ -864,7 +864,7 @@ def test_parity_clone_releases_previous_memory_sink(spark):
     second = ext._PARITY_SINKS["sw_parity"]
     assert n1 == n2 > 0
     assert first != second
-    child = ext._PARITY_SESSION
+    child = ext._PARITY_SESSIONS[8]
     names = {t.name for t in child.catalog.listTables()}
     assert first not in names, "previous parity sink must be dropped"
     assert second in names, "current parity sink must remain readable"
@@ -889,7 +889,7 @@ def test_parity_clone_isolates_confs_from_parent(spark):
         "retain": spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100"),
     }
     REGISTRY["streaming_window_parity"].fn(spark, SF_SMOKE).count()
-    child = ext._PARITY_SESSION
+    child = ext._PARITY_SESSIONS[8]
     assert child is not spark
     assert child.sparkContext is spark.sparkContext
     # clone carries the bounded-run confs...
@@ -905,4 +905,27 @@ def test_parity_clone_isolates_confs_from_parent(spark):
     assert (
         spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
         == before["retain"]
+    )
+
+
+def test_parity_clones_are_keyed_per_width(spark):
+    """The clone cache is keyed per shuffle width (ADVICE r12): two
+    parities started from different threads can never freeze each other's
+    width into their first checkpoint, because a clone's width is set once
+    at creation and never mutated."""
+    import lakehouse_loader_spark.queries.extensions as ext
+
+    c8 = ext._parity_stream_session(spark, width=8)
+    c16 = ext._parity_stream_session(spark, width=16)
+    assert c8 is not c16
+    assert c8.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert c16.conf.get("spark.sql.shuffle.partitions") == "16"
+    # cache hit returns the same clone, width intact
+    assert ext._parity_stream_session(spark, width=8) is c8
+    assert c8.conf.get("spark.sql.shuffle.partitions") == "8"
+    # both share the parent's context and ONE checkpoint root
+    assert c8.sparkContext is spark.sparkContext
+    assert (
+        c8.conf.get("spark.sql.streaming.checkpointLocation")
+        == c16.conf.get("spark.sql.streaming.checkpointLocation")
     )

@@ -119,6 +119,24 @@ def test_corrupt_marker_refuses(spark, tmpdir):
         tail_appends(spark, table, ckpt, rec)
 
 
+def test_empty_marker_refuses(spark, tmpdir):
+    """A zero-length marker is a torn write (power loss), never a fresh
+    attach: _write_marker fsyncs before the atomic rename, so an empty
+    file under the final name cannot be legitimate.  Treating it as {}
+    would re-attach as run 0 under the SAME app-id — the txn ledger
+    suppresses the snapshot and the cursor jumps to the current end,
+    silently skipping every window since the old cursor (ADVICE r12)."""
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(_df(spark, 0, 3), table)
+    rec = Recorder()
+    tail_appends(spark, table, ckpt, rec)
+    with open(os.path.join(ckpt, _MARKER), "w"):
+        pass  # truncate to zero length
+    with pytest.raises(ValueError, match="corrupt tail cursor"):
+        tail_appends(spark, table, ckpt, rec)
+
+
 def test_marker_is_atomic_json(spark, tmpdir):
     table = os.path.join(str(tmpdir), "t")
     ckpt = os.path.join(str(tmpdir), "ckpt")
