@@ -70,8 +70,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5, materializing only pairs that
-    share ≥1 shingle (shingle-explode + equi-join, never all-pairs)."""
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    share ≥1 shingle (shingle-explode + equi-join, never all-pairs).  The
+    hashed-shingle artifact comes from the family-shared session stage
+    (queries/staging.py) — same derivation, computed once per session."""
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
+
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingled=staged_doc_shingles(spark, sf_dir),
+    )
 
 
 @query(
@@ -102,15 +110,41 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, so the join volume is proportional to the batch, not the
     union squared (operators/dedup.py:incremental_near_duplicates).  The
     oracle brute-forces the same cross-set jaccard."""
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
+
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 < 2)
     corpus = docs.filter(F.col("doc_id") % 10 >= 2)
-    return D.incremental_near_duplicates(corpus, batch, threshold=0.5)
+    # the tagged shingle frame derives from the family-shared stage: the
+    # split rule is a pure function of doc_id, and rarity statistics run
+    # over corpus ∪ batch = the whole table — identical either way
+    tagged = staged_doc_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 2, 1).otherwise(0).alias("_side"),
+        "sh_h",
+    )
+    return D.incremental_near_duplicates(
+        corpus, batch, threshold=0.5, shingled=tagged
+    )
 
 
 # --------------------------------------------------------------------------
 # E1 near-dup dedup: MinHash signature + LSH banding + exact verify
 # --------------------------------------------------------------------------
+def _staged_minhash_inputs(spark: SparkSession, sf_dir: str) -> dict:
+    """The two family-shared artifacts every minhash consumer (pairs,
+    clusters, clusters_star) scans instead of recomputing from text."""
+    from lakehouse_loader_spark.queries.staging import (
+        staged_doc_shingles,
+        staged_minhash_sigs,
+    )
+
+    return {
+        "shingled": staged_doc_shingles(spark, sf_dir),
+        "signatures": staged_minhash_sigs(spark, sf_dir),
+    }
+
+
 @query(
     "dedup_minhash",
     oracle=_SHINGLES_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8",
@@ -119,8 +153,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash128 → 32-band LSH → exact-verify candidates at j ≥ 0.8.
     Oracle-matched against exact all-pairs jaccard because banding recall
     at 0.8 is ≈1 (P(miss) = (1-j⁴)³² ≤ 1e-7) and candidates are verified
-    exactly — the output is identical, found in linear-ish time."""
-    return D.minhash_near_duplicates(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    exactly — the output is identical, found in linear-ish time.  Shingle
+    sets and signatures come from the family-shared session stage; the
+    query itself is banding + bucket join + exact verify."""
+    return D.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        **_staged_minhash_inputs(spark, sf_dir),
+    )
 
 
 @query(
@@ -153,8 +193,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the identical bit-votes in SQL; the brute-force oracle
     join is the O(n²) comparison the banding avoids).  The xxhash64 64-bit
     variant stays the production default in operators/dedup.py."""
+    from lakehouse_loader_spark.queries.staging import staged_simhash
+
     return D.simhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), max_hamming=3, bits=60, hash_fn="md5_60"
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=60,
+        hash_fn="md5_60",
+        fingerprinted=staged_simhash(spark, sf_dir, bits=60, hash_fn="md5_60"),
     )
 
 
@@ -1112,7 +1158,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_loader_spark.operators.clusters import dedup_clusters as _dc
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    pairs = D.minhash_near_duplicates(
+        docs, threshold=0.8, **_staged_minhash_inputs(spark, sf_dir)
+    )
     return _dc(pairs)
 
 
@@ -1145,7 +1193,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_loader_spark.operators.clusters import dedup_clusters as _dc
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(docs, threshold=0.8)
+    pairs = D.minhash_near_duplicates(
+        docs, threshold=0.8, **_staged_minhash_inputs(spark, sf_dir)
+    )
     return _dc(pairs, algorithm="two_phase_star")
 
 
@@ -1484,19 +1534,16 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a shingle self-join (the join materializes Σ df² rows; this
     shape materializes Σ C(df_sources, 2), and df_sources is bounded by the
     number of corpora, not document count)."""
-    from lakehouse_loader_spark.operators import spread
-    from lakehouse_loader_spark.operators.dedup import with_shingles
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
 
-    # spread first: the input is one parquet file = one partition, and the
-    # interpreted higher-order shingling would run single-core without it
-    docs = spread(load_table(spark, sf_dir, "documents"))
     # 64-bit shingle hashes instead of ~20-byte strings: halves shuffle
     # width (collision odds ≈ n²/2⁶⁴ over distinct shingles — negligible,
     # same accepted exposure as ngram_jaccard_pairs).  collect_set already
     # dedups per-shingle sources, so no pre-distinct shuffle is needed —
-    # the whole scan is ONE aggregation keyed on the shingle hash.
-    sh = with_shingles(docs).select(
-        "source", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle")
+    # the whole scan is ONE aggregation keyed on the shingle hash, fed by
+    # the family-shared staged shingle scan (queries/staging.py)
+    sh = staged_doc_shingles(spark, sf_dir).select(
+        "source", F.explode("sh_h").alias("shingle")
     )
     per_shingle = (
         sh.groupBy("shingle")

@@ -471,14 +471,13 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, same accepted collision exposure as the dedup family) followed by
     one aggregation keyed on doc_id.  The benchmark side is deduped
     pre-join; no per-document set is ever collected to the driver."""
-    from lakehouse_loader_spark.operators import spread
-    from lakehouse_loader_spark.operators.dedup import with_shingles
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = with_shingles(docs).select(
-        "doc_id",
-        "source",
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh_h"),
+    # explode off the family-shared hashed-shingle stage (the staged frame
+    # carries `source` precisely for this consumer) — same derivation as
+    # the former inline with_shingles pass, computed once per session
+    sh = staged_doc_shingles(spark, sf_dir).select(
+        "doc_id", "source", F.explode("sh_h").alias("sh_h")
     )
     bench = (
         sh.filter(F.col("source") == "src0")

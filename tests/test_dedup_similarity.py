@@ -503,3 +503,96 @@ def test_exact_allpairs_gate_refuses_above_max_rows(spark):
         emb, threshold=0.999999, max_rows=None
     )
     assert forced.count() == 0  # gate off → plan executes
+
+
+def test_staged_dedup_artifacts_cache_per_session(spark):
+    """queries/staging.py: an artifact is computed ONCE per (key, sf_dir)
+    per session (the family-shared scratch, VERDICT r12 item 1), rebuilt
+    if its dir vanishes, and never shared across sessions."""
+    import os
+    import shutil
+
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
+    from tests.conftest import SF_SMOKE
+
+    spark._lhl_dedup_staging = {}
+    a = staged_doc_shingles(spark, SF_SMOKE)
+    path1 = spark._lhl_dedup_staging[("shingles3", SF_SMOKE)]
+    b = staged_doc_shingles(spark, SF_SMOKE)
+    assert spark._lhl_dedup_staging[("shingles3", SF_SMOKE)] == path1
+    n = b.count()
+    assert a.count() == n > 0
+    assert set(a.columns) == {"doc_id", "source", "sh_h"}
+    # a reclaimed dir rebuilds instead of failing (a frame still scanning
+    # the old dir fails loudly — same contract as materialize_shared)
+    shutil.rmtree(path1)
+    c = staged_doc_shingles(spark, SF_SMOKE)
+    path2 = spark._lhl_dedup_staging[("shingles3", SF_SMOKE)]
+    assert path2 != path1 and os.path.isdir(path2)
+    assert c.count() == n
+    # a clone session stages independently (its own cache attribute)
+    iso = spark.newSession()
+    staged_doc_shingles(iso, SF_SMOKE)
+    assert iso._lhl_dedup_staging[("shingles3", SF_SMOKE)] != path2
+    spark._lhl_dedup_staging = {}
+
+
+def test_staged_artifacts_match_inline_derivations(spark):
+    """The staged shingle/signature/fingerprint frames must be
+    row-identical to the inline operator derivations they replace — the
+    guarantee that swapping the stage into a query cannot change any
+    oracle-checked result."""
+    from pyspark.sql import functions as F2
+
+    from lakehouse_loader_spark.catalog import load_table
+    from lakehouse_loader_spark.operators.dedup import (
+        with_hashed_shingles,
+        with_minhash_signature,
+        with_simhash,
+    )
+    from lakehouse_loader_spark.queries.staging import (
+        staged_doc_shingles,
+        staged_minhash_sigs,
+        staged_simhash,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark._lhl_dedup_staging = {}
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    staged = staged_doc_shingles(spark, SF_SMOKE).orderBy("doc_id").collect()
+    inline = (
+        with_hashed_shingles(docs)
+        .select("doc_id", "source", "sh_h")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert staged == inline
+
+    s_sig = staged_minhash_sigs(spark, SF_SMOKE).orderBy("doc_id").collect()
+    i_sig = (
+        with_minhash_signature(
+            with_hashed_shingles(docs).filter(F2.size("sh_h") > 0),
+            128,
+            shingle_col="sh_h",
+        )
+        .select("doc_id", "minhash_sig")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert s_sig == i_sig
+
+    s_fp = (
+        staged_simhash(spark, SF_SMOKE, bits=60, hash_fn="md5_60")
+        .orderBy("doc_id")
+        .collect()
+    )
+    i_fp = (
+        with_simhash(docs, bits=60, hash_fn="md5_60")
+        .filter(F2.trim(F2.col("text")) != "")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert s_fp == i_fp
+    spark._lhl_dedup_staging = {}
