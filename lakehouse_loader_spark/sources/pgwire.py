@@ -1108,6 +1108,64 @@ def write_postgres_wire(
         raise
 
 
+def table_columns_postgres_wire(
+    conn_url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+) -> list[str]:
+    """Live column names of ``table`` in ordinal order (lowercase-folded,
+    as the catalog stores unquoted identifiers), or [] when the table does
+    not exist — the schema-drift probe CDC replication runs before every
+    keyed window (streaming/tail.py)."""
+    if not all(
+        part.isidentifier() and part.isascii() for part in table.split(".")
+    ):
+        raise ValueError(f"unsafe table name {table!r} (ASCII identifiers only)")
+    params = parse_libpq_url(conn_url, user=user, password=password)
+    schema_pred = (
+        f"table_schema = '{table.rsplit('.', 1)[0].lower()}'"
+        if "." in table
+        else "table_schema = current_schema()"
+    )
+    cols: list[str] = []
+    for batch in iter_copy_batches(
+        params,
+        f"SELECT column_name::text AS c FROM information_schema.columns "
+        f"WHERE {schema_pred} AND table_name = "
+        f"'{table.split('.')[-1].lower()}' ORDER BY ordinal_position",
+        [("c", 25, -1)],
+        256,
+    ):
+        cols.extend(str(c) for c in batch["c"])
+    return cols
+
+
+def add_columns_postgres_wire(
+    conn_url: str,
+    table: str,
+    columns: list[tuple[str, str]],
+    user: str | None = None,
+    password: str | None = None,
+) -> None:
+    """ALTER TABLE ... ADD COLUMN for each (name, pg_type) — nullable, so
+    pre-evolution rows read as NULL (the only value they can honestly
+    have).  One statement per transaction-free command; ADD COLUMN with
+    no default is metadata-only in PostgreSQL, O(1) regardless of table
+    size."""
+    if not all(
+        part.isidentifier() and part.isascii() for part in table.split(".")
+    ):
+        raise ValueError(f"unsafe table name {table!r} (ASCII identifiers only)")
+    params = parse_libpq_url(conn_url, user=user, password=password)
+    for name, pg_type in columns:
+        if not name.isidentifier():
+            raise ValueError(f"unsafe column name {name!r}")
+        simple_command(
+            params, f"ALTER TABLE {table} ADD COLUMN {name} {pg_type}"
+        )
+
+
 def merge_postgres_wire(
     df,
     conn_url: str,

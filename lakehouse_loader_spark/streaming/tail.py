@@ -318,6 +318,52 @@ def replicate_appends_to_postgres(
     return tail_appends(spark, table_path, checkpoint_dir, apply, fmt=fmt)
 
 
+def _reconcile_target_schema(
+    df: DataFrame,
+    conn_url: str,
+    pg_table: str,
+    data_cols: list[str],
+    on_schema_change: str,
+) -> None:
+    """Compare a CDC window's data columns to the live Postgres target and
+    act per the ``on_schema_change`` contract (see
+    :func:`replicate_changes_to_postgres`).  A missing target table is
+    left alone — the keyed merge creates it from the window's schema."""
+    from lakehouse_loader_spark.sources.pgwire import (
+        _pg_type_of,
+        add_columns_postgres_wire,
+        table_columns_postgres_wire,
+    )
+
+    target = table_columns_postgres_wire(conn_url, pg_table)
+    if not target:
+        return
+    src_folded = {c.lower(): c for c in data_cols}
+    added = [c for c in data_cols if c.lower() not in set(target)]
+    dropped = [c for c in target if c not in src_folded]
+    if dropped:
+        raise ValueError(
+            f"CDC source for {pg_table} no longer carries column(s) "
+            f"{dropped}: a keyed merge replaces whole rows, so continuing "
+            "would silently NULL them for every touched key.  Drop the "
+            "column(s) on the target explicitly, or "
+            "reset_cursor(full_resync=True) to rebuild it"
+        )
+    if not added:
+        return
+    if on_schema_change == "refuse":
+        raise ValueError(
+            f"CDC source for {pg_table} gained column(s) {added} the "
+            "target lacks; pass on_schema_change='evolve' to ALTER TABLE "
+            "ADD them (nullable), or add them on the target manually"
+        )
+    add_columns_postgres_wire(
+        conn_url,
+        pg_table,
+        [(c, _pg_type_of(df.schema[c].dataType)) for c in added],
+    )
+
+
 def replicate_changes_to_postgres(
     spark: SparkSession,
     table_path: str,
@@ -326,6 +372,7 @@ def replicate_changes_to_postgres(
     checkpoint_dir: str,
     key_cols: list[str],
     fmt: str = "auto",
+    on_schema_change: str = "refuse",
 ) -> dict:
     """Keyed CDC replication lakehouse → PostgreSQL: unlike
     :func:`replicate_appends_to_postgres` this follows the row-level
@@ -345,7 +392,21 @@ def replicate_changes_to_postgres(
     replication would silently drop rows; checked for the run-0 snapshot
     too), and NULL in any key column (a keyed feed cannot address such
     rows — the standard CDC constraint).  Run 0 snapshots the table
-    (overwrite)."""
+    (overwrite).
+
+    Schema evolution (``on_schema_change``): the source table may gain a
+    column mid-stream (the change feed then carries it; the Postgres
+    target doesn't have it).  ``"refuse"`` (default) raises before
+    touching the target, naming the new columns and both remedies;
+    ``"evolve"`` issues ``ALTER TABLE ADD COLUMN`` (nullable, typed by
+    the same wire-sink mapping that created the table) so pre-evolution
+    target rows read NULL — the only value they can honestly have.  A
+    column the source DROPPED refuses in BOTH modes: the keyed merge
+    replaces whole rows, so continuing would silently NULL that column
+    for every key the window touches (drop it on the target explicitly,
+    or ``reset_cursor(full_resync=True)`` to rebuild).  The schema-freeze
+    refusal mirrors the reference's arrow-source contract
+    (pg_arrow_source.rs:221-236: prepare-for-schema then refuse drift)."""
     from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.operators import materialize_shared
@@ -357,6 +418,10 @@ def replicate_changes_to_postgres(
 
     if not key_cols:
         raise ValueError("key_cols must be non-empty for keyed CDC replication")
+    if on_schema_change not in ("refuse", "evolve"):
+        raise ValueError(
+            f"on_schema_change must be refuse|evolve, got {on_schema_change!r}"
+        )
     app_id = "tail-cdc-" + resolve_stream_app_id(checkpoint_dir)
     null_key = None
     for k in key_cols:
@@ -399,6 +464,9 @@ def replicate_changes_to_postgres(
         data_cols = [
             c for c in df.columns if c not in ("_change_type", ord_col)
         ]
+        _reconcile_target_schema(
+            df, conn_url, pg_table, data_cols, on_schema_change
+        )
         # one scratch materialization: the change feed is exceptAll-diff
         # work per commit — without it the dup-check action and the
         # staging COPY would recompute the whole feed (house pattern:

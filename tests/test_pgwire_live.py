@@ -893,6 +893,83 @@ def test_replicate_changes_to_postgres_cdc(spark, pg_url, tmpdir):
     )["empty"]
 
 
+def test_replicate_cdc_schema_evolution_contract(spark, pg_url, tmpdir):
+    """Schema drift through keyed CDC replication (VERDICT r12 item 5):
+    the source gains a column mid-stream.  Default refuses with both
+    remedies named; on_schema_change='evolve' ALTERs the target (new
+    column nullable — pre-evolution rows read NULL) and the window then
+    replicates; a column the source DROPPED refuses in both modes."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.sinks.delta import write_delta
+    from lakehouse_loader_spark.sources.pgwire import (
+        simple_command,
+        parse_libpq_url,
+        table_columns_postgres_wire,
+    )
+    from lakehouse_loader_spark.streaming.tail import replicate_changes_to_postgres
+
+    table = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+    write_delta(
+        spark.range(0, 10).select("id", (F.col("id") * 10).alias("v")), table
+    )
+    r0 = replicate_changes_to_postgres(
+        spark, table, pg_url, "t_evo", ckpt, key_cols=["id"]
+    )
+    assert r0["rows"] == 10
+    assert table_columns_postgres_wire(pg_url, "t_evo") == ["id", "v"]
+
+    # source gains a column (by-name schema evolution on the Delta sink)
+    write_delta(
+        spark.range(10, 13).select(
+            "id", (F.col("id") * 10).alias("v"), F.lit("fresh").alias("tag")
+        ),
+        table,
+        append=True,
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="gained column.*tag.*evolve"):
+        replicate_changes_to_postgres(
+            spark, table, pg_url, "t_evo", ckpt, key_cols=["id"]
+        )
+    # the refusal happened BEFORE any target mutation: schema unchanged
+    assert table_columns_postgres_wire(pg_url, "t_evo") == ["id", "v"]
+
+    r1 = replicate_changes_to_postgres(
+        spark, table, pg_url, "t_evo", ckpt, key_cols=["id"],
+        on_schema_change="evolve",
+    )
+    assert r1["rows"] == 3
+    assert table_columns_postgres_wire(pg_url, "t_evo") == ["id", "v", "tag"]
+    got = {
+        r["id"]: (r["v"], r["tag"])
+        for r in W.read_postgres_wire(
+            spark, pg_url, "select * from t_evo"
+        ).collect()
+    }
+    assert len(got) == 13
+    assert got[12] == (120, "fresh")
+    assert got[0] == (0, None), "pre-evolution rows read NULL for the new column"
+
+    # a column the source no longer carries refuses in BOTH modes: the
+    # keyed merge replaces whole rows, so continuing would NULL it out
+    simple_command(parse_libpq_url(pg_url), "ALTER TABLE t_evo ADD COLUMN extra int8")
+    write_delta(
+        spark.range(13, 14).select(
+            "id", (F.col("id") * 10).alias("v"), F.lit("x").alias("tag")
+        ),
+        table,
+        append=True,
+    )
+    for mode in ("refuse", "evolve"):
+        with pytest.raises(ValueError, match="no longer carries.*extra"):
+            replicate_changes_to_postgres(
+                spark, table, pg_url, "t_evo", ckpt, key_cols=["id"],
+                on_schema_change=mode,
+            )
+
+
 def test_cli_replicate_to_pg_keyed_cdc(spark, pg_url, tmpdir):
     """CLI replicate-to-pg --key id follows the change feed: a delete on
     the source between runs replicates instead of refusing."""
