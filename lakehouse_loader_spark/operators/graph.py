@@ -36,6 +36,48 @@ from pyspark.sql import functions as F
 DAMPING = 0.85
 
 
+def build_norm(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """The normalized adjacency every superstep scans: (src, dst, 1/deg)
+    contribution edges plus zero-weight SELF-edges — lazy; callers
+    materialize it (``pagerank`` to per-call scratch, queries/staging.py
+    to a session-staged corpus artifact).
+
+    The DISTINCT EDGE LIST is materialized first (r11): deg, the
+    self-edge node set and the contribution join all consume it, and
+    without the scratch the whole upstream edge derivation (often a
+    fact-table join + distinct) re-executes once per consumer —
+    per-branch column pruning defeats ReusedExchange (see
+    materialize_shared).  Measured at sf0.1 this halves the norm-build
+    wall (6.7s → ~3.5s warm).
+
+    Zero-weight SELF-edges keep every node present in each superstep's
+    dst-keyed aggregate with exactly its true mass (x + 0.0 == x in IEEE
+    doubles, so results are bit-identical to a left-join-from-the-node-set
+    formulation) — an in-degree-0 node keeps its (1-d) base mass WITHOUT
+    a second shuffle per superstep for the left join.  deg IS the
+    distinct src set (out-degree ≥ 1 contract), so the self-edge branch
+    needs no separate nodes distinct."""
+    from lakehouse_loader_spark.operators import materialize_shared
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = materialize_shared(e, label="pagerank-edges")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .unionByName(
+            deg.select("src", F.col("src").alias("dst"), F.lit(0.0).alias("w"))
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 8,
@@ -46,6 +88,7 @@ def pagerank(
     checkpoint_every: int | None = None,
     assume_distinct: bool = False,
     broadcast_ranks_max: int = 2_000_000,
+    staged_norm_path: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``/``dst``
     string columns).  Every node must have out-degree ≥ 1 (undirect the
@@ -67,44 +110,24 @@ def pagerank(
     codegen handles the deep plan fine).  Turn it on only where lineage
     depth genuinely bites: recompute-on-executor-loss cost on very large
     clusters, or driver plan-compile blowup past hundreds of
-    supersteps."""
+    supersteps.
+
+    ``staged_norm_path``: path of an already-materialized normalized
+    adjacency (the frame :func:`build_norm` returns) — skips the edge
+    materialization and norm build entirely; the caller owns the files'
+    lifetime (queries/staging.py stages one per corpus per session, the
+    signature-table pattern the dedup family uses)."""
     from lakehouse_loader_spark.operators import materialize_shared
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if not assume_distinct:
-        e = e.distinct()
-    # materialize the DISTINCT EDGE LIST first (r11): deg, the self-edge
-    # node set and the contribution join all consume it, and without the
-    # scratch the whole upstream edge derivation (often a fact-table join
-    # + distinct) re-executes once per consumer — per-branch column
-    # pruning defeats ReusedExchange (see materialize_shared).  Measured
-    # at sf0.1 this halves the norm-build wall (6.7s → ~3.5s warm)
-    e = materialize_shared(e, label="pagerank-edges")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution edges: src → dst carrying 1/deg.  EVERY superstep scans
-    # this — left lazy, the deg join re-executes per iteration, so it is
-    # materialized to scratch parquet once (measured 14.2s → per-superstep
-    # scan at sf0.1; same pattern as the dedup shingle sharing, PERF_NOTES
-    # r7).  Zero-weight SELF-edges keep every node present in each
-    # superstep's dst-keyed aggregate with exactly its true mass (x + 0.0
-    # == x in IEEE doubles, so results are bit-identical to a
-    # left-join-from-the-node-set formulation) — an in-degree-0 node keeps
-    # its (1-d) base mass WITHOUT a second shuffle per superstep for the
-    # left join.  deg IS the distinct src set (out-degree ≥ 1 contract),
-    # so the self-edge branch needs no separate nodes distinct
-    norm, norm_path = materialize_shared(
-        e.join(deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-        ).unionByName(
-            deg.select(
-                "src",
-                F.col("src").alias("dst"),
-                F.lit(0.0).alias("w"),
-            )
-        ),
-        label="pagerank-norm",
-        with_path=True,
-    )
+    if staged_norm_path is not None:
+        norm_path = staged_norm_path
+        norm = edges.sparkSession.read.parquet(norm_path)
+    else:
+        norm, norm_path = materialize_shared(
+            build_norm(edges, src=src, dst=dst, assume_distinct=assume_distinct),
+            label="pagerank-norm",
+            with_path=True,
+        )
     # the node set falls out of the norm scratch for free: exactly the
     # zero-weight self-edge rows (a column-pruned scan, no shuffle)
     nodes = norm.where(F.col("w") == 0.0).select(F.col("src").alias("node"))

@@ -43,6 +43,13 @@ def _staged(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     per session; return a scan of the files.  The cache rides on the
     session object so distinct sessions (parity clones, tests) never
     share."""
+    return spark.read.parquet(_staged_path(spark, sf_dir, key, build))
+
+
+def _staged_path(spark: SparkSession, sf_dir: str, key: str, build) -> str:
+    """The path variant of :func:`_staged` — for consumers that re-scan
+    the staged files from ANOTHER SparkSession (pagerank's isolated
+    static-conf clone reads the norm artifact by path)."""
     cache = getattr(spark, "_lhl_dedup_staging", None)
     if cache is None:
         cache = {}
@@ -59,7 +66,7 @@ def _staged(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
             df = df.coalesce(n_out)
         df.write.mode("overwrite").parquet(path)
         cache[(key, sf_dir)] = path
-    return spark.read.parquet(path)
+    return path
 
 
 def staged_doc_shingles(
@@ -120,3 +127,18 @@ def staged_simhash(
         )
 
     return _staged(spark, sf_dir, f"simhash{bits}_{hash_fn}", build)
+
+
+def staged_pagerank_norm(spark: SparkSession, sf_dir: str, build_edges) -> str:
+    """Path of the staged normalized adjacency (``operators.graph.
+    build_norm`` output: src, dst, 1/deg contribution edges + zero-weight
+    self-edges) for the graph ``build_edges()`` derives — the corpus
+    artifact every pagerank superstep scans, staged once per (sf_dir)
+    per session exactly like the dedup signature tables.  Returned as a
+    PATH because the static small-graph regime re-reads it from an
+    isolated session (operators/graph.py:_static_session)."""
+    from lakehouse_loader_spark.operators.graph import build_norm
+
+    return _staged_path(
+        spark, sf_dir, "pr_norm", lambda: build_norm(build_edges(), assume_distinct=True)
+    )
