@@ -29,6 +29,8 @@ import re
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 UUID_RE = re.compile(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")
+# puffin DV files are named dv-<hex32>.puffin (undashed uuid4)
+DV_NAME_RE = re.compile(r"dv-[0-9a-f]{32}")
 
 # wall-clock fields (ms epoch) — value varies per run, presence must not
 _TS_KEYS = {
@@ -66,8 +68,18 @@ class _Canon:
 
     def walk(self, obj):
         if isinstance(obj, dict):
+            # a puffin file's FOOTER embeds the absolute referenced-data-file
+            # path and the decimal snapshot id (variable digit count), so its
+            # byte size varies per run — tokenize it like manifest_length;
+            # data-file sizes are path-free and stay literal
+            puffin_sized = isinstance(
+                obj.get("file_path"), str
+            ) and obj["file_path"].endswith(".puffin")
             out = {}
             for k, v in obj.items():
+                if puffin_sized and k == "file_size_in_bytes":
+                    out[k] = "<LEN>"
+                    continue
                 if v is not None and k in _TS_KEYS and isinstance(v, (int, float)):
                     out[k] = "<TS>"
                 elif v is not None and k in _SNAP_KEYS and isinstance(v, int):
@@ -87,6 +99,7 @@ class _Canon:
             return "0x" + bytes(obj).hex()
         if isinstance(obj, str):
             s = obj.replace(self.root, "<TABLE>")
+            s = DV_NAME_RE.sub("dv-<UUID>", s)
             return UUID_RE.sub("<UUID>", s)
         return obj
 
@@ -158,3 +171,106 @@ def test_iceberg_metadata_matches_golden(spark, tmpdir):
                 {"schema": m_schema, "file_metadata": m_md, "records": m_recs}
             )
     _assert_golden("conformance_iceberg_metadata.json", canon.dumps(dump))
+
+
+def _dump_iceberg_metadata(IC, avro_ocf, t: str) -> dict:
+    """metadata.json + every snapshot's manifest list + every manifest,
+    decoded through the stdlib OCF reader — the shared shape of all
+    iceberg fixtures."""
+    _, meta = IC._read_metadata(t)
+    dump = {"metadata": meta, "manifest_lists": [], "manifests": []}
+    seen: set[str] = set()
+    for snap in meta["snapshots"]:
+        schema, md, recs = avro_ocf.read_ocf(snap["manifest-list"])
+        dump["manifest_lists"].append(
+            {"schema": schema, "file_metadata": md, "records": recs}
+        )
+        for r in recs:
+            mp = r["manifest_path"]
+            if mp in seen:
+                continue
+            seen.add(mp)
+            m_schema, m_md, m_recs = avro_ocf.read_ocf(mp)
+            dump["manifests"].append(
+                {"schema": m_schema, "file_metadata": m_md, "records": m_recs}
+            )
+    return dump
+
+
+def test_iceberg_dv_metadata_matches_golden(spark, tmpdir):
+    """Spec-v3 deletion vectors: the shape with NO reference twin at all
+    (VERDICT r12 item 6) — Puffin blob layout, the manifest's DV entry
+    fields (referenced_data_file, content_offset/size), and the v3
+    format-version bump must stay pinned."""
+    from lakehouse_loader_spark.sinks import avro_ocf, puffin
+    from lakehouse_loader_spark.sinks import dv as dv_mod
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    t = os.path.join(str(tmpdir), "gold_ice_dv")
+    IC.write_iceberg(_tiny_df(spark), t)
+    IC.delete_from_iceberg(spark, t, "k = 1", strategy="merge-on-read-dv")
+
+    canon = _Canon(t)
+    dump = _dump_iceberg_metadata(IC, avro_ocf, t)
+    # decode every Puffin DV file: footer blob descriptors plus the
+    # EXACT deleted positions each blob addresses (CRC-checked on read)
+    dump["puffin"] = []
+    for f in sorted(glob.glob(os.path.join(t, "data", "*.puffin"))):
+        blobs = []
+        for desc in puffin.read_footer(f):
+            raw = puffin.read_blob(f, desc["offset"], desc["length"])
+            blobs.append(
+                {
+                    "descriptor": desc,
+                    "positions": dv_mod.deserialize_positions(raw).tolist(),
+                }
+            )
+        dump["puffin"].append({"file": f, "blobs": blobs})
+    assert dump["puffin"] and dump["puffin"][0]["blobs"], "DV fixture must carry a blob"
+    _assert_golden("conformance_iceberg_dv.json", canon.dumps(dump))
+
+
+def test_iceberg_partitioned_metadata_matches_golden(spark, tmpdir):
+    """Identity-partitioned layout: spec fields (field-ids from 1000),
+    hive-style data paths, and TYPED partition values in manifest entries
+    (iceberg_destination.rs:174-199 is unpartitioned-only, so this shape
+    has no reference twin either)."""
+    from lakehouse_loader_spark.sinks import avro_ocf
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    t = os.path.join(str(tmpdir), "gold_ice_part")
+    IC.write_iceberg(_tiny_df(spark), t, partition_by=["k"])
+    IC.write_iceberg(_tiny_df(spark), t, append=True, partition_by=["k"])
+
+    canon = _Canon(t)
+    dump = _dump_iceberg_metadata(IC, avro_ocf, t)
+    # the hive dir layout is part of the contract foreign readers rely on
+    dump["data_layout"] = sorted(
+        os.path.relpath(p, t).replace(os.path.basename(p), "<FILE>")
+        for p in glob.glob(os.path.join(t, "data", "*", "*.parquet"))
+    )
+    assert any("k=1" in p for p in dump["data_layout"])
+    _assert_golden("conformance_iceberg_partitioned.json", canon.dumps(dump))
+
+
+def test_delta_column_mapping_matches_golden(spark, tmpdir):
+    """Column-mapped Delta (name mode): physical col-<uuid> names,
+    per-column field ids, reader/writer feature flags, and the
+    post-upgrade rename path — the metadata a foreign reader must resolve
+    before it can read a single row."""
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    t = os.path.join(str(tmpdir), "gold_dl_map")
+    DL.write_delta(_tiny_df(spark), t)
+    DL.enable_column_mapping(t)
+    DL.rename_column(t, "v", "value")
+    DL.write_delta(
+        _tiny_df(spark).withColumnRenamed("v", "value"), t, append=True
+    )
+
+    canon = _Canon(t)
+    dump = {}
+    for f in sorted(glob.glob(os.path.join(t, "_delta_log", "*.json"))):
+        with open(f) as fh:
+            dump[os.path.basename(f)] = [json.loads(line) for line in fh]
+    _assert_golden("conformance_delta_column_mapping.json", canon.dumps(dump))
