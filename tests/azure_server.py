@@ -20,6 +20,7 @@ from lakehouse_loader_spark.sinks.azureblob import (
     account_sas_string_to_sign,
     shared_key_string_to_sign,
     sign_shared_key,
+    user_delegation_sas_string_to_sign,
 )
 
 
@@ -34,6 +35,20 @@ class AzureState:
         # page size List Blobs uses when the client sends no maxresults
         # (real Azure caps at 5000); tests shrink it to exercise NextMarker
         self.default_maxresults = 5000
+        # AAD side (user-delegation SAS e2e): a client-credentials app
+        # registration and the bearer its token grant issues
+        import secrets as _secrets
+        import uuid as _uuid
+
+        self.aad_tenant = str(_uuid.uuid4())
+        self.aad_client_id = str(_uuid.uuid4())
+        self.aad_client_secret = _secrets.token_hex(16)
+        self.aad_bearer = _secrets.token_hex(24)
+        self.aad_oid = str(_uuid.uuid4())
+        # (oid, tid) -> delegation key record minted by POST
+        # ?comp=userdelegationkey; the SAS verifier looks the key up by
+        # the sk* attestation params
+        self.udks: dict[tuple[str, str], dict] = {}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -102,6 +117,8 @@ class _Handler(BaseHTTPRequestHandler):
         q = dict(parse_qsl(u.query, keep_blank_values=True))
         if "sig" not in q:
             return False
+        if "skoid" in q:
+            return self._verify_user_delegation_sas(u, q)
         sts = account_sas_string_to_sign(
             self.state.account,
             q.get("sp", ""),
@@ -129,6 +146,125 @@ class _Handler(BaseHTTPRequestHandler):
             else self._SAS_PERMS.get(self.command, "?")
         )
         return needed in q.get("sp", "")
+
+    def _verify_user_delegation_sas(self, u, q) -> bool:
+        """User-delegation SAS validation, re-derived INDEPENDENTLY: look
+        the delegation key up by its sk* attestation params, rebuild the
+        24-field string-to-sign from the REQUEST (canonicalized resource
+        from the path, everything else from the query), HMAC under the
+        stored key value, then check windows / permission / resource
+        scope."""
+        import datetime as _dt
+
+        udk = self.state.udks.get((q.get("skoid", ""), q.get("sktid", "")))
+        if udk is None:
+            return False
+        if (
+            udk["signed_start"] != q.get("skt")
+            or udk["signed_expiry"] != q.get("ske")
+            or udk["signed_service"] != q.get("sks")
+            or udk["signed_version"] != q.get("skv")
+        ):
+            return False
+        parts = unquote(u.path).lstrip("/").split("/", 1)
+        container = parts[0]
+        blob = parts[1] if len(parts) > 1 else ""
+        sr = q.get("sr", "")
+        sts = user_delegation_sas_string_to_sign(
+            self.state.account,
+            container,
+            q.get("sp", ""),
+            q.get("st", ""),
+            q.get("se", ""),
+            udk,
+            blob=blob if sr == "b" else "",
+            version=q.get("sv", ""),
+            protocol=q.get("spr", ""),
+        )
+        if not hmac.compare_digest(
+            sign_shared_key(udk["value"], sts), q["sig"]
+        ):
+            return False
+        now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        if q.get("se", "") <= now or (q.get("st") and q["st"] > now):
+            return False
+        if udk["signed_expiry"] <= now:  # the KEY itself expired
+            return False
+        needed = (
+            "l"
+            if q.get("comp") == "list"
+            else self._SAS_PERMS.get(self.command, "?")
+        )
+        if needed not in q.get("sp", ""):
+            return False
+        # sr=b scopes to ONE blob: a container operation (or another blob)
+        # fails the signature above because the canonicalized resource
+        # differs — nothing more to check here
+        return sr in ("b", "c")
+
+    def do_POST(self):
+        body = self._read_body()
+        u = urlparse(self.path)
+        q = dict(parse_qsl(u.query, keep_blank_values=True))
+        # AAD token endpoint (loopback authority): /__aad/{tenant}/oauth2/v2.0/token
+        if u.path.startswith("/__aad/"):
+            from urllib.parse import parse_qs
+
+            form = {k: v[0] for k, v in parse_qs(body.decode()).items()}
+            tenant = u.path.split("/")[2]
+            if (
+                tenant != self.state.aad_tenant
+                or form.get("grant_type") != "client_credentials"
+                or form.get("client_id") != self.state.aad_client_id
+                or form.get("client_secret") != self.state.aad_client_secret
+            ):
+                return self._error(401, "invalid_client")
+            import json as _json
+
+            return self._ok(
+                _json.dumps(
+                    {
+                        "access_token": self.state.aad_bearer,
+                        "token_type": "Bearer",
+                        "expires_in": 3600,
+                    }
+                ).encode()
+            )
+        if q.get("comp") == "userdelegationkey":
+            auth = self.headers.get("Authorization") or ""
+            if auth != f"Bearer {self.state.aad_bearer}":
+                return self._error(403, "AuthenticationFailed", "bearer required")
+            try:
+                root = ElementTree.fromstring(body)
+                start = root.findtext("Start") or ""
+                expiry = root.findtext("Expiry") or ""
+            except ElementTree.ParseError:
+                return self._error(400, "InvalidXmlDocument")
+            import secrets as _secrets
+
+            udk = {
+                "signed_oid": self.state.aad_oid,
+                "signed_tid": self.state.aad_tenant,
+                "signed_start": start,
+                "signed_expiry": expiry,
+                "signed_service": "b",
+                "signed_version": "2021-08-06",
+                "value": base64.b64encode(_secrets.token_bytes(32)).decode(),
+            }
+            self.state.udks[(udk["signed_oid"], udk["signed_tid"])] = udk
+            xml = (
+                "<?xml version='1.0' encoding='utf-8'?><UserDelegationKey>"
+                f"<SignedOid>{udk['signed_oid']}</SignedOid>"
+                f"<SignedTid>{udk['signed_tid']}</SignedTid>"
+                f"<SignedStart>{udk['signed_start']}</SignedStart>"
+                f"<SignedExpiry>{udk['signed_expiry']}</SignedExpiry>"
+                f"<SignedService>{udk['signed_service']}</SignedService>"
+                f"<SignedVersion>{udk['signed_version']}</SignedVersion>"
+                f"<Value>{udk['value']}</Value>"
+                "</UserDelegationKey>"
+            ).encode()
+            return self._ok(xml)
+        return self._error(400, "UnsupportedOperation")
 
     def _route(self):
         u = urlparse(self.path)
