@@ -303,6 +303,33 @@ def build_parser() -> argparse.ArgumentParser:
         "feed, replicating source DML as keyed upserts/deletes instead "
         "of refusing non-append history",
     )
+    mi = sub.add_parser(
+        "mirror",
+        help="incremental lakehouse→lakehouse replication (cross-format): "
+        "each invocation mirrors everything committed since the "
+        "checkpointed cursor, exactly-once via the destination's txn/"
+        "summary watermark (streaming/tail.py mirror_table)",
+    )
+    mi.add_argument("source", help="delta or iceberg table (auto-detected)")
+    mi.add_argument("target", help="destination table path")
+    mi.add_argument(
+        "--checkpoint",
+        required=True,
+        help="cursor directory; run 0 snapshots the table, later runs "
+        "mirror only the fresh window",
+    )
+    mi.add_argument(
+        "--to",
+        choices=["delta", "iceberg"],
+        default=None,
+        help="destination format (default: same as the source)",
+    )
+    mi.add_argument(
+        "--key",
+        default=None,
+        help="key column: switches to the row-level change feed, applying "
+        "source DML as one keyed merge (upserts + tombstones) per window",
+    )
     for name in ("sync-iceberg-metadata", "sync-delta-metadata"):
         sy = sub.add_parser(
             name,
@@ -896,6 +923,26 @@ def do_main(argv: list[str]) -> None:
             else sync_delta_from_iceberg
         )
         print(fn(args.target), file=sys.stderr)
+        return
+    if args.command == "mirror":
+        from lakehouse_loader_spark.streaming.tail import mirror_table
+
+        res = mirror_table(
+            spark,
+            args.source,
+            args.target,
+            args.checkpoint,
+            key_cols=[args.key] if args.key else None,
+            dst_fmt=args.to,
+        )
+        if res["empty"]:
+            print("no new commits since the cursor", file=sys.stderr)
+        else:
+            print(
+                f"run {res['run']}: mirrored {res['rows']} rows to "
+                f"{args.target} [{res['dst_fmt']}] (cursor -> {res['cursor']})",
+                file=sys.stderr,
+            )
         return
     if args.command == "replicate-to-pg":
         from lakehouse_loader_spark.streaming.tail import (

@@ -3199,6 +3199,7 @@ def merge_delta(
     key: str,
     txn: tuple[str, int] | None = None,
     mode: str = "copy-on-write",
+    delete_col: str | None = None,
 ) -> dict:
     """MERGE (upsert) by key.  ``mode="copy-on-write"`` (default): files
     containing matched keys are rewritten with updated rows; unmatched
@@ -3218,6 +3219,13 @@ def merge_delta(
     (appId, version) — the idempotency handshake streaming upserts use
     (streaming/events.py:stream_upsert_to_delta).
 
+    ``delete_col``: an optional boolean column marking TOMBSTONES — the
+    CDC-apply shape (merge_postgres_wire's contract, brought to the
+    lakehouse sinks): per key, a flagged row REMOVES the target's rows
+    instead of replacing them; an unmatched tombstone no-ops.  NULL flags
+    coalesce to false.  One commit applies upserts and deletes together,
+    and the result dict gains ``"deleted"`` (matched tombstone keys).
+
     Row-tracking aware: on an enabled table each matched target row's
     STABLE id rides into its replacement row (materialized row-id column,
     NULL materialized commit version — readers resolve "last updated"
@@ -3235,16 +3243,17 @@ def merge_delta(
     _forbid_if_column_mapped(meta, "MERGE")
     rt = _row_tracking_enabled(meta)
     schema = table_schema(path)
-    if set(source.columns) != set(schema.fieldNames()):
+    expected = set(schema.fieldNames()) | ({delete_col} if delete_col else set())
+    if set(source.columns) != expected:
         raise ValueError(
             f"merge source columns {sorted(source.columns)} must match table "
-            f"{sorted(schema.fieldNames())}"
+            f"{sorted(expected)}"
         )
-    source = source.select(*schema.fieldNames())
-    _enforce_constraints(source, _write_rules(meta))
     # one pass over the source answers both "how many distinct keys" and
     # "are there duplicates" (count_distinct skips NULL keys; a NULL key
-    # row is still one distinct probe value, so add it back)
+    # row is still one distinct probe value, so add it back).  The check
+    # runs over ALL rows (upserts + tombstones): one key carrying both an
+    # upsert and a tombstone in one batch is arrival-order-dependent
     _kc = source.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(key)).alias("k"),
@@ -3256,6 +3265,17 @@ def merge_delta(
             f"merge source has duplicate values in key column {key!r}; "
             "deduplicate before merging (same contract as Delta MERGE)"
         )
+    if delete_col is not None:
+        # NULL flag means "not a tombstone" (merge_postgres_wire contract)
+        flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        del_keys = source.filter(flag).select(key).distinct()
+        all_keys = source.select(key).distinct()
+        source = source.filter(~flag).select(*schema.fieldNames())
+    else:
+        del_keys = None
+        all_keys = None
+    source = source.select(*schema.fieldNames())
+    _enforce_constraints(source, _write_rules(meta))
 
     # prune the rewrite set: a file is touched only if SOME source key
     # falls inside its [min,max] stats range — file ranges are metadata
@@ -3270,13 +3290,17 @@ def merge_delta(
     known = [(r, mn, mx) for r, mn, mx in ranges if mn is not None]
     unknown_rel = [r for r, mn, _ in ranges if mn is None]
     cand_rel = set(unknown_rel)
+    # tombstone keys participate in the probe and the anti-join exactly
+    # like upsert keys — a file holding only to-be-deleted rows must be
+    # rewritten (or DV-masked) too
+    keys = all_keys if delete_col is not None else source.select(key).distinct()
     if known:
         # dunder column names so a merge key literally named "mn"/"rel"
         # can't collide with the probe frame's columns
         files_df = spark.createDataFrame(known, ["__rel", "__mn", "__mx"])
         hit = (
             files_df.join(
-                source.select(key).distinct(),
+                keys,
                 (F.col(key) >= F.col("__mn")) & (F.col(key) <= F.col("__mx")),
                 "left_semi",
             )
@@ -3284,7 +3308,6 @@ def merge_delta(
             .collect()
         )
         cand_rel |= {r["__rel"] for r in hit}
-    keys = source.select(key).distinct()
     # key-frame cardinality is already known (n_source_keys): broadcast the
     # probe/anti-join side only when it fits in an executor, mirroring the
     # Iceberg twin's DELETE_BROADCAST_MAX gate (iceberg.py) — an over-ceiling
@@ -3310,7 +3333,17 @@ def merge_delta(
             )
         # count matched KEYS, not matched rows: a key present in several
         # table rows updates them all but is still one update
-        n_updated = keys.join(cand_df.select(key), key, "left_semi").count()
+        n_updated = (
+            source.select(key)
+            .distinct()
+            .join(cand_df.select(key), key, "left_semi")
+            .count()
+        )
+        n_deleted = (
+            del_keys.join(cand_df.select(key), key, "left_semi").count()
+            if del_keys is not None
+            else 0
+        )
         kept = cand_df.join(_bcast(keys), key, "left_anti")
         if rt:
             # each matched key inherits its target row's stable id (min id
@@ -3332,12 +3365,18 @@ def merge_delta(
             rewritten = kept.unionByName(source)
     else:
         n_updated = 0
+        n_deleted = 0
         # no candidate files: every source row is an insert; fresh appends
         # need no materialized columns (readers use baseRowId + position)
         rewritten = source
         if rt:
             source_rt = source
-    n_inserted = n_source_keys - n_updated
+    n_ups_keys = (
+        n_source_keys
+        if del_keys is None
+        else n_source_keys - del_keys.count()
+    )
+    n_inserted = n_ups_keys - n_updated
 
     cdc_actions: list[dict] = []
     if _cdf_enabled(meta):
@@ -3346,7 +3385,11 @@ def merge_delta(
         ct = "_change_type"
         if cand_rel:
             # matched_keys <= n_source_keys rows, so the same gate applies
-            matched_keys = keys.join(cand_df.select(key), key, "left_semi")
+            matched_keys = (
+                source.select(key)
+                .distinct()
+                .join(cand_df.select(key), key, "left_semi")
+            )
             # change files carry logical columns only (no materialized ids)
             cdc_cand = cand_df.select(*schema.fieldNames())
             pre = cdc_cand.join(_bcast(matched_keys), key, "left_semi").withColumn(
@@ -3359,6 +3402,15 @@ def merge_delta(
                 ct, F.lit("insert")
             )
             changes = pre.unionByName(post).unionByName(ins)
+            if del_keys is not None:
+                # matched tombstones: the removed target rows are the
+                # change feed's delete images (unmatched tombstones no-op
+                # and emit nothing)
+                changes = changes.unionByName(
+                    cdc_cand.join(_bcast(del_keys), key, "left_semi").withColumn(
+                        ct, F.lit("delete")
+                    )
+                )
         else:
             changes = source.withColumn(ct, F.lit("insert"))
         cdc_actions = _write_cdc(spark, path, meta, changes)
@@ -3444,12 +3496,15 @@ def merge_delta(
                 except OSError:
                     pass
             raise
-        return {
+        out = {
             "updated": n_updated,
             "inserted": int(n_inserted),
             "dv_files": res["dv_files"],
             "removed_files": res["removed_files"],
         }
+        if delete_col is not None:
+            out["deleted"] = n_deleted
+        return out
 
     new_adds = _write_parts(rewritten, path, MAX_ROWS_PER_FILE, part_cols)
     new_rel |= {a["path"] for a in new_adds}
@@ -3472,11 +3527,14 @@ def merge_delta(
         ]
 
     _commit_checked(path, _cow_actions, set(cand_rel), validate=_validate)
-    return {
+    out = {
         "rewritten_files": len(cand_rel),
         "updated": n_updated,
         "inserted": int(n_inserted),
     }
+    if delete_col is not None:
+        out["deleted"] = n_deleted
+    return out
 
 
 def _cdf_enabled(meta: dict) -> bool:

@@ -4867,7 +4867,14 @@ def optimize_iceberg(
     }
 
 
-def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -> dict:
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
     """MERGE (keyed upsert) into the Iceberg table, copy-on-write — the
     format twin of ``delta.merge_delta``: files containing matched keys are
     rewritten with the updated rows, unmatched source rows are inserted,
@@ -4881,6 +4888,18 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     skips row groups via parquet footer stats).  Files from pre-bounds
     manifests always scan.
 
+    ``delete_col``: optional boolean TOMBSTONE column (the CDC-apply
+    shape — merge_postgres_wire / merge_delta contract): per key a flagged
+    row removes the target's rows; unmatched tombstones no-op; NULL flags
+    coalesce to false.  Adds ``"deleted"`` to the result.
+
+    ``txn=(app_id, version)``: exactly-once via snapshot SUMMARY
+    properties — Iceberg has no transaction registry, so streaming/CDC
+    writers record their (app, version) watermark in the snapshot summary
+    and skip a replayed batch whose stamp an existing snapshot already
+    carries (the public pattern Flink's Iceberg sink uses with its job-id
+    + checkpoint-id summary properties).  A replayed merge returns zeros.
+
     Returns {"rewritten_files": n, "updated": n, "inserted": n}.
     """
     from pyspark.sql import functions as F
@@ -4892,6 +4911,18 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
+    if txn is not None:
+        app_id, txn_version = str(txn[0]), int(txn[1])
+        for snap in meta.get("snapshots") or []:
+            summ = snap.get("summary") or {}
+            if (
+                summ.get("lhl-txn-app-id") == app_id
+                and summ.get("lhl-txn-version") == str(txn_version)
+            ):
+                out = {"rewritten_files": 0, "updated": 0, "inserted": 0}
+                if delete_col is not None:
+                    out["deleted"] = 0
+                return out
     _forbid_if_renamed(meta, "MERGE")
     # row lineage survives MERGE: matched target rows carry their stable
     # id into the replacement rows (materialized _row_id, NULL
@@ -4899,15 +4930,15 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     # carried-over rows keep both; inserts take fresh first_row_id ranges
     rl = _row_lineage_enabled(meta)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
-    if set(source.columns) != set(schema.fieldNames()):
+    expected = set(schema.fieldNames()) | ({delete_col} if delete_col else set())
+    if set(source.columns) != expected:
         raise ValueError(
             f"merge source columns {sorted(source.columns)} must match table "
-            f"{sorted(schema.fieldNames())}"
+            f"{sorted(expected)}"
         )
-    source = source.select(*schema.fieldNames())
-    # one pass over the source answers both "how many distinct keys" and
-    # "are there duplicates" (count_distinct skips NULL keys; a NULL key
-    # row is still one distinct probe value, so add it back)
+    # one pass over ALL rows (upserts + tombstones) answers both "how many
+    # distinct keys" and "are there duplicates" — a key carrying both an
+    # upsert and a tombstone in one batch is arrival-order-dependent
     _kc = source.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(key)).alias("k"),
@@ -4919,6 +4950,20 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             f"merge source has duplicate values in key column {key!r}; "
             "deduplicate before merging (same contract as Delta MERGE)"
         )
+    # bounds pruning below runs over ALL source keys (tombstones must pull
+    # their target files into the rewrite set too)
+    key_probe_src = source.select(key)
+    if delete_col is not None:
+        flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        del_keys = source.filter(flag).select(key).distinct()
+        all_keys = source.filter(F.lit(True)).select(key).distinct()
+        n_del_total = del_keys.count()
+        source = source.filter(~flag).select(*schema.fieldNames())
+    else:
+        del_keys = None
+        all_keys = None
+        n_del_total = 0
+    source = source.select(*schema.fieldNames())
     spec = _spec_by_id(meta, meta["default-spec-id"])
     spec_cols = _default_spec_cols(meta)
     by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
@@ -4931,14 +4976,20 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         # _cow_iceberg); row positions attached for path attribution
         return _scan_with_deletes(spark, path, schema, partitioned, files, delete_entries)
 
-    keys = source.select(key).distinct()
+    # tombstone keys participate in the probe and the anti-join exactly
+    # like upsert keys — a file holding only to-be-deleted rows must be
+    # rewritten too
+    keys = all_keys if delete_col is not None else source.select(key).distinct()
+    ups_keys = source.select(key).distinct()
     if n_source_keys <= DELETE_BROADCAST_MAX:
         # key-frame size is already known (n_source_keys) — broadcast the
         # probe/anti-join side only when it fits; a huge batch upsert
         # degrades to shuffled joins instead of an over-ceiling broadcast
         keys = F.broadcast(keys)
+        ups_keys = F.broadcast(ups_keys)
     affected: set[str] = set()
     n_updated = 0
+    n_deleted = 0
     if entries_live:
         # manifest-bounds pruning (the Delta stats-range analog): only files
         # whose recorded [min,max] for the key column intersects the source
@@ -4961,7 +5012,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
 
             temporal = key_field["type"] in ("timestamp", "timestamptz")
             key_expr = F.expr(f"unix_micros({key})") if temporal else F.col(key)
-            lo_hi = source.agg(
+            lo_hi = key_probe_src.agg(
                 F.min(key_expr).alias("lo"), F.max(key_expr).alias("hi")
             ).collect()[0]
 
@@ -5010,7 +5061,11 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
             affected |= _delete_target_files(spark, path, delete_entries) & all_live
         if affected:
             cand = scan(sorted(affected)).select(*schema.fieldNames())
-            n_updated = keys.join(cand.select(key), key, "left_semi").count()
+            n_updated = ups_keys.join(cand.select(key), key, "left_semi").count()
+            if del_keys is not None:
+                n_deleted = del_keys.join(
+                    cand.select(key), key, "left_semi"
+                ).count()
 
     if affected:
         if rl:
@@ -5047,7 +5102,7 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         # no candidate files: every source row is an insert; fresh appends
         # need no materialized columns (readers use first_row_id + pos)
         rewritten = source
-    n_inserted = n_source_keys - n_updated
+    n_inserted = n_source_keys - n_del_total - n_updated
 
     new_entries = _write_data_files(
         rewritten, path, spec_cols or None,
@@ -5072,7 +5127,16 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
         "sequence-number": sequence_number,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_list,
-        "summary": {"operation": "overwrite", "merge-key": key},
+        "summary": {
+            "operation": "overwrite",
+            "merge-key": key,
+            # exactly-once watermark (see the txn docstring note)
+            **(
+                {"lhl-txn-app-id": app_id, "lhl-txn-version": str(txn_version)}
+                if txn is not None
+                else {}
+            ),
+        },
         # first-row-id set at construction: _append_snapshot must see the
         # complete snapshot dict, never rely on mutating it by reference
         **({"first-row-id": meta["next-row-id"]} if rl else {}),
@@ -5097,11 +5161,14 @@ def merge_iceberg(spark: SparkSession, path: str, source: DataFrame, key: str) -
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh, indent=2)
     _write_hint(path, version + 1)
-    return {
+    out = {
         "rewritten_files": len(affected),
         "updated": int(n_updated),
         "inserted": int(n_inserted),
     }
+    if delete_col is not None:
+        out["deleted"] = int(n_deleted)
+    return out
 
 
 def rollback_iceberg(path: str, snapshot_id: int) -> None:

@@ -43,6 +43,7 @@ __all__ = [
     "reset_cursor",
     "tail_appends",
     "tail_changes",
+    "mirror_table",
     "replicate_appends_to_postgres",
     "replicate_changes_to_postgres",
 ]
@@ -318,6 +319,87 @@ def replicate_appends_to_postgres(
     return tail_appends(spark, table_path, checkpoint_dir, apply, fmt=fmt)
 
 
+def _check_no_null_keys(frame: DataFrame, key_cols: list[str]) -> None:
+    from pyspark.sql import functions as F
+
+    cond = None
+    for k in key_cols:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    if frame.filter(cond).limit(1).count() > 0:
+        raise ValueError(
+            f"NULL in key column(s) {key_cols}: a keyed CDC feed "
+            "cannot address such rows"
+        )
+
+
+def _check_unique_per_key(frame: DataFrame, key_cols: list[str]) -> None:
+    from pyspark.sql import functions as F
+
+    dup = frame.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            f"source table is not unique per key {key_cols}: keyed CDC "
+            "replication would drop rows; replicate append-only or widen "
+            "the key"
+        )
+
+
+def _reduce_keyed_window(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Reduce one change-feed window to final-state-per-key: per key only
+    the changes at the window's MAX commit ordinal count — a final image
+    there (insert / update_postimage) is the key's upsert row; no final
+    image means the key ended deleted.  Returns the table columns plus a
+    boolean ``__lhl_del`` tombstone flag — the CDC-apply shape every
+    keyed sink primitive takes (merge_postgres_wire / merge_delta /
+    merge_iceberg).  Refuses NULL keys and per-key duplicate finals, both
+    loud."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.operators import materialize_shared
+
+    ord_col = (
+        "_commit_version" if "_commit_version" in df.columns
+        else "_snapshot_ordinal"
+    )
+    data_cols = [c for c in df.columns if c not in ("_change_type", ord_col)]
+    # one scratch materialization: the change feed is exceptAll-diff work
+    # per commit — without it the dup-check action and the downstream
+    # apply would recompute the whole feed (house pattern:
+    # materialize-don't-cache, operators/__init__.py)
+    df = materialize_shared(df, label="cdc-window")
+    # NULL keys anywhere in the window (even delete-only changes) cannot
+    # be addressed by a keyed merge — refuse before applying anything
+    _check_no_null_keys(df, key_cols)
+    mx = df.groupBy(*key_cols).agg(F.max(ord_col).alias("__mv"))
+    last = df.join(mx, key_cols).filter(F.col(ord_col) == F.col("__mv"))
+    # 'insert' covers the log-derived feed and CDF inserts;
+    # 'update_postimage' is the final image persisted cdc files give an
+    # UPDATE/MERGE-matched row (preimages are the pre-state — not a final
+    # image, never a tombstone marker by themselves)
+    finals = last.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+    _check_unique_per_key(finals, key_cols)
+    tombstones = (
+        mx.join(finals.select(*key_cols), key_cols, "left_anti")
+        .select(
+            *(
+                [F.col(k) for k in key_cols]
+                + [
+                    F.lit(None).cast(df.schema[c].dataType).alias(c)
+                    for c in data_cols
+                    if c not in key_cols
+                ]
+            )
+        )
+        .select(*data_cols)  # align column order with finals
+    )
+    return finals.withColumn("__lhl_del", F.lit(False)).unionByName(
+        tombstones.withColumn("__lhl_del", F.lit(True))
+    )
+
+
 def _reconcile_target_schema(
     df: DataFrame,
     conn_url: str,
@@ -423,28 +505,6 @@ def replicate_changes_to_postgres(
             f"on_schema_change must be refuse|evolve, got {on_schema_change!r}"
         )
     app_id = "tail-cdc-" + resolve_stream_app_id(checkpoint_dir)
-    null_key = None
-    for k in key_cols:
-        cond = F.col(k).isNull()
-        null_key = cond if null_key is None else (null_key | cond)
-
-    def check_no_null_keys(frame: DataFrame) -> None:
-        if frame.filter(null_key).limit(1).count() > 0:
-            raise ValueError(
-                f"NULL in key column(s) {key_cols}: a keyed CDC feed "
-                "cannot address such rows"
-            )
-
-    def check_unique(frame: DataFrame) -> None:
-        dup = (
-            frame.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
-        )
-        if dup.count() > 0:
-            raise ValueError(
-                f"source table is not unique per key {key_cols}: keyed CDC "
-                "replication would drop rows; replicate append-only or widen "
-                "the key"
-            )
 
     def apply(df: DataFrame, run_idx: int, is_snapshot: bool):
         if is_snapshot:
@@ -452,8 +512,8 @@ def replicate_changes_to_postgres(
             # duplicate key admitted at run 0 would be half-deleted by
             # the first keyed window that touches it
             snap = materialize_shared(df, label="cdc-snapshot")
-            check_no_null_keys(snap)
-            check_unique(snap)
+            _check_no_null_keys(snap, key_cols)
+            _check_unique_per_key(snap, key_cols)
             return write_postgres_wire(
                 snap, conn_url, pg_table, mode="overwrite", txn=(app_id, run_idx)
             )
@@ -467,41 +527,7 @@ def replicate_changes_to_postgres(
         _reconcile_target_schema(
             df, conn_url, pg_table, data_cols, on_schema_change
         )
-        # one scratch materialization: the change feed is exceptAll-diff
-        # work per commit — without it the dup-check action and the
-        # staging COPY would recompute the whole feed (house pattern:
-        # materialize-don't-cache, operators/__init__.py)
-        df = materialize_shared(df, label="cdc-window")
-        # NULL keys anywhere in the window (even delete-only changes)
-        # cannot be addressed by a keyed merge — refuse before staging
-        check_no_null_keys(df)
-        mx = df.groupBy(*key_cols).agg(F.max(ord_col).alias("__mv"))
-        last = df.join(mx, key_cols).filter(F.col(ord_col) == F.col("__mv"))
-        # 'insert' covers the log-derived feed and CDF inserts;
-        # 'update_postimage' is the final image persisted cdc files give
-        # an UPDATE/MERGE-matched row (preimages are the pre-state — not
-        # a final image, never a tombstone marker by themselves)
-        finals = last.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).select(*data_cols)
-        check_unique(finals)
-        tombstones = (
-            mx.join(finals.select(*key_cols), key_cols, "left_anti")
-            .select(
-                *(
-                    [F.col(k) for k in key_cols]
-                    + [
-                        F.lit(None).cast(df.schema[c].dataType).alias(c)
-                        for c in data_cols
-                        if c not in key_cols
-                    ]
-                )
-            )
-            .select(*data_cols)  # align column order with finals
-        )
-        window = finals.withColumn("__lhl_del", F.lit(False)).unionByName(
-            tombstones.withColumn("__lhl_del", F.lit(True))
-        )
+        window = _reduce_keyed_window(df, key_cols)
         up, n_del = merge_postgres_wire(
             window,
             conn_url,
@@ -513,6 +539,169 @@ def replicate_changes_to_postgres(
         return up + n_del
 
     return tail_changes(spark, table_path, checkpoint_dir, apply, fmt=fmt)
+
+
+def _iceberg_last_mirror_version(dst_path: str, app_id: str) -> int:
+    """Highest (app_id) mirror run stamped into any snapshot summary of
+    the Iceberg destination, or -1 — the Iceberg analog of Delta's
+    ``last_txn_version`` (Iceberg has no txn registry; streaming writers
+    watermark via snapshot summary properties, the public pattern Flink's
+    sink uses)."""
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    if not IC.table_exists(dst_path):
+        return -1
+    _, meta = IC._read_metadata(dst_path)
+    best = -1
+    for snap in meta.get("snapshots") or []:
+        summ = snap.get("summary") or {}
+        if summ.get("lhl-txn-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("lhl-txn-version", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
+
+
+def mirror_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    src_fmt: str = "auto",
+    dst_fmt: str | None = None,
+) -> dict:
+    """Incremental lakehouse→lakehouse replication — one mirrored window
+    per call, EXACTLY-ONCE, across formats: a Delta source can mirror
+    into an Iceberg destination and vice versa (the cursor protocol and
+    the window reduction are format-agnostic; only the window reader and
+    the apply primitive differ).
+
+    Modes (the replicate_*_to_postgres split, with lakehouse targets):
+
+    * ``key_cols=None`` — append-only mirror: run 0 snapshots the source
+      into ``dst_path`` (overwrite), later runs append each window's
+      fresh rows.  DML/compaction on the source fails loudly through the
+      appends reader (use keyed mode for tables that see DML).
+    * ``key_cols=[k]`` — keyed CDC mirror over the row-level change
+      feed: each window reduces to final-state-per-key and applies as
+      ONE ``merge_delta`` / ``merge_iceberg`` commit with tombstones
+      (``delete_col``), so destination readers never observe a
+      half-applied window.  Exactly ONE key column (the merge
+      primitives' contract); widen by concatenating upstream if needed.
+
+    Exactly-once across crash-replays: every destination commit is
+    stamped with (app_id, run_idx) — Delta's ``txn`` action checked via
+    ``last_txn_version``, Iceberg snapshot-summary properties checked via
+    the summary scan — so a replayed window (the tail protocol replays at
+    most one) applies zero rows the second time.
+
+    Returns the tail result dict plus ``dst_fmt``.
+    """
+    from lakehouse_loader_spark.sinks import delta as DL
+    from lakehouse_loader_spark.sinks import iceberg as IC
+    from lakehouse_loader_spark.operators import materialize_shared
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    if dst_fmt is None:
+        dst_fmt = _detect_format(src_path) if src_fmt == "auto" else src_fmt
+    if dst_fmt not in ("delta", "iceberg"):
+        raise ValueError(f"dst_fmt must be delta|iceberg, got {dst_fmt!r}")
+    if key_cols is not None and len(key_cols) != 1:
+        raise ValueError(
+            "keyed mirroring takes exactly one key column (the lakehouse "
+            "merge primitives' contract); concatenate a composite key "
+            "into one column upstream"
+        )
+    app_id = "tail-mirror-" + resolve_stream_app_id(checkpoint_dir)
+
+    def already_applied(run_idx: int) -> bool:
+        if dst_fmt == "delta":
+            return (
+                DL.table_exists(dst_path)
+                and DL.last_txn_version(dst_path, app_id) >= run_idx
+            )
+        return _iceberg_last_mirror_version(dst_path, app_id) >= run_idx
+
+    def write_snapshot(df: DataFrame, run_idx: int) -> int:
+        snap = materialize_shared(df, label="mirror-snapshot")
+        if key_cols is not None:
+            # the uniqueness contract must hold from the start (same as
+            # the Postgres replication path)
+            _check_no_null_keys(snap, key_cols)
+            _check_unique_per_key(snap, key_cols)
+        n = snap.count()
+        if already_applied(run_idx):
+            return 0
+        if dst_fmt == "delta":
+            DL.write_delta(snap, dst_path, overwrite=True, txn=(app_id, run_idx))
+        else:
+            IC.write_iceberg(
+                snap,
+                dst_path,
+                overwrite=IC.table_exists(dst_path),
+                snapshot_props={
+                    "lhl-txn-app-id": app_id,
+                    "lhl-txn-version": str(run_idx),
+                },
+            )
+        return n
+
+    if key_cols is None:
+
+        def apply(df: DataFrame, run_idx: int) -> None:
+            if run_idx == 0:
+                apply.rows_applied = write_snapshot(df, run_idx)
+                return
+            if already_applied(run_idx):
+                apply.rows_applied = 0
+                return
+            w = materialize_shared(df, label="mirror-window")
+            n = w.count()
+            # an all-metadata window (0 fresh rows) still needs its stamp
+            # so a replay skips it, but an EMPTY overwrite/append write is
+            # refused by the sinks — represent it as a no-op (the cursor
+            # advance is the durable record either way)
+            if n > 0:
+                if dst_fmt == "delta":
+                    DL.write_delta(w, dst_path, append=True, txn=(app_id, run_idx))
+                else:
+                    IC.write_iceberg(
+                        w,
+                        dst_path,
+                        append=True,
+                        snapshot_props={
+                            "lhl-txn-app-id": app_id,
+                            "lhl-txn-version": str(run_idx),
+                        },
+                    )
+            apply.rows_applied = n
+
+        res = tail_appends(spark, src_path, checkpoint_dir, apply, fmt=src_fmt)
+        return {**res, "dst_fmt": dst_fmt}
+
+    def apply_changes(df: DataFrame, run_idx: int, is_snapshot: bool):
+        if is_snapshot:
+            return write_snapshot(df, run_idx)
+        if already_applied(run_idx):
+            return 0
+        window = _reduce_keyed_window(df, key_cols)
+        key = key_cols[0]
+        if dst_fmt == "delta":
+            r = DL.merge_delta(
+                spark, dst_path, window, key,
+                delete_col="__lhl_del", txn=(app_id, run_idx),
+            )
+        else:
+            r = IC.merge_iceberg(
+                spark, dst_path, window, key,
+                delete_col="__lhl_del", txn=(app_id, run_idx),
+            )
+        return r["updated"] + r["inserted"] + r["deleted"]
+
+    res = tail_changes(spark, src_path, checkpoint_dir, apply_changes, fmt=src_fmt)
+    return {**res, "dst_fmt": dst_fmt}
 
 
 def reset_cursor(checkpoint_dir: str) -> None:

@@ -1,0 +1,238 @@
+"""Lakehouse→lakehouse incremental mirroring (streaming/tail.py
+mirror_table) and the tombstone-capable merge primitives underneath it
+(merge_delta / merge_iceberg with ``delete_col`` — the CDC-apply shape
+merge_postgres_wire defined).
+
+Coverage: cross-format mirrors in both directions (Delta↔Iceberg),
+append and keyed-CDC modes, destination convergence under source DML,
+exactly-once across a crash-replayed window (Delta txn action / Iceberg
+snapshot-summary watermark), and the merge contracts (matched tombstone
+deletes, unmatched tombstone no-op, CDC delete images, duplicate-key
+refusal spanning upserts and tombstones)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.sinks.delta import (
+    delete_from_delta,
+    enable_change_data_feed,
+    merge_delta,
+    read_delta,
+    read_delta_changes,
+    update_delta,
+    write_delta,
+)
+from lakehouse_loader_spark.sinks.iceberg import (
+    delete_from_iceberg,
+    merge_iceberg,
+    read_iceberg,
+    write_iceberg,
+)
+from lakehouse_loader_spark.streaming.tail import _MARKER, mirror_table
+
+
+def _df(spark, lo, hi, mult=10):
+    return spark.range(lo, hi).select("id", (F.col("id") * mult).alias("v"))
+
+
+def _tomb_batch(spark):
+    # one update, one insert, one matched tombstone, one unmatched one
+    return spark.createDataFrame(
+        [(3, 999, False), (20, 200, False), (7, None, True), (99, None, True)],
+        "id long, v long, dead boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge primitives with tombstones
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_merge_delta_tombstones(spark, tmpdir, mode):
+    t = os.path.join(str(tmpdir), "t")
+    write_delta(_df(spark, 0, 10), t)
+    res = merge_delta(spark, t, _tomb_batch(spark), "id", delete_col="dead", mode=mode)
+    assert (res["updated"], res["inserted"], res["deleted"]) == (1, 1, 1)
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[3] == 999 and got[20] == 200
+    assert 7 not in got and 99 not in got and len(got) == 10
+
+
+def test_merge_delta_tombstone_cdc_images(spark, tmpdir):
+    t = os.path.join(str(tmpdir), "t")
+    write_delta(_df(spark, 0, 10), t)
+    enable_change_data_feed(t)
+    merge_delta(spark, t, _tomb_batch(spark), "id", delete_col="dead")
+    ch = sorted(
+        (r["_change_type"], r["id"])
+        for r in read_delta_changes(spark, t, since_version=2).collect()
+    )
+    assert ("delete", 7) in ch, "matched tombstone emits a delete image"
+    assert ("delete", 99) not in ch, "unmatched tombstone emits nothing"
+    assert ("update_preimage", 3) in ch and ("update_postimage", 3) in ch
+    assert ("insert", 20) in ch
+
+
+def test_merge_delta_duplicate_key_across_kinds_refuses(spark, tmpdir):
+    t = os.path.join(str(tmpdir), "t")
+    write_delta(_df(spark, 0, 5), t)
+    dup = spark.createDataFrame(
+        [(1, 5, False), (1, None, True)], "id long, v long, dead boolean"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_delta(spark, t, dup, "id", delete_col="dead")
+
+
+def test_merge_iceberg_tombstones_and_txn_watermark(spark, tmpdir):
+    t = os.path.join(str(tmpdir), "t")
+    write_iceberg(_df(spark, 0, 10), t)
+    res = merge_iceberg(
+        spark, t, _tomb_batch(spark), "id", delete_col="dead", txn=("app", 1)
+    )
+    assert (res["updated"], res["inserted"], res["deleted"]) == (1, 1, 1)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[3] == 999 and got[20] == 200
+    assert 7 not in got and 99 not in got and len(got) == 10
+    # exactly-once: the summary-stamped (app, version) replays as a no-op
+    res2 = merge_iceberg(
+        spark, t, _tomb_batch(spark), "id", delete_col="dead", txn=("app", 1)
+    )
+    assert res2 == {"rewritten_files": 0, "updated": 0, "inserted": 0, "deleted": 0}
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()} == got
+    # a NEW version applies (no-op content here, but it must not skip)
+    res3 = merge_iceberg(
+        spark, t, spark.createDataFrame([(1, 111)], "id long, v long"),
+        "id", txn=("app", 2),
+    )
+    assert res3["updated"] == 1
+
+
+# ---------------------------------------------------------------------------
+# mirror_table
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "src_fmt,dst_fmt", [("delta", "iceberg"), ("iceberg", "delta")]
+)
+def test_mirror_appends_cross_format(spark, tmpdir, src_fmt, dst_fmt):
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_src = write_delta if src_fmt == "delta" else write_iceberg
+    read_dst = read_delta if dst_fmt == "delta" else read_iceberg
+    write_src(_df(spark, 0, 20), src)
+    r0 = mirror_table(spark, src, dst, ck, dst_fmt=dst_fmt)
+    assert r0["rows"] == 20 and r0["run"] == 0
+    write_src(_df(spark, 20, 25), src, append=True)
+    write_src(_df(spark, 25, 27), src, append=True)
+    r1 = mirror_table(spark, src, dst, ck, dst_fmt=dst_fmt)
+    assert r1["rows"] == 7 and r1["run"] == 1  # both appends, one window
+    assert sorted(r["id"] for r in read_dst(spark, dst).collect()) == list(range(27))
+    assert mirror_table(spark, src, dst, ck, dst_fmt=dst_fmt)["empty"]
+
+
+@pytest.mark.parametrize(
+    "src_fmt,dst_fmt",
+    [("delta", "delta"), ("delta", "iceberg"), ("iceberg", "delta")],
+)
+def test_mirror_keyed_cdc_converges_under_dml(spark, tmpdir, src_fmt, dst_fmt):
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_src = write_delta if src_fmt == "delta" else write_iceberg
+    read_src = read_delta if src_fmt == "delta" else read_iceberg
+    read_dst = read_delta if dst_fmt == "delta" else read_iceberg
+    del_src = delete_from_delta if src_fmt == "delta" else delete_from_iceberg
+
+    write_src(_df(spark, 0, 10), src)
+    assert mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)[
+        "rows"
+    ] == 10
+    del_src(spark, src, "id < 3")
+    if src_fmt == "delta":
+        update_delta(spark, src, "id = 5", {"v": "v + 1"})
+    write_src(_df(spark, 10, 12), src, append=True)
+    mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)
+    want = {r["id"]: r["v"] for r in read_src(spark, src).collect()}
+    got = {r["id"]: r["v"] for r in read_dst(spark, dst).collect()}
+    assert got == want, "destination must converge to the source snapshot"
+    assert 0 not in got and 10 in got
+
+
+@pytest.mark.parametrize("dst_fmt", ["delta", "iceberg"])
+def test_mirror_crash_replay_applies_zero(spark, tmpdir, dst_fmt):
+    """A crash between the destination commit and the cursor advance
+    replays the SAME window; the destination's (app, run) watermark —
+    Delta txn action / Iceberg snapshot summary — suppresses it."""
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_delta(_df(spark, 0, 5), src)
+    mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)
+    delete_from_delta(spark, src, "id = 0")
+    marker = os.path.join(ck, _MARKER)
+    pre = json.load(open(marker))
+    r = mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)
+    assert r["rows"] == 1
+    post = json.load(open(marker))
+    # rewind the marker to the recorded-pending state (= crash after the
+    # destination commit, before the cursor write)
+    with open(marker, "w") as fh:
+        json.dump({**pre, "pending": post["cursor"]}, fh)
+    r2 = mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)
+    assert r2["rows"] == 0, "replayed window must apply zero rows"
+    read_dst = read_delta if dst_fmt == "delta" else read_iceberg
+    assert sorted(x["id"] for x in read_dst(spark, dst).collect()) == [1, 2, 3, 4]
+
+
+def test_mirror_requires_single_key_column(spark, tmpdir):
+    src = os.path.join(str(tmpdir), "src")
+    write_delta(_df(spark, 0, 3), src)
+    with pytest.raises(ValueError, match="exactly one key column"):
+        mirror_table(
+            spark, src, os.path.join(str(tmpdir), "d"),
+            os.path.join(str(tmpdir), "ck"), key_cols=["id", "v"],
+        )
+
+
+def test_cli_mirror_cross_format(spark, tmpdir):
+    """CLI mirror drives the same checkpointed flow: snapshot run, then a
+    keyed CDC window, Delta source into an Iceberg destination."""
+    import subprocess
+    import sys as _sys
+
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_delta(_df(spark, 0, 12), src)
+
+    def run():
+        return subprocess.run(
+            [
+                _sys.executable, "-m", "lakehouse_loader_spark.cli",
+                "mirror", src, dst,
+                "--checkpoint", ck, "--to", "iceberg", "--key", "id",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+
+    r0 = run()
+    assert r0.returncode == 0, r0.stderr[-400:]
+    assert "mirrored 12 rows" in r0.stderr
+    delete_from_delta(spark, src, "id >= 10")
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-400:]
+    assert sorted(r["id"] for r in read_iceberg(spark, dst).collect()) == list(
+        range(10)
+    )
+    r2 = run()
+    assert "no new commits" in r2.stderr
