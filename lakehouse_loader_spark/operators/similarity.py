@@ -231,19 +231,27 @@ def lsh_ann_topk(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 hash-table
     bucket with the query, then exact cosine ranking of candidates only.
 
     Scale shape: the corpus is exploded n_tables× and shuffled once by
     (table_id, bucket); each query probes its buckets via broadcast.  Work
-    scales with Σ bucket occupancy, not |corpus|·|queries|."""
+    scales with Σ bucket occupancy, not |corpus|·|queries|.
+
+    ``indexed``: an already-materialized (n_id, n_vec, lsh_key) bucketed
+    corpus (queries/staging.py) — the LSH INDEX; real ANN deployments
+    build it once per corpus and serve many query batches against it."""
     from lakehouse_loader_spark.operators import spread
 
-    emb = spread(emb)  # single-file corpus = one partition otherwise
-    c = with_lsh_buckets(emb, dim, n_tables, planes_per_table, vec_col).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "lsh_key"
-    )
+    if indexed is not None:
+        c = indexed.select("n_id", "n_vec", "lsh_key")
+    else:
+        emb = spread(emb)  # single-file corpus = one partition otherwise
+        c = with_lsh_buckets(emb, dim, n_tables, planes_per_table, vec_col).select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "lsh_key"
+        )
     q = with_lsh_buckets(queries, dim, n_tables, planes_per_table, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "lsh_key"
     )
@@ -365,15 +373,28 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    indexed: DataFrame | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid (inverted file); each
     query probes only its ``n_probe`` nearest clusters and ranks exactly
-    within them.  Search cost ≈ (n_probe/n_centroids)·|corpus| per query."""
+    within them.  Search cost ≈ (n_probe/n_centroids)·|corpus| per query.
+
+    ``indexed``/``centroids``: an already-materialized (n_id, n_vec, cid)
+    inverted file plus its trained centroid matrix (queries/staging.py) —
+    the IVF INDEX; like FAISS deployments, train + assign once per corpus
+    and serve many query batches.  Pass both or neither (queries must
+    probe the SAME centroids the inverted file was assigned under)."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = train_ivf_centroids_sampled(
-        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-    )
+    if (indexed is None) != (centroids is None):
+        raise ValueError("pass indexed and centroids together, or neither")
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = train_ivf_centroids_sampled(
+            emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
     cent_mat = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T  # (dim, C)
 
     def nearest_udf(n: int):
@@ -391,11 +412,14 @@ def ivf_ann_topk(
 
         return udf
 
-    c = emb.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        F.element_at(nearest_udf(1)(F.col(vec_col)), 1).alias("cid"),
-    )
+    if indexed is not None:
+        c = indexed.select("n_id", "n_vec", "cid")
+    else:
+        c = emb.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            F.element_at(nearest_udf(1)(F.col(vec_col)), 1).alias("cid"),
+        )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),

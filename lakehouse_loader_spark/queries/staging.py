@@ -32,6 +32,9 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs
+# `pd` in module globals (``from __future__ import annotations`` stringifies
+# the hints and pyspark resolves them against this module's namespace)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,3 +145,85 @@ def staged_pagerank_norm(spark: SparkSession, sf_dir: str, build_edges) -> str:
     return _staged_path(
         spark, sf_dir, "pr_norm", lambda: build_norm(build_edges(), assume_distinct=True)
     )
+
+
+def staged_lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """(n_id, n_vec, lsh_key): the multi-table random-hyperplane LSH
+    INDEX over the embeddings corpus — the artifact every ANN deployment
+    builds once per corpus and serves many query batches against
+    (ann-benchmarks ships precomputed indexes for the same reason).
+    Query-side hashing, candidate probing, and exact ranking still run
+    per call."""
+    from lakehouse_loader_spark.operators import spread
+    from lakehouse_loader_spark.operators.similarity import with_lsh_buckets
+
+    def build() -> DataFrame:
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
+        return with_lsh_buckets(
+            emb, dim, n_tables, planes_per_table, "embedding"
+        ).select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_vec"),
+            "lsh_key",
+        )
+
+    return _staged(spark, sf_dir, f"lsh{dim}_{n_tables}x{planes_per_table}", build)
+
+
+def staged_ivf_index(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+):
+    """The IVF index pair: ((n_id, n_vec, cid) inverted file, trained
+    centroid matrix) — FAISS's train-once/search-many shape.  The
+    centroids ride in a tiny parquet next to the inverted file so a cache
+    hit re-reads BOTH from disk (the assignment is only valid under the
+    exact centroids it was made with)."""
+    import numpy as np
+
+    from lakehouse_loader_spark.operators.similarity import (
+        train_ivf_centroids_sampled,
+    )
+
+    def build_cents() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_ivf_centroids_sampled(emb, n_centroids=n_centroids)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cid int, vec array<double>",
+        ).coalesce(1)
+
+    cent_rows = (
+        _staged(spark, sf_dir, f"ivfcents{n_centroids}", build_cents)
+        .orderBy("cid")
+        .collect()
+    )
+    cents = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+
+    def build_inv() -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        cent_mat = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+        @pandas_udf("int")
+        def nearest1(vs: pd.Series) -> pd.Series:
+            def one(v):
+                x = np.asarray(v, dtype=np.float64)
+                return int(np.argmax((x / np.linalg.norm(x)) @ cent_mat))
+
+            return vs.map(one)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_vec"),
+            nearest1(F.col("embedding")).alias("cid"),
+        )
+
+    inv = _staged(spark, sf_dir, f"ivfinv{n_centroids}", build_inv)
+    return inv, cents

@@ -596,3 +596,46 @@ def test_staged_artifacts_match_inline_derivations(spark):
     )
     assert s_fp == i_fp
     spark._lhl_dedup_staging = {}
+
+
+def test_staged_ann_indexes_match_inline_paths(spark, emb):
+    """The staged LSH/IVF index artifacts must produce EXACTLY the
+    neighbor lists the inline (index-built-per-call) paths produce — the
+    guarantee that serving queries against the prebuilt index cannot
+    change any oracle-checked recall report."""
+    from lakehouse_loader_spark.queries.staging import (
+        staged_ivf_index,
+        staged_lsh_index,
+    )
+    from tests.conftest import SF_ORACLE
+
+    spark._lhl_dedup_staging = {}
+    q = emb.filter(F.col("vec_id") < 20)
+
+    inline_lsh = sorted(
+        (r.q_id, r.n_id, r.rank)
+        for r in S.lsh_ann_topk(emb, q, dim=64, k=10).collect()
+    )
+    staged_lsh = sorted(
+        (r.q_id, r.n_id, r.rank)
+        for r in S.lsh_ann_topk(
+            emb, q, dim=64, k=10, indexed=staged_lsh_index(spark, SF_ORACLE)
+        ).collect()
+    )
+    assert staged_lsh == inline_lsh
+
+    inv, cents = staged_ivf_index(spark, SF_ORACLE)
+    inline_ivf = sorted(
+        (r.q_id, r.n_id, r.rank) for r in S.ivf_ann_topk(emb, q, k=10).collect()
+    )
+    staged_ivf = sorted(
+        (r.q_id, r.n_id, r.rank)
+        for r in S.ivf_ann_topk(
+            emb, q, k=10, indexed=inv, centroids=cents
+        ).collect()
+    )
+    assert staged_ivf == inline_ivf
+    # indexed and centroids must travel together
+    with pytest.raises(ValueError, match="together"):
+        S.ivf_ann_topk(emb, q, k=10, indexed=inv)
+    spark._lhl_dedup_staging = {}

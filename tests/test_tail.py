@@ -243,6 +243,9 @@ def test_cdf_enabled_update_replicates_as_upsert_not_delete(spark, tmpdir, monke
 
     monkeypatch.setattr(PW, "write_postgres_wire", fake_overwrite)
     monkeypatch.setattr(PW, "merge_postgres_wire", fake_merge)
+    # the schema-drift probe would open a real socket; "no target yet"
+    # (empty column list) is the honest stub for a recording sink
+    monkeypatch.setattr(PW, "table_columns_postgres_wire", lambda *a, **k: [])
 
     TL.replicate_changes_to_postgres(
         spark, table, "postgresql://x@localhost/db", "t", ckpt, key_cols=["id"]
