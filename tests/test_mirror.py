@@ -236,3 +236,58 @@ def test_cli_mirror_cross_format(spark, tmpdir):
     )
     r2 = run()
     assert "no new commits" in r2.stderr
+
+
+# ---------------------------------------------------------------------------
+# Property test: random upsert/tombstone batches against a dict model.
+# Catches the interaction classes example tests miss (tombstone for a key
+# inserted two batches ago, upsert resurrecting a deleted key, repeated
+# tombstones, all-tombstone batches, empty-intersection batches).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BATCHES = st.lists(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=14),  # small key space -> collisions
+        st.one_of(st.none(), st.integers(min_value=0, max_value=999)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=int(os.environ.get("LHL_MERGE_EXAMPLES", "15")), deadline=None)
+@given(batches=_BATCHES, fmt=st.sampled_from(["delta", "iceberg"]))
+def test_merge_tombstone_batches_match_dict_model(
+    spark, tmp_path_factory, batches, fmt
+):
+    t = os.path.join(str(tmp_path_factory.mktemp("m")), "t")
+    write = write_delta if fmt == "delta" else write_iceberg
+    read = read_delta if fmt == "delta" else read_iceberg
+    merge = merge_delta if fmt == "delta" else merge_iceberg
+
+    write(_df(spark, 0, 5), t)  # keys 0..4 -> v = 10*id
+    model = {i: i * 10 for i in range(5)}
+    for batch in batches:
+        rows = [
+            (k, v if v is not None else None, v is None)
+            for k, v in batch.items()
+        ]
+        src = spark.createDataFrame(rows, "id long, v long, dead boolean")
+        res = merge(spark, t, src, "id", delete_col="dead")
+        n_up = sum(1 for k, v in batch.items() if v is not None)
+        matched_dead = sum(
+            1 for k, v in batch.items() if v is None and k in model
+        )
+        assert res["deleted"] == matched_dead
+        assert res["updated"] + res["inserted"] == n_up
+        for k, v in batch.items():
+            if v is None:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        got = {r["id"]: r["v"] for r in read(spark, t).collect()}
+        assert got == model, (got, model)
