@@ -67,6 +67,84 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            CAST(len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
+    edges AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.lab FROM reach r JOIN edges e ON e.node = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {hb} < 800000 THEN 'train'
+                WHEN {hb} < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """.replace("{hb}", SA.hash_bucket_sql("cluster_id", "split")),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: near-duplicate documents must never
+    straddle the train/eval boundary (a train copy of a test document is
+    contamination), so the split key is the document's NEAR-DUP CLUSTER
+    id — minhash pairs at j ≥ 0.8 → connected components (min-label),
+    singletons their own cluster — and every member inherits its
+    cluster's assignment.  Deterministic (hash split on the cluster id,
+    same md5 pipeline as split_train_val_test): adding documents later
+    never moves an existing cluster between splits.
+
+    Scale shape: the banded minhash pipeline + distributed components —
+    no all-pairs stage anywhere; the per-doc assignment is one
+    broadcast-size left join (components ≤ duplicate docs, a tiny
+    fraction of the corpus).  The oracle recomputes components with a
+    recursive CTE and the identical hash expression."""
+    from lakehouse_loader_spark.operators import dedup as D
+    from lakehouse_loader_spark.operators.clusters import connected_components
+    from lakehouse_loader_spark.queries.extensions import _staged_minhash_inputs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, threshold=0.8, **_staged_minhash_inputs(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    b = SA.hash_bucket(F.col("cluster_id"), "split")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 800_000, "train")
+        .when(b < 900_000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
     "sample_quota_per_source",
     oracle=f"""
     WITH ranked AS (

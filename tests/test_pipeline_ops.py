@@ -486,3 +486,32 @@ def test_weighted_sample_prefers_heavy_rows_and_is_stable(spark):
     assert all(int(k) < 1998 for k in got)  # weight-0 rows excluded
     again = [r.k for r in SA.weighted_sample(rows.repartition(16), "k", "w", n=100, salt="t").collect()]
     assert got == again
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """The defining invariant: every minhash near-dup pair (j >= 0.8)
+    lands in ONE split — a train copy of a test document would be
+    contamination.  Also: cluster ids are the component min-label,
+    singletons are their own cluster, and the assignment is a pure
+    function (re-running moves nothing)."""
+    from lakehouse_loader_spark.catalog import load_table
+    from lakehouse_loader_spark.operators.dedup import minhash_near_duplicates
+    from lakehouse_loader_spark.queries import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_ORACLE
+
+    _ensure_loaded()
+    fn = REGISTRY["split_leakage_safe"].fn
+    out = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in fn(spark, SF_ORACLE).collect()}
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert len(out) == docs.count()
+    pairs = minhash_near_duplicates(docs, threshold=0.8).collect()
+    assert pairs, "testdata plants near-dup pairs"
+    for p in pairs:
+        ca, sa = out[p["doc_a"]]
+        cb, sb = out[p["doc_b"]]
+        assert ca == cb, f"near-dups {p['doc_a']},{p['doc_b']} in different clusters"
+        assert sa == sb, f"near-dups {p['doc_a']},{p['doc_b']} straddle splits"
+        assert ca <= min(p["doc_a"], p["doc_b"])  # min-label
+    # determinism: second run identical
+    out2 = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in fn(spark, SF_ORACLE).collect()}
+    assert out2 == out
