@@ -36,7 +36,7 @@ def main() -> None:
     spark = get_spark("lakehouse-bench")
 
     # SPARK_GRAFT_ONLY=comma,separated,names — iterate on one family
-    # without paying the full 161-query sweep (official runs leave it
+    # without paying the full registry sweep (official runs leave it
     # unset).  Prefix match, so SPARK_GRAFT_ONLY=dedup_ times the family.
     only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
     names = sorted(

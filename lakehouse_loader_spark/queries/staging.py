@@ -52,14 +52,30 @@ def _staged(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
 def _staged_path(spark: SparkSession, sf_dir: str, key: str, build) -> str:
     """The path variant of :func:`_staged` — for consumers that re-scan
     the staged files from ANOTHER SparkSession (pagerank's isolated
-    static-conf clone reads the norm artifact by path)."""
+    static-conf clone reads the norm artifact by path).
+
+    Root resolution matches ``materialize_shared``: a set
+    ``spark.lakehouse.scratch.dir`` (cluster-visible HDFS/S3 scratch on a
+    real cluster — executors must be able to write it) wins over the
+    driver-local OS temp dir.  The vanished-dir rebuild check is
+    local-only; a scheme'd URI trusts the session cache (a reclaimed
+    remote dir fails loudly on scan, never silently wrong — the
+    materialize_shared contract)."""
+    import uuid
+
     cache = getattr(spark, "_lhl_dedup_staging", None)
     if cache is None:
         cache = {}
         spark._lhl_dedup_staging = cache
     path = cache.get((key, sf_dir))
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix=f"qdedup_{key}_")
+    stale = path is not None and "://" not in path and not os.path.isdir(path)
+    if path is None or stale:
+        root = spark.conf.get("spark.lakehouse.scratch.dir", None)
+        if root:
+            sep = "/" if "://" in root else os.sep
+            path = f"{root.rstrip(sep)}{sep}lhl-staged-{key}-{uuid.uuid4().hex}"
+        else:
+            path = tempfile.mkdtemp(prefix=f"qdedup_{key}_")
         # bounded file count, same rationale as materialize_shared: tiny
         # files cost task overhead locally; parquet splittability restores
         # read parallelism on a real cluster regardless

@@ -1159,8 +1159,13 @@ def add_columns_postgres_wire(
         raise ValueError(f"unsafe table name {table!r} (ASCII identifiers only)")
     params = parse_libpq_url(conn_url, user=user, password=password)
     for name, pg_type in columns:
-        if not name.isidentifier():
-            raise ValueError(f"unsafe column name {name!r}")
+        # ASCII-only on top of isidentifier(), same rule as table names:
+        # the CDC drift probe folds with str.lower() while the server
+        # folds only ASCII letters of an unquoted identifier — a
+        # non-ASCII mixed-case column would wedge every later window on a
+        # false "no longer carries" refusal
+        if not (name.isidentifier() and name.isascii()):
+            raise ValueError(f"unsafe column name {name!r} (ASCII identifiers only)")
         simple_command(
             params, f"ALTER TABLE {table} ADD COLUMN {name} {pg_type}"
         )

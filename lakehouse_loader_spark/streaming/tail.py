@@ -429,7 +429,7 @@ def _reconcile_target_schema(
             f"{dropped}: a keyed merge replaces whole rows, so continuing "
             "would silently NULL them for every touched key.  Drop the "
             "column(s) on the target explicitly, or "
-            "reset_cursor(full_resync=True) to rebuild it"
+            "reset_cursor(checkpoint_dir) to rebuild it with a fresh snapshot"
         )
     if not added:
         return
@@ -486,7 +486,8 @@ def replicate_changes_to_postgres(
     column the source DROPPED refuses in BOTH modes: the keyed merge
     replaces whole rows, so continuing would silently NULL that column
     for every key the window touches (drop it on the target explicitly,
-    or ``reset_cursor(full_resync=True)`` to rebuild).  The schema-freeze
+    or ``reset_cursor(checkpoint_dir)`` + a fresh run-0 snapshot to
+    rebuild).  The schema-freeze
     refusal mirrors the reference's arrow-source contract
     (pg_arrow_source.rs:221-236: prepare-for-schema then refuse drift)."""
     from pyspark.sql import functions as F

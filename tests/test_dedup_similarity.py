@@ -639,3 +639,23 @@ def test_staged_ann_indexes_match_inline_paths(spark, emb):
     with pytest.raises(ValueError, match="together"):
         S.ivf_ann_topk(emb, q, k=10, indexed=inv)
     spark._lhl_dedup_staging = {}
+
+
+def test_staged_artifacts_honor_scratch_dir_conf(spark, tmp_path):
+    """spark.lakehouse.scratch.dir (the cluster-visible scratch root on a
+    real deployment) must govern where staged artifacts land — a
+    driver-local tempdir would be unreadable to executors there."""
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
+    from tests.conftest import SF_SMOKE
+
+    spark._lhl_dedup_staging = {}
+    root = str(tmp_path / "scratch")
+    spark.conf.set("spark.lakehouse.scratch.dir", root)
+    try:
+        df = staged_doc_shingles(spark, SF_SMOKE)
+        path = spark._lhl_dedup_staging[("shingles3", SF_SMOKE)]
+        assert path.startswith(root), path
+        assert df.count() > 0
+    finally:
+        spark.conf.unset("spark.lakehouse.scratch.dir")
+        spark._lhl_dedup_staging = {}
