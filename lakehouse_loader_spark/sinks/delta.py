@@ -3243,6 +3243,13 @@ def merge_delta(
     _forbid_if_column_mapped(meta, "MERGE")
     rt = _row_tracking_enabled(meta)
     schema = table_schema(path)
+    if delete_col is not None and delete_col in schema.fieldNames():
+        # a flag name shadowing a real column would silently treat data
+        # as tombstone markers — refuse, never guess
+        raise ValueError(
+            f"delete_col {delete_col!r} collides with a table column; "
+            "name the tombstone flag distinctly"
+        )
     expected = set(schema.fieldNames()) | ({delete_col} if delete_col else set())
     if set(source.columns) != expected:
         raise ValueError(

@@ -4930,6 +4930,13 @@ def merge_iceberg(
     # carried-over rows keep both; inserts take fresh first_row_id ranges
     rl = _row_lineage_enabled(meta)
     schema = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    if delete_col is not None and delete_col in schema.fieldNames():
+        # a flag name shadowing a real column would silently treat data
+        # as tombstone markers — refuse, never guess
+        raise ValueError(
+            f"delete_col {delete_col!r} collides with a table column; "
+            "name the tombstone flag distinctly"
+        )
     expected = set(schema.fieldNames()) | ({delete_col} if delete_col else set())
     if set(source.columns) != expected:
         raise ValueError(

@@ -291,3 +291,15 @@ def test_merge_tombstone_batches_match_dict_model(
                 model[k] = v
         got = {r["id"]: r["v"] for r in read(spark, t).collect()}
         assert got == model, (got, model)
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_delete_col_shadowing_table_column_refuses(spark, tmpdir, fmt):
+    """A tombstone flag named like a real column would silently treat
+    data as markers (and drop the column from the applied row) — refuse."""
+    t = os.path.join(str(tmpdir), "t")
+    (write_delta if fmt == "delta" else write_iceberg)(_df(spark, 0, 3), t)
+    merge = merge_delta if fmt == "delta" else merge_iceberg
+    src = spark.createDataFrame([(1, True)], "id long, v boolean")
+    with pytest.raises(ValueError, match="collides with a table column"):
+        merge(spark, t, src, "id", delete_col="v")
