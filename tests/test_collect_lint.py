@@ -44,6 +44,11 @@ BUDGET = {
     "operators/similarity.py": 5,
     "sources/pgwire.py": 1,
     "queries/pipeline.py": 4,
+    # staging.py r13: the one collect reads the staged IVF CENTROID rows
+    # (n_centroids=16 rows, constant driver state — the same bounded
+    # artifact train_ivf_centroids_sampled returns; queries must probe
+    # the exact centroids the inverted file was assigned under)
+    "queries/staging.py": 1,
 }
 
 _PAT = re.compile(r"\.(collect|toPandas|first|head|take)\(")
