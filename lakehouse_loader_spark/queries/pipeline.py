@@ -21,6 +21,15 @@ from lakehouse_loader_spark.queries import query
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
+# Row ceiling for broadcasting the near-dup COMPONENT frame in
+# split_leakage_safe.  Same figure as the sinks' key-probe gates
+# (delta.py DV_BROADCAST_MAX / iceberg.py DELETE_BROADCAST_MAX): 4M
+# two-column rows ≈ tens of MB serialized, comfortably inside an
+# executor.  Above it the hint is dropped — AQE chooses the strategy —
+# because component count is O(duplicate docs), which on heavy-dup
+# corpora is O(corpus), not "a tiny fraction".
+COMPONENT_BROADCAST_MAX = 4_000_000
+
 
 # --------------------------------------------------------------------------
 # Deterministic hash sampling
@@ -112,10 +121,16 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     never moves an existing cluster between splits.
 
     Scale shape: the banded minhash pipeline + distributed components —
-    no all-pairs stage anywhere; the per-doc assignment is one
-    broadcast-size left join (components ≤ duplicate docs, a tiny
-    fraction of the corpus).  The oracle recomputes components with a
-    recursive CTE and the identical hash expression."""
+    no all-pairs stage anywhere.  The per-doc assignment join broadcasts
+    the component frame only when its KNOWN row count fits in an executor
+    (COMPONENT_BROADCAST_MAX, the sinks' DV_BROADCAST_MAX twin): components
+    are O(duplicate docs), and web-scale corpora run 30-50%+ near-dup, so
+    an unconditional hint would force an O(corpus) broadcast exactly where
+    leakage-safe splitting matters most.  The count is one cheap job — the
+    small-graph regime returns a driver-built frame and the distributed
+    regime reads its final localCheckpoint.  Over the ceiling the hint is
+    dropped and AQE picks the join strategy.  The oracle recomputes
+    components with a recursive CTE and the identical hash expression."""
     from lakehouse_loader_spark.operators import dedup as D
     from lakehouse_loader_spark.operators.clusters import connected_components
     from lakehouse_loader_spark.queries.extensions import _staged_minhash_inputs
@@ -125,9 +140,11 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.8, **_staged_minhash_inputs(spark, sf_dir)
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
+    n_comp = comp.count()
+    _bcast = F.broadcast if n_comp <= COMPONENT_BROADCAST_MAX else (lambda df: df)
     assigned = (
         docs.select("doc_id")
-        .join(F.broadcast(comp), docs.doc_id == comp.node, "left")
+        .join(_bcast(comp), docs.doc_id == comp.node, "left")
         .select(
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),

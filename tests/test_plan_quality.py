@@ -158,3 +158,31 @@ def test_no_cartesian_anywhere(spark):
         assert "CartesianProduct" not in plan, name
         funnels = [c for c in _single_partition_consumers(plan) if c not in benign]
         assert not funnels, f"{name}: SinglePartition exchange feeds {funnels}"
+
+
+def test_split_leakage_component_broadcast_is_count_gated(spark, monkeypatch):
+    """split_leakage_safe's component-frame broadcast must be gated on the
+    component row count (COMPONENT_BROADCAST_MAX): components are
+    O(duplicate docs), which on heavy-dup web corpora is O(corpus), so a
+    forced broadcast would OOM exactly where leakage-safe splitting
+    matters.  Over the gate the hint must vanish from the logical plan
+    (AQE then picks the strategy); under it the hint is present.  Asserted
+    on the OPTIMIZED LOGICAL plan — the physical plan may legitimately
+    broadcast either way at sf0.01 via AQE, so a physical assertion would
+    be vacuous."""
+    from lakehouse_loader_spark.queries import pipeline as P
+
+    def join_hints(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.setattr(P, "COMPONENT_BROADCAST_MAX", -1)
+    over = P.split_leakage_safe(spark, SF_ORACLE)
+    assert "broadcast" not in join_hints(over).lower(), (
+        "component broadcast hint survived above the gate"
+    )
+
+    monkeypatch.setattr(P, "COMPONENT_BROADCAST_MAX", 4_000_000)
+    under = P.split_leakage_safe(spark, SF_ORACLE)
+    assert "broadcast" in join_hints(under).lower(), (
+        "component broadcast hint missing below the gate"
+    )
