@@ -205,19 +205,31 @@ def with_lsh_buckets(
     Arrow batch (vs. 32 interpreted per-element folds per row)."""
     from pyspark.sql.functions import pandas_udf
 
+    # plane j belongs to table j // planes_per_table with in-table weight
+    # 1 << (j % planes_per_table) — table-major order, so the batched
+    # sign matrix reshapes directly to (batch, n_tables, planes_per_table)
     planes = np.array(_hyperplanes(dim, n_tables * planes_per_table), dtype=np.float64).T
-    weights = np.tile(1 << np.arange(planes_per_table), n_tables)
-    table_of = np.repeat(np.arange(n_tables), planes_per_table)
 
     @pandas_udf("array<struct<table_id:int,bucket:int>>")
     def bucket_udf(vs: pd.Series) -> pd.Series:
-        def one(v):
-            signs = (np.asarray(v, dtype=np.float64) @ planes) > 0
-            buckets = np.zeros(n_tables, dtype=np.int64)
-            np.add.at(buckets, table_of, signs * weights)
-            return [{"table_id": int(t), "bucket": int(b)} for t, b in enumerate(buckets)]
-
-        return vs.map(one)
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        # the whole Arrow batch as ONE (batch × dim) matrix: a single BLAS
+        # matmul against the plane matrix, then the per-table bucket ids as
+        # a reshaped weighted sum — no interpreted per-row loop in the
+        # corpus-wide index-build pass (kmeans_assign is the same shape)
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        signs = (m @ planes) > 0  # (batch, n_tables·planes_per_table)
+        buckets = (
+            signs.reshape(len(vs), n_tables, planes_per_table)
+            * (1 << np.arange(planes_per_table))
+        ).sum(axis=2)
+        return pd.Series(
+            [
+                [{"table_id": int(t), "bucket": int(b)} for t, b in enumerate(row)]
+                for row in buckets
+            ]
+        )
 
     return df.withColumn("lsh_key", F.explode(bucket_udf(F.col(vec_col))))
 
@@ -403,12 +415,13 @@ def ivf_ann_topk(
 
         @pandas_udf("array<int>")
         def udf(vs: pd.Series) -> pd.Series:
-            def one(v):
-                x = np.asarray(v, dtype=np.float64)
-                sims = (x / np.linalg.norm(x)) @ cent_mat
-                return np.argsort(-sims)[:n].astype("int32").tolist()
-
-            return vs.map(one)
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            m = np.stack(vs.to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cent_mat  # ONE matmul for the whole Arrow batch
+            order = np.argsort(-sims, axis=1)[:, :n].astype("int32")
+            return pd.Series([row.tolist() for row in order])
 
         return udf
 

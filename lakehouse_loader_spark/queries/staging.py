@@ -228,11 +228,14 @@ def staged_ivf_index(
 
         @pandas_udf("int")
         def nearest1(vs: pd.Series) -> pd.Series:
-            def one(v):
-                x = np.asarray(v, dtype=np.float64)
-                return int(np.argmax((x / np.linalg.norm(x)) @ cent_mat))
-
-            return vs.map(one)
+            if not len(vs):
+                return pd.Series([], dtype="int32")
+            # whole Arrow batch as one normalized matrix → ONE matmul
+            # against the centroid matrix (this is the corpus-wide IVF
+            # assignment pass — the expensive half of index build)
+            m = np.stack(vs.to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series((m @ cent_mat).argmax(axis=1).astype("int32"))
 
         emb = load_table(spark, sf_dir, "embeddings")
         return emb.select(
