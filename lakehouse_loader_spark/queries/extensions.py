@@ -3057,7 +3057,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus, the supersteps per call (measured sf0.1: 6.0→~3.2s warm)
     from lakehouse_loader_spark.queries.staging import staged_pagerank_norm
 
-    norm_path = staged_pagerank_norm(spark, sf_dir, lambda: edges)
+    norm_path = staged_pagerank_norm(spark, sf_dir, "cust_supp_bipartite", lambda: edges)
     ranks = pagerank(
         edges,
         iterations=8,

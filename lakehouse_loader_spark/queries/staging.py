@@ -148,18 +148,27 @@ def staged_simhash(
     return _staged(spark, sf_dir, f"simhash{bits}_{hash_fn}", build)
 
 
-def staged_pagerank_norm(spark: SparkSession, sf_dir: str, build_edges) -> str:
+def staged_pagerank_norm(
+    spark: SparkSession, sf_dir: str, graph_key: str, build_edges
+) -> str:
     """Path of the staged normalized adjacency (``operators.graph.
     build_norm`` output: src, dst, 1/deg contribution edges + zero-weight
     self-edges) for the graph ``build_edges()`` derives — the corpus
-    artifact every pagerank superstep scans, staged once per (sf_dir)
-    per session exactly like the dedup signature tables.  Returned as a
-    PATH because the static small-graph regime re-reads it from an
-    isolated session (operators/graph.py:_static_session)."""
+    artifact every pagerank superstep scans, staged once per
+    (graph_key, sf_dir) per session exactly like the dedup signature
+    tables.  ``graph_key`` names the EDGE DERIVATION: the cache cannot
+    inspect the ``build_edges`` closure, so two queries staging different
+    graphs over the same corpus must pass distinct keys or the second
+    would silently reuse the first's normalized adjacency (ADVICE r13).
+    Returned as a PATH because the static small-graph regime re-reads it
+    from an isolated session (operators/graph.py:_static_session)."""
     from lakehouse_loader_spark.operators.graph import build_norm
 
     return _staged_path(
-        spark, sf_dir, "pr_norm", lambda: build_norm(build_edges(), assume_distinct=True)
+        spark,
+        sf_dir,
+        f"pr_norm_{graph_key}",
+        lambda: build_norm(build_edges(), assume_distinct=True),
     )
 
 

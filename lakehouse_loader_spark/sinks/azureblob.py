@@ -75,6 +75,31 @@ _STD_HEADERS = [
 ]
 
 
+_LOOPBACK_HOSTS = {"127.0.0.1", "::1", "localhost"}
+
+
+def _open_credential_connection(url: str):
+    """Connection for an endpoint that will carry a BEARER SECRET in the
+    request body/headers (client_secret, bearer token): https connects
+    anywhere (real AAD/storage endpoints); plain http is pinned to
+    loopback hosts — the 'loopback test servers' rationale must be
+    enforced, not assumed, or the secret travels cleartext to whatever
+    host the URL names (ADVICE r13).  Returns (conn, parsed_url)."""
+    u = urlparse(url.rstrip("/"))
+    if u.scheme == "https":
+        return http.client.HTTPSConnection(u.hostname, u.port or 443, timeout=30), u
+    if u.scheme == "http":
+        if u.hostname not in _LOOPBACK_HOSTS:
+            raise ValueError(
+                f"refusing to send credentials over plain http to "
+                f"{u.hostname!r}: http endpoints are for loopback test "
+                "servers only (127.0.0.1/localhost); use https for real "
+                "AAD/storage endpoints"
+            )
+        return http.client.HTTPConnection(u.hostname, u.port or 80, timeout=30), u
+    raise ValueError(f"unsupported endpoint scheme {u.scheme!r} (http/https)")
+
+
 def shared_key_string_to_sign(
     method: str,
     account: str,
@@ -200,14 +225,13 @@ def aad_client_credentials_token(
     scope: str = "https://storage.azure.com/.default",
 ) -> str:
     """OAuth2 client-credentials grant against ``authority`` (the AAD
-    endpoint, overridable for loopback servers): POST the form-encoded
+    endpoint — https for real tenants, plain-http for LOOPBACK test
+    servers only; the secret travels in the request body, so cleartext
+    http to a non-loopback host is refused): POST the form-encoded
     grant, return the bearer access token."""
     import json as _json
-    from urllib.parse import urlencode, urlparse as _up
+    from urllib.parse import urlencode
 
-    u = _up(authority.rstrip("/"))
-    if u.scheme != "http":
-        raise ValueError("only http authorities (loopback test servers) supported")
     body = urlencode(
         {
             "grant_type": "client_credentials",
@@ -216,7 +240,7 @@ def aad_client_credentials_token(
             "scope": scope,
         }
     ).encode()
-    conn = http.client.HTTPConnection(u.hostname, u.port or 80, timeout=30)
+    conn, u = _open_credential_connection(authority)
     try:
         conn.request(
             "POST",
@@ -245,9 +269,10 @@ def request_user_delegation_key(
     """POST ``?restype=service&comp=userdelegationkey`` with the AAD
     bearer token; returns the key record {signed_oid, signed_tid,
     signed_start, signed_expiry, signed_service, signed_version, value}
-    — everything :func:`generate_user_delegation_sas` signs with."""
+    — everything :func:`generate_user_delegation_sas` signs with.  The
+    AAD bearer token rides the Authorization header, so plain-http
+    endpoints are loopback-pinned like the token grant."""
     import xml.etree.ElementTree as ET
-    from urllib.parse import urlparse as _up
 
     now = _dt.datetime.now(_dt.timezone.utc)
     if start is None:
@@ -256,14 +281,11 @@ def request_user_delegation_key(
         expiry = (now + _dt.timedelta(seconds=lifetime_s)).strftime(
             "%Y-%m-%dT%H:%M:%SZ"
         )
-    u = _up(endpoint)
-    if u.scheme != "http":
-        raise ValueError("only http endpoints (loopback test servers) supported")
     body = (
         f"<?xml version='1.0' encoding='utf-8'?><KeyInfo>"
         f"<Start>{start}</Start><Expiry>{expiry}</Expiry></KeyInfo>"
     ).encode()
-    conn = http.client.HTTPConnection(u.hostname, u.port or 80, timeout=30)
+    conn, _u = _open_credential_connection(endpoint)
     try:
         conn.request(
             "POST",

@@ -199,6 +199,47 @@ def table_exists(path: str) -> bool:
     return os.path.isfile(_hint_file(path))
 
 
+def _txn_properties(meta: dict, app_id: str, version: int) -> dict:
+    """A COPY of ``meta``'s properties with the ``lhl-txn.<app_id>``
+    durable watermark advanced to ``version`` (monotonic max).  Snapshot
+    summaries are the Flink-pattern watermark channel but die with
+    expire_snapshots; this table property is the survivor the replay
+    check trusts first (the analog of Delta's txn registry, which
+    survives checkpointing)."""
+    props = dict(meta.get("properties") or {})
+    key = f"lhl-txn.{app_id}"
+    try:
+        prev = int(props.get(key, -1))
+    except (TypeError, ValueError):
+        prev = -1
+    props[key] = str(max(prev, int(version)))
+    return props
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest exactly-once watermark recorded for ``app_id`` on the
+    table, or -1 — reads the durable ``lhl-txn.<app_id>`` table property
+    first, then falls back to scanning snapshot summaries (tables written
+    before the property existed, or foreign writers using the Flink
+    summary pattern only).  The write_delta/last_txn_version twin."""
+    if not table_exists(path):
+        return -1
+    _, meta = _read_metadata(path)
+    best = -1
+    try:
+        best = int((meta.get("properties") or {}).get(f"lhl-txn.{app_id}", -1))
+    except (TypeError, ValueError):
+        pass
+    for snap in meta.get("snapshots") or []:
+        summ = snap.get("summary") or {}
+        if summ.get("lhl-txn-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("lhl-txn-version", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
+
+
 def _read_version(path: str) -> int:
     with open(_hint_file(path)) as fh:
         content = fh.read().strip()
@@ -1371,6 +1412,7 @@ def write_iceberg(
     evolve_schema: bool = False,
     bloom_filter_columns: list[str] | None = None,
     sort_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Write ``df`` with the reference's iceberg-destination semantics (see
     module docstring).  Overwrite starts a fresh data lineage but keeps the
@@ -1390,7 +1432,15 @@ def write_iceberg(
     schema-id becomes current (see ``_evolve_schema``); omitted columns
     read as null from the new files, pre-evolution files as null for the
     added ones.  Reads resolve by name against the current schema, so the
-    id bookkeeping keeps external Iceberg readers correct."""
+    id bookkeeping keeps external Iceberg readers correct.
+
+    ``txn=(app_id, version)`` (the write_delta/merge_iceberg twin): stamps
+    the exactly-once watermark into BOTH the snapshot summary (the Flink
+    sink pattern) and the DURABLE table property ``lhl-txn.<app_id>``
+    (monotonic max) — snapshot summaries die with expire_snapshots, so a
+    summary-only watermark can double-apply a crash-replayed window after
+    destination maintenance (ADVICE r13); the property survives snapshot
+    expiry exactly like Delta's txn registry survives checkpointing."""
     mode = resolve_write_mode(overwrite, append)
     exists = table_exists(path)
 
@@ -1503,6 +1553,10 @@ def write_iceberg(
         # the commit-metadata channel streaming sinks use for exactly-once
         # batch tracking (the analog of Delta's txn action)
         summary.update({str(k): str(v) for k, v in snapshot_props.items()})
+    if txn is not None:
+        summary.update(
+            {"lhl-txn-app-id": str(txn[0]), "lhl-txn-version": str(int(txn[1]))}
+        )
     snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": sequence_number,
@@ -1517,6 +1571,10 @@ def write_iceberg(
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if txn is not None:
+        # durable watermark: a COPY of the properties dict (dict(meta) is
+        # shallow — mutating in place would alias the old metadata)
+        new_meta["properties"] = _txn_properties(meta, str(txn[0]), int(txn[1]))
     if row_id_start is not None:
         new_meta["next-row-id"] = manifest["__next_row_id"]
 
@@ -4913,16 +4971,25 @@ def merge_iceberg(
     version, meta = _read_metadata(path)
     if txn is not None:
         app_id, txn_version = str(txn[0]), int(txn[1])
-        for snap in meta.get("snapshots") or []:
-            summ = snap.get("summary") or {}
-            if (
-                summ.get("lhl-txn-app-id") == app_id
-                and summ.get("lhl-txn-version") == str(txn_version)
-            ):
-                out = {"rewritten_files": 0, "updated": 0, "inserted": 0}
-                if delete_col is not None:
-                    out["deleted"] = 0
-                return out
+        # durable property first (survives expire_snapshots — ADVICE r13),
+        # then the summary scan for pre-property tables
+        try:
+            prop_mark = int(
+                (meta.get("properties") or {}).get(f"lhl-txn.{app_id}", -1)
+            )
+        except (TypeError, ValueError):
+            prop_mark = -1
+        already = prop_mark >= txn_version or any(
+            (snap.get("summary") or {}).get("lhl-txn-app-id") == app_id
+            and (snap.get("summary") or {}).get("lhl-txn-version")
+            == str(txn_version)
+            for snap in meta.get("snapshots") or []
+        )
+        if already:
+            out = {"rewritten_files": 0, "updated": 0, "inserted": 0}
+            if delete_col is not None:
+                out["deleted"] = 0
+            return out
     _forbid_if_renamed(meta, "MERGE")
     # row lineage survives MERGE: matched target rows carry their stable
     # id into the replacement rows (materialized _row_id, NULL
@@ -5153,6 +5220,10 @@ def merge_iceberg(
     new_meta["last-updated-ms"] = snapshot["timestamp-ms"]
     new_meta["snapshots"] = _append_snapshot(meta, snapshot)
     new_meta["current-snapshot-id"] = snapshot_id
+    if txn is not None:
+        # durable watermark twin of the summary stamp (survives
+        # expire_snapshots — see _txn_properties)
+        new_meta["properties"] = _txn_properties(meta, app_id, txn_version)
     if rl:
         new_meta["next-row-id"] = manifest["__next_row_id"]
     try:

@@ -525,10 +525,14 @@ def replicate_changes_to_postgres(
         data_cols = [
             c for c in df.columns if c not in ("_change_type", ord_col)
         ]
+        # reduce + validate FIRST: the reduction's NULL-key/duplicate
+        # refusals must veto the window before any target mutation, or a
+        # refused window would still ALTER the Postgres schema (ADVICE
+        # r13 — the ALTER is idempotent, but ordering hygiene matters)
+        window = _reduce_keyed_window(df, key_cols)
         _reconcile_target_schema(
             df, conn_url, pg_table, data_cols, on_schema_change
         )
-        window = _reduce_keyed_window(df, key_cols)
         up, n_del = merge_postgres_wire(
             window,
             conn_url,
@@ -543,25 +547,15 @@ def replicate_changes_to_postgres(
 
 
 def _iceberg_last_mirror_version(dst_path: str, app_id: str) -> int:
-    """Highest (app_id) mirror run stamped into any snapshot summary of
-    the Iceberg destination, or -1 — the Iceberg analog of Delta's
-    ``last_txn_version`` (Iceberg has no txn registry; streaming writers
-    watermark via snapshot summary properties, the public pattern Flink's
-    sink uses)."""
+    """Highest (app_id) mirror run recorded on the Iceberg destination, or
+    -1 — the Iceberg analog of Delta's ``last_txn_version``.  Delegates to
+    ``iceberg.last_txn_version``, which reads the DURABLE ``lhl-txn.*``
+    table property first (it survives expire_snapshots, which deletes old
+    snapshots summaries and all — ADVICE r13) and falls back to the
+    Flink-pattern snapshot-summary scan for pre-property tables."""
     from lakehouse_loader_spark.sinks import iceberg as IC
 
-    if not IC.table_exists(dst_path):
-        return -1
-    _, meta = IC._read_metadata(dst_path)
-    best = -1
-    for snap in meta.get("snapshots") or []:
-        summ = snap.get("summary") or {}
-        if summ.get("lhl-txn-app-id") == app_id:
-            try:
-                best = max(best, int(summ.get("lhl-txn-version", -1)))
-            except (TypeError, ValueError):
-                pass
-    return best
+    return IC.last_txn_version(dst_path, app_id)
 
 
 def mirror_table(
@@ -594,9 +588,12 @@ def mirror_table(
 
     Exactly-once across crash-replays: every destination commit is
     stamped with (app_id, run_idx) — Delta's ``txn`` action checked via
-    ``last_txn_version``, Iceberg snapshot-summary properties checked via
-    the summary scan — so a replayed window (the tail protocol replays at
-    most one) applies zero rows the second time.
+    ``last_txn_version``, Iceberg via the durable ``lhl-txn.<app_id>``
+    table property (plus a snapshot-summary scan for pre-property
+    tables; the property survives expire_snapshots, so destination
+    maintenance cannot void the replay guard) — so a replayed window
+    (the tail protocol replays at most one) applies zero rows the
+    second time.
 
     Returns the tail result dict plus ``dst_fmt``.
     """
@@ -626,6 +623,10 @@ def mirror_table(
         return _iceberg_last_mirror_version(dst_path, app_id) >= run_idx
 
     def write_snapshot(df: DataFrame, run_idx: int) -> int:
+        # replay check FIRST: a crash-replayed snapshot applies nothing,
+        # so it must not pay the materialization/validation/count either
+        if already_applied(run_idx):
+            return 0
         snap = materialize_shared(df, label="mirror-snapshot")
         if key_cols is not None:
             # the uniqueness contract must hold from the start (same as
@@ -633,8 +634,6 @@ def mirror_table(
             _check_no_null_keys(snap, key_cols)
             _check_unique_per_key(snap, key_cols)
         n = snap.count()
-        if already_applied(run_idx):
-            return 0
         if dst_fmt == "delta":
             DL.write_delta(snap, dst_path, overwrite=True, txn=(app_id, run_idx))
         else:
@@ -642,10 +641,7 @@ def mirror_table(
                 snap,
                 dst_path,
                 overwrite=IC.table_exists(dst_path),
-                snapshot_props={
-                    "lhl-txn-app-id": app_id,
-                    "lhl-txn-version": str(run_idx),
-                },
+                txn=(app_id, run_idx),
             )
         return n
 
@@ -669,13 +665,7 @@ def mirror_table(
                     DL.write_delta(w, dst_path, append=True, txn=(app_id, run_idx))
                 else:
                     IC.write_iceberg(
-                        w,
-                        dst_path,
-                        append=True,
-                        snapshot_props={
-                            "lhl-txn-app-id": app_id,
-                            "lhl-txn-version": str(run_idx),
-                        },
+                        w, dst_path, append=True, txn=(app_id, run_idx)
                     )
             apply.rows_applied = n
 

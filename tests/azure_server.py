@@ -20,7 +20,6 @@ from lakehouse_loader_spark.sinks.azureblob import (
     account_sas_string_to_sign,
     shared_key_string_to_sign,
     sign_shared_key,
-    user_delegation_sas_string_to_sign,
 )
 
 
@@ -170,20 +169,49 @@ class _Handler(BaseHTTPRequestHandler):
         container = parts[0]
         blob = parts[1] if len(parts) > 1 else ""
         sr = q.get("sr", "")
-        sts = user_delegation_sas_string_to_sign(
-            self.state.account,
-            container,
-            q.get("sp", ""),
-            q.get("st", ""),
-            q.get("se", ""),
-            udk,
-            blob=blob if sr == "b" else "",
-            version=q.get("sv", ""),
-            protocol=q.get("spr", ""),
+        # the 24-field string-to-sign, re-derived INDEPENDENTLY of the
+        # library (learn.microsoft.com/rest/api/storageservices/
+        # create-user-delegation-sas, 2020-12-06+) — importing the
+        # library's canonicalization here would make the e2e test blind
+        # to a field-order/canonicalization bug (ADVICE r13; the Shared
+        # Key verifier re-derives the same way)
+        resource = f"/blob/{self.state.account}/{container}"
+        if sr == "b" and blob:
+            resource += f"/{blob}"
+        sts = "\n".join(
+            [
+                q.get("sp", ""),           # signedPermissions
+                q.get("st", ""),           # signedStart
+                q.get("se", ""),           # signedExpiry
+                resource,                  # canonicalizedResource
+                udk["signed_oid"],         # signedKeyObjectId
+                udk["signed_tid"],         # signedKeyTenantId
+                udk["signed_start"],       # signedKeyStart
+                udk["signed_expiry"],      # signedKeyExpiry
+                udk["signed_service"],     # signedKeyService
+                udk["signed_version"],     # signedKeyVersion
+                "",                        # signedAuthorizedUserObjectId
+                "",                        # signedUnauthorizedUserObjectId
+                "",                        # signedCorrelationId
+                "",                        # signedIP
+                q.get("spr", ""),          # signedProtocol
+                q.get("sv", ""),           # signedVersion
+                q.get("sr", ""),           # signedResource
+                "",                        # signedSnapshotTime
+                "",                        # signedEncryptionScope
+                "",                        # rscc
+                "",                        # rscd
+                "",                        # rsce
+                "",                        # rscl
+                "",                        # rsct
+            ]
         )
-        if not hmac.compare_digest(
-            sign_shared_key(udk["value"], sts), q["sig"]
-        ):
+        want = base64.b64encode(
+            hmac.new(
+                base64.b64decode(udk["value"]), sts.encode("utf-8"), hashlib.sha256
+            ).digest()
+        ).decode()
+        if not hmac.compare_digest(want, q["sig"]):
             return False
         now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
         if q.get("se", "") <= now or (q.get("st") and q["st"] > now):

@@ -303,3 +303,48 @@ def test_merge_delete_col_shadowing_table_column_refuses(spark, tmpdir, fmt):
     src = spark.createDataFrame([(1, True)], "id long, v boolean")
     with pytest.raises(ValueError, match="collides with a table column"):
         merge(spark, t, src, "id", delete_col="v")
+
+
+def test_mirror_iceberg_replay_guard_survives_expire_snapshots(spark, tmpdir):
+    """ADVICE r13: the Iceberg exactly-once watermark must not live ONLY
+    in snapshot summaries — expire_snapshots deletes old snapshots
+    (summaries included), so after destination maintenance plus another
+    commit a crash-replayed window would double-apply.  The durable
+    ``lhl-txn.<app_id>`` table property closes that hole."""
+    from lakehouse_loader_spark.sinks.iceberg import (
+        expire_snapshots,
+        last_txn_version,
+    )
+
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_delta(_df(spark, 0, 5), src)
+    mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt="iceberg")
+    delete_from_delta(spark, src, "id = 0")
+    marker = os.path.join(ck, _MARKER)
+    pre = json.load(open(marker))
+    r = mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt="iceberg")
+    assert r["rows"] == 1
+    post = json.load(open(marker))
+    # destination maintenance while the cursor is "pending": a foreign
+    # append creates a NEWER snapshot, then expire_snapshots reclaims
+    # every older one — including the snapshot whose summary carried the
+    # run-1 watermark stamp
+    write_iceberg(_df(spark, 100, 101), dst, append=True)
+    expire_snapshots(dst, keep_last=1)
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    app_id = "tail-mirror-" + resolve_stream_app_id(ck)
+    # the durable property survived the expiry
+    assert last_txn_version(dst, app_id) >= 1
+    # crash-rewind the cursor to the recorded-pending state and replay
+    with open(marker, "w") as fh:
+        json.dump({**pre, "pending": post["cursor"]}, fh)
+    r2 = mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt="iceberg")
+    assert r2["rows"] == 0, (
+        "replayed window re-applied after expire_snapshots: the watermark "
+        "must survive snapshot expiry"
+    )
+    got = sorted(x["id"] for x in read_iceberg(spark, dst).collect())
+    assert got == [1, 2, 3, 4, 100]
