@@ -2637,6 +2637,172 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE APPLY pass: encode the corpus under a trained merge list (the stage
+# after bpe_pair_counts' training round — r13 verdict item 6)
+# --------------------------------------------------------------------------
+_BPE_ENCODE_ORACLE = r"""
+    WITH RECURSIVE wordsraw AS (
+      SELECT doc_id, t AS w
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM wordsraw GROUP BY 1),
+    cpairs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS a,
+             substr(w, CAST(i AS INT) + 1, 1) AS b, wc
+      FROM vocab, unnest(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2),
+    merges AS (
+      SELECT a, b,
+             ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, a || b) AS rk
+      FROM cpairs GROUP BY a, b
+      QUALIFY rk <= 32),
+    enc AS (
+      SELECT w,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INT), 1)) AS toks,
+             0 AS step
+      FROM vocab
+      UNION ALL
+      -- step i applies merge rank i as ONE left fold over the token list
+      -- (the same carry fold the Spark side runs as a nested aggregate)
+      SELECT e.w,
+             list_reduce(
+               list_transform(e.toks, t -> [t]),
+               (acc, x) -> CASE
+                 WHEN acc[-1] = m.a AND x[1] = m.b
+                 THEN acc[1:len(acc) - 1] || [m.a || m.b]
+                 ELSE acc || x END) AS toks,
+             e.step + 1
+      FROM enc e JOIN merges m ON m.rk = e.step + 1),
+    encoded AS (
+      SELECT w, toks FROM enc
+      WHERE step = (SELECT COUNT(*) FROM merges)),
+    wstats AS (
+      SELECT w, CAST(len(toks) AS BIGINT) AS nt,
+             CAST(list_sum(list_transform(toks, t ->
+               CAST(CONCAT('0x', SUBSTR(MD5(t), 1, 8)) AS BIGINT)))
+               AS BIGINT) AS chk
+      FROM encoded)
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(j.nt), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(j.chk), 0) AS BIGINT) AS token_checksum
+    FROM documents d
+    LEFT JOIN (SELECT wr.doc_id, ws.nt, ws.chk
+               FROM wordsraw wr JOIN wstats ws USING (w)) j
+      ON j.doc_id = d.doc_id
+    GROUP BY 1
+    """
+
+
+@query("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-APPLY: encode every document under a 32-entry BPE-ish
+    merge table trained in one counting pass (rank = adjacent-char-pair
+    corpus frequency, the bpe_pair_counts ranking), emitting per doc the
+    encoded token count and a deterministic md5 token-id checksum — the
+    LLM-pipeline stage after tokenizer training.
+
+    Encoding semantics (identical on both engines, pinned by the oracle's
+    recursive CTE): merges apply in rank order, each as ONE left fold over
+    the word's token list (adjacent pair (a,b) → concat, carry-aware).
+
+    100 TB shape: the corpus collapses to its DISTINCT-word vocabulary
+    (Heaps' law), the merge table is a CONSTANT 32-slot array riding a
+    one-row broadcast, and encoding runs as a JVM nested higher-order
+    aggregate over vocabulary entries only — whole-stage codegen, no
+    Python, no per-occurrence work.  Occurrences join back to the encoded
+    vocab on the word key (AQE's skew-join handles stopword keys) and
+    reduce per doc.  Corpus volume is touched exactly twice (vocab count,
+    occurrence join) regardless of merge count."""
+    docs = load_table(spark, sf_dir, "documents")
+    occs = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = occs.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS a, "
+                    "substring(w, i + 1, 1) AS b))"
+                )
+            ).alias("m"),
+            "wc",
+        )
+        .select("m.a", "m.b", "wc")
+    )
+    # the trained merge table as ONE ordered 32-slot array: struct sort on
+    # (-cnt, pair) == the oracle's ORDER BY cnt DESC, pair — a global
+    # collect_list is bounded by the CHARSET², not the corpus
+    marr = (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("wc").alias("cnt"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"),
+                            F.concat("a", "b").alias("p"),
+                            F.col("a").alias("a"),
+                            F.col("b").alias("b"),
+                        )
+                    )
+                ),
+                1,
+                32,
+            ).alias("merges")
+        )
+    )
+    enc = (
+        vocab.crossJoin(F.broadcast(marr))  # one-row merge table
+        .select(
+            "w",
+            F.expr(
+                """
+                aggregate(
+                  merges,
+                  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+                  (toks, m) -> aggregate(
+                    toks,
+                    CAST(array() AS array<string>),
+                    (acc, t) -> IF(size(acc) > 0
+                                   AND element_at(acc, -1) = m.a AND t = m.b,
+                                   concat(slice(acc, 1, size(acc) - 1),
+                                          array(concat(m.a, m.b))),
+                                   concat(acc, array(t)))))
+                """
+            ).alias("toks"),
+        )
+        .select(
+            "w",
+            F.size("toks").cast("bigint").alias("nt"),
+            F.expr(
+                "aggregate(toks, CAST(0 AS BIGINT), (s, t) -> s + "
+                "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("chk"),
+        )
+    )
+    per_doc = (
+        occs.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nt").alias("n_tokens"),
+            F.sum("chk").alias("token_checksum"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("token_checksum", F.lit(0)).cast("bigint").alias("token_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # K-means document clustering (topic bucketing over embeddings — the
 # clustering stage SemDeDup & IVF share)
 # --------------------------------------------------------------------------
