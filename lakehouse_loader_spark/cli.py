@@ -327,8 +327,17 @@ def build_parser() -> argparse.ArgumentParser:
     mi.add_argument(
         "--key",
         default=None,
-        help="key column: switches to the row-level change feed, applying "
-        "source DML as one keyed merge (upserts + tombstones) per window",
+        help="key column(s), comma-separated: switches to the row-level "
+        "change feed, applying source DML as one keyed merge (upserts + "
+        "tombstones) per window",
+    )
+    mi.add_argument(
+        "--on-schema-change",
+        choices=["refuse", "evolve"],
+        default="refuse",
+        help="source gained a column: refuse (default, names the columns "
+        "and remedies) or evolve (nullable ADD COLUMN on the destination); "
+        "a DROPPED source column refuses either way",
     )
     for name in ("sync-iceberg-metadata", "sync-delta-metadata"):
         sy = sub.add_parser(
@@ -932,8 +941,9 @@ def do_main(argv: list[str]) -> None:
             args.source,
             args.target,
             args.checkpoint,
-            key_cols=[args.key] if args.key else None,
+            key_cols=args.key.split(",") if args.key else None,
             dst_fmt=args.to,
+            on_schema_change=args.on_schema_change,
         )
         if res["empty"]:
             print("no new commits since the cursor", file=sys.stderr)

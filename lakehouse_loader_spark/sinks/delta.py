@@ -3196,12 +3196,21 @@ def merge_delta(
     spark: SparkSession,
     path: str,
     source: DataFrame,
-    key: str,
+    key: str | list[str],
     txn: tuple[str, int] | None = None,
     mode: str = "copy-on-write",
     delete_col: str | None = None,
 ) -> dict:
-    """MERGE (upsert) by key.  ``mode="copy-on-write"`` (default): files
+    """MERGE (upsert) by key — one column or a composite ``list[str]``
+    (multi-column business keys are the common case; the Postgres merge
+    primitive has always taken them, r13 verdict item 4).  File-level
+    stats pruning and the concurrent-append conflict check range over the
+    FIRST key column (conservative: a superset of candidates, never a
+    miss); all matching joins use the full key tuple.  Composite keys
+    refuse NULL in any key column — a NULL component makes the tuple
+    unaddressable by the equality joins (the pgwire composite-key guard).
+
+    ``mode="copy-on-write"`` (default): files
     containing matched keys are rewritten with updated rows; unmatched
     source rows are appended.  One commit of remove+add actions; untouched
     files are untouched (at scale, stats-based pruning limits the rewrite
@@ -3237,6 +3246,10 @@ def merge_delta(
 
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"mode must be copy-on-write or merge-on-read, got {mode!r}")
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if not key_cols or len(set(key_cols)) != len(key_cols):
+        raise ValueError(f"merge key columns must be non-empty and distinct, got {key_cols!r}")
+    key = key_cols[0]  # stats pruning / bounds column (see docstring)
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "MERGE")
@@ -3261,22 +3274,34 @@ def merge_delta(
     # row is still one distinct probe value, so add it back).  The check
     # runs over ALL rows (upserts + tombstones): one key carrying both an
     # upsert and a tombstone in one batch is arrival-order-dependent
+    _any_null = None
+    for _c in key_cols:
+        _cond = F.col(_c).isNull()
+        _any_null = _cond if _any_null is None else (_any_null | _cond)
     _kc = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(key)).alias("k"),
-        F.max(F.col(key).isNull()).alias("has_null"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
+        F.max(_any_null).alias("has_null"),
     ).first()
+    if len(key_cols) > 1 and _kc["has_null"]:
+        # count_distinct drops null-containing tuples, so the duplicate
+        # check below can't see them — and the equality joins can't
+        # address them anyway; refuse loudly (pgwire composite-key guard)
+        raise ValueError(
+            f"merge source has NULL in composite key {key_cols!r}; a "
+            "keyed merge cannot address such rows"
+        )
     n_source_keys = int(_kc["k"]) + (1 if _kc["has_null"] else 0)
     if _kc["n"] != n_source_keys:
         raise ValueError(
-            f"merge source has duplicate values in key column {key!r}; "
+            f"merge source has duplicate values in key column(s) {key_cols!r}; "
             "deduplicate before merging (same contract as Delta MERGE)"
         )
     if delete_col is not None:
         # NULL flag means "not a tombstone" (merge_postgres_wire contract)
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
-        del_keys = source.filter(flag).select(key).distinct()
-        all_keys = source.select(key).distinct()
+        del_keys = source.filter(flag).select(*key_cols).distinct()
+        all_keys = source.select(*key_cols).distinct()
         source = source.filter(~flag).select(*schema.fieldNames())
     else:
         del_keys = None
@@ -3300,7 +3325,7 @@ def merge_delta(
     # tombstone keys participate in the probe and the anti-join exactly
     # like upsert keys — a file holding only to-be-deleted rows must be
     # rewritten (or DV-masked) too
-    keys = all_keys if delete_col is not None else source.select(key).distinct()
+    keys = all_keys if delete_col is not None else source.select(*key_cols).distinct()
     if known:
         # dunder column names so a merge key literally named "mn"/"rel"
         # can't collide with the probe frame's columns
@@ -3341,28 +3366,28 @@ def merge_delta(
         # count matched KEYS, not matched rows: a key present in several
         # table rows updates them all but is still one update
         n_updated = (
-            source.select(key)
+            source.select(*key_cols)
             .distinct()
-            .join(cand_df.select(key), key, "left_semi")
+            .join(cand_df.select(*key_cols), key_cols, "left_semi")
             .count()
         )
         n_deleted = (
-            del_keys.join(cand_df.select(key), key, "left_semi").count()
+            del_keys.join(cand_df.select(*key_cols), key_cols, "left_semi").count()
             if del_keys is not None
             else 0
         )
-        kept = cand_df.join(_bcast(keys), key, "left_anti")
+        kept = cand_df.join(_bcast(keys), key_cols, "left_anti")
         if rt:
             # each matched key inherits its target row's stable id (min id
             # when the key matched several rows — the survivors' ids retire
             # with their rows, same as a delete); unmatched source rows get
             # NULL and fall through to the fresh baseRowId range
             id_map = (
-                cand_df.join(_bcast(keys), key, "left_semi")
-                .groupBy(key)
+                cand_df.join(_bcast(keys), key_cols, "left_semi")
+                .groupBy(*key_cols)
                 .agg(F.min(mat_id).alias("__rt_mid"))
             )
-            source_rt = source.join(_bcast(id_map), key, "left").select(
+            source_rt = source.join(_bcast(id_map), key_cols, "left").select(
                 *schema.fieldNames(),
                 F.col("__rt_mid").alias(mat_id),
                 F.lit(None).cast("long").alias(mat_rcv),
@@ -3393,19 +3418,19 @@ def merge_delta(
         if cand_rel:
             # matched_keys <= n_source_keys rows, so the same gate applies
             matched_keys = (
-                source.select(key)
+                source.select(*key_cols)
                 .distinct()
-                .join(cand_df.select(key), key, "left_semi")
+                .join(cand_df.select(*key_cols), key_cols, "left_semi")
             )
             # change files carry logical columns only (no materialized ids)
             cdc_cand = cand_df.select(*schema.fieldNames())
-            pre = cdc_cand.join(_bcast(matched_keys), key, "left_semi").withColumn(
+            pre = cdc_cand.join(_bcast(matched_keys), key_cols, "left_semi").withColumn(
                 ct, F.lit("update_preimage")
             )
-            post = source.join(_bcast(matched_keys), key, "left_semi").withColumn(
+            post = source.join(_bcast(matched_keys), key_cols, "left_semi").withColumn(
                 ct, F.lit("update_postimage")
             )
-            ins = source.join(_bcast(matched_keys), key, "left_anti").withColumn(
+            ins = source.join(_bcast(matched_keys), key_cols, "left_anti").withColumn(
                 ct, F.lit("insert")
             )
             changes = pre.unionByName(post).unionByName(ins)
@@ -3414,7 +3439,7 @@ def merge_delta(
                 # change feed's delete images (unmatched tombstones no-op
                 # and emit nothing)
                 changes = changes.unionByName(
-                    cdc_cand.join(_bcast(del_keys), key, "left_semi").withColumn(
+                    cdc_cand.join(_bcast(del_keys), key_cols, "left_semi").withColumn(
                         ct, F.lit("delete")
                     )
                 )
@@ -3475,7 +3500,7 @@ def merge_delta(
                 spark, path, meta, schema, {r: adds[r] for r in cand_rel},
                 with_path=True,
             )
-            masked = cand_scan.join(_bcast(keys), key, "left_semi").select(
+            masked = cand_scan.join(_bcast(keys), key_cols, "left_semi").select(
                 "__path", "__pos"
             )
         else:
@@ -3788,10 +3813,12 @@ def drop_column(path: str, name: str) -> None:
 
 @accepts_file_uris
 def add_column(path: str, name: str, dtype: T.DataType | str) -> None:
-    """ALTER TABLE ... ADD COLUMN (nullable) under name mapping: the new
-    field gets id = maxColumnId+1 and a UUID physical name — pre-existing
-    files null-fill it on read.  ``dtype`` is a DataType or one of the
-    atomic type names ('long', 'string', 'double', ...)."""
+    """ALTER TABLE ... ADD COLUMN (nullable).  Under name mapping the new
+    field gets id = maxColumnId+1 and a UUID physical name; on an unmapped
+    table it is a plain schema extension (the same state a mergeSchema
+    append creates).  Pre-existing files null-fill the column on read
+    either way.  ``dtype`` is a DataType or one of the atomic type names
+    ('long', 'string', 'double', ...)."""
     _check_protocol(path, for_write=True)
     if isinstance(dtype, str):
         atomic = {
@@ -3807,21 +3834,26 @@ def add_column(path: str, name: str, dtype: T.DataType | str) -> None:
         dtype = atomic[dtype]
 
     def derive(latest, meta):
-        _require_name_mapping(meta, "ADD COLUMN")
         schema = _schema_of(meta)
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
-        conf = dict(meta.get("configuration") or {})
-        max_id = int(conf.get("delta.columnMapping.maxColumnId", len(schema.fields)))
-        md = {
-            "delta.columnMapping.id": max_id + 1,
-            "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:16]}",
-        }
-        fields = [*schema.fields, T.StructField(name, dtype, True, md)]
-        conf["delta.columnMapping.maxColumnId"] = str(max_id + 1)
         new_meta = dict(meta)
+        mode = _column_mapping_mode(meta)
+        if mode == "name":
+            conf = dict(meta.get("configuration") or {})
+            max_id = int(conf.get("delta.columnMapping.maxColumnId", len(schema.fields)))
+            md = {
+                "delta.columnMapping.id": max_id + 1,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:16]}",
+            }
+            fields = [*schema.fields, T.StructField(name, dtype, True, md)]
+            conf["delta.columnMapping.maxColumnId"] = str(max_id + 1)
+            new_meta["configuration"] = conf
+        elif mode == "none":
+            fields = [*schema.fields, T.StructField(name, dtype, True)]
+        else:
+            _require_name_mapping(meta, "ADD COLUMN")  # id-mapping: refuse
         new_meta["schemaString"] = json.dumps(T.StructType(fields).jsonValue())
-        new_meta["configuration"] = conf
         return new_meta
 
     _commit_meta_change(path, "ADD COLUMN", derive)

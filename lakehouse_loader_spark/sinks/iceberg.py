@@ -1402,6 +1402,35 @@ def _evolve_schema(meta: dict, incoming: T.StructType) -> dict:
 
 
 @accepts_file_uris
+def evolve_table_schema(path: str, incoming: T.StructType) -> None:
+    """Metadata-only by-name ADD COLUMN evolution (the ALTER TABLE twin of
+    ``write_iceberg(..., evolve_schema=True)``, without writing data):
+    merge ``incoming``'s columns into the current schema — new fields take
+    fresh ids and a new schema-id becomes current, existing fields keep
+    their ids and requiredness — and commit the new metadata version.
+    Added columns are always nullable (pre-evolution files can only read
+    them as NULL); existing columns keep their ids, types AND requiredness
+    (unlike an evolved append, no new data file omits them, so there is
+    nothing to relax).  A no-op when ``incoming`` adds nothing."""
+    if not table_exists(path):
+        raise FileNotFoundError(f"no iceberg table at {path}")
+    _, meta = _read_metadata(path)
+    cur = iceberg_to_schema(meta["schemas"][meta["current-schema-id"]])
+    have = set(cur.fieldNames())
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in incoming.fields
+        if f.name not in have
+    ]
+    if not new_fields:
+        return
+    # current fields ride along with their ORIGINAL nullability so the
+    # merge's "wider of the two" rule preserves requiredness
+    full = T.StructType(list(cur.fields) + new_fields)
+    _commit_metadata_update(path, lambda m: _evolve_schema(m, full))
+
+
+@accepts_file_uris
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -4929,7 +4958,7 @@ def merge_iceberg(
     spark: SparkSession,
     path: str,
     source: DataFrame,
-    key: str,
+    key: str | list[str],
     delete_col: str | None = None,
     txn: tuple[str, int] | None = None,
 ) -> dict:
@@ -4937,6 +4966,12 @@ def merge_iceberg(
     format twin of ``delta.merge_delta``: files containing matched keys are
     rewritten with the updated rows, unmatched source rows are inserted,
     untouched files carry over in the new snapshot's manifest.
+
+    ``key`` may be one column or a composite ``list[str]`` (the
+    merge_delta / merge_postgres_wire contract): manifest-bounds pruning
+    ranges over the FIRST key column (conservative superset), matching
+    joins use the full tuple, and composite keys refuse NULL in any key
+    column (an equality join cannot address a NULL component).
 
     Probe note: manifests record per-column bounds (lower/upper_bounds,
     spec field-ids 125/128), so files whose key range cannot intersect the
@@ -4966,6 +5001,10 @@ def merge_iceberg(
     from lakehouse_loader_spark.sinks.staging import local_path
 
     path = local_path(path)
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if not key_cols or len(set(key_cols)) != len(key_cols):
+        raise ValueError(f"merge key columns must be non-empty and distinct, got {key_cols!r}")
+    key = key_cols[0]  # bounds-pruning column (see docstring)
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
@@ -5013,15 +5052,27 @@ def merge_iceberg(
     # one pass over ALL rows (upserts + tombstones) answers both "how many
     # distinct keys" and "are there duplicates" — a key carrying both an
     # upsert and a tombstone in one batch is arrival-order-dependent
+    _any_null = None
+    for _c in key_cols:
+        _cond = F.col(_c).isNull()
+        _any_null = _cond if _any_null is None else (_any_null | _cond)
     _kc = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(key)).alias("k"),
-        F.max(F.col(key).isNull()).alias("has_null"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
+        F.max(_any_null).alias("has_null"),
     ).first()
+    if len(key_cols) > 1 and _kc["has_null"]:
+        # count_distinct drops null-containing tuples, so the duplicate
+        # check below can't see them — and the equality joins can't
+        # address them anyway; refuse loudly (pgwire composite-key guard)
+        raise ValueError(
+            f"merge source has NULL in composite key {key_cols!r}; a "
+            "keyed merge cannot address such rows"
+        )
     n_source_keys = int(_kc["k"]) + (1 if _kc["has_null"] else 0)
     if _kc["n"] != n_source_keys:
         raise ValueError(
-            f"merge source has duplicate values in key column {key!r}; "
+            f"merge source has duplicate values in key column(s) {key_cols!r}; "
             "deduplicate before merging (same contract as Delta MERGE)"
         )
     # bounds pruning below runs over ALL source keys (tombstones must pull
@@ -5029,8 +5080,8 @@ def merge_iceberg(
     key_probe_src = source.select(key)
     if delete_col is not None:
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
-        del_keys = source.filter(flag).select(key).distinct()
-        all_keys = source.filter(F.lit(True)).select(key).distinct()
+        del_keys = source.filter(flag).select(*key_cols).distinct()
+        all_keys = source.filter(F.lit(True)).select(*key_cols).distinct()
         n_del_total = del_keys.count()
         source = source.filter(~flag).select(*schema.fieldNames())
     else:
@@ -5053,8 +5104,8 @@ def merge_iceberg(
     # tombstone keys participate in the probe and the anti-join exactly
     # like upsert keys — a file holding only to-be-deleted rows must be
     # rewritten too
-    keys = all_keys if delete_col is not None else source.select(key).distinct()
-    ups_keys = source.select(key).distinct()
+    keys = all_keys if delete_col is not None else source.select(*key_cols).distinct()
+    ups_keys = source.select(*key_cols).distinct()
     if n_source_keys <= DELETE_BROADCAST_MAX:
         # key-frame size is already known (n_source_keys) — broadcast the
         # probe/anti-join side only when it fits; a huge batch upsert
@@ -5116,9 +5167,9 @@ def merge_iceberg(
         probe = (
             (
                 scan(abs_files)
-                .join(keys, key, "inner")
+                .join(keys, key_cols, "inner")
                 .groupBy("__path")
-                .agg(F.countDistinct(key).alias("nk"))
+                .agg(F.countDistinct(*key_cols).alias("nk"))
                 .collect()
             )
             if abs_files
@@ -5135,10 +5186,12 @@ def merge_iceberg(
             affected |= _delete_target_files(spark, path, delete_entries) & all_live
         if affected:
             cand = scan(sorted(affected)).select(*schema.fieldNames())
-            n_updated = ups_keys.join(cand.select(key), key, "left_semi").count()
+            n_updated = ups_keys.join(
+                cand.select(*key_cols), key_cols, "left_semi"
+            ).count()
             if del_keys is not None:
                 n_deleted = del_keys.join(
-                    cand.select(key), key, "left_semi"
+                    cand.select(*key_cols), key_cols, "left_semi"
                 ).count()
 
     if affected:
@@ -5147,7 +5200,7 @@ def merge_iceberg(
                 spark, path, schema, partitioned, entries_live, delete_entries,
                 files=sorted(affected),
             )
-            kept = cand_rl.join(keys, key, "left_anti")
+            kept = cand_rl.join(keys, key_cols, "left_anti")
             # each matched key inherits its target row's stable id (min id
             # when the key matched several rows — the survivors' ids
             # retire with their rows, same as a delete); unmatched source
@@ -5155,20 +5208,20 @@ def merge_iceberg(
             # range.  NULL last-updated resolves to the new file's
             # sequence number — "updated at this commit".
             id_map = (
-                cand_rl.join(keys, key, "left_semi")
-                .groupBy(key)
+                cand_rl.join(keys, key_cols, "left_semi")
+                .groupBy(*key_cols)
                 .agg(F.min(ROW_ID_COL).alias("__rl_mid"))
             )
             if n_source_keys <= DELETE_BROADCAST_MAX:
                 id_map = F.broadcast(id_map)
-            source_out = source.join(id_map, key, "left").select(
+            source_out = source.join(id_map, key_cols, "left").select(
                 *schema.fieldNames(),
                 F.col("__rl_mid").alias(ROW_ID_COL),
                 F.lit(None).cast("long").alias(LAST_UPDATED_COL),
             )
         else:
             kept = scan(sorted(affected)).select(*schema.fieldNames()).join(
-                keys, key, "left_anti"
+                keys, key_cols, "left_anti"
             )
             source_out = source
         rewritten = kept.unionByName(source_out)
@@ -5203,7 +5256,7 @@ def merge_iceberg(
         "manifest-list": manifest_list,
         "summary": {
             "operation": "overwrite",
-            "merge-key": key,
+            "merge-key": ",".join(key_cols),
             # exactly-once watermark (see the txn docstring note)
             **(
                 {"lhl-txn-app-id": app_id, "lhl-txn-version": str(txn_version)}

@@ -223,14 +223,23 @@ class TestColumnMappingWrite:
         assert "value" in D.read_delta(spark, t).columns
 
     def test_alters_require_mapping(self, spark, tmpdir):
+        """RENAME/DROP need physical-name indirection and refuse unmapped;
+        ADD COLUMN works on an unmapped table as a plain schema extension
+        (r14 — the same state a mergeSchema append creates), null-filling
+        pre-existing files on read."""
         t = self._table(spark, tmpdir)
         for op in (
             lambda: D.rename_column(t, "v", "w"),
             lambda: D.drop_column(t, "v"),
-            lambda: D.add_column(t, "w", "long"),
         ):
             with pytest.raises(D.UnsupportedProtocolError, match="mode=name"):
                 op()
+        D.add_column(t, "w", "long")
+        sch = D.table_schema(t)
+        assert "w" in sch.fieldNames()
+        assert "delta.columnMapping.id" not in (sch["w"].metadata or {})
+        got = D.read_delta(spark, t)
+        assert got.filter("w IS NULL").count() == got.count()  # null-fills
 
     def test_add_column_null_fills_and_accepts_appends(self, spark, tmpdir):
         t = self._table(spark, tmpdir)

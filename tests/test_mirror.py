@@ -192,14 +192,55 @@ def test_mirror_crash_replay_applies_zero(spark, tmpdir, dst_fmt):
     assert sorted(x["id"] for x in read_dst(spark, dst).collect()) == [1, 2, 3, 4]
 
 
-def test_mirror_requires_single_key_column(spark, tmpdir):
+@pytest.mark.parametrize("dst_fmt", ["delta", "iceberg"])
+def test_mirror_composite_key_cdc(spark, tmpdir, dst_fmt):
+    """Composite business keys pass straight through to the merge
+    primitives (r13 verdict item 4): a keyed mirror on (region, id)
+    converges under deletes + appends without any upstream key
+    concatenation."""
     src = os.path.join(str(tmpdir), "src")
-    write_delta(_df(spark, 0, 3), src)
-    with pytest.raises(ValueError, match="exactly one key column"):
-        mirror_table(
-            spark, src, os.path.join(str(tmpdir), "d"),
-            os.path.join(str(tmpdir), "ck"), key_cols=["id", "v"],
-        )
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    base = spark.createDataFrame(
+        [("eu", i, i * 10) for i in range(4)]
+        + [("us", i, i * 100) for i in range(4)],
+        "region string, id long, v long",
+    )
+    write_delta(base, src)
+    r0 = mirror_table(
+        spark, src, dst, ck, key_cols=["region", "id"], dst_fmt=dst_fmt
+    )
+    assert r0["rows"] == 8
+    # delete one (region, id) tuple — the twin tuple in the other region
+    # must survive, which a single-column key could not express
+    delete_from_delta(spark, src, "region = 'eu' AND id = 2")
+    write_delta(
+        spark.createDataFrame([("ap", 0, 7)], "region string, id long, v long"),
+        src,
+        append=True,
+    )
+    mirror_table(spark, src, dst, ck, key_cols=["region", "id"], dst_fmt=dst_fmt)
+    read_dst = read_delta if dst_fmt == "delta" else read_iceberg
+    got = {(r["region"], r["id"]): r["v"] for r in read_dst(spark, dst).collect()}
+    assert ("eu", 2) not in got and got[("us", 2)] == 200
+    assert got[("ap", 0)] == 7 and len(got) == 8
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_composite_key_null_refuses(spark, tmpdir, fmt):
+    """NULL in any composite-key column is unaddressable by the equality
+    joins — refuse loudly (the pgwire composite-key guard)."""
+    t = os.path.join(str(tmpdir), "t")
+    write = write_delta if fmt == "delta" else write_iceberg
+    merge = merge_delta if fmt == "delta" else merge_iceberg
+    write(
+        spark.createDataFrame([("a", 1, 10)], "r string, id long, v long"), t
+    )
+    bad = spark.createDataFrame(
+        [("a", None, 11)], "r string, id long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL in composite key"):
+        merge(spark, t, bad, ["r", "id"])
 
 
 def test_cli_mirror_cross_format(spark, tmpdir):
@@ -348,3 +389,162 @@ def test_mirror_iceberg_replay_guard_survives_expire_snapshots(spark, tmpdir):
     )
     got = sorted(x["id"] for x in read_iceberg(spark, dst).collect())
     assert got == [1, 2, 3, 4, 100]
+
+
+_CBATCHES = st.lists(
+    st.dictionaries(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=6),
+        ),  # small composite key space -> cross-batch collisions
+        st.one_of(st.none(), st.integers(min_value=0, max_value=999)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=int(os.environ.get("LHL_MERGE_EXAMPLES", "15")), deadline=None)
+@given(batches=_CBATCHES, fmt=st.sampled_from(["delta", "iceberg"]))
+def test_merge_composite_key_batches_match_dict_model(
+    spark, tmp_path_factory, batches, fmt
+):
+    """The tombstone dict-model walk, 2-column-key edition (r13 verdict
+    item 4): same interaction classes, but the key is (g, id) — a pair
+    differing in either component is a DIFFERENT key, so any fallback to
+    a single column in the merge internals shows up as a model
+    divergence immediately."""
+    t = os.path.join(str(tmp_path_factory.mktemp("mc")), "t")
+    write = write_delta if fmt == "delta" else write_iceberg
+    read = read_delta if fmt == "delta" else read_iceberg
+    merge = merge_delta if fmt == "delta" else merge_iceberg
+
+    base = [("a", i, i * 10) for i in range(3)] + [("b", i, i * 100) for i in range(3)]
+    write(spark.createDataFrame(base, "g string, id long, v long"), t)
+    model = {(g, i): v for g, i, v in base}
+    for batch in batches:
+        rows = [
+            (g, i, v if v is not None else None, v is None)
+            for (g, i), v in batch.items()
+        ]
+        src = spark.createDataFrame(rows, "g string, id long, v long, dead boolean")
+        res = merge(spark, t, src, ["g", "id"], delete_col="dead")
+        n_up = sum(1 for v in batch.values() if v is not None)
+        matched_dead = sum(
+            1 for k, v in batch.items() if v is None and k in model
+        )
+        assert res["deleted"] == matched_dead
+        assert res["updated"] + res["inserted"] == n_up
+        for k, v in batch.items():
+            if v is None:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        got = {(r["g"], r["id"]): r["v"] for r in read(spark, t).collect()}
+        assert got == model, (got, model)
+
+
+# ---------------------------------------------------------------------------
+# mirror_table schema-evolution contract (r13 verdict item 3 — the pg CDC
+# path's on_schema_change, brought to the lakehouse→lakehouse mirror)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dst_fmt", ["delta", "iceberg"])
+def test_mirror_schema_evolution_append_mode(spark, tmpdir, dst_fmt):
+    from lakehouse_loader_spark.sinks.delta import add_column
+
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    # nullable source columns: the evolution appends below carry nullable
+    # createDataFrame schemas, and this test is about COLUMN-SET drift
+    write_delta(
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long"),
+        src,
+    )
+    assert mirror_table(spark, src, dst, ck, dst_fmt=dst_fmt)["rows"] == 5
+    # source gains a column mid-stream
+    add_column(src, "extra", "long")
+    write_delta(
+        spark.createDataFrame([(10, 100, 7), (11, 110, 8)],
+                              "id long, v long, extra long"),
+        src, append=True,
+    )
+    # default: refuse, naming the column and the remedy
+    with pytest.raises(ValueError, match="extra.*evolve"):
+        mirror_table(spark, src, dst, ck, dst_fmt=dst_fmt)
+    # nothing reached the destination
+    read_dst = read_delta if dst_fmt == "delta" else read_iceberg
+    assert read_dst(spark, dst).count() == 5
+    # evolve: destination gains the nullable column, old rows read NULL
+    res = mirror_table(
+        spark, src, dst, ck, dst_fmt=dst_fmt, on_schema_change="evolve"
+    )
+    assert res["rows"] == 2
+    got = {r["id"]: r["extra"] for r in read_dst(spark, dst).collect()}
+    assert got[10] == 7 and got[11] == 8
+    assert all(got[i] is None for i in range(5))
+
+
+@pytest.mark.parametrize("dst_fmt", ["delta", "iceberg"])
+def test_mirror_schema_evolution_keyed_mode(spark, tmpdir, dst_fmt):
+    from lakehouse_loader_spark.sinks.delta import add_column
+
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_delta(
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long"),
+        src,
+    )
+    mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)
+    add_column(src, "extra", "long")
+    write_delta(
+        spark.createDataFrame([(10, 100, 7)], "id long, v long, extra long"),
+        src, append=True,
+    )
+    delete_from_delta(spark, src, "id = 0")
+    with pytest.raises(ValueError, match="extra.*evolve"):
+        mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt)
+    res = mirror_table(
+        spark, src, dst, ck, key_cols=["id"], dst_fmt=dst_fmt,
+        on_schema_change="evolve",
+    )
+    assert res["rows"] == 2  # one upsert + one tombstone
+    read_dst = read_delta if dst_fmt == "delta" else read_iceberg
+    got = {r["id"]: r["extra"] for r in read_dst(spark, dst).collect()}
+    assert 0 not in got and got[10] == 7
+    assert all(got[i] is None for i in range(1, 5))
+
+
+@pytest.mark.parametrize("keyed", [False, True])
+def test_mirror_dropped_column_refuses_both_modes(spark, tmpdir, keyed):
+    """A column the destination carries but the window doesn't (source
+    dropped it, or the destination was extended out-of-band) refuses in
+    BOTH on_schema_change modes — a keyed merge would silently NULL it for
+    every touched key, an append window has no values for it."""
+    from lakehouse_loader_spark.sinks.delta import add_column
+
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    key = ["id"] if keyed else None
+    write_delta(
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long"),
+        src,
+    )
+    mirror_table(spark, src, dst, ck, key_cols=key, dst_fmt="delta")
+    add_column(dst, "ghost", "long")  # destination-only column
+    write_delta(
+        spark.createDataFrame([(10, 100), (11, 110)], "id long, v long"),
+        src, append=True,
+    )
+    for mode in ("refuse", "evolve"):
+        with pytest.raises(ValueError, match="no longer carries.*ghost"):
+            mirror_table(
+                spark, src, dst, ck, key_cols=key, dst_fmt="delta",
+                on_schema_change=mode,
+            )
