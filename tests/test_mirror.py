@@ -548,3 +548,132 @@ def test_mirror_dropped_column_refuses_both_modes(spark, tmpdir, keyed):
                 spark, src, dst, ck, key_cols=key, dst_fmt="delta",
                 on_schema_change=mode,
             )
+
+
+def test_merge_delta_composite_key_cdc_images(spark, tmpdir):
+    """CDF change images under a COMPOSITE key: pre/post/insert/delete
+    images must match on the full key tuple — a first-column fallback
+    would pair ('a',1) with ('b',1) and emit wrong images."""
+    t = os.path.join(str(tmpdir), "t")
+    write_delta(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+            "g string, id long, v long",
+        ),
+        t,
+    )
+    enable_change_data_feed(t)
+    batch = spark.createDataFrame(
+        [("a", 1, 99, False),   # update (a,1)
+         ("b", 2, 40, False),   # insert (b,2)
+         ("b", 1, None, True)], # delete (b,1)
+        "g string, id long, v long, dead boolean",
+    )
+    res = merge_delta(spark, t, batch, ["g", "id"], delete_col="dead")
+    assert (res["updated"], res["inserted"], res["deleted"]) == (1, 1, 1)
+    ch = sorted(
+        (r["_change_type"], r["g"], r["id"])
+        for r in read_delta_changes(spark, t, since_version=2).collect()
+    )
+    assert ("update_preimage", "a", 1) in ch
+    assert ("update_postimage", "a", 1) in ch
+    assert ("insert", "b", 2) in ch
+    assert ("delete", "b", 1) in ch
+    # (b,1) deleted, (a,1) updated — the shared id=1 must not cross groups
+    assert ("update_preimage", "b", 1) not in ch
+    got = {(r["g"], r["id"]): r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {("a", 1): 99, ("a", 2): 20, ("b", 2): 40}
+
+
+def test_merge_delta_composite_key_merge_on_read(spark, tmpdir):
+    """Composite keys through the DV-masked merge path: matched tuples
+    mask behind deletion vectors, the full source appends."""
+    t = os.path.join(str(tmpdir), "t")
+    write_delta(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+            "g string, id long, v long",
+        ),
+        t,
+    )
+    batch = spark.createDataFrame(
+        [("a", 1, 99, False), ("b", 1, None, True), ("c", 1, 50, False)],
+        "g string, id long, v long, dead boolean",
+    )
+    res = merge_delta(
+        spark, t, batch, ["g", "id"], delete_col="dead", mode="merge-on-read"
+    )
+    assert (res["updated"], res["inserted"], res["deleted"]) == (1, 1, 1)
+    got = {(r["g"], r["id"]): r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {("a", 1): 99, ("a", 2): 20, ("c", 1): 50}
+
+
+def test_merge_delta_composite_key_row_tracking(spark, tmpdir):
+    """Composite keys through the row-tracking path: matched tuples keep
+    their stable row ids (the id_map groupBy runs over the full key
+    tuple), inserts mint fresh ones."""
+    from lakehouse_loader_spark.sinks.delta import (
+        enable_row_tracking,
+        read_delta_with_row_ids,
+    )
+
+    t = os.path.join(str(tmpdir), "t")
+    write_delta(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+            "g string, id long, v long",
+        ),
+        t,
+    )
+    enable_row_tracking(t)
+    pre = {
+        (r["g"], r["id"]): r["_row_id"]
+        for r in read_delta_with_row_ids(spark, t).collect()
+    }
+    batch = spark.createDataFrame(
+        [("a", 1, 99), ("c", 1, 50)], "g string, id long, v long"
+    )
+    res = merge_delta(spark, t, batch, ["g", "id"])
+    assert res["updated"] == 1 and res["inserted"] == 1
+    rows = {
+        (r["g"], r["id"]): (r["_row_id"], r["v"])
+        for r in read_delta_with_row_ids(spark, t).collect()
+    }
+    assert rows[("a", 1)] == (pre[("a", 1)], 99)  # matched: id kept
+    assert rows[("b", 1)][0] == pre[("b", 1)]     # untouched tuple stable
+    assert len({rid for rid, _ in rows.values()}) == 4  # all unique
+
+
+def test_merge_iceberg_composite_key_row_lineage(spark, tmpdir):
+    """The Iceberg twin: composite-key merge on a row-lineage table keeps
+    matched tuples' stable row ids and mints fresh ranges for inserts."""
+    from lakehouse_loader_spark.sinks.iceberg import (
+        enable_row_lineage_iceberg,
+        read_iceberg_with_row_ids,
+    )
+
+    t = os.path.join(str(tmpdir), "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+            "g string, id long, v long",
+        ),
+        t,
+    )
+    enable_row_lineage_iceberg(t)
+    pre = {
+        (r["g"], r["id"]): r["_row_id"]
+        for r in read_iceberg_with_row_ids(spark, t).collect()
+    }
+    batch = spark.createDataFrame(
+        [("a", 1, 99), ("c", 1, 50)], "g string, id long, v long"
+    )
+    res = merge_iceberg(spark, t, batch, ["g", "id"])
+    assert res["updated"] == 1 and res["inserted"] == 1
+    rows = {
+        (r["g"], r["id"]): (r["_row_id"], r["v"])
+        for r in read_iceberg_with_row_ids(spark, t).collect()
+    }
+    assert rows[("a", 1)] == (pre[("a", 1)], 99)
+    assert rows[("b", 1)][0] == pre[("b", 1)]
+    assert len({rid for rid, _ in rows.values()}) == 4
