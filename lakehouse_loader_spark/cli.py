@@ -462,6 +462,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _split_key_cols(raw: str) -> list[str]:
+    """Comma-separated key list → clean column names: strip whitespace and
+    refuse empty segments up front — ``--key 'region, id'`` or a trailing
+    comma would otherwise reach the merge as the bogus column ``' id'``/
+    ``''`` and die deep inside Spark analysis instead of argparse."""
+    cols = [c.strip() for c in raw.split(",")]
+    if any(not c for c in cols):
+        raise SystemExit(
+            f"--key: empty column name in {raw!r} (check for doubled or "
+            "trailing commas)"
+        )
+    return cols
+
+
 def _parse_preds(raws: list[str]) -> list:
     """CLI predicate mini-grammar shared by scan-* and optimize-iceberg:
     each string is 'col op value' / 'col between lo hi' / 'col in a,b,c';
@@ -941,7 +955,7 @@ def do_main(argv: list[str]) -> None:
             args.source,
             args.target,
             args.checkpoint,
-            key_cols=args.key.split(",") if args.key else None,
+            key_cols=_split_key_cols(args.key) if args.key else None,
             dst_fmt=args.to,
             on_schema_change=args.on_schema_change,
         )

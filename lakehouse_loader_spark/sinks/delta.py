@@ -3244,12 +3244,10 @@ def merge_delta(
     """
     from pyspark.sql import functions as F
 
+    from lakehouse_loader_spark.sinks.keys import validate_merge_keys
+
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"mode must be copy-on-write or merge-on-read, got {mode!r}")
-    key_cols = [key] if isinstance(key, str) else list(key)
-    if not key_cols or len(set(key_cols)) != len(key_cols):
-        raise ValueError(f"merge key columns must be non-empty and distinct, got {key_cols!r}")
-    key = key_cols[0]  # stats pruning / bounds column (see docstring)
     _check_protocol(path, for_write=True)
     _, meta, adds = _read_log(path)
     _forbid_if_append_only(meta, "MERGE")
@@ -3269,34 +3267,10 @@ def merge_delta(
             f"merge source columns {sorted(source.columns)} must match table "
             f"{sorted(expected)}"
         )
-    # one pass over the source answers both "how many distinct keys" and
-    # "are there duplicates" (count_distinct skips NULL keys; a NULL key
-    # row is still one distinct probe value, so add it back).  The check
-    # runs over ALL rows (upserts + tombstones): one key carrying both an
-    # upsert and a tombstone in one batch is arrival-order-dependent
-    _any_null = None
-    for _c in key_cols:
-        _cond = F.col(_c).isNull()
-        _any_null = _cond if _any_null is None else (_any_null | _cond)
-    _kc = source.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
-        F.max(_any_null).alias("has_null"),
-    ).first()
-    if len(key_cols) > 1 and _kc["has_null"]:
-        # count_distinct drops null-containing tuples, so the duplicate
-        # check below can't see them — and the equality joins can't
-        # address them anyway; refuse loudly (pgwire composite-key guard)
-        raise ValueError(
-            f"merge source has NULL in composite key {key_cols!r}; a "
-            "keyed merge cannot address such rows"
-        )
-    n_source_keys = int(_kc["k"]) + (1 if _kc["has_null"] else 0)
-    if _kc["n"] != n_source_keys:
-        raise ValueError(
-            f"merge source has duplicate values in key column(s) {key_cols!r}; "
-            "deduplicate before merging (same contract as Delta MERGE)"
-        )
+    # shared key contract (sinks/keys.py — one aggregate pass: distinct
+    # count, duplicate refusal, composite-NULL refusal)
+    key_cols, n_source_keys = validate_merge_keys(source, key)
+    key = key_cols[0]  # stats pruning / bounds column (see docstring)
     if delete_col is not None:
         # NULL flag means "not a tombstone" (merge_postgres_wire contract)
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))

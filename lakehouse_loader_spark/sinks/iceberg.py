@@ -4998,13 +4998,10 @@ def merge_iceberg(
     from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
+    from lakehouse_loader_spark.sinks.keys import validate_merge_keys
     from lakehouse_loader_spark.sinks.staging import local_path
 
     path = local_path(path)
-    key_cols = [key] if isinstance(key, str) else list(key)
-    if not key_cols or len(set(key_cols)) != len(key_cols):
-        raise ValueError(f"merge key columns must be non-empty and distinct, got {key_cols!r}")
-    key = key_cols[0]  # bounds-pruning column (see docstring)
     if not table_exists(path):
         raise FileNotFoundError(f"no iceberg table at {path}")
     version, meta = _read_metadata(path)
@@ -5049,32 +5046,10 @@ def merge_iceberg(
             f"merge source columns {sorted(source.columns)} must match table "
             f"{sorted(expected)}"
         )
-    # one pass over ALL rows (upserts + tombstones) answers both "how many
-    # distinct keys" and "are there duplicates" — a key carrying both an
-    # upsert and a tombstone in one batch is arrival-order-dependent
-    _any_null = None
-    for _c in key_cols:
-        _cond = F.col(_c).isNull()
-        _any_null = _cond if _any_null is None else (_any_null | _cond)
-    _kc = source.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
-        F.max(_any_null).alias("has_null"),
-    ).first()
-    if len(key_cols) > 1 and _kc["has_null"]:
-        # count_distinct drops null-containing tuples, so the duplicate
-        # check below can't see them — and the equality joins can't
-        # address them anyway; refuse loudly (pgwire composite-key guard)
-        raise ValueError(
-            f"merge source has NULL in composite key {key_cols!r}; a "
-            "keyed merge cannot address such rows"
-        )
-    n_source_keys = int(_kc["k"]) + (1 if _kc["has_null"] else 0)
-    if _kc["n"] != n_source_keys:
-        raise ValueError(
-            f"merge source has duplicate values in key column(s) {key_cols!r}; "
-            "deduplicate before merging (same contract as Delta MERGE)"
-        )
+    # shared key contract (sinks/keys.py — one aggregate pass: distinct
+    # count, duplicate refusal, composite-NULL refusal)
+    key_cols, n_source_keys = validate_merge_keys(source, key)
+    key = key_cols[0]  # bounds-pruning column (see docstring)
     # bounds pruning below runs over ALL source keys (tombstones must pull
     # their target files into the rewrite set too)
     key_probe_src = source.select(key)

@@ -1,0 +1,53 @@
+"""Shared merge-key validation for the lakehouse MERGE primitives.
+
+``merge_delta`` and ``merge_iceberg`` share one key contract
+(merge_postgres_wire's): one column or a composite list, no duplicate
+source keys, and — for composite keys — no NULL in any key component
+(``count_distinct`` drops null-containing tuples, so the duplicate check
+cannot see them, and the equality joins cannot address them anyway).
+Extracted here so the two formats' contracts cannot silently diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_merge_keys(source: DataFrame, key) -> tuple[list[str], int]:
+    """Normalize ``key`` (str | list[str]) and enforce the merge-source
+    key contract in ONE aggregate pass.  Returns ``(key_cols,
+    n_source_keys)`` where ``n_source_keys`` counts distinct key values
+    across ALL rows (upserts + tombstones — a key carrying both in one
+    batch is arrival-order-dependent and refuses as a duplicate).
+
+    Raises ValueError on: empty/duplicated key column names, NULL in any
+    component of a COMPOSITE key, or duplicate source key values.  A
+    single-column key keeps the historical NULL semantics (one NULL key
+    row is one distinct probe value; several refuse as duplicates)."""
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if not key_cols or len(set(key_cols)) != len(key_cols):
+        raise ValueError(
+            f"merge key columns must be non-empty and distinct, got {key_cols!r}"
+        )
+    any_null = None
+    for c in key_cols:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    kc = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
+        F.max(any_null).alias("has_null"),
+    ).first()
+    if len(key_cols) > 1 and kc["has_null"]:
+        raise ValueError(
+            f"merge source has NULL in composite key {key_cols!r}; a "
+            "keyed merge cannot address such rows"
+        )
+    n_source_keys = int(kc["k"]) + (1 if kc["has_null"] else 0)
+    if kc["n"] != n_source_keys:
+        raise ValueError(
+            f"merge source has duplicate values in key column(s) {key_cols!r}; "
+            "deduplicate before merging (same contract as Delta MERGE)"
+        )
+    return key_cols, n_source_keys

@@ -546,18 +546,6 @@ def replicate_changes_to_postgres(
     return tail_changes(spark, table_path, checkpoint_dir, apply, fmt=fmt)
 
 
-def _iceberg_last_mirror_version(dst_path: str, app_id: str) -> int:
-    """Highest (app_id) mirror run recorded on the Iceberg destination, or
-    -1 — the Iceberg analog of Delta's ``last_txn_version``.  Delegates to
-    ``iceberg.last_txn_version``, which reads the DURABLE ``lhl-txn.*``
-    table property first (it survives expire_snapshots, which deletes old
-    snapshots summaries and all — ADVICE r13) and falls back to the
-    Flink-pattern snapshot-summary scan for pre-property tables."""
-    from lakehouse_loader_spark.sinks import iceberg as IC
-
-    return IC.last_txn_version(dst_path, app_id)
-
-
 def _mirror_target_fields(dst_fmt: str, dst_path: str) -> list[str] | None:
     """Destination column names in schema order, or None when the
     destination table does not exist yet (run 0 creates it)."""
@@ -706,7 +694,10 @@ def mirror_table(
                 DL.table_exists(dst_path)
                 and DL.last_txn_version(dst_path, app_id) >= run_idx
             )
-        return _iceberg_last_mirror_version(dst_path, app_id) >= run_idx
+        # iceberg.last_txn_version reads the DURABLE lhl-txn.* property
+        # first (survives expire_snapshots — ADVICE r13), then the
+        # Flink-pattern snapshot-summary scan for pre-property tables
+        return IC.last_txn_version(dst_path, app_id) >= run_idx
 
     def write_snapshot(df: DataFrame, run_idx: int) -> int:
         from pyspark.sql import functions as F

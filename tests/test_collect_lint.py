@@ -32,14 +32,18 @@ BUDGET = {
     # delta.py r10 +1: :3245 is the one-row one-pass MERGE dup-key/count
     # aggregate (folded from two passes, r9 advice); all six sites are
     # one-row aggregates or one-row-per-affected-file commit probes
-    "sinks/delta.py": 6,
+    "sinks/delta.py": 5,  # r14 −1: the merge key-contract agg moved to keys.py
     # iceberg.py r10 +1: the CoW lineage probe (:3088) collects one row per
     # affected FILE (count per __path), bounded by live-file count like
     # every other sink-side commit-metadata collect
-    "sinks/iceberg.py": 7,
+    "sinks/iceberg.py": 6,  # r14 −1: same move
     "sinks/incremental.py": 3,
     "sinks/inspect.py": 2,
     "operators/clusters.py": 2,
+    # keys.py (r14): the ONE merge-key contract aggregate shared by
+    # merge_delta/merge_iceberg — a single one-row agg (count / distinct /
+    # has-null) over the merge source, moved here from both sinks
+    "sinks/keys.py": 1,
     "operators/graph.py": 1,
     "operators/similarity.py": 5,
     "sources/pgwire.py": 1,
