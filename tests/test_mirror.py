@@ -677,3 +677,30 @@ def test_merge_iceberg_composite_key_row_lineage(spark, tmpdir):
     assert rows[("a", 1)] == (pre[("a", 1)], 99)
     assert rows[("b", 1)][0] == pre[("b", 1)]
     assert len({rid for rid, _ in rows.values()}) == 4
+
+
+def test_mirror_schema_evolution_iceberg_source(spark, tmpdir):
+    """Evolution with an ICEBERG source (the other feed reader): the
+    source gains a column via an evolved append; the keyed mirror into a
+    Delta destination refuses by default and evolves on request."""
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_iceberg(
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long"),
+        src,
+    )
+    mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt="delta")
+    write_iceberg(
+        spark.createDataFrame([(10, 100, 7)], "id long, v long, extra long"),
+        src, append=True, evolve_schema=True,
+    )
+    with pytest.raises(ValueError, match="extra.*evolve"):
+        mirror_table(spark, src, dst, ck, key_cols=["id"], dst_fmt="delta")
+    res = mirror_table(
+        spark, src, dst, ck, key_cols=["id"], dst_fmt="delta",
+        on_schema_change="evolve",
+    )
+    assert res["rows"] == 1
+    got = {r["id"]: r["extra"] for r in read_delta(spark, dst).collect()}
+    assert got[10] == 7 and all(got[i] is None for i in range(5))
