@@ -3244,7 +3244,10 @@ def merge_delta(
     """
     from pyspark.sql import functions as F
 
-    from lakehouse_loader_spark.sinks.keys import validate_merge_keys
+    from lakehouse_loader_spark.sinks.keys import (
+        align_merge_source_types,
+        validate_merge_keys,
+    )
 
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"mode must be copy-on-write or merge-on-read, got {mode!r}")
@@ -3267,6 +3270,10 @@ def merge_delta(
             f"merge source columns {sorted(source.columns)} must match table "
             f"{sorted(expected)}"
         )
+    # names alone would admit a RETYPED column — widen losslessly or
+    # refuse before any write (sinks/keys.py: insert-only merges would
+    # otherwise fail only when a reader hits the new file)
+    source = align_merge_source_types(source, schema)
     # shared key contract (sinks/keys.py — one aggregate pass: distinct
     # count, duplicate refusal, composite-NULL refusal)
     key_cols, n_source_keys = validate_merge_keys(source, key)

@@ -4998,7 +4998,10 @@ def merge_iceberg(
     from pyspark.sql import functions as F
 
     from lakehouse_loader_spark.sinks.delta import ConcurrentModificationError
-    from lakehouse_loader_spark.sinks.keys import validate_merge_keys
+    from lakehouse_loader_spark.sinks.keys import (
+        align_merge_source_types,
+        validate_merge_keys,
+    )
     from lakehouse_loader_spark.sinks.staging import local_path
 
     path = local_path(path)
@@ -5046,6 +5049,10 @@ def merge_iceberg(
             f"merge source columns {sorted(source.columns)} must match table "
             f"{sorted(expected)}"
         )
+    # names alone would admit a RETYPED column — widen losslessly or
+    # refuse before any write (sinks/keys.py: insert-only merges would
+    # otherwise fail only when a reader hits the new file)
+    source = align_merge_source_types(source, schema)
     # shared key contract (sinks/keys.py — one aggregate pass: distinct
     # count, duplicate refusal, composite-NULL refusal)
     key_cols, n_source_keys = validate_merge_keys(source, key)

@@ -51,3 +51,53 @@ def validate_merge_keys(source: DataFrame, key) -> tuple[list[str], int]:
             "deduplicate before merging (same contract as Delta MERGE)"
         )
     return key_cols, n_source_keys
+
+
+# lossless upcasts a merge source may take implicitly (the widen-only
+# direction sinks/alignment.py also allows): integer chain + float→double
+_WIDEN_CHAINS = (
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+)
+
+
+def _safely_widens(src_type, dst_type) -> bool:
+    s, d = src_type.typeName(), dst_type.typeName()
+    return any(
+        s in chain and d in chain and chain.index(s) < chain.index(d)
+        for chain in _WIDEN_CHAINS
+    )
+
+
+def align_merge_source_types(source: DataFrame, schema) -> DataFrame:
+    """Align a merge source's column TYPES to the table's: identical types
+    pass through, losslessly WIDENABLE ones (int→long, float→double) are
+    cast up, anything else refuses.
+
+    The column-set check alone would admit a retyped column (same name,
+    new type): with candidate files the union fails loudly mid-plan, but
+    an insert-only merge would write data files whose physical type
+    conflicts with the table schema — a LATE failure surfacing only when
+    a reader hits the new file.  Nullability is not compared (readers
+    null-fill; the window reducers legitimately relax it).  Non-table
+    columns (the tombstone flag) pass through untouched."""
+    from pyspark.sql import functions as F
+
+    want = {f.name: f.dataType for f in schema.fields}
+    out, changed = [], False
+    for f in source.schema.fields:
+        dst = want.get(f.name)
+        if dst is None or f.dataType == dst:
+            out.append(F.col(f.name))
+            continue
+        if _safely_widens(f.dataType, dst):
+            out.append(F.col(f.name).cast(dst).alias(f.name))
+            changed = True
+            continue
+        raise ValueError(
+            f"merge source column {f.name!r} has type "
+            f"{f.dataType.simpleString()} but the table expects "
+            f"{dst.simpleString()}; cast before merging "
+            "(merges widen losslessly, never retype columns)"
+        )
+    return source.select(*out) if changed else source

@@ -704,3 +704,36 @@ def test_mirror_schema_evolution_iceberg_source(spark, tmpdir):
     assert res["rows"] == 1
     got = {r["id"]: r["extra"] for r in read_delta(spark, dst).collect()}
     assert got[10] == 7 and all(got[i] is None for i in range(5))
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_retyped_column_refuses(spark, tmpdir, fmt):
+    """Same column NAME, different TYPE must refuse up front: an
+    insert-only merge would otherwise write data files whose physical
+    type conflicts with the table schema — failing only when a reader
+    hits the new file."""
+    t = os.path.join(str(tmpdir), "t")
+    write = write_delta if fmt == "delta" else write_iceberg
+    merge = merge_delta if fmt == "delta" else merge_iceberg
+    write(spark.createDataFrame([(1, 10)], "id long, v long"), t)
+    # insert-only source (key 99 unmatched) with v retyped to string
+    bad = spark.createDataFrame([(99, "ten")], "id long, v string")
+    with pytest.raises(ValueError, match="never retype columns"):
+        merge(spark, t, bad, "id")
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_widens_int_source_losslessly(spark, tmpdir, fmt):
+    """A source column narrower than the table's (int vs bigint) widens
+    implicitly — the lossless direction stays ergonomic while retypes
+    refuse (see test_merge_retyped_column_refuses)."""
+    t = os.path.join(str(tmpdir), "t")
+    write = write_delta if fmt == "delta" else write_iceberg
+    read = read_delta if fmt == "delta" else read_iceberg
+    merge = merge_delta if fmt == "delta" else merge_iceberg
+    write(spark.createDataFrame([(1, 10)], "id long, v long"), t)
+    res = merge(
+        spark, t, spark.createDataFrame([(1, 11), (2, 22)], "id int, v int"), "id"
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    assert {r["id"]: r["v"] for r in read(spark, t).collect()} == {1: 11, 2: 22}
