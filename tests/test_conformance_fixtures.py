@@ -40,6 +40,8 @@ _TS_KEYS = {
     "modificationTime",
     "createdTime",
     "created-at",
+    "lastUpdated",  # delta txn action (r14 merge fixture)
+    "deletionTimestamp",  # delta remove action
 }
 # uuid-derived 62-bit ids — tokenized CONSISTENTLY so identity relations
 # (current-snapshot-id == snapshots[-1].snapshot-id == manifest-list
@@ -274,3 +276,70 @@ def test_delta_column_mapping_matches_golden(spark, tmpdir):
         with open(f) as fh:
             dump[os.path.basename(f)] = [json.loads(line) for line in fh]
     _assert_golden("conformance_delta_column_mapping.json", canon.dumps(dump))
+
+
+def test_delta_unmapped_add_column_and_composite_merge_matches_golden(spark, tmpdir):
+    """r14 states with no prior fixture: ADD COLUMN on an UNMAPPED table
+    (plain schemaString extension — no columnMapping metadata) followed by
+    a composite-key tombstone MERGE with a txn stamp.  Pins the evolved
+    metaData shape, the txn action, the remove action for the rewritten
+    file, and the merge's add actions.  Everything deterministic: single
+    source partition (coalesce), single-file table, broadcast anti-join
+    preserves scan order."""
+    from lakehouse_loader_spark.sinks import delta as DL
+
+    t = os.path.join(str(tmpdir), "gold_dl_merge")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "g string, id long, v long"
+    ).coalesce(1)
+    DL.write_delta(base, t)
+    DL.add_column(t, "extra", "long")
+    src = spark.createDataFrame(
+        [("a", 1, 99, 7, False), ("b", 1, None, None, True), ("c", 9, 50, 8, False)],
+        "g string, id long, v long, extra long, dead boolean",
+    ).coalesce(1)
+    res = DL.merge_delta(
+        spark, t, src, ["g", "id"], delete_col="dead", txn=("fix-app", 1)
+    )
+    assert (res["updated"], res["inserted"], res["deleted"]) == (1, 1, 1)
+
+    canon = _Canon(t)
+    dump = {}
+    for f in sorted(glob.glob(os.path.join(t, "_delta_log", "*.json"))):
+        with open(f) as fh:
+            dump[os.path.basename(f)] = [json.loads(line) for line in fh]
+    _assert_golden("conformance_delta_unmapped_evolve_merge.json", canon.dumps(dump))
+
+
+def test_iceberg_evolved_composite_merge_matches_golden(spark, tmpdir):
+    """r14 states with no prior fixture: metadata-only schema evolution
+    (evolve_table_schema — new schema-id appended, last-column-id bumped,
+    requiredness preserved) followed by a composite-key tombstone MERGE
+    with the DURABLE lhl-txn.* property watermark alongside the summary
+    stamp."""
+    from pyspark.sql import types as T
+
+    from lakehouse_loader_spark.sinks import avro_ocf
+    from lakehouse_loader_spark.sinks import iceberg as IC
+
+    t = os.path.join(str(tmpdir), "gold_ice_evm")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "g string, id long, v long"
+    ).coalesce(1)
+    IC.write_iceberg(base, t)
+    IC.evolve_table_schema(
+        t, T.StructType([T.StructField("extra", T.LongType(), True)])
+    )
+    src = spark.createDataFrame(
+        [("a", 1, 99, 7, False), ("b", 1, None, None, True), ("c", 9, 50, 8, False)],
+        "g string, id long, v long, extra long, dead boolean",
+    ).coalesce(1)
+    res = IC.merge_iceberg(
+        spark, t, src, ["g", "id"], delete_col="dead", txn=("fix-app", 1)
+    )
+    assert (res["updated"], res["inserted"], res["deleted"]) == (1, 1, 1)
+    assert IC.last_txn_version(t, "fix-app") == 1
+
+    canon = _Canon(t)
+    dump = _dump_iceberg_metadata(IC, avro_ocf, t)
+    _assert_golden("conformance_iceberg_evolved_merge.json", canon.dumps(dump))
