@@ -26,6 +26,8 @@ runs these on a schedule next to the loader):
     lhl export-webdataset SOURCE TARGET --key-col K --payload-col P
         [--meta-cols a,b] [--shard-rows N]   (sharded tar export)
     lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
+    lhl merge-delta / merge-iceberg    TARGET --source P --key a,b
+        [--delete-col C] [--mode copy-on-write|merge-on-read]  (keyed upsert)
     lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
     lhl changes-delta SOURCE TARGET --since N [--end M]   (change-feed export)
 
@@ -228,6 +230,27 @@ def build_parser() -> argparse.ArgumentParser:
     eqd.add_argument(
         "--key-cols", required=True, help="comma-separated equality columns"
     )
+    for name in ("merge-delta", "merge-iceberg"):
+        mg = sub.add_parser(
+            name,
+            help="keyed MERGE (upsert, optional tombstones) from a parquet "
+            "source — composite keys supported",
+        )
+        mg.add_argument("target")
+        mg.add_argument("--source", required=True, help="parquet path of the merge source rows")
+        mg.add_argument("--key", required=True, help="key column(s), comma-separated")
+        mg.add_argument(
+            "--delete-col",
+            default=None,
+            help="boolean tombstone column: flagged rows DELETE their key "
+            "(merge_postgres_wire's CDC-apply shape)",
+        )
+        if name == "merge-delta":
+            mg.add_argument(
+                "--mode",
+                choices=["copy-on-write", "merge-on-read"],
+                default="copy-on-write",
+            )
     cdi = sub.add_parser("convert-delta-to-iceberg")
     cdi.add_argument("source")
     cdi.add_argument("target")
@@ -433,7 +456,10 @@ def build_parser() -> argparse.ArgumentParser:
     rni.add_argument("target"); rni.add_argument("old"); rni.add_argument("new")
     dci = sub.add_parser("drop-column-iceberg", help="Iceberg metadata-only DROP")
     dci.add_argument("target"); dci.add_argument("column")
-    ac = sub.add_parser("add-column", help="ALTER ... ADD COLUMN (mapped tables)")
+    ac = sub.add_parser(
+        "add-column",
+        help="ALTER ... ADD COLUMN (nullable; mapped or unmapped tables)",
+    )
     ac.add_argument("target"); ac.add_argument("column"); ac.add_argument("dtype")
     for name in ("snapshots-iceberg", "files-iceberg", "manifests-iceberg",
                  "refs-iceberg", "files-delta", "history-delta"):
@@ -888,6 +914,29 @@ def do_main(argv: list[str]) -> None:
 
         drop_ref(args.target, args.name)
         print(f"dropped ref {args.name}", file=sys.stderr)
+        return
+    if args.command in ("merge-delta", "merge-iceberg"):
+        src = spark.read.parquet(args.source)
+        keys = _split_key_cols(args.key)
+        if args.command == "merge-delta":
+            from lakehouse_loader_spark.sinks.delta import merge_delta
+
+            res = merge_delta(
+                spark, args.target, src, keys,
+                mode=args.mode, delete_col=args.delete_col,
+            )
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import merge_iceberg
+
+            res = merge_iceberg(
+                spark, args.target, src, keys, delete_col=args.delete_col
+            )
+        deleted = f", {res['deleted']} deleted" if "deleted" in res else ""
+        print(
+            f"merged: {res['updated']} updated, {res['inserted']} inserted"
+            f"{deleted}",
+            file=sys.stderr,
+        )
         return
     if args.command == "eqdelete-iceberg":
         from lakehouse_loader_spark.sinks.iceberg import equality_delete_iceberg

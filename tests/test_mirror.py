@@ -737,3 +737,33 @@ def test_merge_widens_int_source_losslessly(spark, tmpdir, fmt):
     )
     assert res["updated"] == 1 and res["inserted"] == 1
     assert {r["id"]: r["v"] for r in read(spark, t).collect()} == {1: 11, 2: 22}
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_cli_merge_composite_key(spark, tmpdir, fmt):
+    """The merge CLI end-to-end as a separate OS process: composite key
+    (with sloppy whitespace), tombstone column, result counts printed."""
+    import subprocess
+    import sys as _sys
+
+    t = os.path.join(str(tmpdir), "t")
+    srcp = os.path.join(str(tmpdir), "src.parquet")
+    write = write_delta if fmt == "delta" else write_iceberg
+    read = read_delta if fmt == "delta" else read_iceberg
+    write(spark.createDataFrame([("a", 1, 10), ("b", 1, 30)],
+                                "g string, id long, v long"), t)
+    spark.createDataFrame(
+        [("a", 1, 99, False), ("b", 1, None, True), ("c", 2, 50, False)],
+        "g string, id long, v long, dead boolean",
+    ).write.parquet(srcp)
+    r = subprocess.run(
+        [_sys.executable, "-m", "lakehouse_loader_spark.cli",
+         f"merge-{fmt}", t, "--source", srcp, "--key", "g, id",
+         "--delete-col", "dead"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    assert "1 updated, 1 inserted, 1 deleted" in r.stderr
+    got = {(x["g"], x["id"]): x["v"] for x in read(spark, t).collect()}
+    assert got == {("a", 1): 99, ("c", 2): 50}
