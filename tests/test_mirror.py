@@ -767,3 +767,36 @@ def test_cli_merge_composite_key(spark, tmpdir, fmt):
     assert "1 updated, 1 inserted, 1 deleted" in r.stderr
     got = {(x["g"], x["id"]): x["v"] for x in read(spark, t).collect()}
     assert got == {("a", 1): 99, ("c", 2): 50}
+
+
+def test_mirror_composite_key_with_evolution_one_stream(spark, tmpdir):
+    """Interaction: a composite-key mirror stream that ALSO evolves —
+    the evolved column must flow through the keyed merge on the full key
+    tuple in the same checkpointed stream."""
+    from lakehouse_loader_spark.sinks.delta import add_column
+
+    src = os.path.join(str(tmpdir), "src")
+    dst = os.path.join(str(tmpdir), "dst")
+    ck = os.path.join(str(tmpdir), "ck")
+    write_delta(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 1, 30)], "g string, id long, v long"
+        ),
+        src,
+    )
+    mirror_table(spark, src, dst, ck, key_cols=["g", "id"], dst_fmt="iceberg")
+    add_column(src, "extra", "long")
+    write_delta(
+        spark.createDataFrame([("c", 1, 50, 7)],
+                              "g string, id long, v long, extra long"),
+        src, append=True,
+    )
+    delete_from_delta(spark, src, "g = 'b' AND id = 1")
+    res = mirror_table(
+        spark, src, dst, ck, key_cols=["g", "id"], dst_fmt="iceberg",
+        on_schema_change="evolve",
+    )
+    assert res["rows"] == 2  # one insert + one tombstone
+    got = {(r["g"], r["id"]): (r["v"], r["extra"])
+           for r in read_iceberg(spark, dst).collect()}
+    assert got == {("a", 1): (10, None), ("c", 1): (50, 7)}
