@@ -27,7 +27,8 @@ runs these on a schedule next to the loader):
         [--meta-cols a,b] [--shard-rows N]   (sharded tar export)
     lhl delete-delta / delete-iceberg  TARGET --where "SQL predicate"
     lhl merge-delta / merge-iceberg    TARGET --source P --key a,b
-        [--delete-col C] [--mode copy-on-write|merge-on-read]  (keyed upsert)
+        [--delete-col C] (keyed upsert; merge-delta also takes
+        --mode copy-on-write|merge-on-read)
     lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
     lhl changes-delta SOURCE TARGET --since N [--end M]   (change-feed export)
 

@@ -3283,7 +3283,7 @@ def merge_delta(
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
         del_keys = source.filter(flag).select(*key_cols).distinct()
         all_keys = source.select(*key_cols).distinct()
-        source = source.filter(~flag).select(*schema.fieldNames())
+        source = source.filter(~flag)
     else:
         del_keys = None
         all_keys = None

@@ -5065,7 +5065,7 @@ def merge_iceberg(
         del_keys = source.filter(flag).select(*key_cols).distinct()
         all_keys = source.filter(F.lit(True)).select(*key_cols).distinct()
         n_del_total = del_keys.count()
-        source = source.filter(~flag).select(*schema.fieldNames())
+        source = source.filter(~flag)
     else:
         del_keys = None
         all_keys = None

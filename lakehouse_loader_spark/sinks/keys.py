@@ -69,6 +69,31 @@ def _safely_widens(src_type, dst_type) -> bool:
     )
 
 
+def _nullability_erased(dt):
+    """The type with every NESTED nullability flag normalized (array
+    containsNull, map valueContainsNull, struct field nullability) — the
+    comparison basis for retype detection.  Nullability differences are
+    not retypes: physical encodings are identical and readers null-fill,
+    so e.g. an Iceberg-sourced window whose array elements are required
+    must still merge into a containsNull=true table column."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullability_erased(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullability_erased(dt.keyType), _nullability_erased(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullability_erased(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def align_merge_source_types(source: DataFrame, schema) -> DataFrame:
     """Align a merge source's column TYPES to the table's: identical types
     pass through, losslessly WIDENABLE ones (int→long, float→double) are
@@ -87,7 +112,7 @@ def align_merge_source_types(source: DataFrame, schema) -> DataFrame:
     out, changed = [], False
     for f in source.schema.fields:
         dst = want.get(f.name)
-        if dst is None or f.dataType == dst:
+        if dst is None or _nullability_erased(f.dataType) == _nullability_erased(dst):
             out.append(F.col(f.name))
             continue
         if _safely_widens(f.dataType, dst):
