@@ -232,6 +232,11 @@ def _static_session(spark):
     scratch = spark.conf.get("spark.lakehouse.scratch.dir", None)
     if scratch:
         _STATIC_SESSION.conf.set("spark.lakehouse.scratch.dir", scratch)
+    else:
+        # the cached session outlives callers: a scratch root set by an
+        # EARLIER caller must not stick once the conf is unset (stale
+        # root -> the result materializes to a dead/wrong location)
+        _STATIC_SESSION.conf.unset("spark.lakehouse.scratch.dir")
     return _STATIC_SESSION
 
 

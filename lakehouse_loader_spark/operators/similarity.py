@@ -418,7 +418,9 @@ def ivf_ann_topk(
             if not len(vs):
                 return pd.Series([], dtype=object)
             m = np.stack(vs.to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m /= np.where(norms == 0.0, 1.0, norms)  # zero vectors: sims=0,
+            # deterministic probe order instead of an all-NaN argsort
             sims = m @ cent_mat  # ONE matmul for the whole Arrow batch
             order = np.argsort(-sims, axis=1)[:, :n].astype("int32")
             return pd.Series([row.tolist() for row in order])

@@ -243,7 +243,12 @@ def staged_ivf_index(
             # against the centroid matrix (this is the corpus-wide IVF
             # assignment pass — the expensive half of index build)
             m = np.stack(vs.to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            # all-zero vectors have no direction: norm 0 would NaN the
+            # whole row (0/0) and argmax over NaN files it under an
+            # ARBITRARY centroid — force sims=0 so they deterministically
+            # land in centroid 0 instead
+            m /= np.where(norms == 0.0, 1.0, norms)
             return pd.Series((m @ cent_mat).argmax(axis=1).astype("int32"))
 
         emb = load_table(spark, sf_dir, "embeddings")

@@ -136,8 +136,10 @@ def stateful_type_histogram(stream: DataFrame) -> DataFrame:
             (user_id,) = key
             batch: dict[str, list] = {}
             for pdf in rows:
-                for et, grp in pdf.groupby("event_type"):
-                    acc = batch.setdefault(str(et), [0, 0.0])
+                # dropna=False: a NULL event_type is a real group (the
+                # batch GROUP BY keeps it); sentinel-encoded for MapState
+                for et, grp in pdf.groupby("event_type", dropna=False):
+                    acc = batch.setdefault(_type_key(et), [0, 0.0])
                     acc[0] += len(grp)
                     acc[1] += float(grp["value"].sum())
             types, ns, totals = [], [], []
@@ -153,7 +155,9 @@ def stateful_type_histogram(stream: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(types),
-                    "event_type": types,
+                    "event_type": [
+                        None if t == _NULL_TYPE else t for t in types
+                    ],
                     "n_events": ns,
                     "total_value": totals,
                 }
@@ -248,11 +252,13 @@ def stateful_type_histogram_fallback(stream: DataFrame) -> DataFrame:
             hist = {}
         touched: dict[str, list] = {}
         for pdf in pdfs:
-            for et, grp in pdf.groupby("event_type"):
-                acc = hist.setdefault(str(et), [0, 0.0])
+            # dropna=False + sentinel: see _NULL_TYPE
+            for et, grp in pdf.groupby("event_type", dropna=False):
+                k = _type_key(et)
+                acc = hist.setdefault(k, [0, 0.0])
                 acc[0] += len(grp)
                 acc[1] += float(grp["value"].sum())
-                touched[str(et)] = acc
+                touched[k] = acc
         state.update(
             (
                 list(hist.keys()),
@@ -264,7 +270,9 @@ def stateful_type_histogram_fallback(stream: DataFrame) -> DataFrame:
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(out_types),
-                "event_type": out_types,
+                "event_type": [
+                    None if t == _NULL_TYPE else t for t in out_types
+                ],
                 "n_events": [touched[t][0] for t in out_types],
                 "total_value": [touched[t][1] for t in out_types],
             }
@@ -337,6 +345,35 @@ def streaming_dedup(
     )
 
 
+# NULL event_type sentinel for the stateful histogram operators: state
+# array entries / MapState keys cannot hold None, and pandas groupby drops
+# NaN groups by default — either would silently lose NULL-typed rows'
+# value mass while the batch GROUP BY oracle keeps NULL as a group.  The
+# \x00 prefix cannot collide with real event types and sorts first.
+_NULL_TYPE = "\x00null"
+
+
+def _type_key(et) -> str:
+    """Group label -> state key: NULL/NaN -> sentinel, else the string."""
+    if et is None or (isinstance(et, float) and et != et):
+        return _NULL_TYPE
+    return str(et)
+
+
+def _latest_per_key(batch_df: DataFrame, key: str, latest_by: str) -> DataFrame:
+    """One row per key: the batch's row with the greatest ``latest_by``
+    (ties broken arbitrarily by row_number) — the within-batch reduction
+    both streaming upsert sinks apply before touching the table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(latest_by).desc())
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def resolve_stream_app_id(checkpoint_dir: str) -> str:
     """Exactly-once identity for a stream's Delta ``txn`` actions.
 
@@ -358,13 +395,17 @@ def resolve_stream_app_id(checkpoint_dir: str) -> str:
         return "stream_to_delta-" + hashlib.md5(key.encode()).hexdigest()[:16]
 
     local_ckpt = checkpoint_dir
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", checkpoint_dir):
-        if checkpoint_dir.startswith("file:"):
-            from lakehouse_loader_spark.sinks.staging import local_path
+    if checkpoint_dir.startswith("file:"):
+        # BOTH file:// and the single-slash file:/path form Spark/Hadoop
+        # accept — the '://' regex alone would treat the latter as a bare
+        # relative path and write the marker into a literal './file:...'
+        # dir next to CWD while Spark checkpoints elsewhere (appId would
+        # then follow the CWD, not the checkpoint)
+        from lakehouse_loader_spark.sinks.staging import local_path
 
-            local_ckpt = local_path(checkpoint_dir)
-        else:
-            return path_hash(checkpoint_dir)
+        local_ckpt = local_path(checkpoint_dir)
+    elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", checkpoint_dir):
+        return path_hash(checkpoint_dir)
     os.makedirs(local_ckpt, exist_ok=True)
     marker = os.path.join(local_ckpt, "_lhl_app_id")
     app_id = ""
@@ -444,8 +485,6 @@ def stream_upsert_to_delta(
     merge_delta's commit.  Skipping replayed batches matters MORE here
     than for appends: re-merging an old batch after later batches advanced
     the same keys would regress them."""
-    from pyspark.sql.window import Window
-
     from lakehouse_loader_spark.sinks.delta import (
         last_txn_version,
         merge_delta,
@@ -461,12 +500,7 @@ def stream_upsert_to_delta(
         if batch_id <= last_txn_version(table_path, app_id):
             return  # already committed; checkpoint replay after crash
         if latest_by is not None:
-            w = Window.partitionBy(key).orderBy(F.col(latest_by).desc())
-            batch_df = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
+            batch_df = _latest_per_key(batch_df, key, latest_by)
         if not table_exists(table_path):
             write_delta(batch_df, table_path, txn=(app_id, batch_id))
         else:
@@ -550,8 +584,6 @@ def stream_upsert_to_iceberg(
     is semantically idempotent and the append then lands, so the visible
     state converges (the only anomaly is a transient window where the
     batch's keys read as absent)."""
-    from pyspark.sql.window import Window
-
     from lakehouse_loader_spark.sinks.iceberg import (
         _stream_summary_key,
         equality_delete_iceberg,
@@ -568,12 +600,20 @@ def stream_upsert_to_iceberg(
         if batch_id <= last_committed_batch(table_path, app_id):
             return  # already committed; checkpoint replay after crash
         if latest_by is not None:
-            w = Window.partitionBy(key).orderBy(F.col(latest_by).desc())
-            batch_df = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
+            batch_df = _latest_per_key(batch_df, key, latest_by)
+        else:
+            # same contract as the Delta twin (merge_delta raises): two
+            # rows per key in one batch would BOTH survive the equality
+            # delete (same sequence number) — the table would silently
+            # read two rows for a "latest state per key" key
+            dup = (
+                batch_df.groupBy(key).count().filter("count > 1").limit(1).count()
             )
+            if dup:
+                raise ValueError(
+                    f"micro-batch has duplicate values in key column {key!r}; "
+                    "pass latest_by to reduce within-batch, or dedupe upstream"
+                )
         props = {_stream_summary_key(app_id): str(batch_id)}
         if not table_exists(table_path):
             write_iceberg(batch_df, table_path, snapshot_props=props)
@@ -649,6 +689,37 @@ def enrich_stream_with_dimension(
     return stream.join(F.broadcast(dim), on, "left")
 
 
+def _pg_app_has_committed(conn_url: str, table: str, app_id: str) -> bool:
+    """True iff the exactly-once ledger records ANY committed batch from
+    ``app_id`` into ``table`` — the stream-attach test stream_to_postgres
+    keys its overwrite-vs-append decision on.  A missing ledger table
+    means nothing has ever committed."""
+    from lakehouse_loader_spark.sources.pgwire import (
+        PgError,
+        iter_copy_batches,
+        parse_libpq_url,
+    )
+
+    if not all(part.isidentifier() for part in table.split(".")):
+        raise ValueError(f"unsafe table name {table!r}")
+    if not app_id.replace("-", "_").replace(".", "_").isidentifier():
+        raise ValueError(f"unsafe app id {app_id!r}")
+    params = parse_libpq_url(conn_url)
+    try:
+        batch = next(
+            iter_copy_batches(
+                params,
+                f"SELECT count(*)::int8 AS n FROM __lhl_txn WHERE "
+                f"app_id = '{app_id}' AND tbl = '{table}'",
+                [("n", 20, -1)],
+                2,
+            )
+        )
+        return int(batch["n"][0]) > 0
+    except PgError:
+        return False  # no ledger table yet -> nothing committed
+
+
 def stream_to_postgres(
     stream: DataFrame, conn_url: str, table: str, checkpoint_dir: str
 ):
@@ -669,11 +740,17 @@ def stream_to_postgres(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # first PUBLISHED batch overwrites (stream attach replaces the
+        # table), later ones append — decided by the LEDGER, not batch_id:
+        # an empty batch 0 publishes nothing, so keying the mode on
+        # batch_id would make batch 1 append onto a nonexistent (or
+        # stale pre-existing) table
+        first = not _pg_app_has_committed(conn_url, table, app_id)
         write_postgres_wire(
             batch_df,
             conn_url,
             table,
-            mode="append" if batch_id > 0 else "overwrite",
+            mode="overwrite" if first else "append",
             txn=(app_id, batch_id),
         )
 

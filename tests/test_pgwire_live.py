@@ -1084,3 +1084,24 @@ def test_reset_cursor_resync_republishes_snapshot(spark, pg_url, tmpdir):
         for r in W.read_postgres_wire(spark, pg_url, "select id from t_resync").collect()
     )
     assert have == want
+
+
+def test_pg_ledger_probe_and_stream_mode(spark, pg_url, tmpdir):
+    """_pg_app_has_committed: keyed on (app_id, tbl) in the exactly-once
+    ledger; missing ledger table reads as 'never committed'.  Drives the
+    r14 stream_to_postgres mode rule (first PUBLISHED batch overwrites,
+    later batches append) — previously keyed on batch_id, which wedged
+    when batch 0 published nothing."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_loader_spark.streaming.events import _pg_app_has_committed
+
+    app = "stream_to_delta-probe0001"
+    assert not _pg_app_has_committed(pg_url, "t_probe", app)
+    df = spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    W.write_postgres_wire(df, pg_url, "t_probe", mode="overwrite", txn=(app, 5))
+    assert _pg_app_has_committed(pg_url, "t_probe", app)
+    # per-table: the same app against another table has not committed
+    assert not _pg_app_has_committed(pg_url, "t_probe_other", app)
+    with pytest.raises(ValueError, match="unsafe"):
+        _pg_app_has_committed(pg_url, "t; DROP", app)

@@ -929,3 +929,75 @@ def test_parity_clones_are_keyed_per_width(spark):
         c8.conf.get("spark.sql.streaming.checkpointLocation")
         == c16.conf.get("spark.sql.streaming.checkpointLocation")
     )
+
+
+def test_resolve_stream_app_id_single_slash_file_uri(tmpdir):
+    """file:/path (single slash — accepted by Spark/Hadoop as a
+    checkpointLocation) must resolve to the SAME marker-backed appId as
+    file:///path and a bare path: the pre-r14 '://' regex treated it as a
+    relative dir and minted a CWD-dependent id, defeating exactly-once
+    after a relocation."""
+    from lakehouse_loader_spark.streaming.events import resolve_stream_app_id
+
+    base = os.path.join(str(tmpdir), "ck")
+    a = resolve_stream_app_id(base)
+    assert resolve_stream_app_id(f"file:{base}") == a
+    assert resolve_stream_app_id(f"file://{base}") == a
+    assert os.path.isfile(os.path.join(base, "_lhl_app_id"))
+    # no bogus './file:...' directory materialized anywhere
+    assert not os.path.exists(f"file:{base}")
+
+
+def test_stateful_histograms_keep_null_event_type(spark, tmpdir):
+    """A NULL event_type row is a real group (the batch GROUP BY keeps
+    it): pandas groupby's default dropna=True silently lost its count and
+    value mass pre-r14.  The fallback operator must emit the NULL group
+    and converge to the batch aggregate including it."""
+    import uuid
+
+    from lakehouse_loader_spark.streaming.events import (
+        read_event_stream,
+        stateful_type_histogram_fallback,
+    )
+
+    df = spark.range(0, 600).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 3).cast("string")))
+        .alias("event_type"),
+        (F.col("id") * 0.5).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    staged = os.path.join(str(tmpdir), "ev")
+    df.repartition(3).write.parquet(staged)
+    sink = f"nullet_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_type_histogram_fallback(
+            read_event_stream(spark, staged, max_files_per_trigger=1)
+        )
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table(sink)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .select("user_id", "event_type", "n_events", "total_value")
+    )
+    want = (
+        df.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select("user_id", "event_type", "n_events", "total_value")
+    )
+    assert want.filter(F.col("event_type").isNull()).count() > 0
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert diff == 0, "NULL event_type group lost or miscounted"
