@@ -20,6 +20,37 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def stack_batch(vs: pd.Series) -> np.ndarray:
+    """One Arrow batch of fixed-dim vectors → a (batch, dim) float64 matrix.
+
+    The hot path is a bare ``np.stack`` (no per-row checks); only when that
+    fails — some vector is NULL or has the wrong dimension — do we scan the
+    batch to name the offending row, instead of surfacing numpy's opaque
+    "all input arrays must have the same shape".  These operators require
+    non-null fixed-dimension vectors; filter/pad upstream."""
+    arr = vs.to_numpy()
+    try:
+        return np.stack(arr).astype(np.float64)
+    except ValueError:
+        dim = None
+        for i, v in enumerate(arr):
+            if v is None:
+                raise ValueError(
+                    f"NULL embedding vector at batch row {i}: vectorized "
+                    "index build requires non-null fixed-dimension vectors "
+                    "(drop or impute NULLs upstream)"
+                ) from None
+            if dim is None:
+                dim = len(v)
+            elif len(v) != dim:
+                raise ValueError(
+                    f"ragged embedding at batch row {i}: dimension "
+                    f"{len(v)} != {dim} seen earlier in the batch — "
+                    "vectorized index build requires one fixed dimension"
+                ) from None
+        raise
+
+
 def _dot(a, b) -> Column:
     """Σ aᵢ·bᵢ as a sequential double fold (bit-deterministic)."""
     return F.aggregate(
@@ -218,7 +249,7 @@ def with_lsh_buckets(
         # matmul against the plane matrix, then the per-table bucket ids as
         # a reshaped weighted sum — no interpreted per-row loop in the
         # corpus-wide index-build pass (kmeans_assign is the same shape)
-        m = np.stack(vs.to_numpy()).astype(np.float64)
+        m = stack_batch(vs)
         signs = (m @ planes) > 0  # (batch, n_tables·planes_per_table)
         buckets = (
             signs.reshape(len(vs), n_tables, planes_per_table)
@@ -417,7 +448,7 @@ def ivf_ann_topk(
         def udf(vs: pd.Series) -> pd.Series:
             if not len(vs):
                 return pd.Series([], dtype=object)
-            m = np.stack(vs.to_numpy()).astype(np.float64)
+            m = stack_batch(vs)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             m /= np.where(norms == 0.0, 1.0, norms)  # zero vectors: sims=0,
             # deterministic probe order instead of an all-NaN argsort

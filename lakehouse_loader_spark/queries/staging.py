@@ -212,6 +212,7 @@ def staged_ivf_index(
     import numpy as np
 
     from lakehouse_loader_spark.operators.similarity import (
+        stack_batch,
         train_ivf_centroids_sampled,
     )
 
@@ -242,7 +243,7 @@ def staged_ivf_index(
             # whole Arrow batch as one normalized matrix → ONE matmul
             # against the centroid matrix (this is the corpus-wide IVF
             # assignment pass — the expensive half of index build)
-            m = np.stack(vs.to_numpy()).astype(np.float64)
+            m = stack_batch(vs)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             # all-zero vectors have no direction: norm 0 would NaN the
             # whole row (0/0) and argmax over NaN files it under an

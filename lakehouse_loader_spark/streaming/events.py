@@ -716,8 +716,19 @@ def _pg_app_has_committed(conn_url: str, table: str, app_id: str) -> bool:
             )
         )
         return int(batch["n"][0]) > 0
-    except PgError:
-        return False  # no ledger table yet -> nothing committed
+    except PgError as exc:
+        # ONLY a missing ledger table means "nothing committed".  Any
+        # other PgError (connection reset mid-message, auth failure,
+        # permission denied) must propagate: swallowing it here would
+        # flip the sink to mode='overwrite' and silently replace the
+        # target table with one micro-batch if the subsequent write
+        # succeeds.  Server errors carry their sqlstate in the message
+        # (_error_text's trailing parens); 42P01 = undefined_table.  A
+        # bare "does not exist" match would be too broad — a missing
+        # DATABASE (3D000) says that too and must propagate.
+        if "42P01" in str(exc):
+            return False  # no ledger table yet -> nothing committed
+        raise
 
 
 def stream_to_postgres(
@@ -736,23 +747,28 @@ def stream_to_postgres(
     from lakehouse_loader_spark.sources.pgwire import write_postgres_wire
 
     app_id = resolve_stream_app_id(checkpoint_dir)
+    committed = False  # latched: once True it can never become False
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal committed
         if batch_df.isEmpty():
             return
         # first PUBLISHED batch overwrites (stream attach replaces the
         # table), later ones append — decided by the LEDGER, not batch_id:
         # an empty batch 0 publishes nothing, so keying the mode on
         # batch_id would make batch 1 append onto a nonexistent (or
-        # stale pre-existing) table
-        first = not _pg_app_has_committed(conn_url, table, app_id)
+        # stale pre-existing) table.  The probe result is latched so the
+        # stream pays the extra round-trip at most until first publish.
+        if not committed:
+            committed = _pg_app_has_committed(conn_url, table, app_id)
         write_postgres_wire(
             batch_df,
             conn_url,
             table,
-            mode="overwrite" if first else "append",
+            mode="append" if committed else "overwrite",
             txn=(app_id, batch_id),
         )
+        committed = True
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -659,3 +659,25 @@ def test_staged_artifacts_honor_scratch_dir_conf(spark, tmp_path):
     finally:
         spark.conf.unset("spark.lakehouse.scratch.dir")
         spark._lhl_dedup_staging = {}
+
+
+def test_stack_batch_names_offending_row():
+    """stack_batch (the vectorized index-build batch stacker): NULL or
+    ragged vectors fail with a named row index instead of numpy's opaque
+    'all input arrays must have the same shape' (r15 ADVICE).  The hot
+    path stays a bare np.stack — diagnostics run only after it raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from lakehouse_loader_spark.operators.similarity import stack_batch
+
+    good = pd.Series([[1.0, 2.0], [3.0, 4.0]])
+    m = stack_batch(good)
+    assert m.shape == (2, 2) and m.dtype == np.float64
+
+    with pytest.raises(ValueError, match="NULL embedding vector at batch row 1"):
+        stack_batch(pd.Series([[1.0, 2.0], None, [5.0, 6.0]]))
+
+    with pytest.raises(ValueError, match=r"ragged embedding at batch row 2.*3 != 2"):
+        stack_batch(pd.Series([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0, 7.0]]))

@@ -1105,3 +1105,13 @@ def test_pg_ledger_probe_and_stream_mode(spark, pg_url, tmpdir):
     assert not _pg_app_has_committed(pg_url, "t_probe_other", app)
     with pytest.raises(ValueError, match="unsafe"):
         _pg_app_has_committed(pg_url, "t; DROP", app)
+    # ONLY undefined-table (42P01) reads as 'never committed'; any other
+    # PgError — here a missing DATABASE (3D000), whose message also says
+    # "does not exist" — must propagate, or a transient probe failure
+    # would flip an attached stream to mode='overwrite' and replace the
+    # target table with a single micro-batch (r15 ADVICE, data loss)
+    from lakehouse_loader_spark.sources.pgwire import PgError
+
+    bad_db = pg_url.rsplit("/", 1)[0] + "/no_such_database_xyz"
+    with pytest.raises(PgError, match="does not exist"):
+        _pg_app_has_committed(bad_db, "t_probe", app)
