@@ -2,9 +2,11 @@
 
 ``merge_delta`` and ``merge_iceberg`` share one key contract
 (merge_postgres_wire's): one column or a composite list, no duplicate
-source keys, and — for composite keys — no NULL in any key component
+source keys, and no NULL in any key component — single-column included
 (``count_distinct`` drops null-containing tuples, so the duplicate check
-cannot see them, and the equality joins cannot address them anyway).
+cannot see them, and the equality joins cannot address them anyway: a
+NULL-keyed upsert could only ever INSERT, never update its prior
+NULL-keyed row — a silent append-on-replay hazard; r14 verdict item 3).
 Extracted here so the two formats' contracts cannot silently diverge.
 """
 
@@ -22,9 +24,10 @@ def validate_merge_keys(source: DataFrame, key) -> tuple[list[str], int]:
     batch is arrival-order-dependent and refuses as a duplicate).
 
     Raises ValueError on: empty/duplicated key column names, NULL in any
-    component of a COMPOSITE key, or duplicate source key values.  A
-    single-column key keeps the historical NULL semantics (one NULL key
-    row is one distinct probe value; several refuse as duplicates)."""
+    key component (single-column included — the equality join can never
+    match a NULL key, so such a row would silently insert-only on every
+    replay; merge_postgres_wire and the CDC tail refuse the same way),
+    or duplicate source key values."""
     key_cols = [key] if isinstance(key, str) else list(key)
     if not key_cols or len(set(key_cols)) != len(key_cols):
         raise ValueError(
@@ -39,12 +42,14 @@ def validate_merge_keys(source: DataFrame, key) -> tuple[list[str], int]:
         F.count_distinct(*[F.col(c) for c in key_cols]).alias("k"),
         F.max(any_null).alias("has_null"),
     ).first()
-    if len(key_cols) > 1 and kc["has_null"]:
+    if kc["has_null"]:
         raise ValueError(
-            f"merge source has NULL in composite key {key_cols!r}; a "
-            "keyed merge cannot address such rows"
+            f"merge source has NULL in key column(s) {key_cols!r}; a "
+            "keyed merge cannot address such rows (the equality join "
+            "never matches NULL, so they would insert-only on every "
+            "replay) — filter them out or choose a non-null key"
         )
-    n_source_keys = int(kc["k"]) + (1 if kc["has_null"] else 0)
+    n_source_keys = int(kc["k"])
     if kc["n"] != n_source_keys:
         raise ValueError(
             f"merge source has duplicate values in key column(s) {key_cols!r}; "

@@ -228,8 +228,10 @@ def test_mirror_composite_key_cdc(spark, tmpdir, dst_fmt):
 
 @pytest.mark.parametrize("fmt", ["delta", "iceberg"])
 def test_merge_composite_key_null_refuses(spark, tmpdir, fmt):
-    """NULL in any composite-key column is unaddressable by the equality
-    joins — refuse loudly (the pgwire composite-key guard)."""
+    """NULL in any key column — composite OR single (r15: the historical
+    one-NULL-key allowance was a silent append-on-replay hazard, since the
+    equality join can never match it) — is unaddressable; refuse loudly
+    (the pgwire guard's contract)."""
     t = os.path.join(str(tmpdir), "t")
     write = write_delta if fmt == "delta" else write_iceberg
     merge = merge_delta if fmt == "delta" else merge_iceberg
@@ -239,8 +241,15 @@ def test_merge_composite_key_null_refuses(spark, tmpdir, fmt):
     bad = spark.createDataFrame(
         [("a", None, 11)], "r string, id long, v long"
     )
-    with pytest.raises(ValueError, match="NULL in composite key"):
+    with pytest.raises(ValueError, match="NULL in key column"):
         merge(spark, t, bad, ["r", "id"])
+    # single-column key: same refusal, same error shape
+    with pytest.raises(ValueError, match="NULL in key column"):
+        merge(spark, t, bad, "id")
+    # and a valid single-key merge on the same table still works after
+    good = spark.createDataFrame([("a", 1, 99)], "r string, id long, v long")
+    res = merge(spark, t, good, "id")
+    assert res["updated"] == 1
 
 
 def test_cli_mirror_cross_format(spark, tmpdir):
