@@ -2338,10 +2338,12 @@ def streaming_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_event_files(
         spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
-    # width 16: the per-user Python stateful UDF wants task parallelism
+    # width 24: the per-user Python stateful UDF wants task parallelism
     # but 32 state stores pay more commit overhead than the extra lanes
-    # return (A/B at sf0.1: 2.6s/2.1s/2.9s at 8/16/32)
-    child = _parity_stream_session(spark, width=16)
+    # return (A/B at sf0.1: 2.6s/2.1s/2.9s at 8/16/32; r15 re-sweep with
+    # the pruned-input operator: best/median 2.34/2.54 at 16 vs 2.11/2.12
+    # at 24 — 24 lanes = 32 cores x 0.75, the measured optimum)
+    child = _parity_stream_session(spark, width=24)
     sink = _parity_sink(child, "sstate")
     q = (
         stateful_user_totals(read_event_stream(child, staged, max_files_per_trigger=2))
@@ -2464,13 +2466,15 @@ def streaming_stateful_v2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_event_files(
         spark, sf_dir, "events4", lambda ev: ev.repartition(4)
     )
-    # width 16: with the fallback's user-keyed histogram state the Python
-    # group count is |users|, and 16 stores balance UDF parallelism
+    # width 24: with the fallback's user-keyed histogram state the Python
+    # group count is |users|, and the width balances UDF parallelism
     # against per-store commit cost (A/B at sf0.1 under the clone confs:
-    # 3.1s/2.4s/2.9s at 8/16/32; before the user-keyed rewrite the
-    # (user,type)-keyed version wanted 32 — the state-width knob tracks
-    # the operator's group count; PERF_NOTES r8/r12)
-    child = _parity_stream_session(spark, width=16)
+    # 3.1s/2.4s/2.9s at 8/16/32; r15 re-sweep with the pruned-input
+    # operator: best/median 2.40/2.66 at 16 vs 2.24/2.38 at 24; before
+    # the user-keyed rewrite the (user,type)-keyed version wanted 32 —
+    # the state-width knob tracks the operator's group count;
+    # PERF_NOTES r8/r12/r15)
+    child = _parity_stream_session(spark, width=24)
     stream = read_event_stream(child, staged, max_files_per_trigger=2)
     use_v2 = transformwithstate_runtime_available()
     sink = _parity_sink(child, "sstate2")

@@ -74,7 +74,13 @@ _USER_STATE_SCHEMA = T.StructType(
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running per-user
     event count/value total, updated every micro-batch — the extension
-    mechanism for operators Spark's built-in aggregations can't express."""
+    mechanism for operators Spark's built-in aggregations can't express.
+
+    The input is pruned to (user_id, value) BEFORE the stateful op:
+    Catalyst cannot see into the Python UDF, so without the explicit
+    select every event column — including the props JSON blob — would
+    cross Arrow into Python for every group, every batch."""
+    stream = stream.select("user_id", "value")
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -123,8 +129,14 @@ def stateful_type_histogram(stream: DataFrame) -> DataFrame:
     this container, so the parity test is dependency-gated like the live
     Postgres/MinIO suite — tests/test_streaming.py).  The operator itself
     is complete; it is not registered as a driver query because the gate
-    environment cannot execute it."""
+    environment cannot execute it.
+
+    Input pruned to (user_id, event_type, value) before the stateful op —
+    column pruning cannot pass through the Python UDF boundary (see
+    stateful_user_totals)."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    stream = stream.select("user_id", "event_type", "value")
 
     class TypeHistogram(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -239,7 +251,12 @@ def stateful_type_histogram_fallback(stream: DataFrame) -> DataFrame:
     batch where this pays |users| — measured 1.9s vs 0.8s per 50k-row
     micro-batch at sf0.1.  The driver query streaming_stateful_v2_parity
     runs whichever of the two the environment supports; both converge to
-    the batch GROUP BY."""
+    the batch GROUP BY.
+
+    Input pruned to (user_id, event_type, value) before the stateful op —
+    column pruning cannot pass through the Python UDF boundary (see
+    stateful_user_totals)."""
+    stream = stream.select("user_id", "event_type", "value")
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
