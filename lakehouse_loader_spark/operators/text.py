@@ -262,3 +262,82 @@ def chunk_tokens(
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
     )
+
+
+# The BPE merge-application fold shared by training and encoding: applies a
+# `merges` array<struct<a,b>> column in rank order to the word column `w`,
+# each merge as ONE carry-aware left fold over the token list (adjacent
+# (a,b) -> concat(a,b), left-to-right non-overlapping).  JVM higher-order
+# functions only — whole-stage codegen, no Python in the hot path.  The
+# single-element-list wrapping trick the fold relies on is mirrored
+# verbatim in the DuckDB oracles (list_reduce over list_transform(t->[t])).
+BPE_APPLY_MERGES_EXPR = """
+aggregate(
+  merges,
+  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+  (toks, m) -> aggregate(
+    toks,
+    CAST(array() AS array<string>),
+    (acc, t) -> IF(size(acc) > 0
+                   AND element_at(acc, -1) = m.a AND t = m.b,
+                   concat(slice(acc, 1, size(acc) - 1),
+                          array(concat(m.a, m.b))),
+                   concat(acc, array(t)))))
+"""
+
+
+def bpe_train_merges(vocab: DataFrame, k: int = 8) -> list[tuple]:
+    """ITERATIVE BPE training: k rounds of count -> argmax -> merge over
+    the distinct-word vocabulary (real BPE, vs the single counting pass of
+    bpe_pair_counts — r14 verdict item 5).  ``vocab`` is (w, wc); returns
+    ``[(rank, a, b, merged, cnt), ...]`` — at most k entries, fewer if the
+    vocabulary runs out of adjacent pairs.
+
+    100 TB shape: the corpus is touched ZERO times here (the caller built
+    the vocab with its one corpus shuffle); every round is a vocab-sized
+    JVM job (apply merges-so-far via BPE_APPLY_MERGES_EXPR, explode
+    adjacent pairs, weighted count, top-1).  Driver state is the k-entry
+    merge list — constant.  Ties break on (cnt DESC, a, b), pinned by the
+    oracle's ORDER BY."""
+    spark = vocab.sparkSession
+    merges: list[tuple] = []
+    for rank in range(1, k + 1):
+        if merges:
+            mdf = spark.createDataFrame(
+                [([(a, b) for (_r, a, b, _m, _c) in merges],)],
+                "merges array<struct<a:string,b:string>>",
+            )
+            toks = vocab.crossJoin(F.broadcast(mdf)).select(
+                "w", "wc", F.expr(BPE_APPLY_MERGES_EXPR).alias("toks")
+            )
+        else:
+            toks = vocab.select(
+                "w",
+                "wc",
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ).alias("toks"),
+            )
+        top = (
+            toks.filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(element_at(toks, i) AS a, "
+                        "element_at(toks, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()  # ONE row per round, k rounds — constant driver state
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append((rank, r["a"], r["b"], r["a"] + r["b"], int(r["cnt"])))
+    return merges

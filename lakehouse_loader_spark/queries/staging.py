@@ -261,3 +261,33 @@ def staged_ivf_index(
 
     inv = _staged(spark, sf_dir, f"ivfinv{n_centroids}", build_inv)
     return inv, cents
+
+
+def staged_bpe_merges(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """The ITERATIVELY-trained BPE merge table (rank, a, b, merged, cnt) as
+    a session-staged artifact — FAISS-shaped train-once/apply-many, like
+    staged_ivf_index: bpe_train_iterative returns it and bpe_encode_corpus
+    consumes it, so the k training rounds run once per (session, sf_dir)
+    instead of once per encode call.  Vocab (the one corpus shuffle) is
+    built here; the trainer itself never touches corpus volume
+    (operators/text.py:bpe_train_merges)."""
+    from lakehouse_loader_spark.operators.text import bpe_train_merges
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = (
+            docs.select(
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
+        merges = bpe_train_merges(vocab, k=k)
+        return spark.createDataFrame(
+            merges, "rank long, a string, b string, merged string, cnt long"
+        ).coalesce(1)
+
+    return _staged(spark, sf_dir, f"bpemerges{k}", build)

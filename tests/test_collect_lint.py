@@ -45,6 +45,10 @@ BUDGET = {
     # has-null) over the merge source, moved here from both sinks
     "sinks/keys.py": 1,
     "operators/graph.py": 1,
+    # text.py (r15): bpe_train_merges collects ONE top-pair row per
+    # training round, k (=8) rounds — constant driver state; the merge
+    # list it accumulates is the k-entry trained artifact itself
+    "operators/text.py": 1,
     "operators/similarity.py": 5,
     "sources/pgwire.py": 1,
     "queries/pipeline.py": 4,

@@ -515,3 +515,37 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     # determinism: second run identical
     out2 = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in fn(spark, SF_ORACLE).collect()}
     assert out2 == out
+
+
+def test_bpe_train_iterative_pairs_merged_tokens(spark):
+    # "aaab": round 1 counts (a,a)x2,(a,b)x1 -> merge aa; round 2 re-counts
+    # the RE-TOKENIZED vocab [aa,a,b]: (a,b) ties nothing and wins the
+    # (cnt DESC, a, b) order over (aa,a) -> merge ab; round 3 pairs TWO
+    # earlier merged tokens (aa,ab) — unreachable for a single counting
+    # pass over raw chars, the property that makes the trainer iterative.
+    vocab = spark.createDataFrame([("aaab", 1)], "w string, wc long")
+    merges = T.bpe_train_merges(vocab, k=5)
+    assert [(a, b) for (_r, a, b, _m, _c) in merges] == [
+        ("a", "a"),
+        ("a", "b"),
+        ("aa", "ab"),
+    ]
+    # runs out of adjacent pairs after 3 merges: k=5 returns only 3
+    assert [m[0] for m in merges] == [1, 2, 3]
+
+
+def test_bpe_merge_fold_is_carry_aware_left_to_right(spark):
+    # "aaa" under merge (a,a) -> [aa, a]: the fold must NOT rescan the
+    # just-merged token (left-to-right non-overlapping), and the trailing
+    # singleton survives.
+    one = spark.createDataFrame(
+        [("aaa",)], "w string"
+    ).crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [([("a", "a")],)], "merges array<struct<a:string,b:string>>"
+            )
+        )
+    )
+    [row] = one.select(F.expr(T.BPE_APPLY_MERGES_EXPR).alias("toks")).collect()
+    assert row["toks"] == ["aa", "a"]
