@@ -264,6 +264,65 @@ def chunk_tokens(
     )
 
 
+def chunk_token_arrays(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``chunk_tokens``' retrieval-facing sibling: identical chunk
+    boundaries (same starts sequence, same clipped slice), but the output
+    carries the token slice itself — (doc_id, chunk_id, toks) — for stages
+    that embed or score the passage content (retrieve_chunks_topk).  Still
+    entirely map-side: tokenize + sequence + posexplode, zero shuffles."""
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("p0", "chunk_start"),
+    )
+    return out.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("chunk_id"),
+        F.slice("__toks", F.col("chunk_start"), chunk_size).alias("toks"),
+    )
+
+
+FEATURE_HASH_DIM = 64
+
+
+def feature_hash_expr(toks_col: str = "toks", dim: int = FEATURE_HASH_DIM) -> str:
+    """Hashing-trick text embedding (HashingTF with a sign bit): each token
+    maps to bucket ``md5[0:8] mod dim`` with sign ``md5[8] mod 2``, and the
+    chunk vector is the signed count per bucket — the standard feature-
+    hashing projection, md5-based so the DuckDB oracle reproduces it
+    bit-exactly (counts are small integers, exact in float32).
+
+    Shape: ONE fold over the token list with the dim-slot vector as the
+    accumulator — md5 runs once per token (not once per (token, slot)),
+    everything JVM-side whole-stage codegen, no shuffle, no UDF."""
+    return f"""
+aggregate(
+  transform({toks_col}, t -> named_struct(
+    'b', pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),
+              {dim}),
+    's', IF(pmod(CAST(conv(substring(md5(t), 9, 1), 16, 10) AS BIGINT), 2)
+              = 0,
+            CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))),
+  array_repeat(CAST(0 AS BIGINT), {dim}),
+  (acc, p) -> transform(acc, (x, i) -> x + IF(p.b = i, p.s,
+                                              CAST(0 AS BIGINT))),
+  acc -> transform(acc, x -> CAST(x AS FLOAT)))
+"""
+
+
 # The BPE merge-application fold shared by training and encoding: applies a
 # `merges` array<struct<a,b>> column in rank order to the word column `w`,
 # each merge as ONE carry-aware left fold over the token list (adjacent

@@ -549,3 +549,32 @@ def test_bpe_merge_fold_is_carry_aware_left_to_right(spark):
     )
     [row] = one.select(F.expr(T.BPE_APPLY_MERGES_EXPR).alias("toks")).collect()
     assert row["toks"] == ["aa", "a"]
+
+
+def test_chunk_token_arrays_matches_chunk_tokens_boundaries(spark, docs):
+    # the retrieval-facing sibling must produce the SAME chunks as
+    # chunk_tokens: md5 of its token slice == chunk_tokens' chunk_hash,
+    # chunk-for-chunk
+    hashed = T.chunk_token_arrays(docs, chunk_size=8, overlap=2).select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.concat_ws(" ", "toks").cast("binary")).alias("h"),
+    )
+    ref = T.chunk_tokens(docs, chunk_size=8, overlap=2).select(
+        "doc_id", F.col("chunk_id"), F.col("chunk_hash").alias("h")
+    )
+    assert hashed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(hashed).count() == 0
+
+
+def test_feature_hash_embed_is_signed_token_count(spark):
+    # dim-slot signed counts: duplicate tokens accumulate, and the total
+    # L1 mass equals the token count parity (each token contributes ±1)
+    df = spark.createDataFrame(
+        [(["x", "x", "y"],), ([],)], "toks array<string>"
+    ).select(F.expr(T.feature_hash_expr("toks")).alias("v"))
+    rows = {tuple(r["v"]) for r in df.collect()}
+    vecs = sorted(rows, key=lambda v: sum(abs(x) for x in v))
+    assert sum(abs(x) for x in vecs[0]) == 0  # empty -> zero vector
+    assert sum(abs(x) for x in vecs[1]) in (1, 3)  # x,x may cancel y's slot
+    assert all(len(v) == 64 for v in rows)
