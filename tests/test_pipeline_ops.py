@@ -578,3 +578,93 @@ def test_feature_hash_embed_is_signed_token_count(spark):
     assert sum(abs(x) for x in vecs[0]) == 0  # empty -> zero vector
     assert sum(abs(x) for x in vecs[1]) in (1, 3)  # x,x may cancel y's slot
     assert all(len(v) == 64 for v in rows)
+
+
+# ---------------------------------------------------------------------------
+# Property walks: the iterative BPE trainer and the feature-hash embedding
+# against pure-Python references (hypothesis, the test_mirror model-walk
+# pattern — max_examples kept small because each example runs Spark jobs)
+# ---------------------------------------------------------------------------
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+
+def _py_apply_merge(ts, a, b):
+    """The carry-aware left-to-right non-overlapping merge fold."""
+    out = []
+    for t in ts:
+        if out and out[-1] == a and t == b:
+            out[-1] = a + b
+        else:
+            out.append(t)
+    return out
+
+
+def _py_train(vocab, k):
+    """Reference iterative BPE: weighted pair count -> (cnt DESC, a, b)
+    argmax -> re-tokenize, k rounds."""
+    toks = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for w, ts in toks.items():
+            for a, b in zip(ts, ts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w in toks:
+            toks[w] = _py_apply_merge(toks[w], a, b)
+    return merges, toks
+
+
+_WORDS = st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=7),
+    st.integers(min_value=1, max_value=5),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vocab=_WORDS)
+def test_bpe_trainer_matches_python_reference(spark, vocab):
+    vdf = spark.createDataFrame(list(vocab.items()), "w string, wc long")
+    got = T.bpe_train_merges(vdf, k=4)
+    want, want_toks = _py_train(vocab, 4)
+    assert got == want
+    if want:
+        # applying the trained merges via the shared SQL fold reproduces
+        # the reference trainer's final tokenization word-for-word
+        mdf = spark.createDataFrame(
+            [([(a, b) for (_r, a, b, _m, _c) in got],)],
+            "merges array<struct<a:string,b:string>>",
+        )
+        enc = (
+            vdf.crossJoin(F.broadcast(mdf))
+            .selectExpr("w", f"{T.BPE_APPLY_MERGES_EXPR} AS toks")
+            .collect()
+        )
+        assert {r["w"]: r["toks"] for r in enc} == want_toks
+
+
+def _py_feature_hash(tokens, dim=64):
+    v = [0] * dim
+    for t in tokens:
+        h = hashlib.md5(t.encode()).hexdigest()
+        v[int(h[:8], 16) % dim] += 1 if int(h[8], 16) % 2 == 0 else -1
+    return [float(x) for x in v]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcxyz0 .", min_size=0, max_size=6), max_size=12
+    )
+)
+def test_feature_hash_matches_python_md5(spark, toks):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    [row] = df.select(F.expr(T.feature_hash_expr("toks")).alias("v")).collect()
+    assert row["v"] == _py_feature_hash(toks)
