@@ -326,6 +326,7 @@ def user_delegation_sas_string_to_sign(
     expiry: str,
     udk: dict,
     blob: str = "",
+    directory: str = "",
     version: str = SAS_VERSION,
     protocol: str = "https,http",
 ) -> str:
@@ -334,9 +335,17 @@ def user_delegation_sas_string_to_sign(
     key fields, saoid/suoid/scid (unused here), sip, spr, sv, sr,
     snapshot time, encryption scope, and the five rsc* overrides —
     newline-joined, NO trailing newline.  Shared with the loopback
-    server's independent re-derivation."""
-    resource = f"/blob/{account}/{container}" + (f"/{blob}" if blob else "")
-    sr = "b" if blob else "c"
+    server's independent re-derivation.
+
+    ``directory`` selects the HNS/ADLS-Gen2 directory scope (sr=d): the
+    canonicalized resource is the directory path and the minted SAS must
+    carry ``sdd`` (signedDirectoryDepth) — the depth is NOT part of the
+    string-to-sign, only the query-parameter set."""
+    if blob and directory:
+        raise ValueError("pass blob or directory, not both")
+    tail = blob or directory
+    resource = f"/blob/{account}/{container}" + (f"/{tail}" if tail else "")
+    sr = "b" if blob else ("d" if directory else "c")
     return "\n".join(
         [
             permissions,
@@ -375,22 +384,28 @@ def generate_user_delegation_sas(
     expiry: str | None = None,
     start: str = "",
     blob: str = "",
+    directory: str = "",
     lifetime_s: int = 3600,
 ) -> list[tuple[str, str]]:
     """Mint the user-delegation SAS query-parameter set (sv/sr/sp/(st)/se/
     spr + the six sk* key-attestation params + sig) — signed with the
     DELEGATION key, so neither the storage account key nor the AAD secret
-    ever reaches the data path.  Scoped to one container (or one blob
-    when ``blob`` is given), unlike the account SAS."""
+    ever reaches the data path.  Scoped to one container, one blob
+    (``blob``), or one HNS directory subtree (``directory`` → sr=d with
+    the REQUIRED ``sdd`` signedDirectoryDepth param: the number of
+    "/"-separated segments in the directory path; a verifier must refuse
+    blobs not strictly under that many segments), unlike the account
+    SAS."""
     if expiry is None:
         exp = _dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(seconds=lifetime_s)
         expiry = exp.strftime("%Y-%m-%dT%H:%M:%SZ")
     sts = user_delegation_sas_string_to_sign(
-        account, container, permissions, start, expiry, udk, blob=blob
+        account, container, permissions, start, expiry, udk,
+        blob=blob, directory=directory,
     )
     params = [
         ("sv", SAS_VERSION),
-        ("sr", "b" if blob else "c"),
+        ("sr", "b" if blob else ("d" if directory else "c")),
         ("sp", permissions),
         ("se", expiry),
         ("spr", "https,http"),
@@ -402,6 +417,11 @@ def generate_user_delegation_sas(
         ("skv", udk["signed_version"]),
         ("sig", sign_shared_key(udk["value"], sts)),
     ]
+    if directory:
+        # sdd rides OUTSIDE the signature (spec: query param only), so a
+        # verifier must recompute the directory prefix from the request
+        # path at this depth and let the signature check scope it
+        params.insert(2, ("sdd", str(len(directory.strip("/").split("/")))))
     if start:
         params.insert(3, ("st", start))
     return params

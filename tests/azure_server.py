@@ -178,6 +178,23 @@ class _Handler(BaseHTTPRequestHandler):
         resource = f"/blob/{self.state.account}/{container}"
         if sr == "b" and blob:
             resource += f"/{blob}"
+        elif sr == "d":
+            # directory scope (HNS): sdd names how many path segments the
+            # SIGNED directory has; rebuild that prefix from the REQUEST
+            # path and let the signature check scope it (a blob outside
+            # the signed directory rebuilds a different prefix and the
+            # HMAC fails).  sdd itself is unsigned, but tampering with it
+            # changes the rebuilt prefix, which also fails the HMAC.  The
+            # blob must sit STRICTLY BELOW the directory (more segments
+            # than sdd); container ops (list) have no blob path to scope
+            # and are refused under sr=d.
+            if not q.get("sdd", "").isdigit() or not blob:
+                return False
+            depth = int(q["sdd"])
+            segs = blob.split("/")
+            if depth < 1 or len(segs) <= depth:
+                return False
+            resource += "/" + "/".join(segs[:depth])
         sts = "\n".join(
             [
                 q.get("sp", ""),           # signedPermissions
@@ -225,10 +242,11 @@ class _Handler(BaseHTTPRequestHandler):
         )
         if needed not in q.get("sp", ""):
             return False
-        # sr=b scopes to ONE blob: a container operation (or another blob)
-        # fails the signature above because the canonicalized resource
-        # differs — nothing more to check here
-        return sr in ("b", "c")
+        # sr=b scopes to ONE blob, sr=d to one directory subtree: a
+        # container operation (or an out-of-scope blob) fails the
+        # signature above because the canonicalized resource differs —
+        # nothing more to check here
+        return sr in ("b", "c", "d")
 
     def do_POST(self):
         body = self._read_body()

@@ -303,3 +303,44 @@ def test_user_delegation_sas_blob_scoped(azenv):
     with pytest.raises(AZ.AzureError) as ei:
         client.get_object("bscope", "two.txt")
     assert ei.value.status == 403
+
+
+def test_user_delegation_sas_directory_scoped(azenv):
+    """sr=d + sdd (the HNS/ADLS-Gen2 directory scope): blobs strictly
+    under the signed directory round-trip; a sibling directory, a blob AT
+    the directory's own depth, and a tampered sdd all fail the
+    independently re-derived signature/scope checks."""
+    keyed, state = azenv
+    ep = f"http://{keyed.host}:{keyed.port}"
+    token = AZ.aad_client_credentials_token(
+        f"{ep}/__aad", state.aad_tenant, state.aad_client_id,
+        state.aad_client_secret,
+    )
+    udk = AZ.request_user_delegation_key(ep, token)
+    sas = AZ.generate_user_delegation_sas(
+        "devacct", "dscope", udk, permissions="rcw", directory="logs/2024"
+    )
+    assert ("sdd", "2") in sas and ("sr", "d") in sas
+    client = AZ.AzureBlobClient(ep, "devacct", sas_token=sas)
+    client.put_object("dscope", "logs/2024/a/x.txt", b"deep")
+    assert client.get_object("dscope", "logs/2024/a/x.txt") == b"deep"
+    client.put_object("dscope", "logs/2024/y.txt", b"direct-child")
+    # sibling directory: prefix rebuilt at depth 2 differs -> HMAC fails
+    keyed.put_object("dscope", "logs/2025/z.txt", b"sibling")
+    with pytest.raises(AZ.AzureError) as ei:
+        client.get_object("dscope", "logs/2025/z.txt")
+    assert ei.value.status == 403
+    # a blob AT the directory depth (not strictly below) is out of scope
+    keyed.put_object("dscope", "logs/2024", b"at-depth")
+    with pytest.raises(AZ.AzureError):
+        client.get_object("dscope", "logs/2024")
+    # tampered sdd: the rebuilt prefix changes, so the signature fails
+    shallow = [("sdd", "1") if k == "sdd" else (k, v) for k, v in sas]
+    bad = AZ.AzureBlobClient(ep, "devacct", sas_token=shallow)
+    with pytest.raises(AZ.AzureError):
+        bad.get_object("dscope", "logs/2024/y.txt")
+    # blob + directory together is a caller error
+    with pytest.raises(ValueError):
+        AZ.generate_user_delegation_sas(
+            "devacct", "dscope", udk, blob="b", directory="d"
+        )
