@@ -330,10 +330,16 @@ aggregate(
 # functions only — whole-stage codegen, no Python in the hot path.  The
 # single-element-list wrapping trick the fold relies on is mirrored
 # verbatim in the DuckDB oracles (list_reduce over list_transform(t->[t])).
-BPE_APPLY_MERGES_EXPR = """
+def bpe_apply_merges_expr(
+    init: str = "transform(sequence(1, length(w)), i -> substring(w, i, 1))",
+) -> str:
+    """The fold with a caller-chosen initial token list — the trainer
+    starts each round from its materialized state column instead of
+    re-splitting the word."""
+    return f"""
 aggregate(
   merges,
-  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+  {init},
   (toks, m) -> aggregate(
     toks,
     CAST(array() AS array<string>),
@@ -345,6 +351,9 @@ aggregate(
 """
 
 
+BPE_APPLY_MERGES_EXPR = bpe_apply_merges_expr()
+
+
 def bpe_train_merges(vocab: DataFrame, k: int = 8) -> list[tuple]:
     """ITERATIVE BPE training: k rounds of count -> argmax -> merge over
     the distinct-word vocabulary (real BPE, vs the single counting pass of
@@ -353,25 +362,32 @@ def bpe_train_merges(vocab: DataFrame, k: int = 8) -> list[tuple]:
     vocabulary runs out of adjacent pairs.
 
     100 TB shape: the corpus is touched ZERO times here (the caller built
-    the vocab with its one corpus shuffle); every round is a vocab-sized
-    JVM job (apply merges-so-far via BPE_APPLY_MERGES_EXPR, explode
-    adjacent pairs, weighted count, top-1).  Driver state is the k-entry
-    merge list — constant.  Ties break on (cnt DESC, a, b), pinned by the
-    oracle's ORDER BY."""
-    spark = vocab.sparkSession
+    — and should MATERIALIZE, it is consumed k times — the vocab with its
+    one corpus shuffle; staged_bpe_merges does).  Every round is one
+    map-side vocab pass: re-tokenize from characters under the
+    merges-so-far array as ONE flat aggregate expression (no chained-plan
+    depth, no per-round state IO — measured cheaper than materializing
+    the token-state chain for bounded k), explode adjacent pairs,
+    weighted count, top-1.  Driver state is the k-entry merge list —
+    constant.  Ties break on (cnt DESC, a, b), pinned by the oracle's
+    ORDER BY."""
     merges: list[tuple] = []
     for rank in range(1, k + 1):
         if merges:
-            mdf = spark.createDataFrame(
-                [([(a, b) for (_r, a, b, _m, _c) in merges],)],
-                "merges array<struct<a:string,b:string>>",
+            # merges-so-far as a LITERAL array column — a per-round
+            # one-row createDataFrame + crossJoin costs ~2s of RPC and
+            # job overhead (measured); a literal is free
+            marr = F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for (_r, a, b, _m, _c) in merges
+                ]
             )
-            toks = vocab.crossJoin(F.broadcast(mdf)).select(
-                "w", "wc", F.expr(BPE_APPLY_MERGES_EXPR).alias("toks")
+            toks = vocab.withColumn("merges", marr).select(
+                "wc", F.expr(BPE_APPLY_MERGES_EXPR).alias("toks")
             )
         else:
             toks = vocab.select(
-                "w",
                 "wc",
                 F.expr(
                     "transform(sequence(1, length(w)), i -> substring(w, i, 1))"

@@ -276,6 +276,8 @@ def staged_bpe_merges(
     from lakehouse_loader_spark.operators.text import bpe_train_merges
 
     def build() -> DataFrame:
+        from lakehouse_loader_spark.operators import materialize_shared
+
         docs = load_table(spark, sf_dir, "documents")
         vocab = (
             docs.select(
@@ -285,6 +287,9 @@ def staged_bpe_merges(
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("wc"))
         )
+        # the trainer consumes the vocab k times — pay the corpus shuffle
+        # ONCE and let every round scan the columnar artifact
+        vocab = materialize_shared(vocab, "bpe-vocab")
         merges = bpe_train_merges(vocab, k=k)
         return spark.createDataFrame(
             merges, "rank long, a string, b string, merged string, cnt long"
