@@ -2864,6 +2864,88 @@ def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer VOCAB export (the artifact between training and encoding):
+# base character tokens in binary order, then merged tokens in rank order —
+# the GPT-2-style id layout a serving tokenizer loads
+# --------------------------------------------------------------------------
+_BPE_VOCAB_ORACLE = (
+    "WITH "
+    + _bpe_iter_merge_ctes(_BPE_TRAIN_K)
+    + ",\n    chars AS ("
+    + """
+      SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS token
+      FROM vocab, unnest(range(1, length(w) + 1)) AS u(i)),
+    nch AS (SELECT COUNT(*) AS n FROM chars),
+    charids AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id, token
+      FROM chars),
+    mergeids AS ("""
+    + "\n      UNION ALL ".join(
+        f"SELECT nch.n + {i} - 1 AS token_id, m{i}.merged AS token "
+        f"FROM m{i} CROSS JOIN nch"
+        for i in range(1, _BPE_TRAIN_K + 1)
+    )
+    + """)
+    SELECT CAST(token_id AS BIGINT) AS token_id, token, 'char' AS kind
+    FROM charids
+    UNION ALL
+    SELECT CAST(token_id AS BIGINT), token, 'merge' FROM mergeids
+    ORDER BY token_id
+    """
+)
+
+
+@query("bpe_vocab", oracle=_BPE_VOCAB_ORACLE)
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's id-mapped vocabulary: every base character
+    observed in the corpus vocab (binary-sorted, ids 0..n-1) followed by
+    the k iteratively-trained merge tokens in rank order (ids n..n+k-1) —
+    the GPT-2-style vocab layout the encode stage serves under, exported
+    as the third tokenizer-stage artifact (train → VOCAB → encode).
+
+    100 TB shape: the character set rides ONE global aggregate into a
+    charset-bounded sorted array (constant size — the bpe_encode merge-
+    array argument), posexploded back to rows for the id assignment; no
+    global-order window over data.  Merged tokens come from the staged
+    trainer (no retraining).  Oracle: same chars from the vocab CTE, same
+    ROW_NUMBER order, same rank offsets."""
+    from lakehouse_loader_spark.queries.staging import staged_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(F.explode(F.split("w", "")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    # charset-bounded single-row array (SinglePartition feeds an AGGREGATE
+    # only — the allowed shape); posexplode assigns binary-order ids
+    arr = chars.agg(F.array_sort(F.collect_set("token")).alias("arr"))
+    charids = arr.select(
+        F.posexplode("arr").alias("pos", "token"),
+        F.size("arr").alias("n_chars"),
+    )
+    base = charids.select(
+        F.col("pos").cast("bigint").alias("token_id"),
+        "token",
+        F.lit("char").alias("kind"),
+    )
+    nch = charids.select(F.col("n_chars").cast("bigint")).limit(1)
+    merged = (
+        staged_bpe_merges(spark, sf_dir, k=_BPE_TRAIN_K)
+        .crossJoin(F.broadcast(nch))  # one-row charset size
+        .select(
+            (F.col("n_chars") + F.col("rank") - 1).alias("token_id"),
+            F.col("merged").alias("token"),
+            F.lit("merge").alias("kind"),
+        )
+    )
+    return base.unionAll(merged)
+
+
+# --------------------------------------------------------------------------
 # BPE APPLY pass: encode the corpus under the ITERATIVELY-trained merge
 # table (r13 verdict item 6; re-based onto the staged iterative trainer in
 # r15 per r14 verdict item 5)
