@@ -1,0 +1,89 @@
+"""IVF-index-as-a-lakehouse-table roundtrip: save the staged index pair
+as Delta/Iceberg tables, load it back, and serve IDENTICAL ANN results —
+plus the pair-integrity refusals.  Also the first array-typed data
+through both hand-rolled table writers."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_loader_spark.catalog import load_table
+from lakehouse_loader_spark.operators.similarity import (
+    ivf_ann_topk,
+    train_ivf_centroids_sampled,
+)
+from lakehouse_loader_spark.sinks.ann_index import load_ivf_index, save_ivf_index
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_pair(spark):
+    emb = load_table(spark, SF, "embeddings")
+    cents = train_ivf_centroids_sampled(emb, n_centroids=4)
+    # assignment via the operator's own path: search once with the trained
+    # centroids and no prebuilt file, then rebuild the file it used
+    from lakehouse_loader_spark.queries.staging import staged_ivf_index
+
+    inv, staged_cents = staged_ivf_index(spark, SF, n_centroids=4)
+    return emb, inv, staged_cents
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_ivf_index_roundtrip_serves_identical_ann(spark, tmpdir, fmt, index_pair):
+    emb, inv, cents = index_pair
+    path = os.path.join(str(tmpdir), f"ivf_{fmt}")
+    save_ivf_index(spark, inv, cents, path, fmt=fmt)
+    inv2, cents2 = load_ivf_index(spark, path, fmt=fmt)
+
+    assert np.array_equal(cents, cents2)
+    a = {(r["n_id"], r["cid"]) for r in inv.select("n_id", "cid").collect()}
+    b = {(r["n_id"], r["cid"]) for r in inv2.select("n_id", "cid").collect()}
+    assert a == b
+
+    q = emb.filter(F.col("vec_id") < 3)
+    want = sorted(
+        (r["q_id"], r["rank"], r["n_id"])
+        for r in ivf_ann_topk(emb, q, k=5, indexed=inv, centroids=cents).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["n_id"])
+        for r in ivf_ann_topk(emb, q, k=5, indexed=inv2, centroids=cents2).collect()
+    )
+    assert want == got and len(want) > 0
+
+
+def test_ivf_index_partitions_prune_by_cluster(spark, tmpdir, index_pair):
+    """The inverted file partitions on cid, so a single-cluster probe
+    plans a strict subset of the table's files (the scan planner's
+    partition pruning — the IVF n_probe/n_centroids cost model preserved
+    through the storage layer)."""
+    from lakehouse_loader_spark.sinks.delta import scan_delta_with_plan
+
+    emb, inv, cents = index_pair
+    path = os.path.join(str(tmpdir), "ivf_prune")
+    save_ivf_index(spark, inv, cents, path, fmt="delta")
+    one, plan = scan_delta_with_plan(
+        spark, os.path.join(path, "inverted"), [("cid", "=", 0)]
+    )
+    assert plan["excluded_by_partition"] > 0
+    assert 0 < len(plan["files"]) < plan["total"]
+    assert one.count() == inv.filter(F.col("cid") == 0).count()
+
+
+def test_ivf_index_pair_integrity_refusals(spark, tmpdir, index_pair):
+    emb, inv, cents = index_pair
+    with pytest.raises(ValueError, match="n_id, n_vec, cid"):
+        save_ivf_index(
+            spark, inv.select("n_id", "cid"), cents, str(tmpdir), fmt="delta"
+        )
+    with pytest.raises(ValueError, match="unknown index table format"):
+        save_ivf_index(spark, inv, cents, str(tmpdir), fmt="orc")
+    path = os.path.join(str(tmpdir), "ivf_dim")
+    save_ivf_index(spark, inv, cents[:, :32], path, fmt="delta")
+    with pytest.raises(ValueError, match="mismatched index pair"):
+        load_ivf_index(spark, path, fmt="delta")
