@@ -112,3 +112,82 @@ def load_ivf_index(
             f"{len(dim_rows[0]['n_vec'])} — mismatched index pair"
         )
     return inv, cents
+
+
+_BUCKETS = "buckets"
+_CONFIG = "config"
+
+
+def save_lsh_index(
+    spark: SparkSession,
+    indexed: DataFrame,
+    dim: int,
+    n_tables: int,
+    planes_per_table: int,
+    path: str,
+    fmt: str = "delta",
+) -> None:
+    """Persist the multi-table LSH index: the bucketed corpus
+    (n_id, n_vec, lsh_key struct) FLATTENED to (n_id, n_vec, table_id,
+    bucket) and partitioned by table_id — a probe's per-table bucket scan
+    prunes to that table's partition — plus a one-row config table
+    recording the hyperplane parameters.  The planes themselves are
+    deterministic from (dim, n_tables, planes_per_table) (seeded hash,
+    operators/similarity._hyperplanes), so the config row IS the
+    query-side hashing contract: load refuses to return an index without
+    it, because probing under different planes silently yields zero-recall
+    candidates."""
+    cols = set(indexed.columns)
+    if not {"n_id", "n_vec", "lsh_key"} <= cols:
+        raise ValueError(
+            f"LSH index must carry (n_id, n_vec, lsh_key); got {sorted(cols)}"
+        )
+    write = _writer(fmt)
+    write(
+        indexed.select(
+            "n_id",
+            "n_vec",
+            indexed["lsh_key.table_id"].alias("table_id"),
+            indexed["lsh_key.bucket"].alias("bucket"),
+        ),
+        _join(path, _BUCKETS),
+        overwrite=True,
+        partition_by=["table_id"],
+    )
+    cfg = spark.createDataFrame(
+        [(int(dim), int(n_tables), int(planes_per_table))],
+        "dim int, n_tables int, planes_per_table int",
+    ).coalesce(1)
+    write(cfg, _join(path, _CONFIG), overwrite=True)
+
+
+def load_lsh_index(
+    spark: SparkSession, path: str, fmt: str = "delta"
+) -> tuple[DataFrame, dict]:
+    """Read the LSH index back: (bucketed corpus with the lsh_key struct
+    rebuilt — the ``indexed`` argument lsh_ann_topk serves from, config
+    dict with the hyperplane parameters queries MUST hash under)."""
+    from pyspark.sql import functions as F
+
+    read = _reader(fmt)
+    cfg_rows = read(spark, _join(path, _CONFIG)).collect()
+    if len(cfg_rows) != 1:
+        raise ValueError(
+            f"LSH index config table under {path} must have exactly one "
+            f"row, found {len(cfg_rows)} — refusing an index whose "
+            "query-side hashing contract is ambiguous"
+        )
+    cfg = {
+        "dim": int(cfg_rows[0]["dim"]),
+        "n_tables": int(cfg_rows[0]["n_tables"]),
+        "planes_per_table": int(cfg_rows[0]["planes_per_table"]),
+    }
+    inv = read(spark, _join(path, _BUCKETS)).select(
+        "n_id",
+        "n_vec",
+        F.struct(
+            F.col("table_id").cast("int").alias("table_id"),
+            F.col("bucket").cast("int").alias("bucket"),
+        ).alias("lsh_key"),
+    )
+    return inv, cfg

@@ -87,3 +87,63 @@ def test_ivf_index_pair_integrity_refusals(spark, tmpdir, index_pair):
     save_ivf_index(spark, inv, cents[:, :32], path, fmt="delta")
     with pytest.raises(ValueError, match="mismatched index pair"):
         load_ivf_index(spark, path, fmt="delta")
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_lsh_index_roundtrip_serves_identical_ann(spark, tmpdir, fmt):
+    from lakehouse_loader_spark.operators.similarity import lsh_ann_topk
+    from lakehouse_loader_spark.queries.staging import staged_lsh_index
+    from lakehouse_loader_spark.sinks.ann_index import (
+        load_lsh_index,
+        save_lsh_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = staged_lsh_index(spark, SF)  # dim=64, 8 tables, 4 planes
+    path = os.path.join(str(tmpdir), f"lsh_{fmt}")
+    save_lsh_index(spark, idx, 64, 8, 4, path, fmt=fmt)
+    idx2, cfg = load_lsh_index(spark, path, fmt=fmt)
+    assert cfg == {"dim": 64, "n_tables": 8, "planes_per_table": 4}
+
+    q = emb.filter(F.col("vec_id") < 3)
+    want = sorted(
+        (r["q_id"], r["rank"], r["n_id"])
+        for r in lsh_ann_topk(emb, q, dim=64, k=5, indexed=idx).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["n_id"])
+        for r in lsh_ann_topk(
+            emb,
+            q,
+            dim=cfg["dim"],
+            k=5,
+            n_tables=cfg["n_tables"],
+            planes_per_table=cfg["planes_per_table"],
+            indexed=idx2,
+        ).collect()
+    )
+    assert want == got and len(want) > 0
+
+
+def test_lsh_index_refuses_ambiguous_config(spark, tmpdir):
+    from lakehouse_loader_spark.queries.staging import staged_lsh_index
+    from lakehouse_loader_spark.sinks.ann_index import (
+        load_lsh_index,
+        save_lsh_index,
+    )
+    from lakehouse_loader_spark.sinks.delta import write_delta
+
+    idx = staged_lsh_index(spark, SF)
+    path = os.path.join(str(tmpdir), "lsh_bad")
+    save_lsh_index(spark, idx, 64, 8, 4, path, fmt="delta")
+    # a second config row makes the hashing contract ambiguous -> refuse
+    extra = spark.createDataFrame(
+        [(32, 4, 2)], "dim int, n_tables int, planes_per_table int"
+    )
+    write_delta(extra, os.path.join(path, "config"), append=True)
+    with pytest.raises(ValueError, match="exactly one"):
+        load_lsh_index(spark, path, fmt="delta")
+    with pytest.raises(ValueError, match="n_id, n_vec, lsh_key"):
+        save_lsh_index(
+            spark, idx.select("n_id", "n_vec"), 64, 8, 4, path, fmt="delta"
+        )

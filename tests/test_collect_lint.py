@@ -46,8 +46,9 @@ BUDGET = {
     "sinks/keys.py": 1,
     # ann_index.py (r15): load_ivf_index collects the centroid table
     # (n_centroids·dim-bounded constants) and ONE row for the
-    # pair-dimension check — never corpus-sized
-    "sinks/ann_index.py": 2,
+    # pair-dimension check; load_lsh_index collects its one-row config
+    # table — never corpus-sized
+    "sinks/ann_index.py": 3,
     "operators/graph.py": 1,
     # text.py (r15): bpe_train_merges collects ONE top-pair row per
     # training round, k (=8) rounds — constant driver state; the merge
