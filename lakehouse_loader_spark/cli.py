@@ -188,6 +188,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="when source history was rewritten by DML: fail (default), "
         "full rebuild, or fold the row-level change feed (sum/count only)",
     )
+    bai = sub.add_parser(
+        "build-ann-index",
+        help="train + persist an ANN index over a vector table as "
+        "lakehouse tables (sinks/ann_index.py)",
+    )
+    bai.add_argument("source", help="vector table (parquet dir, delta, or iceberg)")
+    bai.add_argument("target", help="index root directory")
+    bai.add_argument("--kind", choices=("ivf", "lsh"), default="ivf")
+    bai.add_argument("--fmt", choices=("delta", "iceberg"), default="delta")
+    bai.add_argument(
+        "--source-format", choices=("parquet", "delta", "iceberg"), default="parquet"
+    )
+    bai.add_argument("--id-col", default="vec_id")
+    bai.add_argument("--vec-col", default="embedding")
+    bai.add_argument("--n-centroids", type=int, default=16, help="ivf only")
+    bai.add_argument("--dim", type=int, default=64, help="lsh only")
+    bai.add_argument("--n-tables", type=int, default=8, help="lsh only")
+    bai.add_argument("--planes-per-table", type=int, default=4, help="lsh only")
     cid = sub.add_parser("convert-iceberg-to-delta")
     cid.add_argument("source")
     cid.add_argument("target")
@@ -622,6 +640,74 @@ def do_main(argv: list[str]) -> None:
 
         removed = remove_orphan_files(args.target, older_than_s=args.older_than_hours * 3600)
         print(f"removed {len(removed)} orphan files", file=sys.stderr)
+        return
+    if args.command == "build-ann-index":
+        from pyspark.sql import functions as F
+
+        if args.source_format == "parquet":
+            emb = spark.read.parquet(args.source)
+        elif args.source_format == "delta":
+            from lakehouse_loader_spark.sinks.delta import read_delta
+
+            emb = read_delta(spark, args.source)
+        else:
+            from lakehouse_loader_spark.sinks.iceberg import read_iceberg
+
+            emb = read_iceberg(spark, args.source)
+        if args.kind == "ivf":
+            from lakehouse_loader_spark.operators.similarity import (
+                assign_ivf_cells,
+                train_ivf_centroids_sampled,
+            )
+            from lakehouse_loader_spark.sinks.ann_index import save_ivf_index
+
+            cents = train_ivf_centroids_sampled(
+                emb,
+                n_centroids=args.n_centroids,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+            inv = assign_ivf_cells(
+                emb, cents, id_col=args.id_col, vec_col=args.vec_col
+            )
+            save_ivf_index(spark, inv, cents, args.target, fmt=args.fmt)
+            print(
+                f"built ivf index ({args.n_centroids} centroids, "
+                f"{args.fmt}) at {args.target}",
+                file=sys.stderr,
+            )
+        else:
+            from lakehouse_loader_spark.operators import spread
+            from lakehouse_loader_spark.operators.similarity import (
+                with_lsh_buckets,
+            )
+            from lakehouse_loader_spark.sinks.ann_index import save_lsh_index
+
+            idx = with_lsh_buckets(
+                spread(emb),
+                args.dim,
+                args.n_tables,
+                args.planes_per_table,
+                args.vec_col,
+            ).select(
+                F.col(args.id_col).alias("n_id"),
+                F.col(args.vec_col).alias("n_vec"),
+                "lsh_key",
+            )
+            save_lsh_index(
+                spark,
+                idx,
+                args.dim,
+                args.n_tables,
+                args.planes_per_table,
+                args.target,
+                fmt=args.fmt,
+            )
+            print(
+                f"built lsh index ({args.n_tables}x{args.planes_per_table} "
+                f"planes, {args.fmt}) at {args.target}",
+                file=sys.stderr,
+            )
         return
     if args.command == "refresh-agg":
         from lakehouse_loader_spark.sinks.incremental import refresh_aggregate

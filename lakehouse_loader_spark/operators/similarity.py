@@ -408,6 +408,41 @@ def train_ivf_centroids(
     return cents
 
 
+def assign_ivf_cells(
+    emb: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus-wide IVF assignment pass — the expensive half of index
+    build: every vector to its nearest centroid by cosine, one normalized
+    BLAS matmul per Arrow batch (kmeans_assign's shape).  Returns the
+    (n_id, n_vec, cid) inverted file staged_ivf_index caches and
+    save_ivf_index persists.  All-zero vectors have no direction: norm 0
+    would NaN the row (0/0) and argmax over NaN would file it under an
+    ARBITRARY centroid — sims are forced to 0 so they deterministically
+    land in centroid 0."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_mat = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+    @pandas_udf("int")
+    def nearest1(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        m = stack_batch(vs)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m /= np.where(norms == 0.0, 1.0, norms)
+        return pd.Series((m @ cent_mat).argmax(axis=1).astype("int32"))
+
+    return emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        nearest1(F.col(vec_col)).alias("cid"),
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,

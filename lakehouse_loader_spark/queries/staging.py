@@ -212,7 +212,6 @@ def staged_ivf_index(
     import numpy as np
 
     from lakehouse_loader_spark.operators.similarity import (
-        stack_batch,
         train_ivf_centroids_sampled,
     )
 
@@ -232,32 +231,14 @@ def staged_ivf_index(
     cents = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
 
     def build_inv() -> DataFrame:
-        from pyspark.sql.functions import pandas_udf
-
-        cent_mat = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
-
-        @pandas_udf("int")
-        def nearest1(vs: pd.Series) -> pd.Series:
-            if not len(vs):
-                return pd.Series([], dtype="int32")
-            # whole Arrow batch as one normalized matrix → ONE matmul
-            # against the centroid matrix (this is the corpus-wide IVF
-            # assignment pass — the expensive half of index build)
-            m = stack_batch(vs)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            # all-zero vectors have no direction: norm 0 would NaN the
-            # whole row (0/0) and argmax over NaN files it under an
-            # ARBITRARY centroid — force sims=0 so they deterministically
-            # land in centroid 0 instead
-            m /= np.where(norms == 0.0, 1.0, norms)
-            return pd.Series((m @ cent_mat).argmax(axis=1).astype("int32"))
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        return emb.select(
-            F.col("vec_id").alias("n_id"),
-            F.col("embedding").alias("n_vec"),
-            nearest1(F.col("embedding")).alias("cid"),
+        # the corpus-wide assignment pass, shared with the CLI index
+        # builder (operators/similarity.py:assign_ivf_cells — one
+        # normalized BLAS matmul per Arrow batch, zero-vector guarded)
+        from lakehouse_loader_spark.operators.similarity import (
+            assign_ivf_cells,
         )
+
+        return assign_ivf_cells(load_table(spark, sf_dir, "embeddings"), cents)
 
     inv = _staged(spark, sf_dir, f"ivfinv{n_centroids}", build_inv)
     return inv, cents

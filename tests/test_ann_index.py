@@ -147,3 +147,29 @@ def test_lsh_index_refuses_ambiguous_config(spark, tmpdir):
         save_lsh_index(
             spark, idx.select("n_id", "n_vec"), 64, 8, 4, path, fmt="delta"
         )
+
+
+def test_cli_build_ann_index_subprocess(spark, tmpdir):
+    """`lhl build-ann-index` as a separate OS process: builds a servable
+    IVF index from the embeddings parquet; the loaded pair serves ANN."""
+    import subprocess
+    import sys as _sys
+
+    out = os.path.join(str(tmpdir), "cliivf")
+    r = subprocess.run(
+        [
+            _sys.executable, "-m", "lakehouse_loader_spark.cli",
+            "build-ann-index", os.path.join(SF, "embeddings.parquet"), out,
+            "--kind", "ivf", "--n-centroids", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "built ivf index" in r.stderr
+    inv, cents = load_ivf_index(spark, out)
+    assert cents.shape == (4, 64)
+    emb = load_table(spark, SF, "embeddings")
+    res = ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 2), k=3, indexed=inv, centroids=cents
+    ).collect()
+    assert len(res) == 6
