@@ -31,6 +31,9 @@ runs these on a schedule next to the loader):
         --mode copy-on-write|merge-on-read)
     lhl update-delta / update-iceberg  TARGET --where "SQL" --set COL=EXPR ...
     lhl changes-delta SOURCE TARGET --since N [--end M]   (change-feed export)
+    lhl build-ann-index SOURCE TARGET [--kind ivf|lsh] [--fmt delta|iceberg]
+        [--n-centroids N | --n-tables N --planes-per-table N]
+        (train + persist an ANN index as lakehouse tables)
 
 All loader subcommands take -a (append; engine extension on delta) and
 --evolve-schema (with -a: by-name add-column evolution instead of the
