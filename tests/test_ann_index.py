@@ -173,3 +173,34 @@ def test_cli_build_ann_index_subprocess(spark, tmpdir):
         emb, emb.filter(F.col("vec_id") < 2), k=3, indexed=inv, centroids=cents
     ).collect()
     assert len(res) == 6
+
+
+def test_retrieval_served_from_persisted_index_matches_staged(spark, tmpdir):
+    """End-to-end tie: the RAG retrieval shape (feature-hash chunk queries
+    -> IVF ANN -> exact rerank) must produce IDENTICAL neighbors whether
+    it probes the session-staged index or the lakehouse-persisted pair --
+    the deploy-time swap a production pipeline makes."""
+    from lakehouse_loader_spark.operators import text as T
+    from lakehouse_loader_spark.queries.staging import staged_ivf_index
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 4)
+    chunks = T.chunk_token_arrays(docs, chunk_size=24, overlap=8)
+    q = chunks.select(
+        (F.lit(10_000_000) + F.col("doc_id") * 1000 + F.col("chunk_id"))
+        .alias("vec_id"),
+        F.expr(T.feature_hash_expr("toks")).alias("embedding"),
+    )
+    inv, cents = staged_ivf_index(spark, SF)
+    path = os.path.join(str(tmpdir), "served")
+    save_ivf_index(spark, inv, cents, path, fmt="delta")
+    inv2, cents2 = load_ivf_index(spark, path)
+    want = sorted(
+        (r["q_id"], r["rank"], r["n_id"], r["cosine"])
+        for r in ivf_ann_topk(emb, q, k=5, indexed=inv, centroids=cents).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["n_id"], r["cosine"])
+        for r in ivf_ann_topk(emb, q, k=5, indexed=inv2, centroids=cents2).collect()
+    )
+    assert want == got and len(want) > 0
