@@ -110,9 +110,14 @@ def materialize_shared(
     # and parquet's splittability restores full READ parallelism there
     # regardless of file count
     n_out = max(8, spark.sparkContext.defaultParallelism // 4)
-    if df.rdd.getNumPartitions() > n_out:
-        df = df.coalesce(n_out)
-    df.write.mode("overwrite").parquet(path)
+    # Unconditional coalesce (r15): ``coalesce(n)`` is already a no-op when
+    # the plan has <= n partitions, and probing the count first via
+    # ``df.rdd.getNumPartitions()`` is NOT free under AQE — it materializes
+    # every intermediate query stage (real shuffle jobs), which the write
+    # below then re-executes from scratch (separate QueryExecution, no
+    # stage reuse).  Measured: a shuffle-heavy frame wrote in 0.96s clean
+    # vs 3.3s probe + 3.3s write with the probe (tools/ probe, r15).
+    df.coalesce(n_out).write.mode("overwrite").parquet(path)
     if not (_SCRATCH_DIRS or _PINNED_DIRS):
         atexit.register(_reap_scratch)
     if pin:

@@ -80,10 +80,10 @@ def _staged_path(spark: SparkSession, sf_dir: str, key: str, build) -> str:
         # files cost task overhead locally; parquet splittability restores
         # read parallelism on a real cluster regardless
         n_out = max(8, spark.sparkContext.defaultParallelism // 4)
-        df = build()
-        if df.rdd.getNumPartitions() > n_out:
-            df = df.coalesce(n_out)
-        df.write.mode("overwrite").parquet(path)
+        # unconditional coalesce — the partition-count probe double-executed
+        # the build plan under AQE (see materialize_shared, same fix r15);
+        # coalesce(n) is a no-op when the plan already has <= n partitions
+        build().coalesce(n_out).write.mode("overwrite").parquet(path)
         cache[(key, sf_dir)] = path
     return path
 
