@@ -109,6 +109,24 @@ class _BitReader:
             self.bit = 0
             self.byte += 1
 
+    def _bit_array(self) -> np.ndarray:
+        """The whole payload as a 0/1 uint8 array (lazy, cached) — the
+        random-access view the vectorized residual/subframe readers index
+        instead of per-bit read() calls.  8x the payload in memory, built
+        once per frame; payloads are KB-scale next to the decoded
+        samples."""
+        bits = getattr(self, "_bits", None)
+        if bits is None:
+            bits = np.unpackbits(np.frombuffer(self.data, dtype=np.uint8))
+            self._bits = bits
+        return bits
+
+    def _tell(self) -> int:
+        return self.byte * 8 + self.bit
+
+    def _seek(self, bitpos: int) -> None:
+        self.byte, self.bit = divmod(bitpos, 8)
+
 
 class _BitWriter:
     def __init__(self) -> None:
@@ -123,6 +141,24 @@ class _BitWriter:
             self.out.append((self.acc >> (self.n - 8)) & 0xFF)
             self.n -= 8
         self.acc &= (1 << self.n) - 1
+
+    def write_bits(self, bits: np.ndarray) -> None:
+        """Append a 0/1 uint8 array MSB-first — the vectorized bulk twin of
+        write(): byte-identical output, one packbits instead of a Python
+        loop per bit."""
+        if self.n:
+            pre = np.array(
+                [(self.acc >> (self.n - 1 - i)) & 1 for i in range(self.n)],
+                dtype=np.uint8,
+            )
+            bits = np.concatenate([pre, bits])
+            self.acc = 0
+            self.n = 0
+        nfull = len(bits) >> 3
+        if nfull:
+            self.out += np.packbits(bits[: nfull << 3]).tobytes()
+        for b in bits[nfull << 3 :]:
+            self.write(int(b), 1)
 
     def align(self) -> None:
         if self.n:
@@ -169,28 +205,28 @@ def _read_utf8_number(br: _BitReader) -> int:
     return v
 
 
-_FIXED_COEFS = {
-    0: [],
-    1: [1],
-    2: [2, -1],
-    3: [3, -3, 1],
-    4: [4, -6, 4, -1],
-}
-
-
 # -- encoder ----------------------------------------------------------------
 
 
 def _rice_encode(bw: _BitWriter, residuals: np.ndarray, param: int) -> None:
-    for r in residuals:
-        r = int(r)
-        z = (r << 1) ^ (r >> 63)  # zigzag
-        q = z >> param
-        for _ in range(q):
-            bw.write(0, 1)
-        bw.write(1, 1)
-        if param:
-            bw.write(z & ((1 << param) - 1), param)
+    # Vectorized (r15): build the whole partition's bitstream as one 0/1
+    # array — unary runs are implicit zeros, each sample writes only its
+    # terminating 1 and its ``param`` payload bits (one fancy-index store
+    # per bit PLANE, param <= 14 planes) — then bulk-append via packbits.
+    # Byte-identical to the former per-sample/per-bit loop.
+    r = np.asarray(residuals, dtype=np.int64)
+    n = len(r)
+    if not n:
+        return
+    z = (r << 1) ^ (r >> 63)  # zigzag
+    q = z >> param
+    ends = np.cumsum(q + 1 + param)
+    term = ends - 1 - param  # each sample's terminator-1 position
+    bits = np.zeros(int(ends[-1]), dtype=np.uint8)
+    bits[term] = 1
+    for b in range(param):
+        bits[term + 1 + b] = ((z >> (param - 1 - b)) & 1).astype(np.uint8)
+    bw.write_bits(bits)
 
 
 def _best_rice_param(residuals: np.ndarray) -> int:
@@ -303,15 +339,62 @@ def _read_residuals(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     for p in range(n_parts):
         n = block_size // n_parts - (order if p == 0 else 0)
         param = br.read(pbits)
+        if n == 0:
+            continue
+        # Vectorized (r15) over the cached bit array: the per-sample
+        # unary()/read() loops were the decoder's dominant cost (profiled
+        # ~60% of decode_flac).  Same values, same final bit position.
+        bits = br._bit_array()
+        p0 = br._tell()
         if param == esc:
             nbits = br.read(5)
-            for i in range(n):
-                out[pos + i] = br.read_signed(nbits) if nbits else 0
+            if nbits:
+                if p0 + 5 + n * nbits > len(bits):
+                    raise ValueError("FLAC bitstream exhausted")
+                idx = p0 + 5 + np.arange(n, dtype=np.int64) * nbits
+                v = np.zeros(n, dtype=np.int64)
+                for b in range(nbits):
+                    v = (v << 1) | bits[idx + b]
+                v[v >= (1 << (nbits - 1))] -= 1 << nbits
+                out[pos : pos + n] = v
+                br._seek(p0 + 5 + n * nbits)
+            else:
+                out[pos : pos + n] = 0
         else:
-            for i in range(n):
-                q = br.unary()
-                z = (q << param) | (br.read(param) if param else 0)
-                out[pos + i] = (z >> 1) ^ -(z & 1)  # un-zigzag
+            ones = np.flatnonzero(bits[p0:])
+            if param == 0:
+                # no payload bits: every 1 is a terminator
+                if len(ones) < n:
+                    raise ValueError("FLAC bitstream exhausted")
+                term = ones[:n].astype(np.int64)
+            else:
+                # payload bits may contain 1s; two-pointer walk selects the
+                # first 1 at >= param+1 bits past the previous terminator
+                ones_l = ones.tolist()
+                terms: list[int] = []
+                j, s, total = 0, 0, len(ones_l)
+                for _ in range(n):
+                    while j < total and ones_l[j] < s:
+                        j += 1
+                    if j >= total:
+                        raise ValueError("FLAC bitstream exhausted")
+                    t = ones_l[j]
+                    terms.append(t)
+                    s = t + 1 + param
+                    j += 1
+                term = np.asarray(terms, dtype=np.int64)
+            starts = np.empty(n, dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = term[:-1] + 1 + param
+            z = (term - starts) << param
+            if param:
+                if p0 + int(term[-1]) + 1 + param > len(bits):
+                    raise ValueError("FLAC bitstream exhausted")
+                payload0 = p0 + term + 1
+                for b in range(param):
+                    z |= bits[payload0 + b].astype(np.int64) << (param - 1 - b)
+            out[pos : pos + n] = (z >> 1) ^ -(z & 1)  # un-zigzag
+            br._seek(p0 + int(term[-1]) + 1 + param)
         pos += n
     return out
 
@@ -333,12 +416,19 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         order = stype & 0x07
         warm = [br.read_signed(bps) for _ in range(order)]
         res = _read_residuals(br, block_size, order)
-        sig = np.empty(block_size, dtype=np.int64)
-        sig[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, block_size):
-            pred = sum(c * sig[i - 1 - j] for j, c in enumerate(coefs))
-            sig[i] = res[i - order] + pred
+        # A FIXED order-k predictor makes the residuals exactly the k-th
+        # difference of the signal, so reconstruction is k integrations
+        # (vectorized r15: cumsum per level seeded from the warm-up
+        # samples' difference pyramid; int64 cumsum is exact, replacing
+        # the former per-sample recurrence loop)
+        if order == 0:
+            sig = res
+        else:
+            warm_arr = np.asarray(warm, dtype=np.int64)
+            sig = res.astype(np.int64, copy=False)
+            for d in range(order - 1, -1, -1):
+                seed = np.diff(warm_arr, n=d)[0]
+                sig = np.cumsum(np.concatenate(([seed], sig)))
     elif stype >= 0b100000:  # LPC, order 1-32
         order = (stype & 0x1F) + 1
         warm = [br.read_signed(bps) for _ in range(order)]
