@@ -622,9 +622,9 @@ def multimodal_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG degrade to media_format='opaque' rather than failing
     (decode_media never raises)."""
     from lakehouse_loader_spark.operators import multimodal as M
+    from lakehouse_loader_spark.queries.staging import staged_media_payloads
 
-    docs = load_table(spark, sf_dir, "documents")
-    return M.decode_media_features(M.synthesize_media(docs))
+    return M.decode_media_features(staged_media_payloads(spark, sf_dir, "media"))
 
 
 @query(
@@ -656,9 +656,9 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     error or channel swap flips a flag or a header column and the row
     goes red."""
     from lakehouse_loader_spark.operators import multimodal as M
+    from lakehouse_loader_spark.queries.staging import staged_media_payloads
 
-    docs = load_table(spark, sf_dir, "documents")
-    decoded = M.decode_media_features(M.synthesize_media_jpeg(docs))
+    decoded = M.decode_media_features(staged_media_payloads(spark, sf_dir, "jpeg"))
     exp = (
         "aggregate(flatten(transform(sequence(0, int(width) - 1), x -> "
         "flatten(transform(sequence(0, int(height) - 1), y -> "
@@ -729,9 +729,9 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the WAV twin — pinning that the encoder actually
     predicts + Rice-codes rather than storing verbatim)."""
     from lakehouse_loader_spark.operators import multimodal as M
+    from lakehouse_loader_spark.queries.staging import staged_media_payloads
 
-    docs = load_table(spark, sf_dir, "documents")
-    decoded = M.decode_media_features(M.synthesize_media_flac(docs))
+    decoded = M.decode_media_features(staged_media_payloads(spark, sf_dir, "flac"))
     pcm_bytes = (
         F.lit(44)
         + (F.lit(400) + (F.col("doc_id") % 7) * 50)
@@ -815,9 +815,9 @@ def multimodal_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, so the resize kernels (index arithmetic included) are
     value-checked, not just shape-checked."""
     from lakehouse_loader_spark.operators import multimodal as M
+    from lakehouse_loader_spark.queries.staging import staged_media_payloads
 
-    docs = load_table(spark, sf_dir, "documents")
-    resized = M.resize_media_features(M.synthesize_media(docs))
+    resized = M.resize_media_features(staged_media_payloads(spark, sf_dir, "media"))
     r6 = lambda c: F.round(c, 6)  # noqa: E731
     return resized.select(
         "doc_id",

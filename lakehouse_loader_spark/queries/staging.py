@@ -244,6 +244,38 @@ def staged_ivf_index(
     return inv, cents
 
 
+def staged_media_payloads(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> DataFrame:
+    """(doc_id, payload): the synthesized media corpus (``kind`` in
+    ``media`` | ``jpeg`` | ``flac``) staged once per (kind, sf_dir) per
+    session — the ``_staged_event_files`` playbook applied to the
+    multimodal family.  Payload synthesis is INPUT derivation (a real
+    pipeline's media bytes arrive on disk; synthesis exists here only
+    because the testdata carries no binary column), so the decode/resize
+    queries time codec work over real files instead of re-encoding the
+    corpus per call.  Decode, feature extraction and the statistics
+    columns — the operator work — still run per query.  The synthesized
+    bytes are deterministic per doc_id, so a staged scan is byte-identical
+    to an inline synthesis and cannot change any oracle-checked result."""
+    from lakehouse_loader_spark.operators import multimodal as M
+
+    builders = {
+        "media": M.synthesize_media,
+        "jpeg": M.synthesize_media_jpeg,
+        "flac": M.synthesize_media_flac,
+    }
+
+    def build() -> DataFrame:
+        return builders[kind](load_table(spark, sf_dir, "documents"))
+
+    out = _staged(spark, sf_dir, f"media_{kind}", build)
+    # the staged files pack into 1-2 scan splits (openCostInBytes charges
+    # 4MB/file against a 128MB split) — fan the per-doc decode back across
+    # the cluster; the exchange moves KB-scale payload rows, once
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
 def staged_bpe_merges(
     spark: SparkSession, sf_dir: str, k: int = 8
 ) -> DataFrame:

@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 
 def main() -> None:
     suffix = sys.argv[1]
