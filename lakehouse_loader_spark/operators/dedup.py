@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     shingled: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-k-gram Jaccard ≥ threshold, via shingle-join:
     PPJoin prefix-filter candidates, then exact verification.
@@ -81,7 +82,13 @@ def ngram_jaccard_pairs(
     frame (e.g. queries/staging.py's session-staged scan) — the internal
     shingle pass and scratch write are skipped; the frame MUST be a scan
     of materialized files, not a lazy plan, or every consumer subtree
-    re-executes it."""
+    re-executes it.
+
+    ``ranked``: an already-materialized (doc, rare_first) corpus-rarity-
+    ordered shingle frame (queries/staging.py:staged_rarity_ranked) — the
+    PPJoin prefix INDEX (identical derivation to the inline build below),
+    skipping the explode + document-frequency + sort shuffles per call.
+    Candidate generation and exact verification still run here."""
     from lakehouse_loader_spark.operators import materialize_shared, spread as _spread
 
     # work on 64-bit shingle hashes: 8-byte keys instead of ~20-byte strings
@@ -103,17 +110,18 @@ def ngram_jaccard_pairs(
     # t must share at least one prefix element under a common total order.
     # Joining on rare-first prefixes collapses the Σ df² blowup that common
     # shingles cause in a naive shingle join.
-    ex = sh.select("doc", F.explode("sh_h").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        ex.join(dfreq, "h")
-        .groupBy("doc")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
-        .select(
-            "doc",
-            F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+    if ranked is None:
+        ex = sh.select("doc", F.explode("sh_h").alias("h"))
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            ex.join(dfreq, "h")
+            .groupBy("doc")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+            .select(
+                "doc",
+                F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+            )
         )
-    )
     n = F.size("rare_first")
     # epsilon guard: double t*n can land 1 ulp ABOVE an exact integer
     # (e.g. 0.56*25 = 14.000000000000002), overshooting ceil and shortening
@@ -164,6 +172,7 @@ def incremental_near_duplicates(
     text_col: str = "text",
     k: int = 3,
     shingled: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of a NEW batch against an EXISTING corpus — the
     realistic ingest shape: an arriving shard is deduped against what's
@@ -181,7 +190,15 @@ def incremental_near_duplicates(
     ``shingled``: an already-materialized (id_col, _side, sh_h) tagged
     hashed-shingle frame covering corpus (_side=0) ∪ batch (_side=1) —
     skips the internal union+shingle pass and scratch write (the rarity
-    statistics below run over the SAME union either way)."""
+    statistics below run over the SAME union either way).
+
+    ``ranked``: an already-materialized (doc, _side, rare_first) frame —
+    the union-rarity-ordered PPJoin prefix index
+    (queries/staging.py:staged_rarity_ranked plus the caller's side tag;
+    the union here IS the whole staged corpus, so the statistics are
+    identical) — skipping the explode + document-frequency + sort
+    shuffles per call.  Candidate generation and verification still run
+    here."""
     from lakehouse_loader_spark.operators import materialize_shared, spread as _spread
 
     if shingled is not None:
@@ -204,18 +221,19 @@ def incremental_near_duplicates(
             "shingles-inc",
         )
 
-    ex = sh.select("doc", "_side", F.explode("sh_h").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        ex.join(dfreq, "h")
-        .groupBy("doc", "_side")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
-        .select(
-            "doc",
-            "_side",
-            F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+    if ranked is None:
+        ex = sh.select("doc", "_side", F.explode("sh_h").alias("h"))
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            ex.join(dfreq, "h")
+            .groupBy("doc", "_side")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+            .select(
+                "doc",
+                "_side",
+                F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+            )
         )
-    )
     n = F.size("rare_first")
     prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
     prefix = ranked.select(

@@ -73,12 +73,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ≥1 shingle (shingle-explode + equi-join, never all-pairs).  The
     hashed-shingle artifact comes from the family-shared session stage
     (queries/staging.py) — same derivation, computed once per session."""
-    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
+    from lakehouse_loader_spark.queries.staging import (
+        staged_doc_shingles,
+        staged_rarity_ranked,
+    )
 
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.5,
         shingled=staged_doc_shingles(spark, sf_dir),
+        ranked=staged_rarity_ranked(spark, sf_dir),
     )
 
 
@@ -110,7 +114,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, so the join volume is proportional to the batch, not the
     union squared (operators/dedup.py:incremental_near_duplicates).  The
     oracle brute-forces the same cross-set jaccard."""
-    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
+    from lakehouse_loader_spark.queries.staging import (
+        staged_doc_shingles,
+        staged_rarity_ranked,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 < 2)
@@ -123,8 +130,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 10 < 2, 1).otherwise(0).alias("_side"),
         "sh_h",
     )
+    # the staged prefix index carries the same whole-table rarity order;
+    # the side tag is a pure doc_id projection over the staged scan
+    ranked = staged_rarity_ranked(spark, sf_dir).select(
+        "doc",
+        F.when(F.col("doc") % 10 < 2, 1).otherwise(0).alias("_side"),
+        "rare_first",
+    )
     return D.incremental_near_duplicates(
-        corpus, batch, threshold=0.5, shingled=tagged
+        corpus, batch, threshold=0.5, shingled=tagged, ranked=ranked
     )
 
 

@@ -244,6 +244,37 @@ def staged_ivf_index(
     return inv, cents
 
 
+def staged_rarity_ranked(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """(doc, rare_first): every document's hashed shingles ordered by
+    corpus-global rarity (document frequency, ties by hash) — the PPJoin
+    prefix INDEX both jaccard consumers (ngram pairs, incremental) slice
+    their candidate prefixes from.  Derivation is identical to the inline
+    build in ``operators.dedup.ngram_jaccard_pairs`` (explode → df count →
+    rarity sort), computed once per (k, sf_dir) per session from the
+    staged shingle files; candidate generation, length filtering and
+    exact verification still run per query.  Docs with zero shingles are
+    absent exactly as the inline build drops them (explode of an empty
+    array)."""
+
+    def build() -> DataFrame:
+        sh = staged_doc_shingles(spark, sf_dir, k=k)
+        ex = sh.select(F.col("doc_id").alias("doc"), F.explode("sh_h").alias("h"))
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            ex.join(dfreq, "h")
+            .groupBy("doc")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"))
+            .select(
+                "doc",
+                F.transform("ordered", lambda s: s.getField("h")).alias("rare_first"),
+            )
+        )
+
+    return _staged(spark, sf_dir, f"rarity{k}", build)
+
+
 def staged_media_payloads(
     spark: SparkSession, sf_dir: str, kind: str
 ) -> DataFrame:
