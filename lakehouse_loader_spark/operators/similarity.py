@@ -86,16 +86,31 @@ def brute_force_topk(
     own ids, remap ids to be disjoint from the corpus first."""
     from lakehouse_loader_spark.operators import spread
 
+    # Hoist the per-side norms below the join (r15): cosine_col recomputes
+    # BOTH vector norms for every (query, corpus) pair — 3 folds per pair.
+    # Each side's norm is a pure per-row value, so compute it once in the
+    # side projection and divide the pair dot by the product: 1 fold per
+    # pair, identical doubles (same sqrt-of-fold operands, same q·n order).
+    # The projections sit below the join, so CollapseProject cannot merge
+    # them into the pair-level select (plan-checked).
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_n"),
     )
     # spread the corpus to cluster width first: a single-file scan is one
     # partition, and the per-row cosine folds would run single-core
-    c = spread(emb).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = spread(emb).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_n"),
+    )
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
-        cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+        (
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+        ).alias("cosine"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
     return (
@@ -158,7 +173,19 @@ def cosine_neardup_pairs_blocked(
                 "cluster is sized for the quadratic work"
             )
     norms = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norms)
+    # The obvious ``transform(vec, x -> x / norm)`` nests the whole 64-element
+    # norm FOLD inside the per-element lambda — Catalyst cannot hoist it (and
+    # CollapseProject re-inlines a pre-projected norm column right back into
+    # the lambda), so the fold re-runs once PER ELEMENT: O(d²) per row.
+    # Passing the norm through ``array_repeat`` evaluates it ONCE per row (it
+    # is an argument, not a lambda body) and zip_with divides element-wise —
+    # identical doubles (same x/norm operands), measured 0.70s → 0.10s on the
+    # sf0.1 unit projection (tools/probe in OPTIMIZATION_r15.md, §norm-hoist).
+    unit = F.zip_with(
+        F.col(vec_col),
+        F.array_repeat(norms, F.size(F.col(vec_col))),
+        lambda x, n: x.cast("double") / n,
+    )
     blocks = (
         emb.select(F.col(id_col).alias("vid"), unit.alias("u"))
         .withColumn("block", F.pmod(F.col("vid"), F.lit(n_blocks)))
@@ -288,24 +315,39 @@ def lsh_ann_topk(
     build it once per corpus and serve many query batches against it."""
     from lakehouse_loader_spark.operators import spread
 
+    # per-side norm hoist (r15, same as brute_force_topk): 3 folds per
+    # candidate pair → 1; identical doubles, norms evaluated once per row
+    # below the join
     if indexed is not None:
-        c = indexed.select("n_id", "n_vec", "lsh_key")
+        c = indexed.select(
+            "n_id", "n_vec", "lsh_key", _norm(F.col("n_vec")).alias("n_n")
+        )
     else:
         emb = spread(emb)  # single-file corpus = one partition otherwise
         c = with_lsh_buckets(emb, dim, n_tables, planes_per_table, vec_col).select(
-            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "lsh_key"
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            "lsh_key",
+            _norm(F.col(vec_col)).alias("n_n"),
         )
     q = with_lsh_buckets(queries, dim, n_tables, planes_per_table, vec_col).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "lsh_key"
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        "lsh_key",
+        _norm(F.col(vec_col)).alias("q_n"),
     )
     cands = (
         c.join(F.broadcast(q), ["lsh_key"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "q_vec", "q_n", "n_id", "n_vec", "n_n")
         .dropDuplicates(["q_id", "n_id"])
     )
     scored = cands.select(
-        "q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+        ).alias("cosine"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
     return (
@@ -493,23 +535,36 @@ def ivf_ann_topk(
 
         return udf
 
+    # per-side norm hoist (r15, same as brute_force_topk): 3 folds per
+    # candidate pair → 1; identical doubles, norms evaluated once per row
+    # below the join
     if indexed is not None:
-        c = indexed.select("n_id", "n_vec", "cid")
+        c = indexed.select(
+            "n_id", "n_vec", "cid", _norm(F.col("n_vec")).alias("n_n")
+        )
     else:
         c = emb.select(
             F.col(id_col).alias("n_id"),
             F.col(vec_col).alias("n_vec"),
             F.element_at(nearest_udf(1)(F.col(vec_col)), 1).alias("cid"),
+            _norm(F.col(vec_col)).alias("n_n"),
         )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(nearest_udf(n_probe)(F.col(vec_col))).alias("cid"),
+        _norm(F.col(vec_col)).alias("q_n"),
     )
     scored = (
         c.join(F.broadcast(q), ["cid"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_n") * F.col("n_n"))
+            ).alias("cosine"),
+        )
         .dropDuplicates(["q_id", "n_id"])
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
