@@ -72,17 +72,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.5, materializing only pairs that
     share ≥1 shingle (shingle-explode + equi-join, never all-pairs).  The
     hashed-shingle artifact comes from the family-shared session stage
-    (queries/staging.py) — same derivation, computed once per session."""
-    from lakehouse_loader_spark.queries.staging import (
-        staged_doc_shingles,
-        staged_rarity_ranked,
-    )
+    (queries/staging.py) — same derivation, computed once per session.
+
+    The rarity prefix index is derived INLINE here (ranked=None), not from
+    staged_rarity_ranked: measured A/B in one session at sf0.1 (r15) put
+    the inline build at 1.79s warm-min vs 2.22-2.37s for the staged scan —
+    the inline groupBy('doc') output is already hash-partitioned by doc,
+    so the downstream prefix join reuses that exchange, which a fresh
+    parquet scan cannot.  dedup_incremental keeps the staged index (it
+    consumes the artifact on BOTH join sides and measured the opposite:
+    2.0-2.3s inline → 1.3-1.5s staged)."""
+    from lakehouse_loader_spark.queries.staging import staged_doc_shingles
 
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.5,
         shingled=staged_doc_shingles(spark, sf_dir),
-        ranked=staged_rarity_ranked(spark, sf_dir),
     )
 
 
