@@ -340,6 +340,11 @@ def _read_residuals(br: _BitReader, block_size: int, order: int) -> np.ndarray:
         n = block_size // n_parts - (order if p == 0 else 0)
         param = br.read(pbits)
         if n == 0:
+            # A zero-sample partition (block_size/n_parts == order) coded
+            # with the escape parameter still carries its mandatory 5-bit
+            # size field — skip it or the stream desyncs (ADVICE r15).
+            if param == esc:
+                br.read(5)
             continue
         # Vectorized (r15) over the cached bit array: the per-sample
         # unary()/read() loops were the decoder's dominant cost (profiled
@@ -361,28 +366,43 @@ def _read_residuals(br: _BitReader, block_size: int, order: int) -> np.ndarray:
             else:
                 out[pos : pos + n] = 0
         else:
-            ones = np.flatnonzero(bits[p0:])
-            if param == 0:
-                # no payload bits: every 1 is a terminator
-                if len(ones) < n:
-                    raise ValueError("FLAC bitstream exhausted")
-                term = ones[:n].astype(np.int64)
-            else:
-                # payload bits may contain 1s; two-pointer walk selects the
-                # first 1 at >= param+1 bits past the previous terminator
-                ones_l = ones.tolist()
-                terms: list[int] = []
-                j, s, total = 0, 0, len(ones_l)
-                for _ in range(n):
-                    while j < total and ones_l[j] < s:
+            # Bounded scan (ADVICE r15): flatnonzero over ALL remaining
+            # payload bits made each partition O(payload) on multi-frame /
+            # multi-partition streams.  Scan a window sized from the
+            # expected partition length and grow it only when the unary
+            # quotients run long.
+            win = n * (param + 2) + 64
+            while True:
+                seg_end = min(p0 + win, len(bits))
+                ones = np.flatnonzero(bits[p0:seg_end])
+                term = None
+                if param == 0:
+                    # no payload bits: every 1 is a terminator
+                    if len(ones) >= n:
+                        term = ones[:n].astype(np.int64)
+                else:
+                    # payload bits may contain 1s; two-pointer walk selects
+                    # the first 1 at >= param+1 bits past the previous
+                    # terminator
+                    ones_l = ones.tolist()
+                    terms: list[int] = []
+                    j, s, total = 0, 0, len(ones_l)
+                    for _ in range(n):
+                        while j < total and ones_l[j] < s:
+                            j += 1
+                        if j >= total:
+                            break
+                        t = ones_l[j]
+                        terms.append(t)
+                        s = t + 1 + param
                         j += 1
-                    if j >= total:
-                        raise ValueError("FLAC bitstream exhausted")
-                    t = ones_l[j]
-                    terms.append(t)
-                    s = t + 1 + param
-                    j += 1
-                term = np.asarray(terms, dtype=np.int64)
+                    if len(terms) == n:
+                        term = np.asarray(terms, dtype=np.int64)
+                if term is not None:
+                    break
+                if seg_end >= len(bits):
+                    raise ValueError("FLAC bitstream exhausted")
+                win *= 4
             starts = np.empty(n, dtype=np.int64)
             starts[0] = 0
             starts[1:] = term[:-1] + 1 + param
@@ -484,8 +504,11 @@ def decode_flac(payload: bytes) -> dict:
     if info is None:
         raise ValueError("no STREAMINFO block")
     chunks = []
+    shared_bits = None  # one unpackbits view shared by every frame's reader
     while pos < len(payload) - 1:
         br = _BitReader(payload, pos)
+        if shared_bits is not None:
+            br._bits = shared_bits
         sync = br.read(14)
         if sync != 0b11111111111110:
             raise ValueError(f"lost frame sync at byte {pos}")
@@ -544,6 +567,8 @@ def decode_flac(payload: bytes) -> dict:
         br.align()
         br.read(16)  # frame CRC-16 (headers already CRC-8-checked)
         pos = br.byte
+        if getattr(br, "_bits", None) is not None:
+            shared_bits = br._bits
         chunks.append(frame)
     samples = (
         np.concatenate(chunks, axis=0)

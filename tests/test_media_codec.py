@@ -651,6 +651,96 @@ def test_flac_stereo_decorrelation_modes():
     assert np.array_equal(d["samples"][:, 1], right)
 
 
+def test_jpeg_bitcursor_window_semantics():
+    """The r16 sliding-window cursor must reproduce the old accumulator
+    reader bit-for-bit: MSB-first reads, zero-padded peek windows at the
+    tail, and a loud ValueError past the segment end."""
+    from lakehouse_loader_spark.operators.jpeg import _BitCursor
+
+    data = bytes([0b10110100, 0b01100011, 0xFF])
+    cur = _BitCursor(data)
+    assert cur.w[0] == 0b1011010001100011  # first 16 bits
+    assert cur.w[8] == 0b0110001111111111  # bits 8..23
+    assert cur.w[16] == 0b1111111100000000  # zero-padded past end
+    assert cur.w[24] == 0  # all-pad window at nbits
+    assert cur.read(3) == 0b101
+    assert cur.read(5) == 0b10100
+    assert cur.read(16) == 0b0110001111111111
+    with pytest.raises(ValueError, match="exhausted"):
+        cur.read(1)
+
+
+def test_jpeg_hufftable_cache_and_packed_layout():
+    """_huff_table caches by (BITS, HUFFVAL) spec and the packed lnsym
+    table decodes every canonical code to the right (symbol, length)."""
+    from lakehouse_loader_spark.operators import jpeg as J
+
+    bits = [0, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = [7, 3, 9]  # codes: 00->7, 01->3, 100->9
+    t1 = J._huff_table(bits, vals)
+    assert J._huff_table(list(bits), list(vals)) is t1  # cache hit
+    for prefix, sym, ln in ((0b00, 7, 2), (0b01, 3, 2), (0b100, 9, 3)):
+        window = prefix << (16 - ln)
+        packed = int(t1.lnsym[window])
+        assert packed == (ln << 8) | sym
+    # unassigned tail decodes as invalid (length 0)
+    assert int(t1.lnsym[0xFFFF]) == 0
+
+
+def test_flac_zero_sample_escape_partition_keeps_sync():
+    """A spec-legal zero-sample FIRST partition (block_size/n_parts ==
+    predictor order) coded with the escape parameter still carries its
+    mandatory 5-bit size field; the decoder must consume it or every later
+    partition desyncs (ADVICE r15 medium)."""
+    from lakehouse_loader_spark.operators import flac as FL
+
+    bs, order = 8, 2
+    warm = [0, 1]
+    res = np.array([1, -1, 2, -2, 3, -3], dtype=np.int64)  # bs - order
+
+    def w_fixed2_partitions(b):
+        b.write(0, 1); b.write(0b001000 | order, 6); b.write(0, 1)
+        for w in warm:
+            b.write(w & 0xFFFF, 16)
+        b.write(0b00, 2)      # rice method 0
+        b.write(2, 4)         # partition order 2 -> 4 partitions of bs/4=2
+        # p0: 2 - order = 0 samples, escape-coded -> 5-bit size field only
+        b.write(0b1111, 4); b.write(7, 5)
+        # p1..p3: 2 samples each, raw 5-bit escape coding
+        for chunk in (res[0:2], res[2:4], res[4:6]):
+            b.write(0b1111, 4); b.write(5, 5)
+            for v in chunk:
+                b.write(int(v) & 0x1F, 5)
+
+    f = _hand_frame([w_fixed2_partitions], ch_code=0, block_size=bs)
+    d = FL.decode_flac(_hand_stream([f], n_ch=1, n_samples=bs))
+    # FIXED order 2: res is the 2nd difference -> s[i] = r + 2s[i-1] - s[i-2]
+    sig = list(warm)
+    for r in res:
+        sig.append(int(r) + 2 * sig[-1] - sig[-2])
+    assert np.array_equal(d["samples"][:, 0], np.array(sig))
+
+
+def test_flac_rice_long_unary_quotient_grows_scan_window():
+    """One huge residual makes the unary quotient exceed the bounded scan's
+    initial window (n*(param+2)+64 bits); the chunked scan must grow and
+    still decode exactly (ADVICE r15 low)."""
+    from lakehouse_loader_spark.operators import flac as FL
+
+    bs = 4
+    vals = np.array([100, 0, 0, -3], dtype=np.int64)  # zigzag(100) = 200 bits unary
+
+    def w_fixed0_rice0(b):
+        b.write(0, 1); b.write(0b001000, 6); b.write(0, 1)  # FIXED order 0
+        b.write(0b00, 2); b.write(0, 4)  # method 0, 1 partition
+        b.write(0, 4)  # rice param 0
+        FL._rice_encode(b, vals, 0)
+
+    f = _hand_frame([w_fixed0_rice0], ch_code=0, block_size=bs)
+    d = FL.decode_flac(_hand_stream([f], n_ch=1, n_samples=bs))
+    assert np.array_equal(d["samples"][:, 0], vals)
+
+
 def test_flac_escape_partition_and_crc_rejection():
     from lakehouse_loader_spark.operators import flac as FL
 
