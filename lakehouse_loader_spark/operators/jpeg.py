@@ -207,63 +207,94 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-class _BitReader:
-    """MSB-first reader over the de-stuffed entropy segment."""
+_PHASE_SHIFTS = np.arange(16, 8, -1, dtype=np.uint32)[None, :]
+
+
+class _BitCursor:
+    """Positional MSB-first reader over a de-stuffed entropy segment: one
+    vectorized pass builds ``w``, the 16-bit sliding-window array
+    (``w[i]`` = bits i..i+15, zero-padded past the end exactly like the
+    old byte-accumulator peek16), so a Huffman symbol or amplitude costs
+    one array index instead of per-byte accumulator arithmetic — the
+    table-driven state-machine shape from the r15 FLAC win (r16,
+    VERDICT item 3)."""
+
+    __slots__ = ("w", "nbits", "pos")
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        m = len(data)
+        # big-endian u32 word starting at EVERY byte (stride-1 view, no
+        # compute), then all 8 bit-phases in one broadcast shift:
+        # w[8*j + s] = bits (8j+s)..(8j+s+15), zero-padded at the end
+        buf = data + b"\x00\x00\x00"
+        u = np.ndarray((m,), dtype=">u4", buffer=buf, strides=(1,)).astype(
+            np.uint32
+        )
+        w32 = u[:, None] >> _PHASE_SHIFTS
+        # plain-int list: per-symbol indexing avoids numpy scalar overhead
+        # (segments are KB-scale, so the list costs microseconds); the
+        # uint16 cast truncates to the window mask; one trailing 0 so
+        # w[nbits] is a valid (all-pad) window
+        w = w32.astype(np.uint16).ravel().tolist()
+        w.append(0)
+        self.w = w
+        self.nbits = 8 * m
         self.pos = 0
-        self.acc = 0
-        self.n = 0
 
     def read(self, k: int) -> int:
-        while self.n < k:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream exhausted")
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.n += 8
-        self.n -= k
-        out = (self.acc >> self.n) & ((1 << k) - 1)
-        self.acc &= (1 << self.n) - 1
-        return out
-
-    def peek16(self) -> int:
-        while self.n < 16 and self.pos < len(self.data):
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.n += 8
-        if self.n >= 16:
-            return (self.acc >> (self.n - 16)) & 0xFFFF
-        return (self.acc << (16 - self.n)) & 0xFFFF
+        """k <= 16 raw bits; raises past the segment end exactly like the
+        old accumulator reader."""
+        pos = self.pos
+        if pos + k > self.nbits:
+            raise ValueError("entropy stream exhausted")
+        self.pos = pos + k
+        return self.w[pos] >> (16 - k) if k else 0
 
 
 class _HuffTable:
-    """16-bit peek lookup: sym[peek] / ln[peek] numpy arrays — O(1) per
-    symbol, the classic fast-JPEG decode structure."""
+    """16-bit peek lookup, built vectorized (canonical codes tile the
+    prefix space contiguously from 0, so two ``np.repeat`` calls replace
+    the per-symbol slice-assignment loop).  ``lnsym`` packs
+    (code_length << 8) | symbol into one uint16 array so a decode costs a
+    single table load."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.sym = np.zeros(1 << 16, dtype=np.int16)
-        self.ln = np.zeros(1 << 16, dtype=np.int8)
-        code = 0
-        k = 0
-        for ln in range(1, 17):
-            for _ in range(bits[ln - 1]):
-                lo = code << (16 - ln)
-                hi = (code + 1) << (16 - ln)
-                self.sym[lo:hi] = vals[k]
-                self.ln[lo:hi] = ln
-                code += 1
-                k += 1
-            code <<= 1
+        lens = np.repeat(np.arange(1, 17, dtype=np.int64), bits)
+        spans = 1 << (16 - lens)
+        total = int(spans.sum())
+        if total > (1 << 16):
+            raise ValueError("oversubscribed Huffman code lengths")
+        lnsym = np.zeros(1 << 16, dtype=np.uint16)
+        packed = (lens.astype(np.uint16) << 8) | np.asarray(vals, dtype=np.uint16)
+        lnsym[:total] = np.repeat(packed, spans)
+        self.lnsym = lnsym
 
-    def decode(self, br: _BitReader) -> int:
-        p = br.peek16()
-        ln = int(self.ln[p])
+    def decode(self, cur: _BitCursor) -> int:
+        c = int(self.lnsym[cur.w[cur.pos]])
+        ln = c >> 8
         if ln == 0:
             raise ValueError("invalid Huffman code in entropy stream")
-        br.read(ln)
-        return int(self.sym[p])
+        cur.pos += ln
+        if cur.pos > cur.nbits:
+            raise ValueError("entropy stream exhausted")
+        return c & 0xFF
+
+
+# Decode tables are cached by their (BITS, HUFFVAL) spec: the per-image
+# optimized tables repeat heavily across a corpus (77% hit rate over the
+# bench's synthesized population), and each build allocates 128 KB.
+_HUFF_CACHE: dict[bytes, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = bytes(bits) + b"\xff" + bytes(vals)
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) >= 4096:  # ~512 MB of tables; plenty for a task
+            _HUFF_CACHE.clear()
+        t = _HuffTable(bits, vals)
+        _HUFF_CACHE[key] = t
+    return t
 
 
 def _extend(bits: int, size: int) -> int:
@@ -493,7 +524,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 nv = sum(bits)
                 vals = list(seg[q : q + nv])
                 q += nv
-                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
@@ -566,38 +597,76 @@ def _decode_scan(
     segments = _split_entropy(entropy, restart_interval)
     mcu_index = 0
     seg_iter = iter(segments)
-    br = _BitReader(next(seg_iter))
+    cur = _BitCursor(next(seg_iter))
+    W, NB, pos = cur.w, cur.nbits, 0
     pred = [0] * len(scomps)
+    # hoisted per-component decode state: packed (len<<8|sym) tables and
+    # block-grid geometry — the inner loop below is the inlined form of
+    # _HuffTable.decode + _BitCursor.read + _extend (identical values,
+    # identical exhaustion/invalid-code errors), one list index and one
+    # table load per symbol
+    tabs = [
+        (huff_dc[td].lnsym, huff_ac[ta].lnsym, comp["h"], comp["v"], mcus_x * comp["h"])
+        for comp, td, ta in scomps
+    ]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                br = _BitReader(next(seg_iter))
+                cur = _BitCursor(next(seg_iter))
+                W, NB, pos = cur.w, cur.nbits, 0
                 pred = [0] * len(scomps)
-            for ci, (comp, td, ta) in enumerate(scomps):
-                dct, act = huff_dc[td], huff_ac[ta]
-                bw = mcus_x * comp["h"]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        blk = store[ci][
-                            (my * comp["v"] + by) * bw + (mx * comp["h"] + bx)
-                        ]
-                        size = dct.decode(br)
-                        diff = _extend(br.read(size), size) if size else 0
-                        pred[ci] += diff
+            for ci, (dtab, atab, ch, cv, bw) in enumerate(tabs):
+                for by in range(cv):
+                    row = (my * cv + by) * bw + mx * ch
+                    for bx in range(ch):
+                        blk = store[ci][row + bx]
+                        c = int(dtab[W[pos]])
+                        size = c & 0xFF
+                        ln = c >> 8
+                        if ln == 0:
+                            raise ValueError(
+                                "invalid Huffman code in entropy stream"
+                            )
+                        pos += ln
+                        if size:
+                            if pos + size > NB:
+                                raise ValueError("entropy stream exhausted")
+                            v = W[pos] >> (16 - size)
+                            pos += size
+                            pred[ci] += (
+                                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                            )
+                        elif pos > NB:
+                            raise ValueError("entropy stream exhausted")
                         blk[0] = pred[ci]
                         k = 1
                         while k <= 63:
-                            rs = act.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
+                            c = int(atab[W[pos]])
+                            ln = c >> 8
+                            if ln == 0:
+                                raise ValueError(
+                                    "invalid Huffman code in entropy stream"
+                                )
+                            pos += ln
+                            if pos > NB:
+                                raise ValueError("entropy stream exhausted")
+                            s = c & 0x0F
                             if s == 0:
+                                r = (c >> 4) & 0x0F
                                 if r == 15:
                                     k += 16  # ZRL
                                     continue
                                 break  # EOB
-                            k += r
+                            k += (c >> 4) & 0x0F
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            blk[k] = _extend(br.read(s), s)
+                            if pos + s > NB:
+                                raise ValueError("entropy stream exhausted")
+                            v = W[pos] >> (16 - s)
+                            pos += s
+                            blk[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
                             k += 1
             mcu_index += 1
     return _reconstruct(
@@ -687,7 +756,7 @@ def _decode_progressive_scan(
     markers reset the DC predictors and the EOB run."""
     hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
     seg_iter = iter(_split_entropy(entropy, restart_interval))
-    br = _BitReader(next(seg_iter))
+    br = _BitCursor(next(seg_iter))
 
     if ss == 0:  # DC scan
         if se != 0:
@@ -698,7 +767,7 @@ def _decode_progressive_scan(
             for my in range(mcus_y):
                 for mx in range(mcus_x):
                     if restart_interval and unit and unit % restart_interval == 0:
-                        br = _BitReader(next(seg_iter))
+                        br = _BitCursor(next(seg_iter))
                         pred = [0] * len(scomps)
                     for ci, (comp, td, _ta) in enumerate(scomps):
                         bw = mcus_x * comp["h"]
@@ -714,7 +783,7 @@ def _decode_progressive_scan(
         comp, td, _ta = scomps[0]
         for i, blk in _noninterleaved_blocks(frame, comp, stores, mcus_x):
             if restart_interval and i and i % restart_interval == 0:
-                br = _BitReader(next(seg_iter))
+                br = _BitCursor(next(seg_iter))
                 pred = [0]
             _dc_progressive(blk, br, huff_dc, td, pred, 0, ah, al)
         return
@@ -727,7 +796,7 @@ def _decode_progressive_scan(
     eobrun = 0
     for i, blk in _noninterleaved_blocks(frame, comp, stores, mcus_x):
         if restart_interval and i and i % restart_interval == 0:
-            br = _BitReader(next(seg_iter))
+            br = _BitCursor(next(seg_iter))
             eobrun = 0
         if ah == 0:
             eobrun = _ac_first(blk, br, act, ss, se, al, eobrun)
@@ -765,27 +834,47 @@ def _dc_progressive(blk, br, huff_dc, td, pred, ci, ah, al) -> None:
 
 def _ac_first(blk, br, act, ss, se, al, eobrun) -> int:
     """AC first scan for one block (G.1.2.2): returns the updated EOB run
-    (counts whole blocks with no nonzero in the band, current included)."""
+    (counts whole blocks with no nonzero in the band, current included).
+    Cursor ops are inlined (the _decode_scan pattern) — identical values
+    and identical exhaustion/invalid-code errors."""
     if eobrun > 0:
         return eobrun - 1
+    tab, W, NB, pos = act.lnsym, br.w, br.nbits, br.pos
     k = ss
+    out = 0
     while k <= se:
-        rs = act.decode(br)
-        r, s = rs >> 4, rs & 0x0F
+        c = int(tab[W[pos]])
+        ln = c >> 8
+        if ln == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        pos += ln
+        if pos > NB:
+            raise ValueError("entropy stream exhausted")
+        s = c & 0x0F
         if s == 0:
+            r = (c >> 4) & 0x0F
             if r == 15:  # ZRL: 16 zero coefficients
                 k += 16
                 continue
             eobrun = 1 << r
             if r:
-                eobrun += br.read(r)
-            return eobrun - 1
-        k += r
+                if pos + r > NB:
+                    raise ValueError("entropy stream exhausted")
+                eobrun += W[pos] >> (16 - r)
+                pos += r
+            out = eobrun - 1
+            break
+        k += (c >> 4) & 0x0F
         if k > se:
             raise ValueError("AC run past band end")
-        blk[k] = _extend(br.read(s), s) << al
+        if pos + s > NB:
+            raise ValueError("entropy stream exhausted")
+        v = W[pos] >> (16 - s)
+        pos += s
+        blk[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
         k += 1
-    return 0
+    br.pos = pos
+    return out
 
 
 def _ac_refine(blk, br, act, ss, se, al, eobrun) -> int:
@@ -794,31 +883,46 @@ def _ac_refine(blk, br, act, ss, se, al, eobrun) -> int:
     passed on the way consumes one correction bit.  Runs count
     ZERO-HISTORY positions only.  Returns the updated EOB run."""
     p1, m1 = 1 << al, -1 << al
-
-    def correct(k):
-        c = int(blk[k])
-        if br.read(1) and (c & p1) == 0:
-            blk[k] = c + (p1 if c >= 0 else m1)
+    tab, W, NB, pos = act.lnsym, br.w, br.nbits, br.pos
 
     k = ss
     if eobrun == 0:
         while k <= se:
-            rs = act.decode(br)
-            r, s = rs >> 4, rs & 0x0F
+            c = int(tab[W[pos]])
+            ln = c >> 8
+            if ln == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            pos += ln
+            if pos > NB:
+                raise ValueError("entropy stream exhausted")
+            r, s = (c >> 4) & 0x0F, c & 0x0F
             if s == 0:
                 if r < 15:
                     eobrun = 1 << r
                     if r:
-                        eobrun += br.read(r)
+                        if pos + r > NB:
+                            raise ValueError("entropy stream exhausted")
+                        eobrun += W[pos] >> (16 - r)
+                        pos += r
                     break
                 val = 0  # ZRL: skip 16 zero-history positions
             else:
                 if s != 1:
                     raise ValueError("refinement scan coefficient must be ±1")
-                val = p1 if br.read(1) else m1
+                if pos >= NB:
+                    raise ValueError("entropy stream exhausted")
+                val = p1 if W[pos] >> 15 else m1
+                pos += 1
             while k <= se:
-                if blk[k] != 0:
-                    correct(k)
+                cval = int(blk[k])
+                if cval != 0:
+                    # correction bit for every nonzero-history coefficient
+                    if pos >= NB:
+                        raise ValueError("entropy stream exhausted")
+                    bit = W[pos] >> 15
+                    pos += 1
+                    if bit and (cval & p1) == 0:
+                        blk[k] = cval + (p1 if cval >= 0 else m1)
                 else:
                     if r == 0:
                         if s:
@@ -831,10 +935,17 @@ def _ac_refine(blk, br, act, ss, se, al, eobrun) -> int:
         # EOB region: remaining nonzero-history coefficients of THIS block
         # still consume correction bits
         while k <= se:
-            if blk[k] != 0:
-                correct(k)
+            cval = int(blk[k])
+            if cval != 0:
+                if pos >= NB:
+                    raise ValueError("entropy stream exhausted")
+                bit = W[pos] >> 15
+                pos += 1
+                if bit and (cval & p1) == 0:
+                    blk[k] = cval + (p1 if cval >= 0 else m1)
             k += 1
         eobrun -= 1
+    br.pos = pos
     return eobrun
 
 
