@@ -40,6 +40,29 @@ SCRATCH_KEEP_GENERATIONS = 8
 PINNED_KEEP_GENERATIONS = 64
 
 
+def _staged_write(df: DataFrame, n_out: int, path: str) -> None:
+    """Write a scratch/staged artifact with a bounded file count.
+
+    repartition, NOT coalesce (r16, VERDICT r15 item 2): ``coalesce(n)``
+    does not insert an exchange — it folds the *upstream compute* of the
+    final stage into n tasks, so at 100 TB the whole signature/shingle
+    build would run n_out-wide.  ``repartition(n)`` keeps the build
+    full-width and pays one round-robin exchange of the already-reduced
+    artifact rows (A/B at sf0.1: no local cost, tools/probe_staging_width).
+    The r15 lesson still holds: never probe ``df.rdd.getNumPartitions()``
+    first — under AQE the probe materializes every intermediate stage and
+    the write re-executes them from scratch.
+
+    ``SPARK_GRAFT_STAGING_WRITE=coalesce`` restores the r15 shape (A/B
+    probes; a cluster whose artifact rows are huge relative to build
+    compute could also prefer it)."""
+    if os.environ.get("SPARK_GRAFT_STAGING_WRITE", "repartition") == "coalesce":
+        df = df.coalesce(n_out)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(path)
+
+
 def _rm_scratch(path: str, spark=None) -> None:
     """Remove one scratch dir — shutil for local paths, the Hadoop
     FileSystem API for scheme'd URIs (hdfs://, s3a://...), where
@@ -110,14 +133,7 @@ def materialize_shared(
     # and parquet's splittability restores full READ parallelism there
     # regardless of file count
     n_out = max(8, spark.sparkContext.defaultParallelism // 4)
-    # Unconditional coalesce (r15): ``coalesce(n)`` is already a no-op when
-    # the plan has <= n partitions, and probing the count first via
-    # ``df.rdd.getNumPartitions()`` is NOT free under AQE — it materializes
-    # every intermediate query stage (real shuffle jobs), which the write
-    # below then re-executes from scratch (separate QueryExecution, no
-    # stage reuse).  Measured: a shuffle-heavy frame wrote in 0.96s clean
-    # vs 3.3s probe + 3.3s write with the probe (tools/ probe, r15).
-    df.coalesce(n_out).write.mode("overwrite").parquet(path)
+    _staged_write(df, n_out, path)
     if not (_SCRATCH_DIRS or _PINNED_DIRS):
         atexit.register(_reap_scratch)
     if pin:

@@ -80,10 +80,13 @@ def _staged_path(spark: SparkSession, sf_dir: str, key: str, build) -> str:
         # files cost task overhead locally; parquet splittability restores
         # read parallelism on a real cluster regardless
         n_out = max(8, spark.sparkContext.defaultParallelism // 4)
-        # unconditional coalesce — the partition-count probe double-executed
-        # the build plan under AQE (see materialize_shared, same fix r15);
-        # coalesce(n) is a no-op when the plan already has <= n partitions
-        build().coalesce(n_out).write.mode("overwrite").parquet(path)
+        # repartition, NOT coalesce (r16): coalesce folds the final-stage
+        # build compute into n_out tasks (serial at scale); repartition
+        # keeps the build full-width and exchanges only the reduced
+        # artifact rows (operators._staged_write has the full rationale)
+        from lakehouse_loader_spark.operators import _staged_write
+
+        _staged_write(build(), n_out, path)
         cache[(key, sf_dir)] = path
     return path
 
