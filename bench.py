@@ -15,6 +15,10 @@ import sys
 import time
 
 
+class _SkipLoader(Exception):
+    """Control-flow marker: SPARK_GRAFT_ONLY probes skip the loader block."""
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lakehouse_loader_spark import get_spark
@@ -61,6 +65,62 @@ def main() -> None:
     _gc.collect()
     spark.sparkContext._jvm.System.gc()
 
+    # Load-immune per-query task metrics (r16, VERDICT r15 item 6): the
+    # AppStatusStore is populated by Spark's always-on status listener, so
+    # reading it is free of extra listener overhead and costs a few py4j
+    # calls per query OUTSIDE the timed window.  executorRunTime /
+    # executorCpuTime / jvmGcTime accrue only while OUR tasks run, so
+    # co-tenant host steal (the r15 "10 regressions" artifact) cannot
+    # inflate them — BENCH_DETAIL.json carries them next to each
+    # wall-clock, making regression-vs-noise and 8c/32c scaling calls
+    # mechanical.  Additive only: the one-line JSON contract is unchanged.
+    def _make_metrics_probe():
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            jstore = jsc.statusStore()
+            gw = spark.sparkContext._gateway
+            empty_quant = gw.new_array(gw.jvm.double, 0)
+
+            def stage_seq():
+                return jstore.stageList(None, False, False, empty_quant, None)
+
+            def probe(watermark: int) -> tuple[int, dict]:
+                """Sum task metrics of stages newer than ``watermark``.
+                The returned Seq is newest-first, so scanning stops at the
+                first already-seen stage — O(stages of this query) py4j
+                calls, immune to the store's 1000-stage eviction."""
+                try:
+                    jsc.listenerBus().waitUntilEmpty()
+                except Exception:
+                    pass  # bus drain is best-effort; metrics lag ≤ ~ms
+                seq = stage_seq()
+                run = cpu = gc = 0
+                mx = watermark
+                for i in range(seq.size()):
+                    s = seq.apply(i)
+                    sid = s.stageId()
+                    if sid <= watermark:
+                        break
+                    mx = max(mx, sid)
+                    run += s.executorRunTime()
+                    cpu += s.executorCpuTime()
+                    gc += s.jvmGcTime()
+                return mx, {
+                    "task_ms": int(run),
+                    "task_cpu_ms": int(round(cpu / 1e6)),
+                    "gc_ms": int(gc),
+                }
+
+            seq0 = stage_seq()
+            wm0 = seq0.apply(0).stageId() if seq0.size() else -1
+            return probe, wm0
+        except Exception as exc:  # any API drift degrades to wall-only
+            print(f"# task-metrics probe unavailable: {exc}", file=sys.stderr)
+            return None, -1
+
+    metrics_probe, _metrics_wm = _make_metrics_probe()
+    task_metrics: dict[str, list[dict]] = {}
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -71,6 +131,7 @@ def main() -> None:
         # shapes (the sf0.001 warmup compiled different ones); the min is
         # the steady-state engine time and is far more reproducible
         runs = []
+        qmetrics: list[dict] = []
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -79,6 +140,12 @@ def main() -> None:
                 # collecting results to the driver.
                 n = df.count()
                 runs.append(time.perf_counter() - t0)
+                if metrics_probe is not None:
+                    try:  # outside the timed window; never kills the bench
+                        _metrics_wm, m = metrics_probe(_metrics_wm)
+                        qmetrics.append(m)
+                    except Exception:
+                        metrics_probe = None
                 spark.catalog.clearCache()
         except Exception as exc:  # one broken query must NOT kill the bench
             # (round-3 postmortem: a single AnalysisException aborted the
@@ -89,6 +156,8 @@ def main() -> None:
             continue
         timings[name] = round(min(runs), 4)
         all_runs[name] = [round(r, 4) for r in runs]
+        if qmetrics:
+            task_metrics[name] = qmetrics
         print(
             f"# {name}: {timings[name]:.3f}s (runs {[round(r, 3) for r in runs]}, {n} rows)",
             file=sys.stderr,
@@ -117,7 +186,13 @@ def main() -> None:
 
     loader: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="bench_loader_")
+    # dev affordance: a SPARK_GRAFT_ONLY family probe doesn't need the
+    # loader lifecycle — official runs leave SPARK_GRAFT_ONLY unset, so
+    # the driver's numbers always include it
+    skip_loader = bool(only)
     try:
+        if skip_loader:
+            raise _SkipLoader
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         n_rows = li.count()
 
@@ -217,6 +292,8 @@ def main() -> None:
         loader["iceberg_dv_read_rows_per_sec"] = round(
             n_icedv / loader["iceberg_dv_read_sec"]
         )
+    except _SkipLoader:
+        pass
     except Exception as exc:  # loader failure must not kill the query numbers
         errors["__loader__"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# loader ERROR: {errors['__loader__'][:200]}", file=sys.stderr)
@@ -273,7 +350,12 @@ def main() -> None:
     # round-2 dedup_ngram_jaccard 11s reading that round 4 showed was a
     # one-off contention artifact).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
-        json.dump({**payload, "runs": all_runs}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**payload, "runs": all_runs, "task_metrics": task_metrics},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
 
     # The driver captures only the last ~2000 chars of output and parses the
     # JSON line out of that window, so the line MUST stay well under 2000

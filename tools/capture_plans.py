@@ -1,8 +1,9 @@
-"""Capture .explain("formatted") for declared queries into plans/r15/.
+"""Capture .explain("formatted") for declared queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r16).
 
 Usage:
-    python tools/capture_plans.py before q1 q2 ...   # plans/r15/<q>_before.txt
-    python tools/capture_plans.py after  q1 q2 ...   # plans/r15/<q>_after.txt
+    python tools/capture_plans.py before q1 q2 ...   # plans/<round>/<q>_before.txt
+    python tools/capture_plans.py after  q1 q2 ...   # plans/<round>/<q>_after.txt
 
 With no query names, captures every query in the registry.  The suffix
 argument is mandatory so before/after pairs can't be overwritten by
@@ -33,7 +34,11 @@ def main() -> None:
     _ensure_loaded()
     if not names:
         names = sorted(REGISTRY)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("capture-plans")
