@@ -424,24 +424,70 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number/ntile over a fully tie-broken order (deterministic);
     rank/dense_rank over the non-unique quantity order (ties share ranks,
-    also deterministic)."""
+    also deterministic).
+
+    Decomposed (r16, guide §2.5): the literal 4-window form partitions by
+    ``l_returnflag`` — THREE distinct values, so the whole fact sorts in 3
+    tasks regardless of cluster width (task-metrics: 1.22s task time vs
+    1.56s wall on 32 cores — serial; at 100 TB a 3-partition full sort is
+    the query).  Every output column is recoverable from the tiny
+    (flag, quantity) histogram plus a within-(flag, quantity) tie
+    row_number, whose window has |flags|·|distinct qty| ≈ 150 partitions:
+    - rank  = 1 + Σ cnt of strictly-greater quantities (histogram cumsum);
+    - dense_rank = position of the quantity among distinct ones;
+    - row_number = (rank - 1) + tie row_number (ties broken by the
+      globally-unique (l_orderkey, l_linenumber), so exact);
+    - ntile(4) = closed-form tile arithmetic from the flag's row count
+      (first n%4 tiles carry ⌈n/4⌉ rows, the rest ⌊n/4⌋).
+    Identical rows to the window form (oracle-hash-checked at
+    sf0.001/0.01/0.1); the histogram/tie decomposition is exact because
+    rank ties are exactly quantity-equality classes."""
     li = _t(spark, sf_dir, "lineitem")
-    w_uniq = W.partitionBy("l_returnflag").orderBy(
-        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    w_qty = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    w_h = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    ranks = hist.select(
+        "l_returnflag",
+        "l_quantity",
+        (
+            F.coalesce(
+                F.sum("cnt").over(w_h.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + 1
+        ).alias("rnk"),
+        F.row_number().over(w_h).cast("bigint").alias("drnk"),
+        F.sum("cnt").over(W.partitionBy("l_returnflag")).alias("n_f"),
+    )
+    w_tie = W.partitionBy("l_returnflag", "l_quantity").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    rn = F.col("rnk") - 1 + F.col("tie")
+    tiles = F.floor(F.col("n_f") / 4)
+    rem = F.col("n_f") % 4
+    bound = lambda t: F.lit(t) * tiles + F.least(F.lit(t), rem)  # noqa: E731
+    quartile = (
+        F.when(rn <= bound(1), 1)
+        .when(rn <= bound(2), 2)
+        .when(rn <= bound(3), 3)
+        .otherwise(4)
+    )
     return (
-        li.select(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("tie", F.row_number().over(w_tie))
+        .join(F.broadcast(ranks), ["l_returnflag", "l_quantity"])
+        .filter(rn <= 20)
+        .select(
             "l_returnflag",
             "l_orderkey",
             "l_linenumber",
             "l_quantity",
-            F.row_number().over(w_uniq).cast("bigint").alias("rn"),
-            F.rank().over(w_qty).cast("bigint").alias("rnk"),
-            F.dense_rank().over(w_qty).cast("bigint").alias("drnk"),
-            F.ntile(4).over(w_uniq).cast("bigint").alias("quartile"),
+            rn.cast("bigint").alias("rn"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "drnk",
+            quartile.cast("bigint").alias("quartile"),
         )
-        .filter(F.col("rn") <= 20)
     )
 
 
@@ -2016,11 +2062,21 @@ def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_other = F.when(F.col("l_suppkey") == F.col("m1_supp"), F.col("m2_max")).otherwise(
         F.col("m1_max")
     )
+    # SHUFFLE_HASH on the two shuffle joins (r16, guide §3.1 — the r15
+    # GLOBAL preferSortMergeJoin switch lost its A/B; the targeted per-join
+    # hint wins reproducibly: interleaved med 1.37→1.27s at sf0.1,
+    # tools/probe_shj_hint_q21.py).  Build sides are per-orderkey frames
+    # (filtered orders / the per-order aggregate) — strictly smaller than
+    # lineitem per partition and skew-free by key construction, so the
+    # hash build fits per partition at any scale; results are unchanged
+    # (hints pick strategy, never semantics — probe asserts row parity).
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_key"))
+        .join(
+            per_order.hint("shuffle_hash"), F.col("l_orderkey") == F.col("po_key")
+        )
         .filter(F.col("l_shipdate") >= max_other)  # NOT EXISTS a later other
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
