@@ -2186,6 +2186,23 @@ def _parity_stream_session(spark: SparkSession, width: int) -> SparkSession:
         # (every entry shares that context) and rebuild below
         _PARITY_SESSIONS.clear()
     iso = spark.newSession()
+    # State-store provider is parameterised (r16, VERDICT item 5): the
+    # default stays Spark's HDFS-backed in-memory store — the interleaved
+    # A/B at sf0.1 (OPTIMIZATION_r16.md §streaming) showed RocksDB's JNI +
+    # changelog overhead loses on bounded micro-batch state this small —
+    # while a real 100 TB deployment, whose per-store state outgrows
+    # executor heap, sets SPARK_GRAFT_STATESTORE=rocksdb (or the session
+    # conf) and every parity clone picks it up here.
+    provider = (
+        spark.conf.get("spark.lakehouse.streaming.stateStore", None)
+        or os.environ.get("SPARK_GRAFT_STATESTORE", "")
+    ).lower()
+    if provider == "rocksdb":
+        iso.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     iso.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     iso.conf.set(
         "spark.sql.streaming.stateStore.maintenanceInterval", "10s"
