@@ -18,6 +18,9 @@ from lakehouse_loader_spark.operators.similarity import (
 )
 from lakehouse_loader_spark.sinks.ann_index import load_ivf_index, save_ivf_index
 
+# slow: persisted-index roundtrip + subprocess CLI e2e (~2 min)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

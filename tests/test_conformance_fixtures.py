@@ -21,10 +21,15 @@ and review the fixture diff like code.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import os
 import re
+
+# slow: golden conformance corpus (~2 min)
+pytestmark = pytest.mark.slow
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 

@@ -228,6 +228,7 @@ def test_local_union_find_matches_distributed(spark, monkeypatch):
     assert fast == dist == dist_star
 
 
+@pytest.mark.slow  # high-diameter synthetic graph (~35s) — slow tier (r16)
 def test_star_contraction_handles_high_diameter(spark, monkeypatch):
     """A path graph of length ≫ the min-label budget: star contraction must
     converge in O(log² n) rounds where min-label propagation (one round per

@@ -4,6 +4,8 @@ session the driver configures (i.e. not ours)."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as ent
 
 
@@ -80,6 +82,7 @@ def test_sampling_order_derived_from_driver_records():
     assert green_rounds == sorted(green_rounds)
 
 
+@pytest.mark.slow  # full-registry plan sweep (~4 min) — slow tier (r16)
 def test_all_queries_have_distinct_output_columns(spark):
     """The driver sorts columns by name before hashing — duplicate output
     column names would be ambiguous."""

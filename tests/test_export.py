@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import os
@@ -213,6 +215,7 @@ def test_orc_export_roundtrips_through_the_reader(spark, tmpdir):
     assert "id" in plan  # pushdown shape: scan exists with the filter column
 
 
+@pytest.mark.slow  # subprocess CLI e2e (~45s) — slow tier (r16)
 def test_cli_orc_to_delta_and_back(spark, tmpdir):
     """orc-to-delta ingest + delta-to-orc export through the CLI."""
     import subprocess

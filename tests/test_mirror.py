@@ -35,6 +35,9 @@ from lakehouse_loader_spark.sinks.iceberg import (
 )
 from lakehouse_loader_spark.streaming.tail import _MARKER, mirror_table
 
+# slow: dict-model merge property suites + CLI mirror e2e (~7 min)
+pytestmark = pytest.mark.slow
+
 
 def _df(spark, lo, hi, mult=10):
     return spark.range(lo, hi).select("id", (F.col("id") * mult).alias("v"))

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from lakehouse_loader_spark.sources import pgwire as W
 
+# slow: live pg loopback CLI replication (~2 min)
+pytestmark = pytest.mark.slow
+
 INIT_SQL = os.path.join(os.path.dirname(__file__), "pg-init", "init.sql")
 PG_USER = "pguser"
 

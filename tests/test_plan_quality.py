@@ -102,6 +102,7 @@ def test_pack_sequences_no_global_window(spark):
     assert "BroadcastExchange" in plan  # offsets ride a broadcast, not a shuffle
 
 
+@pytest.mark.slow  # full-registry plan sweep (~40s) — slow tier (r16)
 def test_no_array_or_map_output_columns(spark):
     """The driver's correctness canonicalizer sorts every output column in
     pandas before hashing; list-valued cells raise `unhashable type: 'list'`
@@ -138,6 +139,7 @@ def test_single_partition_detector_catches_global_window(spark):
                for c in consumers)
 
 
+@pytest.mark.slow  # full-registry plan sweep (~50s) — slow tier (r16)
 def test_no_cartesian_anywhere(spark):
     """No declared query may plan a cartesian product (theta joins must ride
     an equi key or a broadcast) — and none may funnel DATA through a

@@ -354,6 +354,7 @@ _EVENTS = st.lists(
 
 @settings(max_examples=int(os.environ.get("LHL_TAIL_SCHEDULES", "50")), deadline=None)
 @given(events=_EVENTS, transactional=st.booleans())
+@pytest.mark.slow  # crash-schedule sweep (~30s) — slow tier (r16)
 def test_tail_crash_schedule_contracts(spark, tmp_path_factory, events, transactional):
     base = str(tmp_path_factory.mktemp("crash"))
     table = os.path.join(base, "t")
