@@ -291,7 +291,13 @@ def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
     t = _HUFF_CACHE.get(key)
     if t is None:
         if len(_HUFF_CACHE) >= 4096:  # ~512 MB of tables; plenty for a task
-            _HUFF_CACHE.clear()
+            # evict ONE oldest entry (insertion-ordered dict), never the
+            # whole cache: the bench corpus carries ~4.7k distinct specs,
+            # so a clear() at the cap dumped every hot table mid-corpus
+            # and a long-lived reused worker re-paid thousands of 128 KB
+            # builds per sweep (measured: jpeg decode 0.95s isolated vs
+            # 1.5s inside the full-registry sweep)
+            _HUFF_CACHE.pop(next(iter(_HUFF_CACHE)))
         t = _HuffTable(bits, vals)
         _HUFF_CACHE[key] = t
     return t

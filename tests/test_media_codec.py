@@ -687,6 +687,36 @@ def test_jpeg_hufftable_cache_and_packed_layout():
     assert int(t1.lnsym[0xFFFF]) == 0
 
 
+def test_jpeg_hufftable_cache_evicts_one_not_all():
+    """At the cap the cache evicts ONE oldest entry, never clear()s: the
+    bench corpus carries ~4.7k distinct specs vs the 4096 cap, and a
+    clear() dumped every hot table mid-corpus (r16 — measured as the jpeg
+    query reading 0.95s isolated vs ~1.5s inside the full sweep)."""
+    from lakehouse_loader_spark.operators import jpeg as J
+
+    saved = dict(J._HUFF_CACHE)
+    try:
+        J._HUFF_CACHE.clear()
+        bits = [0, 0, 0, 0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0]
+
+        def spec(i):
+            return bits, [i & 0xFF, (i >> 8) & 0xFF] + list(range(6))
+
+        for i in range(4096):
+            J._huff_table(*spec(i))
+        assert len(J._HUFF_CACHE) == 4096
+        first = next(iter(J._HUFF_CACHE))
+        J._huff_table(*spec(4096))  # one past the cap
+        assert len(J._HUFF_CACHE) == 4096  # still full, not dumped
+        assert first not in J._HUFF_CACHE  # exactly the oldest went
+        # the rest survive: entry #1 is still a cache hit
+        t1 = J._HUFF_CACHE[bytes(bits) + b"\xff" + bytes(spec(1)[1])]
+        assert J._huff_table(*spec(1)) is t1
+    finally:
+        J._HUFF_CACHE.clear()
+        J._HUFF_CACHE.update(saved)
+
+
 def test_flac_zero_sample_escape_partition_keeps_sync():
     """A spec-legal zero-sample FIRST partition (block_size/n_parts ==
     predictor order) coded with the escape parameter still carries its
