@@ -69,14 +69,17 @@ def main() -> None:
                 )
             if name == "embeddings" and "embedding" in df.columns:
                 elem_t = df.schema["embedding"].dataType.elementType.simpleString()
+
+                # closure factory, NOT lambda defaults: pyspark inspects the
+                # lambda's signature and a default parameter makes it look
+                # 4-ary (WRONG_NUM_ARGS_FOR_HIGHER_ORDER_FUNCTION)
+                def shift_first(k: int, t: str):
+                    return lambda x, i: F.when(
+                        i == 0, (x + F.lit(k * 1e-3)).cast(t)
+                    ).otherwise(x)
+
                 rep = rep.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x, i, k=k, t=elem_t: F.when(
-                            i == 0, (x + F.lit(k * 1e-3)).cast(t)
-                        ).otherwise(x),
-                    ),
+                    "embedding", F.transform("embedding", shift_first(k, elem_t))
                 )
             parts.append(rep)
         big = parts[0]
