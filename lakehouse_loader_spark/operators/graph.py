@@ -89,6 +89,7 @@ def pagerank(
     assume_distinct: bool = False,
     broadcast_ranks_max: int = 2_000_000,
     staged_norm_path: str | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``/``dst``
     string columns).  Every node must have out-degree ≥ 1 (undirect the
@@ -136,8 +137,13 @@ def pagerank(
     # superstep is a map-side join over the norm scan plus ONE shuffle
     # (the dst aggregate, already map-side-combined to ~node cardinality).
     # Past the gate (billions of nodes at 100 TB), fall back to the
-    # shuffled join and let AQE pick the strategy per superstep
-    n_nodes = nodes.count()
+    # shuffled join and let AQE pick the strategy per superstep.
+    # ``n_nodes``: a staged norm's node count is immutable for the
+    # artifact's lifetime, so callers holding one may pass the count and
+    # skip this gate scan per call (at 100 TB the count is a full pass
+    # over the norm artifact; per-session it is a constant)
+    if n_nodes is None:
+        n_nodes = nodes.count()
     small = n_nodes <= broadcast_ranks_max
     static = small and tol is None
     if static:

@@ -3541,12 +3541,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_loader_spark.queries.staging import staged_pagerank_norm
 
     norm_path = staged_pagerank_norm(spark, sf_dir, "cust_supp_bipartite", lambda: edges)
+    # the staged norm is immutable per session, so its node count (the
+    # broadcast-regime gate inside pagerank) is a per-artifact constant —
+    # count it once per (norm_path) per session instead of one gate scan
+    # per call (r16; at 100 TB that scan is a full pass over the artifact)
+    nn_cache = getattr(spark, "_lhl_pr_nnodes", None)
+    if nn_cache is None:
+        nn_cache = {}
+        spark._lhl_pr_nnodes = nn_cache
+    n_nodes = nn_cache.get(norm_path)
+    if n_nodes is None:
+        norm = spark.read.parquet(norm_path)
+        n_nodes = norm.where(F.col("w") == 0.0).count()
+        nn_cache[norm_path] = n_nodes
     ranks = pagerank(
         edges,
         iterations=8,
         scale=6,
         assume_distinct=True,
         staged_norm_path=norm_path,
+        n_nodes=n_nodes,
     )
     return ranks.select(
         F.when(

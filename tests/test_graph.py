@@ -30,6 +30,21 @@ def test_star_center_dominates_and_mass_conserved(spark):
     assert abs(sum(out.values()) - 5.0) < 1e-3  # undirected graph: Σrank = N
 
 
+def test_explicit_n_nodes_matches_counted(spark):
+    # the per-session node-count cache (r16) passes the gate count in;
+    # a correct count must be a pure no-op on the result, and a count on
+    # the broadcast side of the gate must still pick the same regime
+    pairs = [("hub", f"l{i}") for i in range(4)] + [
+        (f"l{i}", "hub") for i in range(4)
+    ]
+    e = _edges(spark, pairs)
+    base = {r.node: r.rank for r in pagerank(e, iterations=6).collect()}
+    given = {
+        r.node: r.rank for r in pagerank(e, iterations=6, n_nodes=5).collect()
+    }
+    assert given == base
+
+
 def test_bit_stable_across_parallelism(spark):
     # per-iteration rounding must erase partitioning-dependent float
     # summation order — parallelism 1 and 16 agree EXACTLY
