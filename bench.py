@@ -348,8 +348,11 @@ def main() -> None:
     # Full-precision detail for humans / the judge — including every raw run
     # per query (min vs max makes noise-vs-regression attributable, e.g. the
     # round-2 dedup_ngram_jaccard 11s reading that round 4 showed was a
-    # one-off contention artifact).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    # one-off contention artifact).  SPARK_GRAFT_ONLY probe runs write a
+    # separate file so a quick family probe can never clobber the committed
+    # full-sweep detail (official runs leave SPARK_GRAFT_ONLY unset).
+    detail_name = "BENCH_DETAIL_PROBE.json" if only else "BENCH_DETAIL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w") as f:
         json.dump(
             {**payload, "runs": all_runs, "task_metrics": task_metrics},
             f,
